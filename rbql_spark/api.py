@@ -1,0 +1,146 @@
+"""Public entry points (SURVEY §3 entry-point parity, Spark-first)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .binding import TableHandle
+from .engine import EngineOptions, StageResult, run_query
+from .errors import RbqlParsingError
+from .registry import ChainRegistry, DataFrameRegistry, PathRegistry, TableRegistry
+
+
+def _ensure_handle(table, header=None) -> TableHandle:
+    if isinstance(table, TableHandle):
+        return table
+    if isinstance(table, DataFrame):
+        return TableHandle(df=table, header=list(table.columns) if header is None else list(header))
+    raise RbqlParsingError('Unsupported input table type: {}'.format(type(table).__name__))
+
+
+def query_dataframe(spark: SparkSession, query: str, df: DataFrame | TableHandle,
+                    join_table: DataFrame | TableHandle | None = None,
+                    registry: TableRegistry | None = None,
+                    user_init_code: str = '',
+                    options: EngineOptions | None = None) -> StageResult:
+    """Run an RBQL query over a DataFrame; columns are addressable as
+    ``a.<name>`` / ``a["<name>"]`` / positional ``a1..aN``.
+
+    Analog of reference ``query_dataframe`` (rbql_pandas.py:65-73) but lazy:
+    returns a StageResult whose ``.display_df()`` is the result DataFrame.
+    """
+    handle = _ensure_handle(df)
+    regs = []
+    if join_table is not None:
+        jh = _ensure_handle(join_table)
+        regs.append(DataFrameRegistry({'b': jh, 'B': jh}))
+    if registry is not None:
+        regs.append(registry)
+    reg = ChainRegistry(*regs) if regs else None
+    opts = options or EngineOptions()
+    if user_init_code:
+        opts.user_init_code = user_init_code
+    return run_query(spark, query, input_handle=handle, registry=reg, options=opts)
+
+
+def query_table(spark: SparkSession, query: str, input_table: list[list],
+                input_column_names: list[str] | None = None,
+                join_table: list[list] | None = None,
+                join_column_names: list[str] | None = None,
+                user_init_code: str = '',
+                options: EngineOptions | None = None) -> tuple[list[list], list[str] | None]:
+    """Run a query over an in-memory list-of-rows table; returns
+    (output_rows, output_column_names).  Analog of reference ``query_table``
+    (rbql_engine.py:1747-1756) — the API the JSON unit-test corpus drives.
+    """
+    handle = _rows_to_handle(spark, input_table, input_column_names)
+    join_handle = None
+    if join_table is not None:
+        join_handle = _rows_to_handle(spark, join_table, join_column_names)
+    result = query_dataframe(spark, query, handle, join_table=join_handle,
+                             user_init_code=user_init_code, options=options)
+    out_df = result.display_df(ordered=True)
+    rows = [list(r) for r in out_df.collect()]
+    return rows, result.out_names
+
+
+def _rows_to_handle(spark: SparkSession, rows: list[list],
+                    column_names: list[str] | None) -> TableHandle:
+    """2D-array scan (reference rbql_engine.py:1663-1690): rows may be ragged;
+    pad to max width with None (reference safe_get semantics)."""
+    width = max((len(r) for r in rows), default=0)
+    if column_names is not None:
+        width = max(width, len(column_names))
+    ragged = any(len(r) != width for r in rows)
+    norm = [tuple(list(r) + [None] * (width - len(r)) + ([len(r)] if ragged else []))
+            for r in rows]
+    names = ['_c{}'.format(i) for i in range(width)]
+    if ragged:
+        from .binding import NF_SRC_COL
+        names = names + [NF_SRC_COL]
+        width_with_nf = width + 1
+    else:
+        width_with_nf = width
+    # Infer per-column types from values (plain python objects)
+    from pyspark.sql import types as T
+
+    from .pyeval import _infer_spark_type
+    fields = []
+    for i in range(width_with_nf):
+        vals = [r[i] for r in norm]
+        fields.append(T.StructField(names[i], _infer_spark_type(vals), True))
+    schema = T.StructType(fields)
+    coerced = []
+    for r in norm:
+        out = []
+        for i, v in enumerate(r):
+            dt = fields[i].dataType
+            if v is not None and isinstance(dt, T.DoubleType) and isinstance(v, (int, bool)):
+                v = float(v)
+            if v is not None and isinstance(dt, T.StringType) and not isinstance(v, str):
+                v = str(v)
+            out.append(v)
+        coerced.append(tuple(out))
+    df = spark.createDataFrame(coerced, schema=schema) if norm else \
+        spark.createDataFrame([], schema=schema)
+    return TableHandle(df=df, header=list(column_names) if column_names is not None else None)
+
+
+def query_csv(spark: SparkSession, query: str, input_path: str,
+              output_path: str | None = None,
+              delim: str = ',', policy: str = 'quoted', encoding: str = 'utf-8',
+              with_headers: bool = False,
+              out_delim: str | None = None, out_policy: str | None = None,
+              comment_prefix: str | None = None,
+              strip_whitespaces: bool = False,
+              user_init_code: str = '',
+              options: EngineOptions | None = None) -> StageResult:
+    """CSV entry point (analog of rbql_csv.query_csv, rbql_csv.py:543-580).
+
+    Reads with the requested dialect, runs the query (join tables resolve as
+    paths relative to cwd or the input table's directory), and — if
+    ``output_path`` is given — writes CSV with the reference's output
+    normalization rules.
+    """
+    from .sources.csv import read_csv, write_csv
+    handle = read_csv(spark, input_path, delim=delim, policy=policy,
+                      encoding=encoding, with_headers=with_headers,
+                      comment_prefix=comment_prefix,
+                      strip_whitespaces=strip_whitespaces)
+    csv_opts = {'delim': delim, 'policy': policy, 'encoding': encoding,
+                'with_headers': with_headers, 'comment_prefix': comment_prefix}
+    reg = PathRegistry(main_table_dir=os.path.dirname(os.path.abspath(input_path)),
+                       csv_options=csv_opts)
+    opts = options or EngineOptions()
+    if user_init_code:
+        opts.user_init_code = user_init_code
+    result = run_query(spark, query, input_handle=handle, registry=reg, options=opts)
+    if output_path is not None:
+        write_csv(result, output_path,
+                  delim=out_delim if out_delim is not None else delim,
+                  policy=out_policy if out_policy is not None else policy,
+                  encoding=encoding)
+    return result

@@ -1,0 +1,669 @@
+"""Stage executor: ParsedStage → Spark DataFrame plan.
+
+This is the Spark-first replacement for the reference's generated main loop +
+writer decorator chain (rbql_engine.py:711-770,1552-1563).  The writer-chain
+semantics — aggregate → sort → distinct → top, with all order-sensitive
+behaviors (NR stability, first-seen DISTINCT, key-sorted GROUP BY output,
+input-ordered ARRAY_AGG) — are reconstructed declaratively:
+
+  WHERE            → df.filter (native predicate when translatable)
+  SELECT list      → df.select (native Columns; Arrow-batch eval fallback)
+  GROUP BY + aggs  → groupBy().agg() (Catalyst partial+final aggregation)
+  ORDER BY         → orderBy(keys…, nr) — nr appended for stable-sort parity
+  DISTINCT [COUNT] → groupBy(output)/window-dedup keeping first occurrence
+  TOP/LIMIT        → orderBy(order).limit(n) (TakeOrdered)
+  JOIN             → broadcast hash join on the B side (B is "the small
+                     table" by construction in the reference, HashJoinMap
+                     rbql_engine.py:1346-1395)
+  UNNEST           → posexplode (order-preserving via (nr, pos))
+  UPDATE           → when(cond, expr).otherwise(col) per assigned column
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import parser
+from .aggregates import NUMERIC_AGGS, AggCall, detect_aggregate, numeric_coerce, spark_agg_expr
+from .binding import (
+    BNF_COL, BNR_COL, NF_COL, NR_COL, Binding, SideInfo, TableHandle, VarRef,
+    WorkFrame, internal_col, make_workframe, type_tag,
+)
+from .errors import (
+    AMBIGUOUS_VARIABLE_ERROR, INVALID_KEYWORD_IN_AGGREGATE_QUERY_ERROR,
+    RbqlIOHandlingError, RbqlParsingError, RbqlRuntimeError,
+)
+from .header import ColumnInfo, column_info_for_item, select_output_header
+from .parser import ParsedStage, SelectItem
+from .pyeval import PyExpr, eval_columns
+from .registry import TableRegistry
+from .rownum import attach_nr
+from .translator import ExpressionTranslator, TCol, TranslationFallback
+
+
+@dataclass
+class EngineOptions:
+    broadcast_join: bool = True            # force broadcast of the B side
+    strict_checks: bool = True             # eager cardinality / const-group checks
+    user_init_code: str = ''
+    sample_rows: int = 64                  # pyeval type-inference sample size
+
+
+@dataclass
+class StageResult:
+    df: DataFrame                  # columns __out_0..N-1 (+ order cols)
+    out_names: list[str] | None    # display header (None = headerless output)
+    order_cols: list[Column] = field(default_factory=list)
+    warnings: list[str] = field(default_factory=list)
+
+    def out_cols(self) -> list[str]:
+        return [c for c in self.df.columns if c.startswith('__out_')]
+
+    def ordered_df(self) -> DataFrame:
+        if self.order_cols:
+            return self.df.orderBy(*self.order_cols)
+        return self.df
+
+    def display_df(self, ordered: bool = False) -> DataFrame:
+        d = self.ordered_df() if ordered else self.df
+        names = self.out_names
+        cols = self.out_cols()
+        if names is None:
+            names = ['col{}'.format(i + 1) for i in range(len(cols))]
+        uniq: list[str] = []
+        for n in names:
+            n = n if n else 'col{}'.format(len(uniq) + 1)
+            uniq.append(n)
+        return d.select([F.col(c).alias(n) for c, n in zip(cols, uniq)])
+
+
+_NR_REF_RGX = re.compile(r'(?:^|[^\w])(NR|aNR)(?:$|[^\w])|a\.NR')
+_BNR_REF_RGX = re.compile(r'(?:^|[^\w])bNR(?:$|[^\w])|b\.NR')
+
+
+def _needs_dense_nr(stage: ParsedStage, side: str) -> bool:
+    texts = [stage.masked_text]
+    rgx = _NR_REF_RGX if side == 'a' else _BNR_REF_RGX
+    return any(rgx.search(t) for t in texts)
+
+
+class _ExprComputer:
+    """Computes named expression columns: translator first, batched pyeval
+    fallback for the rest (ONE mapInPandas pass per batch of fallbacks)."""
+
+    def __init__(self, wf: WorkFrame, options: EngineOptions):
+        self.wf = wf
+        self.binding = Binding(wf)
+        self.translator = ExpressionTranslator(self.binding)
+        self.options = options
+
+    def compute(self, df: DataFrame, named_exprs: list[tuple[str, str]]) -> tuple[DataFrame, dict[str, str]]:
+        """Returns (df_with_columns, {out_name: type_tag})."""
+        tags: dict[str, str] = {}
+        native: list[tuple[str, TCol]] = []
+        fallback: list[PyExpr] = []
+        for name, text in named_exprs:
+            try:
+                tc = self.translator.translate(text)
+                native.append((name, tc))
+                tags[name] = tc.tag
+            except TranslationFallback:
+                fallback.append(PyExpr(out_col=name, expr=text))
+        if native:
+            df = df.withColumns({name: tc.col for name, tc in native})
+        if fallback:
+            df = eval_columns(df, self.wf, fallback,
+                              user_init_code=self.options.user_init_code,
+                              sample_rows=self.options.sample_rows)
+            for pe in fallback:
+                tags[pe.out_col] = type_tag(pe.dtype)
+        return df, tags
+
+    def predicate(self, df: DataFrame, text: str) -> tuple[DataFrame, Column]:
+        try:
+            return df, self.translator.translate_predicate(text)
+        except TranslationFallback:
+            pe = PyExpr(out_col='__where', expr='bool({})'.format(text))
+            from pyspark.sql import types as T
+            pe.dtype = T.BooleanType()
+            df = eval_columns(df, self.wf, [pe],
+                              user_init_code=self.options.user_init_code,
+                              sample_rows=self.options.sample_rows)
+            return df, F.col('__where')
+
+
+# ---------------------------------------------------------------------------
+
+_UNNEST_NAMES = ('UNNEST', 'unnest', 'Unnest')
+
+
+def _unnest_arg(item_text: str) -> str | None:
+    import ast
+    try:
+        root = ast.parse(item_text.strip(), mode='eval').body
+    except SyntaxError:
+        return None
+    if isinstance(root, ast.Call) and isinstance(root.func, ast.Name) \
+            and root.func.id in _UNNEST_NAMES and len(root.args) == 1:
+        return ast.unparse(root.args[0])
+    for node in ast.walk(root):
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
+                and node.func.id in _UNNEST_NAMES and node is not root:
+            raise RbqlParsingError('UNNEST must be the whole select item expression')
+    return None
+
+
+def _classify_join_var(var_text: str) -> str:
+    """'a' or 'b' side of a join-pair variable."""
+    if re.match(r'^(b[1-9][0-9]*|b\.|b\[|bNR$)', var_text):
+        return 'b'
+    return 'a'
+
+
+def _join_var_ref(binding: Binding, var_text: str, side: str) -> VarRef:
+    if side == 'a' and var_text in ('NR', 'aNR', 'a.NR'):
+        return VarRef(kind='nr', side='a', index=None, token=var_text)
+    if side == 'b' and var_text in ('bNR', 'b.NR'):
+        return VarRef(kind='bnr', side='b', index=None, token=var_text)
+    m = re.match(r'^([ab])([1-9][0-9]*)$', var_text)
+    if m:
+        return binding.resolve_index(m.group(1), int(m.group(2)), var_text)
+    m = re.match(r'^([ab])\[([1-9][0-9]*)\]$', var_text)
+    if m:
+        return binding.resolve_index(m.group(1), int(m.group(2)), var_text)
+    m = re.match(r'^([ab])\.([_a-zA-Z][_a-zA-Z0-9]*)$', var_text)
+    if m:
+        return binding.resolve_name(m.group(1), m.group(2), var_text, attr_style=True)
+    m = re.match(r'^([ab])\[(["\'])(.*)\2\]$', var_text)
+    if m:
+        return binding.resolve_name(m.group(1), m.group(3), var_text, attr_style=False)
+    raise RbqlParsingError(
+        'Unable to parse JOIN expression: {} table does not have field "{}"'.format(
+            'Input' if side == 'a' else 'Join', var_text)
+    )
+
+
+class StageRunner:
+    def __init__(self, spark: SparkSession, registry: TableRegistry | None,
+                 options: EngineOptions):
+        self.spark = spark
+        self.registry = registry
+        self.options = options
+        self.warnings: list[str] = []
+
+    # -- input / join wiring ------------------------------------------------
+
+    def _load_b_side(self, stage: ParsedStage, wf: WorkFrame) -> WorkFrame:
+        if self.registry is None:
+            raise RbqlParsingError('JOIN operations are not supported by the application')
+        b_handle = self.registry.get_table(self.spark, stage.join_table_id)
+        if b_handle is None:
+            raise RbqlParsingError('Unable to find join table: "{}"'.format(stage.join_table_id))
+        if (wf.a.header is None) != (b_handle.header is None):
+            if wf.a.header is None:
+                raise RbqlIOHandlingError(
+                    "Inconsistent modes: Input table doesn't have a header while the Join table has a header")
+            raise RbqlIOHandlingError(
+                "Inconsistent modes: Input table has a header while the Join table doesn't have a header")
+
+        bdf = b_handle.df
+        b_names = bdf.columns
+        b_types = [f.dataType for f in bdf.schema.fields]
+        bdf = bdf.select([F.col('`{}`'.format(n.replace('`', '``'))).alias(internal_col('b', i))
+                          for i, n in enumerate(b_names)])
+        bdf = attach_nr(bdf, BNR_COL, dense=_needs_dense_nr(stage, 'b')
+                        or any(v in ('bNR', 'b.NR') for pair in stage.join_var_pairs for v in pair))
+        bdf = bdf.withColumn(BNF_COL, F.lit(len(b_names)).cast('int'))
+        b_side = SideInfo(prefix='b', header=list(b_handle.header) if b_handle.header is not None else None,
+                          mode='fixed', width=len(b_names), types=b_types)
+        wf2 = WorkFrame(df=wf.df, a=wf.a, b=b_side)
+        binding = Binding(wf2)
+
+        # resolve join pairs
+        a_keys: list[Column] = []
+        b_keys: list[Column] = []
+        for v1, v2 in stage.join_var_pairs:
+            s1, s2 = _classify_join_var(v1), _classify_join_var(v2)
+            if s1 == s2:
+                raise RbqlParsingError(
+                    'Invalid join syntax: both "{}" and "{}" refer to the same table. '
+                    'Valid syntax: <JOIN> /path/to/B/table on a... == b... [and ...]'.format(v1, v2))
+            if s1 == 'b':
+                v1, v2 = v2, v1
+            a_ref = _join_var_ref(binding, v1, 'a')
+            b_ref = _join_var_ref(binding, v2, 'b')
+            ac, _ = binding.spark_column(a_ref)
+            if b_ref.kind == 'bnr':
+                bc = F.col(BNR_COL)
+            else:
+                if b_ref.index >= b_side.width:
+                    raise RbqlRuntimeError(
+                        'No field with index {} at record 1 in "B" table'.format(b_ref.index + 1))
+                bc = F.col(internal_col('b', b_ref.index))
+            a_keys.append(ac)
+            b_keys.append(bc)
+
+        if self.options.broadcast_join:
+            bdf = F.broadcast(bdf)
+
+        subtype = stage.join_subtype
+        if subtype == parser.STRICT_LEFT_JOIN and self.options.strict_checks:
+            dup = (bdf.groupBy(*b_keys).count().filter(F.col('count') > 1).limit(1).collect())
+            if dup:
+                bad_key = ', '.join(str(v) for v in list(dup[0])[:-1])
+                raise RbqlRuntimeError(
+                    'In "STRICT LEFT JOIN" each key in A must have exactly one '
+                    'match in B. Bad A key: "{}"'.format(bad_key))
+
+        cond = None
+        for ac, bc in zip(a_keys, b_keys):
+            piece = ac.eqNullSafe(bc)
+            cond = piece if cond is None else (cond & piece)
+        how = 'inner' if subtype in (parser.JOIN, parser.INNER_JOIN) else 'left'
+        joined = wf.df.join(bdf, on=cond, how=how)
+
+        wf2 = WorkFrame(df=joined, a=wf.a, b=b_side)
+        if subtype == parser.STRICT_LEFT_JOIN and self.options.strict_checks:
+            missing = joined.filter(F.col(BNR_COL).isNull()).limit(1).collect()
+            if missing:
+                raise RbqlRuntimeError(
+                    'In "STRICT LEFT JOIN" each key in A must have exactly one '
+                    'match in B. Bad A key: "<unmatched>"')
+        return wf2
+
+    # -- main ---------------------------------------------------------------
+
+    def run(self, stage: ParsedStage, input_handle: TableHandle | None) -> StageResult:
+        if input_handle is None:
+            if stage.from_table_id is None:
+                raise RbqlParsingError('Queries without context-based input table must contain "FROM" statement')
+            if self.registry is None:
+                raise RbqlParsingError('Unable to find input table: "{}"'.format(stage.from_table_id))
+            input_handle = self.registry.get_table(self.spark, stage.from_table_id)
+            if input_handle is None:
+                raise RbqlParsingError('Unable to find input table: "{}"'.format(stage.from_table_id))
+
+        wf = make_workframe(input_handle)
+        nr_referenced = _needs_dense_nr(stage, 'a') or any(
+            v in ('NR', 'aNR', 'a.NR') for pair in stage.join_var_pairs for v in pair)
+
+        # Pushdown-friendly early filter: the order surrogate (__nr) is
+        # nondeterministic, so Catalyst will not push predicates past it.
+        # When the query never references NR, relative row order is all that
+        # matters — filter FIRST (predicate reaches the parquet scan), then
+        # attach __nr.
+        early_filtered = False
+        if (stage.is_select and stage.where_expr is not None and not nr_referenced):
+            try:
+                cond = ExpressionTranslator(Binding(wf)).translate_predicate(stage.where_expr)
+                wf = wf.with_df(wf.df.filter(cond))
+                early_filtered = True
+            except (TranslationFallback, RbqlParsingError, RbqlRuntimeError, SyntaxError):
+                pass
+
+        wf = wf.with_df(attach_nr(wf.df, NR_COL, dense=nr_referenced))
+        if stage.join_subtype is not None:
+            wf = self._load_b_side(stage, wf)
+
+        comp = _ExprComputer(wf, self.options)
+        df = wf.df
+
+        if stage.is_select:
+            return self._run_select(stage, wf, comp, df, skip_where=early_filtered)
+        return self._run_update(stage, wf, comp, df)
+
+    # -- UPDATE -------------------------------------------------------------
+
+    def _run_update(self, stage: ParsedStage, wf: WorkFrame, comp: _ExprComputer,
+                    df: DataFrame) -> StageResult:
+        binding = comp.binding
+        # UPDATE+JOIN: error when an input record has >1 join match
+        # (PROCESS_UPDATE_JOIN, rbql_engine.py:682-697)
+        if wf.b is not None and self.options.strict_checks:
+            dups = (df.groupBy(NR_COL).count().filter(F.col('count') > 1).limit(1).collect())
+            if dups:
+                raise RbqlRuntimeError(
+                    'More than one record found in B table for the same record in A: '
+                    'join matches must be unique in UPDATE queries')
+
+        cond = F.lit(True)
+        if stage.where_expr is not None:
+            df, cond_col = comp.predicate(df, stage.where_expr)
+            cond = cond_col
+        if wf.b is not None:
+            cond = cond & F.col(BNR_COL).isNotNull()
+
+        value_exprs = []
+        targets: list[int] = []
+        for var_text, expr_text in stage.update_assignments:
+            ref = _join_var_ref(binding, var_text, 'a')
+            if ref.kind != 'field' or ref.side != 'a':
+                raise RbqlParsingError(
+                    'Unable to parse "UPDATE" expression: Unknown field name: "{}"'.format(var_text))
+            if wf.a.width is not None and ref.index >= wf.a.width:
+                raise RbqlParsingError(
+                    'Unable to parse "UPDATE" expression: Unknown field name: "{}"'.format(var_text))
+            targets.append(ref.index)
+            value_exprs.append(('__upd_{}'.format(ref.index), expr_text))
+
+        df, _tags = comp.compute(df, value_exprs)
+        updates = {}
+        for idx in targets:
+            src = internal_col('a', idx)
+            updates[src] = F.when(cond, F.col('__upd_{}'.format(idx))).otherwise(F.col(src))
+        if updates:
+            df = df.withColumns(updates)
+
+        out_cols = {}
+        for i in range(wf.a.width):
+            out_cols['__out_{}'.format(i)] = F.col(internal_col('a', i))
+        df = df.withColumns(out_cols).select(
+            *['__out_{}'.format(i) for i in range(wf.a.width)], NR_COL)
+        header = list(wf.a.header) if wf.a.header is not None else None
+        return StageResult(df=df, out_names=header, order_cols=[F.col(NR_COL)],
+                           warnings=self.warnings)
+
+    # -- SELECT -------------------------------------------------------------
+
+    def _run_select(self, stage: ParsedStage, wf: WorkFrame, comp: _ExprComputer,
+                    df: DataFrame, skip_where: bool = False) -> StageResult:
+        binding = comp.binding
+
+        if stage.where_expr is not None and not skip_where:
+            df, cond = comp.predicate(df, stage.where_expr)
+            df = df.filter(cond)
+
+        # ---- EXCEPT projection ------------------------------------------
+        if stage.except_vars:
+            skip: list[int] = []
+            for var_text in stage.except_vars:
+                ref = _join_var_ref(binding, var_text, 'a')
+                if ref.kind != 'field' or ref.side != 'a' or (
+                        wf.a.width is not None and ref.index >= wf.a.width):
+                    raise RbqlParsingError('Unknown field in EXCEPT expression: "{}"'.format(var_text))
+                skip.append(ref.index)
+            keep = [i for i in range(wf.a.width) if i not in set(skip)]
+            items: list[tuple[str, Column, ColumnInfo]] = []
+            for j, i in enumerate(keep):
+                name = wf.a.header[i] if wf.a.header is not None else None
+                items.append(('__out_{}'.format(j), F.col(internal_col('a', i)),
+                              ColumnInfo(column_name=name)))
+            out_names = [wf.a.header[i] for i in keep] if wf.a.header is not None else None
+            df = df.withColumns({nm: c for nm, c, _ in items})
+            return self._finalize_simple(stage, wf, comp, df,
+                                         ['__out_{}'.format(j) for j in range(len(keep))],
+                                         out_names, unnest_col=None)
+
+        # ---- select list expansion --------------------------------------
+        agg_calls: dict[int, AggCall] = {}
+        unnest_items: list[int] = []
+        for idx, item in enumerate(stage.select_items):
+            if item.star:
+                continue
+            text = stage.unmask(item.text)
+            agg = detect_aggregate(text)
+            if agg is not None:
+                agg_calls[idx] = agg
+                continue
+            if _unnest_arg(text) is not None:
+                unnest_items.append(idx)
+
+        is_aggregate = bool(agg_calls) or stage.group_key_exprs is not None
+        if is_aggregate:
+            if stage.distinct or stage.distinct_count or stage.sort_key_exprs is not None:
+                raise RbqlParsingError(INVALID_KEYWORD_IN_AGGREGATE_QUERY_ERROR)
+            if unnest_items:
+                raise RbqlParsingError('UNNEST is not allowed in aggregate queries')
+            if any(it.star for it in stage.select_items):
+                # stars become per-column group-constant outputs
+                pass
+            return self._run_aggregate(stage, wf, comp, df, agg_calls)
+
+        if len(unnest_items) > 1:
+            raise RbqlParsingError('Only one UNNEST is allowed per query')
+
+        # compute non-star item columns
+        named_exprs: list[tuple[str, str]] = []
+        out_plan: list[tuple[str, str]] = []   # (kind, payload)
+        infos: list[ColumnInfo] = []
+        n_out = 0
+        unnest_out_col: str | None = None
+        for idx, item in enumerate(stage.select_items):
+            if item.star:
+                side_prefixes = {'*': ['a'] + (['b'] if wf.b is not None else []),
+                                 'a.*': ['a'], 'b.*': ['b']}[item.star]
+                for p in side_prefixes:
+                    side = wf.a if p == 'a' else wf.b
+                    if side is None:
+                        raise RbqlParsingError('Query uses "b.*" but there is no JOIN table')
+                    for i in range(side.width):
+                        out_plan.append(('col', internal_col(p, i)))
+                infos.append(column_info_for_item(item, item.star))
+                continue
+            text = stage.unmask(item.text)
+            infos.append(column_info_for_item(item, text))
+            if idx in unnest_items:
+                arg = _unnest_arg(text)
+                unnest_out_col = '__unnest_src'
+                named_exprs.append((unnest_out_col, arg))
+                out_plan.append(('unnest', unnest_out_col))
+                continue
+            cname = '__sel_{}'.format(n_out)
+            n_out += 1
+            named_exprs.append((cname, text))
+            out_plan.append(('col', cname))
+
+        # sort keys computed pre-unnest (reference PROCESS_SELECT_COMMON order)
+        sort_cols: list[str] = []
+        if stage.sort_key_exprs is not None:
+            for i, expr in enumerate(stage.sort_key_exprs):
+                sort_cols.append('__sort_{}'.format(i))
+                named_exprs.append(('__sort_{}'.format(i), expr))
+
+        df, _tags = comp.compute(df, named_exprs)
+
+        # unnest explode
+        unnest_col = None
+        if unnest_out_col is not None:
+            keep = [c for c in df.columns if c != unnest_out_col]
+            df = df.select(*keep, F.posexplode(F.col(unnest_out_col)).alias('__unnest_pos', '__unnest_val'))
+            unnest_col = '__unnest_val'
+
+        # final output columns
+        out_cols: list[str] = []
+        assigns = {}
+        for j, (kind, payload) in enumerate(out_plan):
+            name = '__out_{}'.format(j)
+            src = unnest_col if kind == 'unnest' else payload
+            assigns[name] = F.col(src)
+            out_cols.append(name)
+        df = df.withColumns(assigns)
+
+        input_header = wf.a.header
+        join_header = wf.b.header if wf.b is not None else None
+        out_names = select_output_header(input_header, join_header, infos)
+
+        return self._finalize_simple(stage, wf, comp, df, out_cols, out_names,
+                                     unnest_col=unnest_col, sort_cols=sort_cols)
+
+    def _finalize_simple(self, stage: ParsedStage, wf: WorkFrame, comp: _ExprComputer,
+                         df: DataFrame, out_cols: list[str],
+                         out_names: list[str] | None,
+                         unnest_col: str | None, sort_cols: list[str] | None = None) -> StageResult:
+        sort_cols = sort_cols or []
+
+        # build the canonical row order: (sort keys [reversed], nr, unnest pos)
+        order: list[Column] = []
+        for c in sort_cols:
+            order.append(F.col(c).desc() if stage.sort_reverse else F.col(c).asc())
+        order.append(F.col(NR_COL).asc())
+        if unnest_col is not None:
+            order.append(F.col('__unnest_pos').asc())
+
+        keep_extra = [NR_COL] + sort_cols + (['__unnest_pos'] if unnest_col is not None else [])
+        df = df.select(*out_cols, *keep_extra)
+
+        if stage.distinct_count:
+            # UniqCountWriter: dedup full rows, prepend occurrence count,
+            # keep first occurrence in stream order (rbql_engine.py:518-537)
+            wpart = Window.partitionBy(*[F.col(c) for c in out_cols])
+            df = (df.withColumn('__uc_count', F.count(F.lit(1)).over(wpart))
+                    .withColumn('__rn', F.row_number().over(wpart.orderBy(*order)))
+                    .filter(F.col('__rn') == 1).drop('__rn'))
+            shifted = {'__out_0': F.col('__uc_count')}
+            for i, c in enumerate(out_cols):
+                shifted['__out_{}'.format(i + 1)] = F.col(c)
+            df = df.withColumns(shifted)
+            out_cols = ['__out_{}'.format(i) for i in range(len(out_cols) + 1)]
+            if out_names is not None:
+                out_names = ['count'] + out_names
+        elif stage.distinct:
+            if sort_cols:
+                w = Window.partitionBy(*[F.col(c) for c in out_cols]).orderBy(*order)
+                df = df.withColumn('__rn', F.row_number().over(w)).filter(F.col('__rn') == 1).drop('__rn')
+            else:
+                df = (df.groupBy(*[F.col(c) for c in out_cols])
+                        .agg(F.min(F.col(NR_COL)).alias(NR_COL)))
+                order = [F.col(NR_COL).asc()]
+
+        if stage.top_count is not None:
+            df = df.orderBy(*order).limit(stage.top_count)
+
+        return StageResult(df=df, out_names=out_names, order_cols=order,
+                           warnings=self.warnings)
+
+    # -- aggregation --------------------------------------------------------
+
+    def _run_aggregate(self, stage: ParsedStage, wf: WorkFrame, comp: _ExprComputer,
+                       df: DataFrame, agg_calls: dict[int, AggCall]) -> StageResult:
+        named_exprs: list[tuple[str, str]] = []
+        key_cols: list[str] = []
+        if stage.group_key_exprs is not None:
+            for i, expr in enumerate(stage.group_key_exprs):
+                key_cols.append('__key_{}'.format(i))
+                named_exprs.append(('__key_{}'.format(i), expr))
+
+        # expand select items into agg / const columns
+        plan: list[tuple[str, object]] = []   # ('agg', (idx, AggCall, argcol)) | ('const', colname) | ('star', prefix)
+        infos: list[ColumnInfo] = []
+        post_procs: list[tuple[str, str]] = []  # (out_col, lambda_text)
+        for idx, item in enumerate(stage.select_items):
+            if item.star:
+                infos.append(column_info_for_item(item, item.star))
+                side_prefixes = {'*': ['a'] + (['b'] if wf.b is not None else []),
+                                 'a.*': ['a'], 'b.*': ['b']}[item.star]
+                for p in side_prefixes:
+                    side = wf.a if p == 'a' else wf.b
+                    for i in range(side.width):
+                        plan.append(('const', internal_col(p, i)))
+                continue
+            text = stage.unmask(item.text)
+            infos.append(column_info_for_item(item, text))
+            agg = agg_calls.get(idx)
+            if agg is None:
+                cname = '__const_{}'.format(idx)
+                named_exprs.append((cname, text))
+                plan.append(('const', cname))
+            else:
+                argcol = None
+                if agg.arg_text is not None:
+                    argcol = '__arg_{}'.format(idx)
+                    named_exprs.append((argcol, agg.arg_text))
+                plan.append(('agg', (idx, agg, argcol)))
+
+        df, tags = comp.compute(df, named_exprs)
+
+        nr = F.col(NR_COL)
+        agg_exprs: list[Column] = []
+        out_specs: list[str] = []
+        guard_cols: list[str] = []
+        for j, (kind, payload) in enumerate(plan):
+            out_name = '__agg_out_{}'.format(j)
+            out_specs.append(out_name)
+            if kind == 'const':
+                src = F.col(payload)
+                agg_exprs.append(F.min_by(src, nr).alias(out_name))
+                if self.options.strict_checks:
+                    g = '__guard_{}'.format(j)
+                    guard_cols.append(g)
+                    agg_exprs.append(F.count_distinct(src).alias(g))
+            else:
+                idx, agg, argcol = payload
+                arg = None
+                if argcol is not None:
+                    tag = tags.get(argcol, 'any')
+                    arg = F.col(argcol)
+                    if agg.kind in NUMERIC_AGGS:
+                        arg, _t = numeric_coerce(arg, tag)
+                agg_exprs.append(spark_agg_expr(agg.kind, arg, nr, out_name))
+                if agg.kind == 'array_agg' and agg.post_proc_text is not None:
+                    post_procs.append((out_name, agg.post_proc_text))
+
+        if key_cols:
+            grouped = df.groupBy(*[F.col(c) for c in key_cols]).agg(*agg_exprs)
+        else:
+            grouped = df.groupBy(F.lit(1).alias('__key_dummy')).agg(*agg_exprs)
+
+        if guard_cols and self.options.strict_checks:
+            bad = grouped.filter(' OR '.join('{} > 1'.format(g) for g in guard_cols)).limit(1).collect()
+            if bad:
+                for j, g in enumerate(guard_cols):
+                    if g in bad[0].asDict() and bad[0][g] > 1:
+                        break
+                raise RbqlRuntimeError(
+                    'Invalid aggregate expression: non-constant values in output column')
+
+        if post_procs:
+            from .pyeval import eval_simple
+            grouped = eval_simple(grouped, [(out, '({})({})'.format(lam, out))
+                                            for out, lam in post_procs],
+                                  user_init_code=self.options.user_init_code)
+
+        # output columns in item order; sorted ascending by group key
+        renamed = {}
+        for j, out_name in enumerate(out_specs):
+            renamed['__out_{}'.format(j)] = F.col(out_name)
+        grouped = grouped.withColumns(renamed)
+        order = [F.col(c).asc() for c in key_cols]
+        keep = ['__out_{}'.format(j) for j in range(len(out_specs))] + key_cols
+        grouped = grouped.select(*keep)
+
+        if stage.top_count is not None:
+            grouped = grouped.orderBy(*order).limit(stage.top_count) if order \
+                else grouped.limit(stage.top_count)
+
+        input_header = wf.a.header
+        join_header = wf.b.header if wf.b is not None else None
+        out_names = select_output_header(input_header, join_header, infos)
+        return StageResult(df=grouped, out_names=out_names, order_cols=order,
+                           warnings=self.warnings)
+
+
+# ---------------------------------------------------------------------------
+
+def run_query(spark: SparkSession, query_text: str,
+              input_handle: TableHandle | None = None,
+              registry: TableRegistry | None = None,
+              options: EngineOptions | None = None) -> StageResult:
+    """Parse + run a (possibly piped) RBQL query → StageResult."""
+    options = options or EngineOptions()
+    stages = parser.parse_query(query_text, has_context_table=input_handle is not None)
+    result: StageResult | None = None
+    handle = input_handle
+    for i, stage in enumerate(stages):
+        runner = StageRunner(spark, registry, options)
+        result = runner.run(stage, handle)
+        if i + 1 < len(stages):
+            # pipe boundary: next stage's input order = this stage's output
+            # order (reference TablePipe, rbql_engine.py:1711-1727). orderBy
+            # produces range-partitioned sorted output, which the next
+            # stage's order surrogate (monotonically_increasing_id over
+            # partition-id, offset) follows — no extra shuffle needed.
+            tmp = result.ordered_df().select(
+                [F.col(c).alias('__pipe_{}'.format(j)) for j, c in enumerate(result.out_cols())])
+            handle = TableHandle(df=tmp, header=result.out_names)
+    return result

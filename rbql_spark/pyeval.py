@@ -1,0 +1,373 @@
+"""Arrow-batched evaluator for arbitrary-Python RBQL expressions.
+
+The reference embeds user expressions in a generated per-record loop and
+``exec``s it (rbql_engine.py:796-823,945-947).  Spark-side equivalent: compile
+each expression once per task, evaluate over Arrow-transferred batches inside
+``mapInPandas`` — same code-once/run-many trick, but parallel over executors.
+This is the *fallback* path; the translator (translator.py) keeps the common
+subset JVM-native.  Output types are inferred from a driver-side sample (the
+relational skeleton needs concrete Spark types), then enforced in the worker.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .binding import (
+    A_FIELDS_COL, B_FIELDS_COL, BNF_COL, BNR_COL, NF_COL, NR_COL,
+    SideInfo, WorkFrame, discover_attr_vars, discover_positional_vars, internal_col,
+)
+from .errors import RbqlRuntimeError
+
+
+@dataclass
+class PyExpr:
+    out_col: str
+    expr: str
+    dtype: T.DataType | None = None  # None → infer from sample
+
+
+class _Record:
+    """Dict+attribute record object exposed as ``a`` / ``b`` in expressions.
+
+    Reference RBQLRecord: rbql_engine.py:235-246 (missing key raises, mapped
+    to 'No "<key>" field at record N').
+    """
+
+    __slots__ = ('_vals',)
+
+    def __init__(self, vals: dict):
+        self._vals = vals
+
+    def __getitem__(self, key):
+        try:
+            return self._vals[key]
+        except KeyError:
+            raise KeyError('No "{}" field'.format(key))
+
+    def __getattr__(self, key):
+        try:
+            return self._vals[key]
+        except KeyError:
+            raise AttributeError('No "{}" field'.format(key))
+
+
+def _make_globals(user_init_code: str):
+    import json as _json
+    import math as _math
+    import os as _os
+    import random as _random
+    import re as _re
+    import time as _time
+
+    from .functions.like import py_like
+
+    class _UdfNamespace:
+        pass
+
+    glb: dict = {
+        'math': _math, 'json': _json, 're': _re, 'random': _random,
+        'datetime': _dt, 'os': _os, 'time': _time,
+        'like': py_like, 'LIKE': py_like,
+        '__builtins__': __builtins__,
+    }
+    udf_ns = _UdfNamespace()
+    if user_init_code:
+        exec(compile(user_init_code, '<user init code>', 'exec'), glb)
+        for k, v in list(glb.items()):
+            if not k.startswith('__'):
+                setattr(udf_ns, k, v)
+    glb['udf'] = udf_ns
+    return glb
+
+
+def _column_converter(dt: T.DataType):
+    """Pandas cell → plain-Python value matching the reference's data model."""
+    import pandas as pd
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return lambda v: None if v is None or (isinstance(v, float) and v != v) or v is pd.NaT else int(v)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return lambda v: None if v is None or (isinstance(v, float) and v != v) else float(v)
+    if isinstance(dt, T.BooleanType):
+        return lambda v: None if v is None or v is pd.NaT else bool(v)
+    if isinstance(dt, T.StringType):
+        return lambda v: v
+    if isinstance(dt, T.TimestampType):
+        return lambda v: None if v is None or v is pd.NaT else (v.to_pydatetime() if hasattr(v, 'to_pydatetime') else v)
+    if isinstance(dt, T.DateType):
+        return lambda v: v
+    if isinstance(dt, T.ArrayType):
+        return lambda v: None if v is None else list(v)
+    return lambda v: v
+
+
+def _infer_spark_type(values: list) -> T.DataType:
+    """Merge python sample values into one Spark type (coercion-friendly)."""
+    has = set()
+    elem_values: list = []
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            has.add('bool')
+        elif isinstance(v, int):
+            has.add('int')
+        elif isinstance(v, float):
+            has.add('float')
+        elif isinstance(v, str):
+            has.add('str')
+        elif isinstance(v, _dt.datetime):
+            has.add('ts')
+        elif isinstance(v, _dt.date):
+            has.add('date')
+        elif isinstance(v, (list, tuple)):
+            has.add('list')
+            elem_values.extend(v)
+        else:
+            has.add('other')
+    if not has:
+        return T.StringType()
+    if has == {'bool'}:
+        return T.BooleanType()
+    if has <= {'int', 'bool'}:
+        return T.LongType()
+    if has <= {'int', 'float', 'bool'}:
+        return T.DoubleType()
+    if has == {'ts'}:
+        return T.TimestampType()
+    if has == {'date'}:
+        return T.DateType()
+    if has == {'list'}:
+        return T.ArrayType(_infer_spark_type(elem_values))
+    return T.StringType()
+
+
+def _coercer(dt: T.DataType):
+    """Enforce the declared Spark type on worker-side computed values."""
+    if isinstance(dt, T.LongType):
+        return lambda v: None if v is None else int(v)
+    if isinstance(dt, T.DoubleType):
+        return lambda v: None if v is None else float(v)
+    if isinstance(dt, T.BooleanType):
+        return lambda v: None if v is None else bool(v)
+    if isinstance(dt, T.StringType):
+        return lambda v: None if v is None else (v if isinstance(v, str) else str(v))
+    if isinstance(dt, T.ArrayType):
+        elem = _coercer(dt.elementType)
+        return lambda v: None if v is None else [elem(x) for x in v]
+    return lambda v: v
+
+
+@dataclass
+class _VarPlan:
+    """What the worker needs to bind before evaluating expressions."""
+    positional: list[tuple[str, str]]          # (py_name e.g. 'a1', internal col/elem spec)
+    array_side: dict[str, str]                 # prefix → fields col (array mode)
+    record_sides: list[str]                    # prefixes needing the `a`/`b` record object
+    builtins: list[str]                        # NR / NF / bNR / bNF needed
+    widths: dict[str, int | None]
+
+
+def _plan_variables(exprs: list[str], wf: WorkFrame) -> _VarPlan:
+    text = '\n'.join(exprs)
+    positional: list[tuple[str, str]] = []
+    array_side: dict[str, str] = {}
+    record_sides: list[str] = []
+    builtins: list[str] = []
+    widths: dict[str, int | None] = {}
+    sides: list[SideInfo] = [wf.a] + ([wf.b] if wf.b is not None else [])
+    for side in sides:
+        p = side.prefix
+        widths[p] = side.width
+        if side.mode == 'array':
+            array_side[p] = A_FIELDS_COL if p == 'a' else B_FIELDS_COL
+        for one_based in discover_positional_vars(text, p):
+            name_variants = ['{}{}'.format(p, one_based)]
+            for nv in name_variants:
+                positional.append((nv, '{}:{}'.format(p, one_based - 1)))
+        import re as _re
+        if _re.search(r'(?:^|[^_a-zA-Z0-9.]){}[\[.]'.format(p), text):
+            record_sides.append(p)
+    for b in ('NR', 'NF', 'bNR', 'bNF', 'aNR'):
+        import re as _re
+        if _re.search(r'(?:^|[^\w]){}(?:$|[^\w])'.format(b), text):
+            builtins.append(b)
+    if 'a' in [s.prefix for s in sides if '.NR' in text]:
+        pass
+    return _VarPlan(positional=positional, array_side=array_side,
+                    record_sides=record_sides, builtins=builtins, widths=widths)
+
+
+def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
+                 user_init_code: str = '', sample_rows: int = 64) -> DataFrame:
+    """Append one column per PyExpr, evaluating arbitrary Python per record."""
+    plan = _plan_variables([pe.expr for pe in pyexprs], wf)
+    a_header = wf.a.header
+    b_header = wf.b.header if wf.b is not None else None
+    in_schema = df.schema
+    conv = {f.name: _column_converter(f.dataType) for f in in_schema.fields}
+
+    def build_env_factory():
+        """Closure run on workers AND on the driver for sampling."""
+        def make_row_env(row: dict) -> dict:
+            env: dict = {}
+            for name, spec in plan.positional:
+                p, idx_s = spec.split(':')
+                idx = int(idx_s)
+                if p in plan.array_side:
+                    fields = row[plan.array_side[p]]
+                    env[name] = fields[idx] if fields is not None and idx < len(fields) else None
+                else:
+                    w = plan.widths[p]
+                    env[name] = row.get(internal_col(p, idx)) if idx < w else None
+            for p in plan.record_sides:
+                header = a_header if p == 'a' else b_header
+                vals: dict = {}
+                if header is not None:
+                    if p in plan.array_side:
+                        fields = row[plan.array_side[p]]
+                        for i, nm in enumerate(header):
+                            vals[nm] = fields[i] if fields is not None and i < len(fields) else None
+                    else:
+                        for i, nm in enumerate(header):
+                            vals[nm] = row.get(internal_col(p, i))
+                rec = _Record(vals)
+                nr_val = row.get(NR_COL) if p == 'a' else row.get(BNR_COL)
+                vals['NR'] = nr_val
+                env[p] = rec
+            if 'NR' in plan.builtins or 'aNR' in plan.builtins:
+                env['NR'] = row.get(NR_COL)
+                env['aNR'] = row.get(NR_COL)
+            if 'NF' in plan.builtins:
+                env['NF'] = row.get(NF_COL)
+            if 'bNR' in plan.builtins:
+                env['bNR'] = row.get(BNR_COL)
+            if 'bNF' in plan.builtins:
+                env['bNF'] = row.get(BNF_COL)
+            return env
+        return make_row_env
+
+    # ---- driver-side sampling for output types ---------------------------
+    need_infer = [pe for pe in pyexprs if pe.dtype is None]
+    if need_infer:
+        sample = df.limit(sample_rows).collect()
+        glb = _make_globals(user_init_code)
+        make_env = build_env_factory()
+        sampled: dict[str, list] = {pe.out_col: [] for pe in need_infer}
+        for spark_row in sample:
+            rd = spark_row.asDict()
+            row = {k: conv[k](v) if k in conv else v for k, v in rd.items()}
+            env = make_env(row)
+            for pe in need_infer:
+                try:
+                    sampled[pe.out_col].append(eval(compile(pe.expr, '<expr>', 'eval'), glb, env))
+                except Exception:
+                    sampled[pe.out_col].append(None)
+        for pe in need_infer:
+            pe.dtype = _infer_spark_type(sampled[pe.out_col])
+
+    out_schema = T.StructType(list(in_schema.fields) + [
+        T.StructField(pe.out_col, pe.dtype, True) for pe in pyexprs
+    ])
+    expr_specs = [(pe.out_col, pe.expr, pe.dtype) for pe in pyexprs]
+    in_cols = [f.name for f in in_schema.fields]
+    conv_items = [(f.name, f.dataType) for f in in_schema.fields]
+    uic = user_init_code
+    make_env_outer = build_env_factory()
+
+    def run_batches(batches):
+        import pandas as pd
+        glb = _make_globals(uic)
+        compiled = [(name, compile(expr, '<expr>', 'eval'), _coercer(dt)) for name, expr, dt in expr_specs]
+        converters = {name: _column_converter(dt) for name, dt in conv_items}
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.reindex(columns=[f.name for f in out_schema.fields])
+                continue
+            col_data = {}
+            for c in in_cols:
+                cv = converters[c]
+                col_data[c] = [cv(v) for v in pdf[c].tolist()]
+            n = len(pdf)
+            outs: dict[str, list] = {name: [None] * n for name, _, _ in compiled}
+            for i in range(n):
+                row = {c: col_data[c][i] for c in in_cols}
+                env = make_env_outer(row)
+                for name, code, coerce in compiled:
+                    try:
+                        outs[name][i] = coerce(eval(code, glb, env))
+                    except Exception as e:
+                        nr = row.get(NR_COL)
+                        raise RbqlRuntimeError('At record {}, Details: {}'.format(nr, e))
+            res = pdf.copy()
+            for name, _, _ in compiled:
+                res[name] = pd.Series(outs[name], dtype='object')
+            yield res
+
+    return df.mapInPandas(run_batches, schema=out_schema)
+
+
+def eval_simple(df: DataFrame, col_exprs: list[tuple[str, str]],
+                user_init_code: str = '', sample_rows: int = 64) -> DataFrame:
+    """Evaluate Python expressions whose free variables are *column names* of
+    ``df`` (used e.g. for ARRAY_AGG post-proc lambdas on aggregated frames).
+    Existing columns named in ``col_exprs`` are REPLACED."""
+    in_schema = df.schema
+    conv = {f.name: _column_converter(f.dataType) for f in in_schema.fields}
+
+    # sample for result types
+    sample = df.limit(sample_rows).collect()
+    glb = _make_globals(user_init_code)
+    dtypes: dict[str, T.DataType] = {}
+    for out_col, expr in col_exprs:
+        vals = []
+        for r in sample:
+            env = {k: conv[k](v) for k, v in r.asDict().items()}
+            try:
+                vals.append(eval(compile(expr, '<expr>', 'eval'), glb, env))
+            except Exception:
+                vals.append(None)
+        dtypes[out_col] = _infer_spark_type(vals)
+
+    out_fields = []
+    replaced = {c for c, _ in col_exprs}
+    for f in in_schema.fields:
+        if f.name in replaced:
+            out_fields.append(T.StructField(f.name, dtypes[f.name], True))
+        else:
+            out_fields.append(f)
+    out_schema = T.StructType(out_fields)
+    conv_items = [(f.name, f.dataType) for f in in_schema.fields]
+    uic = user_init_code
+    specs = [(c, e, dtypes[c]) for c, e in col_exprs]
+
+    def run_batches(batches):
+        import pandas as pd
+        glb_w = _make_globals(uic)
+        compiled = [(c, compile(e, '<expr>', 'eval'), _coercer(dt)) for c, e, dt in specs]
+        converters = {name: _column_converter(dt) for name, dt in conv_items}
+        names = [name for name, _ in conv_items]
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            col_data = {c: [converters[c](v) for v in pdf[c].tolist()] for c in names}
+            n = len(pdf)
+            res = pdf.copy()
+            for c, code, coerce in compiled:
+                out = [None] * n
+                for i in range(n):
+                    env = {k: col_data[k][i] for k in names}
+                    try:
+                        out[i] = coerce(eval(code, glb_w, env))
+                    except Exception as e:
+                        raise RbqlRuntimeError('Details: {}'.format(e))
+                res[c] = pd.Series(out, dtype='object')
+            yield res
+
+    return df.mapInPandas(run_batches, schema=out_schema)

@@ -1,0 +1,105 @@
+"""Table registries: FROM / JOIN table-id → TableHandle resolution.
+
+Reference concept: ``RBQLTableRegistry`` implementations — list registry
+(rbql_engine.py:1734-1743), filesystem CSV registry (rbql_csv.py:101-115),
+sqlite registry (rbql_sqlite.py:59-65).  Spark-side, a table id resolves to a
+DataFrame via an explicit mapping, a parquet/csv/jsonl path, or a Spark
+catalog table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .binding import TableHandle
+from .errors import RbqlIOHandlingError
+
+
+class TableRegistry:
+    def get_table(self, spark: SparkSession, table_id: str) -> TableHandle | None:
+        raise NotImplementedError
+
+
+class DataFrameRegistry(TableRegistry):
+    """Explicit name → TableHandle mapping (the `b`/`B` join table etc.)."""
+
+    def __init__(self, tables: dict[str, TableHandle]):
+        self.tables = tables
+
+    def get_table(self, spark, table_id):
+        return self.tables.get(table_id)
+
+
+class ParquetDirRegistry(TableRegistry):
+    """Resolve table names against a directory of ``<name>.parquet`` files."""
+
+    def __init__(self, sf_dir: str):
+        self.sf_dir = sf_dir
+
+    def get_table(self, spark, table_id):
+        path = os.path.join(self.sf_dir, table_id + '.parquet')
+        if not os.path.exists(path):
+            return None
+        df = spark.read.parquet(path)
+        return TableHandle(df=df, header=list(df.columns))
+
+
+class CatalogRegistry(TableRegistry):
+    """Resolve against the Spark catalog (temp views / metastore tables)."""
+
+    def get_table(self, spark, table_id):
+        try:
+            df = spark.table(table_id)
+        except Exception:
+            return None
+        return TableHandle(df=df, header=list(df.columns))
+
+
+class PathRegistry(TableRegistry):
+    """Resolve filesystem paths (parquet / csv / tsv / jsonl) relative to cwd
+    or the main table's directory (reference rbql_csv.py:101-115)."""
+
+    def __init__(self, main_table_dir: str | None = None, csv_options: dict | None = None):
+        self.main_table_dir = main_table_dir
+        self.csv_options = csv_options or {}
+
+    def _resolve_path(self, table_id: str) -> str | None:
+        candidates = [table_id, os.path.expanduser(table_id)]
+        if self.main_table_dir:
+            candidates.append(os.path.join(self.main_table_dir, table_id))
+        for c in candidates:
+            if os.path.exists(c):
+                return c
+        return None
+
+    def get_table(self, spark, table_id):
+        path = self._resolve_path(table_id)
+        if path is None:
+            return None
+        lower = path.lower()
+        if lower.endswith('.parquet'):
+            df = spark.read.parquet(path)
+            return TableHandle(df=df, header=list(df.columns))
+        if lower.endswith(('.jsonl', '.ndjson', '.json')):
+            from .sources.jsonl import read_jsonl
+            return read_jsonl(spark, path)
+        from .sources.csv import read_csv
+        opts = dict(self.csv_options)
+        if lower.endswith(('.tsv', '.tab')) and 'delim' not in opts:
+            opts['delim'] = '\t'
+            opts.setdefault('policy', 'simple')
+        return read_csv(spark, path, **opts)
+
+
+class ChainRegistry(TableRegistry):
+    def __init__(self, *registries: TableRegistry):
+        self.registries = [r for r in registries if r is not None]
+
+    def get_table(self, spark, table_id):
+        for r in self.registries:
+            t = r.get_table(spark, table_id)
+            if t is not None:
+                return t
+        return None

@@ -1,0 +1,56 @@
+"""Record-number (NR) assignment, designed for multi-executor scale.
+
+The reference's NR is the 1-based position in the single input stream
+(rbql_engine.py:743-752).  On Spark, input order = (partition order, row
+order within partition) of the scan.  Two strategies:
+
+* ``order_surrogate`` — ``monotonically_increasing_id()``: zero-cost, no job,
+  NOT dense, but strictly increasing in input order.  Sufficient for every
+  *internal* use (sort stability, DISTINCT first-seen, ARRAY_AGG order, TOP
+  without ORDER BY) which only need a total order consistent with input.
+* ``dense`` — exact 1-based dense NR, needed only when the query *textually
+  references* NR/aNR/bNR.  Computed with the classic two-pass trick
+  (per-partition counts → driver cumsum → broadcast offsets + per-partition
+  ``row_number``).  No global shuffle, no single-partition window; scales to
+  arbitrary partition counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def attach_order_surrogate(df: DataFrame, col: str) -> DataFrame:
+    return df.withColumn(col, F.monotonically_increasing_id())
+
+
+def attach_dense_nr(df: DataFrame, col: str) -> DataFrame:
+    """Attach exact 1-based dense row numbers without a global sort."""
+    pid, mid, off = '__rbql_pid', '__rbql_mid', '__rbql_off'
+    d = df.withColumn(pid, F.spark_partition_id()) \
+          .withColumn(mid, F.monotonically_increasing_id())
+    counts = sorted(
+        (r[0], r[1]) for r in d.groupBy(pid).count().collect()
+    )
+    offsets = []
+    running = 0
+    for p, c in counts:
+        offsets.append((p, running))
+        running += c
+    if not offsets:
+        return df.withColumn(col, F.lit(None).cast('long'))
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(offsets, '{} int, {} long'.format(pid, off))
+    w = Window.partitionBy(pid).orderBy(mid)
+    return (
+        d.join(F.broadcast(offsets_df), pid)
+         .withColumn(col, F.row_number().over(w).cast('long') + F.col(off))
+         .drop(pid, mid, off)
+    )
+
+
+def attach_nr(df: DataFrame, col: str, dense: bool) -> DataFrame:
+    if dense:
+        return attach_dense_nr(df, col)
+    return attach_order_surrogate(df, col)

@@ -1,0 +1,451 @@
+"""Opportunistic Python-expression → Spark ``Column`` translator.
+
+RBQL expressions are arbitrary Python (reference README.md:5-21).  The general
+evaluator is the Arrow-batched fallback in :mod:`rbql_spark.pyeval`; this
+module converts the *common subset* to native Catalyst expressions so that
+predicate pushdown, column pruning and whole-stage codegen apply.  The policy
+(SURVEY §7.3) is: a translation must be semantics-preserving for non-error
+inputs or be rejected (``TranslationFallback``) — when in doubt, fall back.
+
+Covered: literals, all variable forms, arithmetic (incl. Python ``//``/``%``
+sign semantics), comparisons (type-checked to avoid Spark implicit casts that
+Python would reject), boolean ops with Python truthiness in predicate
+position, conditional expressions, ``in``, ``is None``, f-strings, ``like()``,
+``int/float/str/abs/len/round/min/max``, common ``str`` methods, and
+``datetime.date/datetime`` literal constructors.
+"""
+
+from __future__ import annotations
+
+import ast
+import datetime as _dt
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .binding import Binding, VarRef
+from .errors import RbqlParsingError
+from .functions.like import like_to_java_regex
+
+
+class TranslationFallback(Exception):
+    """Expression not in the translatable subset — use the Python evaluator."""
+
+
+class TCol:
+    """A translated column + coarse type tag for type-directed decisions."""
+
+    __slots__ = ('col', 'tag')
+
+    def __init__(self, col: Column, tag: str):
+        self.col = col
+        self.tag = tag
+
+
+_NUM = ('int', 'float')
+
+
+def _is_num(tag: str) -> bool:
+    return tag in _NUM
+
+
+def _merge_num(a: str, b: str) -> str:
+    return 'int' if a == 'int' and b == 'int' else 'float'
+
+
+def as_predicate(tc: TCol) -> Column:
+    """Python truthiness of a value in boolean context."""
+    if tc.tag == 'bool':
+        return tc.col
+    if tc.tag in _NUM:
+        return tc.col.isNotNull() & (tc.col != F.lit(0))
+    if tc.tag == 'str':
+        return tc.col.isNotNull() & (tc.col != F.lit(''))
+    if tc.tag == 'null':
+        return F.lit(False)
+    if tc.tag.startswith('array:'):
+        return F.size(tc.col) > 0
+    raise TranslationFallback('truthiness of type {!r}'.format(tc.tag))
+
+
+class ExpressionTranslator:
+    def __init__(self, binding: Binding):
+        self.binding = binding
+
+    def translate(self, expr_text: str) -> TCol:
+        try:
+            tree = ast.parse(expr_text.strip(), mode='eval')
+        except SyntaxError:
+            raise  # surfaced as ('syntax error', …) by the API layer
+        return self._expr(tree.body)
+
+    def translate_predicate(self, expr_text: str) -> Column:
+        return as_predicate(self.translate(expr_text))
+
+    # ------------------------------------------------------------------
+
+    def _var(self, node: ast.expr) -> VarRef | None:
+        """Recognize a variable-reference node; None if not a variable."""
+        b = self.binding
+        if isinstance(node, ast.Name):
+            m = re.match(r'^([ab])([1-9][0-9]*)$', node.id)
+            if m:
+                return b.resolve_index(m.group(1), int(m.group(2)), node.id)
+            return b.resolve_builtin(node.id)
+        if isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name) and node.value.id in ('a', 'b'):
+            if node.attr == 'NR':
+                return b.resolve_builtin('NR' if node.value.id == 'a' else 'bNR')
+            return b.resolve_name(node.value.id, node.attr, ast.unparse(node), attr_style=True)
+        if isinstance(node, ast.Subscript) and isinstance(node.value, ast.Name) and node.value.id in ('a', 'b'):
+            sl = node.slice
+            if isinstance(sl, ast.Constant):
+                if isinstance(sl.value, str):
+                    return b.resolve_name(node.value.id, sl.value, ast.unparse(node), attr_style=False)
+                if isinstance(sl.value, int):
+                    return b.resolve_index(node.value.id, sl.value, ast.unparse(node))
+        return None
+
+    def _expr(self, node: ast.expr) -> TCol:
+        ref = self._var(node)
+        if ref is not None:
+            col, tag = self.binding.spark_column(ref)
+            return TCol(col, tag)
+
+        if isinstance(node, ast.Constant):
+            v = node.value
+            if v is None:
+                return TCol(F.lit(None), 'null')
+            if isinstance(v, bool):
+                return TCol(F.lit(v), 'bool')
+            if isinstance(v, int):
+                return TCol(F.lit(v), 'int')
+            if isinstance(v, float):
+                return TCol(F.lit(v), 'float')
+            if isinstance(v, str):
+                return TCol(F.lit(v), 'str')
+            raise TranslationFallback('constant {!r}'.format(v))
+
+        if isinstance(node, ast.BinOp):
+            return self._binop(node)
+        if isinstance(node, ast.UnaryOp):
+            return self._unaryop(node)
+        if isinstance(node, ast.Compare):
+            return self._compare(node)
+        if isinstance(node, ast.BoolOp):
+            parts = [as_predicate(self._expr(v)) for v in node.values]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if isinstance(node.op, ast.And) else (out | p)
+            return TCol(out, 'bool')
+        if isinstance(node, ast.IfExp):
+            test = as_predicate(self._expr(node.test))
+            body = self._expr(node.body)
+            orelse = self._expr(node.orelse)
+            tag = body.tag if body.tag == orelse.tag else (
+                _merge_num(body.tag, orelse.tag) if _is_num(body.tag) and _is_num(orelse.tag)
+                else (body.tag if orelse.tag == 'null' else (orelse.tag if body.tag == 'null' else None)))
+            if tag is None:
+                raise TranslationFallback('mixed-type conditional')
+            return TCol(F.when(test, body.col).otherwise(orelse.col), tag)
+        if isinstance(node, ast.Call):
+            return self._call(node)
+        if isinstance(node, ast.JoinedStr):
+            return self._fstring(node)
+        if isinstance(node, (ast.Tuple, ast.List)):
+            elems = [self._expr(e) for e in node.elts]
+            tags = {e.tag for e in elems}
+            if tags <= {'str', 'null'}:
+                return TCol(F.array(*[e.col for e in elems]), 'array:str')
+            if tags <= set(_NUM):
+                return TCol(F.array(*[e.col.cast('double') for e in elems]), 'array:float')
+            raise TranslationFallback('heterogeneous collection literal')
+        if isinstance(node, ast.Subscript):
+            return self._subscript(node)
+        raise TranslationFallback('unsupported node {}'.format(type(node).__name__))
+
+    def _subscript(self, node: ast.Subscript) -> TCol:
+        base = self._expr(node.value)
+        if isinstance(node.slice, ast.Constant) and isinstance(node.slice.value, int) and not isinstance(node.slice.value, bool):
+            i = node.slice.value
+            if base.tag.startswith('array:'):
+                elem_tag = base.tag.split(':', 1)[1]
+                if i >= 0:
+                    # Python raises IndexError OOB; element_at yields null.
+                    # get() (0-based, null OOB) — accept null-vs-raise divergence
+                    # only in the no-error case: valid index behaves identically.
+                    return TCol(F.get(base.col, i), elem_tag)
+                return TCol(F.element_at(base.col, i), elem_tag)  # negative = from end
+            if base.tag == 'str':
+                if i >= 0:
+                    return TCol(F.substring(base.col, i + 1, 1), 'str')
+                return TCol(F.substring(base.col, F.length(base.col) + i + 1, F.lit(1)), 'str')
+        if isinstance(node.slice, ast.Slice):
+            if base.tag == 'str' and node.slice.step is None:
+                lo = node.slice.lower
+                hi = node.slice.upper
+                lo_v = lo.value if isinstance(lo, ast.Constant) else (None if lo is None else '?')
+                hi_v = hi.value if isinstance(hi, ast.Constant) else (None if hi is None else '?')
+                if lo_v != '?' and hi_v != '?':
+                    if (lo_v is None or lo_v >= 0) and (hi_v is None or hi_v >= 0):
+                        start = (lo_v or 0)
+                        if hi_v is None:
+                            return TCol(F.substring(base.col, start + 1, 2 ** 30), 'str')
+                        length = max(hi_v - start, 0)
+                        return TCol(F.substring(base.col, start + 1, length), 'str')
+                    if lo_v is not None and lo_v < 0 and hi_v is None:
+                        # s[-n:] — last n chars
+                        return TCol(F.when(F.length(base.col) >= -lo_v, F.substring(base.col, F.length(base.col) + lo_v + 1, F.lit(2 ** 30))).otherwise(base.col), 'str')
+        raise TranslationFallback('unsupported subscript')
+
+    # ------------------------------------------------------------------
+
+    def _binop(self, node: ast.BinOp) -> TCol:
+        lhs = self._expr(node.left)
+        rhs = self._expr(node.right)
+        op = node.op
+        if isinstance(op, ast.Add):
+            if lhs.tag == 'str' and rhs.tag == 'str':
+                return TCol(F.concat(lhs.col, rhs.col), 'str')
+            if _is_num(lhs.tag) and _is_num(rhs.tag):
+                return TCol(lhs.col + rhs.col, _merge_num(lhs.tag, rhs.tag))
+            if lhs.tag.startswith('array:') and lhs.tag == rhs.tag:
+                return TCol(F.concat(lhs.col, rhs.col), lhs.tag)
+            raise TranslationFallback('+ on {}/{}'.format(lhs.tag, rhs.tag))
+        if isinstance(op, (ast.Sub, ast.Mult)):
+            if _is_num(lhs.tag) and _is_num(rhs.tag):
+                col = lhs.col - rhs.col if isinstance(op, ast.Sub) else lhs.col * rhs.col
+                return TCol(col, _merge_num(lhs.tag, rhs.tag))
+            raise TranslationFallback('arith on {}/{}'.format(lhs.tag, rhs.tag))
+        if isinstance(op, ast.Div):
+            if _is_num(lhs.tag) and _is_num(rhs.tag):
+                return TCol(lhs.col.cast('double') / rhs.col.cast('double'), 'float')
+            raise TranslationFallback('div on {}/{}'.format(lhs.tag, rhs.tag))
+        if isinstance(op, ast.FloorDiv):
+            if _is_num(lhs.tag) and _is_num(rhs.tag):
+                col = F.floor(lhs.col.cast('double') / rhs.col.cast('double'))
+                if lhs.tag == 'int' and rhs.tag == 'int':
+                    return TCol(col.cast('long'), 'int')
+                return TCol(col.cast('double'), 'float')
+            raise TranslationFallback('// on {}/{}'.format(lhs.tag, rhs.tag))
+        if isinstance(op, ast.Mod):
+            if _is_num(lhs.tag) and _is_num(rhs.tag):
+                # Python % takes the sign of the divisor: ((a % b) + b) % b
+                col = ((lhs.col % rhs.col) + rhs.col) % rhs.col
+                return TCol(col, _merge_num(lhs.tag, rhs.tag))
+            raise TranslationFallback('% on {}/{}'.format(lhs.tag, rhs.tag))
+        if isinstance(op, ast.Pow):
+            if _is_num(lhs.tag) and _is_num(rhs.tag):
+                return TCol(F.pow(lhs.col, rhs.col), 'float')
+            raise TranslationFallback('** on {}/{}'.format(lhs.tag, rhs.tag))
+        raise TranslationFallback('operator {}'.format(type(op).__name__))
+
+    def _unaryop(self, node: ast.UnaryOp) -> TCol:
+        if isinstance(node.op, ast.Not):
+            return TCol(~as_predicate(self._expr(node.operand)), 'bool')
+        val = self._expr(node.operand)
+        if isinstance(node.op, ast.USub) and _is_num(val.tag):
+            return TCol(-val.col, val.tag)
+        if isinstance(node.op, ast.UAdd) and _is_num(val.tag):
+            return val
+        raise TranslationFallback('unary {}'.format(type(node.op).__name__))
+
+    _COMPARABLE = {'int', 'float', 'str', 'bool', 'ts', 'date'}
+
+    def _compare(self, node: ast.Compare) -> TCol:
+        out: Column | None = None
+        left = self._expr(node.left)
+        for op, comparator in zip(node.ops, node.comparators):
+            if isinstance(op, (ast.Is, ast.IsNot)):
+                if not (isinstance(comparator, ast.Constant) and comparator.value is None):
+                    raise TranslationFallback('is: only None comparisons')
+                piece = left.col.isNull() if isinstance(op, ast.Is) else left.col.isNotNull()
+                left = TCol(F.lit(None), 'null')  # chained after `is` is weird; keep simple
+            elif isinstance(op, (ast.In, ast.NotIn)):
+                if isinstance(comparator, (ast.List, ast.Tuple, ast.Set)):
+                    if not all(isinstance(e, ast.Constant) for e in comparator.elts):
+                        raise TranslationFallback('in: non-literal collection')
+                    piece = left.col.isin([e.value for e in comparator.elts])
+                    right = left
+                else:
+                    right = self._expr(comparator)
+                    if right.tag == 'str' and left.tag == 'str':
+                        piece = right.col.contains(left.col)
+                    elif right.tag.startswith('array:'):
+                        piece = F.array_contains(right.col, left.col)
+                    else:
+                        raise TranslationFallback('in on {}'.format(right.tag))
+                if isinstance(op, ast.NotIn):
+                    piece = ~piece
+                left = right
+            else:
+                right = self._expr(comparator)
+                lt, rt = left.tag, right.tag
+                compatible = (
+                    (_is_num(lt) and _is_num(rt))
+                    or (lt == rt and lt in self._COMPARABLE)
+                    or ('null' in (lt, rt))
+                    or (lt in ('ts', 'date') and rt in ('ts', 'date'))
+                )
+                if not compatible:
+                    # Python would raise (ordering) or return False (==) on
+                    # mixed types where Spark would implicitly cast — reject.
+                    raise TranslationFallback('compare {} vs {}'.format(lt, rt))
+                if isinstance(op, ast.Eq):
+                    piece = left.col == right.col
+                elif isinstance(op, ast.NotEq):
+                    piece = left.col != right.col
+                elif isinstance(op, ast.Lt):
+                    piece = left.col < right.col
+                elif isinstance(op, ast.LtE):
+                    piece = left.col <= right.col
+                elif isinstance(op, ast.Gt):
+                    piece = left.col > right.col
+                elif isinstance(op, ast.GtE):
+                    piece = left.col >= right.col
+                else:
+                    raise TranslationFallback('comparison {}'.format(type(op).__name__))
+                left = right
+            out = piece if out is None else (out & piece)
+        return TCol(out, 'bool')
+
+    # ------------------------------------------------------------------
+
+    def _call(self, node: ast.Call) -> TCol:
+        if node.keywords:
+            raise TranslationFallback('keyword arguments')
+        # datetime constructors with literal args → Spark literal
+        fn = node.func
+        if isinstance(fn, ast.Attribute) and isinstance(fn.value, ast.Name) and fn.value.id == 'datetime':
+            if fn.attr in ('date', 'datetime') and all(
+                isinstance(a, ast.Constant) and isinstance(a.value, int) for a in node.args
+            ):
+                vals = [a.value for a in node.args]
+                if fn.attr == 'date':
+                    return TCol(F.lit(_dt.date(*vals)), 'date')
+                return TCol(F.lit(_dt.datetime(*vals)), 'ts')
+            raise TranslationFallback('datetime call')
+
+        if isinstance(fn, ast.Attribute):
+            return self._method_call(fn, node.args)
+
+        if not isinstance(fn, ast.Name):
+            raise TranslationFallback('computed callee')
+        name = fn.id
+        args = node.args
+
+        if name == 'like' and len(args) == 2:
+            text = self._expr(args[0])
+            if text.tag != 'str':
+                raise TranslationFallback('like() on non-string')
+            if isinstance(args[1], ast.Constant) and isinstance(args[1].value, str):
+                # reference like_to_regex: rbql_engine.py:267-281 (% → .*, _ → .)
+                return TCol(text.col.rlike(like_to_java_regex(args[1].value)), 'bool')
+            raise TranslationFallback('like() with non-literal pattern')
+
+        if name == 'int' and len(args) == 1:
+            v = self._expr(args[0])
+            if v.tag in ('int', 'bool'):
+                return TCol(v.col.cast('long'), 'int')
+            if v.tag == 'float':
+                # Python int() truncates toward zero; Spark double→long cast
+                # also truncates toward zero.
+                return TCol(v.col.cast('long'), 'int')
+            raise TranslationFallback('int() on {}'.format(v.tag))
+        if name == 'float' and len(args) == 1:
+            v = self._expr(args[0])
+            if v.tag in _NUM or v.tag == 'bool':
+                return TCol(v.col.cast('double'), 'float')
+            raise TranslationFallback('float() on {}'.format(v.tag))
+        if name == 'str' and len(args) == 1:
+            v = self._expr(args[0])
+            if v.tag in ('int', 'str'):
+                return TCol(v.col.cast('string'), 'str')
+            if v.tag == 'float':
+                return TCol(v.col.cast('string'), 'str')
+            if v.tag == 'bool':
+                return TCol(F.when(v.col, F.lit('True')).otherwise(F.lit('False')), 'str')
+            raise TranslationFallback('str() on {}'.format(v.tag))
+        if name == 'abs' and len(args) == 1:
+            v = self._expr(args[0])
+            if _is_num(v.tag):
+                return TCol(F.abs(v.col), v.tag)
+        if name == 'len' and len(args) == 1:
+            v = self._expr(args[0])
+            if v.tag == 'str':
+                return TCol(F.length(v.col).cast('long'), 'int')
+            if v.tag.startswith('array:'):
+                return TCol(F.size(v.col).cast('long'), 'int')
+        if name == 'round':
+            v = self._expr(args[0])
+            if _is_num(v.tag):
+                nd = 0
+                if len(args) == 2:
+                    if not (isinstance(args[1], ast.Constant) and isinstance(args[1].value, int)):
+                        raise TranslationFallback('round() ndigits must be literal')
+                    nd = args[1].value
+                # Python round = banker's rounding → bround (HALF_EVEN)
+                return TCol(F.bround(v.col, nd), 'float' if (nd > 0 or v.tag == 'float') else 'int')
+        if name in ('min', 'max') and len(args) >= 2:
+            vals = [self._expr(a) for a in args]
+            if all(_is_num(v.tag) for v in vals) or all(v.tag == 'str' for v in vals):
+                f = F.least if name == 'min' else F.greatest
+                tag = vals[0].tag if len({v.tag for v in vals}) == 1 else 'float'
+                return TCol(f(*[v.col for v in vals]), tag)
+        raise TranslationFallback('call {}()'.format(name))
+
+    _WS_LEAD = r'^[\s ]+'
+    _WS_TRAIL = r'[\s ]+$'
+
+    def _method_call(self, fn: ast.Attribute, args: list[ast.expr]) -> TCol:
+        base = self._expr(fn.value)
+        m = fn.attr
+        if base.tag == 'str':
+            if m == 'lower' and not args:
+                return TCol(F.lower(base.col), 'str')
+            if m == 'upper' and not args:
+                return TCol(F.upper(base.col), 'str')
+            if m == 'strip' and not args:
+                return TCol(F.regexp_replace(F.regexp_replace(base.col, self._WS_LEAD, ''), self._WS_TRAIL, ''), 'str')
+            if m == 'lstrip' and not args:
+                return TCol(F.regexp_replace(base.col, self._WS_LEAD, ''), 'str')
+            if m == 'rstrip' and not args:
+                return TCol(F.regexp_replace(base.col, self._WS_TRAIL, ''), 'str')
+            if m in ('startswith', 'endswith') and len(args) == 1:
+                arg = self._expr(args[0])
+                if arg.tag == 'str':
+                    f = F.startswith if m == 'startswith' else F.endswith
+                    return TCol(f(base.col, arg.col), 'bool')
+            if m == 'replace' and len(args) == 2:
+                a0, a1 = self._expr(args[0]), self._expr(args[1])
+                if a0.tag == 'str' and a1.tag == 'str':
+                    return TCol(F.replace(base.col, a0.col, a1.col), 'str')
+            if m == 'split':
+                if len(args) == 0:
+                    stripped = F.regexp_replace(F.regexp_replace(base.col, self._WS_LEAD, ''), self._WS_TRAIL, '')
+                    return TCol(F.when(stripped == '', F.array().cast('array<string>'))
+                                .otherwise(F.split(stripped, r'\s+')), 'array:str')
+                if len(args) == 1 and isinstance(args[0], ast.Constant) and isinstance(args[0].value, str):
+                    # limit=-1 keeps trailing empty strings, matching Python
+                    return TCol(F.split(base.col, re.escape(args[0].value), -1), 'array:str')
+            if m == 'find' and len(args) == 1:
+                arg = self._expr(args[0])
+                if arg.tag == 'str':
+                    return TCol((F.instr(base.col, arg.col) - 1).cast('long'), 'int')
+        raise TranslationFallback('method .{}() on {}'.format(m, base.tag))
+
+    def _fstring(self, node: ast.JoinedStr) -> TCol:
+        parts: list[Column] = []
+        for piece in node.values:
+            if isinstance(piece, ast.Constant):
+                parts.append(F.lit(piece.value))
+                continue
+            if isinstance(piece, ast.FormattedValue):
+                if piece.conversion != -1 or piece.format_spec is not None:
+                    raise TranslationFallback('f-string format spec')
+                v = self._expr(piece.value)
+                if v.tag in ('str', 'int', 'float'):
+                    parts.append(v.col.cast('string'))
+                    continue
+            raise TranslationFallback('f-string piece')
+        return TCol(F.concat(*parts) if parts else F.lit(''), 'str')
