@@ -75,7 +75,7 @@ def _classify_call(node: ast.Call) -> AggCall | None:
     if not isinstance(node.func, ast.Name) or node.keywords:
         return None
     name = node.func.id
-    kind = _EXPLICIT_AGG_FUNCS.get(name)
+    kind = _EXPLICIT_AGG_FUNCS.get(name) or _POLYMORPHIC.get(name)
     if kind is None:
         return None
     if name in _POLYMORPHIC:

@@ -37,9 +37,13 @@ def query_dataframe(spark: SparkSession, query: str, df: DataFrame | TableHandle
     if join_table is not None:
         jh = _ensure_handle(join_table)
         regs.append(DataFrameRegistry({'b': jh, 'B': jh}))
+    else:
+        # empty registry → unknown join tables report "Unable to find join
+        # table" (reference query_table always has a ListTableRegistry)
+        regs.append(DataFrameRegistry({}))
     if registry is not None:
         regs.append(registry)
-    reg = ChainRegistry(*regs) if regs else None
+    reg = ChainRegistry(*regs)
     opts = options or EngineOptions()
     if user_init_code:
         opts.user_init_code = user_init_code

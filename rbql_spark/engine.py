@@ -263,7 +263,9 @@ class StageRunner:
         for ac, bc in zip(a_keys, b_keys):
             piece = ac.eqNullSafe(bc)
             cond = piece if cond is None else (cond & piece)
-        how = 'inner' if subtype in (parser.JOIN, parser.INNER_JOIN) else 'left'
+        # UPDATE emits every input row (match only gates the assignment,
+        # PROCESS_UPDATE_JOIN rbql_engine.py:682-697) → always left there.
+        how = 'inner' if (stage.is_select and subtype in (parser.JOIN, parser.INNER_JOIN)) else 'left'
         joined = wf.df.join(bdf, on=cond, how=how)
 
         wf2 = WorkFrame(df=joined, a=wf.a, b=b_side)
@@ -354,7 +356,13 @@ class StageRunner:
         updates = {}
         for idx in targets:
             src = internal_col('a', idx)
-            updates[src] = F.when(cond, F.col('__upd_{}'.format(idx))).otherwise(F.col(src))
+            new_val = F.col('__upd_{}'.format(idx))
+            # A column has ONE Spark type; when the original is string, cast
+            # the new value to string (CSV-writer stringification parity)
+            # rather than letting Spark coerce untouched rows to the new type.
+            if wf.a.types and type_tag(wf.a.types[idx]) == 'str':
+                new_val = new_val.cast('string')
+            updates[src] = F.when(cond, new_val).otherwise(F.col(src))
         if updates:
             df = df.withColumns(updates)
 

@@ -1,0 +1,64 @@
+import pytest
+
+from rbql_spark import query_table
+from rbql_spark.errors import RbqlParsingError, RbqlRuntimeError
+
+T1 = [
+    ['5', 'haha', 'beta'],
+    ['-20', 'hoho', 'alpha'],
+    ['50', 'haha', 'gamma'],
+]
+
+
+def test_update_all_rows(spark):
+    rows, _ = query_table(spark, "UPDATE a2 = 'X'", [r[:] for r in T1])
+    assert rows == [['5', 'X', 'beta'], ['-20', 'X', 'alpha'], ['50', 'X', 'gamma']]
+
+
+def test_update_with_where(spark):
+    rows, _ = query_table(spark, "UPDATE a1 = int(a1) * 10 WHERE a2 == 'haha'",
+                          [r[:] for r in T1])
+    # string column stays string-typed: updated values are stringified
+    # (CSV-writer normalization parity), untouched rows keep original text
+    assert rows == [['50', 'haha', 'beta'], ['-20', 'hoho', 'alpha'], ['500', 'haha', 'gamma']]
+
+
+def test_update_emits_every_row_in_order(spark):
+    rows, _ = query_table(spark, "UPDATE a3 = a3.upper() WHERE a3.startswith('b')",
+                          [r[:] for r in T1])
+    assert rows == [['5', 'haha', 'BETA'], ['-20', 'hoho', 'alpha'], ['50', 'haha', 'gamma']]
+
+
+def test_update_rhs_uses_original_values(spark):
+    rows, _ = query_table(spark, 'UPDATE a1 = a2, a2 = a1', [['1', '2', 'z']])
+    assert rows == [['2', '1', 'z']]
+
+
+def test_update_header_preserved(spark):
+    rows, header = query_table(spark, "UPDATE a.age = a.age + 1",
+                               [['alice', 30]], input_column_names=['name', 'age'])
+    assert rows == [['alice', 31]]
+    assert header == ['name', 'age']
+
+
+def test_update_with_join(spark):
+    rows, _ = query_table(
+        spark, "UPDATE a2 = b2 INNER JOIN b ON a2 == b1",
+        [['1', 'us'], ['2', 'zz']], join_table=[['us', 'USA']])
+    assert rows == [['1', 'USA'], ['2', 'zz']]
+
+
+def test_update_join_multiple_matches_error(spark):
+    with pytest.raises(RbqlRuntimeError):
+        query_table(spark, 'UPDATE a2 = b2 INNER JOIN b ON a2 == b1',
+                    [['1', 'us']], join_table=[['us', 'USA'], ['us', 'America']])
+
+
+def test_update_unknown_field_rejected(spark):
+    with pytest.raises(RbqlParsingError):
+        query_table(spark, 'UPDATE a9 = 1', [['1', '2']])
+
+
+def test_update_order_by_rejected(spark):
+    with pytest.raises(RbqlParsingError):
+        query_table(spark, 'UPDATE a1 = 1 ORDER BY a2', [['1', '2']])
