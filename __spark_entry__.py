@@ -1,38 +1,392 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship query at sf0.001 (smoke).
+queries()         — one entry per implemented operator (SURVEY.md §2 +
+                    superset pipeline ops); callable(spark, sf_dir) → DataFrame.
+oracle_sql()      — DuckDB-equivalent SQL per query (same column names/aliases).
+                    Entries without an oracle (hash-based / UDF-stub ops whose
+                    digests are engine-specific) get the driver's rows-only check.
+
+Queries prefixed ``rbql_`` run RBQL-dialect query text through the
+rbql_spark engine end-to-end (parser → translator → Catalyst plan); the rest
+drive the native superset operators in rbql_spark.ops.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import rbql_spark  # noqa: F401  (repo-local package)
+from rbql_spark.api import query_dataframe
+from rbql_spark.binding import TableHandle
+from rbql_spark.engine import EngineOptions
+from rbql_spark.registry import ParquetDirRegistry
+
+SF_DEFAULT = '/root/testdata/sf0.001'
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == 'events':
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read as long and convert ns → µs with integer
+        # division (ts/1000 via doubles would lose precision at 1e18 ns).
+        spark.conf.set('spark.sql.legacy.parquet.nanosAsLong', 'true')
+        df = spark.read.parquet(os.path.join(sf_dir, 'events.parquet'))
+        if dict(df.dtypes).get('ts') in ('bigint', 'long'):
+            df = df.withColumn('ts', F.timestamp_micros(F.expr('ts div 1000')))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, name + '.parquet'))
+
+
+def _rbql(query: str, table: str, strict: bool = True):
+    """Build a queries() callable that runs RBQL text through the engine."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        handle = TableHandle(df=_t(spark, sf_dir, table))
+        handle.header = list(handle.df.columns)
+        res = query_dataframe(spark, query, handle,
+                              registry=ParquetDirRegistry(sf_dir),
+                              options=EngineOptions(strict_checks=strict))
+        return res.display_df()
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-shaped aggregation through the RBQL engine."""
+    return queries()['rbql_group_agg'](spark, SF_DEFAULT)
 
+
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- engine-driven (RBQL dialect end-to-end) ----------------------
+    q['rbql_select_where'] = _rbql(
+        "SELECT a.l_orderkey, a.l_linenumber, a.l_quantity * (1 - a.l_discount) AS net "
+        "WHERE a.l_quantity > 30 and a.l_returnflag == 'N'", 'lineitem')
 
+    q['rbql_select_top_order'] = _rbql(
+        "SELECT TOP 100 a.l_orderkey, a.l_linenumber, a.l_extendedprice "
+        "ORDER BY a.l_extendedprice, a.l_orderkey, a.l_linenumber DESC", 'lineitem')
+
+    q['rbql_distinct'] = _rbql(
+        "SELECT DISTINCT a.l_returnflag, a.l_linestatus", 'lineitem')
+
+    q['rbql_distinct_count'] = _rbql(
+        "SELECT DISTINCT COUNT a.o_orderpriority", 'orders')
+
+    q['rbql_group_agg'] = _rbql(
+        "SELECT a.l_returnflag, a.l_linestatus, COUNT(1) AS cnt, "
+        "SUM(a.l_quantity) AS sum_qty, AVG(a.l_extendedprice) AS avg_price, "
+        "MIN(a.l_discount) AS min_disc, MAX(a.l_discount) AS max_disc, "
+        "MEDIAN(a.l_quantity) AS med_qty, VARIANCE(a.l_quantity) AS var_qty "
+        "GROUP BY a.l_returnflag, a.l_linestatus", 'lineitem')
+
+    q['rbql_group_expr_key'] = _rbql(
+        "SELECT a.o_custkey % 100 AS bucket, COUNT(1) AS cnt, "
+        "SUM(a.o_totalprice) AS total GROUP BY a.o_custkey % 100", 'orders')
+
+    q['rbql_global_agg'] = _rbql(
+        "SELECT COUNT(1) AS cnt, SUM(a.l_quantity) AS sum_qty, "
+        "MAX(a.l_extendedprice) AS max_price, ANY_VALUE(a.l_linestatus) AS any_status",
+        'lineitem')
+
+    q['rbql_inner_join'] = _rbql(
+        "SELECT a.c_custkey, a.c_name, b.n_name "
+        "INNER JOIN nation ON a.c_nationkey == b.n_nationkey", 'customer')
+
+    q['rbql_left_join'] = _rbql(
+        "SELECT a.n_nationkey, a.n_name, b.s_name "
+        "LEFT JOIN supplier ON a.n_nationkey == b.s_nationkey", 'nation')
+
+    q['rbql_multikey_join'] = _rbql(
+        "SELECT a.l_orderkey, a.l_linenumber, b.l_quantity AS qty2 "
+        "INNER JOIN lineitem ON a.l_orderkey == b.l_orderkey AND a.l_linenumber == b.l_linenumber "
+        "WHERE a.l_quantity > 45", 'lineitem')
+
+    q['rbql_update'] = _rbql(
+        "UPDATE a.o_orderpriority = 'URGENT-BIG' WHERE a.o_totalprice > 400000", 'orders')
+
+    q['rbql_except'] = _rbql(
+        "SELECT * EXCEPT a.l_tax, a.l_shipdate", 'lineitem')
+
+    q['rbql_unnest'] = _rbql(
+        "SELECT a.p_partkey, UNNEST(a.p_name.split(' '))", 'part')
+
+    q['rbql_like'] = _rbql(
+        "SELECT a.p_partkey, a.p_name WHERE like(a.p_name, '%red%')", 'part')
+
+    q['rbql_string_ops'] = _rbql(
+        "SELECT a.p_partkey, a.p_name.upper() AS uname, len(a.p_name) AS name_len, "
+        "a.p_type.lower() AS ltype, a.p_brand.replace('Brand#', 'B') AS brand_short",
+        'part')
+
+    q['rbql_pipe_chain'] = _rbql(
+        "SELECT a.l_returnflag AS flag, a.l_linestatus AS status, SUM(a.l_quantity) AS sq "
+        "GROUP BY a.l_returnflag, a.l_linestatus "
+        "| SELECT a.flag, a.sq WHERE a.sq > 1000", 'lineitem')
+
+    q['rbql_ternary_expr'] = _rbql(
+        "SELECT a.o_orderkey, 'big' if a.o_totalprice > 200000 else 'small' AS size_class",
+        'orders')
+
+    # ---- superset: windows / set ops / having -------------------------
+    def _win_rn(spark, sf_dir):
+        from rbql_spark.ops.windows import events_row_number
+        return events_row_number(_t(spark, sf_dir, 'events'))
+    q['window_row_number'] = _win_rn
+
+    def _win_rs(spark, sf_dir):
+        from rbql_spark.ops.windows import events_running_sum
+        return events_running_sum(_t(spark, sf_dir, 'events'))
+    q['window_running_sum'] = _win_rs
+
+    def _win_tumble(spark, sf_dir):
+        from rbql_spark.ops.windows import tumbling_window_agg
+        return tumbling_window_agg(_t(spark, sf_dir, 'events'))
+    q['window_tumbling'] = _win_tumble
+
+    def _having(spark, sf_dir):
+        from rbql_spark.ops.windows import having_filter
+        return having_filter(_t(spark, sf_dir, 'part'), 'p_brand', 'p_retailprice', 10)
+    q['having_groups'] = _having
+
+    def _union(spark, sf_dir):
+        c = _t(spark, sf_dir, 'customer')
+        a = c.filter(F.col('c_mktsegment') == 'BUILDING').select('c_custkey')
+        b = c.filter(F.col('c_acctbal') > 5000).select('c_custkey')
+        return a.unionAll(b)
+    q['setop_union_all'] = _union
+
+    def _intersect(spark, sf_dir):
+        o = _t(spark, sf_dir, 'orders')
+        a = o.filter(F.col('o_totalprice') > 300000).select('o_custkey')
+        b = o.filter(F.col('o_orderstatus') == 'F').select('o_custkey')
+        return a.intersect(b)
+    q['setop_intersect'] = _intersect
+
+    def _except(spark, sf_dir):
+        c = _t(spark, sf_dir, 'customer').select('c_custkey')
+        o = _t(spark, sf_dir, 'orders').select(F.col('o_custkey').alias('c_custkey'))
+        return c.subtract(o)
+    q['setop_except'] = _except
+
+    # ---- superset: dedup --------------------------------------------------
+    def _dedup_exact(spark, sf_dir):
+        from rbql_spark.ops.dedup import exact_dedup
+        return exact_dedup(_t(spark, sf_dir, 'documents'), 'text', 'doc_id', hash_fn='md5')
+    q['dedup_exact'] = _dedup_exact
+
+    def _dedup_minhash(spark, sf_dir):
+        from rbql_spark.ops.dedup import minhash_dedup_pairs
+        return minhash_dedup_pairs(_t(spark, sf_dir, 'documents'), 'text', 'doc_id',
+                                   threshold=0.5)
+    q['dedup_minhash_lsh'] = _dedup_minhash
+
+    def _dedup_simhash(spark, sf_dir):
+        from rbql_spark.ops.dedup import simhash_near_dups
+        return simhash_near_dups(_t(spark, sf_dir, 'documents'), 'text', 'doc_id',
+                                 max_hamming=7)
+    q['dedup_simhash'] = _dedup_simhash
+
+    def _dedup_ngram(spark, sf_dir):
+        from rbql_spark.ops.dedup import ngram_jaccard_pairs
+        return ngram_jaccard_pairs(_t(spark, sf_dir, 'documents'), 'text', 'doc_id',
+                                   n=2, threshold=0.4)
+    q['dedup_ngram_jaccard'] = _dedup_ngram
+
+    # ---- superset: similarity search --------------------------------------
+    def _sim_topk(spark, sf_dir):
+        from rbql_spark.ops.similarity import cosine_topk_bruteforce
+        emb = _t(spark, sf_dir, 'embeddings')
+        queries_df = emb.filter(F.col('vec_id') < 5) \
+                        .select(F.col('vec_id').alias('query_id'), 'embedding')
+        return cosine_topk_bruteforce(emb, queries_df, k=10)
+    q['sim_topk_bruteforce'] = _sim_topk
+
+    def _sim_ann(spark, sf_dir):
+        from rbql_spark.ops.similarity import lsh_ann_topk
+        emb = _t(spark, sf_dir, 'embeddings')
+        queries_df = emb.filter(F.col('vec_id') < 5) \
+                        .select(F.col('vec_id').alias('query_id'), 'embedding')
+        return lsh_ann_topk(emb, queries_df, k=10, dim=64)
+    q['sim_ann_lsh'] = _sim_ann
+
+    def _sim_neardup(spark, sf_dir):
+        from rbql_spark.ops.similarity import embedding_near_dup_pairs
+        return embedding_near_dup_pairs(_t(spark, sf_dir, 'embeddings'),
+                                        threshold=0.8, dim=64)
+    q['sim_embedding_neardup'] = _sim_neardup
+
+    # ---- superset: text analysis -------------------------------------------
+    def _text_tokens(spark, sf_dir):
+        from rbql_spark.ops.textstats import token_stats
+        return token_stats(_t(spark, sf_dir, 'documents'))
+    q['text_token_stats'] = _text_tokens
+
+    def _text_quality(spark, sf_dir):
+        from rbql_spark.ops.textstats import quality_score
+        return quality_score(_t(spark, sf_dir, 'documents'))
+    q['text_quality_score'] = _text_quality
+
+    def _text_langid(spark, sf_dir):
+        from rbql_spark.ops.textstats import language_id
+        return language_id(_t(spark, sf_dir, 'documents'))
+    q['text_language_id'] = _text_langid
+
+    def _text_fp(spark, sf_dir):
+        from rbql_spark.ops.textstats import doc_fingerprint
+        return doc_fingerprint(_t(spark, sf_dir, 'documents'))
+    q['text_fingerprint'] = _text_fp
+
+    # ---- superset: multimodal plumbing -------------------------------------
+    def _multimodal(spark, sf_dir):
+        from rbql_spark.ops.multimodal import multimodal_pipeline
+        return multimodal_pipeline(_t(spark, sf_dir, 'documents'))
+    q['multimodal_features'] = _multimodal
+
+    return q
+
+
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o['rbql_select_where'] = (
+        "SELECT l_orderkey, l_linenumber, l_quantity * (1 - l_discount) AS net "
+        "FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'N'")
+
+    o['rbql_select_top_order'] = (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+        "ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC LIMIT 100")
+
+    o['rbql_distinct'] = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+    o['rbql_distinct_count'] = (
+        "SELECT count(*) AS count, o_orderpriority FROM orders GROUP BY o_orderpriority")
+
+    o['rbql_group_agg'] = (
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty, "
+        "avg(l_extendedprice) AS avg_price, min(l_discount) AS min_disc, "
+        "max(l_discount) AS max_disc, median(l_quantity) AS med_qty, "
+        "var_pop(l_quantity) AS var_qty "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+
+    o['rbql_group_expr_key'] = (
+        "SELECT o_custkey % 100 AS bucket, count(*) AS cnt, sum(o_totalprice) AS total "
+        "FROM orders GROUP BY o_custkey % 100")
+
+    o['rbql_global_agg'] = (
+        "SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty, max(l_extendedprice) AS max_price, "
+        "(SELECT l_linestatus FROM lineitem LIMIT 1) AS any_status FROM lineitem")
+
+    o['rbql_inner_join'] = (
+        "SELECT c_custkey, c_name, n_name FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey")
+
+    o['rbql_left_join'] = (
+        "SELECT n_nationkey, n_name, s_name FROM nation "
+        "LEFT JOIN supplier ON n_nationkey = s_nationkey")
+
+    o['rbql_multikey_join'] = (
+        "SELECT a.l_orderkey, a.l_linenumber, b.l_quantity AS qty2 "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber "
+        "WHERE a.l_quantity > 45")
+
+    o['rbql_update'] = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+        "CASE WHEN o_totalprice > 400000 THEN 'URGENT-BIG' ELSE o_orderpriority END "
+        "AS o_orderpriority FROM orders")
+
+    o['rbql_except'] = (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+        "l_extendedprice, l_discount, l_returnflag, l_linestatus FROM lineitem")
+
+    o['rbql_unnest'] = (
+        "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS col2 FROM part")
+
+    o['rbql_like'] = (
+        "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%red%'")
+
+    o['rbql_string_ops'] = (
+        "SELECT p_partkey, upper(p_name) AS uname, length(p_name) AS name_len, "
+        "lower(p_type) AS ltype, replace(p_brand, 'Brand#', 'B') AS brand_short FROM part")
+
+    o['rbql_pipe_chain'] = (
+        "SELECT flag, sq FROM (SELECT l_returnflag AS flag, l_linestatus AS status, "
+        "sum(l_quantity) AS sq FROM lineitem GROUP BY 1, 2) WHERE sq > 1000")
+
+    o['rbql_ternary_expr'] = (
+        "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END "
+        "AS size_class FROM orders")
+
+    o['window_row_number'] = (
+        "SELECT user_id, event_id, value, "
+        "row_number() OVER w AS rn, rank() OVER w AS rnk, "
+        "lag(value, 1) OVER w AS prev_value, lead(value, 1) OVER w AS next_value "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)")
+
+    o['window_running_sum'] = (
+        "SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6) AS running_value FROM events")
+
+    o['window_tumbling'] = (
+        "SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start, event_type, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2")
+
+    o['having_groups'] = (
+        "SELECT p_brand, count(*) AS cnt, round(sum(p_retailprice), 6) AS total "
+        "FROM part GROUP BY p_brand HAVING count(*) >= 10")
+
+    o['setop_union_all'] = (
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "UNION ALL SELECT c_custkey FROM customer WHERE c_acctbal > 5000")
+
+    o['setop_intersect'] = (
+        "SELECT o_custkey FROM orders WHERE o_totalprice > 300000 "
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'")
+
+    o['setop_except'] = (
+        "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders")
+
+    o['dedup_exact'] = (
+        "SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash, "
+        "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1")
+
+    o['sim_topk_bruteforce'] = (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "           FROM embeddings WHERE vec_id < 5), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        "           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine_sim "
+        "           FROM embeddings e CROSS JOIN q), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "           ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
+        "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10")
+
+    o['text_token_stats'] = (
+        "SELECT doc_id, length(text) AS n_chars, "
+        "len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens_ws, "
+        "len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]')) AS n_tokens_bpe, "
+        "len(list_distinct(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x != ''))) AS n_unique_words, "
+        "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_letters, "
+        "length(regexp_replace(text, '[^\\p{N}]', '', 'g')) AS n_digits "
+        "FROM documents")
+
+    return o
+
+
+if __name__ == '__main__':
+    from pyspark.sql import SparkSession
+    s = (SparkSession.builder.master('local[4]')
+         .config('spark.sql.shuffle.partitions', '4')
+         .config('spark.ui.enabled', 'false').getOrCreate())
+    df = entry(s)
+    df.show(10)
+    s.stop()

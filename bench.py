@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ...}
+
+Each query runs once as a warm-up-free timed execution to a no-op sink
+(full pipeline executes, nothing is collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+CPUS = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+
+# Headline set: RBQL-engine queries + scale-path pipeline operators
+BENCH_QUERIES = [
+    'rbql_select_where',
+    'rbql_select_top_order',
+    'rbql_group_agg',
+    'rbql_group_expr_key',
+    'rbql_inner_join',
+    'rbql_multikey_join',
+    'rbql_pipe_chain',
+    'window_running_sum',
+    'window_tumbling',
+    'having_groups',
+    'dedup_exact',
+    'dedup_minhash_lsh',
+    'sim_topk_bruteforce',
+    'text_token_stats',
+    'text_quality_score',
+    'text_fingerprint',
+    'multimodal_features',
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder
+        .master('local[{}]'.format(CPUS))
+        .appName('rbql-spark-bench')
+        .config('spark.sql.shuffle.partitions', str(CPUS))
+        .config('spark.default.parallelism', str(CPUS))
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+        .config('spark.driver.memory', os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g'))
+        .config('spark.ui.enabled', 'false')
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel('ERROR')
+
+    import __spark_entry__ as entrymod
+    queries = entrymod.queries()
+
+    sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format('noop').mode('overwrite').save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep benching; a failed query reports -1
+            timings[name] = -1.0
+            print('BENCH ERROR {}: {}'.format(name, e), file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(json.dumps({
+        'metric': 'rbql_spark bench: headline queries end-to-end (noop sink)',
+        'value': total,
+        'unit': 'sec',
+        'queries': timings,
+        'sf': float(sf) if sf.replace('.', '').isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()

@@ -573,6 +573,15 @@ class StageRunner:
             infos.append(column_info_for_item(item, text))
             agg = agg_calls.get(idx)
             if agg is None:
+                # select item textually identical to a GROUP BY key is
+                # group-constant by construction → reuse the key column,
+                # no min_by/count_distinct guard needed
+                key_texts = stage.group_key_exprs or []
+                norm = text.strip()
+                if norm in [k.strip() for k in key_texts]:
+                    ki = [k.strip() for k in key_texts].index(norm)
+                    plan.append(('key', '__key_{}'.format(ki)))
+                    continue
                 cname = '__const_{}'.format(idx)
                 named_exprs.append((cname, text))
                 plan.append(('const', cname))
@@ -590,6 +599,10 @@ class StageRunner:
         out_specs: list[str] = []
         guard_cols: list[str] = []
         for j, (kind, payload) in enumerate(plan):
+            if kind == 'key':
+                # grouping column survives groupBy().agg() — no aggregate
+                out_specs.append(payload)
+                continue
             out_name = '__agg_out_{}'.format(j)
             out_specs.append(out_name)
             if kind == 'const':

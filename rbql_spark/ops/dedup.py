@@ -1,0 +1,202 @@
+"""Deduplication operators for large-scale text pipelines (superset of the
+reference — SURVEY §2.8 flags these as deliberate supersets; designed for
+100 TB-class document tables).
+
+All hot-path math stays in native Spark SQL expressions (xxhash64, array
+transforms) — no Python UDFs — so whole-stage codegen applies and the only
+shuffles are the groupBy/join on candidate keys.
+
+  * exact_dedup        — hash-groupBy on normalized text (1 shuffle)
+  * minhash_signatures — k-shingle → 64-bit hash → per-permutation min
+  * lsh_candidate_pairs— band signatures → equi-self-join on (band, sig)
+  * jaccard_verify     — exact token-set Jaccard on candidate pairs
+  * simhash            — 64-bit sign-sum fingerprint
+  * ngram_jaccard_pairs— banded exact n-gram Jaccard (LSH prefilter + verify)
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: universal-hashing modulus for minhash.  Shingle
+# hashes are masked to 32 bits and a < 2^30 so a*s + b < 2^62 — no long
+# overflow under Spark's default ANSI arithmetic.
+_PRIME31 = (1 << 31) - 1
+_MASK32 = (1 << 32) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    return F.regexp_replace(F.trim(F.lower(col)), r'\s+', ' ')
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens (letters+digits runs)."""
+    t = F.split(F.lower(col), r'[^\p{L}\p{N}]+', -1)
+    return F.filter(t, lambda x: x != '')
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str,
+                hash_fn: str = 'xxhash64') -> DataFrame:
+    """One representative (min id) per exact-normalized-text group.
+
+    Single hash shuffle on the digest key; at 100 TB enable AQE for skew
+    handling of pathological dup groups.  hash_fn='md5' gives a digest
+    reproducible in other engines (e.g. a DuckDB oracle); xxhash64 is the
+    cheaper default.
+    """
+    norm = normalize_text(F.col(text_col))
+    key = F.md5(F.encode(norm, 'utf-8')) if hash_fn == 'md5' else F.xxhash64(norm)
+    return (df.groupBy(key.alias('text_hash'))
+              .agg(F.min(F.col(id_col)).alias('keep_id'),
+                   F.count(F.lit(1)).alias('dup_count')))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Array of xxhash64 values of k-word shingles."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(' ', F.slice(toks, i + 1, k)))
+    ))).otherwise(F.array(F.xxhash64(F.concat_ws(' ', toks))))
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30))
+            for _ in range(num_perm)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_perm: int = 64, shingle_k: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """(id, signature array<long>[num_perm], shingles) per document.
+
+    Each permutation j: min over shingles s of (a_j*s + b_j) mod M — all
+    computed as native array expressions over one shingle array.
+    """
+    sh = word_shingles(F.col(text_col), k=shingle_k)
+    df = df.select(F.col(id_col).alias('doc_id'), sh.alias('shingles'))
+    params = _perm_params(num_perm, seed)
+
+    def _perm_fn(a, b):
+        # closure factory: pyspark infers higher-order-arity from the lambda
+        # signature, so params can't ride along as default args
+        return lambda s: (s.bitwiseAND(F.lit(_MASK32)) * F.lit(a) + F.lit(b)) % F.lit(_PRIME31)
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col('shingles'), _perm_fn(a, b)))
+        for a, b in params
+    ])
+    return df.select('doc_id', 'shingles', sig.alias('signature'))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """Documents sharing any identical band of the signature → candidate pair.
+
+    Scale path: explode to (band_idx, band_hash, id), equi-self-join on the
+    band key (hash-partitioned shuffle join — intentionally NOT broadcast),
+    distinct (id_a < id_b) pairs.
+    """
+    band_arr = F.array(*[
+        F.xxhash64(F.concat_ws(',', *[F.col('signature')[b * rows_per_band + r].cast('string')
+                                      for r in range(rows_per_band)]))
+        for b in range(bands)
+    ])
+    banded = sig_df.select('doc_id', F.posexplode(band_arr).alias('band_idx', 'band_hash'))
+    left = banded.alias('l')
+    right = banded.alias('r')
+    pairs = (left.join(right,
+                       (F.col('l.band_idx') == F.col('r.band_idx'))
+                       & (F.col('l.band_hash') == F.col('r.band_hash'))
+                       & (F.col('l.doc_id') < F.col('r.doc_id')))
+                  .select(F.col('l.doc_id').alias('doc_a'),
+                          F.col('r.doc_id').alias('doc_b'))
+                  .distinct())
+    return pairs
+
+
+def jaccard_verify(pairs: DataFrame, sig_df: DataFrame,
+                   threshold: float = 0.7) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs (join back the arrays)."""
+    sh = sig_df.select(F.col('doc_id'), F.col('shingles'))
+    j = (pairs
+         .join(sh.withColumnsRenamed({'doc_id': 'doc_a', 'shingles': 'sh_a'}), 'doc_a')
+         .join(sh.withColumnsRenamed({'doc_id': 'doc_b', 'shingles': 'sh_b'}), 'doc_b'))
+    inter = F.size(F.array_intersect('sh_a', 'sh_b'))
+    union = F.size(F.array_union('sh_a', 'sh_b'))
+    jac = F.when(union > 0, inter.cast('double') / union.cast('double')).otherwise(F.lit(0.0))
+    return (j.select('doc_a', 'doc_b', jac.alias('jaccard'))
+             .filter(F.col('jaccard') >= threshold))
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                        num_perm: int = 64, shingle_k: int = 3,
+                        bands: int = 16, rows_per_band: int = 4,
+                        threshold: float = 0.7, seed: int = 42) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands → verify."""
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
+    return jaccard_verify(cand, sig, threshold).orderBy('doc_a', 'doc_b')
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        bands: int = 8, rows_per_band: int = 2,
+                        seed: int = 7) -> DataFrame:
+    """Exact n-gram Jaccard similarity with an LSH prefilter (never all-pairs)."""
+    sig = minhash_signatures(df, text_col, id_col,
+                             num_perm=bands * rows_per_band,
+                             shingle_k=n, seed=seed)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
+    return jaccard_verify(cand, sig, threshold).orderBy('doc_a', 'doc_b')
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash: per token hash, sum ±1 per bit position, sign → bit."""
+    th = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+
+    def _bit_sum(i):
+        return lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bits = [
+        F.when(F.aggregate(th, F.lit(0).cast('long'), _bit_sum(i)) > 0,
+               F.lit(1).cast('long')).otherwise(F.lit(0).cast('long'))
+        for i in range(64)
+    ]
+    fp = bits[0]
+    for i in range(1, 64):
+        fp = fp + F.shiftleft(bits[i], i)
+    return df.select(F.col(id_col).alias('doc_id'), fp.alias('simhash'))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash using the 4-block pigeonhole trick: split the
+    64-bit fingerprint into max_hamming+1 blocks — any pair within the
+    Hamming radius shares at least one exact block → equi-join per block,
+    then exact Hamming verify (bit_count of XOR)."""
+    fps = simhash(df, text_col, id_col)
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    block_arr = F.array(*[
+        F.shiftright(F.col('simhash'), i * width).bitwiseAND(F.lit((1 << width) - 1))
+        for i in range(nblocks)
+    ])
+    blocked = fps.select('doc_id', 'simhash',
+                         F.posexplode(block_arr).alias('block_idx', 'block_val'))
+    l, r = blocked.alias('l'), blocked.alias('r')
+    cand = (l.join(r, (F.col('l.block_idx') == F.col('r.block_idx'))
+                   & (F.col('l.block_val') == F.col('r.block_val'))
+                   & (F.col('l.doc_id') < F.col('r.doc_id')))
+             .select(F.col('l.doc_id').alias('doc_a'), F.col('r.doc_id').alias('doc_b'),
+                     F.col('l.simhash').alias('fp_a'), F.col('r.simhash').alias('fp_b'))
+             .distinct())
+    hamming = F.bit_count(F.col('fp_a').bitwiseXOR(F.col('fp_b')))
+    return (cand.select('doc_a', 'doc_b', hamming.alias('hamming'))
+                .filter(F.col('hamming') <= max_hamming)
+                .orderBy('doc_a', 'doc_b'))

@@ -1,0 +1,93 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (north-star §multimodal): image/audio/video travel as `binary`
+columns; decode / feature-extract run as Arrow-batched pandas functions via
+``mapInPandas`` so each task processes whole record batches.  The actual
+codec work is STUBBED (no image/audio libraries in this environment) behind
+``decode_stub`` — a deterministic fake with the same schema/partitioning/
+batch shape the real decoder would have; swap ``_decode_payload`` for a real
+implementation (PIL/librosa/ffmpeg) without touching the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = 'text',
+                          id_col: str = 'doc_id') -> DataFrame:
+    """Demo payload builder: utf-8 bytes of the text as the opaque blob, plus
+    typed metadata (media_type, byte length) — the shape a real ingest of
+    image/audio files would produce."""
+    payload = F.encode(F.col(text_col), 'utf-8')
+    return df.select(
+        F.col(id_col),
+        payload.alias('payload'),
+        F.lit('application/octet-stream').alias('media_type'),
+        F.length(payload).alias('n_bytes'),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType([
+    T.StructField('doc_id', T.LongType()),
+    T.StructField('n_bytes', T.LongType()),
+    T.StructField('byte_checksum', T.LongType()),
+    T.StructField('head_hex', T.StringType()),
+    T.StructField('feature', T.ArrayType(T.DoubleType())),
+])
+
+
+def _decode_payload(raw: bytes) -> dict:
+    """STUB decoder — deterministic fake features.
+
+    A real implementation would, e.g., PIL-open an image and emit
+    (width, height, channel histograms).  This is where it would live:
+
+        raise NotImplementedError('image decode requires PIL')
+
+    The deterministic fake keeps the pipeline testable end-to-end.
+    """
+    checksum = sum(raw) % (1 << 31)
+    head = raw[:4].hex()
+    feature = [float(b) / 255.0 for b in raw[:8]]
+    feature += [0.0] * (8 - len(feature))
+    return {'byte_checksum': checksum, 'head_hex': head, 'feature': feature}
+
+
+def extract_features(df: DataFrame, payload_col: str = 'payload',
+                     id_col: str = 'doc_id', batch_size_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    Partitioning note: upstream should `repartition` by size (not count) when
+    payloads are large — `spark.sql.files.maxPartitionBytes` governs scan
+    splits; for 100 TB of media keep partitions ≲ 512 MB of payload.
+    """
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {
+                'doc_id': [], 'n_bytes': [], 'byte_checksum': [],
+                'head_hex': [], 'feature': [],
+            }
+            for doc_id, raw in zip(pdf[id_name], pdf[payload_name]):
+                raw = bytes(raw) if raw is not None else b''
+                feats = _decode_payload(raw)
+                out['doc_id'].append(int(doc_id))
+                out['n_bytes'].append(len(raw))
+                out['byte_checksum'].append(feats['byte_checksum'])
+                out['head_hex'].append(feats['head_hex'])
+                out['feature'].append(feats['feature'])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def multimodal_pipeline(df: DataFrame, text_col: str = 'text',
+                        id_col: str = 'doc_id') -> DataFrame:
+    """documents → binary payloads → stub decode → typed features."""
+    payloads = attach_binary_payload(df, text_col, id_col)
+    return extract_features(payloads).orderBy('doc_id')

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+Superset operators (SURVEY §2.8) designed scale-first:
+
+  * cosine_topk_bruteforce — exact top-k: broadcast the (small) query set,
+    score every corpus vector with native array expressions
+    (zip_with + aggregate → JVM, no Python), rank per query with a
+    hash-partitioned window.  The corpus side streams — O(corpus × queries)
+    compute but no corpus shuffle.
+  * lsh_ann_topk — random-hyperplane LSH: bucket corpus and queries by sign
+    bits, join on bucket (optionally multi-probe), exact-rescore candidates.
+    The scale path: corpus scored once per matching bucket instead of per
+    query.
+  * embedding_near_dup_pairs — near-duplicate vectors via bucketed cosine.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                           id_col: str = 'vec_id', vec_col: str = 'embedding',
+                           query_id_col: str = 'query_id') -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (query_id, embedding).  Result: (query_id, vec_id, cosine_sim)
+    with rank ≤ k, deterministic tie-break on vec_id.
+    """
+    as_double = lambda c: F.transform(c, lambda x: x.cast('double'))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
+    q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
+    scored = (c.join(F.broadcast(q))
+               .select('query_id', 'vec_id',
+                       F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim')))
+    # rank on the ROUNDED similarity (+ vec_id) so rankings are reproducible
+    # across engines/float orders
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
+    return (scored.withColumn('rank', F.row_number().over(w))
+                  .filter(F.col('rank') <= k)
+                  .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+                  .orderBy('query_id', 'rank'))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplanes — native array math."""
+    bucket = F.lit(0).cast('long')
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec, plane) >= 0, F.lit(1).cast('long')).otherwise(F.lit(0).cast('long'))
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 dim: int = 32, n_planes: int = 8, n_tables: int = 4,
+                 id_col: str = 'vec_id', vec_col: str = 'embedding',
+                 query_id_col: str = 'query_id', seed: int = 42) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH + exact rescore.
+
+    Each of n_tables hash tables buckets vectors by n_planes sign bits; a
+    query's candidates are corpus vectors sharing its bucket in ANY table.
+    Shuffle pattern: corpus explodes ×n_tables, hash join on (table, bucket).
+    """
+    c = corpus.select(F.col(id_col).alias('vec_id'), F.col(vec_col).alias('__cv'))
+    q = queries.select(F.col(query_id_col).alias('query_id'), F.col(vec_col).alias('__qv'))
+    c_buckets = []
+    q_buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        c_buckets.append(c.select('vec_id', '__cv',
+                                  F.lit(t).alias('table'),
+                                  _bucket_expr(F.col('__cv'), planes).alias('bucket')))
+        q_buckets.append(q.select('query_id', '__qv',
+                                  F.lit(t).alias('table'),
+                                  _bucket_expr(F.col('__qv'), planes).alias('bucket')))
+    cb = c_buckets[0]
+    for x in c_buckets[1:]:
+        cb = cb.unionAll(x)
+    qb = q_buckets[0]
+    for x in q_buckets[1:]:
+        qb = qb.unionAll(x)
+    cand = (cb.join(F.broadcast(qb), on=['table', 'bucket'])
+              .select('query_id', 'vec_id', '__cv', '__qv')
+              .dropDuplicates(['query_id', 'vec_id']))
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
+    return (cand.select('query_id', 'vec_id',
+                        cosine(F.col('__cv'), F.col('__qv')).alias('cosine_sim'))
+                .withColumn('rank', F.row_number().over(w))
+                .filter(F.col('rank') <= k)
+                .select('query_id', 'vec_id', F.round('cosine_sim', 6).alias('cosine_sim'), 'rank')
+                .orderBy('query_id', 'rank'))
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
+                             dim: int = 32, n_planes: int = 12,
+                             id_col: str = 'vec_id', vec_col: str = 'embedding',
+                             seed: int = 42) -> DataFrame:
+    """Near-duplicate embedding pairs: LSH bucket self-join + exact cosine."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias('vec_id'), F.col(vec_col).alias('__v'),
+                      _bucket_expr(F.col(vec_col), planes).alias('bucket'))
+    l, r = c.alias('l'), c.alias('r')
+    cand = (l.join(r, (F.col('l.bucket') == F.col('r.bucket'))
+                   & (F.col('l.vec_id') < F.col('r.vec_id')))
+             .select(F.col('l.vec_id').alias('vec_a'), F.col('r.vec_id').alias('vec_b'),
+                     cosine(F.col('l.__v'), F.col('r.__v')).alias('cosine_sim')))
+    return (cand.filter(F.col('cosine_sim') >= threshold)
+                .select('vec_a', 'vec_b', F.round('cosine_sim', 6).alias('cosine_sim'))
+                .orderBy('vec_a', 'vec_b'))

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines (superset, scale-first).
+
+Everything is native Spark SQL expressions (regexp/length/aggregate) — one
+narrow projection, no shuffle, no Python in the hot path.
+
+  * token_stats        — token/char counts (whitespace + BPE-ish regex)
+  * quality_score      — length/punctuation/stopword/uppercase heuristics
+  * language_id        — stopword-hit n-gram heuristic over a small lexicon
+  * doc_fingerprint    — order-sensitive rolling hash of the token stream
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# A BPE-ish segmentation: word pieces, numbers, or single non-space symbols —
+# close to the common GPT-2 pretokenizer shape, public knowledge.
+BPE_ISH_REGEX = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"
+
+_STOPWORDS = {
+    'en': ['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with', 'was'],
+    'de': ['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit', 'für', 'von'],
+    'fr': ['le', 'la', 'et', 'les', 'des', 'est', 'pour', 'dans', 'que', 'une'],
+    'es': ['el', 'la', 'de', 'que', 'los', 'es', 'para', 'con', 'una', 'por'],
+}
+
+
+def token_stats(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+    """Whitespace tokens, BPE-ish piece count, char statistics per document."""
+    t = F.col(text_col)
+    ws_tokens = F.filter(F.split(t, r'\s+', -1), lambda x: x != '')
+    bpe_count = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_REGEX), 0))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias('n_chars'),
+        F.size(ws_tokens).alias('n_tokens_ws'),
+        bpe_count.alias('n_tokens_bpe'),
+        F.size(F.array_distinct(tokens(t))).alias('n_unique_words'),
+        F.length(F.regexp_replace(t, r'[^\p{L}]', '')).alias('n_letters'),
+        F.length(F.regexp_replace(t, r'[^\p{N}]', '')).alias('n_digits'),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast('double')
+    words = F.filter(F.split(t, r'\s+', -1), lambda x: x != '')
+    n_words = F.size(words).cast('double')
+    n_punct = F.length(F.regexp_replace(t, r'[^\p{Punct}]', '')).cast('double')
+    n_upper = F.length(F.regexp_replace(t, r'[^A-Z]', '')).cast('double')
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS['en']])
+    toks = tokens(t)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast('double')
+    mean_word_len = F.when(n_words > 0,
+                           F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words
+                           ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(F.size(toks) > 0, n_stop / F.size(toks).cast('double')).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_words >= 5) & (n_words <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(upper_ratio <= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(mean_word_len, 4).alias('mean_word_len'),
+        F.round(punct_ratio, 4).alias('punct_ratio'),
+        F.round(upper_ratio, 4).alias('upper_ratio'),
+        F.round(stop_ratio, 4).alias('stopword_ratio'),
+        score.alias('quality_score'),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+    """Tiny stopword-lexicon language classifier (deterministic heuristic).
+
+    Scores each language by stopword hits in the token set; argmax wins,
+    'und' (undetermined) when no hits.  Native array expressions only.
+    """
+    toks = tokens(F.col(text_col))
+    scores = {}
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.array_intersect(F.array_distinct(toks), arr))
+    langs = sorted(_STOPWORDS)  # deterministic tie-break: alphabetical
+    best_score = F.greatest(*[scores[l] for l in langs])
+    pred = F.lit('und')
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score <= 0, F.lit('und')).otherwise(pred)
+    out = [F.col(id_col), pred.alias('lang_pred')]
+    out += [scores[l].alias('score_{}'.format(l)) for l in langs]
+    return df.select(*out)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+    """Order-sensitive 64-bit rolling hash over the token stream:
+    fp = fold(acc * 31 + xxhash64(token)) — a polynomial rolling hash; same
+    token multiset in different order → different fingerprint (unlike
+    minhash), making it a cheap exact-sequence signature."""
+    mask32 = F.lit((1 << 32) - 1)
+    toks = tokens(F.col(text_col))
+    # per-step & MASK32 keeps every intermediate < 2^38 — safe under Spark's
+    # default ANSI overflow checking
+    fp = F.aggregate(
+        toks, F.lit(0).cast('long'),
+        lambda acc, t: (acc * F.lit(31) + F.xxhash64(t).bitwiseAND(mask32)).bitwiseAND(mask32)
+    )
+    return df.select(F.col(id_col), fp.alias('fingerprint'),
+                     F.size(toks).alias('n_tokens'))
