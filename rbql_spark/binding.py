@@ -61,6 +61,10 @@ class TableHandle:
     """A user-facing table: DataFrame + optional header (None = positional)."""
     df: DataFrame
     header: list[str] | None = None
+    # column indices whose string values are JSON documents that the Python
+    # evaluator should expose as parsed objects (JSONL source parity —
+    # reference rbql_json.py:137-148 stores the parsed object per record)
+    json_cols: frozenset[int] = frozenset()
 
     @property
     def has_header(self) -> bool:
@@ -80,6 +84,7 @@ class SideInfo:
     mode: str = 'fixed'               # 'fixed' | 'array'
     width: int | None = None          # fixed mode: column count
     types: list[T.DataType] = field(default_factory=list)  # fixed mode types
+    json_cols: frozenset[int] = frozenset()  # see TableHandle.json_cols
 
     def cols(self) -> list[str]:
         if self.mode == 'array':
@@ -126,7 +131,8 @@ def make_workframe(handle: TableHandle) -> WorkFrame:
     if not has_nf_src:
         df = df.withColumn(NF_COL, F.lit(width).cast('int'))
     header = list(handle.header) if handle.header is not None else None
-    side = SideInfo(prefix='a', header=header, mode='fixed', width=width, types=types)
+    side = SideInfo(prefix='a', header=header, mode='fixed', width=width, types=types,
+                    json_cols=handle.json_cols)
     return WorkFrame(df=df, a=side)
 
 
@@ -209,10 +215,15 @@ class Binding:
             from . import __version__
             return F.lit(__version__), 'str'
         side = self._side(ref.side)
+        if ref.index is not None and ref.index in side.json_cols:
+            # JSON-object columns live in Python space (parsed dicts) — the
+            # native translator must not treat them as plain strings
+            from .translator import TranslationFallback
+            raise TranslationFallback('json object column')
         if side.mode == 'array':
             fields = A_FIELDS_COL if ref.side == 'a' else B_FIELDS_COL
             # element_at is 1-based; OOB → null == reference safe_get None
-            return F.element_at(F.col(fields), ref.index + 1), 'str'
+            return F.try_element_at(F.col(fields), F.lit(ref.index + 1)), 'str'
         if ref.index >= side.width:
             # fixed-width table: index past the end is always None
             # (reference safe_get, rbql_engine.py:249-250)

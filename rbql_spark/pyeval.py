@@ -106,6 +106,16 @@ def _column_converter(dt: T.DataType):
     return lambda v: v
 
 
+def _json_converter():
+    import json as _json
+
+    def convert(v):
+        if v is None or not isinstance(v, str):
+            return v
+        return _json.loads(v)
+    return convert
+
+
 def _infer_spark_type(values: list) -> T.DataType:
     """Merge python sample values into one Spark type (coercion-friendly)."""
     has = set()
@@ -211,6 +221,14 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
     b_header = wf.b.header if wf.b is not None else None
     in_schema = df.schema
     conv = {f.name: _column_converter(f.dataType) for f in in_schema.fields}
+    # JSONL parity: expose designated string columns as parsed JSON objects
+    for side in (wf.a, wf.b):
+        if side is None:
+            continue
+        for i in side.json_cols:
+            name = internal_col(side.prefix, i)
+            if name in conv:
+                conv[name] = _json_converter()
 
     def build_env_factory():
         """Closure run on workers AND on the driver for sampling."""
@@ -277,6 +295,8 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
     expr_specs = [(pe.out_col, pe.expr, pe.dtype) for pe in pyexprs]
     in_cols = [f.name for f in in_schema.fields]
     conv_items = [(f.name, f.dataType) for f in in_schema.fields]
+    json_colnames = [internal_col(s.prefix, i)
+                     for s in (wf.a, wf.b) if s is not None for i in s.json_cols]
     uic = user_init_code
     make_env_outer = build_env_factory()
 
@@ -285,6 +305,9 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
         glb = _make_globals(uic)
         compiled = [(name, compile(expr, '<expr>', 'eval'), _coercer(dt)) for name, expr, dt in expr_specs]
         converters = {name: _column_converter(dt) for name, dt in conv_items}
+        for name in json_colnames:
+            if name in converters:
+                converters[name] = _json_converter()
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.reindex(columns=[f.name for f in out_schema.fields])

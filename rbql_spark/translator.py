@@ -175,7 +175,7 @@ class ExpressionTranslator:
                     # get() (0-based, null OOB) — accept null-vs-raise divergence
                     # only in the no-error case: valid index behaves identically.
                     return TCol(F.get(base.col, i), elem_tag)
-                return TCol(F.element_at(base.col, i), elem_tag)  # negative = from end
+                return TCol(F.try_element_at(base.col, F.lit(i)), elem_tag)  # negative = from end
             if base.tag == 'str':
                 if i >= 0:
                     return TCol(F.substring(base.col, i + 1, 1), 'str')
