@@ -123,15 +123,18 @@ def detect_aggregate(item_text: str) -> AggCall | None:
     return top
 
 
-def numeric_coerce(col: Column, tag: str) -> tuple[Column, str]:
-    """NumHandler parity: strings parse to numbers, failure is a hard error."""
+def numeric_coerce(col: Column, tag: str, nr: Column | None = None) -> tuple[Column, str]:
+    """NumHandler parity: strings parse to numbers, failure is a hard error
+    carrying the record number (main-loop wrap, rbql_engine.py:756-767)."""
     if tag in ('int', 'float', 'null', 'any'):
         return col, tag
     if tag == 'bool':
         return col.cast('double'), 'float'
     if tag == 'str':
         casted = col.try_cast('double')
+        prefix = [F.lit('At record '), nr.cast('string'), F.lit(', Details: ')] if nr is not None else []
         err_msg = F.concat(
+            *prefix,
             F.lit('Unable to convert value "'), col,
             F.lit('" to int or float. MIN, MAX, SUM, AVG, MEDIAN and VARIANCE '
                   'aggregate functions convert their string arguments to numeric values'),

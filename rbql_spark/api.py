@@ -37,13 +37,11 @@ def query_dataframe(spark: SparkSession, query: str, df: DataFrame | TableHandle
     if join_table is not None:
         jh = _ensure_handle(join_table)
         regs.append(DataFrameRegistry({'b': jh, 'B': jh}))
-    else:
-        # empty registry → unknown join tables report "Unable to find join
-        # table" (reference query_table always has a ListTableRegistry)
-        regs.append(DataFrameRegistry({}))
     if registry is not None:
         regs.append(registry)
-    reg = ChainRegistry(*regs)
+    # no registry at all → JOIN reports 'JOIN operations are not supported by
+    # the application' (reference parity: rbql_engine.py:1497-1499)
+    reg = ChainRegistry(*regs) if regs else None
     opts = options or EngineOptions()
     if user_init_code:
         opts.user_init_code = user_init_code
@@ -66,9 +64,47 @@ def query_table(spark: SparkSession, query: str, input_table: list[list],
         join_handle = _rows_to_handle(spark, join_table, join_column_names)
     result = query_dataframe(spark, query, handle, join_table=join_handle,
                              user_init_code=user_init_code, options=options)
+    if result.trim_width_col is not None and result.trim_width_col in result.df.columns:
+        ordered = result.ordered_df()
+        out_cols = result.out_cols()
+        raw = _collect(ordered.select(*out_cols, result.trim_width_col))
+        rows = [list(r)[:max(r[-1], 0)] if r[-1] is not None else list(r)[:-1] for r in raw]
+        return rows, result.out_names
     out_df = result.display_df(ordered=True)
-    rows = [list(r) for r in out_df.collect()]
+    rows = [list(r) for r in _collect_df(out_df)]
     return rows, result.out_names
+
+
+def _unwrap_spark_error(e: Exception):
+    """Map executor-side failures back to the reference error taxonomy.
+
+    Python-evaluator errors travel as RbqlRuntimeError text inside the
+    PythonException traceback; raise_error() guards (numeric coercion) as
+    USER_RAISED_EXCEPTION."""
+    import re as _re
+
+    from .errors import RbqlRuntimeError
+    msg = str(e)
+    m = _re.search(r'RbqlRuntimeError: (.*?)(?:\n|$)', msg)
+    if m:
+        return RbqlRuntimeError(m.group(1).strip())
+    m = _re.search(r'\[USER_RAISED_EXCEPTION\] ([^\n]*?)(?: SQLSTATE[^\n]*)?(?:\n|$)', msg)
+    if m:
+        return RbqlRuntimeError(m.group(1).strip().rstrip('.'))
+    return None
+
+
+def _collect(df):
+    try:
+        return df.collect()
+    except Exception as e:
+        mapped = _unwrap_spark_error(e)
+        if mapped is not None:
+            raise mapped from None
+        raise
+
+
+_collect_df = _collect
 
 
 def _rows_to_handle(spark: SparkSession, rows: list[list],

@@ -85,6 +85,7 @@ class SideInfo:
     width: int | None = None          # fixed mode: column count
     types: list[T.DataType] = field(default_factory=list)  # fixed mode types
     json_cols: frozenset[int] = frozenset()  # see TableHandle.json_cols
+    ragged: bool = False                     # per-row NF differs (CSV/2D-array)
 
     def cols(self) -> list[str]:
         if self.mode == 'array':
@@ -132,7 +133,7 @@ def make_workframe(handle: TableHandle) -> WorkFrame:
         df = df.withColumn(NF_COL, F.lit(width).cast('int'))
     header = list(handle.header) if handle.header is not None else None
     side = SideInfo(prefix='a', header=header, mode='fixed', width=width, types=types,
-                    json_cols=handle.json_cols)
+                    json_cols=handle.json_cols, ragged=has_nf_src)
     return WorkFrame(df=df, a=side)
 
 
@@ -166,13 +167,12 @@ class Binding:
     def resolve_name(self, prefix: str, name: str, token: str, attr_style: bool) -> VarRef:
         side = self._side(prefix)
         if side.header is None:
-            if attr_style:
-                raise RbqlParsingError(
-                    'Unable to find column "{}" in {} header'.format(
-                        name, 'input' if prefix == 'a' else 'join')
-                )
-            from .errors import RbqlRuntimeError
-            raise RbqlRuntimeError('No "{}" field at record 1'.format(name))
+            # reference behavior: attribute/dict vars are simply not bound
+            # for headerless tables → runtime NameError-equivalent via the
+            # Python evaluator, not a parse error (rbql_engine.py:1099-1115
+            # runs only when a header exists)
+            from .translator import TranslationFallback
+            raise TranslationFallback('named column access on headerless table')
         idx = side.name_to_index().get(name)
         if idx is None:
             if attr_style:

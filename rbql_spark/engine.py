@@ -59,6 +59,10 @@ class StageResult:
     out_names: list[str] | None    # display header (None = headerless output)
     order_cols: list[Column] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
+    # ragged output: name of a column holding the true per-row width (star
+    # over ragged input / unpack operator) — collect paths trim trailing
+    # columns beyond it
+    trim_width_col: str | None = None
 
     def out_cols(self) -> list[str]:
         return [c for c in self.df.columns if c.startswith('__out_')]
@@ -86,9 +90,12 @@ _BNR_REF_RGX = re.compile(r'(?:^|[^\w])bNR(?:$|[^\w])|b\.NR')
 
 
 def _needs_dense_nr(stage: ParsedStage, side: str) -> bool:
-    texts = [stage.masked_text]
+    # scan the UNMASKED text: NR may hide inside f-string literals (the
+    # reference discovers variables on the raw query text too,
+    # rbql_engine.py:1482)
+    text = stage.unmask(stage.masked_text)
     rgx = _NR_REF_RGX if side == 'a' else _BNR_REF_RGX
-    return any(rgx.search(t) for t in texts)
+    return rgx.search(text) is not None
 
 
 class _ExprComputer:
@@ -164,7 +171,13 @@ def _classify_join_var(var_text: str) -> str:
     return 'a'
 
 
-def _join_var_ref(binding: Binding, var_text: str, side: str) -> VarRef:
+_VALID_JOIN_SYNTAX_MSG = 'Valid JOIN syntax: <JOIN> /path/to/B/table on a... == b... [and a... == b... [and ... ]]'
+
+
+def _resolve_var_text(binding: Binding, var_text: str, side: str) -> VarRef:
+    """Resolve a standalone variable token (join keys / UPDATE targets /
+    EXCEPT entries).  Raises KeyError-style RbqlParsingError on failure —
+    callers wrap with context-specific messages."""
     if side == 'a' and var_text in ('NR', 'aNR', 'a.NR'):
         return VarRef(kind='nr', side='a', index=None, token=var_text)
     if side == 'b' and var_text in ('bNR', 'b.NR'):
@@ -181,10 +194,21 @@ def _join_var_ref(binding: Binding, var_text: str, side: str) -> VarRef:
     m = re.match(r'^([ab])\[(["\'])(.*)\2\]$', var_text)
     if m:
         return binding.resolve_name(m.group(1), m.group(3), var_text, attr_style=False)
-    raise RbqlParsingError(
-        'Unable to parse JOIN expression: {} table does not have field "{}"'.format(
-            'Input' if side == 'a' else 'Join', var_text)
-    )
+    raise RbqlParsingError('Unknown variable "{}"'.format(var_text))
+
+
+def _join_var_ref(binding: Binding, var_text: str, side: str) -> VarRef:
+    table_label = 'Input' if side == 'a' else 'Join'
+    err = RbqlParsingError(
+        'Unable to parse JOIN expression: {} table does not have field "{}"\n{}'.format(
+            table_label, var_text, _VALID_JOIN_SYNTAX_MSG))
+    try:
+        ref = _resolve_var_text(binding, var_text, side)
+    except (RbqlParsingError, TranslationFallback, RbqlRuntimeError):
+        raise err
+    if ref.kind == 'field' and ref.side != side:
+        raise err
+    return ref
 
 
 class StageRunner:
@@ -228,10 +252,15 @@ class StageRunner:
         b_keys: list[Column] = []
         for v1, v2 in stage.join_var_pairs:
             s1, s2 = _classify_join_var(v1), _classify_join_var(v2)
-            if s1 == s2:
+            if s1 == s2 == 'b':
+                # reference: var1 not in the input map → input-side error
                 raise RbqlParsingError(
-                    'Invalid join syntax: both "{}" and "{}" refer to the same table. '
-                    'Valid syntax: <JOIN> /path/to/B/table on a... == b... [and ...]'.format(v1, v2))
+                    'Unable to parse JOIN expression: Input table does not have field "{}"\n{}'
+                    .format(v1, _VALID_JOIN_SYNTAX_MSG))
+            if s1 == s2 == 'a':
+                raise RbqlParsingError(
+                    'Unable to parse JOIN expression: Join table does not have field "{}"\n{}'
+                    .format(v2, _VALID_JOIN_SYNTAX_MSG))
             if s1 == 'b':
                 v1, v2 = v2, v1
             a_ref = _join_var_ref(binding, v1, 'a')
@@ -239,10 +268,16 @@ class StageRunner:
             ac, _ = binding.spark_column(a_ref)
             if b_ref.kind == 'bnr':
                 bc = F.col(BNR_COL)
-            else:
-                if b_ref.index >= b_side.width:
+            elif b_ref.index >= b_side.width:
+                if b_side.width == 0:
+                    # empty B table: no records → no per-record key error in
+                    # the reference (HashJoinMap.build over nothing); the
+                    # join simply never matches
+                    bc = F.lit(None)
+                else:
                     raise RbqlRuntimeError(
                         'No field with index {} at record 1 in "B" table'.format(b_ref.index + 1))
+            else:
                 bc = F.col(internal_col('b', b_ref.index))
             a_keys.append(ac)
             b_keys.append(bc)
@@ -261,12 +296,20 @@ class StageRunner:
 
         cond = None
         for ac, bc in zip(a_keys, b_keys):
-            piece = ac.eqNullSafe(bc)
+            # eqNullSafe: Python dict-key equality (None matches None),
+            # rbql_engine.py:1346-1395 hash map semantics.  Empty B table →
+            # never matches.
+            piece = F.lit(False) if b_side.width == 0 else ac.eqNullSafe(bc)
             cond = piece if cond is None else (cond & piece)
         # UPDATE emits every input row (match only gates the assignment,
         # PROCESS_UPDATE_JOIN rbql_engine.py:682-697) → always left there.
         how = 'inner' if (stage.is_select and subtype in (parser.JOIN, parser.INNER_JOIN)) else 'left'
         joined = wf.df.join(bdf, on=cond, how=how)
+        if how == 'left':
+            # LeftJoiner null-record parity: unmatched rows still report
+            # bNF = max B record width (rbql_engine.py:583-592)
+            joined = joined.withColumn(BNF_COL, F.coalesce(F.col(BNF_COL),
+                                                           F.lit(b_side.width).cast('int')))
 
         wf2 = WorkFrame(df=joined, a=wf.a, b=b_side)
         if subtype == parser.STRICT_LEFT_JOIN and self.options.strict_checks:
@@ -307,6 +350,7 @@ class StageRunner:
             except (TranslationFallback, RbqlParsingError, RbqlRuntimeError, SyntaxError):
                 pass
 
+        self._nr_dense = nr_referenced
         wf = wf.with_df(attach_nr(wf.df, NR_COL, dense=nr_referenced))
         if stage.join_subtype is not None:
             wf = self._load_b_side(stage, wf)
@@ -324,35 +368,67 @@ class StageRunner:
                     df: DataFrame) -> StageResult:
         binding = comp.binding
         # UPDATE+JOIN: error when an input record has >1 join match
-        # (PROCESS_UPDATE_JOIN, rbql_engine.py:682-697)
+        # (PROCESS_UPDATE_JOIN, rbql_engine.py:682-697); the error carries
+        # the first offending record number
         if wf.b is not None and self.options.strict_checks:
-            dups = (df.groupBy(NR_COL).count().filter(F.col('count') > 1).limit(1).collect())
-            if dups:
+            dups = (df.groupBy(NR_COL).count().filter(F.col('count') > 1)
+                      .agg(F.min(NR_COL)).collect())
+            if dups and dups[0][0] is not None:
+                first = dups[0][0]
+                if not getattr(self, '_nr_dense', False):
+                    first = (df.filter(F.col(NR_COL) < first)
+                               .select(NR_COL).distinct().count() + 1)
                 raise RbqlRuntimeError(
-                    'More than one record found in B table for the same record in A: '
-                    'join matches must be unique in UPDATE queries')
+                    'At record {}, Details: More than one record in UPDATE query matched '
+                    'a key from the input table in the join table'.format(first))
 
         cond = F.lit(True)
         if stage.where_expr is not None:
             df, cond_col = comp.predicate(df, stage.where_expr)
             cond = cond_col
-        if wf.b is not None:
+        if wf.b is not None and stage.join_subtype in (parser.JOIN, parser.INNER_JOIN):
+            # inner-join UPDATE: unmatched rows never update; LEFT JOIN
+            # supplies a null B record and the update DOES apply
+            # (LeftJoiner null_record, rbql_engine.py:583-592,682-697)
             cond = cond & F.col(BNR_COL).isNotNull()
+
+        # NU — number of already-updated rows including the current one
+        # (rbql_engine.py:693,711-770).  Inherently sequential: running count
+        # of the update condition in NR order (single ordered window; only
+        # materialized when the query references NU).
+        if re.search(r'(?:^|[^\w])NU(?:$|[^\w])', stage.unmask(stage.masked_text)):
+            w = Window.orderBy(F.col(NR_COL)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            df = df.withColumn('__nu', F.sum(F.when(cond, 1).otherwise(0)).over(w))
 
         value_exprs = []
         targets: list[int] = []
         for var_text, expr_text in stage.update_assignments:
-            ref = _join_var_ref(binding, var_text, 'a')
+            try:
+                ref = _resolve_var_text(binding, var_text, 'a')
+            except (RbqlParsingError, TranslationFallback, RbqlRuntimeError):
+                raise RbqlParsingError(
+                    'Unable to parse "UPDATE" expression: Unknown field name: "{}"'.format(var_text))
             if ref.kind != 'field' or ref.side != 'a':
                 raise RbqlParsingError(
                     'Unable to parse "UPDATE" expression: Unknown field name: "{}"'.format(var_text))
             if wf.a.width is not None and ref.index >= wf.a.width:
-                raise RbqlParsingError(
-                    'Unable to parse "UPDATE" expression: Unknown field name: "{}"'.format(var_text))
+                # reference: a9 beyond the record width fails at the first
+                # record the update actually applies to (safe_set →
+                # InternalBadFieldError, rbql_engine.py:260-264)
+                first = df.filter(cond).agg(F.min(NR_COL)).collect()[0][0]
+                if first is not None:
+                    if not getattr(self, '_nr_dense', False):
+                        # surrogate order key → recover the dense ordinal
+                        first = df.filter(F.col(NR_COL) < first).count() + 1
+                    raise RbqlRuntimeError('No "{}" field at record {}'.format(var_text, first))
+                targets.append(None)
+                value_exprs.append(('__upd_skip_{}'.format(len(value_exprs)), expr_text))
+                continue
             targets.append(ref.index)
             value_exprs.append(('__upd_{}'.format(ref.index), expr_text))
 
         df, _tags = comp.compute(df, value_exprs)
+        targets = [t for t in targets if t is not None]
         updates = {}
         for idx in targets:
             src = internal_col('a', idx)
@@ -369,11 +445,14 @@ class StageRunner:
         out_cols = {}
         for i in range(wf.a.width):
             out_cols['__out_{}'.format(i)] = F.col(internal_col('a', i))
-        df = df.withColumns(out_cols).select(
-            *['__out_{}'.format(i) for i in range(wf.a.width)], NR_COL)
+        keep = ['__out_{}'.format(i) for i in range(wf.a.width)] + [NR_COL]
+        if wf.a.ragged:
+            keep.append(NF_COL)
+        df = df.withColumns(out_cols).select(*keep)
         header = list(wf.a.header) if wf.a.header is not None else None
         return StageResult(df=df, out_names=header, order_cols=[F.col(NR_COL)],
-                           warnings=self.warnings)
+                           warnings=self.warnings,
+                           trim_width_col=NF_COL if wf.a.ragged else None)
 
     # -- SELECT -------------------------------------------------------------
 
@@ -389,22 +468,28 @@ class StageRunner:
         if stage.except_vars:
             skip: list[int] = []
             for var_text in stage.except_vars:
-                ref = _join_var_ref(binding, var_text, 'a')
+                try:
+                    ref = _resolve_var_text(binding, var_text, 'a')
+                except (RbqlParsingError, TranslationFallback, RbqlRuntimeError):
+                    raise RbqlParsingError('Unknown field in EXCEPT expression: "{}"'.format(var_text))
                 if ref.kind != 'field' or ref.side != 'a' or (
                         wf.a.width is not None and ref.index >= wf.a.width):
                     raise RbqlParsingError('Unknown field in EXCEPT expression: "{}"'.format(var_text))
                 skip.append(ref.index)
             keep = [i for i in range(wf.a.width) if i not in set(skip)]
-            items: list[tuple[str, Column, ColumnInfo]] = []
-            for j, i in enumerate(keep):
-                name = wf.a.header[i] if wf.a.header is not None else None
-                items.append(('__out_{}'.format(j), F.col(internal_col('a', i)),
-                              ColumnInfo(column_name=name)))
+            sort_cols: list[str] = []
+            named_exprs: list[tuple[str, str]] = []
+            if stage.sort_key_exprs is not None:
+                for i, expr in enumerate(stage.sort_key_exprs):
+                    sort_cols.append('__sort_{}'.format(i))
+                    named_exprs.append(('__sort_{}'.format(i), expr))
+            df, _tags = comp.compute(df, named_exprs)
+            df = df.withColumns({'__out_{}'.format(j): F.col(internal_col('a', i))
+                                 for j, i in enumerate(keep)})
             out_names = [wf.a.header[i] for i in keep] if wf.a.header is not None else None
-            df = df.withColumns({nm: c for nm, c, _ in items})
             return self._finalize_simple(stage, wf, comp, df,
                                          ['__out_{}'.format(j) for j in range(len(keep))],
-                                         out_names, unnest_col=None)
+                                         out_names, unnest_col=None, sort_cols=sort_cols)
 
         # ---- select list expansion --------------------------------------
         agg_calls: dict[int, AggCall] = {}
@@ -433,6 +518,17 @@ class StageRunner:
 
         if len(unnest_items) > 1:
             raise RbqlParsingError('Only one UNNEST is allowed per query')
+
+        # unpack operator: `SELECT *a2.split('|')` — Python list-splice into
+        # the output record (replace_star_vars leaves it inert in the
+        # reference and the list literal unpacks it, rbql_engine.py:1148-1160)
+        unpack_items = [it for it in stage.select_items
+                        if it.star is None and it.text.lstrip().startswith('*')]
+        if unpack_items:
+            if len(stage.select_items) != 1:
+                raise RbqlParsingError(
+                    'The unpack operator (*expr) is only supported as the sole select item')
+            return self._run_unpack(stage, wf, comp, df, unpack_items[0])
 
         # compute non-star item columns
         named_exprs: list[tuple[str, str]] = []
@@ -465,6 +561,12 @@ class StageRunner:
             named_exprs.append((cname, text))
             out_plan.append(('col', cname))
 
+        # output header computed BEFORE execution (parse-time error parity:
+        # star+alias on headerless input must fire before runtime errors)
+        input_header = wf.a.header
+        join_header = wf.b.header if wf.b is not None else None
+        out_names = select_output_header(input_header, join_header, infos)
+
         # sort keys computed pre-unnest (reference PROCESS_SELECT_COMMON order)
         sort_cols: list[str] = []
         if stage.sort_key_exprs is not None:
@@ -491,28 +593,60 @@ class StageRunner:
             out_cols.append(name)
         df = df.withColumns(assigns)
 
-        input_header = wf.a.header
-        join_header = wf.b.header if wf.b is not None else None
-        out_names = select_output_header(input_header, join_header, infos)
+        # star over a ragged table: output records keep their true widths
+        ragged_star = (len(stage.select_items) == 1
+                       and stage.select_items[0].star == '*'
+                       and wf.a.ragged and wf.b is None)
+        res = self._finalize_simple(stage, wf, comp, df, out_cols, out_names,
+                                    unnest_col=unnest_col, sort_cols=sort_cols,
+                                    extra_keep=[NF_COL] if ragged_star else None)
+        if ragged_star:
+            res.trim_width_col = NF_COL
+        return res
 
-        return self._finalize_simple(stage, wf, comp, df, out_cols, out_names,
-                                     unnest_col=unnest_col, sort_cols=sort_cols)
+    def _run_unpack(self, stage: ParsedStage, wf: WorkFrame, comp: _ExprComputer,
+                    df: DataFrame, item: SelectItem) -> StageResult:
+        arr_expr = stage.unmask(item.text).lstrip()[1:].strip()
+        df, tags = comp.compute(df, [('__unpack_src', arr_expr)])
+        width = df.agg(F.max(F.size('__unpack_src'))).collect()[0][0] or 1
+        assigns = {'__out_{}'.format(i): F.try_element_at('__unpack_src', F.lit(i + 1))
+                   for i in range(width)}
+        assigns['__trim_w'] = F.size('__unpack_src')
+        df = df.withColumns(assigns)
+        sort_cols: list[str] = []
+        if stage.sort_key_exprs is not None:
+            for i, expr in enumerate(stage.sort_key_exprs):
+                sort_cols.append('__sort_{}'.format(i))
+            df, _t = comp.compute(df, list(zip(sort_cols, stage.sort_key_exprs)))
+        res = self._finalize_simple(stage, wf, comp, df,
+                                    ['__out_{}'.format(i) for i in range(width)],
+                                    None, unnest_col=None, sort_cols=sort_cols,
+                                    extra_keep=['__trim_w'])
+        res.trim_width_col = '__trim_w'
+        return res
 
     def _finalize_simple(self, stage: ParsedStage, wf: WorkFrame, comp: _ExprComputer,
                          df: DataFrame, out_cols: list[str],
                          out_names: list[str] | None,
-                         unnest_col: str | None, sort_cols: list[str] | None = None) -> StageResult:
+                         unnest_col: str | None, sort_cols: list[str] | None = None,
+                         extra_keep: list[str] | None = None) -> StageResult:
         sort_cols = sort_cols or []
 
-        # build the canonical row order: (sort keys [reversed], nr, unnest pos)
+        # build the canonical row order: (sort keys [reversed], nr, bnr,
+        # unnest pos) — bNR included because the reference emits join matches
+        # in B-table order per input row (HashJoinMap list append order)
         order: list[Column] = []
         for c in sort_cols:
             order.append(F.col(c).desc() if stage.sort_reverse else F.col(c).asc())
         order.append(F.col(NR_COL).asc())
+        has_bnr = wf.b is not None and BNR_COL in df.columns
+        if has_bnr:
+            order.append(F.col(BNR_COL).asc_nulls_first())
         if unnest_col is not None:
             order.append(F.col('__unnest_pos').asc())
 
-        keep_extra = [NR_COL] + sort_cols + (['__unnest_pos'] if unnest_col is not None else [])
+        keep_extra = [NR_COL] + sort_cols + (['__unnest_pos'] if unnest_col is not None else []) \
+            + ([BNR_COL] if has_bnr else []) + (extra_keep or [])
         df = df.select(*out_cols, *keep_extra)
 
         if stage.distinct_count:
@@ -619,11 +753,21 @@ class StageRunner:
                     tag = tags.get(argcol, 'any')
                     arg = F.col(argcol)
                     if agg.kind in NUMERIC_AGGS:
-                        arg, _t = numeric_coerce(arg, tag)
+                        # error messages carry the record number; with the
+                        # order surrogate (monotonically_increasing_id =
+                        # pid·2^33 + offset) the partition-local ordinal is
+                        # the best available approximation
+                        nr_err = nr if getattr(self, '_nr_dense', False) \
+                            else (nr % F.lit(1 << 33)) + 1
+                        arg, _t = numeric_coerce(arg, tag, nr_err)
                 agg_exprs.append(spark_agg_expr(agg.kind, arg, nr, out_name))
                 if agg.kind == 'array_agg' and agg.post_proc_text is not None:
                     post_procs.append((out_name, agg.post_proc_text))
 
+        if not agg_exprs:
+            # pure GROUP BY with only key columns selected (DISTINCT-like):
+            # groupBy().agg() needs at least one expression
+            agg_exprs.append(F.count(F.lit(1)).alias('__dummy_cnt'))
         if key_cols:
             grouped = df.groupBy(*[F.col(c) for c in key_cols]).agg(*agg_exprs)
         else:

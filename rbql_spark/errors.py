@@ -41,7 +41,11 @@ def exception_to_error_info(e: BaseException) -> tuple[str, str]:
     Parity target: rbql_engine.py:950-975.
     """
     if isinstance(e, SyntaxError):
-        error_msg = str(e)
+        import traceback
+        error_strings = traceback.format_exception_only(type(e), e)
+        if error_strings and re.search('File.*line', error_strings[0]) is not None:
+            error_strings[0] = '\n'
+        error_msg = ''.join(error_strings).rstrip()
         if re.search(' having ', error_msg, flags=re.IGNORECASE):
             error_msg += '\nRBQL doesn\'t support "HAVING" keyword'
         if re.search(' like[ (]', error_msg, flags=re.IGNORECASE):

@@ -248,7 +248,7 @@ def parse_update_expression(update_text: str) -> list[tuple[str, str]]:
             if not assignments:
                 raise RbqlParsingError(
                     'Unable to parse "UPDATE" expression: the expression must start with assignment,'
-                    ' but "{}" does not look like an assignable field name'.format(raw.split('=')[0].strip())
+                    ' but "{}" does not look like an assignable field name'.format(update_text.split('=')[0].strip())
                 )
             # bare top-level comma inside the previous value expression
             # (e.g. an unparenthesized tuple) — glue it back

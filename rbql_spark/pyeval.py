@@ -34,24 +34,32 @@ class PyExpr:
 class _Record:
     """Dict+attribute record object exposed as ``a`` / ``b`` in expressions.
 
-    Reference RBQLRecord: rbql_engine.py:235-246 (missing key raises, mapped
-    to 'No "<key>" field at record N').
+    Reference RBQLRecord: rbql_engine.py:235-246 — missing key raises ('No
+    "<key>" field at record N'); integer keys are 1-based positional access
+    (the reference initializes ``a[1] = safe_get(record_a, 0)`` into the same
+    storage).
     """
 
-    __slots__ = ('_vals',)
+    __slots__ = ('_vals', '_fields')
 
-    def __init__(self, vals: dict):
-        self._vals = vals
+    def __init__(self, vals: dict, fields: list | None = None):
+        object.__setattr__(self, '_vals', vals)
+        object.__setattr__(self, '_fields', fields or [])
 
     def __getitem__(self, key):
+        if isinstance(key, int) and not isinstance(key, bool):
+            fields = object.__getattribute__(self, '_fields')
+            if 1 <= key <= len(fields):
+                return fields[key - 1]
+            raise KeyError('No "{}" field'.format(key))
         try:
-            return self._vals[key]
+            return object.__getattribute__(self, '_vals')[key]
         except KeyError:
             raise KeyError('No "{}" field'.format(key))
 
     def __getattr__(self, key):
         try:
-            return self._vals[key]
+            return object.__getattribute__(self, '_vals')[key]
         except KeyError:
             raise AttributeError('No "{}" field'.format(key))
 
@@ -203,7 +211,7 @@ def _plan_variables(exprs: list[str], wf: WorkFrame) -> _VarPlan:
         import re as _re
         if _re.search(r'(?:^|[^_a-zA-Z0-9.]){}[\[.]'.format(p), text):
             record_sides.append(p)
-    for b in ('NR', 'NF', 'bNR', 'bNF', 'aNR'):
+    for b in ('NR', 'NF', 'bNR', 'bNF', 'aNR', 'NU'):
         import re as _re
         if _re.search(r'(?:^|[^\w]){}(?:$|[^\w])'.format(b), text):
             builtins.append(b)
@@ -245,18 +253,17 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
                     env[name] = row.get(internal_col(p, idx)) if idx < w else None
             for p in plan.record_sides:
                 header = a_header if p == 'a' else b_header
+                if p in plan.array_side:
+                    fields_list = list(row[plan.array_side[p]] or [])
+                else:
+                    w = plan.widths[p] or 0
+                    fields_list = [row.get(internal_col(p, i)) for i in range(w)]
                 vals: dict = {}
                 if header is not None:
-                    if p in plan.array_side:
-                        fields = row[plan.array_side[p]]
-                        for i, nm in enumerate(header):
-                            vals[nm] = fields[i] if fields is not None and i < len(fields) else None
-                    else:
-                        for i, nm in enumerate(header):
-                            vals[nm] = row.get(internal_col(p, i))
-                rec = _Record(vals)
-                nr_val = row.get(NR_COL) if p == 'a' else row.get(BNR_COL)
-                vals['NR'] = nr_val
+                    for i, nm in enumerate(header):
+                        vals[nm] = fields_list[i] if i < len(fields_list) else None
+                rec = _Record(vals, fields_list)
+                vals['NR'] = row.get(NR_COL) if p == 'a' else row.get(BNR_COL)
                 env[p] = rec
             if 'NR' in plan.builtins or 'aNR' in plan.builtins:
                 env['NR'] = row.get(NR_COL)
@@ -267,8 +274,15 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
                 env['bNR'] = row.get(BNR_COL)
             if 'bNF' in plan.builtins:
                 env['bNF'] = row.get(BNF_COL)
+            if 'NU' in plan.builtins:
+                env['NU'] = row.get('__nu')
             return env
         return make_row_env
+
+    # eager compile: syntax errors surface at plan time with proper text
+    # (the reference compiles the generated loop once, rbql_engine.py:945-947)
+    for pe in pyexprs:
+        compile(pe.expr, '<expr>', 'eval')
 
     # ---- driver-side sampling for output types ---------------------------
     need_infer = [pe for pe in pyexprs if pe.dtype is None]

@@ -1,0 +1,103 @@
+"""Structured Streaming operators (deliberate superset — the reference has
+no stream semantics at all, SURVEY §2.8).
+
+The batch projections in ops/windows.py are reused under ``readStream``:
+tumbling/sliding windows with watermarks, session windows, and a custom
+stateful operator (per-user running counters) via ``transformWithStateInPandas``
+-equivalent ``applyInPandasWithState``.
+
+Designed for the `events` table shape:
+  event_id long, ts timestamp, user_id long, event_type string,
+  value double, props string
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField('event_id', T.LongType()),
+    T.StructField('ts', T.TimestampType()),
+    T.StructField('user_id', T.LongType()),
+    T.StructField('event_type', T.StringType()),
+    T.StructField('value', T.DoubleType()),
+    T.StructField('props', T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, source_dir: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based event stream (each dropped parquet file = one micro-batch)."""
+    return (spark.readStream
+            .schema(EVENT_SCHEMA)
+            .option('maxFilesPerTrigger', max_files_per_trigger)
+            .parquet(source_dir))
+
+
+def windowed_counts(events: DataFrame, width: str = '1 hour',
+                    watermark: str = '2 hours') -> DataFrame:
+    """Tumbling event-time window with late-data watermark."""
+    return (events
+            .withWatermark('ts', watermark)
+            .groupBy(F.window('ts', width).alias('win'), F.col('event_type'))
+            .agg(F.count(F.lit(1)).alias('n_events'),
+                 F.sum('value').alias('sum_value'))
+            .select(F.col('win.start').alias('window_start'), 'event_type',
+                    'n_events', 'sum_value'))
+
+
+def session_counts(events: DataFrame, gap: str = '30 minutes',
+                   watermark: str = '2 hours') -> DataFrame:
+    """Session windows per user (gap-based)."""
+    return (events
+            .withWatermark('ts', watermark)
+            .groupBy(F.session_window('ts', gap).alias('win'), F.col('user_id'))
+            .agg(F.count(F.lit(1)).alias('n_events'))
+            .select('user_id', F.col('win.start').alias('session_start'), 'n_events'))
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         output_mode: str = 'append', timeout_sec: int = 60):
+    """Drive a streaming DataFrame into an in-memory sink until idle; returns
+    the StreamingQuery (caller reads ``spark.table(query_name)``)."""
+    q = (stream_df.writeStream
+         .format('memory')
+         .queryName(query_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)
+    return q
+
+
+# ---- custom stateful operator --------------------------------------------
+
+_STATE_SCHEMA = 'user_id long, n_events long, total_value double'
+_OUT_SCHEMA = 'user_id long, n_events long, total_value double'
+
+
+def running_user_totals(events: DataFrame, watermark: str = '2 hours') -> DataFrame:
+    """Custom stateful streaming aggregation: per-user running event count and
+    value total across micro-batches (applyInPandasWithState)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.exists:
+            _, n, total = state.get
+        else:
+            n, total = 0, 0.0
+        import pandas as pd
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf['value'].fillna(0.0).sum())
+        state.update((user_id, n, total))
+        yield pd.DataFrame({'user_id': [user_id], 'n_events': [n], 'total_value': [total]})
+
+    return (events
+            .withWatermark('ts', watermark)
+            .groupBy('user_id')
+            .applyInPandasWithState(update_fn, _OUT_SCHEMA, _STATE_SCHEMA,
+                                    'update', GroupStateTimeout.NoTimeout))

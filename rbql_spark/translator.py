@@ -292,9 +292,12 @@ class ExpressionTranslator:
                     # mixed types where Spark would implicitly cast — reject.
                     raise TranslationFallback('compare {} vs {}'.format(lt, rt))
                 if isinstance(op, ast.Eq):
-                    piece = left.col == right.col
+                    # Python equality with None is a VALUE comparison
+                    # (None == x → False, None == None → True) — exactly
+                    # null-safe equality, not SQL three-valued logic
+                    piece = left.col.eqNullSafe(right.col)
                 elif isinstance(op, ast.NotEq):
-                    piece = left.col != right.col
+                    piece = ~left.col.eqNullSafe(right.col)
                 elif isinstance(op, ast.Lt):
                     piece = left.col < right.col
                 elif isinstance(op, ast.LtE):

@@ -125,5 +125,11 @@ def test_aggregate_over_join(spark):
 
 
 def test_unknown_join_table(spark):
-    with pytest.raises(RbqlParsingError, match='Unable to find join table'):
+    # reference parity: query_table without a join table has no registry →
+    # 'JOIN operations are not supported by the application'
+    with pytest.raises(RbqlParsingError, match='JOIN operations are not supported'):
         query_table(spark, 'SELECT a1 INNER JOIN nosuch ON a1 == b1', [['1']])
+    # with a registered join table but a wrong name → 'Unable to find'
+    with pytest.raises(RbqlParsingError, match='Unable to find join table'):
+        query_table(spark, 'SELECT a1 INNER JOIN nosuch ON a1 == b1', [['1']],
+                    join_table=[['1', 'x']])

@@ -55,8 +55,12 @@ def test_update_join_multiple_matches_error(spark):
 
 
 def test_update_unknown_field_rejected(spark):
-    with pytest.raises(RbqlParsingError):
+    # reference: a9 beyond the record width is a RUNTIME error at the first
+    # record the update applies to (safe_set, rbql_engine.py:260-264)
+    with pytest.raises(RbqlRuntimeError, match='No "a9" field at record 1'):
         query_table(spark, 'UPDATE a9 = 1', [['1', '2']])
+    with pytest.raises(RbqlParsingError):
+        query_table(spark, 'UPDATE a.nope = 1', [['1', '2']], input_column_names=['x', 'y'])
 
 
 def test_update_order_by_rejected(spark):

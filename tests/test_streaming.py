@@ -1,0 +1,78 @@
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture()
+def event_stream_dir(spark, tmp_path, sf_dir):
+    """Copy the events table into two parquet files → two micro-batches."""
+    src = os.path.join(sf_dir, 'events.parquet')
+    out = os.path.join(str(tmp_path), 'stream_src')
+    spark.conf.set('spark.sql.legacy.parquet.nanosAsLong', 'true')
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(src)
+    if dict(df.dtypes).get('ts') in ('bigint', 'long'):
+        df = df.withColumn('ts', F.timestamp_micros(F.expr('ts div 1000')))
+    df.where('event_id % 2 = 0').coalesce(1).write.mode('overwrite').parquet(out)
+    df.where('event_id % 2 = 1').coalesce(1).write.mode('append').parquet(out)
+    return out
+
+
+def test_streaming_windowed_counts(spark, event_stream_dir):
+    from rbql_spark.streaming.events import (
+        read_event_stream, run_stream_to_memory, windowed_counts,
+    )
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    agg = windowed_counts(stream, width='6 hours', watermark='1 hour')
+    q = run_stream_to_memory(agg, 'win_counts', output_mode='append')
+    try:
+        # append mode emits only closed windows; with availableNow the final
+        # watermark closes all but the last — at least some rows must appear
+        rows = spark.table('win_counts').collect()
+        assert len(rows) > 0
+        assert {'window_start', 'event_type', 'n_events', 'sum_value'} == set(spark.table('win_counts').columns)
+    finally:
+        q.stop()
+
+
+def test_streaming_matches_batch(spark, event_stream_dir):
+    """Streaming windowed agg (complete mode) == batch groupBy on same data."""
+    from pyspark.sql import functions as F
+
+    from rbql_spark.streaming.events import read_event_stream, run_stream_to_memory
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    agg = (stream.groupBy('event_type')
+           .agg(F.count(F.lit(1)).alias('n'), F.round(F.sum('value'), 4).alias('sv')))
+    q = run_stream_to_memory(agg, 'type_counts', output_mode='complete')
+    try:
+        got = {(r['event_type'], r['n'], r['sv']) for r in spark.table('type_counts').collect()}
+        batch = spark.read.parquet(event_stream_dir)
+        expected = {(r['event_type'], r['n'], r['sv']) for r in
+                    batch.groupBy('event_type')
+                    .agg(F.count(F.lit(1)).alias('n'), F.round(F.sum('value'), 4).alias('sv'))
+                    .collect()}
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_streaming_stateful_running_totals(spark, event_stream_dir):
+    from rbql_spark.streaming.events import read_event_stream, run_stream_to_memory, running_user_totals
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    totals = running_user_totals(stream)
+    q = run_stream_to_memory(totals, 'user_totals', output_mode='update')
+    try:
+        rows = spark.table('user_totals').collect()
+        assert len(rows) > 0
+        # after both batches, the LAST update per user equals the batch totals
+        from pyspark.sql import functions as F
+        batch = spark.read.parquet(event_stream_dir)
+        expected = {(r['user_id'], r['n']) for r in
+                    batch.groupBy('user_id').agg(F.count(F.lit(1)).alias('n')).collect()}
+        final = {}
+        for r in rows:
+            final[r['user_id']] = max(final.get(r['user_id'], 0), r['n_events'])
+        assert {(u, n) for u, n in final.items()} == expected
+    finally:
+        q.stop()
