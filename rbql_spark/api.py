@@ -64,15 +64,40 @@ def query_table(spark: SparkSession, query: str, input_table: list[list],
         join_handle = _rows_to_handle(spark, join_table, join_column_names)
     result = query_dataframe(spark, query, handle, join_table=join_handle,
                              user_init_code=user_init_code, options=options)
-    if result.trim_width_col is not None and result.trim_width_col in result.df.columns:
-        ordered = result.ordered_df()
-        out_cols = result.out_cols()
-        raw = _collect(ordered.select(*out_cols, result.trim_width_col))
-        rows = [list(r)[:max(r[-1], 0)] if r[-1] is not None else list(r)[:-1] for r in raw]
-        return rows, result.out_names
-    out_df = result.display_df(ordered=True)
-    rows = [list(r) for r in _collect_df(out_df)]
+    rows = collect_result_rows(result)
     return rows, result.out_names
+
+
+def collect_result_rows(result) -> list[list]:
+    """Ordered collect honoring ragged-width trimming and NumHandler
+    int-preservation flags (see StageResult)."""
+    out_cols = result.out_cols()
+    extras: list[str] = []
+    trim_col = result.trim_width_col if (result.trim_width_col is not None
+                                         and result.trim_width_col in result.df.columns) else None
+    flag_cols = {oc: fc for oc, fc in (result.int_flag_cols or {}).items()
+                 if fc in result.df.columns}
+    if trim_col is not None:
+        extras.append(trim_col)
+    extras += [fc for fc in flag_cols.values() if fc not in extras]
+    raw = _collect(result.ordered_df().select(*out_cols, *extras))
+    n_out = len(out_cols)
+    flag_pos = {out_cols.index(oc): n_out + extras.index(fc)
+                for oc, fc in flag_cols.items()}
+    rows: list[list] = []
+    for r in raw:
+        vals = list(r)
+        for ci, fi in flag_pos.items():
+            v = vals[ci]
+            if vals[fi] == 1 and isinstance(v, float) and v.is_integer():
+                vals[ci] = int(v)
+        out = vals[:n_out]
+        if trim_col is not None:
+            w = vals[n_out]
+            if w is not None:
+                out = out[:max(w, 0)]
+        rows.append(out)
+    return rows
 
 
 def _unwrap_spark_error(e: Exception):
@@ -157,6 +182,7 @@ def query_csv(spark: SparkSession, query: str, input_path: str,
               comment_prefix: str | None = None,
               strip_whitespaces: bool = False,
               user_init_code: str = '',
+              extra_search_dirs: list[str] | None = None,
               options: EngineOptions | None = None) -> StageResult:
     """CSV entry point (analog of rbql_csv.query_csv, rbql_csv.py:543-580).
 
@@ -165,15 +191,34 @@ def query_csv(spark: SparkSession, query: str, input_path: str,
     ``output_path`` is given — writes CSV with the reference's output
     normalization rules.
     """
+    from .errors import RbqlIOHandlingError
     from .sources.csv import read_csv, write_csv
+    if encoding == 'latin-1' and not all(ord(ch) < 128 for ch in query):
+        # rbql_csv.py:556-560 parity
+        raise RbqlIOHandlingError(
+            'To use non-ascii characters in query enable UTF-8 encoding instead of latin-1/binary')
+
+    # WITH (header) / WITH (noheader) modifier overrides the read flags for
+    # BOTH the input and join tables (rbql_engine.py:1480-1481,1504-1505)
+    from . import parser as _parser
+    try:
+        stages = _parser.parse_query(query, has_context_table=True)
+        if stages and stages[0].with_modifier == 'header':
+            with_headers = True
+        elif stages and stages[0].with_modifier == 'noheader':
+            with_headers = False
+    except Exception:
+        pass  # parse errors surface from run_query with proper context
+
     handle = read_csv(spark, input_path, delim=delim, policy=policy,
                       encoding=encoding, with_headers=with_headers,
                       comment_prefix=comment_prefix,
                       strip_whitespaces=strip_whitespaces)
     csv_opts = {'delim': delim, 'policy': policy, 'encoding': encoding,
-                'with_headers': with_headers, 'comment_prefix': comment_prefix}
+                'with_headers': with_headers, 'comment_prefix': comment_prefix,
+                'strip_whitespaces': strip_whitespaces}
     reg = PathRegistry(main_table_dir=os.path.dirname(os.path.abspath(input_path)),
-                       csv_options=csv_opts)
+                       csv_options=csv_opts, extra_dirs=extra_search_dirs)
     opts = options or EngineOptions()
     if user_init_code:
         opts.user_init_code = user_init_code

@@ -63,6 +63,9 @@ class StageResult:
     # over ragged input / unpack operator) — collect paths trim trailing
     # columns beyond it
     trim_width_col: str | None = None
+    # NumHandler int-preservation: out col → flag col (1 = all-int inputs);
+    # collect paths render integral doubles as ints when the flag is set
+    int_flag_cols: dict[str, str] = field(default_factory=dict)
 
     def out_cols(self) -> list[str]:
         return [c for c in self.df.columns if c.startswith('__out_')]
@@ -226,6 +229,11 @@ class StageRunner:
             raise RbqlParsingError('JOIN operations are not supported by the application')
         b_handle = self.registry.get_table(self.spark, stage.join_table_id)
         if b_handle is None:
+            maker = getattr(self.registry, 'missing_join_table_error', None)
+            if maker is not None:
+                err = maker(stage.join_table_id)
+                if err is not None:
+                    raise err
             raise RbqlParsingError('Unable to find join table: "{}"'.format(stage.join_table_id))
         if (wf.a.header is None) != (b_handle.header is None):
             if wf.a.header is None:
@@ -234,16 +242,23 @@ class StageRunner:
             raise RbqlIOHandlingError(
                 "Inconsistent modes: Input table has a header while the Join table doesn't have a header")
 
+        from .binding import NF_SRC_COL
         bdf = b_handle.df
-        b_names = bdf.columns
-        b_types = [f.dataType for f in bdf.schema.fields]
-        bdf = bdf.select([F.col('`{}`'.format(n.replace('`', '``'))).alias(internal_col('b', i))
-                          for i, n in enumerate(b_names)])
+        b_names = [n for n in bdf.columns if n != NF_SRC_COL]
+        b_ragged = NF_SRC_COL in bdf.columns
+        type_by_name = {f.name: f.dataType for f in bdf.schema.fields}
+        b_types = [type_by_name[n] for n in b_names]
+        sel = [F.col('`{}`'.format(n.replace('`', '``'))).alias(internal_col('b', i))
+               for i, n in enumerate(b_names)]
+        if b_ragged:
+            sel.append(F.col(NF_SRC_COL).cast('int').alias(BNF_COL))
+        bdf = bdf.select(sel)
         bdf = attach_nr(bdf, BNR_COL, dense=_needs_dense_nr(stage, 'b')
                         or any(v in ('bNR', 'b.NR') for pair in stage.join_var_pairs for v in pair))
-        bdf = bdf.withColumn(BNF_COL, F.lit(len(b_names)).cast('int'))
+        if not b_ragged:
+            bdf = bdf.withColumn(BNF_COL, F.lit(len(b_names)).cast('int'))
         b_side = SideInfo(prefix='b', header=list(b_handle.header) if b_handle.header is not None else None,
-                          mode='fixed', width=len(b_names), types=b_types)
+                          mode='fixed', width=len(b_names), types=b_types, ragged=b_ragged)
         wf2 = WorkFrame(df=wf.df, a=wf.a, b=b_side)
         binding = Binding(wf2)
 
@@ -281,6 +296,29 @@ class StageRunner:
                 bc = F.col(internal_col('b', b_ref.index))
             a_keys.append(ac)
             b_keys.append(bc)
+
+        # ragged B table: a join-key index beyond some record's width is a
+        # hard per-record error (HashJoinMap.build, rbql_engine.py:1459-1472)
+        if b_ragged and self.options.strict_checks:
+            tmp_binding = Binding(WorkFrame(df=bdf, a=wf.a, b=b_side))
+            b_key_indices = []
+            for v1, v2 in stage.join_var_pairs:
+                bvar = v2 if _classify_join_var(v2) == 'b' else v1
+                try:
+                    ref = _resolve_var_text(tmp_binding, bvar, 'b')
+                except (RbqlParsingError, TranslationFallback, RbqlRuntimeError):
+                    continue
+                if ref.kind == 'field':
+                    b_key_indices.append(ref.index)
+            max_key_idx = max(b_key_indices, default=None)
+            if max_key_idx is not None and max_key_idx > 0:
+                short = bdf.filter(F.col(BNF_COL) < max_key_idx + 1).agg(F.min(BNR_COL)).collect()
+                if short and short[0][0] is not None:
+                    first = short[0][0]
+                    bad_nr = bdf.filter(F.col(BNR_COL) < first).count() + 1
+                    raise RbqlRuntimeError(
+                        'No field with index {} at record {} in "B" table'.format(
+                            max_key_idx + 1, bad_nr))
 
         if self.options.broadcast_join:
             bdf = F.broadcast(bdf)
@@ -593,15 +631,22 @@ class StageRunner:
             out_cols.append(name)
         df = df.withColumns(assigns)
 
-        # star over a ragged table: output records keep their true widths
-        ragged_star = (len(stage.select_items) == 1
-                       and stage.select_items[0].star == '*'
+        # star over a ragged table: output records keep their true widths.
+        # Supported when one bare '*' is the final select item (the spliced
+        # segment is the row tail) — reference list-concat semantics.
+        stars = [i for i, it in enumerate(stage.select_items) if it.star == '*']
+        ragged_star = (len(stars) == 1 and stars[0] == len(stage.select_items) - 1
                        and wf.a.ragged and wf.b is None)
+        extra_keep = None
+        if ragged_star:
+            n_prefix_cols = len(out_cols) - wf.a.width
+            df = df.withColumn('__trim_w', F.lit(n_prefix_cols) + F.col(NF_COL))
+            extra_keep = ['__trim_w']
         res = self._finalize_simple(stage, wf, comp, df, out_cols, out_names,
                                     unnest_col=unnest_col, sort_cols=sort_cols,
-                                    extra_keep=[NF_COL] if ragged_star else None)
+                                    extra_keep=extra_keep)
         if ragged_star:
-            res.trim_width_col = NF_COL
+            res.trim_width_col = '__trim_w'
         return res
 
     def _run_unpack(self, stage: ParsedStage, wf: WorkFrame, comp: _ExprComputer,
@@ -634,16 +679,20 @@ class StageRunner:
 
         # build the canonical row order: (sort keys [reversed], nr, bnr,
         # unnest pos) — bNR included because the reference emits join matches
-        # in B-table order per input row (HashJoinMap list append order)
+        # in B-table order per input row (HashJoinMap list append order).
+        # DESC parity detail: the reference sorts ascending-stable then
+        # REVERSES the list (SortedWriter, rbql_engine.py:540-557), which
+        # reverses equal-key runs too — so every tiebreaker flips with DESC.
+        rev = bool(sort_cols) and stage.sort_reverse
         order: list[Column] = []
         for c in sort_cols:
-            order.append(F.col(c).desc() if stage.sort_reverse else F.col(c).asc())
-        order.append(F.col(NR_COL).asc())
+            order.append(F.col(c).desc() if rev else F.col(c).asc())
+        order.append(F.col(NR_COL).desc() if rev else F.col(NR_COL).asc())
         has_bnr = wf.b is not None and BNR_COL in df.columns
         if has_bnr:
-            order.append(F.col(BNR_COL).asc_nulls_first())
+            order.append(F.col(BNR_COL).desc_nulls_last() if rev else F.col(BNR_COL).asc_nulls_first())
         if unnest_col is not None:
-            order.append(F.col('__unnest_pos').asc())
+            order.append(F.col('__unnest_pos').desc() if rev else F.col('__unnest_pos').asc())
 
         keep_extra = [NR_COL] + sort_cols + (['__unnest_pos'] if unnest_col is not None else []) \
             + ([BNR_COL] if has_bnr else []) + (extra_keep or [])
@@ -732,6 +781,7 @@ class StageRunner:
         agg_exprs: list[Column] = []
         out_specs: list[str] = []
         guard_cols: list[str] = []
+        int_flags: dict[str, str] = {}   # agg-out col → per-group intish flag
         for j, (kind, payload) in enumerate(plan):
             if kind == 'key':
                 # grouping column survives groupBy().agg() — no aggregate
@@ -759,6 +809,14 @@ class StageRunner:
                         # the best available approximation
                         nr_err = nr if getattr(self, '_nr_dense', False) \
                             else (nr % F.lit(1 << 33)) + 1
+                        if agg.kind in ('sum', 'min', 'max') and tag == 'str':
+                            # NumHandler int-preservation: SUM/MIN/MAX over
+                            # all-int strings yield ints (rbql_engine.py:293-314)
+                            is_int = F.col(argcol).isNull() | \
+                                F.col(argcol).rlike(r'^ *[+-]?[0-9]+ *$')
+                            flag = '__intish_{}'.format(j)
+                            agg_exprs.append(F.min(is_int.cast('int')).alias(flag))
+                            int_flags[out_name] = flag
                         arg, _t = numeric_coerce(arg, tag, nr_err)
                 agg_exprs.append(spark_agg_expr(agg.kind, arg, nr, out_name))
                 if agg.kind == 'array_agg' and agg.post_proc_text is not None:
@@ -790,11 +848,20 @@ class StageRunner:
 
         # output columns in item order; sorted ascending by group key
         renamed = {}
+        final_flags: dict[str, str] = {}
         for j, out_name in enumerate(out_specs):
             renamed['__out_{}'.format(j)] = F.col(out_name)
+            if out_name in int_flags:
+                # NumHandler's int-detection is per-aggregator (global
+                # across groups): a single float anywhere demotes the whole
+                # column — min over the (small) aggregated frame
+                gw = Window.partitionBy(F.lit(1))
+                renamed['__flag_{}'.format(j)] = F.min(F.col(int_flags[out_name])).over(gw)
+                final_flags['__out_{}'.format(j)] = '__flag_{}'.format(j)
         grouped = grouped.withColumns(renamed)
         order = [F.col(c).asc() for c in key_cols]
-        keep = ['__out_{}'.format(j) for j in range(len(out_specs))] + key_cols
+        keep = ['__out_{}'.format(j) for j in range(len(out_specs))] + key_cols \
+            + list(final_flags.values())
         grouped = grouped.select(*keep)
 
         if stage.top_count is not None:
@@ -805,7 +872,7 @@ class StageRunner:
         join_header = wf.b.header if wf.b is not None else None
         out_names = select_output_header(input_header, join_header, infos)
         return StageResult(df=grouped, out_names=out_names, order_cols=order,
-                           warnings=self.warnings)
+                           warnings=self.warnings, int_flag_cols=final_flags)
 
 
 # ---------------------------------------------------------------------------

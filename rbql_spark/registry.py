@@ -58,21 +58,30 @@ class CatalogRegistry(TableRegistry):
 
 
 class PathRegistry(TableRegistry):
-    """Resolve filesystem paths (parquet / csv / tsv / jsonl) relative to cwd
-    or the main table's directory (reference rbql_csv.py:101-115)."""
+    """Resolve filesystem paths (parquet / csv / tsv / jsonl) relative to cwd,
+    the main table's directory, or extra search dirs (reference
+    rbql_csv.py:101-115 FileSystemCSVRegistry)."""
 
-    def __init__(self, main_table_dir: str | None = None, csv_options: dict | None = None):
+    def __init__(self, main_table_dir: str | None = None, csv_options: dict | None = None,
+                 extra_dirs: list[str] | None = None):
         self.main_table_dir = main_table_dir
         self.csv_options = csv_options or {}
+        self.extra_dirs = extra_dirs or []
 
     def _resolve_path(self, table_id: str) -> str | None:
         candidates = [table_id, os.path.expanduser(table_id)]
         if self.main_table_dir:
             candidates.append(os.path.join(self.main_table_dir, table_id))
+        for d in self.extra_dirs:
+            candidates.append(os.path.join(d, table_id))
         for c in candidates:
             if os.path.exists(c):
                 return c
         return None
+
+    def missing_join_table_error(self, table_id: str) -> Exception:
+        # CSV-registry message has no colon (rbql_csv.py:110-113)
+        return RbqlIOHandlingError('Unable to find join table "{}"'.format(table_id))
 
     def get_table(self, spark, table_id):
         path = self._resolve_path(table_id)
@@ -102,4 +111,11 @@ class ChainRegistry(TableRegistry):
             t = r.get_table(spark, table_id)
             if t is not None:
                 return t
+        return None
+
+    def missing_join_table_error(self, table_id):
+        for r in self.registries:
+            fn = getattr(r, 'missing_join_table_error', None)
+            if fn is not None:
+                return fn(table_id)
         return None

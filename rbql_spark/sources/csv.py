@@ -68,36 +68,52 @@ def split_whitespace(src: str) -> list[str]:
     return re.findall(r'[^ ]+', src)
 
 
-def _record_split_rfc(content: str, dlm: str) -> list[tuple[list[str], bool]]:
-    """Assemble multiline RFC records: accumulate physical lines until the
-    double-quote count balances, then split."""
-    records: list[tuple[list[str], bool]] = []
-    pending: list[str] = []
-    pending_quotes_odd = False
-    for line in re.split(r'\r\n|\r|\n', content):
-        if pending:
-            pending.append(line)
-            if line.count('"') % 2 == 1:
-                pending_quotes_odd = not pending_quotes_odd
-            if not pending_quotes_odd:
-                records.append(split_quoted('\n'.join(pending), dlm))
-                pending = []
+def _record_split_rfc(content: str, dlm: str, comment_prefix: str | None = None,
+                      table_name: str = 'input') -> list[list[str]]:
+    """Assemble multiline RFC records (reference get_row_rfc,
+    rbql_csv.py:420-439): a line with an odd number of double quotes opens a
+    multiline record that closes at the next odd-quote line.  Comment lines
+    are filtered at record boundaries only.  Defective quoting is a hard
+    error carrying (record, line) ordinals (rbql_csv.py:461-468)."""
+    lines = re.split(r'\r\n|\r|\n', content)
+    if lines and lines[-1] == '':
+        lines.pop()
+    records: list[list[str]] = []
+    idx, nl, nr = 0, 0, 0
+    n = len(lines)
+    while idx < n:
+        line = lines[idx]
+        idx += 1
+        nl += 1
+        if comment_prefix is not None and line.startswith(comment_prefix):
             continue
+        rows = [line]
         if line.count('"') % 2 == 1:
-            pending = [line]
-            pending_quotes_odd = True
-            continue
-        records.append(split_quoted(line, dlm))
-    if pending:
-        # unbalanced quotes at EOF
-        fields, _ = split_quoted('\n'.join(pending), dlm)
-        records.append((fields, True))
+            while idx < n:
+                nxt = lines[idx]
+                idx += 1
+                nl += 1
+                rows.append(nxt)
+                if nxt.count('"') % 2 == 1:
+                    break
+        logical = '\n'.join(rows)
+        nr += 1
+        fields, warning = split_quoted(logical, dlm)
+        if warning:
+            raise RbqlIOHandlingError(
+                'Inconsistent double quote escaping in {} table at record {}, line {}'
+                .format(table_name, nr, nl))
+        records.append(fields)
     return records
 
 
 def _strip_bom(text: str) -> tuple[str, bool]:
     if text.startswith('\ufeff'):
         return text[1:], True
+    if text.startswith('\xef\xbb\xbf'):
+        # UTF-8 BOM bytes seen through latin-1 decoding (reference
+        # remove_utf8_bom handles both, rbql_csv.py:47-56)
+        return text[3:], True
     return text, False
 
 
@@ -138,6 +154,16 @@ def _arrays_to_handle(spark: SparkSession, arr_df: DataFrame,
 def _read_csv_distributed(spark, path, delim, policy, with_headers,
                           comment_prefix, strip_whitespaces) -> TableHandle:
     """utf-8 line-based policies: fully distributed text scan + native split."""
+    # spark.read.text silently replaces invalid UTF-8; the reference raises
+    # (rbql_csv.py:416-417).  Validate eagerly for local files (the parity
+    # path; bulk data should be parquet or native=True anyway).
+    if os.path.exists(path):
+        try:
+            with open(path, 'rb') as f:
+                f.read().decode('utf-8')
+        except UnicodeDecodeError:
+            raise RbqlIOHandlingError(
+                'Unable to decode input table as UTF-8. Use binary (latin-1) encoding instead')
     df = spark.read.text(path)
     line = F.regexp_replace(F.col('value'), r'\r$', '')
     line = F.regexp_replace(line, '^﻿', '')  # BOM (file head in practice)
@@ -240,12 +266,7 @@ def _read_csv_driver_side(spark, path, delim, policy, encoding, with_headers,
         content = f.read().decode(encoding)
     content, _bom = _strip_bom(content)
     if policy == 'quoted_rfc':
-        records = _record_split_rfc(content, delim)
-        if comment_prefix:
-            records = [r for r in records
-                       if not (r[0] and r[0][0].startswith(comment_prefix))]
-        # comment filtering for rfc is line-level pre-split in the reference;
-        # approximation: drop records whose raw first field starts with prefix
+        recs = _record_split_rfc(content, delim, comment_prefix=comment_prefix)
     else:
         rows = [ln for ln in re.split(r'\r\n|\r|\n', content)]
         if rows and rows[-1] == '':
@@ -260,10 +281,7 @@ def _read_csv_driver_side(spark, path, delim, policy, encoding, with_headers,
             records = [([ln], False) for ln in rows]
         else:
             records = [split_quoted(ln, delim) for ln in rows]
-    recs = [r[0] for r in records]
-    # drop trailing empty artifact from final newline in rfc mode
-    if policy == 'quoted_rfc' and recs and recs[-1] == ['']:
-        recs.pop()
+        recs = [r[0] for r in records]
     if strip_whitespaces:
         recs = [[f.strip() for f in r] for r in recs]
     header = None
@@ -330,11 +348,12 @@ def _quote_field(s: str, delim: str) -> str:
 def write_csv(result, output_path: str, delim: str = ',', policy: str = 'quoted',
               encoding: str = 'utf-8') -> list[str]:
     """Stream the (ordered) result to one CSV file with the reference's
-    output-normalization rules (rbql_csv.py:146-315).  Driver-side streaming
-    via toLocalIterator — bounded memory; use df.write.csv for distributed
-    many-file output."""
+    output-normalization rules (rbql_csv.py:146-315): ragged-width trimming,
+    int-preserving aggregates, None→'' with a warning, policy-aware quoting.
+    Driver-side single-file sink (the reference CLI shape); use
+    df.write.csv for distributed many-file output."""
+    from ..api import collect_result_rows
     warnings: set[str] = set()
-    df = result.display_df(ordered=True)
     header = result.out_names
 
     def fmt_row(vals) -> str:
@@ -351,11 +370,17 @@ def write_csv(result, output_path: str, delim: str = ',', policy: str = 'quoted'
             return normd[0] if normd else ''
         return delim.join(normd)
 
+    rows = collect_result_rows(result)
     with open(output_path, 'w', encoding=encoding, newline='') as f:
         if header is not None:
             f.write(fmt_row(header))
             f.write('\n')
-        for row in df.toLocalIterator():
-            f.write(fmt_row(list(row)))
+        for vals in rows:
+            if header is not None and len(vals) != len(header):
+                # reference CSVWriter width guard (rbql_csv.py:209-210)
+                raise RbqlIOHandlingError(
+                    'Inconsistent number of columns in output header and the '
+                    'current record: {} != {}'.format(len(vals), len(header)))
+            f.write(fmt_row(vals))
             f.write('\n')
     return sorted(warnings)

@@ -1,0 +1,40 @@
+"""pandas entry point (reference rbql_pandas.py parity).
+
+``query_pandas_dataframe(spark, query, df)`` — columns addressable by name
+(``a.name``) when the DataFrame has real column labels; a default RangeIndex
+column set means headerless (reference DataframeIterator, rbql_pandas.py:11-33).
+Returns a new pandas DataFrame (DataframeWriter.finish parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..binding import TableHandle
+
+
+def _pdf_to_handle(spark: SparkSession, pdf) -> TableHandle:
+    import pandas as pd
+    headerless = isinstance(pdf.columns, pd.RangeIndex)
+    names = ['_c{}'.format(i) for i in range(len(pdf.columns))] if headerless \
+        else [str(c) for c in pdf.columns]
+    sdf = spark.createDataFrame(pdf.rename(columns=dict(zip(pdf.columns, names))))
+    return TableHandle(df=sdf, header=None if headerless else names)
+
+
+def query_pandas_dataframe(spark: SparkSession, query: str, pdf,
+                           join_pdf=None, user_init_code: str = ''):
+    """Run an RBQL query over a pandas DataFrame; returns a pandas DataFrame."""
+    import pandas as pd
+
+    from ..api import collect_result_rows, query_dataframe
+    handle = _pdf_to_handle(spark, pdf)
+    join_handle = _pdf_to_handle(spark, join_pdf) if join_pdf is not None else None
+    result = query_dataframe(spark, query, handle, join_table=join_handle,
+                             user_init_code=user_init_code)
+    rows = collect_result_rows(result)
+    columns = result.out_names
+    if columns is None:
+        width = max((len(r) for r in rows), default=0)
+        return pd.DataFrame(rows, columns=list(range(width)) if width else None)
+    return pd.DataFrame(rows, columns=columns)
