@@ -64,6 +64,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
     queries = entrymod.queries()
 
+    # warmup: JVM/codegen/python-worker/parquet-footer one-time costs
+    from pyspark.sql import functions as F
+    spark.range(1000).select(F.sum('id')).collect()
+    entrymod._t(spark, SF_DIR, 'lineitem').limit(10).count()
+
     sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

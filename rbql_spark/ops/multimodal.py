@@ -89,5 +89,6 @@ def extract_features(df: DataFrame, payload_col: str = 'payload',
 def multimodal_pipeline(df: DataFrame, text_col: str = 'text',
                         id_col: str = 'doc_id') -> DataFrame:
     """documents → binary payloads → stub decode → typed features."""
-    payloads = attach_binary_payload(df, text_col, id_col)
+    from .dedup import spread_partitions
+    payloads = attach_binary_payload(spread_partitions(df), text_col, id_col)
     return extract_features(payloads).orderBy('doc_id')

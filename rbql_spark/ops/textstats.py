@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens
+from .dedup import spread_partitions, tokens
 
 # A BPE-ish segmentation: word pieces, numbers, or single non-space symbols —
 # close to the common GPT-2 pretokenizer shape, public knowledge.
@@ -30,6 +30,7 @@ _STOPWORDS = {
 
 def token_stats(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
     """Whitespace tokens, BPE-ish piece count, char statistics per document."""
+    df = spread_partitions(df)
     t = F.col(text_col)
     ws_tokens = F.filter(F.split(t, r'\s+', -1), lambda x: x != '')
     bpe_count = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_REGEX), 0))
@@ -46,6 +47,7 @@ def token_stats(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -
 
 def quality_score(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
     """Heuristic quality features + a composite score in [0, 1]."""
+    df = spread_partitions(df)
     t = F.col(text_col)
     n_chars = F.length(t).cast('double')
     words = F.filter(F.split(t, r'\s+', -1), lambda x: x != '')
@@ -83,6 +85,7 @@ def language_id(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -
     Scores each language by stopword hits in the token set; argmax wins,
     'und' (undetermined) when no hits.  Native array expressions only.
     """
+    df = spread_partitions(df)
     toks = tokens(F.col(text_col))
     scores = {}
     for lang, words in _STOPWORDS.items():
@@ -104,6 +107,7 @@ def doc_fingerprint(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id
     fp = fold(acc * 31 + xxhash64(token)) — a polynomial rolling hash; same
     token multiset in different order → different fingerprint (unlike
     minhash), making it a cheap exact-sequence signature."""
+    df = spread_partitions(df)
     mask32 = F.lit((1 << 32) - 1)
     toks = tokens(F.col(text_col))
     # per-step & MASK32 keeps every intermediate < 2^38 — safe under Spark's

@@ -1,0 +1,144 @@
+"""Behavioral tests for the pipeline operators: planted duplicates must be
+found, planted non-duplicates must not, ANN must agree with brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope='module')
+def doc_df(spark):
+    base = (
+        'the quick brown fox jumps over the lazy dog while the cat sleeps '
+        'in the warm afternoon sun near the old stone bridge by the river'
+    )
+    near_dup = base.replace('warm afternoon sun', 'cold morning light')
+    distinct1 = ('completely different content about database engines and '
+                 'query optimization with columnar storage vectorized execution '
+                 'partition pruning and adaptive shuffles everywhere today')
+    distinct2 = ('astronomy telescopes observe distant galaxies and nebulae '
+                 'revealing the structure of the early universe through light '
+                 'emitted billions of years ago across space')
+    rows = [
+        (1, base), (2, base),           # exact dup pair
+        (3, near_dup),                  # near dup of 1/2
+        (4, distinct1), (5, distinct2), # unrelated
+    ]
+    return spark.createDataFrame(rows, 'doc_id long, text string')
+
+
+def test_exact_dedup_finds_planted_dup(spark, doc_df):
+    from rbql_spark.ops.dedup import exact_dedup
+    out = exact_dedup(doc_df, 'text', 'doc_id').collect()
+    dup_groups = [r for r in out if r['dup_count'] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]['keep_id'] == 1
+    assert dup_groups[0]['dup_count'] == 2
+
+
+def test_minhash_finds_near_dups(spark, doc_df):
+    from rbql_spark.ops.dedup import minhash_dedup_pairs
+    pairs = {(r['doc_a'], r['doc_b']) for r in
+             minhash_dedup_pairs(doc_df, 'text', 'doc_id', threshold=0.5).collect()}
+    assert (1, 2) in pairs           # exact dup: jaccard 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup
+    for bad in [(1, 4), (1, 5), (4, 5), (2, 4), (3, 5)]:
+        assert bad not in pairs
+
+
+def test_minhash_native_engine_agrees(spark, doc_df):
+    from rbql_spark.ops.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures
+    sig = minhash_signatures(doc_df, 'text', 'doc_id', engine='native')
+    pairs = {(r['doc_a'], r['doc_b']) for r in
+             jaccard_verify(lsh_candidate_pairs(sig), sig, 0.5).collect()}
+    assert (1, 2) in pairs
+
+
+def test_simhash_near_dups(spark, doc_df):
+    from rbql_spark.ops.dedup import simhash_near_dups
+    pairs = {(r['doc_a'], r['doc_b']) for r in
+             simhash_near_dups(doc_df, 'text', 'doc_id', max_hamming=10).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_doc_fingerprint_order_sensitive(spark):
+    from rbql_spark.ops.textstats import doc_fingerprint
+    df = spark.createDataFrame(
+        [(1, 'alpha beta gamma'), (2, 'alpha beta gamma'), (3, 'gamma beta alpha')],
+        'doc_id long, text string')
+    rows = {r['doc_id']: r['fingerprint'] for r in doc_fingerprint(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_language_id_heuristic(spark):
+    from rbql_spark.ops.textstats import language_id
+    df = spark.createDataFrame([
+        (1, 'the cat is in the house and that is fine for now'),
+        (2, 'der Hund ist nicht in das Haus und die Katze auch nicht'),
+        (3, 'le chat est dans la maison et les chiens sont pour dans'),
+        (4, 'zzz qqq xxx'),
+    ], 'doc_id long, text string')
+    out = {r['doc_id']: r['lang_pred'] for r in language_id(df).collect()}
+    assert out[1] == 'en'
+    assert out[2] == 'de'
+    assert out[3] == 'fr'
+    assert out[4] == 'und'
+
+
+@pytest.fixture(scope='module')
+def emb_df(spark, sf_dir):
+    import os
+    return spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+
+
+def test_ann_recall_vs_bruteforce(spark, emb_df):
+    from rbql_spark.ops.similarity import cosine_topk_bruteforce, lsh_ann_topk
+    queries = emb_df.filter(F.col('vec_id') < 3) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    exact = cosine_topk_bruteforce(emb_df, queries, k=10)
+    # near-uniform random embeddings are LSH's worst case: use wide buckets
+    # (few planes) and many tables for recall on this small corpus
+    approx = lsh_ann_topk(emb_df, queries, k=10, dim=64, n_planes=4, n_tables=12)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r['query_id'], set()).add(r['vec_id'])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r['query_id'], set()).add(r['vec_id'])
+    # self-match always present; recall@10 ≥ 0.4 for this configuration
+    recalls = []
+    for q, ex in exact_sets.items():
+        ap = approx_sets.get(q, set())
+        assert q in ap  # the vector itself shares every bucket
+        recalls.append(len(ex & ap) / len(ex))
+    assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_bruteforce_self_similarity_first(spark, emb_df):
+    from rbql_spark.ops.similarity import cosine_topk_bruteforce
+    queries = emb_df.filter(F.col('vec_id') == 7) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    top = cosine_topk_bruteforce(emb_df, queries, k=3).collect()
+    assert top[0]['vec_id'] == 7
+    assert top[0]['cosine_sim'] == pytest.approx(1.0)
+
+
+def test_embedding_near_dup_pairs_runs(spark, emb_df):
+    from rbql_spark.ops.similarity import embedding_near_dup_pairs
+    out = embedding_near_dup_pairs(emb_df, threshold=0.5, dim=64)
+    rows = out.collect()
+    for r in rows:
+        assert r['vec_a'] < r['vec_b']
+        assert r['cosine_sim'] >= 0.5
+
+
+def test_multimodal_stub_features(spark, doc_df):
+    from rbql_spark.ops.multimodal import multimodal_pipeline
+    rows = multimodal_pipeline(doc_df).collect()
+    assert len(rows) == 5
+    r1 = [r for r in rows if r['doc_id'] == 1][0]
+    r2 = [r for r in rows if r['doc_id'] == 2][0]
+    assert r1['byte_checksum'] == r2['byte_checksum']  # identical payloads
+    assert len(r1['feature']) == 8
+    assert r1['n_bytes'] > 0
