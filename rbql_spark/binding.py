@@ -108,7 +108,10 @@ class WorkFrame:
         return WorkFrame(df=df, a=self.a, b=self.b)
 
 
-NF_SRC_COL = '__nf_src'  # optional per-row field count provided by a source
+NF_SRC_COL = '__nf_src'        # optional per-row field count provided by a source
+ORDER_SRC_COL = '__src_order'  # optional source-order key captured BEFORE any
+                               # repartition (parallel CSV parsing shuffles
+                               # lines; input order must survive it)
 
 
 def make_workframe(handle: TableHandle) -> WorkFrame:
@@ -120,7 +123,7 @@ def make_workframe(handle: TableHandle) -> WorkFrame:
     doesn't reference NR).
     """
     df = handle.df
-    names = [n for n in df.columns if n != NF_SRC_COL]
+    names = [n for n in df.columns if n not in (NF_SRC_COL, ORDER_SRC_COL)]
     has_nf_src = NF_SRC_COL in df.columns
     width = len(names)
     type_by_name = {f.name: f.dataType for f in df.schema.fields}
@@ -128,6 +131,8 @@ def make_workframe(handle: TableHandle) -> WorkFrame:
     sel = [F.col('`{}`'.format(n.replace('`', '``'))).alias(internal_col('a', i)) for i, n in enumerate(names)]
     if has_nf_src:
         sel.append(F.col(NF_SRC_COL).cast('int').alias(NF_COL))
+    if ORDER_SRC_COL in df.columns:
+        sel.append(F.col(ORDER_SRC_COL))
     df = df.select(sel)
     if not has_nf_src:
         df = df.withColumn(NF_COL, F.lit(width).cast('int'))

@@ -51,6 +51,18 @@ def attach_dense_nr(df: DataFrame, col: str) -> DataFrame:
 
 
 def attach_nr(df: DataFrame, col: str, dense: bool) -> DataFrame:
+    from .binding import ORDER_SRC_COL
+    if ORDER_SRC_COL in df.columns:
+        # the source captured its own order key before a repartition (CSV
+        # line-parallel parsing) — partition order no longer reflects input
+        # order, so derive NR from that key instead
+        if dense:
+            w = Window.orderBy(F.col(ORDER_SRC_COL))
+            # single ordered window — acceptable on the legacy-CSV path that
+            # produces ORDER_SRC_COL; bulk sources never carry it
+            return df.withColumn(col, F.row_number().over(w).cast('long')) \
+                     .drop(ORDER_SRC_COL)
+        return df.withColumnRenamed(ORDER_SRC_COL, col)
     if dense:
         return attach_dense_nr(df, col)
     return attach_order_surrogate(df, col)

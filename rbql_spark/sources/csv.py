@@ -26,7 +26,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..binding import NF_SRC_COL, TableHandle
+from ..binding import NF_SRC_COL, ORDER_SRC_COL, TableHandle
 from ..errors import RbqlIOHandlingError
 
 # RFC quoted field: "((?:[^"]*"")*[^"]*)" with optional outer whitespace
@@ -139,15 +139,41 @@ def read_csv(spark: SparkSession, path: str, delim: str = ',',
                                  comment_prefix, strip_whitespaces)
 
 
+# (path, mtime, delim, policy) → probed max field count; the probe is a full
+# pass over the file, worth one dict entry to not repeat per query
+_WIDTH_CACHE: dict = {}
+
+
+def _cached_width(path, delim, policy, compute):
+    try:
+        key = (os.path.abspath(path), os.path.getmtime(path), delim, policy)
+    except OSError:
+        return compute()
+    if key not in _WIDTH_CACHE:
+        _WIDTH_CACHE[key] = compute()
+    return _WIDTH_CACHE[key]
+
+
 def _arrays_to_handle(spark: SparkSession, arr_df: DataFrame,
-                      header: list[str] | None, width: int | None) -> TableHandle:
-    """fields-array DataFrame → fixed-width handle (+ per-row NF)."""
+                      header: list[str] | None, width: int | None,
+                      cache_key=None) -> TableHandle:
+    """fields-array DataFrame → fixed-width handle (+ per-row NF).
+
+    The width probe is a full pass; the split is vectorized and cheap, so
+    two passes beat materializing 300k field arrays into the block store."""
     if width is None:
-        width = arr_df.agg(F.max(F.size('fields'))).collect()[0][0] or 1
+        def compute():
+            return arr_df.agg(F.max(F.size('fields'))).collect()[0][0] or 1
+        if cache_key is not None:
+            width = _cached_width(cache_key[0], cache_key[1], cache_key[2], compute)
+        else:
+            width = compute()
     if header is not None:
         width = max(width, len(header))
     cols = [F.try_element_at('fields', F.lit(i + 1)).alias('_c{}'.format(i)) for i in range(width)]
     cols.append(F.size('fields').alias(NF_SRC_COL))
+    if ORDER_SRC_COL in arr_df.columns:
+        cols.append(F.col(ORDER_SRC_COL))
     return TableHandle(df=arr_df.select(cols), header=header)
 
 
@@ -157,19 +183,58 @@ def _read_csv_distributed(spark, path, delim, policy, with_headers,
     # spark.read.text silently replaces invalid UTF-8; the reference raises
     # (rbql_csv.py:416-417).  Validate eagerly for local files (the parity
     # path; bulk data should be parquet or native=True anyway).
-    if os.path.exists(path):
+    # Driver-side line parallelization was measured SLOWER than the
+    # distributed text scan + repartition (re-shipping lines per query beats
+    # neither Arrow collect nor the JVM scan) — disabled, kept for reference.
+    _SMALL_FILE_BYTES = 0
+    local_small = os.path.exists(path) and os.path.getsize(path) <= _SMALL_FILE_BYTES
+    if local_small:
+        # small local file: decode once on the driver (also the utf-8
+        # validation the reference requires, rbql_csv.py:416-417) and
+        # parallelize ordered line slices — partitions inherit input order,
+        # so no order-capture column, no repartition exchange, and no
+        # order-restoring sort downstream
+        import pandas as pd
+        with open(path, 'rb') as f:
+            raw = f.read()
         try:
-            with open(path, 'rb') as f:
-                f.read().decode('utf-8')
+            content = raw.decode('utf-8')
         except UnicodeDecodeError:
             raise RbqlIOHandlingError(
                 'Unable to decode input table as UTF-8. Use binary (latin-1) encoding instead')
-    df = spark.read.text(path)
-    line = F.regexp_replace(F.col('value'), r'\r$', '')
-    line = F.regexp_replace(line, '^﻿', '')  # BOM (file head in practice)
-    df = df.select(line.alias('value'))
-    if comment_prefix:
-        df = df.filter(~F.col('value').startswith(comment_prefix))
+        content, _bom = _strip_bom(content)
+        lines = re.split(r'\r\n|\r|\n', content)
+        if lines and lines[-1] == '':
+            lines.pop()
+        if comment_prefix:
+            lines = [ln for ln in lines if not ln.startswith(comment_prefix)]
+        try:  # Arrow makes createDataFrame a zero-copy columnar ship
+            spark.conf.set('spark.sql.execution.arrow.pyspark.enabled', 'true')
+        except Exception:
+            pass
+        df = spark.createDataFrame(pd.DataFrame({'value': lines})) if lines else \
+            spark.createDataFrame([], 'value string')
+    else:
+        if os.path.exists(path):
+            try:
+                with open(path, 'rb') as f:
+                    f.read().decode('utf-8')
+            except UnicodeDecodeError:
+                raise RbqlIOHandlingError(
+                    'Unable to decode input table as UTF-8. Use binary (latin-1) encoding instead')
+        df = spark.read.text(path)
+        # capture input order BEFORE spreading lines across cores — the
+        # repartition that parallelizes the (CPU-bound) split destroys
+        # partition order, and NR / sort stability derive from this key
+        df = df.withColumn(ORDER_SRC_COL, F.monotonically_increasing_id())
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+        line = F.regexp_replace(F.col('value'), r'\r$', '')
+        line = F.regexp_replace(line, '^﻿', '')  # BOM (file head in practice)
+        df = df.select(line.alias('value'), F.col(ORDER_SRC_COL))
+        if comment_prefix:
+            df = df.filter(~F.col('value').startswith(comment_prefix))
 
     if policy == 'simple':
         arr = F.split(F.col('value'), re.escape(delim), -1)
@@ -187,49 +252,79 @@ def _read_csv_distributed(spark, path, delim, policy, with_headers,
 
     if strip_whitespaces:
         arr = F.transform(arr, lambda x: F.trim(x))
-    arr_df = df.select(arr.alias('fields'))
+    keep = [arr.alias('fields')] + ([F.col(ORDER_SRC_COL)] if ORDER_SRC_COL in df.columns else [])
+    arr_df = df.select(*keep)
 
     header = None
     if with_headers:
         header = _read_header_line(path, delim, policy, 'utf-8', comment_prefix,
                                    strip_whitespaces)
         arr_df = _drop_first_row(arr_df)
-    return _arrays_to_handle(spark, arr_df, header, None)
+    return _arrays_to_handle(spark, arr_df, header, None, cache_key=(path, delim, policy))
 
 
 def _quoted_distributed(spark, lines_df, delim, with_headers, strip_whitespaces,
                         comment_prefix, path) -> TableHandle:
     """quoted (single-line) policy: Arrow-batched Python splitter."""
     from pyspark.sql import types as T
-    schema = T.StructType([
+    has_order = ORDER_SRC_COL in lines_df.columns
+    fields_list = [
         T.StructField('fields', T.ArrayType(T.StringType()), True),
         T.StructField('__bad_quoting', T.BooleanType(), True),
-    ])
+    ]
+    if has_order:
+        fields_list.append(T.StructField(ORDER_SRC_COL, T.LongType(), True))
+    schema = T.StructType(fields_list)
     dlm = delim
     strip = strip_whitespaces
 
     def run(batches):
         import pandas as pd
-        for pdf in batches:
-            fields_out, warn_out = [], []
-            for src in pdf['value'].tolist():
-                fields, warning = split_quoted(src if src is not None else '', dlm)
-                if strip:
-                    fields = [f.strip() for f in fields]
-                fields_out.append(fields)
-                warn_out.append(warning)
-            yield pd.DataFrame({'fields': fields_out, '__bad_quoting': warn_out})
 
-    arr_df = lines_df.mapInPandas(run, schema=schema).select('fields')
+        # vectorized fast paths (C string ops) covering the two dominant row
+        # shapes; rows with irregular quoting fall back to the exact
+        # reference-parity splitter
+        strict_rgx = r'^"[^"]*"(?:{}"[^"]*")*$'.format(re.escape(dlm))
+        for pdf in batches:
+            values = pdf['value'].fillna('')
+            has_quote = values.str.contains('"', regex=False)
+            strict = values.str.match(strict_rgx)
+            fields_out = pd.Series([None] * len(pdf), index=pdf.index, dtype='object')
+            warn_out = pd.Series([False] * len(pdf), index=pdf.index)
+            plain_mask = ~has_quote
+            if plain_mask.any():
+                fields_out[plain_mask] = values[plain_mask].str.split(re.escape(dlm), regex=True)
+            quoted_mask = has_quote & strict
+            if quoted_mask.any():
+                inner = values[quoted_mask].str.slice(1, -1)
+                fields_out[quoted_mask] = inner.str.split('"' + dlm + '"', regex=False)
+            slow_mask = has_quote & ~strict
+            if slow_mask.any():
+                for i in pdf.index[slow_mask]:
+                    fields, warning = split_quoted(values[i], dlm)
+                    fields_out[i] = fields
+                    warn_out[i] = warning
+            if strip:
+                fields_out = fields_out.map(lambda fs: [f.strip() for f in fs])
+            out = {'fields': fields_out, '__bad_quoting': warn_out}
+            if has_order:
+                out[ORDER_SRC_COL] = pdf[ORDER_SRC_COL]
+            yield pd.DataFrame(out)
+
+    keep = ['fields'] + ([ORDER_SRC_COL] if has_order else [])
+    arr_df = lines_df.mapInPandas(run, schema=schema).select(*keep)
     header = None
     if with_headers:
         header = _read_header_line(path, delim, 'quoted', 'utf-8', comment_prefix,
                                    strip_whitespaces)
         arr_df = _drop_first_row(arr_df)
-    return _arrays_to_handle(spark, arr_df, header, None)
+    return _arrays_to_handle(spark, arr_df, header, None, cache_key=(path, delim, 'quoted'))
 
 
 def _drop_first_row(arr_df: DataFrame) -> DataFrame:
+    if ORDER_SRC_COL in arr_df.columns:
+        first = arr_df.agg(F.min(ORDER_SRC_COL)).collect()[0][0]
+        return arr_df.filter(F.col(ORDER_SRC_COL) != first)
     mid = F.monotonically_increasing_id()
     d = arr_df.withColumn('__mid', mid)
     first = d.agg(F.min('__mid')).collect()[0][0]
@@ -345,6 +440,73 @@ def _quote_field(s: str, delim: str) -> str:
     return s
 
 
+def _write_csv_vectorized(result, output_path, delim, policy, encoding,
+                          warnings) -> bool:
+    """Pandas-vectorized serialization fast path (no ragged trim, no
+    int-preservation flags, scalar columns, policy quoted/simple).
+    Returns False when the shape needs the exact row loop."""
+    if getattr(result, 'trim_width_col', None) is not None:
+        return False
+    if result.int_flag_cols:
+        return False
+    if policy not in ('quoted', 'quoted_rfc', 'simple'):
+        return False
+    from pyspark.sql import types as T
+    df = result.display_df(ordered=True)
+    if not all(isinstance(f.dataType, (T.StringType, T.LongType, T.IntegerType,
+                                       T.DoubleType, T.FloatType, T.BooleanType))
+               for f in df.schema.fields):
+        return False
+    try:
+        df.sparkSession.conf.set('spark.sql.execution.arrow.pyspark.enabled', 'true')
+    except Exception:
+        pass
+    import pandas as pd
+    pdf = df.toPandas()
+    header = result.out_names
+    cols = []
+    for name in pdf.columns:
+        sc = pdf[name]
+        nulls = sc.isnull()
+        if nulls.any():
+            warnings.add('None values in output were replaced by empty strings')
+        if sc.dtype == object:
+            sc = sc.where(~nulls, '')
+            sc = sc.astype(str)
+        elif sc.dtype == bool:
+            sc = sc.map({True: 'True', False: 'False'})
+        else:
+            sc = sc.astype(object).where(~nulls, '')
+            sc = sc.map(lambda v: v if isinstance(v, str) else str(v))
+        if policy in ('quoted', 'quoted_rfc'):
+            need = sc.str.contains(delim, regex=False) | sc.str.contains('"', regex=False) \
+                | sc.str.contains('\n', regex=False) | sc.str.contains('\r', regex=False)
+            if need.any():
+                esc = '"' + sc[need].str.replace('"', '""', regex=False) + '"'
+                sc = sc.copy()
+                sc[need] = esc
+        elif policy == 'simple':
+            if sc.str.contains(delim, regex=False).any():
+                warnings.add('Some output fields contain separator')
+        cols.append(sc)
+    if cols:
+        serialized = cols[0].str.cat(cols[1:], sep=delim) if len(cols) > 1 else cols[0]
+        body = '\n'.join(serialized.tolist())
+    else:
+        body = ''
+    with open(output_path, 'w', encoding=encoding, newline='') as f:
+        if header is not None:
+            hdr = [_normalize_out_value(v, delim, warnings) for v in header]
+            if policy in ('quoted', 'quoted_rfc'):
+                hdr = [_quote_field(x, delim) for x in hdr]
+            f.write(delim.join(hdr))
+            f.write('\n')
+        if body:
+            f.write(body)
+            f.write('\n')
+    return True
+
+
 def write_csv(result, output_path: str, delim: str = ',', policy: str = 'quoted',
               encoding: str = 'utf-8') -> list[str]:
     """Stream the (ordered) result to one CSV file with the reference's
@@ -355,6 +517,8 @@ def write_csv(result, output_path: str, delim: str = ',', policy: str = 'quoted'
     from ..api import collect_result_rows
     warnings: set[str] = set()
     header = result.out_names
+    if _write_csv_vectorized(result, output_path, delim, policy, encoding, warnings):
+        return sorted(warnings)
 
     def fmt_row(vals) -> str:
         normd = [_normalize_out_value(v, delim, warnings) for v in vals]

@@ -354,11 +354,33 @@ class ExpressionTranslator:
                 # Python int() truncates toward zero; Spark double→long cast
                 # also truncates toward zero.
                 return TCol(v.col.cast('long'), 'int')
+            if v.tag == 'str':
+                # Python-parity guard: unparseable non-null strings raise
+                # (int('x') → ValueError) instead of silently becoming null.
+                # Exotic accepted-by-Python forms ('1_0') raise here instead;
+                # int(None) propagates null rather than raising.
+                casted = v.col.try_cast('long')
+                guarded = F.when(
+                    v.col.isNotNull() & casted.isNull(),
+                    F.raise_error(F.concat(
+                        F.lit("invalid literal for int() with base 10: '"),
+                        v.col, F.lit("'")))
+                ).otherwise(casted)
+                return TCol(guarded, 'int')
             raise TranslationFallback('int() on {}'.format(v.tag))
         if name == 'float' and len(args) == 1:
             v = self._expr(args[0])
             if v.tag in _NUM or v.tag == 'bool':
                 return TCol(v.col.cast('double'), 'float')
+            if v.tag == 'str':
+                casted = v.col.try_cast('double')
+                guarded = F.when(
+                    v.col.isNotNull() & casted.isNull(),
+                    F.raise_error(F.concat(
+                        F.lit("could not convert string to float: '"),
+                        v.col, F.lit("'")))
+                ).otherwise(casted)
+                return TCol(guarded, 'float')
             raise TranslationFallback('float() on {}'.format(v.tag))
         if name == 'str' and len(args) == 1:
             v = self._expr(args[0])

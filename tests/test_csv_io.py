@@ -6,6 +6,16 @@ from rbql_spark import query_csv
 from rbql_spark.sources.csv import read_csv, split_quoted, write_csv
 
 
+def _hrows(h, n):
+    """First n data columns of a handle, in source order."""
+    from rbql_spark.binding import NF_SRC_COL, ORDER_SRC_COL
+    df = h.df
+    if ORDER_SRC_COL in df.columns:
+        df = df.orderBy(ORDER_SRC_COL)
+    cols = [c for c in df.columns if c not in (ORDER_SRC_COL, NF_SRC_COL)][:n]
+    return [[r[c] for c in cols] for r in df.select(*[df[c] for c in cols] + ([df[ORDER_SRC_COL]] if ORDER_SRC_COL in h.df.columns else [])).collect()]
+
+
 def _write(tmp_path, name, content, encoding='utf-8'):
     p = os.path.join(str(tmp_path), name)
     with open(p, 'w', encoding=encoding, newline='') as f:
@@ -46,7 +56,7 @@ def test_split_quoted_external_spaces():
 def test_read_simple_tsv(spark, tmp_path):
     p = _write(tmp_path, 't.tsv', 'a1\tb1\tc1\na2\tb2\tc2\n')
     h = read_csv(spark, p, delim='\t', policy='simple')
-    rows = [list(r)[:3] for r in h.df.collect()]
+    rows = _hrows(h, 3)
     assert rows == [['a1', 'b1', 'c1'], ['a2', 'b2', 'c2']]
 
 
@@ -60,35 +70,35 @@ def test_read_with_headers(spark, tmp_path):
 def test_read_quoted(spark, tmp_path):
     p = _write(tmp_path, 't.csv', 'x,"a,b",z\n"q""q",w,e\n')
     h = read_csv(spark, p, policy='quoted')
-    rows = [list(r)[:3] for r in h.df.collect()]
+    rows = _hrows(h, 3)
     assert rows == [['x', 'a,b', 'z'], ['q"q', 'w', 'e']]
 
 
 def test_read_quoted_rfc_multiline(spark, tmp_path):
     p = _write(tmp_path, 't.csv', 'a,"line1\nline2",c\nd,e,f\n')
     h = read_csv(spark, p, policy='quoted_rfc')
-    rows = [list(r)[:3] for r in h.df.collect()]
+    rows = _hrows(h, 3)
     assert rows == [['a', 'line1\nline2', 'c'], ['d', 'e', 'f']]
 
 
 def test_read_whitespace_policy(spark, tmp_path):
     p = _write(tmp_path, 't.txt', '  a   b  c\nd e    f\n')
     h = read_csv(spark, p, policy='whitespace')
-    rows = [list(r)[:3] for r in h.df.collect()]
+    rows = _hrows(h, 3)
     assert rows == [['a', 'b', 'c'], ['d', 'e', 'f']]
 
 
 def test_read_monocolumn(spark, tmp_path):
     p = _write(tmp_path, 't.txt', 'one line\nanother, line\n')
     h = read_csv(spark, p, policy='monocolumn')
-    rows = [list(r)[:1] for r in h.df.collect()]
+    rows = _hrows(h, 1)
     assert rows == [['one line'], ['another, line']]
 
 
 def test_read_multichar_separator(spark, tmp_path):
     p = _write(tmp_path, 't.txt', 'a~#~b~#~c\nd~#~e~#~f\n')
     h = read_csv(spark, p, delim='~#~', policy='simple')
-    rows = [list(r)[:3] for r in h.df.collect()]
+    rows = _hrows(h, 3)
     assert rows == [['a', 'b', 'c'], ['d', 'e', 'f']]
 
 
@@ -101,7 +111,7 @@ def test_read_bom_stripped(spark, tmp_path):
 def test_read_comment_prefix(spark, tmp_path):
     p = _write(tmp_path, 't.csv', '#comment\na,b\n#another\nc,d\n')
     h = read_csv(spark, p, comment_prefix='#')
-    rows = [list(r)[:2] for r in h.df.collect()]
+    rows = _hrows(h, 2)
     assert rows == [['a', 'b'], ['c', 'd']]
 
 
@@ -110,7 +120,7 @@ def test_read_latin1(spark, tmp_path):
     with open(p, 'wb') as f:
         f.write('caf\xe9,n\xf8\n1,2\n'.encode('latin-1'))
     h = read_csv(spark, p, encoding='latin-1', policy='simple')
-    rows = [list(r)[:2] for r in h.df.collect()]
+    rows = _hrows(h, 2)
     assert rows == [['caf\xe9', 'n\xf8'], ['1', '2']]
 
 
