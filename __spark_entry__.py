@@ -42,14 +42,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, name + '.parquet'))
 
 
-def _rbql(query: str, table: str, strict: bool = True):
+def _rbql(query: str, table: str, strict: bool = True, broadcast: bool = True):
     """Build a queries() callable that runs RBQL text through the engine."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         handle = TableHandle(df=_t(spark, sf_dir, table))
         handle.header = list(handle.df.columns)
         res = query_dataframe(spark, query, handle,
                               registry=ParquetDirRegistry(sf_dir),
-                              options=EngineOptions(strict_checks=strict))
+                              options=EngineOptions(strict_checks=strict,
+                                                    broadcast_join=broadcast))
         return res.display_df()
     return run
 
@@ -103,10 +104,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT a.n_nationkey, a.n_name, b.s_name "
         "LEFT JOIN supplier ON a.n_nationkey == b.s_nationkey", 'nation')
 
+    # fact-to-fact self join: broadcast would ship the whole fact table to
+    # every executor — run as a shuffled (sort-merge) join, the 100 TB shape
     q['rbql_multikey_join'] = _rbql(
         "SELECT a.l_orderkey, a.l_linenumber, b.l_quantity AS qty2 "
         "INNER JOIN lineitem ON a.l_orderkey == b.l_orderkey AND a.l_linenumber == b.l_linenumber "
-        "WHERE a.l_quantity > 45", 'lineitem')
+        "WHERE a.l_quantity > 45", 'lineitem', broadcast=False)
 
     q['rbql_update'] = _rbql(
         "UPDATE a.o_orderpriority = 'URGENT-BIG' WHERE a.o_totalprice > 400000", 'orders')
