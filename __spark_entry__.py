@@ -111,8 +111,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "INNER JOIN lineitem ON a.l_orderkey == b.l_orderkey AND a.l_linenumber == b.l_linenumber "
         "WHERE a.l_quantity > 45", 'lineitem', broadcast=False)
 
+    q['rbql_strict_left_join'] = _rbql(
+        "SELECT a.n_nationkey, a.n_name, b.r_name "
+        "STRICT LEFT JOIN region ON a.n_regionkey == b.r_regionkey", 'nation')
+
     q['rbql_update'] = _rbql(
         "UPDATE a.o_orderpriority = 'URGENT-BIG' WHERE a.o_totalprice > 400000", 'orders')
+
+    q['rbql_update_join'] = _rbql(
+        "UPDATE a.o_orderpriority = b.c_mktsegment "
+        "INNER JOIN customer ON a.o_custkey == b.c_custkey "
+        "WHERE a.o_totalprice > 300000", 'orders')
+
+    q['rbql_fstring'] = _rbql(
+        "SELECT a.s_suppkey, f'{a.s_name}#{a.s_nationkey}' AS tag", 'supplier')
 
     q['rbql_except'] = _rbql(
         "SELECT * EXCEPT a.l_tax, a.l_shipdate", 'lineitem')
@@ -152,6 +164,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from rbql_spark.ops.windows import tumbling_window_agg
         return tumbling_window_agg(_t(spark, sf_dir, 'events'))
     q['window_tumbling'] = _win_tumble
+
+    def _win_session(spark, sf_dir):
+        from rbql_spark.ops.windows import session_window_agg
+        return session_window_agg(_t(spark, sf_dir, 'events'))
+    q['window_session'] = _win_session
 
     def _having(spark, sf_dir):
         from rbql_spark.ops.windows import having_filter
@@ -302,10 +319,23 @@ def oracle_sql() -> dict[str, str]:
         "ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber "
         "WHERE a.l_quantity > 45")
 
+    o['rbql_strict_left_join'] = (
+        "SELECT n_nationkey, n_name, r_name FROM nation "
+        "LEFT JOIN region ON n_regionkey = r_regionkey")
+
     o['rbql_update'] = (
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
         "CASE WHEN o_totalprice > 400000 THEN 'URGENT-BIG' ELSE o_orderpriority END "
         "AS o_orderpriority FROM orders")
+
+    o['rbql_update_join'] = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+        "CASE WHEN o_totalprice > 300000 AND c.c_custkey IS NOT NULL THEN c.c_mktsegment "
+        "ELSE o_orderpriority END AS o_orderpriority "
+        "FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey")
+
+    o['rbql_fstring'] = (
+        "SELECT s_suppkey, s_name || '#' || s_nationkey AS tag FROM supplier")
 
     o['rbql_except'] = (
         "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "

@@ -65,6 +65,9 @@ class TableHandle:
     # evaluator should expose as parsed objects (JSONL source parity —
     # reference rbql_json.py:137-148 stores the parsed object per record)
     json_cols: frozenset[int] = frozenset()
+    # non-fatal source warnings (BOM skipped, inconsistent field counts,
+    # defective quoting…) — surfaced through StageResult.warnings
+    warnings: list[str] = field(default_factory=list)
 
     @property
     def has_header(self) -> bool:

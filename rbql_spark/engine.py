@@ -228,6 +228,8 @@ class StageRunner:
         if self.registry is None:
             raise RbqlParsingError('JOIN operations are not supported by the application')
         b_handle = self.registry.get_table(self.spark, stage.join_table_id)
+        if b_handle is not None:
+            self.warnings.extend(getattr(b_handle, 'warnings', []) or [])
         if b_handle is None:
             maker = getattr(self.registry, 'missing_join_table_error', None)
             if maker is not None:
@@ -370,6 +372,7 @@ class StageRunner:
             if input_handle is None:
                 raise RbqlParsingError('Unable to find input table: "{}"'.format(stage.from_table_id))
 
+        self.warnings.extend(getattr(input_handle, 'warnings', []) or [])
         wf = make_workframe(input_handle)
         nr_referenced = _needs_dense_nr(stage, 'a') or any(
             v in ('NR', 'aNR', 'a.NR') for pair in stage.join_var_pairs for v in pair)
@@ -886,9 +889,12 @@ def run_query(spark: SparkSession, query_text: str,
     stages = parser.parse_query(query_text, has_context_table=input_handle is not None)
     result: StageResult | None = None
     handle = input_handle
+    all_warnings: list[str] = []
     for i, stage in enumerate(stages):
         runner = StageRunner(spark, registry, options)
         result = runner.run(stage, handle)
+        all_warnings.extend(result.warnings)
+        result.warnings = list(dict.fromkeys(all_warnings))
         if i + 1 < len(stages):
             # pipe boundary: next stage's input order = this stage's output
             # order (reference TablePipe, rbql_engine.py:1711-1727). orderBy

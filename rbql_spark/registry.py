@@ -99,7 +99,13 @@ class PathRegistry(TableRegistry):
         if lower.endswith(('.tsv', '.tab')) and 'delim' not in opts:
             opts['delim'] = '\t'
             opts.setdefault('policy', 'simple')
-        return read_csv(spark, path, **opts)
+        handle = read_csv(spark, path, **opts)
+        if opts.get('with_headers'):
+            # reference FileSystemCSVRegistry warning (rbql_csv.py:535-540)
+            handle.warnings = list(handle.warnings) + [
+                'The first record in JOIN file {} was also treated as header (and skipped)'
+                .format(os.path.basename(path))]
+        return handle
 
 
 class ChainRegistry(TableRegistry):

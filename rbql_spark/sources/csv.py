@@ -156,25 +156,51 @@ def _cached_width(path, delim, policy, compute):
 
 def _arrays_to_handle(spark: SparkSession, arr_df: DataFrame,
                       header: list[str] | None, width: int | None,
-                      cache_key=None) -> TableHandle:
+                      cache_key=None, table_name: str = 'input',
+                      pre_warnings: list[str] | None = None) -> TableHandle:
     """fields-array DataFrame → fixed-width handle (+ per-row NF).
 
-    The width probe is a full pass; the split is vectorized and cheap, so
-    two passes beat materializing 300k field arrays into the block store."""
+    The width probe is ONE aggregation pass that also yields the
+    inconsistent-field-count and defective-quoting warnings (reference
+    surfaces both, rbql_csv.py:118-126,496-504); the split is vectorized and
+    cheap, so re-splitting per query beats materializing field arrays into
+    the block store."""
+    warnings = list(pre_warnings or [])
     if width is None:
+        has_bad = '__bad_quoting' in arr_df.columns
+
         def compute():
-            return arr_df.agg(F.max(F.size('fields'))).collect()[0][0] or 1
+            order = F.col(ORDER_SRC_COL) if ORDER_SRC_COL in arr_df.columns \
+                else F.monotonically_increasing_id()
+            aggs = [F.min(order).alias('first_at'), F.count(F.lit(1)).alias('cnt')]
+            if has_bad:
+                aggs.append(F.max(F.col('__bad_quoting').cast('int')).alias('bad'))
+            rows = (arr_df.groupBy(F.size('fields').alias('w')).agg(*aggs).collect())
+            sizes = sorted((r['w'], r['first_at']) for r in rows)
+            probe_warnings = []
+            if len(sizes) > 1:
+                by_first = sorted(rows, key=lambda r: r['first_at'])
+                probe_warnings.append(
+                    'Number of fields in "{}" table is not consistent: '
+                    'e.g. record {} -> {} fields, record {} -> {} fields'.format(
+                        table_name, 1, by_first[0]['w'], 2, by_first[1]['w']))
+            if has_bad and any(r['bad'] for r in rows):
+                probe_warnings.append(
+                    'Inconsistent double quote escaping in {} table'.format(table_name))
+            return (max((w for w, _ in sizes), default=1) or 1, probe_warnings)
+
         if cache_key is not None:
-            width = _cached_width(cache_key[0], cache_key[1], cache_key[2], compute)
+            width, probe_warnings = _cached_width(cache_key[0], cache_key[1], cache_key[2], compute)
         else:
-            width = compute()
+            width, probe_warnings = compute()
+        warnings.extend(probe_warnings)
     if header is not None:
         width = max(width, len(header))
     cols = [F.try_element_at('fields', F.lit(i + 1)).alias('_c{}'.format(i)) for i in range(width)]
     cols.append(F.size('fields').alias(NF_SRC_COL))
     if ORDER_SRC_COL in arr_df.columns:
         cols.append(F.col(ORDER_SRC_COL))
-    return TableHandle(df=arr_df.select(cols), header=header)
+    return TableHandle(df=arr_df.select(cols), header=header, warnings=warnings)
 
 
 def _read_csv_distributed(spark, path, delim, policy, with_headers,
@@ -215,13 +241,18 @@ def _read_csv_distributed(spark, path, delim, policy, with_headers,
         df = spark.createDataFrame(pd.DataFrame({'value': lines})) if lines else \
             spark.createDataFrame([], 'value string')
     else:
+        pre_warnings = []
         if os.path.exists(path):
             try:
                 with open(path, 'rb') as f:
-                    f.read().decode('utf-8')
+                    head = f.read()
+                head.decode('utf-8')
             except UnicodeDecodeError:
                 raise RbqlIOHandlingError(
                     'Unable to decode input table as UTF-8. Use binary (latin-1) encoding instead')
+            if head.startswith(b'\xef\xbb\xbf'):
+                pre_warnings.append(
+                    'UTF-8 Byte Order Mark (BOM) was found and skipped in input table')
         df = spark.read.text(path)
         # capture input order BEFORE spreading lines across cores — the
         # repartition that parallelizes the (CPU-bound) split destroys
@@ -260,7 +291,8 @@ def _read_csv_distributed(spark, path, delim, policy, with_headers,
         header = _read_header_line(path, delim, policy, 'utf-8', comment_prefix,
                                    strip_whitespaces)
         arr_df = _drop_first_row(arr_df)
-    return _arrays_to_handle(spark, arr_df, header, None, cache_key=(path, delim, policy))
+    return _arrays_to_handle(spark, arr_df, header, None, cache_key=(path, delim, policy),
+                             pre_warnings=pre_warnings)
 
 
 def _quoted_distributed(spark, lines_df, delim, with_headers, strip_whitespaces,
@@ -311,7 +343,7 @@ def _quoted_distributed(spark, lines_df, delim, with_headers, strip_whitespaces,
                 out[ORDER_SRC_COL] = pdf[ORDER_SRC_COL]
             yield pd.DataFrame(out)
 
-    keep = ['fields'] + ([ORDER_SRC_COL] if has_order else [])
+    keep = ['fields', '__bad_quoting'] + ([ORDER_SRC_COL] if has_order else [])
     arr_df = lines_df.mapInPandas(run, schema=schema).select(*keep)
     header = None
     if with_headers:
@@ -360,6 +392,9 @@ def _read_csv_driver_side(spark, path, delim, policy, encoding, with_headers,
     with open(path, 'rb') as f:
         content = f.read().decode(encoding)
     content, _bom = _strip_bom(content)
+    warnings: list[str] = []
+    if _bom:
+        warnings.append('UTF-8 Byte Order Mark (BOM) was found and skipped in input table')
     if policy == 'quoted_rfc':
         recs = _record_split_rfc(content, delim, comment_prefix=comment_prefix)
     else:
@@ -377,11 +412,26 @@ def _read_csv_driver_side(spark, path, delim, policy, encoding, with_headers,
         else:
             records = [split_quoted(ln, delim) for ln in rows]
         recs = [r[0] for r in records]
+        first_bad = next((i for i, r in enumerate(records) if r[1]), None)
+        if first_bad is not None:
+            warnings.append(
+                'Inconsistent double quote escaping in input table. E.g. at line {}'
+                .format(first_bad + 1))
     if strip_whitespaces:
         recs = [[f.strip() for f in r] for r in recs]
     header = None
     if with_headers and recs:
         header = recs.pop(0)
+    widths = sorted({len(r) for r in recs})
+    if len(widths) > 1:
+        first_by_width = {}
+        for i, r in enumerate(recs):
+            first_by_width.setdefault(len(r), i + 1)
+        pairs = sorted(first_by_width.items(), key=lambda kv: kv[1])[:2]
+        warnings.append(
+            'Number of fields in "input" table is not consistent: '
+            'e.g. record {} -> {} fields, record {} -> {} fields'.format(
+                pairs[0][1], pairs[0][0], pairs[1][1], pairs[1][0]))
     width = max((len(r) for r in recs), default=1)
     if header is not None:
         width = max(width, len(header))
@@ -392,7 +442,7 @@ def _read_csv_driver_side(spark, path, delim, policy, encoding, with_headers,
     schema = T.StructType(fields)
     df = spark.createDataFrame(padded, schema=schema) if padded else \
         spark.createDataFrame([], schema=schema)
-    return TableHandle(df=df, header=header)
+    return TableHandle(df=df, header=header, warnings=warnings)
 
 
 def _read_csv_native(spark, path, delim, policy, with_headers, encoding,

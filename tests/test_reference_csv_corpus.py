@@ -63,6 +63,7 @@ def test_csv_corpus_case(spark, case, tmp_path):
         out_delim, out_policy = delim, policy
 
     out_path = case.get('absolute_output_table_path') or os.path.join(str(tmp_path), 'out.txt')
+    got_warnings: list[str] = []
     try:
         result = query_csv(
             spark, query, input_path,
@@ -71,10 +72,12 @@ def test_csv_corpus_case(spark, case, tmp_path):
             comment_prefix=case.get('comment_prefix'),
             strip_whitespaces=bool(case.get('strip_whitespaces')),
             extra_search_dirs=[REF_TEST_DIR])
+        got_warnings.extend(result.warnings)
         if output_format == 'json':
             write_jsonl(result, out_path)
         else:
-            write_csv(result, out_path, delim=out_delim, policy=out_policy, encoding=encoding)
+            got_warnings.extend(
+                write_csv(result, out_path, delim=out_delim, policy=out_policy, encoding=encoding))
     except Exception as e:
         if expected_error is None:
             raise
@@ -88,6 +91,27 @@ def test_csv_corpus_case(spark, case, tmp_path):
         return
 
     assert expected_error is None, 'expected error {!r}, query succeeded'.format(expected_error)
+
+    expected_warnings = case.get('expected_warnings')
+    if expected_warnings is not None:
+        # the reference's own normalization (test_csv_utils.py:43-58)
+        def normalize(ws):
+            out = []
+            for w in ws:
+                if 'Number of fields in "input" table is not consistent' in w:
+                    out.append('inconsistent input records')
+                elif 'Inconsistent double quote escaping' in w:
+                    out.append('inconsistent double quote escaping')
+                elif 'None values in output were replaced by empty strings' in w:
+                    out.append('null values in output were replaced')
+                elif w == 'UTF-8 Byte Order Mark (BOM) was found and skipped in input table':
+                    out.append('BOM removed from input')
+                else:
+                    out.append(w)
+            return sorted(set(out))
+        assert normalize(got_warnings) == sorted(set(expected_warnings)), \
+            'warnings mismatch: got {} expected {}'.format(got_warnings, expected_warnings)
+
     expected_path = case.get('expected_output_table_path')
     if expected_path is None:
         return
