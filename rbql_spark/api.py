@@ -77,6 +77,8 @@ def collect_result_rows(result) -> list[list]:
                                          and result.trim_width_col in result.df.columns) else None
     flag_cols = {oc: fc for oc, fc in (result.int_flag_cols or {}).items()
                  if fc in result.df.columns}
+    json_idx = [out_cols.index(oc) for oc in (getattr(result, 'json_out_cols', []) or [])
+                if oc in out_cols]
     if trim_col is not None:
         extras.append(trim_col)
     extras += [fc for fc in flag_cols.values() if fc not in extras]
@@ -84,9 +86,16 @@ def collect_result_rows(result) -> list[list]:
     n_out = len(out_cols)
     flag_pos = {out_cols.index(oc): n_out + extras.index(fc)
                 for oc, fc in flag_cols.items()}
+    import json as _json
     rows: list[list] = []
     for r in raw:
         vals = list(r)
+        for ci in json_idx:
+            if isinstance(vals[ci], str):
+                try:
+                    vals[ci] = _json.loads(vals[ci])
+                except ValueError:
+                    pass
         for ci, fi in flag_pos.items():
             v = vals[ci]
             if vals[fi] == 1 and isinstance(v, float) and v.is_integer():
@@ -198,6 +207,7 @@ def query_csv(spark: SparkSession, query: str, input_path: str,
               out_delim: str | None = None, out_policy: str | None = None,
               comment_prefix: str | None = None,
               strip_whitespaces: bool = False,
+              comment_regex: str | None = None,
               user_init_code: str = '',
               extra_search_dirs: list[str] | None = None,
               options: EngineOptions | None = None) -> StageResult:
@@ -230,7 +240,8 @@ def query_csv(spark: SparkSession, query: str, input_path: str,
     handle = read_csv(spark, input_path, delim=delim, policy=policy,
                       encoding=encoding, with_headers=with_headers,
                       comment_prefix=comment_prefix,
-                      strip_whitespaces=strip_whitespaces)
+                      strip_whitespaces=strip_whitespaces,
+                      comment_regex=comment_regex)
     csv_opts = {'delim': delim, 'policy': policy, 'encoding': encoding,
                 'with_headers': with_headers, 'comment_prefix': comment_prefix,
                 'strip_whitespaces': strip_whitespaces}

@@ -66,6 +66,9 @@ class StageResult:
     # NumHandler int-preservation: out col → flag col (1 = all-int inputs);
     # collect paths render integral doubles as ints when the flag is set
     int_flag_cols: dict[str, str] = field(default_factory=dict)
+    # output columns holding JSON-object text (JSONL source parity) —
+    # collect paths parse them back to objects
+    json_out_cols: list[str] = field(default_factory=list)
 
     def out_cols(self) -> list[str]:
         return [c for c in self.df.columns if c.startswith('__out_')]
@@ -130,7 +133,7 @@ class _ExprComputer:
                               user_init_code=self.options.user_init_code,
                               sample_rows=self.options.sample_rows)
             for pe in fallback:
-                tags[pe.out_col] = type_tag(pe.dtype)
+                tags[pe.out_col] = 'json' if pe.is_json else type_tag(pe.dtype)
         return df, tags
 
     def predicate(self, df: DataFrame, text: str) -> tuple[DataFrame, Column]:
@@ -615,7 +618,7 @@ class StageRunner:
                 sort_cols.append('__sort_{}'.format(i))
                 named_exprs.append(('__sort_{}'.format(i), expr))
 
-        df, _tags = comp.compute(df, named_exprs)
+        df, tags = comp.compute(df, named_exprs)
 
         # unnest explode
         unnest_col = None
@@ -627,11 +630,16 @@ class StageRunner:
         # final output columns
         out_cols: list[str] = []
         assigns = {}
+        json_outs: list[str] = []
+        json_src_cols = {internal_col('a', i) for i in wf.a.json_cols} | (
+            {internal_col('b', i) for i in wf.b.json_cols} if wf.b is not None else set())
         for j, (kind, payload) in enumerate(out_plan):
             name = '__out_{}'.format(j)
             src = unnest_col if kind == 'unnest' else payload
             assigns[name] = F.col(src)
             out_cols.append(name)
+            if kind == 'col' and (payload in json_src_cols or tags.get(payload) == 'json'):
+                json_outs.append(name)
         df = df.withColumns(assigns)
 
         # star over a ragged table: output records keep their true widths.
@@ -650,6 +658,7 @@ class StageRunner:
                                     extra_keep=extra_keep)
         if ragged_star:
             res.trim_width_col = '__trim_w'
+        res.json_out_cols = json_outs
         return res
 
     def _run_unpack(self, stage: ParsedStage, wf: WorkFrame, comp: _ExprComputer,

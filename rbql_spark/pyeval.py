@@ -29,6 +29,8 @@ class PyExpr:
     out_col: str
     expr: str
     dtype: T.DataType | None = None  # None → infer from sample
+    is_json: bool = False            # sample values were dicts/objects →
+                                     # stored as JSON text, exposed as objects
 
 
 class _Record:
@@ -301,12 +303,20 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
                 except Exception:
                     sampled[pe.out_col].append(None)
         for pe in need_infer:
-            pe.dtype = _infer_spark_type(sampled[pe.out_col])
+            vals = sampled[pe.out_col]
+            if any(isinstance(v, dict) for v in vals) and all(
+                    v is None or isinstance(v, (dict, list)) for v in vals):
+                # JSON-object results ride as JSON text (reference keeps the
+                # parsed object per record; a Spark column needs one type)
+                pe.dtype = T.StringType()
+                pe.is_json = True
+            else:
+                pe.dtype = _infer_spark_type(vals)
 
     out_schema = T.StructType(list(in_schema.fields) + [
         T.StructField(pe.out_col, pe.dtype, True) for pe in pyexprs
     ])
-    expr_specs = [(pe.out_col, pe.expr, pe.dtype) for pe in pyexprs]
+    expr_specs = [(pe.out_col, pe.expr, pe.dtype, pe.is_json) for pe in pyexprs]
     in_cols = [f.name for f in in_schema.fields]
     conv_items = [(f.name, f.dataType) for f in in_schema.fields]
     json_colnames = [internal_col(s.prefix, i)
@@ -317,7 +327,15 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
     def run_batches(batches):
         import pandas as pd
         glb = _make_globals(uic)
-        compiled = [(name, compile(expr, '<expr>', 'eval'), _coercer(dt)) for name, expr, dt in expr_specs]
+        import json as _json_mod
+        compiled = []
+        for name, expr, dt, is_json in expr_specs:
+            if is_json:
+                coerce = (lambda v: None if v is None
+                          else _json_mod.dumps(v, ensure_ascii=False, default=str))
+            else:
+                coerce = _coercer(dt)
+            compiled.append((name, compile(expr, '<expr>', 'eval'), coerce))
         converters = {name: _column_converter(dt) for name, dt in conv_items}
         for name in json_colnames:
             if name in converters:

@@ -69,7 +69,8 @@ def split_whitespace(src: str) -> list[str]:
 
 
 def _record_split_rfc(content: str, dlm: str, comment_prefix: str | None = None,
-                      table_name: str = 'input') -> list[list[str]]:
+                      table_name: str = 'input',
+                      comment_regex: str | None = None) -> list[list[str]]:
     """Assemble multiline RFC records (reference get_row_rfc,
     rbql_csv.py:420-439): a line with an odd number of double quotes opens a
     multiline record that closes at the next odd-quote line.  Comment lines
@@ -86,6 +87,8 @@ def _record_split_rfc(content: str, dlm: str, comment_prefix: str | None = None,
         idx += 1
         nl += 1
         if comment_prefix is not None and line.startswith(comment_prefix):
+            continue
+        if comment_regex is not None and re.search(comment_regex, line) is not None:
             continue
         rows = [line]
         if line.count('"') % 2 == 1:
@@ -120,7 +123,7 @@ def _strip_bom(text: str) -> tuple[str, bool]:
 def read_csv(spark: SparkSession, path: str, delim: str = ',',
              policy: str = 'quoted', encoding: str = 'utf-8',
              with_headers: bool = False, comment_prefix: str | None = None,
-             strip_whitespaces: bool = False,
+             strip_whitespaces: bool = False, comment_regex: str | None = None,
              native: bool = False) -> TableHandle:
     if policy == 'monocolumn' and delim != '':
         pass  # monocolumn ignores the delimiter
@@ -134,9 +137,11 @@ def read_csv(spark: SparkSession, path: str, delim: str = ',',
 
     if encoding == 'latin-1' or policy == 'quoted_rfc':
         return _read_csv_driver_side(spark, path, delim, policy, encoding,
-                                     with_headers, comment_prefix, strip_whitespaces)
+                                     with_headers, comment_prefix, strip_whitespaces,
+                                     comment_regex=comment_regex)
     return _read_csv_distributed(spark, path, delim, policy, with_headers,
-                                 comment_prefix, strip_whitespaces)
+                                 comment_prefix, strip_whitespaces,
+                                 comment_regex=comment_regex)
 
 
 # (path, mtime, delim, policy) → probed max field count; the probe is a full
@@ -204,7 +209,8 @@ def _arrays_to_handle(spark: SparkSession, arr_df: DataFrame,
 
 
 def _read_csv_distributed(spark, path, delim, policy, with_headers,
-                          comment_prefix, strip_whitespaces) -> TableHandle:
+                          comment_prefix, strip_whitespaces,
+                          comment_regex: str | None = None) -> TableHandle:
     """utf-8 line-based policies: fully distributed text scan + native split."""
     # spark.read.text silently replaces invalid UTF-8; the reference raises
     # (rbql_csv.py:416-417).  Validate eagerly for local files (the parity
@@ -386,7 +392,8 @@ def _read_header_line(path, delim, policy, encoding, comment_prefix,
 
 
 def _read_csv_driver_side(spark, path, delim, policy, encoding, with_headers,
-                          comment_prefix, strip_whitespaces) -> TableHandle:
+                          comment_prefix, strip_whitespaces,
+                          comment_regex: str | None = None) -> TableHandle:
     """latin-1 / multiline-RFC path: decode + record-assemble on the driver,
     then parallelize.  legacy-file path, documented as non-bulk."""
     with open(path, 'rb') as f:
@@ -396,13 +403,17 @@ def _read_csv_driver_side(spark, path, delim, policy, encoding, with_headers,
     if _bom:
         warnings.append('UTF-8 Byte Order Mark (BOM) was found and skipped in input table')
     if policy == 'quoted_rfc':
-        recs = _record_split_rfc(content, delim, comment_prefix=comment_prefix)
+        recs = _record_split_rfc(content, delim, comment_prefix=comment_prefix,
+                                 comment_regex=comment_regex)
     else:
         rows = [ln for ln in re.split(r'\r\n|\r|\n', content)]
         if rows and rows[-1] == '':
             rows.pop()
         if comment_prefix:
             rows = [ln for ln in rows if not ln.startswith(comment_prefix)]
+        if comment_regex:
+            _crgx = re.compile(comment_regex)
+            rows = [ln for ln in rows if _crgx.search(ln) is None]
         if policy == 'simple':
             records = [(ln.split(delim), False) for ln in rows]
         elif policy == 'whitespace':

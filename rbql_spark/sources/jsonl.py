@@ -56,12 +56,12 @@ def write_jsonl(result, output_path: str) -> None:
     """Row → JSON object keyed by output header (single column → bare value),
     reference JsonWriter parity (rbql_json.py:17-70)."""
     import json as _json
-    df = result.display_df(ordered=True)
+
+    from ..api import collect_result_rows
     header = result.out_names
-    cols = df.columns
+    rows = collect_result_rows(result)
     with open(output_path, 'w', encoding='utf-8') as f:
-        for row in df.toLocalIterator():
-            vals = list(row)
+        for vals in rows:
             if len(vals) == 1:
                 obj = vals[0]
             else:

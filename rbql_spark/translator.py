@@ -85,6 +85,25 @@ class ExpressionTranslator:
 
     # ------------------------------------------------------------------
 
+    # Python datetime attribute → Spark extraction function (value parity:
+    # both return ints; .weekday() handled in _method_call)
+    _DT_ATTRS = {
+        'year': F.year, 'month': F.month, 'day': F.day,
+        'hour': F.hour, 'minute': F.minute, 'second': F.second,
+    }
+
+    # math.<fn> with identical float semantics in the JVM
+    _MATH_FNS = {
+        'sqrt': F.sqrt, 'floor': lambda c: F.floor(c).cast('long'),
+        'ceil': lambda c: F.ceil(c).cast('long'),
+        'log': F.log, 'log2': F.log2, 'log10': F.log10,
+        'exp': F.exp, 'sin': F.sin, 'cos': F.cos, 'tan': F.tan,
+        'asin': F.asin, 'acos': F.acos, 'atan': F.atan,
+        'degrees': F.degrees, 'radians': F.radians, 'fabs': F.abs,
+        'trunc': lambda c: c.cast('long'),
+    }
+    _MATH_INT_RESULT = {'floor', 'ceil', 'trunc'}
+
     def _var(self, node: ast.expr) -> VarRef | None:
         """Recognize a variable-reference node; None if not a variable."""
         b = self.binding
@@ -126,6 +145,12 @@ class ExpressionTranslator:
                 return TCol(F.lit(v), 'str')
             raise TranslationFallback('constant {!r}'.format(v))
 
+        if isinstance(node, ast.Attribute):
+            # datetime component access on timestamp/date columns
+            base = self._expr(node.value)
+            if base.tag in ('ts', 'date') and node.attr in self._DT_ATTRS:
+                return TCol(self._DT_ATTRS[node.attr](base.col).cast('long'), 'int')
+            raise TranslationFallback('attribute .{} on {}'.format(node.attr, base.tag))
         if isinstance(node, ast.BinOp):
             return self._binop(node)
         if isinstance(node, ast.UnaryOp):
@@ -329,6 +354,18 @@ class ExpressionTranslator:
                 return TCol(F.lit(_dt.datetime(*vals)), 'ts')
             raise TranslationFallback('datetime call')
 
+        if isinstance(fn, ast.Attribute) and isinstance(fn.value, ast.Name) and fn.value.id == 'math':
+            if fn.attr in self._MATH_FNS and len(node.args) == 1:
+                v = self._expr(node.args[0])
+                if _is_num(v.tag):
+                    out_tag = 'int' if fn.attr in self._MATH_INT_RESULT else 'float'
+                    return TCol(self._MATH_FNS[fn.attr](v.col), out_tag)
+            if fn.attr == 'pow' and len(node.args) == 2:
+                x, y = self._expr(node.args[0]), self._expr(node.args[1])
+                if _is_num(x.tag) and _is_num(y.tag):
+                    return TCol(F.pow(x.col, y.col), 'float')
+            raise TranslationFallback('math.{}'.format(fn.attr))
+
         if isinstance(fn, ast.Attribute):
             return self._method_call(fn, node.args)
 
@@ -457,6 +494,37 @@ class ExpressionTranslator:
                 arg = self._expr(args[0])
                 if arg.tag == 'str':
                     return TCol((F.instr(base.col, arg.col) - 1).cast('long'), 'int')
+            if m == 'count' and len(args) == 1 and isinstance(args[0], ast.Constant) \
+                    and isinstance(args[0].value, str) and args[0].value:
+                # non-overlapping substring count, same as Python str.count
+                sub = args[0].value
+                diff = F.length(base.col) - F.length(F.replace(base.col, F.lit(sub), F.lit('')))
+                return TCol((diff / len(sub)).cast('long'), 'int')
+            if m == 'zfill' and len(args) == 1 and isinstance(args[0], ast.Constant) \
+                    and isinstance(args[0].value, int):
+                return TCol(F.lpad(base.col, args[0].value, '0'), 'str')
+            if m == 'title' and not args:
+                return TCol(F.initcap(base.col), 'str')
+            if m == 'capitalize' and not args:
+                return TCol(F.concat(F.upper(F.substring(base.col, 1, 1)),
+                                     F.lower(F.substring(base.col, 2, 2 ** 30))), 'str')
+            if m in ('isdigit', 'isalpha', 'isalnum', 'isspace') and not args:
+                pat = {'isdigit': r'^[0-9]+$', 'isalpha': r'^\p{L}+$',
+                       'isalnum': r'^[\p{L}\p{N}]+$', 'isspace': r'^\s+$'}[m]
+                return TCol(base.col.rlike(pat), 'bool')
+            if m == 'join' and len(args) == 1:
+                arg = self._expr(args[0])
+                if arg.tag.startswith('array:'):
+                    if isinstance(fn.value, ast.Constant) and isinstance(fn.value.value, str):
+                        return TCol(F.array_join(arg.col, fn.value.value), 'str')
+        if base.tag in ('ts', 'date'):
+            if m == 'weekday' and not args:
+                # Python: Monday=0; Spark dayofweek: Sunday=1
+                return TCol(((F.dayofweek(base.col) + 5) % 7).cast('long'), 'int')
+            if m == 'isoformat' and not args and base.tag == 'date':
+                return TCol(F.date_format(base.col, 'yyyy-MM-dd'), 'str')
+            if m == 'date' and not args and base.tag == 'ts':
+                return TCol(F.to_date(base.col), 'date')
         raise TranslationFallback('method .{}() on {}'.format(m, base.tag))
 
     def _fstring(self, node: ast.JoinedStr) -> TCol:

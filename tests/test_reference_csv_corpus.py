@@ -43,8 +43,6 @@ def test_csv_corpus_case(spark, case, tmp_path):
     name = case['test_name']
     if name in KNOWN_DIVERGENT:
         pytest.skip(KNOWN_DIVERGENT[name])
-    if case.get('comment_regex'):
-        pytest.skip('comment_regex is not part of the supported surface (CLI has comment_prefix)')
 
     input_path = os.path.join(REF_TEST_DIR, case['input_table_path'])
     delim = case['csv_separator']
@@ -71,6 +69,7 @@ def test_csv_corpus_case(spark, case, tmp_path):
             with_headers=bool(case.get('with_headers')),
             comment_prefix=case.get('comment_prefix'),
             strip_whitespaces=bool(case.get('strip_whitespaces')),
+            comment_regex=case.get('comment_regex'),
             extra_search_dirs=[REF_TEST_DIR])
         got_warnings.extend(result.warnings)
         if output_format == 'json':

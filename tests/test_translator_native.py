@@ -1,0 +1,82 @@
+"""Translator coverage tests: each expression must BOTH produce the Python
+value AND compile natively (no Python stage in the plan)."""
+
+import datetime
+
+import pytest
+
+from rbql_spark import query_dataframe
+
+
+def _run_native(spark, df, query):
+    res = query_dataframe(spark, query, df)
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert 'MapInPandas' not in plan and 'BatchEvalPython' not in plan, \
+        'fell back to Python:\n' + plan[:600]
+    return [list(r) for r in res.display_df(ordered=True).collect()]
+
+
+@pytest.fixture(scope='module')
+def num_df(spark):
+    return spark.createDataFrame([(4.0, 2, 'Hello World', '42')],
+                                 'x double, n long, s string, ints string')
+
+
+def test_math_functions_native(spark, num_df):
+    rows = _run_native(spark, num_df,
+                       'SELECT math.sqrt(a.x), math.floor(a.x / 3), math.ceil(a.x / 3), '
+                       'math.log(a.x), math.pow(a.n, 3), math.trunc(a.x)')
+    import math
+    assert rows[0][0] == pytest.approx(2.0)
+    assert rows[0][1] == math.floor(4.0 / 3)
+    assert rows[0][2] == math.ceil(4.0 / 3)
+    assert rows[0][3] == pytest.approx(math.log(4.0))
+    assert rows[0][4] == pytest.approx(8.0)
+    assert rows[0][5] == 4
+
+
+def test_str_methods_native(spark, num_df):
+    rows = _run_native(spark, num_df,
+                       "SELECT a.s.title(), a.s.count('l'), a.ints.zfill(5), "
+                       "a.s.capitalize(), a.ints.isdigit(), a.s.isdigit()")
+    assert rows[0] == ['Hello World', 'Hello World'.count('l'), '00042',
+                       'Hello world', True, False]
+
+
+def test_int_float_casts_native(spark, num_df):
+    rows = _run_native(spark, num_df, 'SELECT int(a.ints) * 2, float(a.ints) / 4')
+    assert rows[0] == [84, 10.5]
+
+
+def test_int_cast_error_parity(spark):
+    df = spark.createDataFrame([('abc',)], 's string')
+    from rbql_spark.api import collect_result_rows
+    res = query_dataframe(spark, 'SELECT int(a.s)', df)
+    from rbql_spark.errors import RbqlRuntimeError
+    with pytest.raises(RbqlRuntimeError, match="invalid literal for int"):
+        collect_result_rows(res)
+
+
+@pytest.fixture(scope='module')
+def ts_df(spark):
+    return spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 15, 14, 30, 45), datetime.date(2024, 3, 15))],
+        'ts timestamp, d date')
+
+
+def test_datetime_attrs_native(spark, ts_df):
+    rows = _run_native(spark, ts_df,
+                       'SELECT a.ts.year, a.ts.month, a.ts.day, a.ts.hour, '
+                       'a.ts.minute, a.ts.second, a.d.year')
+    assert rows[0] == [2024, 3, 15, 14, 30, 45, 2024]
+
+
+def test_datetime_methods_native(spark, ts_df):
+    rows = _run_native(spark, ts_df, 'SELECT a.d.weekday(), a.d.isoformat()')
+    assert rows[0] == [datetime.date(2024, 3, 15).weekday(), '2024-03-15']
+
+
+def test_datetime_compare_native(spark, ts_df):
+    rows = _run_native(spark, ts_df,
+                       'SELECT a.d WHERE a.ts > datetime.datetime(2024, 1, 1)')
+    assert len(rows) == 1
