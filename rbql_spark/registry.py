@@ -77,6 +77,18 @@ class PathRegistry(TableRegistry):
         for c in candidates:
             if os.path.exists(c):
                 return c
+        # ~/.rbql_table_names index: "<name> <path>" records (reference
+        # find_table_path, rbql_csv.py:101-115)
+        index_path = os.path.expanduser('~/.rbql_table_names')
+        if os.path.exists(index_path):
+            try:
+                with open(index_path, encoding='utf-8') as f:
+                    for line in f:
+                        parts = line.rstrip('\n').split(' ', 1)
+                        if len(parts) == 2 and parts[0] == table_id and os.path.exists(parts[1]):
+                            return parts[1]
+            except OSError:
+                pass
         return None
 
     def missing_join_table_error(self, table_id: str) -> Exception:
