@@ -403,6 +403,50 @@ def oracle_sql() -> dict[str, str]:
         "           ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
         "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10")
 
+    _STOP = {
+        'de': "['der','die','und','das','ist','nicht','ein','mit','für','von']",
+        'en': "['the','and','of','to','in','is','that','for','with','was']",
+        'es': "['el','la','de','que','los','es','para','con','una','por']",
+        'fr': "['le','la','et','les','des','est','pour','dans','que','une']",
+    }
+    o['text_quality_score'] = (
+        "SELECT doc_id, "
+        "round(CASE WHEN n_words > 0 THEN total_word_chars * 1.0 / n_words ELSE 0.0 END, 4) AS mean_word_len, "
+        "round(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END, 4) AS punct_ratio, "
+        "round(CASE WHEN n_chars > 0 THEN n_upper * 1.0 / n_chars ELSE 0.0 END, 4) AS upper_ratio, "
+        "round(CASE WHEN n_toks > 0 THEN n_stop * 1.0 / n_toks ELSE 0.0 END, 4) AS stopword_ratio, "
+        "(CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END "
+        " + CASE WHEN n_words > 0 AND total_word_chars * 1.0 / n_words BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END "
+        " + CASE WHEN n_chars = 0 OR n_punct * 1.0 / n_chars <= 0.2 THEN 0.25 ELSE 0.0 END "
+        " + CASE WHEN n_chars = 0 OR n_upper * 1.0 / n_chars <= 0.3 THEN 0.25 ELSE 0.0 END) AS quality_score "
+        "FROM (SELECT doc_id, length(text) AS n_chars, "
+        " len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_words, "
+        " length(regexp_replace(text, '\\s', '', 'g')) AS total_word_chars, "
+        " length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct, "
+        " length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, "
+        " len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x != '')) AS n_toks, "
+        " len(list_filter(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x != ''), "
+        "     x -> list_contains(" + _STOP['en'] + ", x))) AS n_stop "
+        "FROM documents)")
+
+    o['text_language_id'] = (
+        "WITH toks AS (SELECT doc_id, "
+        " list_distinct(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x != '')) AS t "
+        " FROM documents), "
+        "scored AS (SELECT doc_id, "
+        " len(list_intersect(t, " + _STOP['de'] + ")) AS score_de, "
+        " len(list_intersect(t, " + _STOP['en'] + ")) AS score_en, "
+        " len(list_intersect(t, " + _STOP['es'] + ")) AS score_es, "
+        " len(list_intersect(t, " + _STOP['fr'] + ")) AS score_fr "
+        "FROM toks) "
+        "SELECT doc_id, "
+        "CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und' "
+        " WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de' "
+        " WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en' "
+        " WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es' "
+        " ELSE 'fr' END AS lang_pred, "
+        "score_de, score_en, score_es, score_fr FROM scored")
+
     o['text_token_stats'] = (
         "SELECT doc_id, length(text) AS n_chars, "
         "len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens_ws, "

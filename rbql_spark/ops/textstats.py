@@ -36,12 +36,12 @@ def token_stats(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -
     bpe_count = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_REGEX), 0))
     return df.select(
         F.col(id_col),
-        F.length(t).alias('n_chars'),
-        F.size(ws_tokens).alias('n_tokens_ws'),
-        bpe_count.alias('n_tokens_bpe'),
-        F.size(F.array_distinct(tokens(t))).alias('n_unique_words'),
-        F.length(F.regexp_replace(t, r'[^\p{L}]', '')).alias('n_letters'),
-        F.length(F.regexp_replace(t, r'[^\p{N}]', '')).alias('n_digits'),
+        F.length(t).cast('long').alias('n_chars'),
+        F.size(ws_tokens).cast('long').alias('n_tokens_ws'),
+        bpe_count.cast('long').alias('n_tokens_bpe'),
+        F.size(F.array_distinct(tokens(t))).cast('long').alias('n_unique_words'),
+        F.length(F.regexp_replace(t, r'[^\p{L}]', '')).cast('long').alias('n_letters'),
+        F.length(F.regexp_replace(t, r'[^\p{N}]', '')).cast('long').alias('n_digits'),
     )
 
 
@@ -98,7 +98,7 @@ def language_id(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -
         pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
     pred = F.when(best_score <= 0, F.lit('und')).otherwise(pred)
     out = [F.col(id_col), pred.alias('lang_pred')]
-    out += [scores[l].alias('score_{}'.format(l)) for l in langs]
+    out += [scores[l].cast('long').alias('score_{}'.format(l)) for l in langs]
     return df.select(*out)
 
 
