@@ -195,6 +195,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c.subtract(o)
     q['setop_except'] = _except
 
+    def _streaming(spark, sf_dir):
+        # Structured Streaming end-to-end (superset; rows-only check): the
+        # events table replayed as a file stream → watermarked tumbling
+        # window aggregation → memory sink, returned as a DataFrame.
+        import tempfile
+
+        from rbql_spark.streaming.events import (
+            read_event_stream, run_stream_to_memory, windowed_counts,
+        )
+        tmp = tempfile.mkdtemp(prefix='rbql_stream_')
+        ev = _t(spark, sf_dir, 'events')
+        ev.where('event_id % 2 = 0').coalesce(1).write.mode('overwrite').parquet(tmp)
+        ev.where('event_id % 2 = 1').coalesce(1).write.mode('append').parquet(tmp)
+        stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
+        agg = windowed_counts(stream, width='6 hours', watermark='1 hour')
+        qname = 'rbql_stream_gate'
+        q = run_stream_to_memory(agg, qname, output_mode='append')
+        q.stop()
+        return spark.table(qname)
+    q['streaming_windowed_counts'] = _streaming
+
     # ---- superset: dedup --------------------------------------------------
     def _dedup_exact(spark, sf_dir):
         from rbql_spark.ops.dedup import exact_dedup

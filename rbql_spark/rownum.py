@@ -57,11 +57,15 @@ def attach_nr(df: DataFrame, col: str, dense: bool) -> DataFrame:
         # line-parallel parsing) — partition order no longer reflects input
         # order, so derive NR from that key instead
         if dense:
-            w = Window.orderBy(F.col(ORDER_SRC_COL))
-            # single ordered window — acceptable on the legacy-CSV path that
-            # produces ORDER_SRC_COL; bulk sources never carry it
-            return df.withColumn(col, F.row_number().over(w).cast('long')) \
-                     .drop(ORDER_SRC_COL)
+            # range-partitioned sort restores input order across partitions;
+            # the two-pass dense numbering then applies (no single-partition
+            # window — scales with the sort).  Persist pins the partitioning:
+            # the range sampler is not stable across jobs, and the offset
+            # pass and the main pass must see identical partitions.
+            from pyspark import StorageLevel
+            ordered = df.orderBy(F.col(ORDER_SRC_COL)).drop(ORDER_SRC_COL) \
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+            return attach_dense_nr(ordered, col)
         return df.withColumnRenamed(ORDER_SRC_COL, col)
     if dense:
         return attach_dense_nr(df, col)
