@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--out-policy', choices=POLICIES, default=None)
     p.add_argument('--init-source-file', default=None,
                    help='python file exec-ed into the query scope (UDFs)')
+    p.add_argument('--color', action='store_true',
+                   help='colorize columns in terminal output (stdout only)')
+    p.add_argument('--version', action='version', version='rbql_spark 0.1.0')
     p.add_argument('--cpus', type=int, default=os.cpu_count() or 4)
     return p
 
@@ -134,6 +137,25 @@ def main(argv: list[str] | None = None) -> int:
         if args.output:
             warnings = write_csv(result, args.output, delim=out_delim,
                                  policy=out_policy, encoding=args.encoding)
+        elif args.color:
+            # cyclic per-column ANSI foreground colors (reference
+            # rbql_csv.py:129-144 behavior, terminal preview only)
+            from .api import collect_result_rows
+            colors = ['\u001b[{}m'.format(c) for c in range(31, 38)]
+            reset = '\u001b[0m'
+            rows = collect_result_rows(result)
+            header = result.out_names
+            warnings = list(result.warnings)
+            def emit(vals):
+                parts = []
+                for i, v in enumerate(vals):
+                    s_val = '' if v is None else (v if isinstance(v, str) else str(v))
+                    parts.append(colors[i % len(colors)] + s_val)
+                sys.stdout.write(out_delim.join(parts) + reset + '\n')
+            if header is not None:
+                emit(header)
+            for vals in rows:
+                emit(vals)
         else:
             import tempfile
             with tempfile.NamedTemporaryFile('r', suffix='.csv', delete=False) as tf:

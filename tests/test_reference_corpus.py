@@ -29,10 +29,14 @@ def load_cases():
         cases = json.load(f)
     out = []
     for c in cases:
+        if c.get('query_python') is None and c.get('query_python_3') is not None:
+            # python-version-variant case: run the py3 form
+            c = dict(c)
+            c['query_python'] = c['query_python_3']
+            if c.get('expected_error_py_3') is not None:
+                c['expected_error_py'] = c['expected_error_py_3']
         if c.get('query_python') is None:
             continue  # JS-only case
-        if c.get('minimal_python_version'):
-            pass  # we are on py3.11 — fine
         out.append(c)
     return out
 
