@@ -1,0 +1,94 @@
+"""Robustness edge cases: empty inputs, all-null columns, single rows,
+unicode, and empty results through every operator path."""
+
+import pytest
+
+from rbql_spark import query_table
+
+
+def test_empty_input_select(spark):
+    rows, header = query_table(spark, 'SELECT a1, a2', [])
+    assert rows == []
+
+
+def test_empty_input_aggregate_emits_nothing(spark):
+    rows, _ = query_table(spark, 'SELECT COUNT(1), SUM(a1)', [])
+    assert rows == []
+
+
+def test_empty_input_group_by(spark):
+    rows, _ = query_table(spark, 'SELECT a1, COUNT(1) GROUP BY a1', [])
+    assert rows == []
+
+
+def test_empty_input_order_top(spark):
+    rows, _ = query_table(spark, 'SELECT TOP 5 a1 ORDER BY a1', [])
+    assert rows == []
+
+
+def test_filter_to_empty(spark):
+    rows, _ = query_table(spark, "SELECT a1 WHERE a1 == 'nope'", [['x'], ['y']])
+    assert rows == []
+
+
+def test_single_row_everything(spark):
+    rows, _ = query_table(
+        spark, "SELECT DISTINCT a1, len(a1), a1.upper() ORDER BY a1", [['solo']])
+    assert rows == [['solo', 4, 'SOLO']]
+
+
+def test_all_null_column(spark):
+    rows, _ = query_table(spark, 'SELECT a2, a2 is None', [['x', None], ['y', None]])
+    assert rows == [[None, True], [None, True]]
+
+
+def test_unicode_values_and_sort(spark):
+    rows, _ = query_table(spark, 'SELECT a1 ORDER BY a1',
+                          [['яблоко'], ['ананас'], ['ésime'], ['zèbre']])
+    assert rows == [[x] for x in sorted(['яблоко', 'ананас', 'ésime', 'zèbre'])]
+
+
+def test_empty_string_vs_null_distinction(spark):
+    # Python value semantics: None == '' is False (not SQL null)
+    rows, _ = query_table(spark, "SELECT a1 == '', a1 is None", [[''], [None]])
+    assert rows == [[True, False], [False, True]]
+
+
+def test_whitespace_only_fields(spark):
+    rows, _ = query_table(spark, "SELECT a1.strip(), len(a1)", [['   '], ['\t x ']])
+    assert rows == [['', 3], ['x', 4]]
+
+
+def test_very_wide_select_list(spark):
+    n = 60
+    query = 'SELECT ' + ', '.join('a1 + {}'.format(i) for i in range(n))
+    rows, _ = query_table(spark, query, [[1], [2]])
+    assert rows[0] == [1 + i for i in range(n)]
+    assert rows[1] == [2 + i for i in range(n)]
+
+
+def test_deep_pipe_chain(spark):
+    q = ('SELECT a1, a2 WHERE a2 > 0'
+         ' | SELECT a1, a2 * 2 AS d'
+         ' | SELECT a1, a.d WHERE a.d > 4'
+         ' | SELECT DISTINCT a1')
+    rows, _ = query_table(spark, q, [['x', 1], ['y', 3], ['y', 5]],
+                          input_column_names=['k', 'v'])
+    assert rows == [['y']]
+
+
+def test_join_empty_a_side(spark):
+    rows, _ = query_table(spark, 'SELECT a1, b2 INNER JOIN b ON a1 == b1',
+                          [], join_table=[['k', 'v']])
+    assert rows == []
+
+
+def test_zero_in_arithmetic(spark):
+    rows, _ = query_table(spark, 'SELECT a1 * 0, a1 - a1, a1 // 1', [[7]])
+    assert rows == [[0, 0, 7]]
+
+
+def test_negative_numbers_and_mod(spark):
+    # Python % sign-of-divisor semantics
+    rows, _ = query_table(spark, 'SELECT a1 % 3, a1 % -3, a1 // 3', [[-7]])
+    assert rows == [[-7 % 3, -7 % -3, -7 // 3]]
