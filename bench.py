@@ -45,21 +45,19 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    from rbql_spark.session import build_session
 
-    spark = (
-        SparkSession.builder
-        .master('local[{}]'.format(CPUS))
-        .appName('rbql-spark-bench')
-        .config('spark.sql.shuffle.partitions', str(CPUS))
-        .config('spark.default.parallelism', str(CPUS))
-        .config('spark.sql.adaptive.enabled', 'true')
-        .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
-        .config('spark.driver.memory', os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g'))
-        .config('spark.ui.enabled', 'false')
-        .getOrCreate()
+    spark = build_session(
+        app_name='rbql-spark-bench',
+        master='local[{}]'.format(CPUS),
+        shuffle_partitions=CPUS,
+        driver_memory=os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g'),
     )
     spark.sparkContext.setLogLevel('ERROR')
+    try:
+        spark.conf.set('spark.ui.enabled', 'false')
+    except Exception:
+        pass
 
     import __spark_entry__ as entrymod
     queries = entrymod.queries()
