@@ -91,6 +91,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "SELECT a.o_custkey % 100 AS bucket, COUNT(1) AS cnt, "
         "SUM(a.o_totalprice) AS total GROUP BY a.o_custkey % 100", 'orders')
 
+    def _array_agg(spark, sf_dir):
+        # ARRAY_AGG through the engine; sorted + joined for a
+        # representation DuckDB can reproduce (string_agg ORDER BY)
+        fn = _rbql("SELECT a.l_returnflag, ARRAY_AGG(a.l_orderkey) AS keys "
+                   "GROUP BY a.l_returnflag", 'lineitem')
+        df = fn(spark, sf_dir)
+        return df.select('l_returnflag',
+                         F.array_join(F.array_sort('keys'), '|').alias('keys_sorted'))
+    q['rbql_array_agg'] = _array_agg
+
     q['rbql_global_agg'] = _rbql(
         "SELECT COUNT(1) AS cnt, SUM(a.l_quantity) AS sum_qty, "
         "MAX(a.l_extendedprice) AS max_price, ANY_VALUE(a.l_linestatus) AS any_status",
@@ -321,6 +331,10 @@ def oracle_sql() -> dict[str, str]:
     o['rbql_group_expr_key'] = (
         "SELECT o_custkey % 100 AS bucket, count(*) AS cnt, sum(o_totalprice) AS total "
         "FROM orders GROUP BY o_custkey % 100")
+
+    o['rbql_array_agg'] = (
+        "SELECT l_returnflag, string_agg(l_orderkey, '|' ORDER BY l_orderkey) AS keys_sorted "
+        "FROM lineitem GROUP BY l_returnflag")
 
     o['rbql_global_agg'] = (
         "SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty, max(l_extendedprice) AS max_price, "
