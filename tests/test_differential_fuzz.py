@@ -1,0 +1,154 @@
+"""Differential fuzzing: randomized queries over randomized tables run
+through BOTH this engine and the actual reference implementation (imported
+read-only from /root/reference), outputs compared value-by-value.
+
+A bounded deterministic sample (seeded) — the strongest conformance check we
+have beyond the golden corpora, because the reference itself is the oracle.
+"""
+
+import math
+import os
+import random
+import sys
+
+import pytest
+
+REF_PY = '/root/reference/rbql-py'
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_PY), reason='reference package not available')
+
+WORDS = ['alpha', 'beta', 'gamma', 'delta', 'omega']
+
+
+def make_table(rnd: random.Random):
+    n = rnd.randint(1, 15)
+    return [[str(rnd.randint(-30, 99)), rnd.choice(WORDS),
+             rnd.choice(WORDS), str(rnd.randint(0, 5))] for _ in range(n)]
+
+
+def make_query(rnd: random.Random) -> str:
+    items = rnd.sample([
+        'a1', 'a2', 'a3', 'int(a1) * 2', 'len(a2)', 'NR',
+        "a2 + '-' + a3", 'int(a1) % 5', "'c' if int(a1) > 0 else 'd'",
+    ], k=rnd.randint(1, 4))
+    q = 'SELECT '
+    if rnd.random() < 0.25:
+        q += 'DISTINCT '
+    q += ', '.join(items)
+    if rnd.random() < 0.6:
+        q += ' WHERE ' + rnd.choice([
+            'int(a1) > {}'.format(rnd.randint(-10, 50)),
+            "a2 == '{}'".format(rnd.choice(WORDS)),
+            "like(a3, '{}%')".format(rnd.choice(WORDS)[:2]),
+            'int(a1) % 2 == 0',
+            "a2 != '{}' and int(a4) < 4".format(rnd.choice(WORDS)),
+        ])
+    if rnd.random() < 0.5:
+        q += ' ORDER BY ' + rnd.choice(['a2', 'int(a1)', 'a3, int(a1)'])
+        if rnd.random() < 0.5:
+            q += ' DESC'
+    if rnd.random() < 0.3:
+        q += ' LIMIT {}'.format(rnd.randint(1, 8))
+    return q
+
+
+def make_agg_query(rnd: random.Random) -> str:
+    aggs = rnd.sample(['COUNT(1)', 'SUM(a1)', 'MIN(a1)', 'MAX(a1)',
+                       'AVG(a1)', 'MEDIAN(a1)', 'VARIANCE(a1)'],
+                      k=rnd.randint(1, 3))
+    return 'SELECT a2, {} GROUP BY a2'.format(', '.join(aggs))
+
+
+def make_join_table(rnd: random.Random):
+    n = rnd.randint(1, 6)
+    # some keys match, some don't; occasional duplicate keys
+    return [[rnd.choice(WORDS + ['nomatch']), str(rnd.randint(0, 9)),
+             rnd.choice(WORDS)] for _ in range(n)]
+
+
+def make_join_query(rnd: random.Random) -> str:
+    how = rnd.choice(['JOIN', 'INNER JOIN', 'LEFT JOIN'])
+    items = rnd.sample(['a1', 'a2', 'b1', 'b2', 'b3', 'bNR'], k=rnd.randint(2, 4))
+    q = 'SELECT {} {} b ON a2 == b1'.format(', '.join(items), how)
+    if rnd.random() < 0.5:
+        q += " WHERE b2 != '3'" if how != 'LEFT JOIN' else ' WHERE int(a1) > 0'
+    if rnd.random() < 0.4:
+        q += ' ORDER BY a2, int(a1)'
+    return q
+
+
+def make_update_query(rnd: random.Random) -> str:
+    return rnd.choice([
+        "UPDATE a2 = a2 + '!' WHERE int(a1) > {}".format(rnd.randint(-5, 40)),
+        "UPDATE a3 = a2, a4 = '9' WHERE a2 == '{}'".format(rnd.choice(WORDS)),
+    ])
+
+
+def run_reference(query, table, join_table=None):
+    sys.path.insert(0, REF_PY)
+    try:
+        import rbql
+        out, warnings = [], []
+        rbql.query_table(query, [list(r) for r in table], out, warnings,
+                         join_table=[list(r) for r in join_table] if join_table else None)
+        return out
+    finally:
+        sys.path.remove(REF_PY)
+
+
+def loose(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and math.isnan(v):
+            return 'nan'
+        return round(float(v), 4)
+    return v
+
+
+def equal_tables(a, b):
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        if len(ra) != len(rb):
+            return False
+        for x, y in zip(ra, rb):
+            if loose(x) != loose(y):
+                return False
+    return True
+
+
+SEEDS = list(range(40))
+
+
+@pytest.mark.parametrize('seed', SEEDS)
+def test_differential_random_query(spark, seed):
+    from rbql_spark import query_table
+    rnd = random.Random(10_000 + seed)
+    table = make_table(rnd)
+    query = make_agg_query(rnd) if seed % 5 == 4 else make_query(rnd)
+
+    expected = run_reference(query, table)
+    got, _hdr = query_table(spark, query, [list(r) for r in table])
+    assert equal_tables(got, expected), \
+        'divergence for seed {}\n query: {}\n table: {}\n got:      {}\n reference: {}'.format(
+            seed, query, table, got, expected)
+
+
+@pytest.mark.parametrize('seed', list(range(20)))
+def test_differential_random_join_update(spark, seed):
+    from rbql_spark import query_table
+    rnd = random.Random(77_000 + seed)
+    table = make_table(rnd)
+    if seed % 3 == 2:
+        query, join = make_update_query(rnd), None
+    else:
+        query, join = make_join_query(rnd), make_join_table(rnd)
+
+    expected = run_reference(query, table, join)
+    got, _hdr = query_table(spark, query, [list(r) for r in table],
+                            join_table=[list(r) for r in join] if join else None)
+    assert equal_tables(got, expected), \
+        'divergence for seed {}\n query: {}\n table: {}\n join: {}\n got:      {}\n reference: {}'.format(
+            seed, query, table, join, got, expected)
