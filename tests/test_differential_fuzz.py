@@ -136,6 +136,36 @@ def test_differential_random_query(spark, seed):
             seed, query, table, got, expected)
 
 
+def make_compound_query(rnd: random.Random) -> str:
+    return rnd.choice([
+        'SELECT DISTINCT COUNT a2',
+        'SELECT DISTINCT COUNT a2, a3 WHERE int(a1) > 0',
+        'SELECT * EXCEPT a1, a4',
+        'SELECT TOP {} a2, a3 ORDER BY int(a1)'.format(rnd.randint(1, 6)),
+        "SELECT a1, UNNEST(a2.split('a'))",
+        "SELECT a2, int(a1) | SELECT a1 WHERE a2 > {}".format(rnd.randint(-5, 30)),
+        "SELECT a2.upper(), a3[:2], a2[::-1] WHERE a2.startswith('{}')".format(
+            rnd.choice(['a', 'b', 'g', 'd', 'o'])),
+        "SELECT max(a1), min(a1) WHERE int(a4) < 5",
+        "SELECT a3, ARRAY_AGG(a1) GROUP BY a3",
+        "SELECT NR, NF, a1 WHERE NR % 2 == 1",
+    ])
+
+
+@pytest.mark.parametrize('seed', list(range(20)))
+def test_differential_compound_query(spark, seed):
+    from rbql_spark import query_table
+    rnd = random.Random(55_000 + seed)
+    table = make_table(rnd)
+    query = make_compound_query(rnd)
+
+    expected = run_reference(query, table)
+    got, _hdr = query_table(spark, query, [list(r) for r in table])
+    assert equal_tables(got, expected), \
+        'divergence for seed {}\n query: {}\n table: {}\n got:      {}\n reference: {}'.format(
+            seed, query, table, got, expected)
+
+
 @pytest.mark.parametrize('seed', list(range(20)))
 def test_differential_random_join_update(spark, seed):
     from rbql_spark import query_table
