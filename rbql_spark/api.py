@@ -3,8 +3,6 @@
 from __future__ import annotations
 
 import os
-from typing import Any
-
 from pyspark.sql import DataFrame, SparkSession
 
 from .binding import TableHandle

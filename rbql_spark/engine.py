@@ -34,7 +34,7 @@ from .binding import (
     WorkFrame, internal_col, make_workframe, type_tag,
 )
 from .errors import (
-    AMBIGUOUS_VARIABLE_ERROR, INVALID_KEYWORD_IN_AGGREGATE_QUERY_ERROR,
+    INVALID_KEYWORD_IN_AGGREGATE_QUERY_ERROR,
     RbqlIOHandlingError, RbqlParsingError, RbqlRuntimeError,
 )
 from .header import ColumnInfo, column_info_for_item, select_output_header

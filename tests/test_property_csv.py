@@ -8,7 +8,7 @@ run at two levels:
 
 import os
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from rbql_spark.sources.csv import split_quoted
