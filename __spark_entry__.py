@@ -297,7 +297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- superset: multimodal plumbing -------------------------------------
     def _multimodal(spark, sf_dir):
         from rbql_spark.ops.multimodal import multimodal_pipeline
-        return multimodal_pipeline(_t(spark, sf_dir, 'documents'))
+        res = multimodal_pipeline(_t(spark, sf_dir, 'documents'))
+        # feature rides as f0..f7 scalars: the driver's canonicalizer sorts
+        # by every column and can't hash an array<double> cell
+        return res.select(
+            'doc_id', 'n_bytes', 'byte_checksum', 'head_hex',
+            *[F.col('feature')[i].alias('f{}'.format(i)) for i in range(8)])
     q['multimodal_features'] = _multimodal
 
     return q
@@ -490,6 +495,20 @@ def oracle_sql() -> dict[str, str]:
         "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_letters, "
         "length(regexp_replace(text, '[^\\p{N}]', '', 'g')) AS n_digits "
         "FROM documents")
+
+    # stub decoder is deterministic over the utf-8 bytes of `text`
+    # (rbql_spark/ops/multimodal.py:_decode_payload) → plain SQL byte math
+    _f = ", ".join(
+        "CASE WHEN n >= {i} THEN ('0x' || h[{lo}:{hi}])::bigint / 255.0 "
+        "ELSE 0.0 END AS f{j}".format(i=i + 1, lo=i * 2 + 1, hi=i * 2 + 2, j=i)
+        for i in range(8))
+    o['multimodal_features'] = (
+        "WITH b AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h, "
+        " octet_length(encode(coalesce(text, ''))) AS n FROM documents) "
+        "SELECT doc_id, n::bigint AS n_bytes, "
+        "coalesce(list_sum(list_transform(range(1, n + 1), "
+        " i -> ('0x' || h[i*2-1:i*2])::bigint)), 0) % 2147483648 AS byte_checksum, "
+        "lower(h[1:8]) AS head_hex, " + _f + " FROM b")
 
     return o
 

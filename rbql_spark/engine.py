@@ -329,14 +329,6 @@ class StageRunner:
             bdf = F.broadcast(bdf)
 
         subtype = stage.join_subtype
-        if subtype == parser.STRICT_LEFT_JOIN and self.options.strict_checks:
-            dup = (bdf.groupBy(*b_keys).count().filter(F.col('count') > 1).limit(1).collect())
-            if dup:
-                bad_key = ', '.join(str(v) for v in list(dup[0])[:-1])
-                raise RbqlRuntimeError(
-                    'In "STRICT LEFT JOIN" each key in A must have exactly one '
-                    'match in B. Bad A key: "{}"'.format(bad_key))
-
         cond = None
         for ac, bc in zip(a_keys, b_keys):
             # eqNullSafe: Python dict-key equality (None matches None),
@@ -356,11 +348,25 @@ class StageRunner:
 
         wf2 = WorkFrame(df=joined, a=wf.a, b=b_side)
         if subtype == parser.STRICT_LEFT_JOIN and self.options.strict_checks:
-            missing = joined.filter(F.col(BNR_COL).isNull()).limit(1).collect()
-            if missing:
+            # Reference StrictLeftJoiner (rbql_engine.py:595-603) errors only
+            # for A-side keys whose match count != 1 — duplicate B keys that
+            # no A row references are legal.  Grouping the joined output by
+            # the unique A-row surrogate gives exactly that semantic, and
+            # folds the old duplicate-key pre-pass and unmatched-row check
+            # into ONE job.
+            agg_cols = [F.count(F.lit(1)).alias('__match_cnt'),
+                        F.max(F.col(BNR_COL).isNotNull().cast('int')).alias('__matched')]
+            for i, ac in enumerate(a_keys):
+                agg_cols.append(F.first(ac).alias('__k{}'.format(i)))
+            bad = (joined.groupBy(F.col(NR_COL)).agg(*agg_cols)
+                   .filter((F.col('__match_cnt') > 1) | (F.col('__matched') == 0))
+                   .limit(1).collect())
+            if bad:
+                vals = [bad[0]['__k{}'.format(i)] for i in range(len(a_keys))]
+                lhs_key = vals[0] if len(vals) == 1 else tuple(vals)
                 raise RbqlRuntimeError(
                     'In "STRICT LEFT JOIN" each key in A must have exactly one '
-                    'match in B. Bad A key: "<unmatched>"')
+                    'match in B. Bad A key: "{}"'.format(lhs_key))
         return wf2
 
     # -- main ---------------------------------------------------------------

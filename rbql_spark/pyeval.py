@@ -154,10 +154,15 @@ def _infer_spark_type(values: list) -> T.DataType:
         return T.StringType()
     if has == {'bool'}:
         return T.BooleanType()
-    if has <= {'int', 'bool'}:
+    if has == {'int'}:
         return T.LongType()
-    if has <= {'int', 'float', 'bool'}:
+    if has <= {'int', 'float'}:
         return T.DoubleType()
+    if has <= {'int', 'float', 'bool'}:
+        # bool mixed with numbers: no faithful Spark numeric type (Python
+        # prints 'True', a long column would print '1') — ride as strings,
+        # the coercer's str() matches the reference writer's rendering
+        return T.StringType()
     if has == {'ts'}:
         return T.TimestampType()
     if has == {'date'}:
@@ -167,16 +172,39 @@ def _infer_spark_type(values: list) -> T.DataType:
     return T.StringType()
 
 
+def _lossy(v, want: str):
+    """Output types are inferred from a driver-side sample; a later record
+    producing an incompatible value must NOT be silently mangled (e.g. a
+    float truncated by int()) — raise so the user sees a real error instead
+    of corrupted data.  The raise is caught per-record by the evaluator loop
+    and surfaced as RbqlRuntimeError with the record number."""
+    raise TypeError(
+        'expression produced {} value {!r} but earlier records produced {} values '
+        '(column type was inferred from a sample); make the expression return one '
+        'type, e.g. wrap it in str()/float()'.format(type(v).__name__, v, want))
+
+
 def _coercer(dt: T.DataType):
     """Enforce the declared Spark type on worker-side computed values."""
     if isinstance(dt, T.LongType):
-        return lambda v: None if v is None else int(v)
+        # bools are ints in Python; floats/strings would be silently
+        # truncated/misparsed by int() — that's data corruption, raise.
+        return lambda v: None if v is None else (
+            int(v) if isinstance(v, int) and not isinstance(v, bool) else _lossy(v, 'int'))
     if isinstance(dt, T.DoubleType):
-        return lambda v: None if v is None else float(v)
+        # int→float is value-preserving for any sane magnitude; other types raise
+        return lambda v: None if v is None else (
+            float(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else _lossy(v, 'float'))
     if isinstance(dt, T.BooleanType):
-        return lambda v: None if v is None else bool(v)
+        return lambda v: None if v is None else (v if isinstance(v, bool) else _lossy(v, 'bool'))
     if isinstance(dt, T.StringType):
-        return lambda v: None if v is None else (v if isinstance(v, str) else str(v))
+        # str(v) on scalars matches the reference writer's own stringification
+        # (rbql_csv.py:258-277); containers would render as Python reprs which
+        # the writer instead joins with '|' — raise for those.
+        return lambda v: None if v is None else (
+            v if isinstance(v, str)
+            else (str(v) if isinstance(v, (int, float, bool)) else _lossy(v, 'str')))
     if isinstance(dt, T.ArrayType):
         elem = _coercer(dt.elementType)
         return lambda v: None if v is None else [elem(x) for x in v]

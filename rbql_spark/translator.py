@@ -81,7 +81,28 @@ class ExpressionTranslator:
         return self._expr(tree.body)
 
     def translate_predicate(self, expr_text: str) -> Column:
-        return as_predicate(self.translate(expr_text))
+        try:
+            tree = ast.parse(expr_text.strip(), mode='eval')
+        except SyntaxError:
+            raise
+        return self._predicate(tree.body)
+
+    def _predicate(self, node: ast.expr) -> Column:
+        """Translate a node used in boolean context (WHERE, if-test, not).
+
+        and/or combine as boolean predicates here; in value context
+        (:meth:`_expr`) they keep Python operand-value semantics instead.
+        Null parts behave as falsy, matching Python truthiness of None.
+        """
+        if isinstance(node, ast.BoolOp):
+            parts = [self._predicate(v) for v in node.values]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if isinstance(node.op, ast.And) else (out | p)
+            return out
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            return ~self._predicate(node.operand)
+        return as_predicate(self._expr(node))
 
     # ------------------------------------------------------------------
 
@@ -158,13 +179,29 @@ class ExpressionTranslator:
         if isinstance(node, ast.Compare):
             return self._compare(node)
         if isinstance(node, ast.BoolOp):
-            parts = [as_predicate(self._expr(v)) for v in node.values]
-            out = parts[0]
-            for p in parts[1:]:
-                out = (out & p) if isinstance(node.op, ast.And) else (out | p)
-            return TCol(out, 'bool')
+            # Value position: Python and/or return an OPERAND, not a boolean
+            # (`a1 or "default"` → 'x' or 'default', never True/False).
+            vals = [self._expr(v) for v in node.values]
+            tag = vals[0].tag
+            for v in vals[1:]:
+                if v.tag == tag:
+                    continue
+                if _is_num(v.tag) and _is_num(tag):
+                    tag = _merge_num(tag, v.tag)
+                elif tag == 'null':
+                    tag = v.tag
+                elif v.tag != 'null':
+                    raise TranslationFallback('mixed-type and/or in value position')
+            preds = [as_predicate(v) for v in vals[:-1]]  # last operand is never tested
+            col = vals[-1].col
+            for v, p in zip(reversed(vals[:-1]), reversed(preds)):
+                if isinstance(node.op, ast.Or):
+                    col = F.when(p, v.col).otherwise(col)   # first truthy operand
+                else:
+                    col = F.when(p, col).otherwise(v.col)   # first falsy operand
+            return TCol(col, tag)
         if isinstance(node, ast.IfExp):
-            test = as_predicate(self._expr(node.test))
+            test = self._predicate(node.test)
             body = self._expr(node.body)
             orelse = self._expr(node.orelse)
             tag = body.tag if body.tag == orelse.tag else (
@@ -267,7 +304,7 @@ class ExpressionTranslator:
 
     def _unaryop(self, node: ast.UnaryOp) -> TCol:
         if isinstance(node.op, ast.Not):
-            return TCol(~as_predicate(self._expr(node.operand)), 'bool')
+            return TCol(~self._predicate(node.operand), 'bool')
         val = self._expr(node.operand)
         if isinstance(node.op, ast.USub) and _is_num(val.tag):
             return TCol(-val.col, val.tag)
@@ -424,7 +461,9 @@ class ExpressionTranslator:
             if v.tag in ('int', 'str'):
                 return TCol(v.col.cast('string'), 'str')
             if v.tag == 'float':
-                return TCol(v.col.cast('string'), 'str')
+                # Spark double→string ('1.0E16') diverges from Python repr
+                # ('1e+16') for large/small magnitudes — evaluate in Python.
+                raise TranslationFallback('str() on float')
             if v.tag == 'bool':
                 return TCol(F.when(v.col, F.lit('True')).otherwise(F.lit('False')), 'str')
             raise TranslationFallback('str() on {}'.format(v.tag))
@@ -440,14 +479,25 @@ class ExpressionTranslator:
                 return TCol(F.size(v.col).cast('long'), 'int')
         if name == 'round':
             v = self._expr(args[0])
-            if _is_num(v.tag):
+            if v.tag == 'float':
+                # Python rounds the BINARY double (round(2.675, 2) → 2.67)
+                # while bround works on the decimal rendering (→ 2.68), and
+                # single-arg round(float) returns int — evaluate in Python.
+                raise TranslationFallback('round() on float')
+            if v.tag == 'int':
                 nd = 0
                 if len(args) == 2:
-                    if not (isinstance(args[1], ast.Constant) and isinstance(args[1].value, int)):
+                    nd_node = args[1]
+                    neg = False
+                    if isinstance(nd_node, ast.UnaryOp) and isinstance(nd_node.op, ast.USub):
+                        neg, nd_node = True, nd_node.operand
+                    if not (isinstance(nd_node, ast.Constant) and isinstance(nd_node.value, int)):
                         raise TranslationFallback('round() ndigits must be literal')
-                    nd = args[1].value
-                # Python round = banker's rounding → bround (HALF_EVEN)
-                return TCol(F.bround(v.col, nd), 'float' if (nd > 0 or v.tag == 'float') else 'int')
+                    nd = -nd_node.value if neg else nd_node.value
+                if nd >= 0:
+                    return v  # identity on ints
+                # negative ndigits on ints: banker's rounding → bround HALF_EVEN
+                return TCol(F.bround(v.col, nd).cast('long'), 'int')
         if name in ('min', 'max') and len(args) >= 2:
             vals = [self._expr(a) for a in args]
             if all(_is_num(v.tag) for v in vals) or all(v.tag == 'str' for v in vals):
@@ -502,7 +552,17 @@ class ExpressionTranslator:
                 return TCol((diff / len(sub)).cast('long'), 'int')
             if m == 'zfill' and len(args) == 1 and isinstance(args[0], ast.Constant) \
                     and isinstance(args[0].value, int):
-                return TCol(F.lpad(base.col, args[0].value, '0'), 'str')
+                # Python zfill never truncates and inserts zeros AFTER a
+                # leading sign: '-5'.zfill(4) → '-005', 'abcdef'.zfill(3)
+                # stays 'abcdef' (a bare lpad would corrupt both).
+                w = args[0].value
+                first = F.substring(base.col, 1, 1)
+                rest = F.substring(base.col, 2, 2 ** 30)
+                padded = (F.when(F.length(base.col) >= w, base.col)
+                          .when(first.isin('+', '-'),
+                                F.concat(first, F.lpad(rest, max(w - 1, 0), '0')))
+                          .otherwise(F.lpad(base.col, w, '0')))
+                return TCol(padded, 'str')
             if m == 'title' and not args:
                 return TCol(F.initcap(base.col), 'str')
             if m == 'capitalize' and not args:
@@ -537,7 +597,9 @@ class ExpressionTranslator:
                 if piece.conversion != -1 or piece.format_spec is not None:
                     raise TranslationFallback('f-string format spec')
                 v = self._expr(piece.value)
-                if v.tag in ('str', 'int', 'float'):
+                # floats excluded: Spark double→string formatting diverges
+                # from Python repr for large/small magnitudes
+                if v.tag in ('str', 'int'):
                     parts.append(v.col.cast('string'))
                     continue
             raise TranslationFallback('f-string piece')

@@ -92,3 +92,41 @@ def test_negative_numbers_and_mod(spark):
     # Python % sign-of-divisor semantics
     rows, _ = query_table(spark, 'SELECT a1 % 3, a1 % -3, a1 // 3', [[-7]])
     assert rows == [[-7 % 3, -7 % -3, -7 // 3]]
+
+
+# -- ADVICE r1: sample-based type inference must not silently mangle values --
+
+def test_coercer_raises_on_lossy_mismatch():
+    import pyspark.sql.types as T
+    from rbql_spark.pyeval import _coercer
+    with pytest.raises(TypeError, match='inferred from a sample'):
+        _coercer(T.LongType())(3.7)
+    with pytest.raises(TypeError):
+        _coercer(T.LongType())(True)   # would print '1' instead of 'True'
+    with pytest.raises(TypeError):
+        _coercer(T.StringType())([1, 2])  # writer joins lists; str() would not
+    assert _coercer(T.LongType())(3) == 3
+    assert _coercer(T.DoubleType())(3) == 3.0
+    assert _coercer(T.StringType())(3.5) == '3.5'
+    assert _coercer(T.StringType())(True) == 'True'
+
+
+def test_infer_mixed_bool_numeric_rides_as_string():
+    import pyspark.sql.types as T
+    from rbql_spark.pyeval import _infer_spark_type
+    assert isinstance(_infer_spark_type([1, True]), T.StringType)
+    assert isinstance(_infer_spark_type([1, 2]), T.LongType)
+    assert isinstance(_infer_spark_type([1, 2.5]), T.DoubleType)
+
+
+def test_fallback_type_drift_raises_not_truncates(spark):
+    # rows beyond the 64-row inference sample that produce a float in an
+    # int-inferred column must error loudly, not be int()-truncated
+    from rbql_spark import query_dataframe
+    from rbql_spark.api import collect_result_rows
+    from rbql_spark.errors import RbqlRuntimeError
+    df = spark.createDataFrame([(i,) for i in range(2000)], 'n long').coalesce(1)
+    res = query_dataframe(
+        spark, 'SELECT a.n.bit_length() if a.n != 1995 else 3.7', df)
+    with pytest.raises(RbqlRuntimeError, match='inferred from a sample'):
+        collect_result_rows(res)

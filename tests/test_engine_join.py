@@ -133,3 +133,20 @@ def test_unknown_join_table(spark):
     with pytest.raises(RbqlParsingError, match='Unable to find join table'):
         query_table(spark, 'SELECT a1 INNER JOIN nosuch ON a1 == b1', [['1']],
                     join_table=[['1', 'x']])
+
+
+def test_strict_left_join_unreferenced_b_dup_ok(spark):
+    # ADVICE r1: duplicate B keys that no A row references must NOT error
+    # (reference StrictLeftJoiner only checks A-side probe counts,
+    # rbql_engine.py:595-603)
+    a = [['k1']]
+    b = [['k2', 'x'], ['k2', 'y'], ['k1', 'z']]
+    rows, _ = query_table(spark, 'SELECT a1, b2 STRICT LEFT JOIN b ON a1 == b1',
+                          a, join_table=b)
+    assert rows == [['k1', 'z']]
+
+
+def test_strict_left_join_bad_key_in_message(spark):
+    with pytest.raises(RbqlRuntimeError, match='Bad A key: "usa"'):
+        query_table(spark, 'SELECT a1 STRICT LEFT JOIN b ON a2 == b1',
+                    [['1', 'usa']], join_table=[r[:] for r in B_DUP])

@@ -80,3 +80,61 @@ def test_datetime_compare_native(spark, ts_df):
     rows = _run_native(spark, ts_df,
                        'SELECT a.d WHERE a.ts > datetime.datetime(2024, 1, 1)')
     assert len(rows) == 1
+
+
+def test_boolop_value_position(spark):
+    # ADVICE r1 (high): `a1 or "default"` must return the operand value,
+    # not a boolean
+    df = spark.createDataFrame([('x',), ('',), ('y',)], 's string')
+    rows = _run_native(spark, df, 'SELECT a.s or "default"')
+    assert [r[0] for r in rows] == ['x', 'default', 'y']
+
+
+def test_boolop_and_value_position(spark):
+    df = spark.createDataFrame([('x',), ('',)], 's string')
+    rows = _run_native(spark, df, 'SELECT a.s and "yes"')
+    assert [r[0] for r in rows] == ['yes', '']
+
+
+def test_boolop_numeric_or_default(spark):
+    df = spark.createDataFrame([(0,), (7,)], 'n long')
+    rows = _run_native(spark, df, 'SELECT a.n or -1')
+    assert [r[0] for r in rows] == [-1, 7]
+
+
+def test_boolop_predicate_still_native(spark):
+    df = spark.createDataFrame([(1, 'x'), (5, 'y'), (9, 'x')], 'n long, s string')
+    rows = _run_native(spark, df, "SELECT a.n WHERE a.n > 2 and a.s == 'x'")
+    assert [r[0] for r in rows] == [9]
+
+
+def test_zfill_parity(spark):
+    # ADVICE r1: zfill must not truncate and must respect a leading sign
+    df = spark.createDataFrame([('abcdef',), ('-5',), ('+5',), ('42',), ('',)], 's string')
+    rows = _run_native(spark, df, 'SELECT a.s.zfill(3)')
+    assert [r[0] for r in rows] == [s.zfill(3) for s in ['abcdef', '-5', '+5', '42', '']]
+
+
+def test_str_float_python_repr(spark):
+    # ADVICE r1 (low): str() on floats must match Python repr (falls back)
+    df = spark.createDataFrame([(1e16,), (0.1,)], 'x double')
+    from rbql_spark import query_dataframe
+    res = query_dataframe(spark, 'SELECT str(a.x)', df)
+    vals = [r[0] for r in res.display_df(ordered=True).collect()]
+    assert vals == [str(1e16), str(0.1)]
+
+
+def test_round_float_python_parity(spark):
+    # Python rounds the binary double: round(2.675, 2) == 2.67, and
+    # single-arg round returns an int
+    df = spark.createDataFrame([(2.675,), (0.5,)], 'x double')
+    from rbql_spark import query_dataframe
+    res = query_dataframe(spark, 'SELECT round(a.x, 2), round(a.x)', df)
+    vals = [list(r) for r in res.display_df(ordered=True).collect()]
+    assert vals == [[round(2.675, 2), round(2.675)], [round(0.5, 2), round(0.5)]]
+
+
+def test_round_int_native(spark):
+    df = spark.createDataFrame([(125,), (135,)], 'n long')
+    rows = _run_native(spark, df, 'SELECT round(a.n, -1), round(a.n)')
+    assert rows == [[120, 125], [140, 135]]
