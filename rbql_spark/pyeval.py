@@ -172,6 +172,23 @@ def _infer_spark_type(values: list) -> T.DataType:
     return T.StringType()
 
 
+import numbers as _numbers
+
+
+def _is_bool_like(v) -> bool:
+    # np.bool_ is not a Python bool; detect both without importing numpy
+    return isinstance(v, bool) or type(v).__name__ == 'bool_'
+
+
+def _is_int_exact(v) -> bool:
+    # numpy int8..int64 register as numbers.Integral — value-exact ints
+    return isinstance(v, _numbers.Integral) and not _is_bool_like(v)
+
+
+def _is_float_like(v) -> bool:
+    return isinstance(v, (float, _numbers.Real)) and not _is_bool_like(v)
+
+
 def _lossy(v, want: str):
     """Output types are inferred from a driver-side sample; a later record
     producing an incompatible value must NOT be silently mangled (e.g. a
@@ -190,21 +207,24 @@ def _coercer(dt: T.DataType):
         # bools are ints in Python; floats/strings would be silently
         # truncated/misparsed by int() — that's data corruption, raise.
         return lambda v: None if v is None else (
-            int(v) if isinstance(v, int) and not isinstance(v, bool) else _lossy(v, 'int'))
+            int(v) if _is_int_exact(v) else _lossy(v, 'int'))
     if isinstance(dt, T.DoubleType):
         # int→float is value-preserving for any sane magnitude; other types raise
         return lambda v: None if v is None else (
-            float(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
+            float(v) if _is_int_exact(v) or _is_float_like(v)
             else _lossy(v, 'float'))
     if isinstance(dt, T.BooleanType):
-        return lambda v: None if v is None else (v if isinstance(v, bool) else _lossy(v, 'bool'))
+        return lambda v: None if v is None else (
+            bool(v) if _is_bool_like(v) else _lossy(v, 'bool'))
     if isinstance(dt, T.StringType):
         # str(v) on scalars matches the reference writer's own stringification
         # (rbql_csv.py:258-277); containers would render as Python reprs which
         # the writer instead joins with '|' — raise for those.
         return lambda v: None if v is None else (
             v if isinstance(v, str)
-            else (str(v) if isinstance(v, (int, float, bool)) else _lossy(v, 'str')))
+            else (str(int(v)) if _is_int_exact(v)
+                  else str(v) if isinstance(v, float) or _is_bool_like(v)
+                  else _lossy(v, 'str')))
     if isinstance(dt, T.ArrayType):
         elem = _coercer(dt.elementType)
         return lambda v: None if v is None else [elem(x) for x in v]
