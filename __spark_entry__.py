@@ -223,7 +223,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qname = 'rbql_stream_gate'
         q = run_stream_to_memory(agg, qname, output_mode='append')
         q.stop()
-        return spark.table(qname)
+        # round the float sum for cross-engine comparability (append mode
+        # emits exactly the windows whose end passed the final watermark —
+        # the batch-SQL oracle reproduces that set with a HAVING filter)
+        return spark.table(qname).select(
+            'window_start', 'event_type', 'n_events',
+            F.round('sum_value', 6).alias('sum_value'))
     q['streaming_windowed_counts'] = _streaming
 
     # ---- superset: dedup --------------------------------------------------
@@ -234,20 +239,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _dedup_minhash(spark, sf_dir):
         from rbql_spark.ops.dedup import minhash_dedup_pairs
+        # hash_fn='md5' → the DuckDB oracle replicates the exact pipeline
+        # (same md5-32 shingle hashes, same seeded permutations, same bands)
         return minhash_dedup_pairs(_t(spark, sf_dir, 'documents'), 'text', 'doc_id',
-                                   threshold=0.5)
+                                   threshold=0.5, hash_fn='md5')
     q['dedup_minhash_lsh'] = _dedup_minhash
 
     def _dedup_simhash(spark, sf_dir):
         from rbql_spark.ops.dedup import simhash_near_dups
+        # engine='vectorized' → md5-derived token hashes; the pigeonhole
+        # candidate stage has recall 1 by construction, so the result equals
+        # the all-pairs Hamming answer the oracle computes
         return simhash_near_dups(_t(spark, sf_dir, 'documents'), 'text', 'doc_id',
-                                 max_hamming=7)
+                                 max_hamming=7, engine='vectorized')
     q['dedup_simhash'] = _dedup_simhash
 
     def _dedup_ngram(spark, sf_dir):
         from rbql_spark.ops.dedup import ngram_jaccard_pairs
         return ngram_jaccard_pairs(_t(spark, sf_dir, 'documents'), 'text', 'doc_id',
-                                   n=2, threshold=0.4)
+                                   n=2, threshold=0.4, hash_fn='md5')
     q['dedup_ngram_jaccard'] = _dedup_ngram
 
     # ---- superset: similarity search --------------------------------------
@@ -291,7 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _text_fp(spark, sf_dir):
         from rbql_spark.ops.textstats import doc_fingerprint
-        return doc_fingerprint(_t(spark, sf_dir, 'documents'))
+        # md5 token hashes → DuckDB list_reduce replays the same rolling fold
+        return doc_fingerprint(_t(spark, sf_dir, 'documents'), hash_fn='md5')
     q['text_fingerprint'] = _text_fp
 
     # ---- superset: multimodal plumbing -------------------------------------

@@ -84,8 +84,9 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     query's candidates are corpus vectors sharing its bucket in ANY table.
     Shuffle pattern: corpus explodes ×n_tables, hash join on (table, bucket).
     """
-    c = corpus.select(F.col(id_col).alias('vec_id'), F.col(vec_col).alias('__cv'))
-    q = queries.select(F.col(query_id_col).alias('query_id'), F.col(vec_col).alias('__qv'))
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
+    q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
     c_buckets = []
     q_buckets = []
     for t in range(n_tables):
@@ -105,12 +106,14 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cand = (cb.join(F.broadcast(qb), on=['table', 'bucket'])
               .select('query_id', 'vec_id', '__cv', '__qv')
               .dropDuplicates(['query_id', 'vec_id']))
+    # rank on the ROUNDED similarity (+ vec_id) so rankings are reproducible
+    # across engines/float orders — same policy as cosine_topk_bruteforce
     w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
     return (cand.select('query_id', 'vec_id',
-                        cosine(F.col('__cv'), F.col('__qv')).alias('cosine_sim'))
+                        F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim'))
                 .withColumn('rank', F.row_number().over(w))
                 .filter(F.col('rank') <= k)
-                .select('query_id', 'vec_id', F.round('cosine_sim', 6).alias('cosine_sim'), 'rank')
+                .select('query_id', 'vec_id', 'cosine_sim', 'rank')
                 .orderBy('query_id', 'rank'))
 
 
@@ -120,8 +123,9 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              seed: int = 42) -> DataFrame:
     """Near-duplicate embedding pairs: LSH bucket self-join + exact cosine."""
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(F.col(id_col).alias('vec_id'), F.col(vec_col).alias('__v'),
-                      _bucket_expr(F.col(vec_col), planes).alias('bucket'))
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__v'),
+                      _bucket_expr(as_double(F.col(vec_col)), planes).alias('bucket'))
     l, r = c.alias('l'), c.alias('r')
     cand = (l.join(r, (F.col('l.bucket') == F.col('r.bucket'))
                    & (F.col('l.vec_id') < F.col('r.vec_id')))

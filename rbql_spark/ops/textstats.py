@@ -102,19 +102,28 @@ def language_id(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -
     return df.select(*out)
 
 
-def doc_fingerprint(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
-    """Order-sensitive 64-bit rolling hash over the token stream:
-    fp = fold(acc * 31 + xxhash64(token)) — a polynomial rolling hash; same
-    token multiset in different order → different fingerprint (unlike
-    minhash), making it a cheap exact-sequence signature."""
+def doc_fingerprint(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
+                    hash_fn: str = 'xxhash64') -> DataFrame:
+    """Order-sensitive 32-bit rolling hash over the token stream:
+    fp = fold((acc * 31 + h32(token)) & 0xFFFFFFFF) — a polynomial rolling
+    hash; same token multiset in different order → different fingerprint
+    (unlike minhash), making it a cheap exact-sequence signature.
+
+    hash_fn 'xxhash64' (cheapest) or 'md5' (token hash = first 8 md5 hex
+    chars — reproducible in any engine with md5(); used by the DuckDB
+    differential oracle, which recomputes the same fold via list_reduce)."""
     df = spread_partitions(df)
     mask32 = F.lit((1 << 32) - 1)
     toks = tokens(F.col(text_col))
+    if hash_fn == 'md5':
+        h32 = lambda t: F.conv(F.substring(F.md5(F.encode(t, 'utf-8')), 1, 8), 16, 10).cast('long')  # noqa: E731
+    else:
+        h32 = lambda t: F.xxhash64(t).bitwiseAND(mask32)  # noqa: E731
     # per-step & MASK32 keeps every intermediate < 2^38 — safe under Spark's
     # default ANSI overflow checking
     fp = F.aggregate(
         toks, F.lit(0).cast('long'),
-        lambda acc, t: (acc * F.lit(31) + F.xxhash64(t).bitwiseAND(mask32)).bitwiseAND(mask32)
+        lambda acc, t: (acc * F.lit(31) + h32(t)).bitwiseAND(mask32)
     )
     return df.select(F.col(id_col), fp.alias('fingerprint'),
                      F.size(toks).alias('n_tokens'))
