@@ -517,8 +517,8 @@ def oracle_sql() -> dict[str, str]:
         "WITH b AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h, "
         " octet_length(encode(coalesce(text, ''))) AS n FROM documents) "
         "SELECT doc_id, n::bigint AS n_bytes, "
-        "coalesce(list_sum(list_transform(range(1, n + 1), "
-        " i -> ('0x' || h[i*2-1:i*2])::bigint)), 0) % 2147483648 AS byte_checksum, "
+        "(coalesce(list_sum(list_transform(range(1, n + 1), "
+        " i -> ('0x' || h[i*2-1:i*2])::bigint)), 0) % 2147483648)::BIGINT AS byte_checksum, "
         "lower(h[1:8]) AS head_hex, " + _f + " FROM b")
 
     return o
