@@ -320,6 +320,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------------------
+# Oracle SQL generation helpers: the dedup/similarity pipelines are seeded
+# and md5-based precisely so DuckDB can replay them value-for-value.  The
+# seeded constants (_perm_params, _hyperplanes) are imported from the ops
+# modules and inlined as SQL literals, guaranteeing both sides agree.
+
+# Tokenizer shared with rbql_spark.ops.dedup.tokens (native) and the
+# vectorized kernels' `[^\W_]+` findall — letters+digits runs, lowercased.
+_SQL_TOKS = ("list_filter(string_split_regex(lower({src}), '[^\\p{{L}}\\p{{N}}]+'), "
+             "x -> x != '')")
+
+
+def _minhash_replay_sql(num_perm: int, shingle_k: int, seed: int,
+                        bands: int, rows_per_band: int, threshold: float) -> str:
+    """Replay minhash_dedup_pairs/ngram_jaccard_pairs (hash_fn='md5') in
+    DuckDB: md5-32 shingle hashes → seeded-permutation signatures → band
+    keys (joined on the pre-hash concat string — equality is identical to
+    the xxhash64 band key Spark uses) → exact Jaccard verify."""
+    from rbql_spark.ops.dedup import _perm_params
+    params = _perm_params(num_perm, seed)
+    k = shingle_k
+    toks = _SQL_TOKS.format(src="coalesce(text, '')")
+    shingle_strs = (
+        "CASE WHEN len(t) >= {k} THEN list_transform(range(1, len(t) - {k} + 2), "
+        "i -> array_to_string(t[i:i + {km1}], ' ')) "
+        "ELSE [array_to_string(t, ' ')] END").format(k=k, km1=k - 1)
+    sig_entries = ", ".join(
+        "list_min(list_transform(sh, s -> ({a} * s + {b}) % 2147483647))".format(a=a, b=b)
+        for a, b in params)
+    band_rows = ", ".join("({})".format(b) for b in range(bands))
+    rpb = str(rows_per_band)
+    return (
+        "WITH toks AS (SELECT doc_id, " + toks + " AS t FROM documents), "
+        "shg AS (SELECT doc_id, list_distinct(list_transform(" + shingle_strs +
+        ", s -> ('0x' || md5(s)[1:8])::BIGINT)) AS sh FROM toks), "
+        "sigs AS (SELECT doc_id, sh, [" + sig_entries + "] AS sig FROM shg), "
+        "bandkeys AS (SELECT doc_id, bi.b AS band_idx, "
+        "array_to_string(sig[bi.b * " + rpb + " + 1:bi.b * " + rpb + " + " + rpb +
+        "], ',') AS band_key "
+        "FROM sigs CROSS JOIN (VALUES " + band_rows + ") bi(b)), "
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM bandkeys l JOIN bandkeys r ON l.band_idx = r.band_idx "
+        "AND l.band_key = r.band_key AND l.doc_id < r.doc_id), "
+        "v AS (SELECT c.doc_a, c.doc_b, "
+        "len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(sa.sh || sb.sh)) "
+        "AS jaccard FROM cand c JOIN shg sa ON sa.doc_id = c.doc_a "
+        "JOIN shg sb ON sb.doc_id = c.doc_b) "
+        "SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= " + repr(threshold))
+
+
+def _simhash_replay_sql(max_hamming: int) -> str:
+    """Replay simhash_near_dups (engine='vectorized') in DuckDB: md5-64
+    token hashes → per-bit ±1 votes → sign fingerprint (two's complement)
+    → ALL-PAIRS Hamming ≤ max_hamming.  The Spark pigeonhole block join has
+    recall 1 by construction, so its output equals this exact answer."""
+    toks = _SQL_TOKS.format(src="coalesce(text, '')")
+    votes = ", ".join(
+        "sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}".format(i=i)
+        for i in range(64))
+    fp_sum = " + ".join(
+        "CASE WHEN v{i} > 0 THEN {p}::HUGEINT ELSE 0::HUGEINT END".format(i=i, p=1 << i)
+        for i in range(64))
+    return (
+        "WITH toks AS (SELECT doc_id, " + toks + " AS t FROM documents), "
+        "tok AS (SELECT doc_id, unnest(t) AS tok FROM toks), "
+        "th AS (SELECT doc_id, ('0x' || md5(tok)[1:16])::UBIGINT AS h FROM tok), "
+        "votes AS (SELECT doc_id, " + votes + " FROM th GROUP BY doc_id), "
+        "fps AS (SELECT doc_id, " + fp_sum + " AS ufp FROM votes), "
+        "allfp AS (SELECT d.doc_id, coalesce((CASE WHEN f.ufp >= 9223372036854775808 "
+        "THEN f.ufp - 18446744073709551616 ELSE f.ufp END)::BIGINT, 0) AS fp "
+        "FROM (SELECT doc_id FROM documents) d LEFT JOIN fps f USING (doc_id)), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "bit_count(xor(a.fp, b.fp)) AS hamming "
+        "FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id) "
+        "SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= " + str(max_hamming))
+
+
+def _plane_values(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """(table, plane_idx, plane) VALUES rows replaying similarity._hyperplanes
+    — repr() round-trips each double exactly."""
+    from rbql_spark.ops.similarity import _hyperplanes
+    rows = []
+    for t in range(n_tables):
+        for i, p in enumerate(_hyperplanes(dim, n_planes, seed=seed + 1000 * t)):
+            arr = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            rows.append("({}, {}, {})".format(t, i, arr))
+    return ", ".join(rows)
+
+
+def _ann_lsh_replay_sql(k: int, dim: int, n_planes: int, n_tables: int,
+                        seed: int) -> str:
+    """Replay lsh_ann_topk in DuckDB: sign-bit buckets per (table, vector),
+    candidates = bucket matches in any table, exact cosine rescore + rank."""
+    vals = _plane_values(dim, n_planes, n_tables, seed)
+    return (
+        "WITH planes(tbl, idx, p) AS (SELECT * FROM (VALUES " + vals + ") x(tbl, idx, p)), "
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        "cb AS (SELECT c.vec_id, pl.tbl, sum(CASE WHEN list_dot_product(c.v, pl.p) >= 0 "
+        "THEN 1 << pl.idx ELSE 0 END)::BIGINT AS bucket "
+        "FROM c CROSS JOIN planes pl GROUP BY c.vec_id, pl.tbl), "
+        "qb AS (SELECT q.query_id, pl.tbl, sum(CASE WHEN list_dot_product(q.qv, pl.p) >= 0 "
+        "THEN 1 << pl.idx ELSE 0 END)::BIGINT AS bucket "
+        "FROM q CROSS JOIN planes pl GROUP BY q.query_id, pl.tbl), "
+        "cand AS (SELECT DISTINCT qb.query_id, cb.vec_id "
+        "FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket), "
+        "scored AS (SELECT cand.query_id, cand.vec_id, "
+        "round(list_cosine_similarity(c2.v, q2.qv), 6) AS cosine_sim "
+        "FROM cand JOIN c c2 ON c2.vec_id = cand.vec_id "
+        "JOIN q q2 ON q2.query_id = cand.query_id), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
+        "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
+    ).format(k=k)
+
+
+def _neardup_replay_sql(threshold: float, dim: int, n_planes: int, seed: int) -> str:
+    """Replay embedding_near_dup_pairs: single-table LSH bucket self-join +
+    exact cosine filter at the (unrounded) threshold."""
+    vals = _plane_values(dim, n_planes, 1, seed)
+    return (
+        "WITH planes(tbl, idx, p) AS (SELECT * FROM (VALUES " + vals + ") x(tbl, idx, p)), "
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "b AS (SELECT c.vec_id, sum(CASE WHEN list_dot_product(c.v, pl.p) >= 0 "
+        "THEN 1 << pl.idx ELSE 0 END)::BIGINT AS bucket "
+        "FROM c CROSS JOIN planes pl GROUP BY c.vec_id), "
+        "cand AS (SELECT l.vec_id AS vec_a, r.vec_id AS vec_b "
+        "FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id), "
+        "s AS (SELECT cand.vec_a, cand.vec_b, list_cosine_similarity(ca.v, cb2.v) AS raw "
+        "FROM cand JOIN c ca ON ca.vec_id = cand.vec_a "
+        "JOIN c cb2 ON cb2.vec_id = cand.vec_b) "
+        "SELECT vec_a, vec_b, round(raw, 6) AS cosine_sim FROM s WHERE raw >= {thr}"
+    ).format(thr=threshold)
+
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
@@ -440,6 +574,42 @@ def oracle_sql() -> dict[str, str]:
     o['setop_except'] = (
         "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders")
 
+    # session windows via gap-and-island: new session when the gap to the
+    # previous event is >= 30 min (Spark session_window merges on overlap of
+    # [ts, ts+gap), i.e. strictly-less gaps)
+    o['window_session'] = (
+        "WITH s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts >= lag(ts) OVER w + INTERVAL 30 minutes THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "g AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM s) "
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n_events "
+        "FROM g GROUP BY user_id, sess")
+
+    # append-mode emission set: availableNow + the trailing no-data batch
+    # emit exactly the windows whose end passed the final watermark
+    # (max event time − 1 hour)
+    o['streaming_windowed_counts'] = (
+        "WITH agg AS (SELECT time_bucket(INTERVAL 6 hours, ts) AS window_start, "
+        "event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2) "
+        "SELECT window_start, event_type, n_events, sum_value FROM agg "
+        "WHERE window_start + INTERVAL 6 hours <= "
+        "(SELECT max(ts) FROM events) - INTERVAL 1 hour")
+
+    o['dedup_minhash_lsh'] = _minhash_replay_sql(
+        num_perm=64, shingle_k=3, seed=42, bands=16, rows_per_band=4, threshold=0.5)
+
+    o['dedup_ngram_jaccard'] = _minhash_replay_sql(
+        num_perm=16, shingle_k=2, seed=7, bands=8, rows_per_band=2, threshold=0.4)
+
+    o['dedup_simhash'] = _simhash_replay_sql(max_hamming=7)
+
+    o['sim_ann_lsh'] = _ann_lsh_replay_sql(k=10, dim=64, n_planes=8, n_tables=4, seed=42)
+
+    o['sim_embedding_neardup'] = _neardup_replay_sql(
+        threshold=0.8, dim=64, n_planes=12, seed=42)
+
     o['dedup_exact'] = (
         "SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash, "
         "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1")
@@ -497,6 +667,17 @@ def oracle_sql() -> dict[str, str]:
         " WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es' "
         " ELSE 'fr' END AS lang_pred, "
         "score_de, score_en, score_es, score_fr FROM scored")
+
+    # replay of doc_fingerprint(hash_fn='md5'): token hash = first 8 md5 hex
+    # chars, rolling fold (acc*31 + h) & 0xFFFFFFFF — list_reduce with a
+    # prepended 0 seed (NULL text stays NULL on both sides)
+    o['text_fingerprint'] = (
+        "WITH t AS (SELECT doc_id, " + _SQL_TOKS.format(src='text') + " AS toks "
+        "FROM documents) "
+        "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(toks, x -> ('0x' || md5(x)[1:8])::BIGINT)), "
+        "(acc, h) -> (acc * 31 + h) & 4294967295) AS fingerprint, "
+        "len(toks) AS n_tokens FROM t")
 
     o['text_token_stats'] = (
         "SELECT doc_id, length(text) AS n_chars, "
