@@ -6,8 +6,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q": sec, ...}, "sf": ...}
 
-Each query runs once as a warm-up-free timed execution to a no-op sink
-(full pipeline executes, nothing is collected to the driver).
+Each query runs REPS times (default 3) to a no-op sink (full pipeline
+executes, nothing is collected to the driver); the reported number is the
+min — local[32] single-run numbers carry ±20% scheduler/GC noise, which
+polluted the round-over-round signal in earlier rounds.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
 CPUS = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+REPS = int(os.environ.get('SPARK_GRAFT_BENCH_REPS', '3'))
 
 # Headline set: RBQL-engine queries + scale-path pipeline operators
 BENCH_QUERIES = [
@@ -71,14 +74,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.format('noop').mode('overwrite').save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # keep benching; a failed query reports -1
-            timings[name] = -1.0
-            print('BENCH ERROR {}: {}'.format(name, e), file=sys.stderr)
+        best = None
+        for _ in range(max(1, REPS)):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.format('noop').mode('overwrite').save()
+                elapsed = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # keep benching; a failed query reports -1
+                best = -1.0
+                print('BENCH ERROR {}: {}'.format(name, e), file=sys.stderr)
+                break
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = best
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(json.dumps({
