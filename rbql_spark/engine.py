@@ -325,6 +325,11 @@ class StageRunner:
                         'No field with index {} at record {} in "B" table'.format(
                             max_key_idx + 1, bad_nr))
 
+        # stash for the UPDATE+JOIN duplicate-match guard: it re-derives the
+        # error from the (memory-sized) B side alone instead of re-running
+        # the join (pre-broadcast df; a_keys resolve against wf.df)
+        self._join_guard_ctx = (bdf, list(a_keys), list(b_keys), wf.df)
+
         if self.options.broadcast_join:
             bdf = F.broadcast(bdf)
 
@@ -421,16 +426,45 @@ class StageRunner:
         # (PROCESS_UPDATE_JOIN, rbql_engine.py:682-697); the error carries
         # the first offending record number
         if wf.b is not None and self.options.strict_checks:
-            dups = (df.groupBy(NR_COL).count().filter(F.col('count') > 1)
-                      .agg(F.min(NR_COL)).collect())
-            if dups and dups[0][0] is not None:
-                first = dups[0][0]
-                if not getattr(self, '_nr_dense', False):
-                    first = (df.filter(F.col(NR_COL) < first)
-                               .select(NR_COL).distinct().count() + 1)
-                raise RbqlRuntimeError(
-                    'At record {}, Details: More than one record in UPDATE query matched '
-                    'a key from the input table in the join table'.format(first))
+            # An A record has >1 matches iff its key is duplicated in B, so
+            # the guard aggregates the B side ONLY (memory-sized by reference
+            # contract — it builds an in-memory hash map).  The A table and
+            # the join are re-scanned only when a duplicate B key exists —
+            # the old guard shuffled the full joined output by record number
+            # on every strict-mode run, doubling cost at scale.
+            bdf_raw, a_keys, b_keys, a_df = self._join_guard_ctx
+            key_aliases = ['__jk{}'.format(i) for i in range(len(b_keys))]
+            dup_keys = (bdf_raw
+                        .groupBy(*[k.alias(n) for k, n in zip(b_keys, key_aliases)])
+                        .agg(F.count(F.lit(1)).alias('__c'))
+                        .filter(F.col('__c') > 1).drop('__c'))
+            # AQE would split this tiny B-only probe into 2-3 jobs
+            # (shuffle-stage re-planning buys nothing at hash-map scale) —
+            # run it as a single classic job
+            sess = bdf_raw.sparkSession
+            old_aqe = sess.conf.get('spark.sql.adaptive.enabled', 'true')
+            sess.conf.set('spark.sql.adaptive.enabled', 'false')
+            try:
+                has_dups = dup_keys.limit(1).count() > 0
+            finally:
+                sess.conf.set('spark.sql.adaptive.enabled', old_aqe)
+            if has_dups:
+                # duplicate keys are an error only when an A record references
+                # one (reference raises at lookup time): broadcast semi-join
+                # for the first offending record number
+                cond2 = None
+                for ac, n in zip(a_keys, key_aliases):
+                    piece = ac.eqNullSafe(F.col(n))
+                    cond2 = piece if cond2 is None else cond2 & piece
+                hit = (a_df.join(F.broadcast(dup_keys), on=cond2, how='inner')
+                       .agg(F.min(NR_COL)).collect())
+                if hit and hit[0][0] is not None:
+                    first = hit[0][0]
+                    if not getattr(self, '_nr_dense', False):
+                        first = a_df.filter(F.col(NR_COL) < first).count() + 1
+                    raise RbqlRuntimeError(
+                        'At record {}, Details: More than one record in UPDATE query matched '
+                        'a key from the input table in the join table'.format(first))
 
         cond = F.lit(True)
         if stage.where_expr is not None:

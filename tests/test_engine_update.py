@@ -66,3 +66,21 @@ def test_update_unknown_field_rejected(spark):
 def test_update_order_by_rejected(spark):
     with pytest.raises(RbqlParsingError):
         query_table(spark, 'UPDATE a1 = 1 ORDER BY a2', [['1', '2']])
+
+
+def test_update_join_unreferenced_b_dup_ok(spark):
+    # duplicate B keys that no A record references are legal (the reference
+    # errors only at lookup time, PROCESS_UPDATE_JOIN rbql_engine.py:682-697)
+    rows, _ = query_table(
+        spark, "UPDATE a2 = b2 INNER JOIN b ON a2 == b1",
+        [['1', 'us'], ['2', 'zz']],
+        join_table=[['us', 'USA'], ['fr', 'France'], ['fr', 'FRA']])
+    assert rows == [['1', 'USA'], ['2', 'zz']]
+
+
+def test_update_join_dup_error_reports_first_record(spark):
+    # record numbering: the FIRST offending A record in input order
+    with pytest.raises(RbqlRuntimeError, match='At record 2, Details: More than one record'):
+        query_table(spark, 'UPDATE a2 = b2 INNER JOIN b ON a2 == b1',
+                    [['1', 'zz'], ['2', 'us'], ['3', 'us']],
+                    join_table=[['us', 'USA'], ['us', 'America']])

@@ -96,3 +96,43 @@ def test_group_agg_without_median_uses_hash_agg(spark, sf_dir):
     # (codegen markers only appear after AQE finalizes; HashAggregate —
     # not ObjectHashAggregate — is the codegen-capable operator)
     assert 'HashAggregate' in plan and 'ObjectHashAggregate' not in plan
+
+
+def _count_jobs(spark, group, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup('', '')
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_strict_update_join_guard_is_b_side_only(spark, sf_dir, entry):
+    # The strict-mode UPDATE+JOIN duplicate-match guard must add exactly ONE
+    # extra job relative to the non-strict run — a B-side-only aggregation
+    # (the old guard re-ran the whole join and shuffled it by record number).
+    from rbql_spark.api import query_dataframe
+    from rbql_spark.binding import TableHandle
+    from rbql_spark.engine import EngineOptions
+    from rbql_spark.registry import ParquetDirRegistry
+    import os as _os
+
+    def run(strict, group):
+        orders = spark.read.parquet(_os.path.join(sf_dir, 'orders.parquet'))
+        handle = TableHandle(df=orders)
+        handle.header = list(orders.columns)
+
+        def go():
+            res = query_dataframe(
+                spark,
+                'UPDATE a.o_orderpriority = b.c_mktsegment '
+                'INNER JOIN customer ON a.o_custkey == b.c_custkey',
+                handle, registry=ParquetDirRegistry(sf_dir),
+                options=EngineOptions(strict_checks=strict))
+            res.display_df().write.format('noop').mode('overwrite').save()
+        return _count_jobs(spark, group, go)
+
+    loose = run(False, 'updjoin-loose')
+    strict = run(True, 'updjoin-strict')
+    assert strict == loose + 1, (loose, strict)
