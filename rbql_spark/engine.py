@@ -363,9 +363,12 @@ class StageRunner:
                         F.max(F.col(BNR_COL).isNotNull().cast('int')).alias('__matched')]
             for i, ac in enumerate(a_keys):
                 agg_cols.append(F.first(ac).alias('__k{}'.format(i)))
+            # orderBy the record surrogate: the reported key is the FIRST
+            # violation in record order (reference iterates sequentially),
+            # not an arbitrary partition's winner
             bad = (joined.groupBy(F.col(NR_COL)).agg(*agg_cols)
                    .filter((F.col('__match_cnt') > 1) | (F.col('__matched') == 0))
-                   .limit(1).collect())
+                   .orderBy(F.col(NR_COL)).limit(1).collect())
             if bad:
                 vals = [bad[0]['__k{}'.format(i)] for i in range(len(a_keys))]
                 lhs_key = vals[0] if len(vals) == 1 else tuple(vals)

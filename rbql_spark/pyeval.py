@@ -223,7 +223,11 @@ def _coercer(dt: T.DataType):
         return lambda v: None if v is None else (
             v if isinstance(v, str)
             else (str(int(v)) if _is_int_exact(v)
-                  else str(v) if isinstance(v, float) or _is_bool_like(v)
+                  else str(v) if _is_bool_like(v)
+                  # float(v) first: numpy float32/16 stringify through the
+                  # Python-float repr (the reference engine only ever holds
+                  # Python floats), consistent with the DoubleType coercer
+                  else str(float(v)) if _is_float_like(v)
                   else _lossy(v, 'str')))
     if isinstance(dt, T.ArrayType):
         elem = _coercer(dt.elementType)

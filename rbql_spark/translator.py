@@ -81,10 +81,7 @@ class ExpressionTranslator:
         return self._expr(tree.body)
 
     def translate_predicate(self, expr_text: str) -> Column:
-        try:
-            tree = ast.parse(expr_text.strip(), mode='eval')
-        except SyntaxError:
-            raise
+        tree = ast.parse(expr_text.strip(), mode='eval')
         return self._predicate(tree.body)
 
     def _predicate(self, node: ast.expr) -> Column:
@@ -187,7 +184,11 @@ class ExpressionTranslator:
                 if v.tag == tag:
                     continue
                 if _is_num(v.tag) and _is_num(tag):
-                    tag = _merge_num(tag, v.tag)
+                    # Python returns the winning OPERAND with its own type
+                    # ('a.n or 0.5' can yield int 7); a merged numeric Spark
+                    # column would render it 7.0 — punt to the Python
+                    # evaluator for value parity
+                    raise TranslationFallback('int/float-mixed and/or in value position')
                 elif tag == 'null':
                     tag = v.tag
                 elif v.tag != 'null':

@@ -130,3 +130,26 @@ def test_fallback_type_drift_raises_not_truncates(spark):
         spark, 'SELECT a.n.bit_length() if a.n != 1995 else 3.7', df)
     with pytest.raises(RbqlRuntimeError, match='inferred from a sample'):
         collect_result_rows(res)
+
+
+def test_boolop_value_mixed_int_float_keeps_operand_type(spark):
+    # `a1 or 0.5` returns the winning OPERAND with its own type (int 7),
+    # not a merged double (7.0) — int/float-mixed and/or falls back to the
+    # Python evaluator for value parity
+    rows, _ = query_table(spark, 'SELECT a1 or 0.5', [[7], [0]])
+    assert rows == [[7], [0.5]]
+    rows, _ = query_table(spark, 'SELECT a1 and 0.5', [[7], [0]])
+    assert rows == [[0.5], [0]]
+
+
+def test_string_coercer_accepts_numpy_float32():
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from rbql_spark.pyeval import _coercer
+    c = _coercer(T.StringType())
+    # numpy scalars stringify through the Python-float repr (the reference
+    # engine only ever holds Python floats)
+    assert c(np.float32(1.5)) == '1.5'
+    assert c(np.float64(2.25)) == '2.25'
+    assert c(np.int32(7)) == '7'
