@@ -46,23 +46,36 @@ def token_stats(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -
 
 
 def quality_score(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
-    """Heuristic quality features + a composite score in [0, 1]."""
+    """Heuristic quality features + a composite score in [0, 1].
+
+    Every count is a native regexp_count/regexp_replace expression — no
+    higher-order array functions (Catalyst executes lambda HOFs
+    *interpreted*, outside whole-stage codegen; the original HOF version
+    measured ~2× slower at sf0.1).  Sum of word lengths == count of
+    non-whitespace chars, so mean_word_len needs no per-word fold.
+    """
     df = spread_partitions(df)
     t = F.col(text_col)
     n_chars = F.length(t).cast('double')
-    words = F.filter(F.split(t, r'\s+', -1), lambda x: x != '')
-    n_words = F.size(words).cast('double')
-    n_punct = F.length(F.regexp_replace(t, r'[^\p{Punct}]', '')).cast('double')
-    n_upper = F.length(F.regexp_replace(t, r'[^A-Z]', '')).cast('double')
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS['en']])
-    toks = tokens(t)
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast('double')
-    mean_word_len = F.when(n_words > 0,
-                           F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w)) / n_words
-                           ).otherwise(F.lit(0.0))
+    n_words = F.regexp_count(t, F.lit(r'\S+')).cast('double')
+    n_punct = F.regexp_count(t, F.lit(r'[\p{Punct}]')).cast('double')
+    n_upper = F.regexp_count(t, F.lit(r'[A-Z]')).cast('double')
+    # non-space chars = total − whitespace; counting the (sparser)
+    # whitespace class is measurably cheaper than counting \S
+    word_chars = (F.length(t) - F.regexp_count(t, F.lit(r'\s'))).cast('double')
+    # a token equals a stopword iff the whole [L N]+ run matches: anchor on
+    # a consumed non-token char (or start) + a lookahead — tokens are
+    # delimiter-separated, so consuming the delimiter never masks the next
+    # match, and it benches ~2× faster than a lookbehind
+    stop_rgx = (r'(?:^|[^\p{L}\p{N}])(?:' + '|'.join(_STOPWORDS['en'])
+                + r')(?![\p{L}\p{N}])')
+    n_stop = F.regexp_count(F.lower(t), F.lit(stop_rgx)).cast('double')
+    # token-run COUNT is case-invariant — skip the lower() allocation
+    n_toks = F.regexp_count(t, F.lit(r'[\p{L}\p{N}]+')).cast('double')
+    mean_word_len = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(F.size(toks) > 0, n_stop / F.size(toks).cast('double')).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_toks > 0, n_stop / n_toks).otherwise(F.lit(0.0))
     score = (
         F.when((n_words >= 5) & (n_words <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
         + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
