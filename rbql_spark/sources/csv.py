@@ -136,12 +136,39 @@ def read_csv(spark: SparkSession, path: str, delim: str = ',',
         return _read_csv_native(spark, path, delim, policy, with_headers, encoding, comment_prefix)
 
     if encoding == 'latin-1' or policy == 'quoted_rfc':
+        bulk = (os.path.exists(path)
+                and os.path.getsize(path) >= _DISTRIBUTED_SCAN_MIN_BYTES)
+        if bulk and policy == 'quoted_rfc':
+            return _read_csv_rfc_distributed(spark, path, delim, encoding,
+                                             with_headers, comment_prefix,
+                                             strip_whitespaces,
+                                             comment_regex=comment_regex)
+        if bulk:
+            return _read_csv_latin1_distributed(spark, path, delim, policy,
+                                                with_headers, comment_prefix,
+                                                strip_whitespaces,
+                                                comment_regex=comment_regex)
         return _read_csv_driver_side(spark, path, delim, policy, encoding,
                                      with_headers, comment_prefix, strip_whitespaces,
                                      comment_regex=comment_regex)
     return _read_csv_distributed(spark, path, delim, policy, with_headers,
                                  comment_prefix, strip_whitespaces,
                                  comment_regex=comment_regex)
+
+
+def _collect_translating(df):
+    """Collect an eager probe, mapping executor-raised RbqlIOHandlingError
+    (e.g. defective RFC quoting found by a distributed scan task) back to
+    the reference error taxonomy instead of a Py4J traceback."""
+    try:
+        return df.collect()
+    except RbqlIOHandlingError:
+        raise
+    except Exception as e:
+        m = re.search(r'RbqlIOHandlingError: (.*?)(?:\n|$)', str(e))
+        if m:
+            raise RbqlIOHandlingError(m.group(1).strip()) from None
+        raise
 
 
 # (path, mtime, delim, policy) → probed max field count; the probe is a full
@@ -180,7 +207,7 @@ def _arrays_to_handle(spark: SparkSession, arr_df: DataFrame,
             aggs = [F.min(order).alias('first_at'), F.count(F.lit(1)).alias('cnt')]
             if has_bad:
                 aggs.append(F.max(F.col('__bad_quoting').cast('int')).alias('bad'))
-            rows = (arr_df.groupBy(F.size('fields').alias('w')).agg(*aggs).collect())
+            rows = _collect_translating(arr_df.groupBy(F.size('fields').alias('w')).agg(*aggs))
             sizes = sorted((r['w'], r['first_at']) for r in rows)
             probe_warnings = []
             if len(sizes) > 1:
@@ -272,6 +299,10 @@ def _read_csv_distributed(spark, path, delim, policy, with_headers,
         df = df.select(line.alias('value'), F.col(ORDER_SRC_COL))
         if comment_prefix:
             df = df.filter(~F.col('value').startswith(comment_prefix))
+        if comment_regex:
+            # re.search semantics; Java regex (rlike) accepts the same
+            # grammar for the common prefix/anchor patterns
+            df = df.filter(~F.col('value').rlike(comment_regex))
 
     if policy == 'simple':
         arr = F.split(F.col('value'), re.escape(delim), -1)
@@ -302,7 +333,7 @@ def _read_csv_distributed(spark, path, delim, policy, with_headers,
 
 
 def _quoted_distributed(spark, lines_df, delim, with_headers, strip_whitespaces,
-                        comment_prefix, path) -> TableHandle:
+                        comment_prefix, path, encoding: str = 'utf-8') -> TableHandle:
     """quoted (single-line) policy: Arrow-batched Python splitter."""
     from pyspark.sql import types as T
     has_order = ORDER_SRC_COL in lines_df.columns
@@ -353,7 +384,7 @@ def _quoted_distributed(spark, lines_df, delim, with_headers, strip_whitespaces,
     arr_df = lines_df.mapInPandas(run, schema=schema).select(*keep)
     header = None
     if with_headers:
-        header = _read_header_line(path, delim, 'quoted', 'utf-8', comment_prefix,
+        header = _read_header_line(path, delim, 'quoted', encoding, comment_prefix,
                                    strip_whitespaces)
         arr_df = _drop_first_row(arr_df)
     return _arrays_to_handle(spark, arr_df, header, None, cache_key=(path, delim, 'quoted'))
@@ -389,6 +420,346 @@ def _read_header_line(path, delim, policy, encoding, comment_prefix,
                 fields = [x.strip() for x in fields]
             return fields
     return []
+
+
+# ---------------------------------------------------------------------------
+# distributed byte-range scan (latin-1 and multiline-RFC policies)
+#
+# Files at/above this size no longer decode on the driver: the file is cut
+# into byte ranges (Hadoop-split semantics: a task owns the lines that START
+# in its range and reads past the edge to finish its last line), so a 1 TB
+# latin-1 or quoted_rfc file scans on every core instead of one.
+_DISTRIBUTED_SCAN_MIN_BYTES = 4 << 20
+
+_TERM_B = re.compile(rb'\r\n|\r|\n')
+
+
+def _iter_chunk_lines(path: str, start: int, end: int):
+    """Yield raw byte lines whose FIRST byte lies in [start, end).
+
+    Reading begins one byte early so the task can classify whether `start`
+    itself is a line start and see a CRLF pair straddling the edge; latin-1
+    is single-byte and UTF-8 line terminators are ASCII-disjoint, so byte
+    ranges never split a character across tasks in a way that matters here.
+    """
+    with open(path, 'rb') as f:
+        base = start - 1 if start > 0 else 0
+        f.seek(base)
+        data = f.read(end - base)
+        eof = len(data) < end - base
+        state = {'data': data, 'eof': eof}
+
+        def extend() -> bool:
+            if state['eof']:
+                return False
+            chunk = f.read(1 << 20)
+            if not chunk:
+                state['eof'] = True
+                return False
+            state['data'] += chunk
+            return True
+
+        if start == 0:
+            pos = 0
+        else:
+            m = _TERM_B.search(state['data'])
+            while m is None and extend():          # line longer than the chunk
+                m = _TERM_B.search(state['data'])
+            if m is None:
+                return                             # no line starts here
+            while m.group() == b'\r' and m.end() == len(state['data']) and extend():
+                m = _TERM_B.search(state['data'], m.start())
+            pos = m.end()
+        while base + pos < end:
+            m = _TERM_B.search(state['data'], pos)
+            while m is None and extend():
+                m = _TERM_B.search(state['data'], pos)
+            if m is None:                          # unterminated final line
+                yield state['data'][pos:]
+                return
+            while m.group() == b'\r' and m.end() == len(state['data']) and extend():
+                m = _TERM_B.search(state['data'], pos)
+            yield state['data'][pos:m.start()]
+            pos = m.end()
+
+
+def _chunk_bounds(size: int, parallelism: int) -> list[tuple[int, int]]:
+    target = min(max(size // max(parallelism, 1), 1 << 20), 128 << 20)
+    bounds = list(range(0, size, target)) + [size]
+    return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+
+
+# order key leaves 2^40 line slots per chunk (a >1 PB chunk would overflow
+# first); chunk index rides in the high bits so the key is globally monotone
+_CHUNK_ORDER_SHIFT = 40
+
+
+def _chunked_lines_df(spark: SparkSession, path: str, encoding: str) -> DataFrame:
+    """(value, __src_order) decoded lines via parallel byte-range tasks."""
+    size = os.path.getsize(path)
+    bounds = _chunk_bounds(size, spark.sparkContext.defaultParallelism)
+    n = len(bounds)
+    spec = spark.range(0, n, 1, numPartitions=n)
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            for cid in pdf['id']:
+                cid = int(cid)
+                s, e = bounds[cid]
+                lines, orders = [], []
+                okey = cid << _CHUNK_ORDER_SHIFT
+                for i, raw in enumerate(_iter_chunk_lines(path, s, e)):
+                    if cid == 0 and i == 0 and raw.startswith(b'\xef\xbb\xbf'):
+                        raw = raw[3:]
+                    try:
+                        lines.append(raw.decode(encoding))
+                    except UnicodeDecodeError:
+                        raise RbqlIOHandlingError(
+                            'Unable to decode input table as UTF-8. '
+                            'Use binary (latin-1) encoding instead')
+                    orders.append(okey + i)
+                yield pd.DataFrame({'value': pd.Series(lines, dtype='object'),
+                                    ORDER_SRC_COL: pd.Series(orders, dtype='int64')})
+
+    return spec.mapInPandas(run, schema='value string, {} long'.format(ORDER_SRC_COL))
+
+
+def _bom_pre_warnings(path: str) -> list[str]:
+    with open(path, 'rb') as f:
+        head = f.read(3)
+    if head.startswith(b'\xef\xbb\xbf'):
+        return ['UTF-8 Byte Order Mark (BOM) was found and skipped in input table']
+    return []
+
+
+def _read_csv_latin1_distributed(spark, path, delim, policy, with_headers,
+                                 comment_prefix, strip_whitespaces,
+                                 comment_regex: str | None = None) -> TableHandle:
+    """latin-1 line policies at bulk size: chunked byte scan + native split
+    (the split expressions operate on decoded strings, so the utf-8
+    distributed pipeline applies unchanged)."""
+    df = _chunked_lines_df(spark, path, 'latin-1')
+    if comment_prefix:
+        df = df.filter(~F.col('value').startswith(comment_prefix))
+    if comment_regex:
+        df = df.filter(~F.col('value').rlike(comment_regex))
+
+    if policy == 'simple':
+        arr = F.split(F.col('value'), re.escape(delim), -1)
+    elif policy == 'whitespace':
+        trimmed = F.regexp_replace(F.regexp_replace(F.col('value'), '^ +', ''), ' +$', '')
+        arr = F.when(trimmed == '', F.array(F.lit('')))\
+               .otherwise(F.split(trimmed, ' +', -1))
+    elif policy == 'monocolumn':
+        arr = F.array(F.col('value'))
+    elif policy == 'quoted':
+        return _quoted_distributed(spark, df, delim, with_headers,
+                                   strip_whitespaces, comment_prefix, path,
+                                   encoding='latin-1')
+    else:
+        raise RbqlIOHandlingError('unknown split policy: ' + policy)
+    if strip_whitespaces:
+        arr = F.transform(arr, lambda x: F.trim(x))
+    arr_df = df.select(arr.alias('fields'), F.col(ORDER_SRC_COL))
+    header = None
+    if with_headers:
+        header = _read_header_line(path, delim, policy, 'latin-1', comment_prefix,
+                                   strip_whitespaces)
+        arr_df = _drop_first_row(arr_df)
+    return _arrays_to_handle(spark, arr_df, header, None,
+                             cache_key=(path, delim, policy),
+                             pre_warnings=_bom_pre_warnings(path))
+
+
+def _rfc_chunk_scan(lines, start_parity: int, comment_prefix, comment_rgx):
+    """One sequential pass of the RFC record grammar over a chunk's lines.
+
+    Returns (per-line records, end_parity, n_record_ends): a line at even
+    parity that matches the comment filter is skipped entirely (reference
+    checks comments only at record boundaries, rbql_csv.py:420-439); any
+    other line flips parity by its quote-count, and a record ends whenever
+    parity returns to even.
+    """
+    par = start_parity
+    ends = 0
+    out = []          # (record_ordinal_in_chunk, line_text) or None for skipped
+    for line in lines:
+        if par == 0 and (
+                (comment_prefix is not None and line.startswith(comment_prefix))
+                or (comment_rgx is not None and comment_rgx.search(line) is not None)):
+            out.append(None)
+            continue
+        out.append((ends, line))
+        par = (par + line.count('"')) % 2
+        if par == 0:
+            ends += 1
+    return out, par, ends
+
+
+def _read_csv_rfc_distributed(spark, path, delim, encoding, with_headers,
+                              comment_prefix, strip_whitespaces,
+                              comment_regex: str | None = None) -> TableHandle:
+    """quoted_rfc at bulk size: two distributed passes + one tiny reduce.
+
+    Multiline records make line ownership context-dependent (a line belongs
+    to the record opened by the last odd-quote line).  Record boundaries
+    depend only on quote-count PARITY, so:
+      pass 1  per chunk: line/quote tallies for both possible start
+              parities → driver folds chunk transitions into each chunk's
+              true start parity + global record/line offsets (tiny rows,
+              one per chunk);
+      pass 2  per chunk: re-scan with the known start parity, emit
+              (record_id, line_no, text); records sharing an id are
+              reassembled by a groupBy shuffle and split with the exact
+              reference-parity splitter (Arrow-batched).
+    Defective quoting is a hard error carrying global record+line ordinals
+    (rbql_csv.py:461-468), raised from the verify stage.
+    """
+    size = os.path.getsize(path)
+    bounds = _chunk_bounds(size, spark.sparkContext.defaultParallelism)
+    n = len(bounds)
+    spec = spark.range(0, n, 1, numPartitions=n)
+    cpfx, crgx_s = comment_prefix, comment_regex
+
+    def tally(batches):
+        import pandas as pd
+        crgx = re.compile(crgx_s) if crgx_s else None
+        for pdf in batches:
+            rows = []
+            for cid in pdf['id']:
+                cid = int(cid)
+                s, e = bounds[cid]
+                lines = []
+                for i, raw in enumerate(_iter_chunk_lines(path, s, e)):
+                    if cid == 0 and i == 0 and raw.startswith(b'\xef\xbb\xbf'):
+                        raw = raw[3:]
+                    lines.append(_decode_or_raise(raw, encoding))
+                _, p0, e0 = _rfc_chunk_scan(lines, 0, cpfx, crgx)
+                _, p1, e1 = _rfc_chunk_scan(lines, 1, cpfx, crgx)
+                rows.append((cid, len(lines), p0, e0, p1, e1))
+            yield pd.DataFrame(rows, columns=['cid', 'n_lines', 'p0', 'e0', 'p1', 'e1'])
+
+    stats = {int(r['cid']): r for r in
+             spec.mapInPandas(tally, 'cid long, n_lines long, p0 int, e0 long, p1 int, e1 long')
+             .collect()}
+    start_parity: dict[int, int] = {}
+    rec_offset: dict[int, int] = {}
+    line_offset: dict[int, int] = {}
+    par, recs, nlines = 0, 0, 0
+    for cid in range(n):
+        start_parity[cid], rec_offset[cid], line_offset[cid] = par, recs, nlines
+        r = stats[cid]
+        par = r['p1'] if par else r['p0']
+        recs += r['e1'] if start_parity[cid] else r['e0']
+        nlines += r['n_lines']
+    def emit(batches):
+        import pandas as pd
+        crgx = re.compile(crgx_s) if crgx_s else None
+        for pdf in batches:
+            for cid in pdf['id']:
+                cid = int(cid)
+                s, e = bounds[cid]
+                lines = []
+                for i, raw in enumerate(_iter_chunk_lines(path, s, e)):
+                    if cid == 0 and i == 0 and raw.startswith(b'\xef\xbb\xbf'):
+                        raw = raw[3:]
+                    lines.append(_decode_or_raise(raw, encoding))
+                scanned, _, _ = _rfc_chunk_scan(lines, start_parity[cid], cpfx, crgx)
+                rid, lno, txt = [], [], []
+                for i, item in enumerate(scanned):
+                    if item is None:
+                        continue
+                    rid.append(rec_offset[cid] + item[0])
+                    lno.append(line_offset[cid] + i)
+                    txt.append(item[1])
+                yield pd.DataFrame({'rid': pd.Series(rid, dtype='int64'),
+                                    'lno': pd.Series(lno, dtype='int64'),
+                                    'value': pd.Series(txt, dtype='object')})
+
+    lines_df = spec.mapInPandas(emit, 'rid long, lno long, value string')
+    assembled = (lines_df
+                 .groupBy('rid')
+                 # last line: the reference's line counter points at the
+                 # final line of the record when it raises
+                 .agg(F.max('lno').alias('last_line'),
+                      F.array_join(
+                          F.transform(
+                              F.array_sort(F.collect_list(F.struct('lno', 'value'))),
+                              lambda x: x['value']),
+                          '\n').alias('logical')))
+
+    dlm, strip = delim, strip_whitespaces
+
+    def split_records(batches):
+        import pandas as pd
+        for pdf in batches:
+            fields_out = []
+            for logical, rid, last_line in zip(pdf['logical'], pdf['rid'], pdf['last_line']):
+                fields, warning = split_quoted(logical, dlm)
+                if warning:
+                    raise RbqlIOHandlingError(
+                        'Inconsistent double quote escaping in input table at record {}, line {}'
+                        .format(int(rid) + 1, int(last_line) + 1))
+                if strip:
+                    fields = [f.strip() for f in fields]
+                fields_out.append(fields)
+            yield pd.DataFrame({'fields': pd.Series(fields_out, dtype='object'),
+                                ORDER_SRC_COL: pdf['rid']})
+
+    arr_df = assembled.mapInPandas(
+        split_records, 'fields array<string>, {} long'.format(ORDER_SRC_COL))
+    header = None
+    if with_headers:
+        header = _read_header_record_rfc(path, delim, encoding, comment_prefix,
+                                         comment_regex, strip_whitespaces)
+        arr_df = _drop_first_row(arr_df)
+    return _arrays_to_handle(spark, arr_df, header, None,
+                             cache_key=(path, delim, 'quoted_rfc'),
+                             pre_warnings=_bom_pre_warnings(path))
+
+
+def _decode_or_raise(raw: bytes, encoding: str) -> str:
+    try:
+        return raw.decode(encoding)
+    except UnicodeDecodeError:
+        raise RbqlIOHandlingError(
+            'Unable to decode input table as UTF-8. Use binary (latin-1) encoding instead')
+
+
+def _read_header_record_rfc(path, delim, encoding, comment_prefix, comment_regex,
+                            strip_whitespaces) -> list[str]:
+    """First logical record, read incrementally from the file head on the
+    driver (a header is one record; no reason to involve the cluster)."""
+    crgx = re.compile(comment_regex) if comment_regex else None
+    with open(path, 'rb') as f:
+        raw = b''
+        while True:
+            chunk = f.read(1 << 16)
+            raw += chunk
+            content = raw.decode(encoding, errors='replace')
+            content, _ = _strip_bom(content)
+            lines = re.split(r'\r\n|\r|\n', content)
+            if chunk:
+                lines = lines[:-1]   # last piece may be a partial line
+            rows: list[str] = []
+            par = 0
+            done = False
+            for line in lines:
+                if par == 0 and (
+                        (comment_prefix and line.startswith(comment_prefix))
+                        or (crgx is not None and crgx.search(line) is not None)):
+                    continue
+                rows.append(line)
+                par = (par + line.count('"')) % 2
+                if par == 0:
+                    done = True
+                    break
+            if done or not chunk:
+                fields, _ = split_quoted('\n'.join(rows), delim)
+                if strip_whitespaces:
+                    fields = [x.strip() for x in fields]
+                return fields
 
 
 def _read_csv_driver_side(spark, path, delim, policy, encoding, with_headers,

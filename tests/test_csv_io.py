@@ -165,3 +165,86 @@ def test_write_csv_normalization(spark, tmp_path):
         content = f.read()
     # ints stringified, None → '', list joined by |
     assert content == '5,,|\n7,,y\n'
+
+
+# ---------------------------------------------------------------------------
+# distributed byte-range scans (latin-1 / quoted_rfc above the size gate)
+
+def _handle_rows(handle):
+    df = handle.df
+    oc = [c for c in df.columns if c == '__src_order']
+    if oc:
+        df = df.orderBy('__src_order')
+    return [tuple(r) for r in df.drop(*oc).collect()], handle.header
+
+
+def test_latin1_distributed_scan_matches_driver(spark, tmp_path, monkeypatch):
+    import rbql_spark.sources.csv as C
+    p = str(tmp_path / 'big_latin1.csv')
+    with open(p, 'wb') as f:
+        for i in range(130000):
+            if i % 997 == 0:
+                f.write(b'#comment\n')
+            term = b'\r\n' if i % 3 == 0 else b'\n'
+            f.write(('caf\xe9{0},v\xf8l{1},{0}'.format(i, i * 7)).encode('latin-1') + term)
+
+    monkeypatch.setattr(C, '_DISTRIBUTED_SCAN_MIN_BYTES', 1 << 62)
+    drv = _handle_rows(C.read_csv(spark, p, delim=',', policy='simple',
+                                  encoding='latin-1', comment_prefix='#'))
+    monkeypatch.setattr(C, '_DISTRIBUTED_SCAN_MIN_BYTES', 1)
+    h = C.read_csv(spark, p, delim=',', policy='simple',
+                   encoding='latin-1', comment_prefix='#')
+    # the scan must actually run as multiple byte-range tasks
+    assert h.df.rdd.getNumPartitions() > 1
+    assert _handle_rows(h) == drv
+
+
+def test_quoted_rfc_distributed_scan_matches_driver(spark, tmp_path, monkeypatch):
+    import rbql_spark.sources.csv as C
+    p = str(tmp_path / 'big_rfc.csv')
+    with open(p, 'w', encoding='utf-8') as f:
+        f.write('id,text,num\n')
+        for i in range(90000):
+            if i % 499 == 0:
+                f.write('#skipme\n')
+            if i % 7 == 0:
+                f.write('{0},"multi line\nsecond ""line"" {0}\nthird,with,commas",{1}\n'
+                        .format(i, i * 3))
+            elif i % 11 == 0:
+                f.write('{0},"quoted,field {0}",{1}\n'.format(i, i * 3))
+            else:
+                f.write('{0},plain{0},{1}\n'.format(i, i * 3))
+
+    monkeypatch.setattr(C, '_DISTRIBUTED_SCAN_MIN_BYTES', 1 << 62)
+    drv = _handle_rows(C.read_csv(spark, p, delim=',', policy='quoted_rfc',
+                                  with_headers=True, comment_prefix='#'))
+    monkeypatch.setattr(C, '_DISTRIBUTED_SCAN_MIN_BYTES', 1)
+    import os as _os
+    assert len(C._chunk_bounds(_os.path.getsize(p),
+                               spark.sparkContext.defaultParallelism)) > 1
+    h = C.read_csv(spark, p, delim=',', policy='quoted_rfc',
+                   with_headers=True, comment_prefix='#')
+    assert _handle_rows(h) == drv
+
+
+def test_quoted_rfc_distributed_defective_quote_error_parity(spark, tmp_path, monkeypatch):
+    import rbql_spark.sources.csv as C
+    from rbql_spark.errors import RbqlIOHandlingError
+    p = str(tmp_path / 'bad_rfc.csv')
+    with open(p, 'w') as f:
+        for i in range(30000):
+            f.write('{0},ok{0}\n'.format(i))
+        f.write('10,"broken "quote,3\n')
+    monkeypatch.setattr(C, '_DISTRIBUTED_SCAN_MIN_BYTES', 1)
+    with pytest.raises(RbqlIOHandlingError, match=r'at record 30001, line 30001'):
+        C.read_csv(spark, p, delim=',', policy='quoted_rfc')
+
+
+def test_comment_regex_honored_on_distributed_utf8_path(spark, tmp_path):
+    import rbql_spark.sources.csv as C
+    p = str(tmp_path / 'cr.csv')
+    with open(p, 'w') as f:
+        f.write('a,1\n#skip,2\nb,3\n')
+    h = C.read_csv(spark, p, delim=',', policy='simple', comment_regex=r'^#')
+    rows, _ = _handle_rows(h)
+    assert [r[0] for r in rows] == ['a', 'b']
