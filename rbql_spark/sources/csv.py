@@ -872,6 +872,141 @@ def _quote_field(s: str, delim: str) -> str:
     return s
 
 
+_SCALAR_SINK_TYPES = None  # populated lazily (pyspark types import)
+
+
+def _sink_scalar_types():
+    global _SCALAR_SINK_TYPES
+    if _SCALAR_SINK_TYPES is None:
+        from pyspark.sql import types as T
+        _SCALAR_SINK_TYPES = (T.StringType, T.LongType, T.IntegerType,
+                              T.DoubleType, T.FloatType, T.BooleanType,
+                              T.ShortType, T.ByteType)
+    return _SCALAR_SINK_TYPES
+
+
+def _serialize_pdf(pdf, field_types, delim, policy):
+    """pandas rows → serialized CSV line Series + (n_null, n_sep) counts.
+
+    Formatting is driven by the SPARK type, not the pandas dtype: Arrow
+    hands a nullable int64 column to pandas as float64, so dtype-driven
+    str() would corrupt 1 into '1.0'.  Floats stringify via the Python
+    repr (reference writer parity, rbql_csv.py:258-277)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    n_null = 0
+    n_sep = 0
+    cols = []
+    for name, dt in zip(pdf.columns, field_types):
+        sc = pdf[name]
+        nulls = sc.isnull()
+        cnull = int(nulls.sum())
+        n_null += cnull
+        if isinstance(dt, T.StringType):
+            sc = (sc.where(~nulls, '') if cnull else sc).astype(str)
+        elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            if cnull == 0 and sc.dtype.kind in 'iu':
+                sc = sc.astype(str)
+            else:
+                sc = sc.map(lambda v: '' if pd.isna(v) else str(int(v)))
+        elif isinstance(dt, (T.DoubleType, T.FloatType)):
+            sc = sc.map(lambda v: '' if pd.isna(v) else str(float(v)))
+        elif isinstance(dt, T.BooleanType):
+            sc = sc.map(lambda v: '' if pd.isna(v) else ('True' if v else 'False'))
+        else:  # unreachable behind the scalar-schema gate
+            sc = sc.map(lambda v: '' if pd.isna(v) else str(v))
+        if policy in ('quoted', 'quoted_rfc'):
+            need = sc.str.contains(delim, regex=False) | sc.str.contains('"', regex=False) \
+                | sc.str.contains('\n', regex=False) | sc.str.contains('\r', regex=False)
+            if need.any():
+                esc = '"' + sc[need].str.replace('"', '""', regex=False) + '"'
+                sc = sc.copy()
+                sc[need] = esc
+        elif policy == 'simple':
+            n_sep += int(sc.str.contains(delim, regex=False).sum())
+        cols.append(sc)
+    if not cols:
+        return pd.Series([], dtype='object'), n_null, n_sep
+    line = cols[0].str.cat(cols[1:], sep=delim) if len(cols) > 1 else cols[0]
+    return line, n_null, n_sep
+
+
+def _write_header(f, header, delim, policy, encoding, warnings):
+    if header is None:
+        return
+    hdr = [_normalize_out_value(v, delim, warnings) for v in header]
+    if policy in ('quoted', 'quoted_rfc'):
+        hdr = [_quote_field(x, delim) for x in hdr]
+    f.write((delim.join(hdr) + '\n').encode(encoding))
+
+
+# results whose optimizer-estimated size clears this bar serialize on the
+# executors (Arrow-batched) and land as ordered part files that the driver
+# merely concatenates — the driver never materializes the rows
+_DISTRIBUTED_SINK_MIN_BYTES = 64 << 20
+
+
+def _write_csv_distributed(result, output_path, delim, policy, encoding,
+                           warnings) -> bool:
+    """Bulk sink: per-partition Arrow serialization + df.write.text of the
+    ordered partitions, then a byte-level part-file merge on the driver.
+    Warning counts ride back on accumulators.  Returns False when the
+    result shape needs another path."""
+    if getattr(result, 'trim_width_col', None) is not None or result.int_flag_cols:
+        return False
+    if policy not in ('quoted', 'quoted_rfc', 'simple'):
+        return False
+    if encoding != 'utf-8':
+        return False  # the text datasource writes utf-8
+    df = result.display_df(ordered=True)
+    if not all(isinstance(f.dataType, _sink_scalar_types()) for f in df.schema.fields):
+        return False
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 0
+    if est < _DISTRIBUTED_SINK_MIN_BYTES:
+        return False
+
+    import glob
+    import shutil
+    import tempfile
+    sctx = df.sparkSession.sparkContext
+    acc_null = sctx.accumulator(0)
+    acc_sep = sctx.accumulator(0)
+    ftypes = [f.dataType for f in df.schema.fields]
+    dlm, pol = delim, policy
+
+    def ser(batches):
+        import pandas as pd
+        for pdf in batches:
+            line, n_null, n_sep = _serialize_pdf(pdf, ftypes, dlm, pol)
+            acc_null.add(n_null)
+            acc_sep.add(n_sep)
+            yield pd.DataFrame({'line': line})
+
+    outdir = os.path.dirname(os.path.abspath(output_path)) or '.'
+    tmpdir = tempfile.mkdtemp(prefix='.rbql_csv_parts_', dir=outdir)
+    shutil.rmtree(tmpdir)  # the writer creates it
+    try:
+        df.mapInPandas(ser, 'line string').write.text(tmpdir)
+        # global order = part order: the sort's range exchange numbers
+        # partitions in key order and part files inherit partition ids
+        parts = sorted(glob.glob(os.path.join(tmpdir, 'part-*')))
+        with open(output_path, 'wb') as out:
+            _write_header(out, result.out_names, delim, policy, encoding, warnings)
+            for p in parts:
+                with open(p, 'rb') as src:
+                    shutil.copyfileobj(src, out, 1 << 22)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    if acc_null.value:
+        warnings.add('None values in output were replaced by empty strings')
+    if acc_sep.value:
+        warnings.add('Some output fields contain separator')
+    return True
+
+
 def _write_csv_vectorized(result, output_path, delim, policy, encoding,
                           warnings) -> bool:
     """Pandas-vectorized serialization fast path (no ragged trim, no
@@ -883,59 +1018,25 @@ def _write_csv_vectorized(result, output_path, delim, policy, encoding,
         return False
     if policy not in ('quoted', 'quoted_rfc', 'simple'):
         return False
-    from pyspark.sql import types as T
     df = result.display_df(ordered=True)
-    if not all(isinstance(f.dataType, (T.StringType, T.LongType, T.IntegerType,
-                                       T.DoubleType, T.FloatType, T.BooleanType))
-               for f in df.schema.fields):
+    if not all(isinstance(f.dataType, _sink_scalar_types()) for f in df.schema.fields):
         return False
     try:
         df.sparkSession.conf.set('spark.sql.execution.arrow.pyspark.enabled', 'true')
     except Exception:
         pass
-    import pandas as pd
     pdf = df.toPandas()
-    header = result.out_names
-    cols = []
-    for name in pdf.columns:
-        sc = pdf[name]
-        nulls = sc.isnull()
-        if nulls.any():
-            warnings.add('None values in output were replaced by empty strings')
-        if sc.dtype == object:
-            sc = sc.where(~nulls, '')
-            sc = sc.astype(str)
-        elif sc.dtype == bool:
-            sc = sc.map({True: 'True', False: 'False'})
-        else:
-            sc = sc.astype(object).where(~nulls, '')
-            sc = sc.map(lambda v: v if isinstance(v, str) else str(v))
-        if policy in ('quoted', 'quoted_rfc'):
-            need = sc.str.contains(delim, regex=False) | sc.str.contains('"', regex=False) \
-                | sc.str.contains('\n', regex=False) | sc.str.contains('\r', regex=False)
-            if need.any():
-                esc = '"' + sc[need].str.replace('"', '""', regex=False) + '"'
-                sc = sc.copy()
-                sc[need] = esc
-        elif policy == 'simple':
-            if sc.str.contains(delim, regex=False).any():
-                warnings.add('Some output fields contain separator')
-        cols.append(sc)
-    if cols:
-        serialized = cols[0].str.cat(cols[1:], sep=delim) if len(cols) > 1 else cols[0]
-        body = '\n'.join(serialized.tolist())
-    else:
-        body = ''
-    with open(output_path, 'w', encoding=encoding, newline='') as f:
-        if header is not None:
-            hdr = [_normalize_out_value(v, delim, warnings) for v in header]
-            if policy in ('quoted', 'quoted_rfc'):
-                hdr = [_quote_field(x, delim) for x in hdr]
-            f.write(delim.join(hdr))
-            f.write('\n')
+    ftypes = [f.dataType for f in df.schema.fields]
+    serialized, n_null, n_sep = _serialize_pdf(pdf, ftypes, delim, policy)
+    if n_null:
+        warnings.add('None values in output were replaced by empty strings')
+    if n_sep:
+        warnings.add('Some output fields contain separator')
+    body = '\n'.join(serialized.tolist())
+    with open(output_path, 'wb') as f:
+        _write_header(f, result.out_names, delim, policy, encoding, warnings)
         if body:
-            f.write(body)
-            f.write('\n')
+            f.write((body + '\n').encode(encoding))
     return True
 
 
@@ -949,6 +1050,8 @@ def write_csv(result, output_path: str, delim: str = ',', policy: str = 'quoted'
     from ..api import collect_result_rows
     warnings: set[str] = set()
     header = result.out_names
+    if _write_csv_distributed(result, output_path, delim, policy, encoding, warnings):
+        return sorted(warnings)
     if _write_csv_vectorized(result, output_path, delim, policy, encoding, warnings):
         return sorted(warnings)
 

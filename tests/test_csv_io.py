@@ -248,3 +248,44 @@ def test_comment_regex_honored_on_distributed_utf8_path(spark, tmp_path):
     h = C.read_csv(spark, p, delim=',', policy='simple', comment_regex=r'^#')
     rows, _ = _handle_rows(h)
     assert [r[0] for r in rows] == ['a', 'b']
+
+
+def test_write_csv_nullable_int_not_floatified(spark, tmp_path):
+    # Arrow hands nullable int64 to pandas as float64; serialization must
+    # go through the Spark type or ints come out as '1.0'
+    from rbql_spark.api import query_dataframe
+    from rbql_spark.sources.csv import write_csv
+    df = spark.createDataFrame([(1, 'a'), (None, 'b')], 'n long, s string')
+    res = query_dataframe(spark, 'SELECT a.n, a.s', df)
+    out = str(tmp_path / 'o.csv')
+    w = write_csv(res, out)
+    assert open(out).read() == 'n,s\n1,a\n,b\n'
+    assert 'None values in output were replaced by empty strings' in w
+
+
+def test_write_csv_distributed_matches_vectorized(spark, tmp_path, monkeypatch):
+    import rbql_spark.sources.csv as C
+    from rbql_spark.api import query_dataframe
+
+    def make_result():
+        df = spark.range(30000).selectExpr(
+            'id',
+            'cast(id as double) / 7 AS d',
+            "case when id % 5 = 0 then null else concat('v,', id) end AS s",
+            "id % 2 = 0 AS b",
+            "case when id % 11 = 0 then null else id * 3 end AS n")
+        return query_dataframe(spark, 'SELECT *', df)
+
+    out_v = str(tmp_path / 'vec.csv')
+    monkeypatch.setattr(C, '_DISTRIBUTED_SINK_MIN_BYTES', 1 << 62)
+    w_v = C.write_csv(make_result(), out_v)
+
+    out_d = str(tmp_path / 'dist.csv')
+    monkeypatch.setattr(C, '_DISTRIBUTED_SINK_MIN_BYTES', 0)
+    # the distributed path must be the one that runs
+    monkeypatch.setattr(C, '_write_csv_vectorized',
+                        lambda *a, **k: (_ for _ in ()).throw(AssertionError('fallback used')))
+    w_d = C.write_csv(make_result(), out_d)
+
+    assert open(out_d, 'rb').read() == open(out_v, 'rb').read()
+    assert w_d == w_v
