@@ -203,6 +203,28 @@ def _resolve_var_text(binding: Binding, var_text: str, side: str) -> VarRef:
     raise RbqlParsingError('Unknown variable "{}"'.format(var_text))
 
 
+def _var_in_side(binding: Binding, var_text: str, side: str) -> bool:
+    """Whether a join-variable token resolves against one side's map."""
+    try:
+        ref = _resolve_var_text(binding, var_text, side)
+    except (RbqlParsingError, TranslationFallback, RbqlRuntimeError):
+        return False
+    return ref.side == side
+
+
+def _check_ambiguous_join_var(binding: Binding, var_text: str) -> None:
+    """Reference resolve_join_variables guard (rbql_engine.py:44,1024-1027):
+    a token present in BOTH tables' variable maps is ambiguous.  With the
+    fully a/b-prefixed grammar the maps are disjoint by construction (the
+    reference's own TODO at rbql_engine.py:1021 notes the same), so this is
+    defensive parity — kept so any future unprefixed addressing inherits
+    the reference error."""
+    if _var_in_side(binding, var_text, 'a') and _var_in_side(binding, var_text, 'b'):
+        raise RbqlParsingError(
+            'Ambiguous variable name: "{}" is present both in input and in join tables'
+            .format(var_text))
+
+
 def _join_var_ref(binding: Binding, var_text: str, side: str) -> VarRef:
     table_label = 'Input' if side == 'a' else 'Join'
     err = RbqlParsingError(
@@ -271,6 +293,8 @@ class StageRunner:
         a_keys: list[Column] = []
         b_keys: list[Column] = []
         for v1, v2 in stage.join_var_pairs:
+            _check_ambiguous_join_var(binding, v1)
+            _check_ambiguous_join_var(binding, v2)
             s1, s2 = _classify_join_var(v1), _classify_join_var(v2)
             if s1 == s2 == 'b':
                 # reference: var1 not in the input map → input-side error

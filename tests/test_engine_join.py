@@ -150,3 +150,34 @@ def test_strict_left_join_bad_key_in_message(spark):
     with pytest.raises(RbqlRuntimeError, match='Bad A key: "usa"'):
         query_table(spark, 'SELECT a1 STRICT LEFT JOIN b ON a2 == b1',
                     [['1', 'usa']], join_table=[r[:] for r in B_DUP])
+
+
+def test_ambiguous_join_var_guard_message():
+    # Defensive parity with the reference's resolve_join_variables guard
+    # (rbql_engine.py:1024-1027): with the fully prefixed a/b grammar the
+    # two variable maps are disjoint, so drive the guard directly with a
+    # stub binding where a token resolves on both sides.
+    from rbql_spark import engine as E
+
+    class _Ref:
+        def __init__(self, side):
+            self.side = side
+            self.kind = 'field'
+            self.index = 0
+
+    class _B:
+        pass
+
+    def fake_resolve(binding, var_text, side):
+        return _Ref(side)
+
+    orig = E._resolve_var_text
+    E._resolve_var_text = fake_resolve
+    try:
+        with pytest.raises(
+                RbqlParsingError,
+                match='Ambiguous variable name: "x" is present both in input '
+                      'and in join tables'):
+            E._check_ambiguous_join_var(_B(), 'x')
+    finally:
+        E._resolve_var_text = orig
