@@ -732,6 +732,17 @@ class StageRunner:
                     df: DataFrame, item: SelectItem) -> StageResult:
         arr_expr = stage.unmask(item.text).lstrip()[1:].strip()
         df, tags = comp.compute(df, [('__unpack_src', arr_expr)])
+        # the output width is a global property (max element count), so a
+        # pre-scan is inherent — but the unpack expression is usually a
+        # Python-fallback stage, and recomputing it for the main job would
+        # double the dominant cost.  Persist the computed frame: the probe
+        # materializes it once, the main job reads the cache (ContextCleaner
+        # reclaims it when the plan is released).
+        from pyspark import StorageLevel
+        try:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        except Exception:
+            pass
         width = df.agg(F.max(F.size('__unpack_src'))).collect()[0][0] or 1
         assigns = {'__out_{}'.format(i): F.try_element_at('__unpack_src', F.lit(i + 1))
                    for i in range(width)}

@@ -136,3 +136,28 @@ def test_strict_update_join_guard_is_b_side_only(spark, sf_dir, entry):
     loose = run(False, 'updjoin-loose')
     strict = run(True, 'updjoin-strict')
     assert strict == loose + 1, (loose, strict)
+
+
+def test_fallback_sample_job_cached_on_identical_rerun(spark, sf_dir, entry):
+    # The driver-side type-inference sample costs one job per fallback
+    # stage; an identical rerun (same analyzed plan, same exprs) must hit
+    # the cache and skip it.
+    import os as _os
+
+    from rbql_spark.api import query_dataframe
+    from rbql_spark.binding import TableHandle
+
+    def run(group):
+        orders = spark.read.parquet(_os.path.join(sf_dir, 'orders.parquet'))
+        handle = TableHandle(df=orders)
+        handle.header = list(orders.columns)
+
+        def go():
+            res = query_dataframe(
+                spark, 'SELECT len(set(a.o_orderpriority)) AS u', handle)
+            res.display_df().write.format('noop').mode('overwrite').save()
+        return _count_jobs(spark, group, go)
+
+    first = run('pyeval-cache-1')
+    second = run('pyeval-cache-2')
+    assert second == first - 1, (first, second)
