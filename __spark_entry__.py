@@ -260,6 +260,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    n=2, threshold=0.4, hash_fn='md5')
     q['dedup_ngram_jaccard'] = _dedup_ngram
 
+    def _dedup_clusters(spark, sf_dir):
+        from rbql_spark.ops.dedup import dedup_clusters, simhash_near_dups
+        pairs = simhash_near_dups(_t(spark, sf_dir, 'documents'), 'text', 'doc_id',
+                                  max_hamming=7, engine='vectorized')
+        return dedup_clusters(pairs)
+    q['dedup_clusters'] = _dedup_clusters
+
+    # ---- superset: deterministic sampling / packing -----------------------
+    def _sample_hash(spark, sf_dir):
+        from rbql_spark.ops.sampling import hash_sample
+        return hash_sample(_t(spark, sf_dir, 'documents'), 0.3).select('doc_id', 'lang')
+    q['sample_hash'] = _sample_hash
+
+    def _sample_strat(spark, sf_dir):
+        from rbql_spark.ops.sampling import stratified_hash_sample
+        return stratified_hash_sample(
+            _t(spark, sf_dir, 'documents'),
+            {'en': 0.2, 'de': 1.0, 'fr': 0.5}, 'lang',
+            default_fraction=0.8).select('doc_id', 'lang')
+    q['sample_stratified'] = _sample_strat
+
+    def _pack(spark, sf_dir):
+        from rbql_spark.ops.sampling import pack_sequences
+        return pack_sequences(_t(spark, sf_dir, 'documents'),
+                              max_tokens=256, n_buckets=8)
+    q['pack_sequences'] = _pack
+
+    def _redact(spark, sf_dir):
+        from rbql_spark.ops.textstats import redact_pii
+        return redact_pii(_t(spark, sf_dir, 'documents'))
+    q['text_redact_pii'] = _redact
+
     # ---- superset: similarity search --------------------------------------
     def _sim_topk(spark, sf_dir):
         from rbql_spark.ops.similarity import cosine_topk_bruteforce
@@ -604,6 +636,56 @@ def oracle_sql() -> dict[str, str]:
         num_perm=16, shingle_k=2, seed=7, bands=8, rows_per_band=2, threshold=0.4)
 
     o['dedup_simhash'] = _simhash_replay_sql(max_hamming=7)
+
+    # connected components over the simhash pair graph: transitive closure
+    # via a recursive CTE (fine at oracle scale), min reachable id = cluster
+    o['dedup_clusters'] = (
+        "WITH RECURSIVE pairs AS (SELECT * FROM (" + _simhash_replay_sql(max_hamming=7) +
+        ") _q), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS id FROM edges), "
+        "reach(id, r) AS (SELECT id, id FROM nodes "
+        "UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id) "
+        "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id")
+
+    # deterministic md5 sampling: replay rbql_spark.ops.sampling._hash_unit
+    _unit = "('0x' || md5(doc_id::VARCHAR || ':42')[1:8])::BIGINT / 4294967296.0"
+    o['sample_hash'] = (
+        "SELECT doc_id, lang FROM documents WHERE " + _unit + " < 0.3")
+    o['sample_stratified'] = (
+        "SELECT doc_id, lang FROM documents WHERE " + _unit + " < "
+        "CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.5 "
+        "ELSE 0.8 END")
+
+    # greedy sequence packing: the per-bucket sequential scan as a
+    # recursive CTE (row n derives from row n-1 within its bucket)
+    o['pack_sequences'] = (
+        "WITH RECURSIVE toks AS (SELECT doc_id, len(" + _SQL_TOKS.format(src='text') +
+        ") AS n_tokens, doc_id % 8 AS bucket FROM documents), "
+        "s AS (SELECT doc_id, n_tokens, bucket, "
+        "row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM toks), "
+        "p(bucket, rn, doc_id, n_tokens, acc, bin_id, bin_seq) AS ("
+        "SELECT bucket, rn, doc_id, n_tokens, n_tokens, 0, 0 FROM s WHERE rn = 1 "
+        "UNION ALL SELECT s.bucket, s.rn, s.doc_id, s.n_tokens, "
+        "CASE WHEN p.acc + s.n_tokens > 256 THEN s.n_tokens ELSE p.acc + s.n_tokens END, "
+        "CASE WHEN p.acc + s.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END, "
+        "CASE WHEN p.acc + s.n_tokens > 256 THEN 0 ELSE p.bin_seq + 1 END "
+        "FROM s JOIN p ON s.bucket = p.bucket AND s.rn = p.rn + 1) "
+        "SELECT doc_id, n_tokens, bucket, bin_id, bin_seq FROM p")
+
+    _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _phone = "\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3,4}[ -]?\\d{0,4}\\b"
+    o['text_redact_pii'] = (
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace(regexp_replace(text, '" + _email +
+        "', '<EMAIL>', 'g'), '" + _ipv4 + "', '<IPV4>', 'g'), '" + _phone +
+        "', '<PHONE>', 'g') AS clean_text, "
+        "len(regexp_extract_all(text, '" + _email + "')) AS n_email, "
+        "len(regexp_extract_all(text, '" + _ipv4 + "')) AS n_ipv4, "
+        "len(regexp_extract_all(text, '" + _phone + "')) AS n_phone "
+        "FROM documents")
 
     o['sim_ann_lsh'] = _ann_lsh_replay_sql(k=10, dim=64, n_planes=8, n_tables=4, seed=42)
 

@@ -245,6 +245,50 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return jaccard_verify(cand, sig, threshold).orderBy('doc_a', 'doc_b')
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    cluster_id) with cluster_id = min doc id of the component (the
+    canonical "keep one representative per duplicate cluster" step after
+    minhash/simhash pair generation).
+
+    Label propagation: every node starts labeled with its own id and
+    repeatedly takes the min of its neighbors' labels; converges in
+    O(graph diameter) rounds.  Each round is one hash-partitioned join —
+    no driver-side graph state, so a 100 TB pair set just means wider
+    shuffles.  Near-dup components are shallow (diameter is small), so the
+    round count stays low; `max_iter` is a safety valve.  Iterative plans
+    MUST truncate lineage (localCheckpoint) — re-deriving round N from the
+    full upstream pipeline explodes plan size and replays the pair
+    generation every round.
+    """
+    edges = (pairs.select(F.col('doc_a').alias('src'), F.col('doc_b').alias('dst'))
+             .unionAll(pairs.select(F.col('doc_b').alias('src'),
+                                    F.col('doc_a').alias('dst')))
+             .distinct()
+             .localCheckpoint())
+    labels = (edges.select(F.col('src').alias('id')).distinct()
+              .select('id', F.col('id').alias('label'))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.dst == labels.id)
+                   .groupBy('src').agg(F.min('label').alias('nbr_label')))
+        new_labels = (labels.join(nbr_min, labels.id == nbr_min.src, 'left')
+                      .select(F.col('id'),
+                              F.least(F.col('label'),
+                                      F.coalesce(F.col('nbr_label'),
+                                                 F.col('label'))).alias('label'))
+                      .localCheckpoint())
+        changed = (new_labels.alias('n')
+                   .join(labels.alias('o'), F.col('n.id') == F.col('o.id'))
+                   .filter(F.col('n.label') != F.col('o.label')).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return (labels.select(F.col('id').alias('doc_id'),
+                          F.col('label').alias('cluster_id'))
+            .orderBy('doc_id'))
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             engine: str = 'native') -> DataFrame:
     """64-bit SimHash: per token hash, sum ±1 per bit position, sign → bit.

@@ -1,0 +1,100 @@
+"""Deterministic sampling + sequence packing for training-data pipelines
+(superset ops, SURVEY §2.8; no reference analog).
+
+Both operators are content-keyed and seeded so any engine can replay them
+bit-for-bit (the DuckDB differential oracle does):
+
+  * hash_sample            — Bernoulli sample: keep iff md5(key, seed) maps
+                             below the fraction.  No RNG state, no
+                             partition-order dependence — the sample is a
+                             pure function of the data, which is what a
+                             reproducible training pipeline needs.
+  * stratified_hash_sample — per-stratum fractions with the same rule.
+  * pack_sequences         — greedy token-budget packing (the LLM-training
+                             "sequence packing" step): docs are bucketed by
+                             id hash, each bucket packs its docs in id order
+                             into bins of at most max_tokens.  Bucketing
+                             makes packing embarrassingly parallel AND
+                             deterministic — bin assignment is independent
+                             of physical partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(1 << 32)
+
+
+def _hash_unit(key: Column, seed: int) -> Column:
+    """md5-based uniform [0, 1) value from a key column (engine-portable)."""
+    h32 = F.conv(F.substring(F.md5(F.concat(key.cast('string'),
+                                            F.lit(':{}'.format(seed)))), 1, 8),
+                 16, 10).cast('long')
+    return h32 / F.lit(_HASH_SPACE)
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = 'doc_id',
+                seed: int = 42) -> DataFrame:
+    """Keep rows whose hashed key falls under `fraction` — deterministic,
+    rerun-stable, join-consistent (the same key always samples the same
+    way, so downstream tables sampled on the same key stay aligned)."""
+    return df.filter(_hash_unit(F.col(key_col), seed) < F.lit(float(fraction)))
+
+
+def stratified_hash_sample(df: DataFrame, fractions: dict, strata_col: str,
+                           key_col: str = 'doc_id', seed: int = 42,
+                           default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample 'en' to 10%,
+    keep low-resource languages at 100%)."""
+    frac = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f))).otherwise(frac)
+    return df.filter(_hash_unit(F.col(key_col), seed) < frac)
+
+
+def pack_sequences(df: DataFrame, max_tokens: int, n_buckets: int = 32,
+                   id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Greedy sequence packing: (doc_id, n_tokens, bucket, bin_id, bin_seq).
+
+    Docs are assigned to `n_buckets` by id modulo, and each bucket packs its
+    docs in ascending id order: a doc joins the current bin unless it would
+    push the bin past max_tokens, in which case a new bin starts.  Docs
+    longer than max_tokens get a bin of their own.
+
+    Scale shape: one hash shuffle on the bucket key, then a per-bucket
+    Arrow-batched greedy scan (applyInPandas).  Determinism comes from the
+    bucket-then-sort contract, NOT from physical partitioning, so the
+    result is stable across cluster sizes — and replayable in SQL (the
+    DuckDB oracle runs the same greedy scan as a recursive CTE).
+    """
+    from .dedup import tokens
+    src = df.select(F.col(id_col).alias('doc_id'),
+                    F.size(tokens(F.col(text_col))).cast('long').alias('n_tokens'),
+                    (F.col(id_col) % n_buckets).cast('long').alias('bucket'))
+    cap = int(max_tokens)
+
+    def pack(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values('doc_id').reset_index(drop=True)
+        bins, seqs = [], []
+        bin_id, acc, seq = -1, None, 0
+        for tok in pdf['n_tokens']:
+            t = int(tok)
+            if acc is None or acc + t > cap:
+                bin_id += 1
+                acc = t
+                seq = 0
+            else:
+                acc += t
+                seq += 1
+            bins.append(bin_id)
+            seqs.append(seq)
+        pdf['bin_id'] = pd.Series(bins, dtype='int64')
+        pdf['bin_seq'] = pd.Series(seqs, dtype='int64')
+        return pdf
+
+    return (src.groupBy('bucket')
+               .applyInPandas(pack, schema='doc_id long, n_tokens long, bucket long, '
+                                           'bin_id long, bin_seq long'))

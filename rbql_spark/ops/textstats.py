@@ -115,6 +115,34 @@ def language_id(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -
     return df.select(*out)
 
 
+# PII patterns kept within the RE2-compatible subset (char classes,
+# bounded repeats, \b — no lookaround/backrefs) so Java regex (Spark) and
+# RE2 (DuckDB oracle) agree byte-for-byte.
+PII_PATTERNS = {
+    'email': r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+    'ipv4': r'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+    'phone': r'\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]?\d{0,4}\b',
+}
+_PII_ORDER = ['email', 'ipv4', 'phone']
+
+
+def redact_pii(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+    """Scrub emails / IPv4s / phone-ish numbers from documents:
+    (doc_id, clean_text, n_email, n_ipv4, n_phone).
+
+    Pure regexp_count/regexp_replace projection — no shuffle, no Python;
+    patterns applied in a fixed order so the output is deterministic."""
+    df = spread_partitions(df)
+    t = F.col(text_col)
+    counts = [F.regexp_count(t, F.lit(PII_PATTERNS[k])).cast('long')
+              .alias('n_{}'.format(k)) for k in _PII_ORDER]
+    clean = t
+    for k in _PII_ORDER:
+        clean = F.regexp_replace(clean, PII_PATTERNS[k],
+                                 '<{}>'.format(k.upper()))
+    return df.select(F.col(id_col), clean.alias('clean_text'), *counts)
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
                     hash_fn: str = 'xxhash64') -> DataFrame:
     """Order-sensitive 32-bit rolling hash over the token stream:

@@ -1,6 +1,8 @@
 """Behavioral tests for the pipeline operators: planted duplicates must be
 found, planted non-duplicates must not, ANN must agree with brute force."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -142,3 +144,69 @@ def test_multimodal_stub_features(spark, doc_df):
     assert r1['byte_checksum'] == r2['byte_checksum']  # identical payloads
     assert len(r1['feature']) == 8
     assert r1['n_bytes'] > 0
+
+
+def test_hash_sample_deterministic_and_join_consistent(spark, sf_dir):
+    from rbql_spark.ops.sampling import hash_sample
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    a = {r['doc_id'] for r in hash_sample(docs, 0.3).select('doc_id').collect()}
+    b = {r['doc_id'] for r in hash_sample(docs, 0.3).select('doc_id').collect()}
+    assert a == b                      # rerun-stable
+    sup = {r['doc_id'] for r in hash_sample(docs, 0.6).select('doc_id').collect()}
+    assert a <= sup                    # fraction monotone: 0.3 sample nests in 0.6
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n
+
+
+def test_stratified_hash_sample_respects_fractions(spark, sf_dir):
+    from rbql_spark.ops.sampling import stratified_hash_sample
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    out = stratified_hash_sample(docs, {'de': 1.0, 'en': 0.0}, 'lang',
+                                 default_fraction=0.5)
+    got = {r['lang'] for r in out.select('lang').distinct().collect()}
+    assert 'en' not in got
+    n_de = docs.filter("lang = 'de'").count()
+    assert out.filter("lang = 'de'").count() == n_de
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from rbql_spark.ops.sampling import pack_sequences
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    out = pack_sequences(docs, max_tokens=256, n_buckets=8).collect()
+    assert len(out) == docs.count()
+    import collections
+    bins = collections.defaultdict(list)
+    for r in out:
+        assert r['bucket'] == r['doc_id'] % 8
+        bins[(r['bucket'], r['bin_id'])].append(r)
+    for rows in bins.values():
+        rows.sort(key=lambda r: r['bin_seq'])
+        total = sum(r['n_tokens'] for r in rows)
+        # a bin only exceeds the cap when a single oversized doc owns it
+        assert total <= 256 or len(rows) == 1
+        # docs in a bin are consecutive in id order within the bucket
+        assert [r['bin_seq'] for r in rows] == list(range(len(rows)))
+
+
+def test_dedup_clusters_connected_components(spark):
+    from rbql_spark.ops.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], 'doc_a long, doc_b long')
+    got = {r['doc_id']: r['cluster_id'] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_redact_pii_patterns(spark):
+    from rbql_spark.ops.textstats import redact_pii
+    df = spark.createDataFrame(
+        [(1, 'mail me at bob@example.com or 10.0.0.1 thanks'),
+         (2, 'call +1 555 123 4567 now'),
+         (3, 'clean text only')],
+        'doc_id long, text string')
+    rows = {r['doc_id']: r for r in redact_pii(df).collect()}
+    assert rows[1]['clean_text'] == 'mail me at <EMAIL> or <IPV4> thanks'
+    assert rows[1]['n_email'] == 1 and rows[1]['n_ipv4'] == 1
+    assert rows[2]['clean_text'] == 'call <PHONE> now'
+    assert rows[2]['n_phone'] == 1
+    assert rows[3]['clean_text'] == 'clean text only'
+    assert rows[3]['n_email'] == rows[3]['n_ipv4'] == rows[3]['n_phone'] == 0
