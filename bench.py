@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     'text_quality_score',
     'text_fingerprint',
     'multimodal_features',
+    # round 3 additions (pipeline superset)
+    'dedup_clusters',
+    'pack_sequences',
+    'sample_stratified',
+    'text_redact_pii',
 ]
 
 
