@@ -231,6 +231,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round('sum_value', 6).alias('sum_value'))
     q['streaming_windowed_counts'] = _streaming
 
+    def _streaming_totals(spark, sf_dir):
+        # custom stateful operator (applyInPandasWithState) end-to-end:
+        # per-user running totals in update mode emit a row per (batch,
+        # user); the final state — the row with the max n_events per user —
+        # must equal the plain batch aggregate, which is the oracle.
+        import tempfile
+
+        from pyspark.sql import Window
+
+        from rbql_spark.streaming.events import (
+            read_event_stream, run_stream_to_memory, running_user_totals,
+        )
+        tmp = tempfile.mkdtemp(prefix='rbql_stream_tot_')
+        ev = _t(spark, sf_dir, 'events')
+        ev.where('event_id % 2 = 0').coalesce(1).write.mode('overwrite').parquet(tmp)
+        ev.where('event_id % 2 = 1').coalesce(1).write.mode('append').parquet(tmp)
+        stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
+        totals = running_user_totals(stream)
+        qname = 'rbql_stream_totals_gate'
+        sq = run_stream_to_memory(totals, qname, output_mode='update')
+        sq.stop()
+        w = Window.partitionBy('user_id').orderBy(F.col('n_events').desc())
+        return (spark.table(qname)
+                .withColumn('__rn', F.row_number().over(w))
+                .filter(F.col('__rn') == 1)
+                .select('user_id', 'n_events',
+                        F.round('total_value', 6).alias('total_value')))
+    q['streaming_user_totals'] = _streaming_totals
+
     # ---- superset: dedup --------------------------------------------------
     def _dedup_exact(spark, sf_dir):
         from rbql_spark.ops.dedup import exact_dedup
@@ -628,6 +657,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT window_start, event_type, n_events, sum_value FROM agg "
         "WHERE window_start + INTERVAL 6 hours <= "
         "(SELECT max(ts) FROM events) - INTERVAL 1 hour")
+
+    # the stateful operator's final state per user == the batch aggregate
+    o['streaming_user_totals'] = (
+        "SELECT user_id, count(*) AS n_events, "
+        "round(sum(coalesce(value, 0)), 6) AS total_value "
+        "FROM events GROUP BY user_id")
 
     o['dedup_minhash_lsh'] = _minhash_replay_sql(
         num_perm=64, shingle_k=3, seed=42, bands=16, rows_per_band=4, threshold=0.5)
