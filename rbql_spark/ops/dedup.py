@@ -134,17 +134,28 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
             B = np.asarray(b_vec, dtype=np.int64)[:, None]
             token_rgx = _re.compile(r'[^\W_]+', _re.UNICODE)
             for pdf in batches:
-                sh_out, sig_out = [], []
+                # Hash each distinct shingle once per batch (duplicate docs
+                # share every shingle; even unrelated docs share many), and
+                # run the num_perm × |shingles| permutation table as ONE
+                # batch-level matrix op, slicing per-doc columns out of it —
+                # instead of per-doc hashing + per-doc matmuls.
+                uniq: dict[str, int] = {}
+                cols_per_doc = []
                 for text in pdf['__text']:
                     toks = token_rgx.findall((text or '').lower())
                     if len(toks) >= k:
-                        shingle_set = {h32(' '.join(toks[i:i + k]).encode('utf-8'))
-                                       for i in range(len(toks) - k + 1)}
+                        grams = {' '.join(toks[i:i + k])
+                                 for i in range(len(toks) - k + 1)}
                     else:
-                        shingle_set = {h32(' '.join(toks).encode('utf-8'))}
-                    s = np.fromiter(shingle_set, dtype=np.int64, count=len(shingle_set))
-                    sh_out.append(s)
-                    sig_out.append(((A * s[None, :] + B) % _PRIME31).min(axis=1))
+                        grams = {' '.join(toks)}
+                    cols_per_doc.append(np.fromiter(
+                        (uniq.setdefault(g, len(uniq)) for g in grams),
+                        dtype=np.intp, count=len(grams)))
+                s = np.fromiter((h32(g.encode('utf-8')) for g in uniq),
+                                dtype=np.int64, count=len(uniq))
+                perm = (A * s[None, :] + B) % _PRIME31  # num_perm × n_uniq
+                sh_out = [s[cols] for cols in cols_per_doc]
+                sig_out = [perm[:, cols].min(axis=1) for cols in cols_per_doc]
                 yield pd.DataFrame({'doc_id': pdf['doc_id'],
                                     'shingles': pd.Series(sh_out, index=pdf.index, dtype='object'),
                                     'signature': pd.Series(sig_out, index=pdf.index, dtype='object')})
@@ -261,9 +272,14 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     full upstream pipeline explodes plan size and replays the pair
     generation every round.
     """
-    edges = (pairs.select(F.col('doc_a').alias('src'), F.col('doc_b').alias('dst'))
-             .unionAll(pairs.select(F.col('doc_b').alias('src'),
-                                    F.col('doc_a').alias('dst')))
+    # Single pass over the (expensive) upstream pair pipeline: explode each
+    # pair into both directions instead of unioning two scans of `pairs` —
+    # two references inside one job would recompute the whole pair
+    # generation twice (no subplan reuse across union branches).
+    both = F.explode(F.array(
+        F.struct(F.col('doc_a').alias('src'), F.col('doc_b').alias('dst')),
+        F.struct(F.col('doc_b').alias('src'), F.col('doc_a').alias('dst'))))
+    edges = (pairs.select(both.alias('e')).select('e.src', 'e.dst')
              .distinct()
              .localCheckpoint())
     labels = (edges.select(F.col('src').alias('id')).distinct()
@@ -272,16 +288,18 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.dst == labels.id)
                    .groupBy('src').agg(F.min('label').alias('nbr_label')))
+        # Carry the previous label through the checkpoint so the convergence
+        # check is a plain filter on materialized data — no extra join job.
         new_labels = (labels.join(nbr_min, labels.id == nbr_min.src, 'left')
                       .select(F.col('id'),
+                              F.col('label').alias('old_label'),
                               F.least(F.col('label'),
                                       F.coalesce(F.col('nbr_label'),
                                                  F.col('label'))).alias('label'))
                       .localCheckpoint())
-        changed = (new_labels.alias('n')
-                   .join(labels.alias('o'), F.col('n.id') == F.col('o.id'))
-                   .filter(F.col('n.label') != F.col('o.label')).limit(1).count())
-        labels = new_labels
+        changed = (new_labels.filter(F.col('label') != F.col('old_label'))
+                   .limit(1).count())
+        labels = new_labels.select('id', 'label')
         if changed == 0:
             break
     return (labels.select(F.col('id').alias('doc_id'),
@@ -312,7 +330,26 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
             import pandas as pd
             token_rgx = _re.compile(r'[^\W_]+', _re.UNICODE)
             shifts = np.arange(64, dtype=np.uint64)
-            one = np.uint64(1)
+            # token → index into the unique-hash table; natural language
+            # repeats tokens heavily, so md5 runs once per distinct token
+            # per worker instead of once per occurrence.  Capped so a
+            # pathological vocabulary can't grow worker memory unboundedly.
+            memo: dict[str, int] = {}
+            bit_rows = []  # parallel to memo values: ±1 vote row (64 × int16)
+
+            def vote_row(tok):
+                idx = memo.get(tok)
+                if idx is None:
+                    h = np.uint64(int(hashlib.md5(tok.encode('utf-8')).hexdigest()[:16], 16))
+                    row = (((h >> shifts) & np.uint64(1)).astype(np.int16) * 2 - 1)
+                    if len(memo) >= (1 << 20):
+                        memo.clear()
+                        del bit_rows[:]
+                    idx = len(bit_rows)
+                    memo[tok] = idx
+                    bit_rows.append(row)
+                return idx
+
             for pdf in batches:
                 out = []
                 for text in pdf['__text']:
@@ -320,9 +357,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
                     if not toks:
                         out.append(0)
                         continue
-                    hs = np.array([int(hashlib.md5(t.encode('utf-8')).hexdigest()[:16], 16)
-                                   for t in toks], dtype=np.uint64)
-                    votes = (((hs[:, None] >> shifts) & one).astype(np.int64) * 2 - 1).sum(axis=0)
+                    idxs = np.fromiter((vote_row(t) for t in toks),
+                                       dtype=np.intp, count=len(toks))
+                    votes = np.asarray(bit_rows)[idxs].sum(axis=0, dtype=np.int64)
                     bits = (votes > 0).astype(np.uint64)
                     fp = np.bitwise_or.reduce(bits << shifts)
                     out.append(int(fp.astype(np.int64)))
