@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 _PRIME31 = (1 << 31) - 1
 _MASK32 = (1 << 32) - 1
 
+# Vectorized-kernel memory bounds.  Both are per-worker working-set caps, NOT
+# correctness knobs: results are identical at any setting (tests run them at
+# tiny values to prove it).
+#   * minhash: the permutation tile is num_perm × |uniq shingles| int64 —
+#     flushing at 2^16 uniq bounds the tile at 32 MB for 64 perms no matter
+#     how large or vocabulary-diverse the Arrow batch is.
+#   * simhash: distinct-token vote rows memoized per worker; reset between
+#     documents once the cap is crossed (never mid-document — handed-out row
+#     indices for the in-flight doc must stay valid).
+_MINHASH_FLUSH_UNIQ = 1 << 16
+_SIMHASH_MEMO_CAP = 1 << 20
+
 
 def spread_partitions(df: DataFrame, min_per_core: int = 1) -> DataFrame:
     """Repartition when the scan yields fewer partitions than cores.
@@ -117,6 +129,7 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         b_vec = [b for _, b in params]
         k = shingle_k
         use_md5 = hash_fn == 'md5'
+        flush_uniq = _MINHASH_FLUSH_UNIQ
         src = df.select(F.col(id_col).alias('doc_id'), F.col(text_col).alias('__text'))
 
         def run(batches):
@@ -134,13 +147,31 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
             B = np.asarray(b_vec, dtype=np.int64)[:, None]
             token_rgx = _re.compile(r'[^\W_]+', _re.UNICODE)
             for pdf in batches:
-                # Hash each distinct shingle once per batch (duplicate docs
+                # Hash each distinct shingle once per tile (duplicate docs
                 # share every shingle; even unrelated docs share many), and
-                # run the num_perm × |shingles| permutation table as ONE
-                # batch-level matrix op, slicing per-doc columns out of it —
-                # instead of per-doc hashing + per-doc matmuls.
-                uniq: dict[str, int] = {}
-                cols_per_doc = []
+                # run the num_perm × |uniq| permutation table as one matrix
+                # op per TILE, slicing per-doc columns out of it — instead
+                # of per-doc hashing + per-doc matmuls.  A tile closes once
+                # it accumulates _MINHASH_FLUSH_UNIQ distinct shingle
+                # hashes, so peak memory is bounded regardless of how
+                # vocabulary-diverse the batch is (an unbounded batch-level
+                # table reaches multi-GB on disjoint-vocabulary corpora).
+                uniq: dict[int, int] = {}   # 32-bit shingle hash → column
+                gmemo: dict[str, int] = {}  # gram text → hash (per tile)
+                cols_per_doc: list = []
+                sh_out: list = []
+                sig_out: list = []
+
+                def flush():
+                    s = np.fromiter(uniq, dtype=np.int64, count=len(uniq))
+                    perm = (A * s[None, :] + B) % _PRIME31  # num_perm × n_uniq
+                    for cols in cols_per_doc:
+                        sh_out.append(s[cols])
+                        sig_out.append(perm[:, cols].min(axis=1))
+                    uniq.clear()
+                    gmemo.clear()
+                    cols_per_doc.clear()
+
                 for text in pdf['__text']:
                     toks = token_rgx.findall((text or '').lower())
                     if len(toks) >= k:
@@ -148,14 +179,21 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                                  for i in range(len(toks) - k + 1)}
                     else:
                         grams = {' '.join(toks)}
-                    cols_per_doc.append(np.fromiter(
-                        (uniq.setdefault(g, len(uniq)) for g in grams),
-                        dtype=np.intp, count=len(grams)))
-                s = np.fromiter((h32(g.encode('utf-8')) for g in uniq),
-                                dtype=np.int64, count=len(uniq))
-                perm = (A * s[None, :] + B) % _PRIME31  # num_perm × n_uniq
-                sh_out = [s[cols] for cols in cols_per_doc]
-                sig_out = [perm[:, cols].min(axis=1) for cols in cols_per_doc]
+                    # column set keyed by HASH value: two grams colliding
+                    # under the 32-bit hash collapse to one column, so the
+                    # emitted shingle arrays stay duplicate-free — matching
+                    # the native path's array_distinct-after-hash and the
+                    # SQL oracle's list_distinct.
+                    cols = {uniq.setdefault(
+                                gmemo.get(g) if g in gmemo
+                                else gmemo.setdefault(g, h32(g.encode('utf-8'))),
+                                len(uniq))
+                            for g in grams}
+                    cols_per_doc.append(np.fromiter(cols, dtype=np.intp,
+                                                    count=len(cols)))
+                    if len(uniq) >= flush_uniq:
+                        flush()
+                flush()
                 yield pd.DataFrame({'doc_id': pdf['doc_id'],
                                     'shingles': pd.Series(sh_out, index=pdf.index, dtype='object'),
                                     'signature': pd.Series(sig_out, index=pdf.index, dtype='object')})
@@ -322,6 +360,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     if engine == 'vectorized':
         src = df.select(F.col(id_col).alias('doc_id'), F.col(text_col).alias('__text'))
 
+        memo_cap = _SIMHASH_MEMO_CAP
+
         def run(batches):
             import hashlib
             import re as _re
@@ -330,36 +370,45 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
             import pandas as pd
             token_rgx = _re.compile(r'[^\W_]+', _re.UNICODE)
             shifts = np.arange(64, dtype=np.uint64)
-            # token → index into the unique-hash table; natural language
-            # repeats tokens heavily, so md5 runs once per distinct token
-            # per worker instead of once per occurrence.  Capped so a
-            # pathological vocabulary can't grow worker memory unboundedly.
+            # token → row index into the preallocated vote table; natural
+            # language repeats tokens heavily, so md5 runs once per distinct
+            # token per worker instead of once per occurrence.  The memo is
+            # reset BETWEEN documents once it crosses the cap — never
+            # mid-document: row indices already handed out for the in-flight
+            # doc must stay valid (a mid-doc reset would make them point into
+            # an emptied table → wrong fingerprints at >cap vocabularies).
             memo: dict[str, int] = {}
-            bit_rows = []  # parallel to memo values: ±1 vote row (64 × int16)
+            state = {'table': np.empty((1024, 64), dtype=np.int16), 'n': 0}
 
             def vote_row(tok):
                 idx = memo.get(tok)
                 if idx is None:
                     h = np.uint64(int(hashlib.md5(tok.encode('utf-8')).hexdigest()[:16], 16))
-                    row = (((h >> shifts) & np.uint64(1)).astype(np.int16) * 2 - 1)
-                    if len(memo) >= (1 << 20):
-                        memo.clear()
-                        del bit_rows[:]
-                    idx = len(bit_rows)
+                    table, idx = state['table'], state['n']
+                    if idx == len(table):
+                        table = np.concatenate([table, np.empty_like(table)])
+                        state['table'] = table
+                    table[idx] = (((h >> shifts) & np.uint64(1)).astype(np.int16) * 2 - 1)
                     memo[tok] = idx
-                    bit_rows.append(row)
+                    state['n'] = idx + 1
                 return idx
 
             for pdf in batches:
                 out = []
                 for text in pdf['__text']:
+                    if state['n'] >= memo_cap:  # between-documents only
+                        memo.clear()
+                        state['n'] = 0
                     toks = token_rgx.findall((text or '').lower())
                     if not toks:
                         out.append(0)
                         continue
                     idxs = np.fromiter((vote_row(t) for t in toks),
                                        dtype=np.intp, count=len(toks))
-                    votes = np.asarray(bit_rows)[idxs].sum(axis=0, dtype=np.int64)
+                    # fancy-index the 2-D table: copies len(toks) rows, not
+                    # the whole memo table (a list-of-rows np.asarray here
+                    # would be O(total vocabulary) per document).
+                    votes = state['table'][idxs].sum(axis=0, dtype=np.int64)
                     bits = (votes > 0).astype(np.uint64)
                     fp = np.bitwise_or.reduce(bits << shifts)
                     out.append(int(fp.astype(np.int64)))

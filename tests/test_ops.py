@@ -63,6 +63,34 @@ def test_simhash_near_dups(spark, doc_df):
     assert (1, 4) not in pairs and (1, 5) not in pairs
 
 
+def test_simhash_memo_eviction_preserves_fingerprints(spark, doc_df, monkeypatch):
+    # The per-worker token memo must evict only BETWEEN documents: with the
+    # cap forced far below the corpus vocabulary (every doc here has >20
+    # distinct tokens), fingerprints must equal the uncapped run bit-for-bit.
+    from rbql_spark.ops import dedup
+    baseline = {r['doc_id']: r['simhash'] for r in
+                dedup.simhash(doc_df, 'text', 'doc_id', engine='vectorized').collect()}
+    monkeypatch.setattr(dedup, '_SIMHASH_MEMO_CAP', 8)
+    capped = {r['doc_id']: r['simhash'] for r in
+              dedup.simhash(doc_df, 'text', 'doc_id', engine='vectorized').collect()}
+    assert capped == baseline
+    assert len(baseline) == 5 and baseline[1] == baseline[2]
+
+
+def test_minhash_tile_flush_preserves_signatures(spark, doc_df, monkeypatch):
+    # The permutation tile is a memory bound, not a semantic knob: flushing
+    # every 4 distinct shingles must yield identical signatures and shingle
+    # sets to the one-tile-per-batch run.
+    from rbql_spark.ops import dedup
+    def snap(df):
+        return {r['doc_id']: (sorted(r['shingles']), list(r['signature']))
+                for r in df.collect()}
+    baseline = snap(dedup.minhash_signatures(doc_df, 'text', 'doc_id'))
+    monkeypatch.setattr(dedup, '_MINHASH_FLUSH_UNIQ', 4)
+    capped = snap(dedup.minhash_signatures(doc_df, 'text', 'doc_id'))
+    assert capped == baseline
+
+
 def test_doc_fingerprint_order_sensitive(spark):
     from rbql_spark.ops.textstats import doc_fingerprint
     df = spark.createDataFrame(
