@@ -312,8 +312,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _pack(spark, sf_dir):
         from rbql_spark.ops.sampling import pack_sequences
+        # bucket count derives from the corpus size (ceil(count/64) here so
+        # the oracle-scale table still exercises multiple buckets); the
+        # oracle embeds the same ceil(count/target) expression
         return pack_sequences(_t(spark, sf_dir, 'documents'),
-                              max_tokens=256, n_buckets=8)
+                              max_tokens=256, target_docs_per_bucket=64)
     q['pack_sequences'] = _pack
 
     def _redact(spark, sf_dir):
@@ -694,10 +697,12 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 0.8 END")
 
     # greedy sequence packing: the per-bucket sequential scan as a
-    # recursive CTE (row n derives from row n-1 within its bucket)
+    # recursive CTE (row n derives from row n-1 within its bucket); the
+    # bucket count replays pack_sequences' ceil(count/64) derivation
     o['pack_sequences'] = (
         "WITH RECURSIVE toks AS (SELECT doc_id, len(" + _SQL_TOKS.format(src='text') +
-        ") AS n_tokens, doc_id % 8 AS bucket FROM documents), "
+        ") AS n_tokens, doc_id % (SELECT greatest(1, ceil(count(*) / 64.0))::BIGINT "
+        "FROM documents) AS bucket FROM documents), "
         "s AS (SELECT doc_id, n_tokens, bucket, "
         "row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM toks), "
         "p(bucket, rn, doc_id, n_tokens, acc, bin_id, bin_seq) AS ("

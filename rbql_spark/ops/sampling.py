@@ -54,22 +54,35 @@ def stratified_hash_sample(df: DataFrame, fractions: dict, strata_col: str,
     return df.filter(_hash_unit(F.col(key_col), seed) < frac)
 
 
-def pack_sequences(df: DataFrame, max_tokens: int, n_buckets: int = 32,
-                   id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+def pack_sequences(df: DataFrame, max_tokens: int, n_buckets: int | None = None,
+                   id_col: str = 'doc_id', text_col: str = 'text',
+                   target_docs_per_bucket: int = 4096) -> DataFrame:
     """Greedy sequence packing: (doc_id, n_tokens, bucket, bin_id, bin_seq).
 
-    Docs are assigned to `n_buckets` by id modulo, and each bucket packs its
+    Docs are assigned to buckets by id modulo, and each bucket packs its
     docs in ascending id order: a doc joins the current bin unless it would
     push the bin past max_tokens, in which case a new bin starts.  Docs
     longer than max_tokens get a bin of their own.
 
-    Scale shape: one hash shuffle on the bucket key, then a per-bucket
-    Arrow-batched greedy scan (applyInPandas).  Determinism comes from the
-    bucket-then-sort contract, NOT from physical partitioning, so the
-    result is stable across cluster sizes — and replayable in SQL (the
-    DuckDB oracle runs the same greedy scan as a recursive CTE).
+    The bucket count scales with the corpus: when `n_buckets` is not given
+    it is ceil(count / target_docs_per_bucket), so parallelism grows with
+    the data and per-task memory stays ~target_docs_per_bucket rows no
+    matter the corpus size (a fixed bucket count would mean corpus/N rows
+    per task — ~3 TB per task at 100 TB).  The derivation is a pure
+    function of the row count, so it is replayable by any engine (the
+    DuckDB oracle embeds the same ceil(count/target) expression).
+
+    Scale shape: one count job, one hash shuffle on the bucket key, then a
+    per-bucket Arrow-batched greedy scan (applyInPandas).  Determinism
+    comes from the bucket-then-sort contract, NOT from physical
+    partitioning, so the result is stable across cluster sizes — and
+    replayable in SQL (the DuckDB oracle runs the same greedy scan as a
+    recursive CTE).
     """
     from .dedup import tokens
+    if n_buckets is None:
+        n_docs = df.count()
+        n_buckets = max(1, -(-n_docs // int(target_docs_per_bucket)))
     src = df.select(F.col(id_col).alias('doc_id'),
                     F.size(tokens(F.col(text_col))).cast('long').alias('n_tokens'),
                     (F.col(id_col) % n_buckets).cast('long').alias('bucket'))

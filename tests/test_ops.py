@@ -216,6 +216,33 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert [r['bin_seq'] for r in rows] == list(range(len(rows)))
 
 
+def test_pack_sequences_scales_bucket_count(spark, sf_dir):
+    # Without an explicit n_buckets the bucket count derives from the corpus
+    # size: ceil(count / target_docs_per_bucket).  Parallelism grows with the
+    # data instead of capping at a fixed constant.
+    from rbql_spark.ops.sampling import pack_sequences
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    n = docs.count()
+    target = 64
+    expect_buckets = -(-n // target)
+    out = pack_sequences(docs, max_tokens=256, target_docs_per_bucket=target)
+    got_buckets = out.select('bucket').distinct().count()
+    assert got_buckets == min(expect_buckets, n)
+    assert out.agg(F.max('bucket')).first()[0] == expect_buckets - 1
+
+
+def test_pack_sequences_stable_across_parallelism(spark, sf_dir):
+    # Bin assignment is a function of (bucket, id order) only — repartitioning
+    # the input to 1 vs 16 partitions must produce identical rows.
+    from rbql_spark.ops.sampling import pack_sequences
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    def snap(df):
+        return sorted(tuple(r) for r in
+                      pack_sequences(df, max_tokens=256,
+                                     target_docs_per_bucket=64).collect())
+    assert snap(docs.repartition(1)) == snap(docs.repartition(16))
+
+
 def test_dedup_clusters_connected_components(spark):
     from rbql_spark.ops.dedup import dedup_clusters
     pairs = spark.createDataFrame(
