@@ -294,7 +294,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return jaccard_verify(cand, sig, threshold).orderBy('doc_a', 'doc_b')
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id,
     cluster_id) with cluster_id = min doc id of the component (the
     canonical "keep one representative per duplicate cluster" step after
@@ -306,10 +307,34 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     no driver-side graph state, so a 100 TB pair set just means wider
     shuffles.  Near-dup components are shallow (diameter is small), so the
     round count stays low; `max_iter` is a safety valve.  Iterative plans
-    MUST truncate lineage (localCheckpoint) — re-deriving round N from the
-    full upstream pipeline explodes plan size and replays the pair
-    generation every round.
+    MUST truncate lineage — re-deriving round N from the full upstream
+    pipeline explodes plan size and replays the pair generation every
+    round.
+
+    Round anatomy (all of it is ONE Spark job per round): min over
+    neighbors' labels (edges⋈labels + groupBy), plus one pointer hop
+    label(label(id)) — following the label as a pointer toward the
+    component minimum roughly halves the remaining distance per round on
+    chain-shaped components — then a lazy checkpoint whose materializing
+    action doubles as the convergence check (count of changed labels).
+    The iteration's shuffle partition count is derived from the
+    materialized edge count (downsized only, never above the session
+    setting): label/edge state is usually orders of magnitude smaller
+    than the corpus the session is tuned for, and per-round overhead is
+    otherwise dominated by empty-task scheduling.
+
+    checkpoint_dir: when set, intermediate state is checkpointed RELIABLY
+    to that path (HDFS/object store on a cluster) so losing an executor
+    mid-iteration doesn't kill the job; default is localCheckpoint
+    (executor-local blocks — cheaper, but an executor loss forfeits the
+    run).  Results are identical either way.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _chk(df: DataFrame, eager: bool = True) -> DataFrame:
+        return df.checkpoint(eager) if checkpoint_dir else df.localCheckpoint(eager)
     # Single pass over the (expensive) upstream pair pipeline: explode each
     # pair into both directions instead of unioning two scans of `pairs` —
     # two references inside one job would recompute the whole pair
@@ -317,29 +342,43 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     both = F.explode(F.array(
         F.struct(F.col('doc_a').alias('src'), F.col('doc_b').alias('dst')),
         F.struct(F.col('doc_b').alias('src'), F.col('doc_a').alias('dst'))))
-    edges = (pairs.select(both.alias('e')).select('e.src', 'e.dst')
-             .distinct()
-             .localCheckpoint())
-    labels = (edges.select(F.col('src').alias('id')).distinct()
-              .select('id', F.col('id').alias('label'))
-              .localCheckpoint())
-    for _ in range(max_iter):
-        nbr_min = (edges.join(labels, edges.dst == labels.id)
-                   .groupBy('src').agg(F.min('label').alias('nbr_label')))
-        # Carry the previous label through the checkpoint so the convergence
-        # check is a plain filter on materialized data — no extra join job.
-        new_labels = (labels.join(nbr_min, labels.id == nbr_min.src, 'left')
+    edges = _chk(pairs.select(both.alias('e')).select('e.src', 'e.dst')
+                 .distinct())
+    labels = _chk(edges.select(F.col('src').alias('id')).distinct()
+                  .select('id', F.col('id').alias('label')))
+    # Right-size the iteration's shuffles from the (already materialized,
+    # so nearly free to count) edge state: ~2M edge rows per partition.
+    # Downsize only — never exceed what the session is tuned for.
+    n_edges = edges.count()
+    prev_parts = spark.conf.get('spark.sql.shuffle.partitions')
+    iter_parts = max(1, min(int(prev_parts), -(-n_edges // 2_000_000)))
+    spark.conf.set('spark.sql.shuffle.partitions', str(iter_parts))
+    try:
+        for _ in range(max_iter):
+            nbr_min = (edges.join(labels, edges.dst == labels.id)
+                       .groupBy('src').agg(F.min('label').alias('nbr_label')))
+            ptr = labels.select(F.col('id').alias('p_id'),
+                                F.col('label').alias('p_label'))
+            # Carry the previous label through the checkpoint so the
+            # convergence check is a plain filter on materialized data; the
+            # checkpoint is lazy so that count is the round's ONLY job.
+            new_labels = _chk(
+                labels.join(nbr_min, labels.id == nbr_min.src, 'left')
+                      .join(ptr, labels.label == ptr.p_id, 'left')
                       .select(F.col('id'),
                               F.col('label').alias('old_label'),
                               F.least(F.col('label'),
                                       F.coalesce(F.col('nbr_label'),
-                                                 F.col('label'))).alias('label'))
-                      .localCheckpoint())
-        changed = (new_labels.filter(F.col('label') != F.col('old_label'))
-                   .limit(1).count())
-        labels = new_labels.select('id', 'label')
-        if changed == 0:
-            break
+                                                 F.col('label')),
+                                      F.coalesce(F.col('p_label'),
+                                                 F.col('label'))).alias('label')),
+                eager=False)
+            changed = new_labels.filter(F.col('label') != F.col('old_label')).count()
+            labels = new_labels.select('id', 'label')
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set('spark.sql.shuffle.partitions', prev_parts)
     return (labels.select(F.col('id').alias('doc_id'),
                           F.col('label').alias('cluster_id'))
             .orderBy('doc_id'))
@@ -440,8 +479,15 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     Hamming radius shares at least one exact block → equi-join per block,
     then exact Hamming verify (bit_count of XOR).  The block candidate
     generation has recall 1 by construction, so the output equals the exact
-    all-pairs Hamming answer — which is what the DuckDB oracle computes."""
-    fps = simhash(df, text_col, id_col, engine=engine)
+    all-pairs Hamming answer — which is what the DuckDB oracle computes.
+
+    Fingerprints are persisted before the self-join: the two join branches
+    are separate scans of the same subplan, and without the persist each
+    would run the (dominant-cost) fingerprint kernel over the whole corpus
+    independently — twice the work at any scale."""
+    from pyspark import StorageLevel
+    fps = simhash(df, text_col, id_col, engine=engine) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     nblocks = max_hamming + 1
     width = 64 // nblocks
     block_arr = F.array(*[

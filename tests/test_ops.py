@@ -251,6 +251,22 @@ def test_dedup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
 
 
+def test_dedup_clusters_reliable_checkpoint_matches(spark, tmp_path):
+    # checkpoint_dir= uses reliable (filesystem) checkpoints so executor
+    # loss mid-iteration can't kill a cluster-scale run; output must be
+    # identical to the localCheckpoint default.
+    from rbql_spark.ops.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3), (10, 11), (11, 12), (12, 13)],
+        'doc_a long, doc_b long')
+    local = sorted(tuple(r) for r in dedup_clusters(pairs).collect())
+    reliable = sorted(tuple(r) for r in
+                      dedup_clusters(pairs, checkpoint_dir=str(tmp_path)).collect())
+    assert reliable == local
+    import os
+    assert os.listdir(str(tmp_path))  # checkpoints actually landed on disk
+
+
 def test_redact_pii_patterns(spark):
     from rbql_spark.ops.textstats import redact_pii
     df = spark.createDataFrame(
