@@ -27,10 +27,7 @@ def load_cases():
 
 CASES = load_cases()
 
-KNOWN_DIVERGENT = {
-    # output_format=json tested separately; comment_regex unsupported (only
-    # comment_prefix, like the reference CLI surface)
-}
+KNOWN_DIVERGENT = set()
 
 
 @pytest.mark.parametrize('case', CASES, ids=[c['test_name'].replace(' ', '_') for c in CASES])
