@@ -260,6 +260,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round('total_value', 6).alias('total_value')))
     q['streaming_user_totals'] = _streaming_totals
 
+    def _streaming_dedup(spark, sf_dir):
+        # streaming exact-dedup end-to-end: the events table replayed as two
+        # OVERLAPPING files (event_id % 3 == 1 rows delivered twice — an
+        # at-least-once transport) → dropDuplicates keyed on (event_id, ts)
+        # with a watermark → memory sink.  Redelivered rows are byte-equal,
+        # so the surviving set equals the plain batch table, which is the
+        # oracle.
+        import tempfile
+
+        from rbql_spark.streaming.events import (
+            read_event_stream, run_stream_to_memory, stream_exact_dedup,
+        )
+        tmp = tempfile.mkdtemp(prefix='rbql_stream_dedup_')
+        ev = _t(spark, sf_dir, 'events')
+        ev.where('event_id % 3 != 2').coalesce(1).write.mode('overwrite').parquet(tmp)
+        ev.where('event_id % 3 != 0').coalesce(1).write.mode('append').parquet(tmp)
+        stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
+        dd = stream_exact_dedup(stream)
+        qname = 'rbql_stream_dedup_gate'
+        sq = run_stream_to_memory(dd, qname, output_mode='append')
+        sq.stop()
+        return spark.table(qname).select(
+            'event_id', 'ts', 'user_id', 'event_type',
+            F.round('value', 6).alias('value'))
+    q['streaming_exact_dedup'] = _streaming_dedup
+
     # ---- superset: dedup --------------------------------------------------
     def _dedup_exact(spark, sf_dir):
         from rbql_spark.ops.dedup import exact_dedup
@@ -660,6 +686,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT window_start, event_type, n_events, sum_value FROM agg "
         "WHERE window_start + INTERVAL 6 hours <= "
         "(SELECT max(ts) FROM events) - INTERVAL 1 hour")
+
+    # streaming dedup over an at-least-once replay recovers exactly the
+    # batch table (redelivered rows are byte-identical)
+    o['streaming_exact_dedup'] = (
+        "SELECT event_id, ts, user_id, event_type, round(value, 6) AS value "
+        "FROM events")
 
     # the stateful operator's final state per user == the batch aggregate
     o['streaming_user_totals'] = (

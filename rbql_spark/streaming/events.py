@@ -72,6 +72,23 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     return q
 
 
+def stream_exact_dedup(events: DataFrame,
+                       watermark: str = '90 days') -> DataFrame:
+    """Exactly-once projection over an at-least-once stream: drop re-delivered
+    records across micro-batches (the streaming face of ops.dedup.exact_dedup).
+
+    State is the set of seen (event_id, ts) keys; including the event-time
+    column in the key lets the engine expire entries older than the
+    watermark, so state is bounded by delivery horizon × arrival rate, not
+    stream lifetime.  The watermark is the redelivery tolerance: a duplicate
+    arriving later than it can slip through (and a first delivery later
+    than it is dropped as late) — size it to the transport's worst case.
+    """
+    return (events
+            .withWatermark('ts', watermark)
+            .dropDuplicates(['event_id', 'ts']))
+
+
 # ---- custom stateful operator --------------------------------------------
 
 _STATE_SCHEMA = 'user_id long, n_events long, total_value double'
