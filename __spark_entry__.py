@@ -367,6 +367,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_ann_topk(emb, queries_df, k=10, dim=64)
     q['sim_ann_lsh'] = _sim_ann
 
+    def _sim_ivf(spark, sf_dir):
+        from rbql_spark.ops.similarity import ivf_ann_topk
+        emb = _t(spark, sf_dir, 'embeddings')
+        queries_df = emb.filter(F.col('vec_id') < 5) \
+                        .select(F.col('vec_id').alias('query_id'), 'embedding')
+        return ivf_ann_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
+    q['sim_ann_ivf'] = _sim_ivf
+
     def _sim_neardup(spark, sf_dir):
         from rbql_spark.ops.similarity import embedding_near_dup_pairs
         return embedding_near_dup_pairs(_t(spark, sf_dir, 'embeddings'),
@@ -524,6 +532,35 @@ def _ann_lsh_replay_sql(k: int, dim: int, n_planes: int, n_tables: int,
         "ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
         "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
     ).format(k=k)
+
+
+def _ivf_replay_sql(k: int, n_cells: int, n_probe: int, seed: int) -> str:
+    """Replay ivf_ann_topk in DuckDB: hash-sampled centroids (n_cells
+    smallest md5(vec_id:seed)), argmax cell assignment, n_probe nearest
+    cells per query, exact cosine rescore + rank — all on similarities
+    rounded to 6 places before comparison, matching the Spark op."""
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        "cent AS (SELECT cell, cv FROM (SELECT v AS cv, row_number() OVER "
+        "(ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id) - 1 AS cell FROM c) "
+        "WHERE cell < {n_cells}), "
+        "asg AS (SELECT vec_id, v, cell FROM (SELECT c.vec_id, c.v, cent.cell, "
+        "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        "round(list_cosine_similarity(c.v, cent.cv), 6) DESC, cent.cell ASC) AS rn "
+        "FROM c CROSS JOIN cent) WHERE rn = 1), "
+        "prb AS (SELECT query_id, qv, cell FROM (SELECT q.query_id, q.qv, cent.cell, "
+        "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        "round(list_cosine_similarity(q.qv, cent.cv), 6) DESC, cent.cell ASC) AS rn "
+        "FROM q CROSS JOIN cent) WHERE rn <= {n_probe}), "
+        "scored AS (SELECT p.query_id, a.vec_id, "
+        "round(list_cosine_similarity(a.v, p.qv), 6) AS cosine_sim "
+        "FROM asg a JOIN prb p ON a.cell = p.cell), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
+        "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
+    ).format(seed=seed, n_cells=n_cells, n_probe=n_probe, k=k)
 
 
 def _neardup_replay_sql(threshold: float, dim: int, n_planes: int, seed: int) -> str:
@@ -760,6 +797,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents")
 
     o['sim_ann_lsh'] = _ann_lsh_replay_sql(k=10, dim=64, n_planes=8, n_tables=4, seed=42)
+
+    o['sim_ann_ivf'] = _ivf_replay_sql(k=10, n_cells=16, n_probe=4, seed=42)
 
     o['sim_embedding_neardup'] = _neardup_replay_sql(
         threshold=0.8, dim=64, n_planes=12, seed=42)

@@ -117,6 +117,80 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .orderBy('query_id', 'rank'))
 
 
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 n_cells: int = 16, n_probe: int = 4,
+                 id_col: str = 'vec_id', vec_col: str = 'embedding',
+                 query_id_col: str = 'query_id', seed: int = 42) -> DataFrame:
+    """IVF-flat ANN: partition the corpus into coarse cells around centroid
+    vectors; each query probes only its n_probe nearest cells and
+    exact-rescores those candidates.
+
+    The coarse quantizer picks centroids by content hash — the n_cells
+    corpus vectors with the smallest md5(vec_id:seed) — rather than trained
+    k-means: centroid quality affects only recall, never correctness, and
+    hash selection keeps the pipeline a pure function of the data that the
+    DuckDB differential oracle replays value-for-value.  (A trained
+    quantizer can be slotted in later; assignment/probe/rescore are
+    unchanged.)
+
+    Scale shape: centroids ride inline in the expressions (n_cells × dim
+    literals — broadcast by the plan itself); cell assignment is a single
+    native projection over the corpus (argmax via array_max over
+    (sim, -cell) structs — no join, no shuffle); candidates come from one
+    corpus ⋈ broadcast(probed queries) hash join on the cell id, touching
+    ~n_probe/n_cells of the corpus per query.  Ranking windows partition by
+    query_id.  Similarities are rounded to 6 places BEFORE any comparison
+    so argmax/probe/rank order is reproducible across engines.
+    """
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
+    q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
+    cent_rows = (c.select(
+                    '__cv',
+                    F.md5(F.concat(F.col('vec_id').cast('string'),
+                                   F.lit(':{}'.format(seed)))).alias('__h'),
+                    'vec_id')
+                 .orderBy('__h', 'vec_id')
+                 .limit(n_cells)
+                 .collect())
+    centroids = [[float(x) for x in r['__cv']] for r in cent_rows]
+
+    def _sim(vec: Column, cv: list[float]) -> Column:
+        return F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 6)
+
+    def _argmax_cell(vec: Column) -> Column:
+        # array_max over (sim, -cell): ties on sim resolve to the larger
+        # -cell, i.e. the LOWEST cell index — mirrored by the oracle's
+        # ORDER BY sim DESC, cell ASC
+        arr = F.array(*[F.struct(_sim(vec, cv).alias('s'),
+                                 F.lit(-i).alias('ni'))
+                        for i, cv in enumerate(centroids)])
+        return -F.array_max(arr)['ni']
+
+    def _probe_cells(vec: Column) -> Column:
+        # ascending sort of (-sim, cell) = sim DESC, cell ASC; negation
+        # applied AFTER rounding so both engines order identical values
+        arr = F.array(*[F.struct((-_sim(vec, cv)).alias('ns'),
+                                 F.lit(i).alias('cell'))
+                        for i, cv in enumerate(centroids)])
+        return F.transform(F.slice(F.array_sort(arr), 1, n_probe),
+                           lambda s: s['cell'])
+
+    assigned = c.select('vec_id', '__cv', _argmax_cell(F.col('__cv')).alias('cell'))
+    probed = q.select('query_id', '__qv',
+                      F.explode(_probe_cells(F.col('__qv'))).alias('cell'))
+    # a corpus vector lives in exactly one cell and a query probes distinct
+    # cells, so candidates are already unique per (query, vec)
+    cand = assigned.join(F.broadcast(probed), 'cell')
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
+    return (cand.select('query_id', 'vec_id',
+                        F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim'))
+                .withColumn('rank', F.row_number().over(w))
+                .filter(F.col('rank') <= k)
+                .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+                .orderBy('query_id', 'rank'))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                              dim: int = 32, n_planes: int = 12,
                              id_col: str = 'vec_id', vec_col: str = 'embedding',

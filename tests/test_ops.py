@@ -145,6 +145,40 @@ def test_ann_recall_vs_bruteforce(spark, emb_df):
     assert sum(recalls) / len(recalls) >= 0.4
 
 
+def test_ivf_ann_self_match_and_recall(spark, emb_df):
+    from rbql_spark.ops.similarity import cosine_topk_bruteforce, ivf_ann_topk
+    queries = emb_df.filter(F.col('vec_id') < 3) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    exact = cosine_topk_bruteforce(emb_df, queries, k=10)
+    approx = ivf_ann_topk(emb_df, queries, k=10, n_cells=8, n_probe=4)
+    exact_sets, approx_sets, approx_rank1 = {}, {}, {}
+    for r in exact.collect():
+        exact_sets.setdefault(r['query_id'], set()).add(r['vec_id'])
+    for r in approx.collect():
+        approx_sets.setdefault(r['query_id'], set()).add(r['vec_id'])
+        if r['rank'] == 1:
+            approx_rank1[r['query_id']] = r['vec_id']
+    recalls = []
+    for q, ex in exact_sets.items():
+        ap = approx_sets.get(q, set())
+        # the query vector is in the corpus; its own cell is always the
+        # nearest probe, so the self-match must surface at rank 1
+        assert approx_rank1.get(q) == q
+        recalls.append(len(ex & ap) / len(ex))
+    # probing half the cells of a near-uniform random corpus
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_ivf_ann_deterministic_across_runs(spark, emb_df):
+    from rbql_spark.ops.similarity import ivf_ann_topk
+    queries = emb_df.filter(F.col('vec_id') < 3) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    a = [tuple(r) for r in ivf_ann_topk(emb_df, queries, k=5, n_cells=8, n_probe=2).collect()]
+    b = [tuple(r) for r in ivf_ann_topk(emb_df.repartition(7), queries, k=5,
+                                        n_cells=8, n_probe=2).collect()]
+    assert a == b
+
+
 def test_bruteforce_self_similarity_first(spark, emb_df):
     from rbql_spark.ops.similarity import cosine_topk_bruteforce
     queries = emb_df.filter(F.col('vec_id') == 7) \
