@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""sf1 scale validation: run the dedup/similarity/pipeline subset at 10x
+sf0.1 and record per-query sf0.1 vs sf1 times + growth ratios.
+
+Usage:  python tools/bench_sf1.py          # writes BENCH_sf1.json at repo root
+
+The sf1 dataset is materialized once under $SPARK_GRAFT_SF1_DIR (default
+/tmp/rbql_sf1) as 10 deterministic replicas of the sf0.1 tables:
+
+  * documents: replica i rotates vowels (lowercase shift 1-4, uppercase
+    shift 0-4, distinct (l,u) pair per replica) and appends a replica tag
+    token.  Within a replica the near-dup/exact-dup structure of sf0.1 is
+    preserved isomorphically (tokens map 1:1); across replicas texts share
+    almost no tokens, so pair counts scale LINEARLY with data — replicating
+    text verbatim would instead create 10-clone groups and a quadratic
+    pair explosion that tests output size, not throughput.
+  * embeddings: replica 0 is the original; replicas 1-9 mix each vector
+    50/50 with seeded unit-norm noise (cosine to the source ~0.71 < the
+    0.8 near-dup threshold) so clone cliques don't blow up the
+    bucket self-join quadratically.
+
+A query is flagged super-linear if sf1_time > 10x sf0.1_time measured in
+the same session (both min-of-REPS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01_DIR = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+SF1_DIR = os.environ.get('SPARK_GRAFT_SF1_DIR', '/tmp/rbql_sf1')
+CPUS = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+REPS = int(os.environ.get('SPARK_GRAFT_BENCH_REPS', '2'))
+N_REPLICAS = 10
+
+SUBSET = [
+    'dedup_exact',
+    'dedup_minhash_lsh',
+    'dedup_simhash',
+    'dedup_ngram_jaccard',
+    'dedup_clusters',
+    'pack_sequences',
+    'sample_stratified',
+    'text_redact_pii',
+    'text_token_stats',
+    'text_quality_score',
+    'text_fingerprint',
+    'multimodal_features',
+    'sim_topk_bruteforce',
+    'sim_ann_lsh',
+    'sim_embedding_neardup',
+]
+
+_VOWELS_L = 'aeiou'
+_VOWELS_U = 'AEIOU'
+_ID_STEP = 10_000_000
+
+
+def _rot(s: str, k: int) -> str:
+    return s[k:] + s[:k]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+    if os.path.exists(os.path.join(SF1_DIR, '_DONE')):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(SF01_DIR, 'documents.parquet'))
+    doc_parts = []
+    for i in range(N_REPLICAS):
+        if i == 0:
+            doc_parts.append(docs)
+            continue
+        lshift = 1 + (i - 1) % 4
+        ushift = (i - 1) // 4
+        txt = F.translate('text', _VOWELS_L + _VOWELS_U,
+                          _rot(_VOWELS_L, lshift) + _rot(_VOWELS_U, ushift))
+        txt = F.concat(txt, F.lit(' zrepl{}tag'.format(i)))
+        doc_parts.append(docs.select(
+            (F.col('doc_id') + i * _ID_STEP).alias('doc_id'),
+            txt.alias('text'), 'lang', 'source', 'n_chars'))
+    out = doc_parts[0]
+    for p in doc_parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(CPUS).write.mode('overwrite') \
+       .parquet(os.path.join(SF1_DIR, 'documents.parquet'))
+
+    emb = spark.read.parquet(os.path.join(SF01_DIR, 'embeddings.parquet'))
+
+    def perturb(i):
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+            for pdf in batches:
+                vecs = []
+                for vid, e in zip(pdf['vec_id'], pdf['embedding']):
+                    v = np.asarray(e, dtype=np.float64)
+                    rng = np.random.default_rng(1_000_003 * i + int(vid))
+                    g = rng.standard_normal(v.shape)
+                    g *= np.linalg.norm(v) / (np.linalg.norm(g) + 1e-12)
+                    w = v + g
+                    vecs.append((w / (np.linalg.norm(w) + 1e-12)).astype('float32'))
+                yield pd.DataFrame({
+                    'vec_id': pdf['vec_id'] + i * _ID_STEP,
+                    'embedding': pd.Series(vecs, index=pdf.index, dtype='object'),
+                    'label': pdf['label']})
+        return fn
+
+    emb_parts = [emb]
+    schema = 'vec_id long, embedding array<float>, label int'
+    for i in range(1, N_REPLICAS):
+        emb_parts.append(emb.mapInPandas(perturb(i), schema=schema))
+    out = emb_parts[0]
+    for p in emb_parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(CPUS).write.mode('overwrite') \
+       .parquet(os.path.join(SF1_DIR, 'embeddings.parquet'))
+
+    with open(os.path.join(SF1_DIR, '_DONE'), 'w') as f:
+        f.write('ok\n')
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    best = None
+    for _ in range(REPS):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format('noop').mode('overwrite').save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    import __spark_entry__ as em
+    from rbql_spark.session import build_session
+
+    spark = build_session(app_name='rbql-spark-bench-sf1',
+                          master='local[{}]'.format(CPUS),
+                          shuffle_partitions=CPUS,
+                          driver_memory=os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g'))
+    spark.sparkContext.setLogLevel('ERROR')
+    build_sf1(spark)
+
+    qs = em.queries()
+    results = {}
+    for name in SUBSET:
+        t01 = time_query(qs[name], spark, SF01_DIR)
+        t1 = time_query(qs[name], spark, SF1_DIR)
+        ratio = round(t1 / t01, 2) if t01 > 0 else None
+        results[name] = {'sf0.1_sec': t01, 'sf1_sec': t1, 'ratio': ratio,
+                         'super_linear': bool(ratio is not None and ratio > 10.0)}
+        print('{}: sf0.1={}s sf1={}s ratio={}'.format(name, t01, t1, ratio),
+              file=sys.stderr)
+
+    artifact = {
+        'metric': 'sf1_scale_validation',
+        'unit': 'sec',
+        'sf0.1_rows': {'documents': 5000, 'embeddings': 2000},
+        'sf1_rows': {'documents': 50000, 'embeddings': 20000},
+        'reps': REPS,
+        'queries': results,
+        'super_linear_queries': [n for n, r in results.items() if r['super_linear']],
+    }
+    print(json.dumps(artifact))
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
