@@ -414,6 +414,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.col('feature')[i].alias('f{}'.format(i)) for i in range(8)])
     q['multimodal_features'] = _multimodal
 
+    def _multimodal_frames(spark, sf_dir):
+        from rbql_spark.ops.multimodal import attach_binary_payload, sample_frames
+        payloads = attach_binary_payload(_t(spark, sf_dir, 'documents'))
+        return sample_frames(payloads, frame_size=64, stride=4, max_frames=8)
+    q['multimodal_frame_sample'] = _multimodal_frames
+
+    def _multimodal_resize(spark, sf_dir):
+        from rbql_spark.ops.multimodal import attach_binary_payload, resize_stub
+        payloads = attach_binary_payload(_t(spark, sf_dir, 'documents'))
+        return resize_stub(payloads, factor=4)
+    q['multimodal_resize'] = _multimodal_resize
+
     return q
 
 
@@ -894,6 +906,36 @@ def oracle_sql() -> dict[str, str]:
         "(coalesce(list_sum(list_transform(range(1, n + 1), "
         " i -> ('0x' || h[i*2-1:i*2])::bigint)), 0) % 2147483648)::BIGINT AS byte_checksum, "
         "lower(h[1:8]) AS head_hex, " + _f + " FROM b")
+
+    # frame sampling replay: frames are 64-byte windows over the utf-8
+    # payload, every 4th frame sampled, max 8 per doc; checksum = byte sum
+    # of the frame (hex arithmetic), 0-byte payloads emit no frames
+    o['multimodal_frame_sample'] = (
+        "WITH b AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h, "
+        " octet_length(encode(coalesce(text, ''))) AS n FROM documents), "
+        "f AS (SELECT doc_id, h, n, unnest(range(0, ceil(n / 64.0)::BIGINT, 4)) "
+        " AS frame_idx FROM b), "
+        "s AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        " ORDER BY frame_idx) AS rn FROM f) "
+        "SELECT doc_id, frame_idx, frame_idx * 64 AS frame_offset, "
+        "least(64, n - frame_idx * 64)::BIGINT AS frame_len, "
+        "(list_sum(list_transform(range(frame_idx * 64 + 1, "
+        " frame_idx * 64 + least(64, n - frame_idx * 64) + 1), "
+        " i -> ('0x' || h[i*2-1:i*2])::BIGINT)) % 2147483648)::BIGINT "
+        " AS frame_checksum "
+        "FROM s WHERE rn <= 8")
+
+    # resize replay: keep every 4th byte (1-based positions 1, 5, 9, ...);
+    # byte p lives at hex slice [p*2-1, p*2]
+    o['multimodal_resize'] = (
+        "WITH b AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h, "
+        " octet_length(encode(coalesce(text, ''))) AS n FROM documents), "
+        "r AS (SELECT doc_id, n, list_transform(range(0, ceil(n / 4.0)::BIGINT), "
+        " j -> ('0x' || h[j*8+1:j*8+2])::BIGINT) AS rb FROM b) "
+        "SELECT doc_id, n::BIGINT AS orig_bytes, len(rb)::BIGINT AS resized_bytes, "
+        "(coalesce(list_sum(rb), 0) % 2147483648)::BIGINT AS resized_checksum, "
+        "lower(array_to_string(list_transform(rb[1:4], x -> printf('%02x', x)), '')) "
+        " AS resized_head_hex FROM r")
 
     return o
 

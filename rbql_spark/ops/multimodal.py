@@ -92,3 +92,84 @@ def multimodal_pipeline(df: DataFrame, text_col: str = 'text',
     from .dedup import spread_partitions
     payloads = attach_binary_payload(spread_partitions(df), text_col, id_col)
     return extract_features(payloads).orderBy('doc_id')
+
+
+_FRAME_SCHEMA = ('doc_id long, frame_idx long, frame_offset long, '
+                 'frame_len long, frame_checksum long')
+
+
+def sample_frames(df: DataFrame, frame_size: int = 64, stride: int = 4,
+                  max_frames: int = 8, payload_col: str = 'payload',
+                  id_col: str = 'doc_id') -> DataFrame:
+    """Frame sampling over a binary "video" column: one OUTPUT ROW per
+    sampled frame (a row-multiplying mapInPandas — the UDTF shape a real
+    video pipeline needs).
+
+    The payload is treated as consecutive `frame_size`-byte frames; every
+    `stride`-th frame is sampled, capped at `max_frames` per document.  The
+    per-frame work is STUBBED as byte math (offset/length/checksum) — a
+    real decoder would emit pixel tensors here — but the Spark plumbing
+    (batch iteration, row explosion, output schema) is exactly what the
+    real thing uses.  All outputs are pure byte functions so the DuckDB
+    oracle replays them value-for-value.
+
+    Scale shape: no shuffle — frames are emitted inside the scan tasks;
+    one output row per ~frame_size input bytes bounds the expansion factor.
+    """
+    id_name, payload_name = id_col, payload_col
+    fsz, stp, cap = int(frame_size), int(stride), int(max_frames)
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {'doc_id': [], 'frame_idx': [], 'frame_offset': [],
+                   'frame_len': [], 'frame_checksum': []}
+            for doc_id, raw in zip(pdf[id_name], pdf[payload_name]):
+                raw = bytes(raw) if raw is not None else b''
+                n = len(raw)
+                n_frames = -(-n // fsz)  # ceil; 0 bytes → no frames
+                for fi in list(range(0, n_frames, stp))[:cap]:
+                    off = fi * fsz
+                    chunk = raw[off:off + fsz]
+                    out['doc_id'].append(int(doc_id))
+                    out['frame_idx'].append(fi)
+                    out['frame_offset'].append(off)
+                    out['frame_len'].append(len(chunk))
+                    out['frame_checksum'].append(sum(chunk) % (1 << 31))
+            yield pd.DataFrame(out, columns=list(out))
+
+    return df.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = ('doc_id long, orig_bytes long, resized_bytes long, '
+                  'resized_checksum long, resized_head_hex string')
+
+
+def resize_stub(df: DataFrame, factor: int = 4, payload_col: str = 'payload',
+                id_col: str = 'doc_id') -> DataFrame:
+    """Resize plumbing over a binary column: 1:1 mapInPandas that shrinks
+    each payload by keeping every `factor`-th byte (the stub stand-in for a
+    real image resample) and emits the resized metadata.
+
+    Deterministic byte math end-to-end — the oracle reproduces checksum and
+    head bytes from hex arithmetic.  No shuffle; runs inside scan tasks.
+    """
+    id_name, payload_name = id_col, payload_col
+    k = int(factor)
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {'doc_id': [], 'orig_bytes': [], 'resized_bytes': [],
+                   'resized_checksum': [], 'resized_head_hex': []}
+            for doc_id, raw in zip(pdf[id_name], pdf[payload_name]):
+                raw = bytes(raw) if raw is not None else b''
+                small = raw[::k]
+                out['doc_id'].append(int(doc_id))
+                out['orig_bytes'].append(len(raw))
+                out['resized_bytes'].append(len(small))
+                out['resized_checksum'].append(sum(small) % (1 << 31))
+                out['resized_head_hex'].append(small[:4].hex())
+            yield pd.DataFrame(out, columns=list(out))
+
+    return df.mapInPandas(run, schema=_RESIZE_SCHEMA)

@@ -208,6 +208,38 @@ def test_multimodal_stub_features(spark, doc_df):
     assert r1['n_bytes'] > 0
 
 
+def test_multimodal_frame_sample_explodes_rows(spark, doc_df):
+    from rbql_spark.ops.multimodal import attach_binary_payload, sample_frames
+    payloads = attach_binary_payload(doc_df)
+    rows = sample_frames(payloads, frame_size=16, stride=2, max_frames=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r['doc_id'], []).append(r)
+    # every doc here is >16 bytes → at least one frame; cap respected
+    assert set(by_doc) == {1, 2, 3, 4, 5}
+    for doc_id, frames in by_doc.items():
+        assert 1 <= len(frames) <= 3
+        for f in frames:
+            assert f['frame_idx'] % 2 == 0          # stride
+            assert f['frame_offset'] == f['frame_idx'] * 16
+            assert 1 <= f['frame_len'] <= 16
+    # identical payloads → identical frame sets
+    key = lambda fs: sorted((f['frame_idx'], f['frame_len'], f['frame_checksum'])  # noqa: E731
+                            for f in fs)
+    assert key(by_doc[1]) == key(by_doc[2])
+
+
+def test_multimodal_resize_stub(spark, doc_df):
+    from rbql_spark.ops.multimodal import attach_binary_payload, resize_stub
+    payloads = attach_binary_payload(doc_df)
+    rows = {r['doc_id']: r for r in resize_stub(payloads, factor=4).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r['resized_bytes'] == -(-r['orig_bytes'] // 4)
+        assert len(r['resized_head_hex']) == 8
+    assert rows[1]['resized_checksum'] == rows[2]['resized_checksum']
+
+
 def test_hash_sample_deterministic_and_join_consistent(spark, sf_dir):
     from rbql_spark.ops.sampling import hash_sample
     docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
