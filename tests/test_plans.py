@@ -161,3 +161,21 @@ def test_fallback_sample_job_cached_on_identical_rerun(spark, sf_dir, entry):
     first = run('pyeval-cache-1')
     second = run('pyeval-cache-2')
     assert second == first - 1, (first, second)
+
+
+def test_ivf_assignment_native_and_probe_broadcast(spark, sf_dir, entry):
+    # IVF: cell assignment is a native projection (centroid literals inline,
+    # no Python stage anywhere) and the candidate join broadcasts the small
+    # probed-query side, never the corpus.
+    plan = _plan(entry.queries()['sim_ann_ivf'](spark, sf_dir))
+    assert 'BatchEvalPython' not in plan and 'MapInPandas' not in plan \
+        and 'ArrowEvalPython' not in plan
+    assert 'BroadcastHashJoin' in plan or 'BroadcastExchange' in plan
+
+
+def test_multimodal_frames_no_shuffle(spark, sf_dir, entry):
+    # frame sampling happens inside the scan tasks: no Exchange between the
+    # parquet scan and the row-multiplying Python stage
+    plan = _plan(entry.queries()['multimodal_frame_sample'](spark, sf_dir))
+    assert 'MapInPandas' in plan            # the (intentional) Python stage
+    assert 'Exchange' not in plan.split('MapInPandas')[-1]

@@ -51,8 +51,11 @@ SUBSET = [
     'text_quality_score',
     'text_fingerprint',
     'multimodal_features',
+    'multimodal_frame_sample',
+    'multimodal_resize',
     'sim_topk_bruteforce',
     'sim_ann_lsh',
+    'sim_ann_ivf',
     'sim_embedding_neardup',
 ]
 
