@@ -180,6 +180,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_window_agg(_t(spark, sf_dir, 'events'))
     q['window_session'] = _win_session
 
+    def _win_sliding(spark, sf_dir):
+        from rbql_spark.ops.windows import sliding_window_agg
+        return sliding_window_agg(_t(spark, sf_dir, 'events'),
+                                  width='2 hours', slide='1 hour')
+    q['window_sliding'] = _win_sliding
+
+    def _skew_join(spark, sf_dir):
+        # salted equi-join: per-row salt on the skewed side, salt-replicated
+        # build side — result must equal the plain join, which is the oracle
+        from rbql_spark.ops.skew import salted_join
+        o = _t(spark, sf_dir, 'orders').select(
+            'o_orderkey', F.col('o_custkey').alias('c_custkey'), 'o_totalprice')
+        c = _t(spark, sf_dir, 'customer').select('c_custkey', 'c_mktsegment')
+        return salted_join(o, c, on=['c_custkey'], how='inner', salt=8)
+    q['skew_salted_join'] = _skew_join
+
     def _having(spark, sf_dir):
         from rbql_spark.ops.windows import having_filter
         return having_filter(_t(spark, sf_dir, 'part'), 'p_brand', 'p_retailprice', 10)
@@ -697,6 +713,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT time_bucket(INTERVAL 1 hour, ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY 1, 2")
+
+    # sliding windows: every event lands in width/slide = 2 hourly-aligned
+    # windows (its hour bucket and the previous one)
+    o['window_sliding'] = (
+        "SELECT window_start, count(*) AS n_events FROM ("
+        "SELECT time_bucket(INTERVAL 1 hour, ts) - INTERVAL (k) hour AS window_start "
+        "FROM events CROSS JOIN (VALUES (0), (1)) t(k)) GROUP BY window_start")
+
+    # the salt column never escapes: salted join == plain join
+    o['skew_salted_join'] = (
+        "SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice, c_mktsegment "
+        "FROM orders JOIN customer ON o_custkey = customer.c_custkey")
 
     o['having_groups'] = (
         "SELECT p_brand, count(*) AS cnt, round(sum(p_retailprice), 6) AS total "
