@@ -317,6 +317,43 @@ def test_dedup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
 
 
+def test_dedup_clusters_random_graphs_match_union_find(spark):
+    # Randomized check of the pointer-hop label propagation against a plain
+    # union-find: chains, cliques, stars, and sparse random graphs.
+    import random
+    for seed in [1, 2, 3]:
+        rnd = random.Random(seed)
+        n = rnd.randint(10, 60)
+        edges = {tuple(sorted(rnd.sample(range(n), 2)))
+                 for _ in range(rnd.randint(5, n * 2))}
+        # plant a long chain so convergence needs several rounds
+        chain = list(range(100, 100 + rnd.randint(8, 15)))
+        edges |= {(a, b) for a, b in zip(chain, chain[1:])}
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        from rbql_spark.ops.dedup import dedup_clusters
+        df = spark.createDataFrame([(a, b) for a, b in sorted(edges)],
+                                   'doc_a long, doc_b long')
+        got = {r['doc_id']: r['cluster_id'] for r in dedup_clusters(df).collect()}
+        assert got == want, f'seed {seed} diverged'
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from rbql_spark.ops.dedup import dedup_clusters
+    pairs = spark.createDataFrame([], 'doc_a long, doc_b long')
+    assert dedup_clusters(pairs).count() == 0
+
+
 def test_dedup_clusters_reliable_checkpoint_matches(spark, tmp_path):
     # checkpoint_dir= uses reliable (filesystem) checkpoints so executor
     # loss mid-iteration can't kill a cluster-scale run; output must be
