@@ -120,18 +120,22 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  n_cells: int = 16, n_probe: int = 4,
                  id_col: str = 'vec_id', vec_col: str = 'embedding',
-                 query_id_col: str = 'query_id', seed: int = 42) -> DataFrame:
+                 query_id_col: str = 'query_id', seed: int = 42,
+                 quantizer: str = 'hash') -> DataFrame:
     """IVF-flat ANN: partition the corpus into coarse cells around centroid
     vectors; each query probes only its n_probe nearest cells and
     exact-rescores those candidates.
 
-    The coarse quantizer picks centroids by content hash — the n_cells
-    corpus vectors with the smallest md5(vec_id:seed) — rather than trained
-    k-means: centroid quality affects only recall, never correctness, and
-    hash selection keeps the pipeline a pure function of the data that the
-    DuckDB differential oracle replays value-for-value.  (A trained
-    quantizer can be slotted in later; assignment/probe/rescore are
-    unchanged.)
+    quantizer='hash' (default) picks centroids by content hash — the
+    n_cells corpus vectors with the smallest md5(vec_id:seed): centroid
+    quality affects only recall, never correctness, and hash selection
+    keeps the pipeline a pure function of the data that the DuckDB
+    differential oracle replays value-for-value.  quantizer='kmeans'
+    trains a seeded Spark ML k-means coarse quantizer instead — better
+    cell balance and recall, but k-means cluster centers are not
+    bit-replayable in another engine, so use it where recall matters more
+    than a differential oracle.  Assignment/probe/rescore are identical
+    for both.
 
     Scale shape: centroids ride inline in the expressions (n_cells × dim
     literals — broadcast by the plan itself); cell assignment is a single
@@ -145,15 +149,24 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
-    cent_rows = (c.select(
-                    '__cv',
-                    F.md5(F.concat(F.col('vec_id').cast('string'),
-                                   F.lit(':{}'.format(seed)))).alias('__h'),
-                    'vec_id')
-                 .orderBy('__h', 'vec_id')
-                 .limit(n_cells)
-                 .collect())
-    centroids = [[float(x) for x in r['__cv']] for r in cent_rows]
+    if quantizer == 'kmeans':
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+        train = c.select(array_to_vector(F.col('__cv')).alias('features'))
+        model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+        centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    elif quantizer == 'hash':
+        cent_rows = (c.select(
+                        '__cv',
+                        F.md5(F.concat(F.col('vec_id').cast('string'),
+                                       F.lit(':{}'.format(seed)))).alias('__h'),
+                        'vec_id')
+                     .orderBy('__h', 'vec_id')
+                     .limit(n_cells)
+                     .collect())
+        centroids = [[float(x) for x in r['__cv']] for r in cent_rows]
+    else:
+        raise ValueError("quantizer must be 'hash' or 'kmeans'")
 
     def _sim(vec: Column, cv: list[float]) -> Column:
         return F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 6)

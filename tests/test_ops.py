@@ -169,6 +169,28 @@ def test_ivf_ann_self_match_and_recall(spark, emb_df):
     assert sum(recalls) / len(recalls) >= 0.3
 
 
+def test_ivf_ann_kmeans_quantizer(spark, emb_df):
+    # trained coarse quantizer: same assignment/probe/rescore plumbing,
+    # centroids from seeded Spark ML k-means
+    from rbql_spark.ops.similarity import ivf_ann_topk
+    queries = emb_df.filter(F.col('vec_id') < 3) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    out = ivf_ann_topk(emb_df, queries, k=5, n_cells=8, n_probe=4,
+                       quantizer='kmeans')
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r['query_id'], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        assert [r['rank'] for r in sorted(rs, key=lambda r: r['rank'])] == [1, 2, 3, 4, 5]
+        assert sorted(rs, key=lambda r: r['rank'])[0]['vec_id'] == q  # self-match first
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ivf_ann_topk(emb_df, queries, quantizer='nope')
+
+
 def test_ivf_ann_deterministic_across_runs(spark, emb_df):
     from rbql_spark.ops.similarity import ivf_ann_topk
     queries = emb_df.filter(F.col('vec_id') < 3) \
