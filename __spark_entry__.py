@@ -293,7 +293,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev.where('event_id % 3 != 2').coalesce(1).write.mode('overwrite').parquet(tmp)
         ev.where('event_id % 3 != 0').coalesce(1).write.mode('append').parquet(tmp)
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
-        dd = stream_exact_dedup(stream)
+        # the watermark is the redelivery tolerance; this replay re-delivers
+        # arbitrarily old rows (file 2 spans the whole table), so size the
+        # delay from the DATA SPAN — a fixed delay would silently drop
+        # batch-2 first-deliveries as late on any table spanning longer
+        lo, hi = ev.agg(F.min('ts'), F.max('ts')).first()
+        span_days = max(1, (hi - lo).days + 2)
+        dd = stream_exact_dedup(stream, watermark='{} days'.format(span_days))
         qname = 'rbql_stream_dedup_gate'
         sq = run_stream_to_memory(dd, qname, output_mode='append')
         sq.stop()

@@ -327,7 +327,14 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
     to that path (HDFS/object store on a cluster) so losing an executor
     mid-iteration doesn't kill the job; default is localCheckpoint
     (executor-local blocks — cheaper, but an executor loss forfeits the
-    run).  Results are identical either way.
+    run).  Results are identical either way.  Two session-level caveats:
+    setCheckpointDir is SparkContext-global (later checkpoint() calls
+    anywhere in the app write under this path), and per-round checkpoint
+    files are not auto-deleted — point checkpoint_dir at a scratch
+    location with a TTL/cleanup policy.  The shuffle-partition downsizing
+    below is likewise session-scoped while the iteration runs: queries
+    submitted concurrently on the same SparkSession (other threads) will
+    see the reduced setting until this function restores it.
     """
     spark = pairs.sparkSession
     if checkpoint_dir:
@@ -351,8 +358,16 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
     # Downsize only — never exceed what the session is tuned for.
     n_edges = edges.count()
     prev_parts = spark.conf.get('spark.sql.shuffle.partitions')
-    iter_parts = max(1, min(int(prev_parts), -(-n_edges // 2_000_000)))
-    spark.conf.set('spark.sql.shuffle.partitions', str(iter_parts))
+    try:
+        prev_n = int(prev_parts)
+    except (TypeError, ValueError):
+        # non-numeric setting (e.g. 'auto' on platforms with auto-optimized
+        # shuffle) — leave the session's shuffle sizing alone
+        prev_n = None
+    iter_parts = (max(1, min(prev_n, -(-n_edges // 2_000_000)))
+                  if prev_n is not None else None)
+    if iter_parts is not None:
+        spark.conf.set('spark.sql.shuffle.partitions', str(iter_parts))
     try:
         for _ in range(max_iter):
             nbr_min = (edges.join(labels, edges.dst == labels.id)
@@ -378,7 +393,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
             if changed == 0:
                 break
     finally:
-        spark.conf.set('spark.sql.shuffle.partitions', prev_parts)
+        if iter_parts is not None:
+            spark.conf.set('spark.sql.shuffle.partitions', prev_parts)
     return (labels.select(F.col('id').alias('doc_id'),
                           F.col('label').alias('cluster_id'))
             .orderBy('doc_id'))
@@ -484,7 +500,11 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     Fingerprints are persisted before the self-join: the two join branches
     are separate scans of the same subplan, and without the persist each
     would run the (dominant-cost) fingerprint kernel over the whole corpus
-    independently — twice the work at any scale."""
+    independently — twice the work at any scale.  The cache entry outlives
+    this call (the result is lazy, so there is no safe point to unpersist
+    here); long-lived sessions issuing many dedup calls should unpersist
+    consumed results or spark.catalog.clearCache() between pipelines —
+    same lifecycle as minhash_dedup_pairs' persisted signatures."""
     from pyspark import StorageLevel
     fps = simhash(df, text_col, id_col, engine=engine) \
         .persist(StorageLevel.MEMORY_AND_DISK)

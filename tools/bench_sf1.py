@@ -7,17 +7,29 @@ Usage:  python tools/bench_sf1.py          # writes BENCH_sf1.json at repo root
 The sf1 dataset is materialized once under $SPARK_GRAFT_SF1_DIR (default
 /tmp/rbql_sf1) as 10 deterministic replicas of the sf0.1 tables:
 
-  * documents: replica i rotates vowels (lowercase shift 1-4, uppercase
-    shift 0-4, distinct (l,u) pair per replica) and appends a replica tag
-    token.  Within a replica the near-dup/exact-dup structure of sf0.1 is
-    preserved isomorphically (tokens map 1:1); across replicas texts share
-    almost no tokens, so pair counts scale LINEARLY with data — replicating
-    text verbatim would instead create 10-clone groups and a quadratic
-    pair explosion that tests output size, not throughput.
+  * documents: replica i applies a seeded LETTER-PERMUTATION cipher
+    (independent lowercase and uppercase permutations + digit rotation).
+    The cipher is bijective on the token alphabet, so within a replica
+    token equality — and therefore exact-dup groups, shingle sets, and
+    Jaccard similarities — is preserved exactly; hash-derived structure
+    (simhash Hamming distances) is re-drawn per replica — and since
+    fingerprints correlate through shared token hashes, per-replica
+    borderline-pair counts vary WIDELY around the original (2x-10x
+    swings measured on sf0.01 controls).  What stays exact is zero
+    cross-replica contamination, so totals remain linear in replica
+    count.  Across replicas nearly every letter changes differently, so
+    texts share almost no tokens and pair counts scale LINEARLY with
+    data.  (Replicating text verbatim — or perturbing too weakly —
+    instead creates cross-replica near-dup cliques and a quadratic pair
+    explosion that tests output size, not throughput: an earlier
+    vowel-rotation variant of this tool had exactly that bug, because
+    the corpus contains no uppercase vowels.  A shared per-replica tag
+    token is equally wrong: it correlates every fingerprint in the
+    replica.)
   * embeddings: replica 0 is the original; replicas 1-9 mix each vector
-    50/50 with seeded unit-norm noise (cosine to the source ~0.71 < the
-    0.8 near-dup threshold) so clone cliques don't blow up the
-    bucket self-join quadratically.
+    with seeded noise at 1.5x the vector norm (cosine to the source
+    ~0.55, crossing the 0.8 near-dup threshold only at a ~4-sigma tail)
+    so clone cliques don't blow up the bucket self-join quadratically.
 
 A query is flagged super-linear if sf1_time > 10x sf0.1_time measured in
 the same session (both min-of-REPS).
@@ -59,13 +71,27 @@ SUBSET = [
     'sim_embedding_neardup',
 ]
 
-_VOWELS_L = 'aeiou'
-_VOWELS_U = 'AEIOU'
+_LOWER = 'abcdefghijklmnopqrstuvwxyz'
+_UPPER = _LOWER.upper()
+_DIGITS = '0123456789'
 _ID_STEP = 10_000_000
 
 
-def _rot(s: str, k: int) -> str:
-    return s[k:] + s[:k]
+def _cipher(i: int) -> tuple[str, str]:
+    """Seeded substitution cipher for replica i: permuted lowercase +
+    uppercase alphabets and rotated digits.  Bijective on the token
+    alphabet → within-replica similarity structure is isomorphic to the
+    original; distinct permutations per replica → cross-replica texts
+    share almost no tokens."""
+    import random as _random
+    rnd = _random.Random(774_001 + i)
+    lo = list(_LOWER)
+    up = list(_UPPER)
+    rnd.shuffle(lo)
+    rnd.shuffle(up)
+    k = i % 10
+    digits = _DIGITS[k:] + _DIGITS[:k]
+    return (_LOWER + _UPPER + _DIGITS, ''.join(lo) + ''.join(up) + digits)
 
 
 def build_sf1(spark) -> None:
@@ -80,11 +106,11 @@ def build_sf1(spark) -> None:
         if i == 0:
             doc_parts.append(docs)
             continue
-        lshift = 1 + (i - 1) % 4
-        ushift = (i - 1) // 4
-        txt = F.translate('text', _VOWELS_L + _VOWELS_U,
-                          _rot(_VOWELS_L, lshift) + _rot(_VOWELS_U, ushift))
-        txt = F.concat(txt, F.lit(' zrepl{}tag'.format(i)))
+        src_al, dst_al = _cipher(i)
+        # no shared replica-tag token: a token common to every doc of a
+        # replica adds identical simhash votes corpus-wide, correlating
+        # fingerprints and inflating within-replica near-dup counts
+        txt = F.translate('text', src_al, dst_al)
         doc_parts.append(docs.select(
             (F.col('doc_id') + i * _ID_STEP).alias('doc_id'),
             txt.alias('text'), 'lang', 'source', 'n_chars'))
@@ -106,7 +132,7 @@ def build_sf1(spark) -> None:
                     v = np.asarray(e, dtype=np.float64)
                     rng = np.random.default_rng(1_000_003 * i + int(vid))
                     g = rng.standard_normal(v.shape)
-                    g *= np.linalg.norm(v) / (np.linalg.norm(g) + 1e-12)
+                    g *= 1.5 * np.linalg.norm(v) / (np.linalg.norm(g) + 1e-12)
                     w = v + g
                     vecs.append((w / (np.linalg.norm(w) + 1e-12)).astype('float32'))
                 yield pd.DataFrame({
