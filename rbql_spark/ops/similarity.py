@@ -83,26 +83,29 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Each of n_tables hash tables buckets vectors by n_planes sign bits; a
     query's candidates are corpus vectors sharing its bucket in ANY table.
     Shuffle pattern: corpus explodes ×n_tables, hash join on (table, bucket).
+
+    ALL n_tables bucket ids are computed in ONE projection per side
+    (explode over an array of (table, bucket) structs) — Spark does not
+    reuse FileScans across union branches, so the per-table-branch shape
+    would read the corpus n_tables times (n_tables full scans of a 100 TB
+    embeddings table).  One scan, same rows, same result.
     """
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
-    c_buckets = []
-    q_buckets = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=seed + 1000 * t)
-        c_buckets.append(c.select('vec_id', '__cv',
-                                  F.lit(t).alias('table'),
-                                  _bucket_expr(F.col('__cv'), planes).alias('bucket')))
-        q_buckets.append(q.select('query_id', '__qv',
-                                  F.lit(t).alias('table'),
-                                  _bucket_expr(F.col('__qv'), planes).alias('bucket')))
-    cb = c_buckets[0]
-    for x in c_buckets[1:]:
-        cb = cb.unionAll(x)
-    qb = q_buckets[0]
-    for x in q_buckets[1:]:
-        qb = qb.unionAll(x)
+    table_planes = [_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+                    for t in range(n_tables)]
+
+    def _table_buckets(vec: Column) -> Column:
+        return F.explode(F.array(*[
+            F.struct(F.lit(t).alias('table'),
+                     _bucket_expr(vec, planes).alias('bucket'))
+            for t, planes in enumerate(table_planes)]))
+
+    cb = (c.select('vec_id', '__cv', _table_buckets(F.col('__cv')).alias('tb'))
+           .select('vec_id', '__cv', 'tb.table', 'tb.bucket'))
+    qb = (q.select('query_id', '__qv', _table_buckets(F.col('__qv')).alias('tb'))
+           .select('query_id', '__qv', 'tb.table', 'tb.bucket'))
     cand = (cb.join(F.broadcast(qb), on=['table', 'bucket'])
               .select('query_id', 'vec_id', '__cv', '__qv')
               .dropDuplicates(['query_id', 'vec_id']))

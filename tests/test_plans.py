@@ -173,6 +173,23 @@ def test_ivf_assignment_native_and_probe_broadcast(spark, sf_dir, entry):
     assert 'BroadcastHashJoin' in plan or 'BroadcastExchange' in plan
 
 
+def test_lsh_ann_single_corpus_scan(spark, sf_dir):
+    # multi-table LSH must compute ALL table buckets in one corpus
+    # projection: Spark does not reuse FileScans across union branches, so
+    # a per-table-branch shape reads the embeddings table n_tables times —
+    # 4 full scans of a 100 TB corpus for one query at the default settings
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.similarity import lsh_ann_topk
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+    qrows = emb.orderBy('vec_id').limit(2).collect()
+    qdf = spark.createDataFrame(qrows, emb.schema) \
+               .select(F.col('vec_id').alias('query_id'), 'embedding')
+    res = lsh_ann_topk(emb, qdf, k=5, dim=64)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count('FileScan') == 1, plan
+
+
 def test_multimodal_frames_no_shuffle(spark, sf_dir, entry):
     # frame sampling happens inside the scan tasks: no Exchange between the
     # parquet scan and the row-multiplying Python stage
