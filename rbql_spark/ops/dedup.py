@@ -31,12 +31,18 @@ _MASK32 = (1 << 32) - 1
 # correctness knobs: results are identical at any setting (tests run them at
 # tiny values to prove it).
 #   * minhash: the permutation tile is num_perm × |uniq shingles| int64 —
-#     flushing at 2^16 uniq bounds the tile at 32 MB for 64 perms no matter
-#     how large or vocabulary-diverse the Arrow batch is.
+#     the flush threshold derives from a fixed byte budget so the tile stays
+#     ≤_MINHASH_TILE_BYTES at any num_perm (2^17 uniq at 64 perms / 64 MB),
+#     no matter how large or vocabulary-diverse the Arrow batch is.  Bigger
+#     tiles also dedup shared shingles across MORE documents per hash+matmul
+#     (flushing every 2^16 cost +43% on the sf0.1 near-dup corpus).
+#     _MINHASH_FLUSH_UNIQ overrides the derived count when set — tests force
+#     tiny tiles to prove flush-invariance.
 #   * simhash: distinct-token vote rows memoized per worker; reset between
 #     documents once the cap is crossed (never mid-document — handed-out row
 #     indices for the in-flight doc must stay valid).
-_MINHASH_FLUSH_UNIQ = 1 << 16
+_MINHASH_TILE_BYTES = 64 << 20
+_MINHASH_FLUSH_UNIQ: int | None = None
 _SIMHASH_MEMO_CAP = 1 << 20
 
 
@@ -129,7 +135,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         b_vec = [b for _, b in params]
         k = shingle_k
         use_md5 = hash_fn == 'md5'
-        flush_uniq = _MINHASH_FLUSH_UNIQ
+        flush_uniq = (_MINHASH_FLUSH_UNIQ if _MINHASH_FLUSH_UNIQ
+                      else max(1024, _MINHASH_TILE_BYTES // (8 * num_perm)))
         src = df.select(F.col(id_col).alias('doc_id'), F.col(text_col).alias('__text'))
 
         def run(batches):
