@@ -308,62 +308,106 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
     canonical "keep one representative per duplicate cluster" step after
     minhash/simhash pair generation).
 
-    Label propagation: every node starts labeled with its own id and
-    repeatedly takes the min of its neighbors' labels; converges in
-    O(graph diameter) rounds.  Each round is one hash-partitioned join —
-    no driver-side graph state, so a 100 TB pair set just means wider
-    shuffles.  Near-dup components are shallow (diameter is small), so the
-    round count stays low; `max_iter` is a safety valve.  Iterative plans
-    MUST truncate lineage — re-deriving round N from the full upstream
-    pipeline explodes plan size and replays the pair generation every
-    round.
+    Two phases, both shuffle-shaped — no driver-side graph state, so a
+    100 TB pair set just means wider shuffles:
 
-    Round anatomy (all of it is ONE Spark job per round): min over
-    neighbors' labels (edges⋈labels + groupBy), plus one pointer hop
-    label(label(id)) — following the label as a pointer toward the
-    component minimum roughly halves the remaining distance per round on
-    chain-shaped components — then a lazy checkpoint whose materializing
-    action doubles as the convergence check (count of changed labels).
-    The iteration's shuffle partition count is derived from the
-    materialized edge count (downsized only, never above the session
-    setting): label/edge state is usually orders of magnitude smaller
-    than the corpus the session is tuned for, and per-round overhead is
-    otherwise dominated by empty-task scheduling.
+    1. Per-partition contraction: one mapInPandas pass runs a plain
+       union-find over each task's edges and emits that partition's
+       spanning star forest (node → partition-local component min), at
+       most one edge per distinct node in the partition.  This consumes
+       the (expensive) upstream pair pipeline exactly ONCE without
+       shuffling it, and shrinks the edge state by the average
+       in-partition cluster size before any iteration starts.  Worker
+       memory is O(distinct nodes per partition) — bounded by the scan
+       partition size, never the corpus.
+    2. Large-star / small-star alternation (Kiveris et al., "Connected
+       Components in MapReduce and Beyond", public algorithm) on the
+       contracted forest: large-star hangs each node's larger neighbors
+       under its neighborhood minimum, small-star re-hangs the smaller
+       ones; the edge-set fixpoint is exactly the min-rooted star forest.
+       Converges in O(log d) alternations — fewer rounds than min-label
+       propagation on chain-shaped components.  Each star is a window
+       min over one hash partitioning (no self-join: a groupBy+join-back
+       would recompute its input twice), so an alternation is one linear
+       pipeline; a lazy checkpoint's convergence count is its
+       materializing action.  The iteration's shuffle partition count is
+       derived from the contracted state size (downsized only, never
+       above the session setting), since forest state is usually orders
+       of magnitude smaller than the corpus the session is tuned for.
+       That downsizing is session-scoped while the iteration runs:
+       queries submitted concurrently on the same SparkSession (other
+       threads) see the reduced setting until this function restores it.
 
-    checkpoint_dir: when set, intermediate state is checkpointed RELIABLY
-    to that path (HDFS/object store on a cluster) so losing an executor
-    mid-iteration doesn't kill the job; default is localCheckpoint
-    (executor-local blocks — cheaper, but an executor loss forfeits the
-    run).  Results are identical either way.  Two session-level caveats:
-    setCheckpointDir is SparkContext-global (later checkpoint() calls
-    anywhere in the app write under this path), and per-round checkpoint
-    files are not auto-deleted — point checkpoint_dir at a scratch
-    location with a TTL/cleanup policy.  The shuffle-partition downsizing
-    below is likewise session-scoped while the iteration runs: queries
-    submitted concurrently on the same SparkSession (other threads) will
-    see the reduced setting until this function restores it.
+    checkpoint_dir: when set, each round's state is written as parquet to
+    checkpoint_dir/round-N (reliable storage — HDFS/object store on a
+    cluster) instead of executor-local checkpoint blocks, so losing an
+    executor mid-iteration doesn't kill the run; superseded round files
+    are deleted as the iteration advances, and only the FINAL round's
+    files remain because the returned (lazy) DataFrame reads them —
+    point checkpoint_dir at a scratch path and remove it once done with
+    the result.  No SparkContext-global state (setCheckpointDir) is
+    touched.  Results are identical either way; the reliable path costs
+    one extra (write) job per round.
     """
-    spark = pairs.sparkSession
-    if checkpoint_dir:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    import os
 
-    def _chk(df: DataFrame, eager: bool = True) -> DataFrame:
-        return df.checkpoint(eager) if checkpoint_dir else df.localCheckpoint(eager)
-    # Single pass over the (expensive) upstream pair pipeline: explode each
-    # pair into both directions instead of unioning two scans of `pairs` —
-    # two references inside one job would recompute the whole pair
-    # generation twice (no subplan reuse across union branches).
-    both = F.explode(F.array(
-        F.struct(F.col('doc_a').alias('src'), F.col('doc_b').alias('dst')),
-        F.struct(F.col('doc_b').alias('src'), F.col('doc_a').alias('dst'))))
-    edges = _chk(pairs.select(both.alias('e')).select('e.src', 'e.dst')
-                 .distinct())
-    labels = _chk(edges.select(F.col('src').alias('id')).distinct()
-                  .select('id', F.col('id').alias('label')))
-    # Right-size the iteration's shuffles from the (already materialized,
-    # so nearly free to count) edge state: ~2M edge rows per partition.
-    # Downsize only — never exceed what the session is tuned for.
-    n_edges = edges.count()
+    spark = pairs.sparkSession
+    round_paths: list[str] = []
+
+    def _rm_path(path: str) -> None:
+        sc = spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+
+    def _save(df: DataFrame, name: str) -> DataFrame:
+        """Truncate lineage: parquet round files (reliable) or
+        localCheckpoint (lazy — the caller's next count materializes)."""
+        if checkpoint_dir:
+            p = os.path.join(checkpoint_dir, name)
+            df.write.mode('overwrite').parquet(p)
+            round_paths.append(p)
+            return spark.read.parquet(p)
+        return df.localCheckpoint(False)
+
+    def _forest(batches):
+        import pandas as pd
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf['src'], pdf['dst']):
+                a, b = int(a), int(b)
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        out = [(x, find(x)) for x in parent]
+        yield pd.DataFrame({'src': pd.Series([x for x, r in out if x != r], dtype='int64'),
+                            'dst': pd.Series([r for x, r in out if x != r], dtype='int64')})
+
+    # Oriented big→small forest edges.  distinct() merges identical edges
+    # re-emitted by different partitions; every original node survives (as
+    # src if locally non-root, as dst otherwise — components always have
+    # ≥2 nodes, so a global min is some partition's root with children).
+    forest = (pairs.select(F.col('doc_a').alias('src'), F.col('doc_b').alias('dst'))
+                   .mapInPandas(_forest, schema='src long, dst long')
+                   .distinct())
+    E = _save(forest, 'round-0')
+    n_state = E.count()
+
     prev_parts = spark.conf.get('spark.sql.shuffle.partitions')
     try:
         prev_n = int(prev_parts)
@@ -371,37 +415,62 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
         # non-numeric setting (e.g. 'auto' on platforms with auto-optimized
         # shuffle) — leave the session's shuffle sizing alone
         prev_n = None
-    iter_parts = (max(1, min(prev_n, -(-n_edges // 2_000_000)))
+    iter_parts = (max(1, min(prev_n, -(-n_state // 2_000_000)))
                   if prev_n is not None else None)
     if iter_parts is not None:
         spark.conf.set('spark.sql.shuffle.partitions', str(iter_parts))
     try:
-        for _ in range(max_iter):
-            nbr_min = (edges.join(labels, edges.dst == labels.id)
-                       .groupBy('src').agg(F.min('label').alias('nbr_label')))
-            ptr = labels.select(F.col('id').alias('p_id'),
-                                F.col('label').alias('p_label'))
-            # Carry the previous label through the checkpoint so the
-            # convergence check is a plain filter on materialized data; the
-            # checkpoint is lazy so that count is the round's ONLY job.
-            new_labels = _chk(
-                labels.join(nbr_min, labels.id == nbr_min.src, 'left')
-                      .join(ptr, labels.label == ptr.p_id, 'left')
-                      .select(F.col('id'),
-                              F.col('label').alias('old_label'),
-                              F.least(F.col('label'),
-                                      F.coalesce(F.col('nbr_label'),
-                                                 F.col('label')),
-                                      F.coalesce(F.col('p_label'),
-                                                 F.col('label'))).alias('label')),
-                eager=False)
-            changed = new_labels.filter(F.col('label') != F.col('old_label')).count()
-            labels = new_labels.select('id', 'label')
-            if changed == 0:
+        from pyspark.sql import Window
+        for it in range(max_iter):
+            if n_state == 0:
+                break
+            # large-star: every neighbor v > u hangs under min(N(u) ∪ {u})
+            bi = (E.select(F.explode(F.array(
+                      F.struct(F.col('src').alias('u'), F.col('dst').alias('v')),
+                      F.struct(F.col('dst').alias('u'), F.col('src').alias('v'))))
+                      .alias('e'))
+                   .select('e.u', 'e.v'))
+            lg = (bi.withColumn('mn', F.min('v').over(Window.partitionBy('u')))
+                    .where(F.col('v') > F.col('u'))
+                    .select(F.col('v').alias('src'),
+                            F.least(F.col('u'), F.col('mn')).alias('dst'))
+                    .distinct())
+            # small-star: all (smaller) neighbors re-hang under the min
+            sm = (lg.withColumn('mn', F.min('dst').over(Window.partitionBy('src')))
+                    .select(F.explode(F.array(
+                        F.struct(F.col('src').alias('s'), F.col('mn').alias('d')),
+                        F.struct(F.col('dst').alias('s'), F.col('mn').alias('d'))))
+                        .alias('e'))
+                    .select(F.col('e.s').alias('src'), F.col('e.d').alias('dst'))
+                    .where(F.col('src') != F.col('dst'))
+                    .distinct())
+            E2 = _save(sm, 'round-{}'.format(it + 1))
+            changed = E2.exceptAll(E).count()
+            n2 = E2.count()
+            converged = changed == 0 and n2 == n_state
+            E, n_state = E2, n2
+            if converged:
                 break
     finally:
         if iter_parts is not None:
             spark.conf.set('spark.sql.shuffle.partitions', prev_parts)
+        if checkpoint_dir:
+            # superseded rounds are dead weight; the final round backs the
+            # lazily-returned result and must stay
+            for p in round_paths[:-1]:
+                try:
+                    _rm_path(p)
+                except Exception:
+                    pass  # best-effort scratch hygiene
+    # At the fixpoint every component is a star rooted at its min: non-min
+    # nodes appear once as src, the min only as dst.  The groupBy also
+    # keeps output well-formed (one row per id) if max_iter cut off early.
+    labels = (E.select(F.explode(F.array(
+                  F.struct(F.col('src').alias('id'), F.col('dst').alias('label')),
+                  F.struct(F.col('dst').alias('id'), F.col('dst').alias('label'))))
+                  .alias('e'))
+               .select('e.id', 'e.label')
+               .groupBy('id').agg(F.min('label').alias('label')))
     return (labels.select(F.col('id').alias('doc_id'),
                           F.col('label').alias('cluster_id'))
             .orderBy('doc_id'))
