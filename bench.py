@@ -7,9 +7,11 @@ Prints ONE JSON line:
    "queries": {"q": sec, ...}, "sf": ...}
 
 Each query runs REPS times (default 3) to a no-op sink (full pipeline
-executes, nothing is collected to the driver); the reported number is the
-min — local[32] single-run numbers carry ±20% scheduler/GC noise, which
-polluted the round-over-round signal in earlier rounds.
+executes, nothing is collected to the driver); sub-second queries get
+extra reps (min-of-5) because local[32] single-run numbers carry ±0.4s
+scheduler/GC noise that polluted earlier round-over-round comparisons.
+`queries` reports the per-query min (the comparable number); the median
+rides alongside in `queries_median` as the noise gauge.
 """
 
 from __future__ import annotations
@@ -77,21 +79,29 @@ def main() -> None:
 
     sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        best = None
-        for _ in range(max(1, REPS)):
+        reps: list[float] = []
+        failed = False
+        # sub-second queries are jitter-dominated: extend to min-of-5
+        while len(reps) < max(1, REPS) or (min(reps) < 1.0 and len(reps) < 5):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, SF_DIR)
                 df.write.format('noop').mode('overwrite').save()
-                elapsed = round(time.perf_counter() - t0, 3)
+                reps.append(round(time.perf_counter() - t0, 3))
             except Exception as e:  # keep benching; a failed query reports -1
-                best = -1.0
+                failed = True
                 print('BENCH ERROR {}: {}'.format(name, e), file=sys.stderr)
                 break
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = best
+        if failed or not reps:
+            timings[name] = -1.0
+            medians[name] = -1.0
+        else:
+            reps.sort()
+            timings[name] = reps[0]
+            medians[name] = reps[len(reps) // 2]
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(json.dumps({
@@ -99,6 +109,7 @@ def main() -> None:
         'value': total,
         'unit': 'sec',
         'queries': timings,
+        'queries_median': medians,
         'sf': float(sf) if sf.replace('.', '').isdigit() else sf,
     }))
     spark.stop()
