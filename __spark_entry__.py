@@ -337,6 +337,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    n=2, threshold=0.4, hash_fn='md5')
     q['dedup_ngram_jaccard'] = _dedup_ngram
 
+    def _decontaminate(spark, sf_dir):
+        from rbql_spark.ops.dedup import decontaminate
+        docs = _t(spark, sf_dir, 'documents')
+        # every 50th document stands in for the (small, broadcast)
+        # held-out benchmark suite; overlap ≥2 shingles flags a train doc
+        bench = docs.filter(F.col('doc_id') % 50 == 0).select('doc_id', 'text')
+        return decontaminate(docs, bench, shingle_k=3, min_overlap=2)
+    q['decontaminate_ngram'] = _decontaminate
+
     def _dedup_clusters(spark, sf_dir):
         from rbql_spark.ops.dedup import dedup_clusters, simhash_near_dups
         pairs = simhash_near_dups(_t(spark, sf_dir, 'documents'), 'text', 'doc_id',
@@ -848,6 +857,25 @@ def oracle_sql() -> dict[str, str]:
 
     o['sim_embedding_neardup'] = _neardup_replay_sql(
         threshold=0.8, dim=64, n_planes=12, seed=42)
+
+    # decontamination replay: same md5-32 shingles as the minhash oracle,
+    # benchmark side = every 50th doc, overlap = count of shared distinct
+    # shingles per (train, benchmark) pair
+    _dec_toks = _SQL_TOKS.format(src="coalesce(text, '')")
+    _dec_shingles = (
+        "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), "
+        "i -> array_to_string(t[i:i + 2], ' ')) "
+        "ELSE [array_to_string(t, ' ')] END")
+    o['decontaminate_ngram'] = (
+        "WITH toks AS (SELECT doc_id, " + _dec_toks + " AS t FROM documents), "
+        "shg AS (SELECT doc_id, list_distinct(list_transform(" + _dec_shingles +
+        ", s -> ('0x' || md5(s)[1:8])::BIGINT)) AS sh FROM toks), "
+        "t AS (SELECT doc_id, unnest(sh) AS s FROM shg), "
+        "b AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM shg "
+        "WHERE doc_id % 50 = 0) "
+        "SELECT t.doc_id, b.bench_id, count(*) AS n_overlap "
+        "FROM t JOIN b USING (s) GROUP BY t.doc_id, b.bench_id "
+        "HAVING count(*) >= 2")
 
     o['dedup_exact'] = (
         "SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash, "

@@ -95,6 +95,56 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     ))).otherwise(F.array(F.xxhash64(F.concat_ws(' ', toks))))
 
 
+def word_shingles_md5(col: Column, k: int = 3) -> Column:
+    """Array of 32-bit md5-derived k-word shingle hashes (first 8 hex chars)
+    — same hash the vectorized minhash kernel uses, reproducible in any
+    engine with md5() (the DuckDB differential oracle replays it)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+
+    def h32(s: Column) -> Column:
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast('long')
+
+    return F.when(n >= k, F.array_distinct(F.transform(
+        idx, lambda i: h32(F.concat_ws(' ', F.slice(toks, i + 1, k)))
+    ))).otherwise(F.array(h32(F.concat_ws(' ', toks))))
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  text_col: str = 'text', id_col: str = 'doc_id',
+                  shingle_k: int = 3, min_overlap: int = 1,
+                  hash_fn: str = 'md5') -> DataFrame:
+    """Train/test decontamination: flag training documents sharing
+    ≥min_overlap distinct k-word shingles with any benchmark document →
+    (doc_id, bench_id, n_overlap).
+
+    The canonical pre-training hygiene pass: benchmark suites are tiny
+    (thousands of prompts) while the training corpus is the 100 TB side,
+    so the benchmark's exploded shingle set is BROADCAST — the corpus is
+    scanned exactly once, its shingles stream through a broadcast hash
+    join (no corpus shuffle), and only the surviving hits shuffle into the
+    per-(train, benchmark) overlap count.  All hashing is native Catalyst
+    (md5/conv) — no Python stage.
+
+    hash_fn='md5' (default) keeps the pipeline replayable by the DuckDB
+    oracle; 'xxhash64' is the cheaper engine-local variant.
+    """
+    sh = (word_shingles_md5(F.col(text_col), k=shingle_k) if hash_fn == 'md5'
+          else word_shingles(F.col(text_col), k=shingle_k))
+    t = (train.select(F.col(id_col).alias('doc_id'), sh.alias('__sh'))
+              .select('doc_id', F.explode('__sh').alias('sh')))
+    b = (benchmark.select(F.col(id_col).alias('bench_id'), sh.alias('__sh'))
+                  .select('bench_id', F.explode('__sh').alias('sh')))
+    # shingle arrays are array_distinct per document, so each (id, sh) row
+    # is unique per side and the overlap count is a plain count
+    return (t.join(F.broadcast(b), 'sh')
+             .groupBy('doc_id', 'bench_id')
+             .agg(F.count(F.lit(1)).alias('n_overlap'))
+             .where(F.col('n_overlap') >= min_overlap)
+             .orderBy('doc_id', 'bench_id'))
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rnd = random.Random(seed)
     return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30))

@@ -392,6 +392,30 @@ def test_dedup_clusters_reliable_checkpoint_matches(spark, tmp_path):
     assert os.listdir(str(tmp_path))  # checkpoints actually landed on disk
 
 
+def test_decontaminate_flags_planted_overlap(spark, doc_df):
+    # benchmark = doc 1's text under a new id: docs 1/2 (exact) and 3
+    # (near-dup) share shingles with it; 4/5 must stay clean
+    from rbql_spark.ops.dedup import decontaminate
+    bench = spark.createDataFrame(
+        [(100, doc_df.filter('doc_id = 1').first()['text'])],
+        'doc_id long, text string')
+    hits = {r['doc_id']: r['n_overlap']
+            for r in decontaminate(doc_df, bench, min_overlap=2).collect()}
+    assert set(hits) == {1, 2, 3}
+    assert hits[1] == hits[2] and hits[3] < hits[1]
+
+
+def test_decontaminate_engines_agree(spark, doc_df):
+    from rbql_spark.ops.dedup import decontaminate
+    bench = doc_df.filter('doc_id in (1, 4)').select(
+        (F.col('doc_id') + 100).alias('doc_id'), 'text')
+    a = sorted(tuple(r) for r in
+               decontaminate(doc_df, bench, hash_fn='md5').collect())
+    b = sorted(tuple(r) for r in
+               decontaminate(doc_df, bench, hash_fn='xxhash64').collect())
+    assert a == b and len(a) > 0
+
+
 def test_redact_pii_patterns(spark):
     from rbql_spark.ops.textstats import redact_pii
     df = spark.createDataFrame(

@@ -190,6 +190,24 @@ def test_lsh_ann_single_corpus_scan(spark, sf_dir):
     assert plan.count('FileScan') == 1, plan
 
 
+def test_decontaminate_broadcasts_benchmark_single_corpus_scan(spark, sf_dir):
+    # the benchmark suite is the small side: its shingles must broadcast
+    # (no corpus shuffle before the join) and the training corpus must be
+    # scanned exactly once; everything stays native (no Python stage)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.dedup import decontaminate
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    bench = spark.createDataFrame(
+        [(9001, 'the quick brown fox jumps over the lazy dog again')],
+        'doc_id long, text string')
+    res = decontaminate(docs, bench, min_overlap=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastHashJoin' in plan or 'BroadcastExchange' in plan
+    assert plan.count('FileScan') == 1, plan
+    assert 'BatchEvalPython' not in plan and 'MapInPandas' not in plan
+
+
 def test_multimodal_frames_no_shuffle(spark, sf_dir, entry):
     # frame sampling happens inside the scan tasks: no Exchange between the
     # parquet scan and the row-multiplying Python stage
