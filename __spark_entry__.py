@@ -406,6 +406,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_ann_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
     q['sim_ann_ivf'] = _sim_ivf
 
+    def _sim_ivf8(spark, sf_dir):
+        from rbql_spark.ops.similarity import ivf_ann_topk_int8
+        emb = _t(spark, sf_dir, 'embeddings')
+        queries_df = emb.filter(F.col('vec_id') < 5) \
+                        .select(F.col('vec_id').alias('query_id'), 'embedding')
+        return ivf_ann_topk_int8(emb, queries_df, k=10, n_cells=16, n_probe=4)
+    q['sim_ann_ivf_int8'] = _sim_ivf8
+
     def _sim_neardup(spark, sf_dir):
         from rbql_spark.ops.similarity import embedding_near_dup_pairs
         return embedding_near_dup_pairs(_t(spark, sf_dir, 'embeddings'),
@@ -604,6 +612,54 @@ def _ivf_replay_sql(k: int, n_cells: int, n_probe: int, seed: int) -> str:
         "ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
         "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
     ).format(seed=seed, n_cells=n_cells, n_probe=n_probe, k=k)
+
+
+def _ivf_int8_replay_sql(k: int, n_cells: int, n_probe: int,
+                         rescore_factor: int, seed: int) -> str:
+    """Replay ivf_ann_topk_int8 in DuckDB: same hash centroids / assignment
+    / probes as _ivf_replay_sql, then int8 candidate scoring — quantized
+    dot products are exact integer math in doubles, so shortlist
+    membership is bit-reproducible — and an exact float rescore of the
+    top rescore_factor×k shortlist."""
+    q8 = ("list_transform({src}, x -> floor(least(greatest(x, -1.0), 1.0) "
+          "* 127.0 + 0.5))")
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        "cent AS (SELECT cell, cv FROM (SELECT v AS cv, row_number() OVER "
+        "(ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id) - 1 AS cell FROM c) "
+        "WHERE cell < {n_cells}), "
+        "asg AS (SELECT vec_id, cell FROM (SELECT c.vec_id, cent.cell, "
+        "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        "round(list_cosine_similarity(c.v, cent.cv), 6) DESC, cent.cell ASC) AS rn "
+        "FROM c CROSS JOIN cent) WHERE rn = 1), "
+        "prb AS (SELECT query_id, cell FROM (SELECT q.query_id, cent.cell, "
+        "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        "round(list_cosine_similarity(q.qv, cent.cv), 6) DESC, cent.cell ASC) AS rn "
+        "FROM q CROSS JOIN cent) WHERE rn <= {n_probe}), "
+        "c8 AS (SELECT vec_id, " + q8.format(src='v') + " AS v8 FROM c), "
+        "q8 AS (SELECT query_id, " + q8.format(src='qv') + " AS qv8 FROM q), "
+        "cand AS (SELECT p.query_id, a.vec_id, "
+        "CASE WHEN list_dot_product(c8.v8, c8.v8) > 0 "
+        "AND list_dot_product(q8.qv8, q8.qv8) > 0 "
+        "THEN round(list_dot_product(c8.v8, q8.qv8) / "
+        "(sqrt(list_dot_product(c8.v8, c8.v8)) * "
+        "sqrt(list_dot_product(q8.qv8, q8.qv8))), 6) ELSE -1.0 END AS sim8 "
+        "FROM asg a JOIN prb p ON a.cell = p.cell "
+        "JOIN c8 ON c8.vec_id = a.vec_id JOIN q8 ON q8.query_id = p.query_id), "
+        "short AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sim8 DESC, vec_id) AS r8 FROM cand) "
+        "WHERE r8 <= {shortk}), "
+        "scored AS (SELECT s.query_id, s.vec_id, "
+        "round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim "
+        "FROM short s JOIN c ON c.vec_id = s.vec_id "
+        "JOIN q ON q.query_id = s.query_id), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
+        "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
+    ).format(seed=seed, n_cells=n_cells, n_probe=n_probe,
+             shortk=k * rescore_factor, k=k)
 
 
 def _neardup_replay_sql(threshold: float, dim: int, n_planes: int, seed: int) -> str:
@@ -854,6 +910,9 @@ def oracle_sql() -> dict[str, str]:
     o['sim_ann_lsh'] = _ann_lsh_replay_sql(k=10, dim=64, n_planes=8, n_tables=4, seed=42)
 
     o['sim_ann_ivf'] = _ivf_replay_sql(k=10, n_cells=16, n_probe=4, seed=42)
+
+    o['sim_ann_ivf_int8'] = _ivf_int8_replay_sql(
+        k=10, n_cells=16, n_probe=4, rescore_factor=4, seed=42)
 
     o['sim_embedding_neardup'] = _neardup_replay_sql(
         threshold=0.8, dim=64, n_planes=12, seed=42)

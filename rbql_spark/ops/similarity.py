@@ -120,11 +120,63 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .orderBy('query_id', 'rank'))
 
 
+def _train_centroids(c: DataFrame, n_cells: int, seed: int,
+                     quantizer: str) -> list[list[float]]:
+    """Coarse-quantizer centroids for IVF (see ivf_ann_topk docstring)."""
+    if quantizer == 'kmeans':
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+        train = c.select(array_to_vector(F.col('__cv')).alias('features'))
+        model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+        return [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    if quantizer == 'hash':
+        cent_rows = (c.select(
+                        '__cv',
+                        F.md5(F.concat(F.col('vec_id').cast('string'),
+                                       F.lit(':{}'.format(seed)))).alias('__h'),
+                        'vec_id')
+                     .orderBy('__h', 'vec_id')
+                     .limit(n_cells)
+                     .collect())
+        return [[float(x) for x in r['__cv']] for r in cent_rows]
+    raise ValueError("quantizer must be 'hash' or 'kmeans'")
+
+
+def _cell_exprs(centroids: list[list[float]], n_probe: int):
+    """(argmax_cell, probe_cells) expression builders over inline centroid
+    literals — similarities rounded to 6 places BEFORE comparison so
+    argmax/probe order is reproducible across engines."""
+
+    def _sim(vec: Column, cv: list[float]) -> Column:
+        return F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 6)
+
+    def argmax_cell(vec: Column) -> Column:
+        # array_max over (sim, -cell): ties on sim resolve to the larger
+        # -cell, i.e. the LOWEST cell index — mirrored by the oracle's
+        # ORDER BY sim DESC, cell ASC
+        arr = F.array(*[F.struct(_sim(vec, cv).alias('s'),
+                                 F.lit(-i).alias('ni'))
+                        for i, cv in enumerate(centroids)])
+        return -F.array_max(arr)['ni']
+
+    def probe_cells(vec: Column) -> Column:
+        # ascending sort of (-sim, cell) = sim DESC, cell ASC; negation
+        # applied AFTER rounding so both engines order identical values
+        arr = F.array(*[F.struct((-_sim(vec, cv)).alias('ns'),
+                                 F.lit(i).alias('cell'))
+                        for i, cv in enumerate(centroids)])
+        return F.transform(F.slice(F.array_sort(arr), 1, n_probe),
+                           lambda s: s['cell'])
+
+    return argmax_cell, probe_cells
+
+
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  n_cells: int = 16, n_probe: int = 4,
                  id_col: str = 'vec_id', vec_col: str = 'embedding',
                  query_id_col: str = 'query_id', seed: int = 42,
-                 quantizer: str = 'hash') -> DataFrame:
+                 quantizer: str = 'hash',
+                 broadcast_queries: bool = True) -> DataFrame:
     """IVF-flat ANN: partition the corpus into coarse cells around centroid
     vectors; each query probes only its n_probe nearest cells and
     exact-rescores those candidates.
@@ -141,63 +193,34 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     for both.
 
     Scale shape: centroids ride inline in the expressions (n_cells × dim
-    literals — broadcast by the plan itself); cell assignment is a single
-    native projection over the corpus (argmax via array_max over
-    (sim, -cell) structs — no join, no shuffle); candidates come from one
-    corpus ⋈ broadcast(probed queries) hash join on the cell id, touching
-    ~n_probe/n_cells of the corpus per query.  Ranking windows partition by
-    query_id.  Similarities are rounded to 6 places BEFORE any comparison
-    so argmax/probe/rank order is reproducible across engines.
+    literals — broadcast by the plan itself, but they bloat the plan for
+    very large n_cells: keep n_cells in the hundreds, shard the index
+    beyond that); cell assignment is a single native projection over the
+    corpus (argmax via array_max over (sim, -cell) structs — no join, no
+    shuffle); candidates come from one corpus ⋈ probed-queries hash join
+    on the cell id, touching ~n_probe/n_cells of the corpus per query.
+    Ranking windows partition by query_id.  Similarities are rounded to 6
+    places BEFORE any comparison so argmax/probe/rank order is
+    reproducible across engines.
+
+    broadcast_queries=True assumes an interactive-sized query set (each
+    executor holds queries × n_probe rows INCLUDING the embedding
+    arrays); for bulk query workloads pass False to fall back to a plain
+    shuffle join on the cell id.
     """
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
-    if quantizer == 'kmeans':
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-        train = c.select(array_to_vector(F.col('__cv')).alias('features'))
-        model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-        centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
-    elif quantizer == 'hash':
-        cent_rows = (c.select(
-                        '__cv',
-                        F.md5(F.concat(F.col('vec_id').cast('string'),
-                                       F.lit(':{}'.format(seed)))).alias('__h'),
-                        'vec_id')
-                     .orderBy('__h', 'vec_id')
-                     .limit(n_cells)
-                     .collect())
-        centroids = [[float(x) for x in r['__cv']] for r in cent_rows]
-    else:
-        raise ValueError("quantizer must be 'hash' or 'kmeans'")
-
-    def _sim(vec: Column, cv: list[float]) -> Column:
-        return F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 6)
-
-    def _argmax_cell(vec: Column) -> Column:
-        # array_max over (sim, -cell): ties on sim resolve to the larger
-        # -cell, i.e. the LOWEST cell index — mirrored by the oracle's
-        # ORDER BY sim DESC, cell ASC
-        arr = F.array(*[F.struct(_sim(vec, cv).alias('s'),
-                                 F.lit(-i).alias('ni'))
-                        for i, cv in enumerate(centroids)])
-        return -F.array_max(arr)['ni']
-
-    def _probe_cells(vec: Column) -> Column:
-        # ascending sort of (-sim, cell) = sim DESC, cell ASC; negation
-        # applied AFTER rounding so both engines order identical values
-        arr = F.array(*[F.struct((-_sim(vec, cv)).alias('ns'),
-                                 F.lit(i).alias('cell'))
-                        for i, cv in enumerate(centroids)])
-        return F.transform(F.slice(F.array_sort(arr), 1, n_probe),
-                           lambda s: s['cell'])
+    centroids = _train_centroids(c, n_cells, seed, quantizer)
+    _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
 
     assigned = c.select('vec_id', '__cv', _argmax_cell(F.col('__cv')).alias('cell'))
     probed = q.select('query_id', '__qv',
                       F.explode(_probe_cells(F.col('__qv'))).alias('cell'))
     # a corpus vector lives in exactly one cell and a query probes distinct
     # cells, so candidates are already unique per (query, vec)
-    cand = assigned.join(F.broadcast(probed), 'cell')
+    cand = assigned.join(F.broadcast(probed) if broadcast_queries else probed,
+                         'cell')
     w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
     return (cand.select('query_id', 'vec_id',
                         F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim'))
@@ -205,6 +228,80 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 .filter(F.col('rank') <= k)
                 .select('query_id', 'vec_id', 'cosine_sim', 'rank')
                 .orderBy('query_id', 'rank'))
+
+
+def _quantize_int8(vec: Column, scale: float = 127.0) -> Column:
+    """Deterministic symmetric int8 quantization: clamp to [-1, 1], scale,
+    floor(x + 0.5).  Plain IEEE double math both engines replay bit-for-bit
+    (floor(x*127+0.5) avoids engine-specific round-half modes)."""
+    return F.transform(vec, lambda x: F.floor(
+        F.least(F.greatest(x, F.lit(-1.0)), F.lit(1.0)) * scale + F.lit(0.5)))
+
+
+def ivf_ann_topk_int8(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      n_cells: int = 16, n_probe: int = 4,
+                      rescore_factor: int = 4,
+                      id_col: str = 'vec_id', vec_col: str = 'embedding',
+                      query_id_col: str = 'query_id', seed: int = 42,
+                      broadcast_queries: bool = True) -> DataFrame:
+    """IVF ANN with int8-compressed candidate scoring: probe cells as in
+    ivf_ann_topk, order candidates by the cosine of their int8-quantized
+    vectors, keep the top rescore_factor × k per query, and exact-rescore
+    only that shortlist with the full-precision floats.
+
+    The 100 TB motivation: the candidate sweep is the wide read — scoring
+    it from an int8 copy cuts its bytes 4× vs float32 (8× vs double) and
+    the shortlist join touches only queries × rescore_factor × k float
+    vectors.  Here the int8 column is derived in-plan (the corpus only
+    carries floats); a production deployment materializes (vec_id, cell,
+    int8 vec) as the stored index and keeps floats in a separate column
+    only the rescore reads.  Quantization is deterministic byte math
+    (_quantize_int8), so the DuckDB differential oracle replays the whole
+    pipeline — shortlist membership included — value-for-value.
+
+    Shuffle shape: one corpus scan computes (cell, int8) inline; the
+    probed-query side joins exactly as in ivf_ann_topk (broadcast by
+    default, broadcast_queries=False for bulk workloads); the shortlist
+    (tiny) BROADCASTS back into a second corpus scan for the float
+    rescore — the corpus is never shuffled.
+    """
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
+    q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
+    centroids = _train_centroids(c, n_cells, seed, quantizer='hash')
+    _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
+
+    assigned8 = c.select('vec_id',
+                         _argmax_cell(F.col('__cv')).alias('cell'),
+                         _quantize_int8(F.col('__cv')).alias('__v8'))
+    probed8 = q.select('query_id',
+                       F.explode(_probe_cells(F.col('__qv'))).alias('cell'),
+                       _quantize_int8(F.col('__qv')).alias('__q8'))
+
+    def _sim8(a: Column, b: Column) -> Column:
+        na, nb = _dot(a, a), _dot(b, b)
+        return F.when((na > 0) & (nb > 0),
+                      F.round(_dot(a, b) / (F.sqrt(na) * F.sqrt(nb)), 6)) \
+                .otherwise(F.lit(-1.0))
+
+    cand8 = (assigned8.join(F.broadcast(probed8) if broadcast_queries else probed8,
+                            'cell')
+                      .select('query_id', 'vec_id',
+                              _sim8(F.col('__v8'), F.col('__q8')).alias('sim8')))
+    w8 = Window.partitionBy('query_id').orderBy(F.col('sim8').desc(), F.col('vec_id').asc())
+    shortlist = (cand8.withColumn('r8', F.row_number().over(w8))
+                      .filter(F.col('r8') <= k * rescore_factor)
+                      .select('query_id', 'vec_id'))
+    # exact rescore: tiny shortlist broadcast into the float column scan
+    rescored = (c.join(F.broadcast(shortlist), 'vec_id')
+                 .join(F.broadcast(q), 'query_id')
+                 .select('query_id', 'vec_id',
+                         F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim')))
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
+    return (rescored.withColumn('rank', F.row_number().over(w))
+                    .filter(F.col('rank') <= k)
+                    .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+                    .orderBy('query_id', 'rank'))
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,

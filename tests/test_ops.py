@@ -191,6 +191,37 @@ def test_ivf_ann_kmeans_quantizer(spark, emb_df):
         ivf_ann_topk(emb_df, queries, quantizer='nope')
 
 
+def test_ivf_int8_recall_matches_full_precision(spark, emb_df):
+    # int8 candidate scoring + exact shortlist rescore must not lose
+    # recall vs the full-precision IVF at the same cells/probes: the
+    # shortlist (rescore_factor×k deep) comfortably covers everything the
+    # exact rescore would rank into the top k
+    from rbql_spark.ops.similarity import (
+        cosine_topk_bruteforce, ivf_ann_topk, ivf_ann_topk_int8,
+    )
+    queries = emb_df.filter(F.col('vec_id') < 3) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r['query_id'], set()).add(r['vec_id'])
+        return out
+
+    exact = sets(cosine_topk_bruteforce(emb_df, queries, k=10))
+    full = sets(ivf_ann_topk(emb_df, queries, k=10, n_cells=8, n_probe=4))
+    int8 = sets(ivf_ann_topk_int8(emb_df, queries, k=10, n_cells=8, n_probe=4))
+
+    def recall(approx):
+        return sum(len(exact[q] & approx.get(q, set())) / len(exact[q])
+                   for q in exact) / len(exact)
+
+    assert recall(int8) >= recall(full)
+    for q in int8:
+        assert q in int8[q]  # self-match survives quantized shortlisting
+        assert len(int8[q]) == 10
+
+
 def test_ivf_ann_deterministic_across_runs(spark, emb_df):
     from rbql_spark.ops.similarity import ivf_ann_topk
     queries = emb_df.filter(F.col('vec_id') < 3) \
