@@ -42,6 +42,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, name + '.parquet'))
 
 
+def _stream_replay_dir(spark: SparkSession, sf_dir: str, name: str,
+                       filters: list[str]) -> str:
+    """Deterministic replay directory for a streaming gate: the events
+    table split into one parquet file per `filters` entry.  Written once
+    per (gate, sf_dir, data version) and reused via a _DONE marker
+    (underscore-prefixed, so Spark's file index ignores it); stale
+    sibling dirs from older data versions are removed, so repeated
+    correctness/bench runs don't accumulate orphaned /tmp data."""
+    import glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, 'events.parquet')
+    try:
+        stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
+    except OSError:
+        stamp = ''
+    key = hashlib.md5('{}|{}'.format(sf_dir, stamp).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(),
+                        'rbql_stream_{}_{}'.format(name, key))
+    done = os.path.join(base, '_DONE')
+    if os.path.exists(done):
+        return base
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(),
+                                        'rbql_stream_{}_*'.format(name))):
+        if stale != base:
+            shutil.rmtree(stale, ignore_errors=True)
+    ev = _t(spark, sf_dir, 'events')
+    ev.where(filters[0]).coalesce(1).write.mode('overwrite').parquet(base)
+    for flt in filters[1:]:
+        ev.where(flt).coalesce(1).write.mode('append').parquet(base)
+    with open(done, 'w'):
+        pass
+    return base
+
+
 def _rbql(query: str, table: str, strict: bool = True, broadcast: bool = True):
     """Build a queries() callable that runs RBQL text through the engine."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,15 +262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Structured Streaming end-to-end (superset; rows-only check): the
         # events table replayed as a file stream → watermarked tumbling
         # window aggregation → memory sink, returned as a DataFrame.
-        import tempfile
-
         from rbql_spark.streaming.events import (
             read_event_stream, run_stream_to_memory, windowed_counts,
         )
-        tmp = tempfile.mkdtemp(prefix='rbql_stream_')
-        ev = _t(spark, sf_dir, 'events')
-        ev.where('event_id % 2 = 0').coalesce(1).write.mode('overwrite').parquet(tmp)
-        ev.where('event_id % 2 = 1').coalesce(1).write.mode('append').parquet(tmp)
+        tmp = _stream_replay_dir(spark, sf_dir, 'wc',
+                                 ['event_id % 2 = 0', 'event_id % 2 = 1'])
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         agg = windowed_counts(stream, width='6 hours', watermark='1 hour')
         qname = 'rbql_stream_gate'
@@ -252,17 +285,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-user running totals in update mode emit a row per (batch,
         # user); the final state — the row with the max n_events per user —
         # must equal the plain batch aggregate, which is the oracle.
-        import tempfile
-
         from pyspark.sql import Window
 
         from rbql_spark.streaming.events import (
             read_event_stream, run_stream_to_memory, running_user_totals,
         )
-        tmp = tempfile.mkdtemp(prefix='rbql_stream_tot_')
-        ev = _t(spark, sf_dir, 'events')
-        ev.where('event_id % 2 = 0').coalesce(1).write.mode('overwrite').parquet(tmp)
-        ev.where('event_id % 2 = 1').coalesce(1).write.mode('append').parquet(tmp)
+        tmp = _stream_replay_dir(spark, sf_dir, 'tot',
+                                 ['event_id % 2 = 0', 'event_id % 2 = 1'])
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         totals = running_user_totals(stream)
         qname = 'rbql_stream_totals_gate'
@@ -283,15 +312,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with a watermark → memory sink.  Redelivered rows are byte-equal,
         # so the surviving set equals the plain batch table, which is the
         # oracle.
-        import tempfile
-
         from rbql_spark.streaming.events import (
             read_event_stream, run_stream_to_memory, stream_exact_dedup,
         )
-        tmp = tempfile.mkdtemp(prefix='rbql_stream_dedup_')
+        tmp = _stream_replay_dir(spark, sf_dir, 'dedup',
+                                 ['event_id % 3 != 2', 'event_id % 3 != 0'])
         ev = _t(spark, sf_dir, 'events')
-        ev.where('event_id % 3 != 2').coalesce(1).write.mode('overwrite').parquet(tmp)
-        ev.where('event_id % 3 != 0').coalesce(1).write.mode('append').parquet(tmp)
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         # the watermark is the redelivery tolerance; this replay re-delivers
         # arbitrarily old rows (file 2 spans the whole table), so size the

@@ -615,7 +615,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
-                      max_hamming: int = 3, engine: str = 'native') -> DataFrame:
+                      max_hamming: int = 3, engine: str = 'native',
+                      eager: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash using the 4-block pigeonhole trick: split the
     64-bit fingerprint into max_hamming+1 blocks — any pair within the
     Hamming radius shares at least one exact block → equi-join per block,
@@ -626,11 +627,16 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     Fingerprints are persisted before the self-join: the two join branches
     are separate scans of the same subplan, and without the persist each
     would run the (dominant-cost) fingerprint kernel over the whole corpus
-    independently — twice the work at any scale.  The cache entry outlives
-    this call (the result is lazy, so there is no safe point to unpersist
-    here); long-lived sessions issuing many dedup calls should unpersist
-    consumed results or spark.catalog.clearCache() between pipelines —
-    same lifecycle as minhash_dedup_pairs' persisted signatures."""
+    independently — twice the work at any scale.  By default the cache
+    entry outlives this call (the result is lazy, so there is no safe
+    point to unpersist here); long-lived sessions issuing many dedup
+    calls should either unpersist consumed results /
+    spark.catalog.clearCache() between pipelines — same lifecycle as
+    minhash_dedup_pairs' persisted signatures — or pass eager=True, which
+    materializes the pair set (localCheckpoint), unpersists the
+    fingerprint cache before returning, and hands back a
+    lineage-truncated result: no cache hygiene left to the caller, at the
+    cost of computing the pairs up front."""
     from pyspark import StorageLevel
     fps = simhash(df, text_col, id_col, engine=engine) \
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -650,6 +656,10 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
                      F.col('l.simhash').alias('fp_a'), F.col('r.simhash').alias('fp_b'))
              .distinct())
     hamming = F.bit_count(F.col('fp_a').bitwiseXOR(F.col('fp_b')))
-    return (cand.select('doc_a', 'doc_b', hamming.alias('hamming'))
-                .filter(F.col('hamming') <= max_hamming)
-                .orderBy('doc_a', 'doc_b'))
+    out = (cand.select('doc_a', 'doc_b', hamming.alias('hamming'))
+               .filter(F.col('hamming') <= max_hamming)
+               .orderBy('doc_a', 'doc_b'))
+    if eager:
+        out = out.localCheckpoint(True)
+        fps.unpersist()
+    return out

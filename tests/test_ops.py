@@ -423,6 +423,19 @@ def test_dedup_clusters_reliable_checkpoint_matches(spark, tmp_path):
     assert os.listdir(str(tmp_path))  # checkpoints actually landed on disk
 
 
+def test_simhash_eager_matches_default(spark, doc_df):
+    # eager=True materializes + unpersists the fingerprint cache and must
+    # return the identical pair set
+    from rbql_spark.ops.dedup import simhash_near_dups
+    lazy = sorted(tuple(r) for r in
+                  simhash_near_dups(doc_df, 'text', 'doc_id',
+                                    max_hamming=7).collect())
+    eager = sorted(tuple(r) for r in
+                   simhash_near_dups(doc_df, 'text', 'doc_id',
+                                     max_hamming=7, eager=True).collect())
+    assert lazy == eager and len(eager) > 0
+
+
 def test_decontaminate_flags_planted_overlap(spark, doc_df):
     # benchmark = doc 1's text under a new id: docs 1/2 (exact) and 3
     # (near-dup) share shingles with it; 4/5 must stay clean

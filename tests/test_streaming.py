@@ -96,8 +96,14 @@ def test_streaming_exact_dedup_drops_redelivered(spark, tmp_path, sf_dir):
     df.where('event_id % 3 != 2').coalesce(1).write.mode('overwrite').parquet(out)
     df.where('event_id % 3 != 0').coalesce(1).write.mode('append').parquet(out)
     stream = read_event_stream(spark, out, max_files_per_trigger=1)
-    q = run_stream_to_memory(stream_exact_dedup(stream), 'dedup_sink',
-                             output_mode='append')
+    # redelivery tolerance sized from the DATA SPAN, as the driver gate
+    # does: file 2 re-delivers arbitrarily old rows, so a fixed delay
+    # would silently drop batch-2 first-deliveries on a long-span table
+    lo, hi = df.agg(F.min('ts'), F.max('ts')).first()
+    span_days = max(1, (hi - lo).days + 2)
+    q = run_stream_to_memory(
+        stream_exact_dedup(stream, watermark='{} days'.format(span_days)),
+        'dedup_sink', output_mode='append')
     try:
         got = {r['event_id'] for r in spark.table('dedup_sink').collect()}
         want = {r['event_id'] for r in df.collect()}
