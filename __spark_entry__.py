@@ -43,8 +43,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _stream_replay_dir(spark: SparkSession, sf_dir: str, name: str,
-                       filters: list[str]) -> str:
-    """Deterministic replay directory for a streaming gate: the events
+                       filters: list[str], table: str = 'events') -> str:
+    """Deterministic replay directory for a streaming gate: the source
     table split into one parquet file per `filters` entry.  Written once
     per (gate, sf_dir, data version) and reused via a _DONE marker
     (underscore-prefixed, so Spark's file index ignores it); stale
@@ -55,7 +55,7 @@ def _stream_replay_dir(spark: SparkSession, sf_dir: str, name: str,
     import shutil
     import tempfile
 
-    src = os.path.join(sf_dir, 'events.parquet')
+    src = os.path.join(sf_dir, table + '.parquet')
     try:
         stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
     except OSError:
@@ -70,10 +70,10 @@ def _stream_replay_dir(spark: SparkSession, sf_dir: str, name: str,
                                         'rbql_stream_{}_*'.format(name))):
         if stale != base:
             shutil.rmtree(stale, ignore_errors=True)
-    ev = _t(spark, sf_dir, 'events')
-    ev.where(filters[0]).coalesce(1).write.mode('overwrite').parquet(base)
+    tbl = _t(spark, sf_dir, table)
+    tbl.where(filters[0]).coalesce(1).write.mode('overwrite').parquet(base)
     for flt in filters[1:]:
-        ev.where(flt).coalesce(1).write.mode('append').parquet(base)
+        tbl.where(flt).coalesce(1).write.mode('append').parquet(base)
     with open(done, 'w'):
         pass
     return base
@@ -333,6 +333,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             'event_id', 'ts', 'user_id', 'event_type',
             F.round('value', 6).alias('value'))
     q['streaming_exact_dedup'] = _streaming_dedup
+
+    def _streaming_minhash(spark, sf_dir):
+        # incremental near-dup detection: documents replayed in two halves;
+        # the stateful band index emits each verified pair as its second
+        # member arrives (possibly once per agreeing band — deduped below),
+        # so the lifetime pair set equals the batch minhash pipeline, which
+        # is the oracle.
+        from rbql_spark.streaming.documents import (
+            read_document_stream, stream_minhash_near_dups,
+        )
+        from rbql_spark.streaming.events import run_stream_to_memory
+        tmp = _stream_replay_dir(spark, sf_dir, 'mh',
+                                 ['doc_id % 2 = 0', 'doc_id % 2 = 1'],
+                                 table='documents')
+        stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
+        pairs = stream_minhash_near_dups(stream, threshold=0.5)
+        qname = 'rbql_stream_minhash_gate'
+        sq = run_stream_to_memory(pairs, qname, output_mode='update')
+        sq.stop()
+        return (spark.table(qname)
+                .dropDuplicates(['doc_a', 'doc_b'])
+                .select('doc_a', 'doc_b', 'jaccard'))
+    q['streaming_minhash_neardup'] = _streaming_minhash
 
     # ---- superset: dedup --------------------------------------------------
     def _dedup_exact(spark, sf_dir):
@@ -874,6 +897,11 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY user_id")
 
     o['dedup_minhash_lsh'] = _minhash_replay_sql(
+        num_perm=64, shingle_k=3, seed=42, bands=16, rows_per_band=4, threshold=0.5)
+
+    # the streaming band index finds exactly the batch pipeline's pairs
+    # (same kernel, same bands) — its lifetime output replays identically
+    o['streaming_minhash_neardup'] = _minhash_replay_sql(
         num_perm=64, shingle_k=3, seed=42, bands=16, rows_per_band=4, threshold=0.5)
 
     o['dedup_ngram_jaccard'] = _minhash_replay_sql(

@@ -51,8 +51,12 @@ def spread_partitions(df: DataFrame, min_per_core: int = 1) -> DataFrame:
 
     Small-file inputs (one parquet file → one partition) would otherwise run
     expression-heavy per-row operators on a single task.  At bulk scale the
-    scan already produces ≥cores partitions and this is a no-op.
+    scan already produces ≥cores partitions and this is a no-op.  Streaming
+    DataFrames pass through untouched (no .rdd on a stream; micro-batch
+    sizing is the source's maxFilesPerTrigger's job).
     """
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

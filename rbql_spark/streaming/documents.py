@@ -1,0 +1,119 @@
+"""Streaming document operators (deliberate superset — the reference has no
+stream semantics at all, SURVEY §2.8): incremental near-duplicate detection
+over a document stream.
+
+The batch near-dup machinery from ops/dedup.py is reused per micro-batch
+(same Arrow minhash kernel, same band keys), and a custom stateful operator
+(applyInPandasWithState keyed on the band bucket) carries the LSH index
+across batches — the streaming face of minhash_dedup_pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_document_stream(spark: SparkSession, source_dir: str,
+                         schema=None,
+                         max_files_per_trigger: int = 1) -> DataFrame:
+    """File-based document stream (each dropped parquet file = one
+    micro-batch).  File streams need an explicit schema; by default it is
+    lifted from the directory's existing parquet footers."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    return (spark.readStream
+            .schema(schema)
+            .option('maxFilesPerTrigger', max_files_per_trigger)
+            .parquet(source_dir))
+
+
+def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
+                             id_col: str = 'doc_id', num_perm: int = 64,
+                             shingle_k: int = 3, bands: int = 16,
+                             rows_per_band: int = 4, threshold: float = 0.7,
+                             seed: int = 42) -> DataFrame:
+    """Incremental near-dup detection: emits a verified (doc_a, doc_b,
+    jaccard) pair the moment the SECOND document of the pair arrives.
+
+    Per micro-batch, documents run through the exact batch pipeline front
+    half — the Arrow minhash kernel (md5-32 shingle hashes, seeded
+    permutations) and the banded signature keys from
+    ops.dedup.lsh_candidate_pairs.  A stateful band index keyed on
+    (band_idx, band_hash) then stores each bucket's (doc_id, shingle set)
+    and, as new documents land in the bucket, verifies exact Jaccard
+    against the stored members (plus the batch's own earlier arrivals) —
+    so the lifetime union of emitted pairs equals the batch
+    minhash_dedup_pairs answer at the same parameters, which is the
+    differential oracle.
+
+    Scale/semantics notes:
+      * shuffle shape matches the batch op: signatures stream through the
+        scan tasks, only the banded keys shuffle (groupBy band bucket).
+      * a pair agreeing on several bands is emitted once per bucket;
+        compose a downstream dropDuplicates(['doc_a','doc_b']) (or
+        consume idempotently) for exactly-once pair delivery.
+      * redelivered documents (at-least-once transport) are recognized by
+        id and skipped — no self-pairs, no duplicate state rows.
+      * documents carry no event-time column, so bucket state never
+        expires; for forever-streams bound it upstream (periodic index
+        re-shard) the way any streaming LSH index must.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from rbql_spark.ops.dedup import minhash_signatures
+
+    sig = minhash_signatures(docs, text_col, id_col, num_perm=num_perm,
+                             shingle_k=shingle_k, seed=seed, hash_fn='md5')
+    band_arr = F.array(*[
+        F.xxhash64(F.concat_ws(',', *[
+            F.col('signature')[b * rows_per_band + r].cast('string')
+            for r in range(rows_per_band)]))
+        for b in range(bands)
+    ])
+    banded = sig.select('doc_id', 'shingles',
+                        F.posexplode(band_arr).alias('band_idx', 'band_hash'))
+
+    out_schema = 'doc_a long, doc_b long, jaccard double'
+    state_schema = 'ids array<long>, shingles array<array<long>>'
+    thr = threshold
+
+    def update_fn(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            stored_ids, stored_shs = state.get
+            ids = [int(x) for x in stored_ids]
+            shs = [{int(v) for v in s} for s in stored_shs]
+        else:
+            ids, shs = [], []
+        seen = set(ids)
+        new: list[tuple[int, set]] = []
+        for pdf in pdf_iter:
+            for d, sh in zip(pdf['doc_id'], pdf['shingles']):
+                new.append((int(d), {int(x) for x in sh}))
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        # deterministic order: batch arrivals verify by ascending doc id
+        for d, sh in sorted(new, key=lambda t: t[0]):
+            if d in seen:   # at-least-once redelivery — already indexed
+                continue
+            for d2, sh2 in zip(ids, shs):
+                union = len(sh | sh2)
+                jac = (len(sh & sh2) / union) if union else 0.0
+                if jac >= thr:
+                    a, b = (d, d2) if d < d2 else (d2, d)
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(jac)
+            ids.append(d)
+            shs.append(sh)
+            seen.add(d)
+        state.update((ids, [sorted(s) for s in shs]))
+        yield pd.DataFrame({'doc_a': pd.Series(out_a, dtype='int64'),
+                            'doc_b': pd.Series(out_b, dtype='int64'),
+                            'jaccard': pd.Series(out_j, dtype='float64')})
+
+    return (banded.groupBy('band_idx', 'band_hash')
+                  .applyInPandasWithState(update_fn, out_schema, state_schema,
+                                          'update', GroupStateTimeout.NoTimeout))

@@ -111,3 +111,46 @@ def test_streaming_exact_dedup_drops_redelivered(spark, tmp_path, sf_dir):
         assert spark.table('dedup_sink').count() == len(want)
     finally:
         q.stop()
+
+
+def test_streaming_minhash_matches_batch(spark, tmp_path):
+    """The stateful band index's lifetime pair set == the batch minhash
+    pipeline at the same parameters — pairs within one batch, across
+    batches, and redelivered docs all handled."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from rbql_spark.ops.dedup import minhash_dedup_pairs
+    from rbql_spark.streaming.documents import (
+        read_document_stream, stream_minhash_near_dups,
+    )
+    from rbql_spark.streaming.events import run_stream_to_memory
+
+    base = ('the quick brown fox jumps over the lazy dog while the cat '
+            'sleeps in the warm afternoon sun near the old stone bridge')
+    rows = [
+        (1, base),
+        (2, base),                                               # dup of 1 (same batch)
+        (3, base.replace('warm afternoon sun', 'cold night')),   # near dup (other batch)
+        (4, 'completely different text about query engines and shuffles '
+            'with columnar storage and adaptive execution everywhere'),
+        (5, base + ' and then some extra trailing words appended here'),
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = os.path.join(str(tmp_path), 'doc_stream')
+    docs.where('doc_id % 2 = 0').coalesce(1).write.mode('overwrite').parquet(out)
+    # doc 2 redelivered in batch 2: must not self-pair or re-emit
+    docs.where('doc_id % 2 = 1 or doc_id = 2').coalesce(1) \
+        .write.mode('append').parquet(out)
+
+    stream = read_document_stream(spark, out, max_files_per_trigger=1)
+    pairs = stream_minhash_near_dups(stream, threshold=0.5)
+    q = run_stream_to_memory(pairs, 'mh_sink', output_mode='update')
+    try:
+        got = {(r['doc_a'], r['doc_b']): r['jaccard']
+               for r in spark.table('mh_sink').collect()}
+        want = {(r['doc_a'], r['doc_b']): r['jaccard']
+                for r in minhash_dedup_pairs(docs, 'text', 'doc_id',
+                                             threshold=0.5,
+                                             hash_fn='md5').collect()}
+        assert got == want and (1, 2) in got
+    finally:
+        q.stop()
