@@ -68,7 +68,9 @@ SUBSET = [
     'sim_topk_bruteforce',
     'sim_ann_lsh',
     'sim_ann_ivf',
+    'sim_ann_ivf_int8',
     'sim_embedding_neardup',
+    'decontaminate_ngram',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
