@@ -326,33 +326,47 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                         num_perm: int = 64, shingle_k: int = 3,
                         bands: int = 16, rows_per_band: int = 4,
                         threshold: float = 0.7, seed: int = 42,
-                        hash_fn: str = 'crc32') -> DataFrame:
+                        hash_fn: str = 'crc32',
+                        eager: bool = False) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → verify.
 
     Signatures are persisted (memory-and-disk) — both the band join and the
     verify join consume them; recomputing the signature pass twice would
-    double the dominant cost.
+    double the dominant cost.  The cache entry outlives the (lazy) result
+    by default; eager=True materializes the pair set, unpersists the
+    signature cache, and returns a lineage-truncated result — same
+    lifecycle contract as simhash_near_dups(eager=True).
     """
     from pyspark import StorageLevel
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed,
                              hash_fn=hash_fn) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
-    return jaccard_verify(cand, sig, threshold).orderBy('doc_a', 'doc_b')
+    out = jaccard_verify(cand, sig, threshold).orderBy('doc_a', 'doc_b')
+    if eager:
+        out = out.localCheckpoint(True)
+        sig.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.5,
                         bands: int = 8, rows_per_band: int = 2,
-                        seed: int = 7, hash_fn: str = 'crc32') -> DataFrame:
-    """Exact n-gram Jaccard similarity with an LSH prefilter (never all-pairs)."""
+                        seed: int = 7, hash_fn: str = 'crc32',
+                        eager: bool = False) -> DataFrame:
+    """Exact n-gram Jaccard similarity with an LSH prefilter (never
+    all-pairs).  eager: as in minhash_dedup_pairs."""
     from pyspark import StorageLevel
     sig = minhash_signatures(df, text_col, id_col,
                              num_perm=bands * rows_per_band,
                              shingle_k=n, seed=seed, hash_fn=hash_fn) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
-    return jaccard_verify(cand, sig, threshold).orderBy('doc_a', 'doc_b')
+    out = jaccard_verify(cand, sig, threshold).orderBy('doc_a', 'doc_b')
+    if eager:
+        out = out.localCheckpoint(True)
+        sig.unpersist()
+    return out
 
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
