@@ -485,6 +485,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return language_id(_t(spark, sf_dir, 'documents'))
     q['text_language_id'] = _text_langid
 
+    def _text_top_ngrams(spark, sf_dir):
+        from rbql_spark.ops.textstats import top_ngrams
+        return top_ngrams(_t(spark, sf_dir, 'documents'), n=2, k=100)
+    q['text_top_ngrams'] = _text_top_ngrams
+
     def _text_fp(spark, sf_dir):
         from rbql_spark.ops.textstats import doc_fingerprint
         # md5 token hashes → DuckDB list_reduce replays the same rolling fold
@@ -1058,6 +1063,17 @@ def oracle_sql() -> dict[str, str]:
         "list_transform(toks, x -> ('0x' || md5(x)[1:8])::BIGINT)), "
         "(acc, h) -> (acc * 31 + h) & 4294967295) AS fingerprint, "
         "len(toks) AS n_tokens FROM t")
+
+    # bigram frequency top-k: total order (count DESC, ngram ASC) makes the
+    # k-cut deterministic on both engines
+    o['text_top_ngrams'] = (
+        "WITH toks AS (SELECT " + _SQL_TOKS.format(src="coalesce(text, '')") +
+        " AS t FROM documents), "
+        "g AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN "
+        "list_transform(range(1, len(t)), i -> array_to_string(t[i:i + 1], ' ')) "
+        "ELSE [] END) AS ngram FROM toks) "
+        "SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram "
+        "ORDER BY n_occurrences DESC, ngram ASC LIMIT 100")
 
     o['text_token_stats'] = (
         "SELECT doc_id, length(text) AS n_chars, "

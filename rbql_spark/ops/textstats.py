@@ -177,3 +177,32 @@ def doc_fingerprint(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id
     )
     return df.select(F.col(id_col), fp.alias('fingerprint'),
                      F.size(toks).alias('n_tokens'))
+
+
+def top_ngrams(df: DataFrame, text_col: str = 'text',
+               n: int = 2, k: int = 100) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams → (ngram, n_occurrences),
+    the vocabulary-induction / BPE-seed-count primitive of a training-data
+    pipeline.
+
+    Scale shape: tokenize + n-gram expansion run inside the scan tasks
+    (native HOF expressions, no Python); the only shuffle is the
+    partial+final count on the gram key (map-side combine absorbs the
+    heavy-hitter skew that makes naive gram counting fall over — the
+    'the of'-class grams are pre-summed per task); the top-k is a
+    TakeOrderedAndProject, never a global sort.  Ordering is total
+    (count DESC, ngram ASC), so the k-cut is deterministic.  Documents
+    shorter than n words contribute nothing (this is frequency counting,
+    not the shingle signature path, which pads short docs).
+    """
+    toks = tokens(F.col(text_col))
+    nn = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(nn - n, F.lit(0)))
+    grams = F.when(nn >= n, F.transform(
+        idx, lambda i: F.concat_ws(' ', F.slice(toks, i + 1, n))
+    )).otherwise(F.array().cast('array<string>'))
+    return (df.select(F.explode(grams).alias('ngram'))
+              .groupBy('ngram')
+              .agg(F.count(F.lit(1)).alias('n_occurrences'))
+              .orderBy(F.col('n_occurrences').desc(), F.col('ngram').asc())
+              .limit(k))

@@ -190,6 +190,16 @@ def test_lsh_ann_single_corpus_scan(spark, sf_dir):
     assert plan.count('FileScan') == 1, plan
 
 
+def test_top_ngrams_partial_agg_and_take_ordered(spark, sf_dir, entry):
+    # gram counting must pre-sum heavy hitters map-side (partial_count
+    # before the exchange) and cut the top-k via TakeOrderedAndProject,
+    # never a global sort; gram expansion stays native
+    plan = _plan(entry.queries()['text_top_ngrams'](spark, sf_dir))
+    assert 'partial_count' in plan
+    assert 'TakeOrderedAndProject' in plan
+    assert 'BatchEvalPython' not in plan and 'MapInPandas' not in plan
+
+
 def test_decontaminate_broadcasts_benchmark_single_corpus_scan(spark, sf_dir):
     # the benchmark suite is the small side: its shingles must broadcast
     # (no corpus shuffle before the join) and the training corpus must be
