@@ -118,7 +118,8 @@ def word_shingles_md5(col: Column, k: int = 3) -> Column:
 def decontaminate(train: DataFrame, benchmark: DataFrame,
                   text_col: str = 'text', id_col: str = 'doc_id',
                   shingle_k: int = 3, min_overlap: int = 1,
-                  hash_fn: str = 'md5') -> DataFrame:
+                  hash_fn: str = 'md5',
+                  broadcast_benchmark: bool = True) -> DataFrame:
     """Train/test decontamination: flag training documents sharing
     ≥min_overlap distinct k-word shingles with any benchmark document →
     (doc_id, bench_id, n_overlap).
@@ -133,6 +134,10 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
 
     hash_fn='md5' (default) keeps the pipeline replayable by the DuckDB
     oracle; 'xxhash64' is the cheaper engine-local variant.
+
+    broadcast_benchmark=True fits the normal case (benchmark suites are
+    executor-memory sized); pass False for a benchmark set too large to
+    broadcast — the join falls back to a shuffle on the shingle hash.
     """
     sh = (word_shingles_md5(F.col(text_col), k=shingle_k) if hash_fn == 'md5'
           else word_shingles(F.col(text_col), k=shingle_k))
@@ -142,7 +147,7 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
                   .select('bench_id', F.explode('__sh').alias('sh')))
     # shingle arrays are array_distinct per document, so each (id, sh) row
     # is unique per side and the overlap count is a plain count
-    return (t.join(F.broadcast(b), 'sh')
+    return (t.join(F.broadcast(b) if broadcast_benchmark else b, 'sh')
              .groupBy('doc_id', 'bench_id')
              .agg(F.count(F.lit(1)).alias('n_overlap'))
              .where(F.col('n_overlap') >= min_overlap)
