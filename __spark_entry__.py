@@ -402,6 +402,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_clusters(pairs)
     q['dedup_clusters'] = _dedup_clusters
 
+    def _dedup_keep(spark, sf_dir):
+        # the pipeline's final cut: near-dup pairs → clusters → corpus minus
+        # non-representative members (min id survives per cluster)
+        from rbql_spark.ops.dedup import keep_canonical, simhash_near_dups
+        docs = _t(spark, sf_dir, 'documents')
+        pairs = simhash_near_dups(docs, 'text', 'doc_id',
+                                  max_hamming=7, engine='vectorized')
+        return keep_canonical(docs, pairs).select('doc_id', 'lang', 'n_chars')
+    q['dedup_keep_canonical'] = _dedup_keep
+
+    def _dedup_lines(spark, sf_dir):
+        # the documents table has no newlines (single-line word streams), so
+        # the gate derives a lined view — every 4 word-tokens becomes a line
+        # — under which near-dup docs share exact lines; the op then removes
+        # every line occurring ≥2 times corpus-wide, C4-style
+        from rbql_spark.ops.dedup import dedup_lines, tokens
+        docs = _t(spark, sf_dir, 'documents')
+        toks = tokens(F.col('text'))
+        n = F.size(toks)
+        lined = F.when(n > 0, F.concat_ws('\n', F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / 4).cast('int')),
+            lambda j: F.concat_ws(' ', F.slice(toks, j * 4 + 1, 4))
+        ))).otherwise(F.lit(''))
+        view = docs.select('doc_id', lined.alias('text'))
+        return dedup_lines(view, min_count=2)
+    q['dedup_lines'] = _dedup_lines
+
     # ---- superset: deterministic sampling / packing -----------------------
     def _sample_hash(spark, sf_dir):
         from rbql_spark.ops.sampling import hash_sample
@@ -415,6 +442,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             {'en': 0.2, 'de': 1.0, 'fr': 0.5}, 'lang',
             default_fraction=0.8).select('doc_id', 'lang')
     q['sample_stratified'] = _sample_strat
+
+    def _temp_sample(spark, sf_dir):
+        # stratify on lang ('source' is uniform in the synthetic table —
+        # every rate would be 1.0 and the gate would exercise nothing)
+        from rbql_spark.ops.sampling import temperature_sample
+        return temperature_sample(_t(spark, sf_dir, 'documents'),
+                                  'lang', alpha=0.5).select('doc_id', 'lang')
+    q['sample_temperature'] = _temp_sample
 
     def _pack(spark, sf_dir):
         from rbql_spark.ops.sampling import pack_sequences
@@ -489,6 +524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from rbql_spark.ops.textstats import top_ngrams
         return top_ngrams(_t(spark, sf_dir, 'documents'), n=2, k=100)
     q['text_top_ngrams'] = _text_top_ngrams
+
+    def _text_repetition(spark, sf_dir):
+        from rbql_spark.ops.textstats import repetition_stats
+        return repetition_stats(_t(spark, sf_dir, 'documents'), top_n=2, dup_n=3)
+    q['text_repetition'] = _text_repetition
 
     def _text_fp(spark, sf_dir):
         from rbql_spark.ops.textstats import doc_fingerprint
@@ -926,6 +966,78 @@ def oracle_sql() -> dict[str, str]:
         "UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id) "
         "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id")
 
+    # keep-canonical = corpus minus non-representative cluster members;
+    # reuses the transitive-closure replay of the simhash pair graph
+    o['dedup_keep_canonical'] = (
+        "WITH RECURSIVE pairs AS (SELECT * FROM (" + _simhash_replay_sql(max_hamming=7) +
+        ") _q), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS id FROM edges), "
+        "reach(id, r) AS (SELECT id, id FROM nodes "
+        "UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id), "
+        "labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id) "
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id NOT IN (SELECT id FROM labels WHERE id != cluster_id)")
+
+    # C4-style corpus line dedup over the 4-token lined view: frequency is
+    # counted on trimmed non-empty lines; docs rebuild from survivors in
+    # original order (string_agg ORDER BY pos), fully-removed docs keep an
+    # empty clean_text
+    o['dedup_lines'] = (
+        "WITH toks AS (SELECT doc_id, " + _SQL_TOKS.format(src="coalesce(text, '')") +
+        " AS t FROM documents), "
+        "lined AS (SELECT doc_id, CASE WHEN len(t) > 0 THEN "
+        "array_to_string(list_transform(range(0, ((len(t) - 1) // 4) + 1), "
+        "j -> array_to_string(t[j*4+1:j*4+4], ' ')), chr(10)) ELSE '' END AS text "
+        "FROM toks), "
+        "lx AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined), "
+        "lines AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l FROM lx), "
+        "ln AS (SELECT doc_id, pos, l[pos] AS line FROM lines), "
+        "freq AS (SELECT trim(line) AS k FROM ln WHERE trim(line) != '' "
+        "GROUP BY 1 HAVING count(*) >= 2), "
+        "kept AS (SELECT doc_id, pos, line FROM ln WHERE trim(line) = '' "
+        "OR trim(line) NOT IN (SELECT k FROM freq)), "
+        "reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text, "
+        "count(*) AS n_kept FROM kept GROUP BY doc_id), "
+        "base AS (SELECT doc_id, len(l)::BIGINT AS n_lines FROM lx) "
+        "SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text, b.n_lines, "
+        "(b.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed "
+        "FROM base b LEFT JOIN reb r USING (doc_id)")
+
+    # Gopher repetition replay: per-doc gram frequencies via unnest+count —
+    # an independent computation of the same definitions the Spark fold
+    # evaluates (ties on top count break toward larger char mass)
+    _rep_toks = _SQL_TOKS.format(src="coalesce(text, '')")
+
+    def _rep_grams(n: int) -> str:
+        return ("CASE WHEN len(t) >= {n} THEN list_transform("
+                "range(1, len(t) - {nm1} + 1), i -> array_to_string("
+                "t[i:i + {nm1}], ' ')) ELSE [] END").format(n=n, nm1=n - 1)
+
+    o['text_repetition'] = (
+        "WITH toks AS (SELECT doc_id, length(text) AS n_chars, " + _rep_toks +
+        " AS t FROM documents), "
+        "g2 AS (SELECT doc_id, unnest(" + _rep_grams(2) + ") AS g FROM toks), "
+        "g3 AS (SELECT doc_id, unnest(" + _rep_grams(3) + ") AS g FROM toks), "
+        "c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2), "
+        "w2 AS (SELECT doc_id, cnt, g, max(cnt) OVER (PARTITION BY doc_id) AS mx "
+        "FROM c2), "
+        "top2 AS (SELECT doc_id, max(cnt) AS best_cnt, "
+        "max(cnt * length(g)) AS best_mass FROM w2 WHERE cnt = mx GROUP BY doc_id), "
+        "c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2), "
+        "dup3 AS (SELECT doc_id, coalesce(sum(cnt * length(g)) "
+        "FILTER (WHERE cnt >= 2), 0) AS dup FROM c3 GROUP BY doc_id) "
+        "SELECT k.doc_id, "
+        "round(CASE WHEN len(t) > 0 THEN 1.0 - len(list_distinct(t)) * 1.0 / len(t) "
+        "ELSE 0.0 END, 6) AS dup_word_frac, "
+        "coalesce(top2.best_cnt, 0)::BIGINT AS top_ngram_count, "
+        "round(CASE WHEN k.n_chars > 0 THEN coalesce(top2.best_mass, 0) * 1.0 / k.n_chars "
+        "ELSE 0.0 END, 6) AS top_ngram_char_frac, "
+        "round(CASE WHEN k.n_chars > 0 THEN coalesce(dup3.dup, 0) * 1.0 / k.n_chars "
+        "ELSE 0.0 END, 6) AS dup_ngram_char_frac "
+        "FROM toks k LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)")
+
     # deterministic md5 sampling: replay rbql_spark.ops.sampling._hash_unit
     _unit = "('0x' || md5(doc_id::VARCHAR || ':42')[1:8])::BIGINT / 4294967296.0"
     o['sample_hash'] = (
@@ -934,6 +1046,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, lang FROM documents WHERE " + _unit + " < "
         "CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.5 "
         "ELSE 0.8 END")
+
+    # temperature mixture sampling: rates are a pure function of the
+    # per-stratum counts — r_g = round((c_g/c_min)^(alpha-1), 6), alpha=0.5
+    o['sample_temperature'] = (
+        "WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1), "
+        "m AS (SELECT min(cnt) AS cmin FROM c), "
+        "r AS (SELECT lang, round(pow(cnt * 1.0 / cmin, -0.5), 6) AS rate "
+        "FROM c, m) "
+        "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+        "WHERE " + _unit + " < r.rate")
 
     # greedy sequence packing: the per-bucket sequential scan as a
     # recursive CTE (row n derives from row n-1 within its bucket); the

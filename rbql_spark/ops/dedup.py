@@ -12,6 +12,9 @@ shuffles are the groupBy/join on candidate keys.
   * jaccard_verify     — exact token-set Jaccard on candidate pairs
   * simhash            — 64-bit sign-sum fingerprint
   * ngram_jaccard_pairs— banded exact n-gram Jaccard (LSH prefilter + verify)
+  * dedup_lines        — corpus-level duplicate-line removal (C4-style)
+  * keep_canonical     — pairs → clusters → corpus minus non-representatives
+  * decontaminate      — train/test benchmark n-gram overlap flagging
 """
 
 from __future__ import annotations
@@ -547,6 +550,84 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
     return (labels.select(F.col('id').alias('doc_id'),
                           F.col('label').alias('cluster_id'))
             .orderBy('doc_id'))
+
+
+def dedup_lines(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
+                min_count: int = 2, line_sep: str = '\n',
+                hash_fn: str = 'md5',
+                broadcast_frequent: bool = True) -> DataFrame:
+    """Corpus-level duplicate-line removal (the C4-style boilerplate pass):
+    drop every line whose trimmed text occurs ≥min_count times ACROSS the
+    corpus, rebuild each document from its surviving lines →
+    (doc_id, clean_text, n_lines, n_removed).
+
+    Scale shape: two shuffles, both on narrow keys.  (1) The frequency
+    count shuffles (line_hash) pairs — a 64/128-bit digest, never line
+    text — with map-side partial aggregation absorbing the boilerplate
+    heavy hitters ('all rights reserved' is pre-summed per task).  The
+    surviving frequent set is tiny relative to the corpus (heavy hitters
+    by definition) and is BROADCAST into the marking join, so the corpus
+    line stream is never shuffled for the lookup.  (2) Document
+    reconstruction groups (pos, line) rows by doc_id — inherent to
+    reassembly and exactly what you'd run at 100 TB.  The corpus is
+    scanned exactly twice (count pass, rebuild pass) — the minimum
+    without persisting the exploded lines.  Empty-after-trim lines never
+    participate in counting or removal (blank separators would otherwise
+    be 'frequent' everywhere and vanish).
+
+    hash_fn='md5' keeps the digest replayable by other engines (the
+    DuckDB oracle compares trimmed line text — equality is identical);
+    'xxhash64' is the cheaper engine-local variant.
+    broadcast_frequent=False falls back to a shuffle join for a frequent
+    set too large to broadcast (min_count=2 over a pathological corpus).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, line_sep, -1)
+    base = df.select(F.col(id_col).alias('doc_id'),
+                     F.posexplode(lines).alias('pos', 'line'))
+    norm = F.trim(F.col('line'))
+    key = (F.md5(F.encode(norm, 'utf-8')) if hash_fn == 'md5'
+           else F.xxhash64(norm).cast('string'))
+    base = base.withColumn('__key', F.when(norm != '', key))
+    freq = (base.where(F.col('__key').isNotNull())
+                .groupBy('__key').agg(F.count(F.lit(1)).alias('__cnt'))
+                .where(F.col('__cnt') >= min_count)
+                .select('__key', F.lit(True).alias('__dup')))
+    # LEFT join (not anti) so every line — removed or kept — reaches the
+    # per-doc rebuild: n_lines/n_removed fall out of the same aggregation
+    # and fully-scrubbed documents still emit a row (empty clean_text),
+    # without a third corpus scan for the id spine
+    marked = base.join(F.broadcast(freq) if broadcast_frequent else freq,
+                       '__key', 'left')
+    kept_struct = F.when(F.col('__dup').isNull(), F.struct('pos', 'line'))
+    return (marked.groupBy('doc_id')
+                  .agg(F.count(F.lit(1)).cast('long').alias('n_lines'),
+                       F.count('__dup').cast('long').alias('n_removed'),
+                       F.concat_ws(line_sep, F.transform(
+                           # collect_list skips the nulls = the removed lines
+                           F.array_sort(F.collect_list(kept_struct)),
+                           lambda x: x['line'])).alias('clean_text'))
+                  .select('doc_id', 'clean_text', 'n_lines', 'n_removed'))
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = 'doc_id',
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """The dedup pipeline's final cut: given near-dup pairs, keep ONE
+    representative (the min id) per duplicate cluster plus every document
+    not in any pair — i.e. the deduplicated corpus itself, not just the
+    pair/cluster report.
+
+    Composition of existing pieces: dedup_clusters labels each clustered
+    doc with its component min; members ≠ label are the removal set; a
+    left_anti join (hash shuffle on the id key — at 100 TB the removal
+    set is usually far smaller than the corpus, and AQE will broadcast it
+    when it fits) filters the corpus.  Cluster iteration state follows
+    dedup_clusters' checkpoint_dir contract.
+    """
+    clusters = dedup_clusters(pairs, checkpoint_dir=checkpoint_dir)
+    removed = (clusters.where(F.col('doc_id') != F.col('cluster_id'))
+                       .select(F.col('doc_id').alias(id_col)))
+    return df.join(removed, id_col, 'left_anti')
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str,

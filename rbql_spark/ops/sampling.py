@@ -54,6 +54,39 @@ def stratified_hash_sample(df: DataFrame, fractions: dict, strata_col: str,
     return df.filter(_hash_unit(F.col(key_col), seed) < frac)
 
 
+def temperature_sample(df: DataFrame, strata_col: str, alpha: float = 0.5,
+                       key_col: str = 'doc_id', seed: int = 42) -> DataFrame:
+    """Temperature-reweighted mixture sampling (the multilingual /
+    multi-source training standard): target mixture weights w_g ∝ c_g^alpha
+    flatten the source distribution (alpha=1 keeps natural proportions,
+    alpha→0 approaches uniform).  Realized as per-stratum keep rates
+    r_g = (c_g / c_min)^(alpha−1), scaled so the SMALLEST stratum is kept
+    whole — downsampling the head, never replicating the tail.
+
+    Everything is a pure function of the per-stratum counts plus the
+    deterministic md5 key hash, so the sample is rerun-stable and
+    engine-replayable (the DuckDB oracle recomputes the same rates).
+    Rates are rounded to 6 places before the threshold compare so both
+    engines agree despite libm pow() last-ulp differences.
+
+    Scale shape: one partial+final count on the stratum key (tiny result),
+    broadcast back onto the corpus, then a stateless filter — the corpus
+    itself is never shuffled.
+    """
+    from pyspark.sql import Window
+    counts = df.groupBy(F.col(strata_col).alias('__g')) \
+               .agg(F.count(F.lit(1)).alias('__cnt'))
+    # c_min via an (empty-frame) window over the tiny counts result — an
+    # agg-and-join-back would rescan the corpus for the second aggregate
+    rates = counts.select(
+        F.col('__g'),
+        F.round(F.pow(F.col('__cnt') / F.min('__cnt').over(Window.partitionBy()),
+                      F.lit(float(alpha) - 1.0)), 6).alias('__rate'))
+    return (df.join(F.broadcast(rates), df[strata_col] == F.col('__g'))
+              .where(_hash_unit(F.col(key_col), seed) < F.col('__rate'))
+              .drop('__g', '__rate'))
+
+
 def pack_sequences(df: DataFrame, max_tokens: int, n_buckets: int | None = None,
                    id_col: str = 'doc_id', text_col: str = 'text',
                    target_docs_per_bucket: int = 4096) -> DataFrame:

@@ -7,6 +7,8 @@ narrow projection, no shuffle, no Python in the hot path.
   * quality_score      — length/punctuation/stopword/uppercase heuristics
   * language_id        — stopword-hit n-gram heuristic over a small lexicon
   * doc_fingerprint    — order-sensitive rolling hash of the token stream
+  * repetition_stats   — Gopher-style within-doc repetition fractions
+  * top_ngrams         — corpus-wide most-frequent word n-grams
 """
 
 from __future__ import annotations
@@ -177,6 +179,93 @@ def doc_fingerprint(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id
     )
     return df.select(F.col(id_col), fp.alias('fingerprint'),
                      F.size(toks).alias('n_tokens'))
+
+
+def repetition_stats(df: DataFrame, text_col: str = 'text',
+                     id_col: str = 'doc_id', top_n: int = 2,
+                     dup_n: int = 3) -> DataFrame:
+    """Gopher-style within-document repetition features (Rae et al.,
+    "Scaling Language Models: ... Gopher", public quality-filter recipe):
+
+      * dup_word_frac       — 1 − |distinct words| / |words|
+      * top_ngram_char_frac — (count of the most frequent top_n-gram ×
+                              its char length) / doc chars; ties on count
+                              break toward the larger char mass, so the
+                              value (not the winning gram) is deterministic
+      * dup_ngram_char_frac — Σ over dup_n-grams occurring ≥2 times of
+                              (count × gram char length) / doc chars — the
+                              published approximation that counts each
+                              occurrence's chars (overlaps can push the
+                              numerator past the doc length; no clamp, so
+                              the value stays a pure sum DuckDB replays)
+
+    Scale shape: one narrow projection, NO shuffle — the per-doc gram
+    frequency problem is solved by sorting the doc's own gram array and
+    folding run lengths (F.aggregate over array_sort), never by
+    explode + groupBy, which would shuffle a gram stream ~n× the corpus
+    size to answer a per-document question.  HOF lambdas run interpreted,
+    but they touch only this doc's grams; the quality filter stays
+    embarrassingly parallel at 100 TB.
+    """
+    df = spread_partitions(df)
+    # staged projections with multi-referenced aliases: CollapseProject
+    # only inlines single-use/cheap expressions, so the tokenizer and each
+    # fold evaluate ONCE per row — a flat single-select form re-inlined
+    # the token split ~8× and the (dominant) 2-gram fold twice
+    staged = df.select(F.col(id_col),
+                       F.length(F.col(text_col)).cast('double').alias('__nc'),
+                       tokens(F.col(text_col)).alias('__toks'))
+    toks = F.col('__toks')
+    n_words = F.size(toks)
+    n_chars = F.col('__nc')
+
+    def grams(n: int) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(n_words - n, F.lit(0)))
+        return F.when(n_words >= n, F.array_sort(F.transform(
+            idx, lambda i: F.concat_ws(' ', F.slice(toks, i + 1, n))
+        ))).otherwise(F.array().cast('array<string>'))
+
+    # fold over the sorted gram array: run = current gram's running count;
+    # best_* track the max-count (then max char-mass) gram; dup accumulates
+    # count×len chars for grams whose count reaches ≥2 (on the run's 2nd
+    # element add 2×len — the 1st element's share retroactively — then 1×len)
+    zero = F.struct(F.lit('').alias('prev'), F.lit(0).alias('run'),
+                    F.lit(0).alias('best_cnt'), F.lit(0).alias('best_mass'),
+                    F.lit(0).alias('dup'))
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc['prev'], acc['run'] + 1).otherwise(F.lit(1))
+        mass = run * F.length(x)
+        best_cnt = F.greatest(acc['best_cnt'], run)
+        best_mass = (F.when(run > acc['best_cnt'], mass)
+                      .when(run == acc['best_cnt'],
+                            F.greatest(acc['best_mass'], mass))
+                      .otherwise(acc['best_mass']))
+        dup = (acc['dup']
+               + F.when(run == 2, F.length(x) * 2)
+                  .when(run > 2, F.length(x)).otherwise(F.lit(0)))
+        return F.struct(x.alias('prev'), run.alias('run'),
+                        best_cnt.alias('best_cnt'), best_mass.alias('best_mass'),
+                        dup.alias('dup'))
+
+    dup_word = F.when(n_words > 0,
+                      1.0 - F.size(F.array_distinct(toks)) / n_words.cast('double')
+                      ).otherwise(F.lit(0.0))
+    folded = staged.select(
+        F.col(id_col), n_chars.alias('__nc'),
+        F.round(dup_word, 6).alias('dup_word_frac'),
+        F.aggregate(grams(top_n), zero, step).alias('__top'),
+        F.aggregate(grams(dup_n), zero, step).alias('__dup'))
+    nc = F.col('__nc')
+    top_frac = F.when(nc > 0, F.col('__top')['best_mass'] / nc).otherwise(F.lit(0.0))
+    dup_frac = F.when(nc > 0, F.col('__dup')['dup'] / nc).otherwise(F.lit(0.0))
+    return folded.select(
+        F.col(id_col),
+        F.col('dup_word_frac'),
+        F.col('__top')['best_cnt'].cast('long').alias('top_ngram_count'),
+        F.round(top_frac, 6).alias('top_ngram_char_frac'),
+        F.round(dup_frac, 6).alias('dup_ngram_char_frac'),
+    )
 
 
 def top_ngrams(df: DataFrame, text_col: str = 'text',

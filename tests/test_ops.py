@@ -474,3 +474,95 @@ def test_redact_pii_patterns(spark):
     assert rows[2]['n_phone'] == 1
     assert rows[3]['clean_text'] == 'clean text only'
     assert rows[3]['n_email'] == rows[3]['n_ipv4'] == rows[3]['n_phone'] == 0
+
+
+def test_repetition_stats_planted_values(spark):
+    from rbql_spark.ops.textstats import repetition_stats
+    # 'a b a b a b': words [a,b,a,b,a,b] -> dup_word_frac = 1 - 2/6;
+    # bigrams sorted: ['a b','a b','a b','b a','b a'] -> top count 3,
+    # mass 3*3=9 chars of 11; trigrams: 'a b a'x2, 'b a b'x2 -> dup mass
+    # (2+2)*5 = 20 of 11 chars (overlap pushes past 1 by design, no clamp)
+    df = spark.createDataFrame(
+        [(1, 'a b a b a b'),
+         (2, 'x y z w'),       # all unique: top bigram count 1, no dups
+         (3, ''),              # empty: all zeros
+         (4, 'q q')],          # dup word, single bigram
+        'doc_id long, text string')
+    rows = {r['doc_id']: r for r in repetition_stats(df).collect()}
+    assert abs(rows[1]['dup_word_frac'] - (1 - 2 / 6)) < 1e-6
+    assert rows[1]['top_ngram_count'] == 3
+    assert abs(rows[1]['top_ngram_char_frac'] - 9 / 11) < 1e-6
+    assert abs(rows[1]['dup_ngram_char_frac'] - 20 / 11) < 1e-6
+    assert rows[2]['top_ngram_count'] == 1
+    assert rows[2]['dup_ngram_char_frac'] == 0.0
+    assert rows[3]['top_ngram_count'] == 0
+    assert rows[3]['dup_word_frac'] == 0.0
+    assert abs(rows[4]['dup_word_frac'] - 0.5) < 1e-6
+
+
+def test_repetition_stats_tie_breaks_on_char_mass(spark):
+    from rbql_spark.ops.textstats import repetition_stats
+    # bigrams 'aa bb' and 'cc ddd' both occur twice; the tie must resolve
+    # to the larger char mass (2*6=12) regardless of sort order
+    df = spark.createDataFrame([(1, 'aa bb aa bb x cc ddd cc ddd')],
+                               'doc_id long, text string')
+    r = repetition_stats(df).first()
+    assert r['top_ngram_count'] == 2
+    assert abs(r['top_ngram_char_frac'] - 12 / 27) < 1e-6
+
+
+def test_dedup_lines_removes_corpus_frequent_lines(spark):
+    from rbql_spark.ops.dedup import dedup_lines
+    df = spark.createDataFrame(
+        [(1, 'keep me\nall rights reserved\nunique one'),
+         (2, 'all rights reserved\nanother keeper'),
+         (3, 'all rights reserved'),
+         (4, 'only\n\nmine')],   # blank line survives (never counted)
+        'doc_id long, text string')
+    rows = {r['doc_id']: r for r in dedup_lines(df, min_count=2).collect()}
+    assert rows[1]['clean_text'] == 'keep me\nunique one'
+    assert rows[1]['n_lines'] == 3 and rows[1]['n_removed'] == 1
+    assert rows[2]['clean_text'] == 'another keeper'
+    assert rows[3]['clean_text'] == '' and rows[3]['n_removed'] == 1
+    assert rows[4]['clean_text'] == 'only\n\nmine'
+    assert rows[4]['n_removed'] == 0
+
+
+def test_dedup_lines_hash_engines_agree(spark):
+    from rbql_spark.ops.dedup import dedup_lines
+    df = spark.createDataFrame(
+        [(i, 'shared line\nrow {}'.format(i % 3)) for i in range(8)],
+        'doc_id long, text string')
+    a = sorted(tuple(r) for r in dedup_lines(df, hash_fn='md5').collect())
+    b = sorted(tuple(r) for r in dedup_lines(df, hash_fn='xxhash64').collect())
+    c = sorted(tuple(r) for r in
+               dedup_lines(df, hash_fn='md5', broadcast_frequent=False).collect())
+    assert a == b == c
+    assert all(r[1] == '' for r in a)  # every line occurs >= 2 times
+
+
+def test_keep_canonical_survivors(spark, doc_df):
+    from rbql_spark.ops.dedup import keep_canonical, simhash_near_dups
+    pairs = simhash_near_dups(doc_df, 'text', 'doc_id', max_hamming=7,
+                              engine='vectorized')
+    kept = sorted(r['doc_id'] for r in keep_canonical(doc_df, pairs).collect())
+    # docs 1/2/3 cluster (exact + near dup) -> min id 1 survives; 4/5 untouched
+    assert kept == [1, 4, 5]
+
+
+def test_temperature_sample_rates_and_determinism(spark, sf_dir):
+    from rbql_spark.ops.sampling import temperature_sample
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    out = temperature_sample(docs, 'lang', alpha=0.5)
+    a = sorted(r['doc_id'] for r in out.collect())
+    b = sorted(r['doc_id'] for r in
+               temperature_sample(docs, 'lang', alpha=0.5).collect())
+    assert a == b and 0 < len(a) < docs.count()
+    # the smallest stratum is kept whole (rate 1.0); alpha=1 keeps everything
+    counts = {r['lang']: r['cnt'] for r in
+              docs.groupBy('lang').agg(F.count(F.lit(1)).alias('cnt')).collect()}
+    smallest = min(counts, key=lambda k: (counts[k], k))
+    kept = {r['lang']: r['cnt'] for r in
+            out.groupBy('lang').agg(F.count(F.lit(1)).alias('cnt')).collect()}
+    assert kept[smallest] == counts[smallest]
+    assert temperature_sample(docs, 'lang', alpha=1.0).count() == docs.count()
