@@ -11,6 +11,9 @@ Superset operators (SURVEY §2.8) designed scale-first:
     bits, join on bucket (optionally multi-probe), exact-rescore candidates.
     The scale path: corpus scored once per matching bucket instead of per
     query.
+  * ivf_ann_topk / ivf_ann_topk_int8 — coarse-cell pruning (+ int8
+    candidate scoring with exact shortlist rescore).
+  * pq_ann_topk — product-quantization ADC scan + exact shortlist rescore.
   * embedding_near_dup_pairs — near-duplicate vectors via bucketed cosine.
 """
 
@@ -293,6 +296,124 @@ def ivf_ann_topk_int8(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       .filter(F.col('r8') <= k * rescore_factor)
                       .select('query_id', 'vec_id'))
     # exact rescore: tiny shortlist broadcast into the float column scan
+    rescored = (c.join(F.broadcast(shortlist), 'vec_id')
+                 .join(F.broadcast(q), 'query_id')
+                 .select('query_id', 'vec_id',
+                         F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim')))
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
+    return (rescored.withColumn('rank', F.row_number().over(w))
+                    .filter(F.col('rank') <= k)
+                    .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+                    .orderBy('query_id', 'rank'))
+
+
+def _pq_codebooks(c: DataFrame, m: int, ks: int, seed: int) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks from hash-selected training vectors: the
+    ks corpus vectors with the smallest md5(vec_id:seed) donate their
+    subvectors — codebook[j][code] = training_vec[code][j*s:(j+1)*s].
+    Content-hash selection keeps the codebook a pure function of the data
+    (replayable in any engine); k-means codebooks would buy recall at the
+    cost of the differential oracle, as with ivf_ann_topk's quantizers."""
+    rows = (c.select('__cv',
+                     F.md5(F.concat(F.col('vec_id').cast('string'),
+                                    F.lit(':{}'.format(seed)))).alias('__h'),
+                     'vec_id')
+             .orderBy('__h', 'vec_id')
+             .limit(ks)
+             .collect())
+    vecs = [[float(x) for x in r['__cv']] for r in rows]
+    dim = len(vecs[0])
+    if dim % m != 0:
+        raise ValueError('dim {} not divisible by m={}'.format(dim, m))
+    s = dim // m
+    return [[v[j * s:(j + 1) * s] for v in vecs] for j in range(m)]
+
+
+def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                m: int = 8, ks: int = 16, rescore_factor: int = 4,
+                id_col: str = 'vec_id', vec_col: str = 'embedding',
+                query_id_col: str = 'query_id', seed: int = 42,
+                broadcast_queries: bool = True) -> DataFrame:
+    """Product-quantization ANN (exhaustive ADC scan + exact rescore):
+    split each vector into m subvectors, encode every subvector as its
+    nearest codebook entry (ks entries per subspace, L2, ties to the
+    lowest code), score (query, corpus) pairs against the RECONSTRUCTED
+    vector, keep the top rescore_factor × k per query, exact-rescore that
+    shortlist with the full floats.
+
+    The 100 TB motivation: a PQ index stores m uint8 codes per vector —
+    for dim=64 float32 that is a 32× smaller scan than the raw embedding
+    column, and unlike IVF's cell pruning it degrades recall smoothly
+    (every vector is still scored, just approximately).  Here the codes
+    are derived in-plan (the corpus only carries floats); a production
+    deployment materializes (vec_id, codes) as the stored index.
+
+    Determinism/oracle contract: codebooks are content-hash selections;
+    encoding compares round(L2, 6) with ties to the lowest code; the ADC
+    score is computed as cosine(query, reconstruction) — one sequential
+    fold over the full dim on both engines, so no float-summation-order
+    divergence — rounded to 6 before ranking.  DuckDB replays the whole
+    pipeline, shortlist membership included.
+
+    Shuffle shape: one corpus scan computes the m argmin codes and the
+    decoded reconstruction inline (native expressions over inline
+    codebook literals — m × ks × (dim/m) doubles in the plan; shard the
+    index beyond codebook sizes in the thousands); queries broadcast into
+    the ADC scan (broadcast_queries=False for bulk workloads); the tiny
+    shortlist broadcasts back into a second corpus scan for the float
+    rescore — the corpus is never shuffled.
+    """
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
+    q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
+    books = _pq_codebooks(c, m, ks, seed)
+    s = len(books[0][0])
+
+    def _sub(vec: Column, j: int) -> Column:
+        return F.slice(vec, j * s + 1, s)
+
+    def _l2(a: Column, b: list[float]) -> Column:
+        bb = F.array(*[F.lit(x) for x in b])
+        return F.sqrt(F.aggregate(F.zip_with(a, bb, lambda x, y: (x - y) * (x - y)),
+                                  F.lit(0.0), lambda acc, v: acc + v))
+
+    def _code(vec: Column, j: int) -> Column:
+        # array_min over (round(dist, 6), code): min dist, ties → lowest code
+        arr = F.array(*[F.struct(F.round(_l2(_sub(vec, j), cb), 6).alias('d'),
+                                 F.lit(code).alias('code'))
+                        for code, cb in enumerate(books[j])])
+        return F.array_min(arr)['code']
+
+    def _recon(codes: list[Column]) -> Column:
+        # decoded vector: concatenation of the m codebook entries
+        parts = []
+        for j in range(m):
+            book_lit = F.array(*[F.array(*[F.lit(x) for x in cb])
+                                 for cb in books[j]])
+            parts.append(F.element_at(book_lit, codes[j] + 1))
+        return F.concat(*parts)
+
+    # staged projection: each code is referenced twice (itself + recon),
+    # multi-use aliases stop CollapseProject from re-inlining the argmins
+    coded = c.select('vec_id', *[_code(F.col('__cv'), j).alias('__c{}'.format(j))
+                                 for j in range(m)])
+    decoded = coded.select('vec_id',
+                           _recon([F.col('__c{}'.format(j)) for j in range(m)])
+                           .alias('__rv'))
+
+    def _acos(a: Column, b: Column) -> Column:
+        na, nb = _dot(a, a), _dot(b, b)
+        return F.when((na > 0) & (nb > 0),
+                      F.round(_dot(a, b) / (F.sqrt(na) * F.sqrt(nb)), 6)) \
+                .otherwise(F.lit(-1.0))
+
+    scored = (decoded.join(F.broadcast(q) if broadcast_queries else q)
+                     .select('query_id', 'vec_id',
+                             _acos(F.col('__rv'), F.col('__qv')).alias('pq_sim')))
+    wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(), F.col('vec_id').asc())
+    shortlist = (scored.withColumn('rq', F.row_number().over(wq))
+                       .filter(F.col('rq') <= k * rescore_factor)
+                       .select('query_id', 'vec_id'))
     rescored = (c.join(F.broadcast(shortlist), 'vec_id')
                  .join(F.broadcast(q), 'query_id')
                  .select('query_id', 'vec_id',

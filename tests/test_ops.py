@@ -566,3 +566,35 @@ def test_temperature_sample_rates_and_determinism(spark, sf_dir):
             out.groupBy('lang').agg(F.count(F.lit(1)).alias('cnt')).collect()}
     assert kept[smallest] == counts[smallest]
     assert temperature_sample(docs, 'lang', alpha=1.0).count() == docs.count()
+
+
+def test_pq_ann_recall_and_self_match(spark, emb_df):
+    from rbql_spark.ops.similarity import cosine_topk_bruteforce, pq_ann_topk
+    queries = emb_df.filter(F.col('vec_id') < 3) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    exact = cosine_topk_bruteforce(emb_df, queries, k=10)
+    approx = pq_ann_topk(emb_df, queries, k=10, m=8, ks=16)
+    exact_sets, approx_sets = {}, {}
+    for r in exact.collect():
+        exact_sets.setdefault(r['query_id'], set()).add(r['vec_id'])
+    for r in approx.collect():
+        approx_sets.setdefault(r['query_id'], set()).add(r['vec_id'])
+    recalls = []
+    for q, ex in exact_sets.items():
+        ap = approx_sets.get(q, set())
+        # unlike IVF, the ADC scan scores EVERY vector — the exact rescore
+        # of the 4k shortlist must surface the self-match
+        assert q in ap
+        recalls.append(len(ex & ap) / len(ex))
+    # 16-entry codebooks over near-uniform random vectors: coarse, but the
+    # 4x-overfetch rescore keeps recall well above the floor
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_pq_ann_deterministic_across_runs(spark, emb_df):
+    from rbql_spark.ops.similarity import pq_ann_topk
+    queries = emb_df.filter(F.col('vec_id') < 2) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    a = [tuple(r) for r in pq_ann_topk(emb_df, queries, k=5).collect()]
+    b = [tuple(r) for r in pq_ann_topk(emb_df, queries, k=5).collect()]
+    assert a == b and len(a) == 10

@@ -224,3 +224,58 @@ def test_multimodal_frames_no_shuffle(spark, sf_dir, entry):
     plan = _plan(entry.queries()['multimodal_frame_sample'](spark, sf_dir))
     assert 'MapInPandas' in plan            # the (intentional) Python stage
     assert 'Exchange' not in plan.split('MapInPandas')[-1]
+
+
+def test_repetition_stats_single_scan_no_shuffle_single_eval(spark, sf_dir, entry):
+    # the Gopher filters are a pure per-doc projection: one corpus scan, no
+    # shuffle beyond the small-file spread repartition, no Python stage —
+    # and the staged projections must keep the tokenizer and each gram fold
+    # evaluated ONCE (CollapseProject would otherwise re-inline the token
+    # split ~8x and the dominant 2-gram fold twice)
+    df = entry.queries()['text_repetition'](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count('FileScan') == 1, plan
+    assert 'BatchEvalPython' not in plan and 'MapInPandas' not in plan
+    assert plan.count('split(lower') == 1, plan.count('split(lower')
+    assert plan.count('aggregate(') == 2  # one fold per gram size
+
+
+def test_dedup_lines_broadcast_frequent_two_scans(spark, sf_dir, entry):
+    # the frequent-line set must broadcast (the corpus line stream is never
+    # shuffled for the lookup) and the corpus is read exactly twice (count
+    # pass + rebuild pass); line digests shuffle, never line text, in the
+    # counting aggregation
+    df = entry.queries()['dedup_lines'](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count('FileScan') == 2, plan
+    assert 'BroadcastExchange' in plan
+    assert 'partial_count' in plan  # map-side combine on the digest key
+
+
+def test_temperature_sample_two_scans_broadcast_rates(spark, sf_dir, entry):
+    # per-stratum rates derive from ONE counting aggregation (the c_min is
+    # a window over the tiny counts result, not a second corpus aggregate)
+    # and broadcast back; the corpus itself is never shuffled
+    df = entry.queries()['sample_temperature'](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count('FileScan') == 2, plan
+    assert 'BroadcastExchange' in plan
+    assert 'BatchEvalPython' not in plan and 'MapInPandas' not in plan
+
+
+def test_pq_ann_two_corpus_scans_broadcast_queries(spark, sf_dir):
+    # PQ = one corpus scan computing codes + reconstruction inline (ADC
+    # sweep) and one more for the exact float rescore of the broadcast
+    # shortlist; queries broadcast into both joins; everything native
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.similarity import pq_ann_topk
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+    qrows = emb.orderBy('vec_id').limit(2).collect()
+    qdf = spark.createDataFrame(qrows, emb.schema) \
+               .select(F.col('vec_id').alias('query_id'), 'embedding')
+    res = pq_ann_topk(emb, qdf, k=5, m=8, ks=16)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count('FileScan') == 2, plan.count('FileScan')
+    assert 'BroadcastExchange' in plan
+    assert 'BatchEvalPython' not in plan and 'MapInPandas' not in plan
