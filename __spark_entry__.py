@@ -417,15 +417,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the gate derives a lined view — every 4 word-tokens becomes a line
         # — under which near-dup docs share exact lines; the op then removes
         # every line occurring ≥2 times corpus-wide, C4-style
-        from rbql_spark.ops.dedup import dedup_lines, tokens
+        from rbql_spark.ops.dedup import dedup_lines, let_once, tokens
         docs = _t(spark, sf_dir, 'documents')
-        toks = tokens(F.col('text'))
-        n = F.size(toks)
-        lined = F.when(n > 0, F.concat_ws('\n', F.transform(
-            F.sequence(F.lit(0), F.floor((n - 1) / 4).cast('int')),
-            lambda j: F.concat_ws(' ', F.slice(toks, j * 4 + 1, 4))
-        ))).otherwise(F.lit(''))
-        view = docs.select('doc_id', lined.alias('text'))
+
+        def _lined(ta):
+            # token array bound ONCE per row (let_once) — slicing the raw
+            # tokens(text) subtree inside the chunk lambda re-tokenizes the
+            # doc per chunk (measured 3.2s of the gate's 3.7s at sf0.1)
+            n = F.size(ta)
+            return F.when(n > 0, F.concat_ws('\n', F.transform(
+                F.sequence(F.lit(0), F.floor((n - 1) / 4).cast('int')),
+                lambda j: F.concat_ws(' ', F.slice(ta, j * 4 + 1, 4))
+            ))).otherwise(F.lit(''))
+
+        view = docs.select('doc_id',
+                           let_once(tokens(F.col('text')), _lined).alias('text'))
         return dedup_lines(view, min_count=2)
     q['dedup_lines'] = _dedup_lines
 
@@ -450,6 +456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return temperature_sample(_t(spark, sf_dir, 'documents'),
                                   'lang', alpha=0.5).select('doc_id', 'lang')
     q['sample_temperature'] = _temp_sample
+
+    def _chunk(spark, sf_dir):
+        from rbql_spark.ops.sampling import chunk_documents
+        return chunk_documents(_t(spark, sf_dir, 'documents'),
+                               chunk_size=32, overlap=8)
+    q['chunk_documents'] = _chunk
 
     def _pack(spark, sf_dir):
         from rbql_spark.ops.sampling import pack_sequences
@@ -1110,6 +1122,18 @@ def oracle_sql() -> dict[str, str]:
         "FROM c, m) "
         "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
         "WHERE " + _unit + " < r.rate")
+
+    # overlapping token-window chunking: starts every (32-8)=24 tokens
+    # until the window covers the final token; empty docs emit nothing
+    o['chunk_documents'] = (
+        "WITH toks AS (SELECT doc_id, " + _SQL_TOKS.format(src="coalesce(text, '')") +
+        " AS t FROM documents), "
+        "s AS (SELECT doc_id, t, unnest(range(0, "
+        "24 * ceil(greatest(len(t) - 32, 0) / 24.0)::BIGINT + 1, 24)) AS st "
+        "FROM toks WHERE len(t) > 0) "
+        "SELECT doc_id, (st // 24)::BIGINT AS chunk_idx, "
+        "array_to_string(array_slice(t, st + 1, st + 32), ' ') AS chunk_text, "
+        "least(32, len(t) - st)::BIGINT AS n_chunk_tokens FROM s")
 
     # greedy sequence packing: the per-bucket sequential scan as a
     # recursive CTE (row n derives from row n-1 within its bucket); the

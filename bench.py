@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     'pack_sequences',
     'sample_stratified',
     'text_redact_pii',
+    # round 6 additions (quality filters / line dedup / mixture / PQ)
+    'text_repetition',
+    'dedup_lines',
+    'sample_temperature',
+    'sim_ann_pq',
 ]
 
 

@@ -10,6 +10,8 @@ bit-for-bit (the DuckDB differential oracle does):
                              pure function of the data, which is what a
                              reproducible training pipeline needs.
   * stratified_hash_sample — per-stratum fractions with the same rule.
+  * chunk_documents        — overlapping fixed-token-window chunking (the
+                             RAG / context-window prep primitive).
   * pack_sequences         — greedy token-budget packing (the LLM-training
                              "sequence packing" step): docs are bucketed by
                              id hash, each bucket packs its docs in id order
@@ -85,6 +87,47 @@ def temperature_sample(df: DataFrame, strata_col: str, alpha: float = 0.5,
     return (df.join(F.broadcast(rates), df[strata_col] == F.col('__g'))
               .where(_hash_unit(F.col(key_col), seed) < F.col('__rate'))
               .drop('__g', '__rate'))
+
+
+def chunk_documents(df: DataFrame, chunk_size: int = 256, overlap: int = 32,
+                    id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Overlapping token-window chunking: split each document's token
+    stream into windows of chunk_size tokens starting every
+    (chunk_size − overlap) tokens → (doc_id, chunk_idx, chunk_text,
+    n_chunk_tokens).  Chunks are emitted until the document is covered —
+    the last chunk is the first one reaching the final token (it may be
+    short, but is never fully contained in its predecessor); empty
+    documents emit nothing.
+
+    Scale shape: a row-multiplying native projection INSIDE the scan
+    tasks (tokenize → windowed slices → posexplode) — no shuffle, no
+    Python stage; expansion is bounded by ~chunk_size/(chunk_size−overlap)
+    ×.  The token rule is the shared tokens() (letters+digits runs), so
+    chunk boundaries are engine-replayable (the DuckDB oracle slices the
+    same token lists).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError('need 0 <= overlap < chunk_size')
+    step = chunk_size - overlap
+    from .dedup import tokens
+    # staged projection: the token array is referenced by every chunk —
+    # a multi-use alias keeps the tokenizer evaluated once per row
+    staged = df.select(F.col(id_col).alias('doc_id'),
+                       tokens(F.col(text_col)).alias('__toks'))
+    toks = F.col('__toks')
+    n = F.size(toks)
+    # last start = the first one whose window reaches the final token
+    last = F.lit(step) * F.ceil(F.greatest(n - chunk_size, F.lit(0)) / F.lit(step))
+    starts = F.sequence(F.lit(0).cast('long'), last, F.lit(step).cast('long'))
+    chunks = F.when(n > 0, F.transform(
+        starts, lambda s: F.struct(
+            F.concat_ws(' ', F.slice(toks, s + 1, chunk_size)).alias('text'),
+            F.least(F.lit(chunk_size), n - s).cast('long').alias('n'))
+    )).otherwise(F.array().cast('array<struct<text:string,n:long>>'))
+    return (staged.select('doc_id', F.posexplode(chunks).alias('chunk_idx', '__c'))
+                  .select('doc_id', F.col('chunk_idx').cast('long').alias('chunk_idx'),
+                          F.col('__c')['text'].alias('chunk_text'),
+                          F.col('__c')['n'].alias('n_chunk_tokens')))
 
 
 def pack_sequences(df: DataFrame, max_tokens: int, n_buckets: int | None = None,

@@ -368,48 +368,50 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
     books = _pq_codebooks(c, m, ks, seed)
     s = len(books[0][0])
-
-    def _sub(vec: Column, j: int) -> Column:
-        return F.slice(vec, j * s + 1, s)
-
-    def _l2(a: Column, b: list[float]) -> Column:
-        bb = F.array(*[F.lit(x) for x in b])
-        return F.sqrt(F.aggregate(F.zip_with(a, bb, lambda x, y: (x - y) * (x - y)),
-                                  F.lit(0.0), lambda acc, v: acc + v))
+    book_lits = [F.array(*[F.array(*[F.lit(x) for x in cb]) for cb in books[j]])
+                 for j in range(m)]
 
     def _code(vec: Column, j: int) -> Column:
+        # transform with an (entry, index) lambda iterates the codebook as
+        # a LOOP in generated code — an unrolled array of ks per-code L2
+        # expressions compiles to a multi-second janino job per stage and
+        # dominated the runtime; the arithmetic (zip-square fold → sqrt →
+        # round 6, ties → lowest code) is unchanged
+        sub = F.slice(vec, j * s + 1, s)
+        keyed = F.transform(
+            book_lits[j],
+            lambda cb, i: F.struct(
+                F.round(F.sqrt(F.aggregate(
+                    F.zip_with(sub, cb, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v)), 6).alias('d'),
+                i.alias('code')))
         # array_min over (round(dist, 6), code): min dist, ties → lowest code
-        arr = F.array(*[F.struct(F.round(_l2(_sub(vec, j), cb), 6).alias('d'),
-                                 F.lit(code).alias('code'))
-                        for code, cb in enumerate(books[j])])
-        return F.array_min(arr)['code']
+        return F.array_min(keyed)['code']
 
     def _recon(codes: list[Column]) -> Column:
         # decoded vector: concatenation of the m codebook entries
-        parts = []
-        for j in range(m):
-            book_lit = F.array(*[F.array(*[F.lit(x) for x in cb])
-                                 for cb in books[j]])
-            parts.append(F.element_at(book_lit, codes[j] + 1))
-        return F.concat(*parts)
+        return F.concat(*[F.element_at(book_lits[j], codes[j] + 1)
+                          for j in range(m)])
 
-    # staged projection: each code is referenced twice (itself + recon),
-    # multi-use aliases stop CollapseProject from re-inlining the argmins
+    # staged projections: codes → reconstruction → per-row norm, so the
+    # argmins run once per corpus ROW and the (join-replicated) pair
+    # expression touches only precomputed columns
     coded = c.select('vec_id', *[_code(F.col('__cv'), j).alias('__c{}'.format(j))
                                  for j in range(m)])
-    decoded = coded.select('vec_id',
-                           _recon([F.col('__c{}'.format(j)) for j in range(m)])
-                           .alias('__rv'))
+    decoded = (coded.select('vec_id',
+                            _recon([F.col('__c{}'.format(j)) for j in range(m)])
+                            .alias('__rv'))
+                    .select('vec_id', '__rv',
+                            _dot(F.col('__rv'), F.col('__rv')).alias('__rn2')))
+    qn = q.select('query_id', '__qv', _dot(F.col('__qv'), F.col('__qv')).alias('__qn2'))
 
-    def _acos(a: Column, b: Column) -> Column:
-        na, nb = _dot(a, a), _dot(b, b)
-        return F.when((na > 0) & (nb > 0),
-                      F.round(_dot(a, b) / (F.sqrt(na) * F.sqrt(nb)), 6)) \
-                .otherwise(F.lit(-1.0))
-
-    scored = (decoded.join(F.broadcast(q) if broadcast_queries else q)
-                     .select('query_id', 'vec_id',
-                             _acos(F.col('__rv'), F.col('__qv')).alias('pq_sim')))
+    pair_sim = F.when(
+        (F.col('__rn2') > 0) & (F.col('__qn2') > 0),
+        F.round(_dot(F.col('__rv'), F.col('__qv'))
+                / (F.sqrt(F.col('__rn2')) * F.sqrt(F.col('__qn2'))), 6)
+    ).otherwise(F.lit(-1.0))
+    scored = (decoded.join(F.broadcast(qn) if broadcast_queries else qn)
+                     .select('query_id', 'vec_id', pair_sim.alias('pq_sim')))
     wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(), F.col('vec_id').asc())
     shortlist = (scored.withColumn('rq', F.row_number().over(wq))
                        .filter(F.col('rq') <= k * rescore_factor)

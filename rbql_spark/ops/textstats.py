@@ -284,12 +284,16 @@ def top_ngrams(df: DataFrame, text_col: str = 'text',
     shorter than n words contribute nothing (this is frequency counting,
     not the shingle signature path, which pads short docs).
     """
-    toks = tokens(F.col(text_col))
-    nn = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(nn - n, F.lit(0)))
-    grams = F.when(nn >= n, F.transform(
-        idx, lambda i: F.concat_ws(' ', F.slice(toks, i + 1, n))
-    )).otherwise(F.array().cast('array<string>'))
+    from .dedup import let_once
+
+    def _grams(ta: Column) -> Column:
+        nn = F.size(ta)
+        idx = F.sequence(F.lit(0), F.greatest(nn - n, F.lit(0)))
+        return F.when(nn >= n, F.transform(
+            idx, lambda i: F.concat_ws(' ', F.slice(ta, i + 1, n))
+        )).otherwise(F.array().cast('array<string>'))
+
+    grams = let_once(tokens(F.col(text_col)), _grams)
     return (df.select(F.explode(grams).alias('ngram'))
               .groupBy('ngram')
               .agg(F.count(F.lit(1)).alias('n_occurrences'))

@@ -598,3 +598,28 @@ def test_pq_ann_deterministic_across_runs(spark, emb_df):
     a = [tuple(r) for r in pq_ann_topk(emb_df, queries, k=5).collect()]
     b = [tuple(r) for r in pq_ann_topk(emb_df, queries, k=5).collect()]
     assert a == b and len(a) == 10
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from rbql_spark.ops.sampling import chunk_documents
+    df = spark.createDataFrame(
+        [(1, ' '.join('t{}'.format(i) for i in range(10))),  # 10 tokens
+         (2, 'a b c'),                                       # single short chunk
+         (3, '')],                                           # empty: no chunks
+        'doc_id long, text string')
+    rows = chunk_documents(df, chunk_size=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r['doc_id'], []).append(r)
+    # doc 1: starts 0,2,4,6 -> 4 chunks; start 6 reaches the final token,
+    # so no (fully-contained) trailing starts are emitted
+    c1 = sorted(by_doc[1], key=lambda r: r['chunk_idx'])
+    assert [r['n_chunk_tokens'] for r in c1] == [4, 4, 4, 4]
+    assert c1[0]['chunk_text'] == 't0 t1 t2 t3'
+    assert c1[1]['chunk_text'] == 't2 t3 t4 t5'   # overlap of 2
+    assert c1[3]['chunk_text'] == 't6 t7 t8 t9'
+    assert [r['chunk_text'] for r in by_doc[2]] == ['a b c']
+    assert 3 not in by_doc
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)

@@ -71,6 +71,10 @@ SUBSET = [
     'sim_ann_ivf_int8',
     'sim_embedding_neardup',
     'decontaminate_ngram',
+    'text_repetition',
+    'dedup_lines',
+    'sample_temperature',
+    'sim_ann_pq',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
