@@ -380,6 +380,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  max_hamming=7, engine='vectorized')
     q['dedup_simhash'] = _dedup_simhash
 
+    def _dedup_incremental(spark, sf_dir):
+        # ingestion-time hygiene: odd docs play the new crawl increment,
+        # even docs the existing corpus index; same signature scheme as
+        # dedup_minhash_lsh so the oracle replays band keys identically
+        from rbql_spark.ops.dedup import minhash_match
+        docs = _t(spark, sf_dir, 'documents')
+        batch = docs.filter(F.col('doc_id') % 2 == 1)
+        index = docs.filter(F.col('doc_id') % 2 == 0)
+        return minhash_match(batch, index, threshold=0.5, hash_fn='md5')
+    q['dedup_incremental'] = _dedup_incremental
+
     def _dedup_ngram(spark, sf_dir):
         from rbql_spark.ops.dedup import ngram_jaccard_pairs
         return ngram_jaccard_pairs(_t(spark, sf_dir, 'documents'), 'text', 'doc_id',
@@ -595,13 +606,24 @@ _SQL_TOKS = ("list_filter(string_split_regex(lower({src}), '[^\\p{{L}}\\p{{N}}]+
 
 
 def _minhash_replay_sql(num_perm: int, shingle_k: int, seed: int,
-                        bands: int, rows_per_band: int, threshold: float) -> str:
+                        bands: int, rows_per_band: int, threshold: float,
+                        sides: str = 'self') -> str:
     """Replay minhash_dedup_pairs/ngram_jaccard_pairs (hash_fn='md5') in
     DuckDB: md5-32 shingle hashes → seeded-permutation signatures → band
     keys (joined on the pre-hash concat string — equality is identical to
-    the xxhash64 band key Spark uses) → exact Jaccard verify."""
+    the xxhash64 band key Spark uses) → exact Jaccard verify.
+
+    sides='self' is the corpus self-join (doc_a < doc_b); sides='odd_even'
+    replays minhash_match's asymmetric increment-vs-index gate (odd docs =
+    batch side, even docs = index side, columns batch_id/index_id)."""
     from rbql_spark.ops.dedup import _perm_params
     params = _perm_params(num_perm, seed)
+    if sides == 'odd_even':
+        pair_cond = "l.doc_id % 2 = 1 AND r.doc_id % 2 = 0"
+        out_alias_a, out_alias_b = " AS batch_id", " AS index_id"
+    else:
+        pair_cond = "l.doc_id < r.doc_id"
+        out_alias_a = out_alias_b = ""
     k = shingle_k
     toks = _SQL_TOKS.format(src="coalesce(text, '')")
     shingle_strs = (
@@ -624,12 +646,13 @@ def _minhash_replay_sql(num_perm: int, shingle_k: int, seed: int,
         "FROM sigs CROSS JOIN (VALUES " + band_rows + ") bi(b)), "
         "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
         "FROM bandkeys l JOIN bandkeys r ON l.band_idx = r.band_idx "
-        "AND l.band_key = r.band_key AND l.doc_id < r.doc_id), "
+        "AND l.band_key = r.band_key AND " + pair_cond + "), "
         "v AS (SELECT c.doc_a, c.doc_b, "
         "len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(sa.sh || sb.sh)) "
         "AS jaccard FROM cand c JOIN shg sa ON sa.doc_id = c.doc_a "
         "JOIN shg sb ON sb.doc_id = c.doc_b) "
-        "SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= " + repr(threshold))
+        "SELECT doc_a" + out_alias_a + ", doc_b" + out_alias_b +
+        ", jaccard FROM v WHERE jaccard >= " + repr(threshold))
 
 
 def _simhash_replay_sql(max_hamming: int) -> str:
@@ -1017,6 +1040,12 @@ def oracle_sql() -> dict[str, str]:
 
     o['dedup_ngram_jaccard'] = _minhash_replay_sql(
         num_perm=16, shingle_k=2, seed=7, bands=8, rows_per_band=2, threshold=0.4)
+
+    # increment-vs-index matching: same signatures/bands as the self-join
+    # pipeline, asymmetric (odd = batch, even = index) candidate join
+    o['dedup_incremental'] = _minhash_replay_sql(
+        num_perm=64, shingle_k=3, seed=42, bands=16, rows_per_band=4,
+        threshold=0.5, sides='odd_even')
 
     o['dedup_simhash'] = _simhash_replay_sql(max_hamming=7)
 

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     'dedup_lines',
     'sample_temperature',
     'sim_ann_pq',
+    'chunk_documents',
 ]
 
 

@@ -15,6 +15,7 @@ shuffles are the groupBy/join on candidate keys.
   * dedup_lines        — corpus-level duplicate-line removal (C4-style)
   * keep_canonical     — pairs → clusters → corpus minus non-representatives
   * decontaminate      — train/test benchmark n-gram overlap flagging
+  * minhash_match      — new-batch vs existing-index incremental near-dup
 """
 
 from __future__ import annotations
@@ -304,6 +305,16 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return df.select('doc_id', 'shingles', sig.alias('signature'))
 
 
+def _band_keys(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — one row per signature band."""
+    band_arr = F.array(*[
+        F.xxhash64(F.concat_ws(',', *[F.col('signature')[b * rows_per_band + r].cast('string')
+                                      for r in range(rows_per_band)]))
+        for b in range(bands)
+    ])
+    return sig_df.select('doc_id', F.posexplode(band_arr).alias('band_idx', 'band_hash'))
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16,
                         rows_per_band: int = 4) -> DataFrame:
     """Documents sharing any identical band of the signature → candidate pair.
@@ -312,12 +323,7 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16,
     band key (hash-partitioned shuffle join — intentionally NOT broadcast),
     distinct (id_a < id_b) pairs.
     """
-    band_arr = F.array(*[
-        F.xxhash64(F.concat_ws(',', *[F.col('signature')[b * rows_per_band + r].cast('string')
-                                      for r in range(rows_per_band)]))
-        for b in range(bands)
-    ])
-    banded = sig_df.select('doc_id', F.posexplode(band_arr).alias('band_idx', 'band_hash'))
+    banded = _band_keys(sig_df, bands, rows_per_band)
     left = banded.alias('l')
     right = banded.alias('r')
     pairs = (left.join(right,
@@ -368,6 +374,68 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     if eager:
         out = out.localCheckpoint(True)
         sig.unpersist()
+    return out
+
+
+def minhash_match(batch: DataFrame, index: DataFrame,
+                  text_col: str = 'text', id_col: str = 'doc_id',
+                  num_perm: int = 64, shingle_k: int = 3,
+                  bands: int = 16, rows_per_band: int = 4,
+                  threshold: float = 0.7, seed: int = 42,
+                  hash_fn: str = 'crc32',
+                  broadcast_batch: bool = True,
+                  eager: bool = False) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch of documents
+    against an EXISTING corpus (the index side) → (batch_id, index_id,
+    jaccard ≥ threshold).  The ingestion-time hygiene pass: before adding
+    a crawl increment to a 100 TB corpus, find what the corpus already
+    (nearly) contains — without the O(corpus²) self-join that
+    minhash_dedup_pairs' full-corpus pass implies.
+
+    Same signature scheme as minhash_dedup_pairs (identical num_perm /
+    bands / seed produce identical band keys), so a production deployment
+    stores the index side's (signature, shingles) ONCE and every
+    increment only signs its own documents.  The band join is asymmetric:
+    batch bands (the small side) BROADCAST against the index band stream
+    — the corpus is never shuffled; pass broadcast_batch=False for
+    index-sized batches to fall back to a hash join on the band key.
+    Both verify joins hash-partition on candidate ids (candidates are
+    band-collision-sized, not corpus-sized).  Both signature DataFrames
+    persist for the band+verify reuse; eager=True materializes the match
+    set and unpersists them — same lifecycle contract as
+    minhash_dedup_pairs(eager=True).
+    """
+    from pyspark import StorageLevel
+    bsig = minhash_signatures(batch, text_col, id_col, num_perm, shingle_k,
+                              seed, hash_fn=hash_fn) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    isig = minhash_signatures(index, text_col, id_col, num_perm, shingle_k,
+                              seed, hash_fn=hash_fn) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    bb = _band_keys(bsig, bands, rows_per_band) \
+        .withColumnsRenamed({'doc_id': 'batch_id'})
+    ib = _band_keys(isig, bands, rows_per_band) \
+        .withColumnsRenamed({'doc_id': 'index_id'})
+    cand = (ib.join(F.broadcast(bb) if broadcast_batch else bb,
+                    ['band_idx', 'band_hash'])
+              .select('batch_id', 'index_id')
+              .distinct())
+    j = (cand
+         .join(bsig.select(F.col('doc_id').alias('batch_id'),
+                           F.col('shingles').alias('sh_b')), 'batch_id')
+         .join(isig.select(F.col('doc_id').alias('index_id'),
+                           F.col('shingles').alias('sh_i')), 'index_id'))
+    inter = F.size(F.array_intersect('sh_b', 'sh_i'))
+    union = F.size(F.array_union('sh_b', 'sh_i'))
+    jac = F.when(union > 0, inter.cast('double') / union.cast('double')) \
+           .otherwise(F.lit(0.0))
+    out = (j.select('batch_id', 'index_id', jac.alias('jaccard'))
+            .filter(F.col('jaccard') >= threshold)
+            .orderBy('batch_id', 'index_id'))
+    if eager:
+        out = out.localCheckpoint(True)
+        bsig.unpersist()
+        isig.unpersist()
     return out
 
 

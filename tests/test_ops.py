@@ -623,3 +623,30 @@ def test_chunk_documents_windows_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_minhash_match_batch_vs_index(spark, doc_df):
+    from rbql_spark.ops.dedup import minhash_match
+    # index = docs 1/4/5, batch = docs 2 (exact dup of 1) and 3 (near dup)
+    index = doc_df.filter('doc_id in (1, 4, 5)')
+    batch = doc_df.filter('doc_id in (2, 3)')
+    hits = {(r['batch_id'], r['index_id']): r['jaccard']
+            for r in minhash_match(batch, index, threshold=0.5).collect()}
+    assert hits[(2, 1)] == 1.0          # exact duplicate of an indexed doc
+    assert (3, 1) in hits               # near dup
+    assert all(ix not in (4, 5) for _, ix in hits)  # unrelated index docs
+    # matches within the batch itself must NOT be reported (2 vs 3 are
+    # near dups of each other but the op is strictly cross-side)
+    assert all(b in (2, 3) and ix == 1 for b, ix in hits)
+
+
+def test_minhash_match_shuffle_fallback_agrees(spark, doc_df):
+    from rbql_spark.ops.dedup import minhash_match
+    index = doc_df.filter('doc_id in (1, 4, 5)')
+    batch = doc_df.filter('doc_id in (2, 3)')
+    a = sorted(tuple(r) for r in
+               minhash_match(batch, index, threshold=0.5).collect())
+    b = sorted(tuple(r) for r in
+               minhash_match(batch, index, threshold=0.5,
+                             broadcast_batch=False).collect())
+    assert a == b and len(a) > 0

@@ -75,6 +75,7 @@ SUBSET = [
     'dedup_lines',
     'sample_temperature',
     'sim_ann_pq',
+    'chunk_documents',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
