@@ -204,6 +204,10 @@ def main() -> None:
         'super_linear_queries': [n for n, r in results.items() if r['super_linear']],
     }
     print(json.dumps(artifact))
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       'BENCH_sf1.json')
+    with open(out, 'w') as fh:
+        json.dump(artifact, fh, indent=1)
     spark.stop()
 
 
