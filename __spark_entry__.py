@@ -357,6 +357,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select('doc_a', 'doc_b', 'jaccard'))
     q['streaming_minhash_neardup'] = _streaming_minhash
 
+    def _streaming_decontaminate(spark, sf_dir):
+        # streaming decontamination: documents replayed in two halves
+        # against the static benchmark suite (every 50th doc); each doc's
+        # shingles complete within its micro-batch, so the last update per
+        # (doc, bench) key — max n_overlap — equals the batch decontaminate
+        # answer, which is the oracle (same SQL as decontaminate_ngram)
+        from pyspark.sql import Window
+
+        from rbql_spark.streaming.documents import (
+            read_document_stream, stream_decontaminate,
+        )
+        from rbql_spark.streaming.events import run_stream_to_memory
+        tmp = _stream_replay_dir(spark, sf_dir, 'dec',
+                                 ['doc_id % 2 = 0', 'doc_id % 2 = 1'],
+                                 table='documents')
+        bench = (_t(spark, sf_dir, 'documents')
+                 .filter(F.col('doc_id') % 50 == 0).select('doc_id', 'text'))
+        stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
+        flagged = stream_decontaminate(stream, bench, shingle_k=3)
+        qname = 'rbql_stream_decontam_gate'
+        sq = run_stream_to_memory(flagged, qname, output_mode='update')
+        sq.stop()
+        w = Window.partitionBy('doc_id', 'bench_id') \
+                  .orderBy(F.col('n_overlap').desc())
+        return (spark.table(qname)
+                .withColumn('__rn', F.row_number().over(w))
+                .filter((F.col('__rn') == 1) & (F.col('n_overlap') >= 2))
+                .select('doc_id', 'bench_id', 'n_overlap'))
+    q['streaming_decontaminate'] = _streaming_decontaminate
+
     # ---- superset: dedup --------------------------------------------------
     def _dedup_exact(spark, sf_dir):
         from rbql_spark.ops.dedup import exact_dedup
@@ -1225,6 +1255,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT t.doc_id, b.bench_id, count(*) AS n_overlap "
         "FROM t JOIN b USING (s) GROUP BY t.doc_id, b.bench_id "
         "HAVING count(*) >= 2")
+
+    # streaming decontamination's lifetime final state per key equals the
+    # batch decontaminate answer — same replay as decontaminate_ngram
+    o['streaming_decontaminate'] = o['decontaminate_ngram']
 
     o['dedup_exact'] = (
         "SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash, "

@@ -28,6 +28,40 @@ def read_document_stream(spark: SparkSession, source_dir: str,
             .parquet(source_dir))
 
 
+def stream_decontaminate(docs: DataFrame, benchmark: DataFrame,
+                         text_col: str = 'text', id_col: str = 'doc_id',
+                         shingle_k: int = 3,
+                         hash_fn: str = 'md5') -> DataFrame:
+    """Streaming train/test decontamination: flag documents ARRIVING on a
+    stream that share k-word shingles with a (static, small) benchmark
+    suite → (doc_id, bench_id, n_overlap) in update mode.
+
+    The streaming face of ops.dedup.decontaminate, built on Spark's
+    native stream-static join: the benchmark's exploded shingle set is a
+    static broadcast side, each micro-batch's documents shingle inside
+    the scan tasks (same md5 scheme as the batch op, so the batch replay
+    is the differential oracle), and the per-(doc, bench) overlap count
+    aggregates in update mode.  A document's shingles all arrive in its
+    own micro-batch, so each key's count completes within that batch —
+    the final emission per key equals the batch answer; consume the last
+    update per key and apply the min_overlap threshold downstream
+    (thresholding inside the stream would emit partial counts the moment
+    they cross the bar, before the doc's remaining shingles are summed).
+    """
+    from rbql_spark.ops.dedup import word_shingles, word_shingles_md5
+
+    mk = word_shingles_md5 if hash_fn == 'md5' else word_shingles
+    t = (docs.select(F.col(id_col).alias('doc_id'),
+                     mk(F.col(text_col), k=shingle_k).alias('__sh'))
+             .select('doc_id', F.explode('__sh').alias('sh')))
+    b = (benchmark.select(F.col(id_col).alias('bench_id'),
+                          mk(F.col(text_col), k=shingle_k).alias('__sh'))
+                  .select('bench_id', F.explode('__sh').alias('sh')))
+    return (t.join(F.broadcast(b), 'sh')
+             .groupBy('doc_id', 'bench_id')
+             .agg(F.count(F.lit(1)).alias('n_overlap')))
+
+
 def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
                              id_col: str = 'doc_id', num_perm: int = 64,
                              shingle_k: int = 3, bands: int = 16,

@@ -279,3 +279,17 @@ def test_pq_ann_two_corpus_scans_broadcast_queries(spark, sf_dir):
     assert plan.count('FileScan') == 2, plan.count('FileScan')
     assert 'BroadcastExchange' in plan
     assert 'BatchEvalPython' not in plan and 'MapInPandas' not in plan
+
+
+def test_minhash_match_broadcasts_batch_bands(spark, sf_dir):
+    # the increment side (small) must broadcast into the index band
+    # stream — the existing corpus is never shuffled for the band join
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.dedup import minhash_match
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    batch = docs.filter(F.col('doc_id') % 50 == 1)
+    index = docs.filter(F.col('doc_id') % 2 == 0)
+    plan = minhash_match(batch, index, threshold=0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastExchange' in plan

@@ -154,3 +154,48 @@ def test_streaming_minhash_matches_batch(spark, tmp_path):
         assert got == want and (1, 2) in got
     finally:
         q.stop()
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Stream-static decontamination: final per-key update over the full
+    replay == the batch decontaminate answer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from rbql_spark.ops.dedup import decontaminate
+    from rbql_spark.streaming.documents import (
+        read_document_stream, stream_decontaminate,
+    )
+    from rbql_spark.streaming.events import run_stream_to_memory
+
+    base = ('the quick brown fox jumps over the lazy dog while the cat '
+            'sleeps in the warm afternoon sun near the old stone bridge')
+    rows = [
+        (1, base),
+        (2, base.replace('warm afternoon sun', 'cold night')),
+        (3, 'completely different text about query engines and shuffles '
+            'with columnar storage and adaptive execution everywhere'),
+        (4, base + ' and then some extra trailing words appended here'),
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    bench = spark.createDataFrame([(100, base)], 'doc_id long, text string')
+    out = os.path.join(str(tmp_path), 'dec_stream')
+    docs.where('doc_id % 2 = 0').coalesce(1).write.mode('overwrite').parquet(out)
+    docs.where('doc_id % 2 = 1').coalesce(1).write.mode('append').parquet(out)
+
+    stream = read_document_stream(spark, out, max_files_per_trigger=1)
+    flagged = stream_decontaminate(stream, bench, shingle_k=3)
+    q = run_stream_to_memory(flagged, 'dec_sink', output_mode='update')
+    try:
+        w = Window.partitionBy('doc_id', 'bench_id') \
+                  .orderBy(F.col('n_overlap').desc())
+        got = {(r['doc_id'], r['bench_id']): r['n_overlap']
+               for r in spark.table('dec_sink')
+                             .withColumn('__rn', F.row_number().over(w))
+                             .filter('__rn = 1').collect()}
+        want = {(r['doc_id'], r['bench_id']): r['n_overlap']
+                for r in decontaminate(docs, bench, min_overlap=1).collect()}
+        assert got == want
+        assert got[(1, 100)] > got[(2, 100)]   # exact copy beats near dup
+        assert (3, 100) not in got             # unrelated doc stays clean
+    finally:
+        q.stop()
