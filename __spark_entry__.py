@@ -591,6 +591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_stats(_t(spark, sf_dir, 'documents'), top_n=2, dup_n=3)
     q['text_repetition'] = _text_repetition
 
+    def _profile(spark, sf_dir):
+        from rbql_spark.ops.profile import profile_table
+        return profile_table(_t(spark, sf_dir, 'documents'),
+                             ['doc_id', 'text', 'lang', 'source', 'n_chars'])
+    q['profile_table'] = _profile
+
     def _text_fp(spark, sf_dir):
         from rbql_spark.ops.textstats import doc_fingerprint
         # md5 token hashes → DuckDB list_reduce replays the same rolling fold
@@ -1339,6 +1345,15 @@ def oracle_sql() -> dict[str, str]:
         "ELSE [] END) AS ngram FROM toks) "
         "SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram "
         "ORDER BY n_occurrences DESC, ngram ASC LIMIT 100")
+
+    # per-column profile: UNION ALL of per-column stat rows (all profiled
+    # columns are int/string, so ::VARCHAR min/max render identically)
+    _prof_cols = ['doc_id', 'text', 'lang', 'source', 'n_chars']
+    o['profile_table'] = " UNION ALL ".join(
+        "SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+        "count(*) - count({c}) AS n_nulls, count(DISTINCT {c}) AS n_distinct, "
+        "min({c})::VARCHAR AS min_value, max({c})::VARCHAR AS max_value "
+        "FROM documents".format(c=c) for c in _prof_cols)
 
     o['text_token_stats'] = (
         "SELECT doc_id, length(text) AS n_chars, "

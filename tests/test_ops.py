@@ -650,3 +650,21 @@ def test_minhash_match_shuffle_fallback_agrees(spark, doc_df):
                minhash_match(batch, index, threshold=0.5,
                              broadcast_batch=False).collect())
     assert a == b and len(a) > 0
+
+
+def test_profile_table_stats(spark):
+    from rbql_spark.ops.profile import profile_table
+    df = spark.createDataFrame(
+        [(1, 'a', None), (2, 'b', 5.0), (3, 'a', 7.0), (4, None, 7.0)],
+        'id long, s string, v double')
+    rows = {r['column']: r for r in profile_table(df).collect()}
+    assert set(rows) == {'id', 's', 'v'}
+    assert all(r['n_rows'] == 4 for r in rows.values())
+    assert rows['id']['n_nulls'] == 0 and rows['id']['n_distinct'] == 4
+    assert rows['s']['n_nulls'] == 1 and rows['s']['n_distinct'] == 2
+    assert rows['v']['n_nulls'] == 1 and rows['v']['n_distinct'] == 2
+    assert rows['id']['min_value'] == '1' and rows['id']['max_value'] == '4'
+    assert rows['s']['min_value'] == 'a' and rows['s']['max_value'] == 'b'
+    # single aggregation job: one scan no matter how many columns
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count('Scan') <= 2  # one source scan (+AQE re-listing)
