@@ -57,7 +57,8 @@ def stratified_hash_sample(df: DataFrame, fractions: dict, strata_col: str,
 
 
 def temperature_sample(df: DataFrame, strata_col: str, alpha: float = 0.5,
-                       key_col: str = 'doc_id', seed: int = 42) -> DataFrame:
+                       key_col: str = 'doc_id', seed: int = 42,
+                       weight_col: str | None = None) -> DataFrame:
     """Temperature-reweighted mixture sampling (the multilingual /
     multi-source training standard): target mixture weights w_g ∝ c_g^alpha
     flatten the source distribution (alpha=1 keeps natural proportions,
@@ -71,13 +72,20 @@ def temperature_sample(df: DataFrame, strata_col: str, alpha: float = 0.5,
     Rates are rounded to 6 places before the threshold compare so both
     engines agree despite libm pow() last-ulp differences.
 
+    weight_col: when set, stratum sizes c_g are SUMS of this column (e.g.
+    a token count) instead of document counts — mixture temperature is
+    conventionally defined over token mass, and a stratum of few huge
+    documents should down-weight like the large stratum it is.
+
     Scale shape: one partial+final count on the stratum key (tiny result),
     broadcast back onto the corpus, then a stateless filter — the corpus
     itself is never shuffled.
     """
     from pyspark.sql import Window
+    size = (F.sum(F.col(weight_col)) if weight_col
+            else F.count(F.lit(1)))
     counts = df.groupBy(F.col(strata_col).alias('__g')) \
-               .agg(F.count(F.lit(1)).alias('__cnt'))
+               .agg(size.alias('__cnt'))
     # c_min via an (empty-frame) window over the tiny counts result — an
     # agg-and-join-back would rescan the corpus for the second aggregate
     rates = counts.select(

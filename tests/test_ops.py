@@ -668,3 +668,33 @@ def test_profile_table_stats(spark):
     # single aggregation job: one scan no matter how many columns
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count('Scan') <= 2  # one source scan (+AQE re-listing)
+
+
+def test_profile_table_approx_distinct_within_rsd(spark, sf_dir):
+    from rbql_spark.ops.profile import profile_table
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    cols = ['doc_id', 'lang', 'source']
+    exact = {r['column']: r for r in profile_table(docs, cols).collect()}
+    approx = {r['column']: r for r in
+              profile_table(docs, cols, approx_distinct=True,
+                            approx_rsd=0.02).collect()}
+    for c in cols:
+        # everything except the distinct estimate is identical
+        for f in ('n_rows', 'n_nulls', 'min_value', 'max_value'):
+            assert approx[c][f] == exact[c][f]
+        nd, nda = exact[c]['n_distinct'], approx[c]['n_distinct']
+        assert abs(nda - nd) <= max(2, 0.1 * nd)
+
+
+def test_temperature_sample_weighted_by_tokens(spark, sf_dir):
+    from rbql_spark.ops.sampling import temperature_sample
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    w = temperature_sample(docs, 'lang', alpha=0.5, weight_col='n_chars')
+    u = temperature_sample(docs, 'lang', alpha=0.5)
+    wa = sorted(r['doc_id'] for r in w.collect())
+    assert wa == sorted(r['doc_id'] for r in
+                        temperature_sample(docs, 'lang', alpha=0.5,
+                                           weight_col='n_chars').collect())
+    # char-mass and doc-count strata differ, so the two samples differ
+    assert wa != sorted(r['doc_id'] for r in u.collect())
+    assert 0 < len(wa) < docs.count()
