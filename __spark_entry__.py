@@ -591,6 +591,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_stats(_t(spark, sf_dir, 'documents'), top_n=2, dup_n=3)
     q['text_repetition'] = _text_repetition
 
+    def _bpe_train(spark, sf_dir):
+        from rbql_spark.ops.bpe import train_bpe
+        return train_bpe(_t(spark, sf_dir, 'documents'), n_merges=8)
+    q['bpe_train'] = _bpe_train
+
+    def _bpe_apply(spark, sf_dir):
+        # application machinery gated with a FIXED merge list (the learned
+        # list is data-dependent per sf; apply_bpe is defined for any) —
+        # array column rendered as a joined string for the driver hasher
+        from rbql_spark.ops.bpe import apply_bpe
+        res = apply_bpe(_t(spark, sf_dir, 'documents'),
+                        [('t', 'h'), ('th', 'e'), ('a', 'n')])
+        return res.select('doc_id',
+                          F.array_join('bpe_tokens', ' ').alias('bpe_joined'),
+                          'n_bpe_tokens')
+    q['bpe_apply'] = _bpe_apply
+
     def _profile(spark, sf_dir):
         from rbql_spark.ops.profile import profile_table
         return profile_table(_t(spark, sf_dir, 'documents'),
@@ -833,6 +850,52 @@ def _ivf_int8_replay_sql(k: int, n_cells: int, n_probe: int,
         "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
     ).format(seed=seed, n_cells=n_cells, n_probe=n_probe,
              shortk=k * rescore_factor, k=k)
+
+
+def _bpe_fold(list_expr: str, left_sql: str, right_sql: str) -> str:
+    """list_reduce fold applying one BPE merge to a '/'-encoded symbol
+    list — identical greedy left-to-right semantics to ops.bpe's Spark
+    fold (both seed the accumulator with the first symbol)."""
+    return ("list_reduce({l}, (acc, x) -> CASE WHEN (acc = {lf} "
+            "OR ends_with(acc, '/' || {lf})) AND x = {rt} "
+            "THEN acc || x ELSE acc || '/' || x END)").format(
+                l=list_expr, lf=left_sql, rt=right_sql)
+
+
+def _bpe_train_replay_sql(n_merges: int) -> str:
+    """Replay train_bpe in DuckDB: the sequential merge loop unrolls into
+    n_merges CTE rounds — each round's winning pair flows into the next
+    round's fold as scalar subqueries, so the whole data-dependent
+    iteration is one static query."""
+    toks = _SQL_TOKS.format(src="coalesce(text, '')")
+    parts = [
+        "WITH toks AS (SELECT " + toks + " AS t FROM documents)",
+        "w AS (SELECT unnest(t) AS word FROM toks)",
+        "v0 AS (SELECT array_to_string(string_split(word, ''), '/') AS syms, "
+        "count(*) AS wcount FROM w GROUP BY word)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = 'v{}'.format(r - 1)
+        parts.append(
+            "p{r} AS (SELECT s[i] AS lf, s[i+1] AS rt, sum(wcount) AS cnt "
+            "FROM (SELECT string_split(syms, '/') AS s, wcount, "
+            "unnest(range(1, len(string_split(syms, '/')))) AS i FROM {p}) "
+            "GROUP BY 1, 2)".format(r=r, p=prev))
+        parts.append(
+            "b{r} AS (SELECT lf, rt, cnt FROM p{r} "
+            "ORDER BY cnt DESC, lf ASC, rt ASC LIMIT 1)".format(r=r))
+        if r < n_merges:
+            # DuckDB forbids subqueries inside lambdas — cross join the
+            # 1-row winner so the fold references plain columns
+            parts.append(
+                "v{r} AS (SELECT ".format(r=r) +
+                _bpe_fold("string_split(syms, '/')", "b.lf", "b.rt") +
+                " AS syms, wcount FROM {p}, b{r} b)".format(p=prev, r=r))
+    union = " UNION ALL ".join(
+        "SELECT {r}::BIGINT AS rank, lf AS left_sym, rt AS right_sym, "
+        "lf || rt AS merged, cnt::BIGINT AS pair_count FROM b{r}".format(r=r)
+        for r in range(1, n_merges + 1))
+    return ", ".join(parts) + " " + union
 
 
 def _pq_replay_sql(k: int, m: int, ks: int, rescore_factor: int,
@@ -1345,6 +1408,22 @@ def oracle_sql() -> dict[str, str]:
         "ELSE [] END) AS ngram FROM toks) "
         "SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY ngram "
         "ORDER BY n_occurrences DESC, ngram ASC LIMIT 100")
+
+    o['bpe_train'] = _bpe_train_replay_sql(n_merges=8)
+
+    # apply_bpe with the gate's fixed merge list: each word's char symbols
+    # fold through the three merges in rank order, then flatten/join
+    _m1 = _bpe_fold("string_split(array_to_string(string_split(w, ''), '/'), '/')",
+                    "'t'", "'h'")
+    _m2 = _bpe_fold("string_split(" + _m1 + ", '/')", "'th'", "'e'")
+    _m3 = _bpe_fold("string_split(" + _m2 + ", '/')", "'a'", "'n'")
+    o['bpe_apply'] = (
+        "WITH toks AS (SELECT doc_id, " + _SQL_TOKS.format(src="coalesce(text, '')") +
+        " AS t FROM documents), "
+        "enc AS (SELECT doc_id, flatten(list_transform(t, "
+        "w -> string_split(" + _m3 + ", '/'))) AS bt FROM toks) "
+        "SELECT doc_id, array_to_string(bt, ' ') AS bpe_joined, "
+        "len(bt)::BIGINT AS n_bpe_tokens FROM enc")
 
     # per-column profile: UNION ALL of per-column stat rows (all profiled
     # columns are int/string, so ::VARCHAR min/max render identically)

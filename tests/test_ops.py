@@ -698,3 +698,44 @@ def test_temperature_sample_weighted_by_tokens(spark, sf_dir):
     # char-mass and doc-count strata differ, so the two samples differ
     assert wa != sorted(r['doc_id'] for r in u.collect())
     assert 0 < len(wa) < docs.count()
+
+
+def test_train_bpe_learns_planted_merges(spark):
+    from rbql_spark.ops.bpe import train_bpe
+    # vocab {the:3, cat:1}: round 1 ties (t,h)/(h,e) at 3 -> left ASC picks
+    # (h,e); then (t,he); then (a,t) beats (c,a) on left ASC at count 1;
+    # then (c,at); then no pairs remain -> early stop at 4 of 6
+    df = spark.createDataFrame([(1, 'the the cat'), (2, 'the')],
+                               'doc_id long, text string')
+    rows = [tuple(r) for r in train_bpe(df, n_merges=6).orderBy('rank').collect()]
+    assert rows == [
+        (1, 'h', 'e', 'he', 3),
+        (2, 't', 'he', 'the', 3),
+        (3, 'a', 't', 'at', 1),
+        (4, 'c', 'at', 'cat', 1),
+    ]
+
+
+def test_apply_bpe_greedy_nonoverlapping(spark):
+    from rbql_spark.ops.bpe import apply_bpe
+    df = spark.createDataFrame(
+        [(1, 'the that'), (2, 'aaa'), (3, '')], 'doc_id long, text string')
+    rows = {r['doc_id']: r for r in
+            apply_bpe(df, [('t', 'h'), ('th', 'e'), ('a', 'a')]).collect()}
+    assert rows[1]['bpe_tokens'] == ['the', 'th', 'a', 't']
+    # (a,a) on a/a/a merges left-to-right non-overlapping: aa + a
+    assert rows[2]['bpe_tokens'] == ['aa', 'a']
+    assert rows[3]['bpe_tokens'] == [] and rows[3]['n_bpe_tokens'] == 0
+
+
+def test_bpe_roundtrip_compresses(spark, sf_dir):
+    from rbql_spark.ops.bpe import apply_bpe, train_bpe
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet')).limit(50)
+    merges = [(r['left_sym'], r['right_sym'])
+              for r in train_bpe(docs, n_merges=6).orderBy('rank').collect()]
+    assert len(merges) == 6
+    enc = apply_bpe(docs, merges)
+    chars = docs.select(F.sum(F.length(F.regexp_replace(
+        'text', r'[^\p{L}\p{N}]', ''))).alias('n')).first()['n']
+    toks = enc.select(F.sum('n_bpe_tokens').alias('n')).first()['n']
+    assert 0 < toks < chars  # merges compress the symbol stream

@@ -76,6 +76,7 @@ SUBSET = [
     'sample_temperature',
     'sim_ann_pq',
     'chunk_documents',
+    'bpe_train',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
