@@ -181,9 +181,30 @@ def doc_fingerprint(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id
                      F.size(toks).alias('n_tokens'))
 
 
+def _repetition_finalize(stats: DataFrame, id_col: str) -> DataFrame:
+    """Fractions + rounding from the per-doc INTEGER repetition stats
+    (__nc/__nw/__nu/__bc/__bm/__dp) — shared by both engines, so their
+    outputs are bit-identical: the engines differ only in how they count,
+    and counting is exact integer math."""
+    nc = F.col('__nc').cast('double')
+    nw = F.col('__nw')
+    dup_word = F.when(nw > 0,
+                      1.0 - F.col('__nu') / nw.cast('double')
+                      ).otherwise(F.lit(0.0))
+    top_frac = F.when(nc > 0, F.col('__bm') / nc).otherwise(F.lit(0.0))
+    dup_frac = F.when(nc > 0, F.col('__dp') / nc).otherwise(F.lit(0.0))
+    return stats.select(
+        F.col(id_col),
+        F.round(dup_word, 6).alias('dup_word_frac'),
+        F.col('__bc').cast('long').alias('top_ngram_count'),
+        F.round(top_frac, 6).alias('top_ngram_char_frac'),
+        F.round(dup_frac, 6).alias('dup_ngram_char_frac'),
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = 'text',
                      id_col: str = 'doc_id', top_n: int = 2,
-                     dup_n: int = 3) -> DataFrame:
+                     dup_n: int = 3, engine: str = 'vectorized') -> DataFrame:
     """Gopher-style within-document repetition features (Rae et al.,
     "Scaling Language Models: ... Gopher", public quality-filter recipe):
 
@@ -199,25 +220,76 @@ def repetition_stats(df: DataFrame, text_col: str = 'text',
                               numerator past the doc length; no clamp, so
                               the value stays a pure sum DuckDB replays)
 
-    Scale shape: one narrow projection, NO shuffle — the per-doc gram
-    frequency problem is solved by sorting the doc's own gram array and
-    folding run lengths (F.aggregate over array_sort), never by
-    explode + groupBy, which would shuffle a gram stream ~n× the corpus
-    size to answer a per-document question.  HOF lambdas run interpreted,
-    but they touch only this doc's grams; the quality filter stays
-    embarrassingly parallel at 100 TB.
+    Scale shape: one narrow pass, NO shuffle — the per-doc gram frequency
+    problem is solved inside the scan tasks, never by explode + groupBy
+    (which would shuffle a gram stream ~n× the corpus size to answer a
+    per-document question).
+
+    engine='vectorized' (default): one Arrow-batched pass counts the
+    integer stats per document (dict-based gram counting — Catalyst HOF
+    lambdas run interpreted, and the fold variant measured ~3× slower at
+    sf0.1).  engine='native' keeps the whole pipeline in Catalyst
+    expressions (sorted-gram-array run-length folds) — identical results
+    (both engines emit integer stats; the fraction arithmetic is one
+    shared native projection).
     """
     df = spread_partitions(df)
-    # staged projections with multi-referenced aliases: CollapseProject
-    # only inlines single-use/cheap expressions, so the tokenizer and each
-    # fold evaluate ONCE per row — a flat single-select form re-inlined
-    # the token split ~8× and the (dominant) 2-gram fold twice
+    if engine == 'vectorized':
+        tn, dn = int(top_n), int(dup_n)
+        src = df.select(F.col(id_col), F.col(text_col).alias('__text'))
+
+        def run(batches):
+            import re as _re
+
+            import pandas as pd
+            token_rgx = _re.compile(r'[^\W_]+', _re.UNICODE)
+
+            def gram_stats(toks, n):
+                if len(toks) < n:
+                    return 0, 0, 0
+                counts: dict[str, int] = {}
+                for i in range(len(toks) - n + 1):
+                    g = ' '.join(toks[i:i + n])
+                    counts[g] = counts.get(g, 0) + 1
+                best_cnt = max(counts.values())
+                best_mass = max(c * len(g) for g, c in counts.items()
+                                if c == best_cnt)
+                dup = sum(c * len(g) for g, c in counts.items() if c >= 2)
+                return best_cnt, best_mass, dup
+
+            for pdf in batches:
+                out = {'__nc': [], '__nw': [], '__nu': [],
+                       '__bc': [], '__bm': [], '__dp': []}
+                for text in pdf['__text']:
+                    t = text or ''
+                    toks = token_rgx.findall(t.lower())
+                    bc, bm, _ = gram_stats(toks, tn)
+                    _, _, dp = gram_stats(toks, dn)
+                    out['__nc'].append(len(t))
+                    out['__nw'].append(len(toks))
+                    out['__nu'].append(len(set(toks)))
+                    out['__bc'].append(bc)
+                    out['__bm'].append(bm)
+                    out['__dp'].append(dp)
+                res = pd.DataFrame({id_col: pdf[id_col]})
+                for k, v in out.items():
+                    res[k] = pd.Series(v, index=pdf.index, dtype='int64')
+                yield res
+
+        schema = ('{} long, __nc long, __nw long, __nu long, '
+                  '__bc long, __bm long, __dp long').format(id_col)
+        return _repetition_finalize(src.mapInPandas(run, schema=schema), id_col)
+
+    # native engine: staged projections with multi-referenced aliases —
+    # CollapseProject only inlines single-use/cheap expressions, so the
+    # tokenizer and each fold evaluate ONCE per row (a flat single-select
+    # form re-inlined the token split ~8× and the dominant 2-gram fold
+    # twice)
     staged = df.select(F.col(id_col),
-                       F.length(F.col(text_col)).cast('double').alias('__nc'),
+                       F.length(F.col(text_col)).cast('long').alias('__nc'),
                        tokens(F.col(text_col)).alias('__toks'))
     toks = F.col('__toks')
     n_words = F.size(toks)
-    n_chars = F.col('__nc')
 
     def grams(n: int) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(n_words - n, F.lit(0)))
@@ -248,24 +320,18 @@ def repetition_stats(df: DataFrame, text_col: str = 'text',
                         best_cnt.alias('best_cnt'), best_mass.alias('best_mass'),
                         dup.alias('dup'))
 
-    dup_word = F.when(n_words > 0,
-                      1.0 - F.size(F.array_distinct(toks)) / n_words.cast('double')
-                      ).otherwise(F.lit(0.0))
     folded = staged.select(
-        F.col(id_col), n_chars.alias('__nc'),
-        F.round(dup_word, 6).alias('dup_word_frac'),
+        F.col(id_col), F.col('__nc'),
+        n_words.cast('long').alias('__nw'),
+        F.size(F.array_distinct(toks)).cast('long').alias('__nu'),
         F.aggregate(grams(top_n), zero, step).alias('__top'),
         F.aggregate(grams(dup_n), zero, step).alias('__dup'))
-    nc = F.col('__nc')
-    top_frac = F.when(nc > 0, F.col('__top')['best_mass'] / nc).otherwise(F.lit(0.0))
-    dup_frac = F.when(nc > 0, F.col('__dup')['dup'] / nc).otherwise(F.lit(0.0))
-    return folded.select(
-        F.col(id_col),
-        F.col('dup_word_frac'),
-        F.col('__top')['best_cnt'].cast('long').alias('top_ngram_count'),
-        F.round(top_frac, 6).alias('top_ngram_char_frac'),
-        F.round(dup_frac, 6).alias('dup_ngram_char_frac'),
-    )
+    stats = folded.select(
+        F.col(id_col), '__nc', '__nw', '__nu',
+        F.col('__top')['best_cnt'].cast('long').alias('__bc'),
+        F.col('__top')['best_mass'].cast('long').alias('__bm'),
+        F.col('__dup')['dup'].cast('long').alias('__dp'))
+    return _repetition_finalize(stats, id_col)
 
 
 def top_ngrams(df: DataFrame, text_col: str = 'text',

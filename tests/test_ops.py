@@ -739,3 +739,13 @@ def test_bpe_roundtrip_compresses(spark, sf_dir):
         'text', r'[^\p{L}\p{N}]', ''))).alias('n')).first()['n']
     toks = enc.select(F.sum('n_bpe_tokens').alias('n')).first()['n']
     assert 0 < toks < chars  # merges compress the symbol stream
+
+
+def test_repetition_engines_agree(spark, sf_dir):
+    from rbql_spark.ops.textstats import repetition_stats
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    a = sorted(tuple(r) for r in
+               repetition_stats(docs, engine='native').collect())
+    b = sorted(tuple(r) for r in
+               repetition_stats(docs, engine='vectorized').collect())
+    assert a == b and len(a) > 0
