@@ -581,6 +581,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return language_id(_t(spark, sf_dir, 'documents'))
     q['text_language_id'] = _text_langid
 
+    def _quality_filter(spark, sf_dir):
+        from rbql_spark.ops.textstats import quality_filter
+        return quality_filter(_t(spark, sf_dir, 'documents'),
+                              min_words=20, min_stopword_ratio=0.05,
+                              allowed_langs=['de', 'en', 'es', 'fr'])
+    q['text_quality_filter'] = _quality_filter
+
     def _text_top_ngrams(spark, sf_dir):
         from rbql_spark.ops.textstats import top_ngrams
         return top_ngrams(_t(spark, sf_dir, 'documents'), n=2, k=100)
@@ -1397,6 +1404,46 @@ def oracle_sql() -> dict[str, str]:
         "list_transform(toks, x -> ('0x' || md5(x)[1:8])::BIGINT)), "
         "(acc, h) -> (acc * 31 + h) & 4294967295) AS fingerprint, "
         "len(toks) AS n_tokens FROM t")
+
+    # fused quality filter replay: same signal definitions as the
+    # quality/langid oracles, rule names joined in the Spark rule order
+    _qf_toks = "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x != '')"
+    o['text_quality_filter'] = (
+        "WITH f AS (SELECT doc_id, "
+        "len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_words, "
+        "length(text) AS n_chars, "
+        "length(regexp_replace(text, '\\s', '', 'g')) AS word_chars, "
+        "length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct, "
+        "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, "
+        "len(" + _qf_toks + ") AS n_toks, "
+        "len(list_filter(" + _qf_toks + ", x -> list_contains(" + _STOP['en'] +
+        ", x))) AS n_stop, "
+        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['de'] + ")) AS s_de, "
+        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['en'] + ")) AS s_en, "
+        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['es'] + ")) AS s_es, "
+        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['fr'] + ")) AS s_fr "
+        "FROM documents), "
+        "g AS (SELECT *, "
+        "CASE WHEN n_words > 0 THEN word_chars * 1.0 / n_words ELSE 0.0 END AS mwl, "
+        "CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr, "
+        "CASE WHEN n_chars > 0 THEN n_upper * 1.0 / n_chars ELSE 0.0 END AS ur, "
+        "CASE WHEN n_toks > 0 THEN n_stop * 1.0 / n_toks ELSE 0.0 END AS sr, "
+        "CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und' "
+        " WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+        " WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+        " WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+        " ELSE 'fr' END AS pred FROM f), "
+        "r AS (SELECT doc_id, list_filter(["
+        "CASE WHEN n_words < 20 THEN 'too_few_words' ELSE '' END, "
+        "CASE WHEN n_words > 100000 THEN 'too_many_words' ELSE '' END, "
+        "CASE WHEN mwl < 3.0 OR mwl > 12.0 THEN 'mean_word_len' ELSE '' END, "
+        "CASE WHEN pr > 0.2 THEN 'punct_ratio' ELSE '' END, "
+        "CASE WHEN ur > 0.3 THEN 'upper_ratio' ELSE '' END, "
+        "CASE WHEN sr < 0.05 THEN 'stopword_ratio' ELSE '' END, "
+        "CASE WHEN pred NOT IN ('de', 'en', 'es', 'fr') THEN 'lang' ELSE '' END"
+        "], x -> x != '') AS failed FROM g) "
+        "SELECT doc_id, len(failed) = 0 AS keep, "
+        "coalesce(array_to_string(failed, '|'), '') AS reasons FROM r")
 
     # bigram frequency top-k: total order (count DESC, ngram ASC) makes the
     # k-cut deterministic on both engines

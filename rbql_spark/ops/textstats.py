@@ -94,23 +94,18 @@ def quality_score(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id')
     )
 
 
-def language_id(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
-    """Tiny stopword-lexicon language classifier (deterministic heuristic).
-
-    Scores each language by stopword hits in the token set; argmax wins,
-    'und' (undetermined) when no hits.
-
-    One boundary-guarded regexp_extract_all over the combined lexicon
-    collects the distinct stopword hits; per-language scores intersect
-    that (tiny) hit array — ~1.6× faster than tokenizing the whole text
-    into an array and intersecting per language (interpreted HOF lanes).
-    """
-    df = spread_partitions(df)
+def _langid_exprs(text: Column) -> tuple[Column, dict[str, Column]]:
+    """(lang_pred, per-language score columns) — shared by language_id and
+    quality_filter.  One boundary-guarded regexp_extract_all over the
+    combined lexicon collects the distinct stopword hits; per-language
+    scores intersect that (tiny) hit array — ~1.6× faster than tokenizing
+    the whole text into an array and intersecting per language
+    (interpreted HOF lanes)."""
     all_words = sorted({w for ws in _STOPWORDS.values() for w in ws})
     hit_rgx = (r'(?:^|[^\p{L}\p{N}])(' + '|'.join(all_words)
                + r')(?![\p{L}\p{N}])')
     hits = F.array_distinct(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(hit_rgx), 1))
+        F.regexp_extract_all(F.lower(text), F.lit(hit_rgx), 1))
     scores = {}
     for lang, words in _STOPWORDS.items():
         arr = F.array(*[F.lit(w) for w in words])
@@ -121,8 +116,21 @@ def language_id(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -
     for lang in reversed(langs):
         pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
     pred = F.when(best_score <= 0, F.lit('und')).otherwise(pred)
+    return pred, scores
+
+
+def language_id(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+    """Tiny stopword-lexicon language classifier (deterministic heuristic).
+
+    Scores each language by stopword hits in the token set; argmax wins,
+    'und' (undetermined) when no hits.  (Expression shape: see
+    _langid_exprs.)
+    """
+    df = spread_partitions(df)
+    pred, scores = _langid_exprs(F.col(text_col))
     out = [F.col(id_col), pred.alias('lang_pred')]
-    out += [scores[l].cast('long').alias('score_{}'.format(l)) for l in langs]
+    out += [scores[l].cast('long').alias('score_{}'.format(l))
+            for l in sorted(_STOPWORDS)]
     return df.select(*out)
 
 
@@ -332,6 +340,65 @@ def repetition_stats(df: DataFrame, text_col: str = 'text',
         F.col('__top')['best_mass'].cast('long').alias('__bm'),
         F.col('__dup')['dup'].cast('long').alias('__dp'))
     return _repetition_finalize(stats, id_col)
+
+
+def quality_filter(df: DataFrame, text_col: str = 'text',
+                   id_col: str = 'doc_id',
+                   min_words: int = 5, max_words: int = 100000,
+                   mean_word_len_range: tuple = (3.0, 12.0),
+                   max_punct_ratio: float = 0.2,
+                   max_upper_ratio: float = 0.3,
+                   min_stopword_ratio: float = 0.0,
+                   allowed_langs: list[str] | None = None) -> DataFrame:
+    """The end-to-end C4/Gopher-style corpus filter: apply the standard
+    heuristic rules in ONE fused projection → (doc_id, keep, reasons) with
+    `reasons` the '|'-joined names of every failed rule (deterministic
+    rule order), empty when the document survives.
+
+    Rules (each optional via its threshold): word-count bounds, mean word
+    length band, punctuation/uppercase character-ratio caps, minimum
+    English-stopword ratio, and a predicted-language allowlist (the
+    language_id heuristic).  Composing the individual ops via joins would
+    scan the corpus once per feature family and shuffle on doc_id per
+    join; here every signal is a native expression over the same row —
+    one corpus scan, zero shuffles, whole filter decision in-scan.
+    """
+    df = spread_partitions(df)
+    t = F.col(text_col)
+    n_chars = F.length(t).cast('double')
+    n_words = F.regexp_count(t, F.lit(r'\S+')).cast('double')
+    n_punct = F.regexp_count(t, F.lit(r'[\p{Punct}]')).cast('double')
+    n_upper = F.regexp_count(t, F.lit(r'[A-Z]')).cast('double')
+    word_chars = (F.length(t) - F.regexp_count(t, F.lit(r'\s'))).cast('double')
+    stop_rgx = (r'(?:^|[^\p{L}\p{N}])(?:' + '|'.join(_STOPWORDS['en'])
+                + r')(?![\p{L}\p{N}])')
+    n_stop = F.regexp_count(F.lower(t), F.lit(stop_rgx)).cast('double')
+    n_toks = F.regexp_count(t, F.lit(r'[\p{L}\p{N}]+')).cast('double')
+    mean_wl = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+    punct_r = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    upper_r = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
+    stop_r = F.when(n_toks > 0, n_stop / n_toks).otherwise(F.lit(0.0))
+    lang_pred, _ = _langid_exprs(t)
+
+    lo, hi = mean_word_len_range
+    rules = [
+        ('too_few_words', n_words < float(min_words)),
+        ('too_many_words', n_words > float(max_words)),
+        ('mean_word_len', (mean_wl < float(lo)) | (mean_wl > float(hi))),
+        ('punct_ratio', punct_r > float(max_punct_ratio)),
+        ('upper_ratio', upper_r > float(max_upper_ratio)),
+        ('stopword_ratio', stop_r < float(min_stopword_ratio)),
+    ]
+    if allowed_langs is not None:
+        rules.append(('lang', ~lang_pred.isin([str(x) for x in allowed_langs])))
+    failed = F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(''))
+                  for name, cond in rules]),
+        lambda x: x != '')
+    return df.select(
+        F.col(id_col),
+        (F.size(failed) == 0).alias('keep'),
+        F.array_join(failed, '|').alias('reasons'))
 
 
 def top_ngrams(df: DataFrame, text_col: str = 'text',

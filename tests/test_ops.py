@@ -749,3 +749,26 @@ def test_repetition_engines_agree(spark, sf_dir):
     b = sorted(tuple(r) for r in
                repetition_stats(docs, engine='vectorized').collect())
     assert a == b and len(a) > 0
+
+
+def test_quality_filter_rules_and_reasons(spark):
+    from rbql_spark.ops.textstats import quality_filter
+    df = spark.createDataFrame([
+        (1, 'the cat is in the house and that is fine for now today ok'),
+        (2, 'hi'),                                      # too few words
+        (3, 'THE CAT IS IN THE HOUSE AND THAT IS IT'),  # upper ratio
+        (4, '!!! ??? ... ;;; ::: the cat is in the house and so on'),
+        (5, 'zz qq xx ww vv uu tt ss rr pp'),           # no stopwords, und
+    ], 'doc_id long, text string')
+    rows = {r['doc_id']: r for r in quality_filter(
+        df, min_words=5, min_stopword_ratio=0.05,
+        allowed_langs=['en']).collect()}
+    assert rows[1]['keep'] and rows[1]['reasons'] == ''
+    assert not rows[2]['keep'] and 'too_few_words' in rows[2]['reasons']
+    assert not rows[3]['keep'] and 'upper_ratio' in rows[3]['reasons']
+    assert not rows[4]['keep'] and 'punct_ratio' in rows[4]['reasons']
+    assert not rows[5]['keep']
+    assert 'stopword_ratio' in rows[5]['reasons']
+    assert 'lang' in rows[5]['reasons']
+    # reasons render in fixed rule order
+    assert rows[5]['reasons'].index('stopword_ratio') < rows[5]['reasons'].index('lang')
