@@ -504,6 +504,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                chunk_size=32, overlap=8)
     q['chunk_documents'] = _chunk
 
+    def _split(spark, sf_dir):
+        from rbql_spark.ops.sampling import split_corpus
+        return split_corpus(_t(spark, sf_dir, 'documents')) \
+            .select('doc_id', 'split')
+    q['sample_split'] = _split
+
+    def _export_manifest(spark, sf_dir):
+        from rbql_spark.ops.export import shard_manifest
+        return shard_manifest(_t(spark, sf_dir, 'documents'), n_shards=16)
+    q['export_manifest'] = _export_manifest
+
     def _pack(spark, sf_dir):
         from rbql_spark.ops.sampling import pack_sequences
         # bucket count derives from the corpus size (ceil(count/64) here so
@@ -1257,6 +1268,24 @@ def oracle_sql() -> dict[str, str]:
         "FROM c, m) "
         "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
         "WHERE " + _unit + " < r.rate")
+
+    # deterministic split assignment: cumulative md5-unit thresholds in
+    # declaration order, last split absorbs the tail
+    o['sample_split'] = (
+        "SELECT doc_id, CASE WHEN " + _unit + " < 0.9 THEN 'train' "
+        "WHEN " + _unit + " < 0.95 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents")
+
+    # sharded-export manifest: md5-32(key) mod n shard, order-independent
+    # mod-2^31 sum of per-row md5-32 digests over key:content columns
+    _row_digest = ("('0x' || md5(doc_id::VARCHAR || ':' || coalesce(text, '') "
+                   "|| ':' || coalesce(lang, '') || ':' || coalesce(source, '') "
+                   "|| ':' || coalesce(n_chars::VARCHAR, ''))[1:8])::BIGINT")
+    o['export_manifest'] = (
+        "SELECT ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 16 AS shard, "
+        "count(*) AS n_rows, "
+        "(sum(" + _row_digest + ") % 2147483648)::BIGINT AS content_checksum "
+        "FROM documents GROUP BY 1")
 
     # overlapping token-window chunking: starts every (32-8)=24 tokens
     # until the window covers the final token; empty docs emit nothing

@@ -97,6 +97,28 @@ def temperature_sample(df: DataFrame, strata_col: str, alpha: float = 0.5,
               .drop('__g', '__rate'))
 
 
+def split_corpus(df: DataFrame, splits: list[tuple[str, float]] | None = None,
+                 key_col: str = 'doc_id', seed: int = 42) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gains a `split`
+    column chosen by its md5 key hash against the cumulative split
+    fractions (given order; the last split absorbs rounding slack).
+    Same _hash_unit contract as hash_sample — rerun-stable,
+    join-consistent across tables keyed the same way, engine-replayable.
+    Pure stateless projection: no shuffle, no count pass.
+    """
+    splits = splits or [('train', 0.9), ('val', 0.05), ('test', 0.05)]
+    u = _hash_unit(F.col(key_col), seed)
+    expr = F.lit(splits[-1][0])
+    acc = 0.0
+    bounds = []
+    for name, frac in splits[:-1]:
+        acc += float(frac)
+        bounds.append((name, acc))
+    for name, bound in reversed(bounds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn('split', expr)
+
+
 def chunk_documents(df: DataFrame, chunk_size: int = 256, overlap: int = 32,
                     id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
     """Overlapping token-window chunking: split each document's token

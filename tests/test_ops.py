@@ -772,3 +772,38 @@ def test_quality_filter_rules_and_reasons(spark):
     assert 'lang' in rows[5]['reasons']
     # reasons render in fixed rule order
     assert rows[5]['reasons'].index('stopword_ratio') < rows[5]['reasons'].index('lang')
+
+
+def test_split_corpus_fractions_and_stability(spark, sf_dir):
+    from rbql_spark.ops.sampling import split_corpus
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    out = split_corpus(docs)
+    counts = {r['split']: r['cnt'] for r in
+              out.groupBy('split').agg(F.count(F.lit(1)).alias('cnt')).collect()}
+    n = docs.count()
+    assert set(counts) == {'train', 'val', 'test'}
+    assert counts['train'] > counts['val'] and counts['train'] > counts['test']
+    assert abs(counts['train'] / n - 0.9) < 0.08
+    # rerun-stable and key-deterministic
+    a = sorted((r['doc_id'], r['split']) for r in out.collect())
+    b = sorted((r['doc_id'], r['split']) for r in split_corpus(docs).collect())
+    assert a == b
+
+
+def test_write_sharded_roundtrip_manifest(spark, tmp_path, sf_dir):
+    from rbql_spark.ops.export import shard_manifest, verify_shards, write_sharded
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    path = os.path.join(str(tmp_path), 'shards')
+    manifest = write_sharded(docs, path, n_shards=8)
+    # the on-disk layout is partitioned by shard and content survives
+    back = spark.read.parquet(path).drop('shard')
+    assert verify_shards(back, manifest, n_shards=8)
+    assert sorted(os.listdir(path))[0].startswith('_') or \
+        any(d.startswith('shard=') for d in os.listdir(path))
+    # shard assignment is content-keyed: physical repartition changes nothing
+    reparted = docs.repartition(13)
+    assert verify_shards(reparted, manifest, n_shards=8)
+    # tampering flips the checksum
+    tampered = back.withColumn(
+        'text', F.when(F.col('doc_id') == 0, F.lit('x')).otherwise(F.col('text')))
+    assert not verify_shards(tampered, manifest, n_shards=8)
