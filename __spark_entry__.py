@@ -592,6 +592,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return language_id(_t(spark, sf_dir, 'documents'))
     q['text_language_id'] = _text_langid
 
+    def _lm_score(spark, sf_dir):
+        from rbql_spark.ops.textstats import lm_score
+        return lm_score(_t(spark, sf_dir, 'documents'))
+    q['text_lm_score'] = _lm_score
+
     def _quality_filter(spark, sf_dir):
         from rbql_spark.ops.textstats import quality_filter
         return quality_filter(_t(spark, sf_dir, 'documents'),
@@ -1433,6 +1438,20 @@ def oracle_sql() -> dict[str, str]:
         "list_transform(toks, x -> ('0x' || md5(x)[1:8])::BIGINT)), "
         "(acc, h) -> (acc * 31 + h) & 4294967295) AS fingerprint, "
         "len(toks) AS n_tokens FROM t")
+
+    # unigram-LM scoring replay: add-one smoothing over the corpus' own
+    # token counts; per-doc mean of -ln p summed over ~100 doubles keeps
+    # float-order error far below the 1e-6 rounding grid
+    o['text_lm_score'] = (
+        "WITH tk AS (SELECT doc_id, unnest(" +
+        _SQL_TOKS.format(src="coalesce(text, '')") + ") AS tok FROM documents), "
+        "c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok), "
+        "s AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM c) "
+        "SELECT tk.doc_id, count(*) AS n_scored_tokens, "
+        "round(sum(-ln((coalesce(c.cnt, 0) + 1.0) / (s.total + s.vocab))) "
+        "/ count(*), 6) AS avg_neg_logprob "
+        "FROM tk LEFT JOIN c ON c.tok = tk.tok CROSS JOIN s "
+        "GROUP BY tk.doc_id")
 
     # fused quality filter replay: same signal definitions as the
     # quality/langid oracles, rule names joined in the Spark rule order

@@ -77,6 +77,13 @@ def train_bpe(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
     billion-entry vocabularies); per-round localCheckpoints keep the
     plan flat and stop the corpus aggregation from re-running every
     round.  The driver holds only the n_merges learned rules.
+
+    Checkpoint lifecycle: each round's localCheckpoint supersedes the
+    previous one; superseded checkpoint blocks are freed by Spark's
+    ContextCleaner once the rebound `vocab` reference drops them (no
+    explicit unpersist API exists for localCheckpoint state) — a
+    long-lived session running many trainings reclaims them at GC, not
+    instantly.
     """
     spark = df.sparkSession
     words = df.select(F.explode(tokens(F.col(text_col))).alias('word'))

@@ -401,6 +401,50 @@ def quality_filter(df: DataFrame, text_col: str = 'text',
         F.array_join(failed, '|').alias('reasons'))
 
 
+def lm_score(df: DataFrame, lm_corpus: DataFrame | None = None,
+             text_col: str = 'text', id_col: str = 'doc_id',
+             broadcast_lm: bool = True) -> DataFrame:
+    """Unigram language-model scoring (the KenLM-style perplexity quality
+    signal, unigram order): train add-one-smoothed token probabilities on
+    `lm_corpus` (default: the scored corpus itself), then score each
+    document → (doc_id, n_scored_tokens, avg_neg_logprob) with
+    avg_neg_logprob = mean over tokens of −ln((count+1)/(total+vocab)),
+    rounded to 6.  High values flag gibberish / out-of-domain documents.
+
+    Scale shape: ONE aggregation over the LM corpus builds the token
+    counts; total and vocabulary size come from a window over that
+    (tiny-relative) counts table, never a second corpus scan.  Scoring
+    explodes the target corpus' tokens and joins the LM table —
+    broadcast by default (vocabularies are usually executor-memory
+    sized; pass broadcast_lm=False to shuffle-join a giant vocabulary) —
+    then one groupBy on doc_id.  Unseen tokens smooth to count 0 via the
+    left join.  Both engines sum ~doc-length logs whose accumulated
+    float-order error sits far below the 1e-6 rounding grid, so the
+    DuckDB oracle replays the score.
+    """
+    lm_src = lm_corpus if lm_corpus is not None else df
+    counts = (lm_src.select(F.explode(tokens(F.col(text_col))).alias('tok'))
+                    .groupBy('tok').agg(F.count(F.lit(1)).alias('__cnt')))
+    # total corpus tokens + vocabulary size: one tiny 1-row aggregate of
+    # the counts table, broadcast-cross-joined onto every scored token
+    # row (a corpus-wide window for the constants would single-partition
+    # the exploded token stream)
+    scalars = counts.agg(F.sum('__cnt').alias('__total'),
+                         F.count(F.lit(1)).alias('__vocab'))
+    toks = (df.select(F.col(id_col).alias('doc_id'),
+                      F.explode(tokens(F.col(text_col))).alias('tok')))
+    joined = (toks.crossJoin(F.broadcast(scalars))
+                  .join(F.broadcast(counts) if broadcast_lm else counts,
+                        'tok', 'left'))
+    neg_lp = -F.log((F.coalesce(F.col('__cnt'), F.lit(0)) + 1.0)
+                    / (F.col('__total') + F.col('__vocab')))
+    return (joined.withColumn('__nlp', neg_lp)
+                  .groupBy('doc_id')
+                  .agg(F.count(F.lit(1)).cast('long').alias('n_scored_tokens'),
+                       F.round(F.sum('__nlp') / F.count(F.lit(1)), 6)
+                       .alias('avg_neg_logprob')))
+
+
 def top_ngrams(df: DataFrame, text_col: str = 'text',
                n: int = 2, k: int = 100) -> DataFrame:
     """Corpus-wide most-frequent word n-grams → (ngram, n_occurrences),

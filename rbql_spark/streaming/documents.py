@@ -47,6 +47,13 @@ def stream_decontaminate(docs: DataFrame, benchmark: DataFrame,
     update per key and apply the min_overlap threshold downstream
     (thresholding inside the stream would emit partial counts the moment
     they cross the bar, before the doc's remaining shingles are summed).
+
+    State note: the (doc, bench) aggregation state has no watermark (the
+    table has no event-time column) and so grows with the distinct flagged
+    docs over the stream's lifetime — bounded in practice because only
+    benchmark-overlapping docs create state, but a forever-stream should
+    recycle the query periodically, as any unwatermarked streaming agg
+    must.
     """
     from rbql_spark.ops.dedup import word_shingles, word_shingles_md5
 

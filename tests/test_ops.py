@@ -807,3 +807,23 @@ def test_write_sharded_roundtrip_manifest(spark, tmp_path, sf_dir):
     tampered = back.withColumn(
         'text', F.when(F.col('doc_id') == 0, F.lit('x')).otherwise(F.col('text')))
     assert not verify_shards(tampered, manifest, n_shards=8)
+
+
+def test_lm_score_flags_gibberish(spark):
+    from rbql_spark.ops.textstats import lm_score
+    common = 'the cat sat on the mat and the dog sat on the rug'
+    df = spark.createDataFrame(
+        [(i, common) for i in range(10)] + [(99, 'zxqv wkjh qqpl mmzn')],
+        'doc_id long, text string')
+    rows = {r['doc_id']: r for r in lm_score(df).collect()}
+    # in-domain docs score far lower (more probable) than the gibberish one
+    assert rows[0]['avg_neg_logprob'] < rows[99]['avg_neg_logprob']
+    assert rows[0]['n_scored_tokens'] == 13
+    # scoring against a separate LM corpus: gibberish tokens are unseen
+    lm = df.filter('doc_id < 10')
+    scored = {r['doc_id']: r for r in lm_score(df, lm_corpus=lm).collect()}
+    assert scored[99]['avg_neg_logprob'] > scored[0]['avg_neg_logprob']
+    # broadcast and shuffle joins agree
+    a = sorted(tuple(r) for r in lm_score(df).collect())
+    b = sorted(tuple(r) for r in lm_score(df, broadcast_lm=False).collect())
+    assert a == b
