@@ -77,6 +77,10 @@ SUBSET = [
     'sim_ann_pq',
     'chunk_documents',
     'bpe_train',
+    'text_quality_filter',
+    'text_lm_score',
+    'sample_split',
+    'export_manifest',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
