@@ -153,3 +153,38 @@ def test_string_coercer_accepts_numpy_float32():
     assert c(np.float32(1.5)) == '1.5'
     assert c(np.float64(2.25)) == '2.25'
     assert c(np.int32(7)) == '7'
+
+
+def test_pipeline_ops_tolerate_null_text(spark):
+    # real corpora carry null documents; none of the round-6 ops may crash
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.dedup import dedup_lines
+    from rbql_spark.ops.sampling import chunk_documents
+    from rbql_spark.ops.textstats import (
+        lm_score, quality_filter, repetition_stats,
+    )
+    df = spark.createDataFrame(
+        [(1, 'the cat sat on the mat'), (2, None), (3, '')],
+        'doc_id long, text string')
+
+    rep = {r['doc_id']: r for r in repetition_stats(df).collect()}
+    assert set(rep) == {1, 2, 3}
+    assert rep[2]['dup_word_frac'] == 0.0 and rep[2]['top_ngram_count'] == 0
+
+    qf = {r['doc_id']: r for r in quality_filter(
+        df, min_words=2, mean_word_len_range=(2, 12)).collect()}
+    assert set(qf) == {1, 2, 3}
+    assert qf[1]['keep'] and not qf[3]['keep']
+
+    # null/empty docs have no tokens: they emit no chunks and no LM rows
+    ch = {r['doc_id'] for r in chunk_documents(df, chunk_size=4, overlap=1).collect()}
+    assert ch == {1}
+    lm = {r['doc_id'] for r in lm_score(df).collect()}
+    assert lm == {1}
+
+    # null text splits to no lines -> doc drops from the rebuild (empty
+    # text keeps its single empty line)
+    dl = {r['doc_id']: r for r in dedup_lines(df, min_count=2).collect()}
+    assert dl[1]['clean_text'] == 'the cat sat on the mat'
+    assert dl[3]['n_lines'] == 1 and dl[3]['n_removed'] == 0
