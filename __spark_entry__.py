@@ -546,6 +546,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_ann_topk(emb, queries_df, k=10, dim=64)
     q['sim_ann_lsh'] = _sim_ann
 
+    def _sim_ann_mp(spark, sf_dir):
+        # multiprobe trades corpus replication for query-side probes:
+        # HALF the tables of sim_ann_lsh, 4 flip-probes per table
+        from rbql_spark.ops.similarity import lsh_ann_topk
+        emb = _t(spark, sf_dir, 'embeddings')
+        queries_df = emb.filter(F.col('vec_id') < 5) \
+                        .select(F.col('vec_id').alias('query_id'), 'embedding')
+        return lsh_ann_topk(emb, queries_df, k=10, dim=64, n_tables=2,
+                            multiprobe=4)
+    q['sim_ann_lsh_multiprobe'] = _sim_ann_mp
+
     def _sim_ivf(spark, sf_dir):
         from rbql_spark.ops.similarity import ivf_ann_topk
         emb = _t(spark, sf_dir, 'embeddings')
@@ -796,6 +807,44 @@ def _ann_lsh_replay_sql(k: int, dim: int, n_planes: int, n_tables: int,
         "ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
         "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
     ).format(k=k)
+
+
+def _ann_lsh_mp_replay_sql(k: int, dim: int, n_planes: int, n_tables: int,
+                           seed: int, mp: int) -> str:
+    """Replay lsh_ann_topk(multiprobe=mp): exact buckets plus, per table,
+    the mp single-bit flips with the smallest round(|margin|, 6) (ties to
+    the lower plane index)."""
+    vals = _plane_values(dim, n_planes, n_tables, seed)
+    return (
+        "WITH planes(tbl, idx, p) AS (SELECT * FROM (VALUES " + vals + ") x(tbl, idx, p)), "
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        "cb AS (SELECT c.vec_id, pl.tbl, sum(CASE WHEN list_dot_product(c.v, pl.p) >= 0 "
+        "THEN 1 << pl.idx ELSE 0 END)::BIGINT AS bucket "
+        "FROM c CROSS JOIN planes pl GROUP BY c.vec_id, pl.tbl), "
+        "qm AS (SELECT q.query_id, pl.tbl, pl.idx, "
+        "list_dot_product(q.qv, pl.p) AS m FROM q CROSS JOIN planes pl), "
+        "qb0 AS (SELECT query_id, tbl, sum(CASE WHEN m >= 0 THEN 1 << idx "
+        "ELSE 0 END)::BIGINT AS bucket FROM qm GROUP BY 1, 2), "
+        "qflip AS (SELECT r.query_id, r.tbl, "
+        "xor(qb0.bucket, (1::BIGINT << r.idx)) AS bucket "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id, tbl "
+        "ORDER BY round(abs(m), 6), idx) AS rn FROM qm) r "
+        "JOIN qb0 ON qb0.query_id = r.query_id AND qb0.tbl = r.tbl "
+        "WHERE r.rn <= {mp}), "
+        "qb AS (SELECT DISTINCT query_id, tbl, bucket FROM "
+        "(SELECT * FROM qb0 UNION ALL SELECT * FROM qflip)), "
+        "cand AS (SELECT DISTINCT qb.query_id, cb.vec_id "
+        "FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket), "
+        "scored AS (SELECT cand.query_id, cand.vec_id, "
+        "round(list_cosine_similarity(c2.v, q2.qv), 6) AS cosine_sim "
+        "FROM cand JOIN c c2 ON c2.vec_id = cand.vec_id "
+        "JOIN q q2 ON q2.query_id = cand.query_id), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
+        "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
+    ).format(mp=mp, k=k)
 
 
 def _ivf_replay_sql(k: int, n_cells: int, n_probe: int, seed: int) -> str:
@@ -1336,6 +1385,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents")
 
     o['sim_ann_lsh'] = _ann_lsh_replay_sql(k=10, dim=64, n_planes=8, n_tables=4, seed=42)
+
+    o['sim_ann_lsh_multiprobe'] = _ann_lsh_mp_replay_sql(
+        k=10, dim=64, n_planes=8, n_tables=2, seed=42, mp=4)
 
     o['sim_ann_ivf'] = _ivf_replay_sql(k=10, n_cells=16, n_probe=4, seed=42)
 

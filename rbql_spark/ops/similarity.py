@@ -80,7 +80,8 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  dim: int = 32, n_planes: int = 8, n_tables: int = 4,
                  id_col: str = 'vec_id', vec_col: str = 'embedding',
-                 query_id_col: str = 'query_id', seed: int = 42) -> DataFrame:
+                 query_id_col: str = 'query_id', seed: int = 42,
+                 multiprobe: int = 0) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH + exact rescore.
 
     Each of n_tables hash tables buckets vectors by n_planes sign bits; a
@@ -92,6 +93,14 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     reuse FileScans across union branches, so the per-table-branch shape
     would read the corpus n_tables times (n_tables full scans of a 100 TB
     embeddings table).  One scan, same rows, same result.
+
+    multiprobe > 0 additionally probes, per table, the `multiprobe`
+    single-bit-flip neighbor buckets whose hyperplane margins are
+    smallest (|dot| rounded to 6, ties to the lower plane index —
+    deterministic, oracle-replayable).  Multiprobe is the 100 TB memory
+    lever: it buys the recall of extra hash tables by expanding only the
+    QUERY side (a few more rows in the broadcast), instead of replicating
+    the corpus ×n_tables in the exploded scan.
     """
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
@@ -99,16 +108,38 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     table_planes = [_hyperplanes(dim, n_planes, seed=seed + 1000 * t)
                     for t in range(n_tables)]
 
-    def _table_buckets(vec: Column) -> Column:
-        return F.explode(F.array(*[
-            F.struct(F.lit(t).alias('table'),
-                     _bucket_expr(vec, planes).alias('bucket'))
-            for t, planes in enumerate(table_planes)]))
+    def _table_buckets(vec: Column, probes: int = 0) -> Column:
+        entries = []
+        for t, planes in enumerate(table_planes):
+            bucket = _bucket_expr(vec, planes)
+            entries.append(F.struct(F.lit(t).alias('table'),
+                                    bucket.alias('bucket')))
+            if probes > 0:
+                # flip the `probes` lowest-|margin| plane bits, one at a
+                # time: sort (round(|dot|, 6), idx) structs, take the
+                # head, XOR the chosen bit into the exact bucket
+                margins = F.array(*[
+                    F.struct(F.round(F.abs(_dot(vec, F.array(
+                        *[F.lit(float(x)) for x in p]))), 6).alias('m'),
+                        F.lit(i).alias('idx'))
+                    for i, p in enumerate(planes)])
+                flips = F.slice(F.array_sort(margins), 1, probes)
+                for j in range(min(probes, len(planes))):
+                    bit = F.element_at(flips, j + 1)['idx']
+                    # shiftleft takes only literal shift counts — 2^bit via
+                    # pow is exact well past any plausible n_planes
+                    mask = F.pow(F.lit(2.0), bit.cast('double')).cast('long')
+                    entries.append(F.struct(
+                        F.lit(t).alias('table'),
+                        bucket.bitwiseXOR(mask).alias('bucket')))
+        return F.explode(F.array(*entries))
 
     cb = (c.select('vec_id', '__cv', _table_buckets(F.col('__cv')).alias('tb'))
            .select('vec_id', '__cv', 'tb.table', 'tb.bucket'))
-    qb = (q.select('query_id', '__qv', _table_buckets(F.col('__qv')).alias('tb'))
-           .select('query_id', '__qv', 'tb.table', 'tb.bucket'))
+    qb = (q.select('query_id', '__qv',
+                   _table_buckets(F.col('__qv'), probes=multiprobe).alias('tb'))
+           .select('query_id', '__qv', 'tb.table', 'tb.bucket')
+           .dropDuplicates(['query_id', 'table', 'bucket']))
     cand = (cb.join(F.broadcast(qb), on=['table', 'bucket'])
               .select('query_id', 'vec_id', '__cv', '__qv')
               .dropDuplicates(['query_id', 'vec_id']))

@@ -827,3 +827,26 @@ def test_lm_score_flags_gibberish(spark):
     a = sorted(tuple(r) for r in lm_score(df).collect())
     b = sorted(tuple(r) for r in lm_score(df, broadcast_lm=False).collect())
     assert a == b
+
+
+def test_lsh_multiprobe_boosts_recall_fewer_tables(spark, emb_df):
+    from rbql_spark.ops.similarity import cosine_topk_bruteforce, lsh_ann_topk
+    queries = emb_df.filter(F.col('vec_id') < 3) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    exact_sets = {}
+    for r in cosine_topk_bruteforce(emb_df, queries, k=10).collect():
+        exact_sets.setdefault(r['query_id'], set()).add(r['vec_id'])
+
+    def recall(df):
+        sets = {}
+        for r in df.collect():
+            sets.setdefault(r['query_id'], set()).add(r['vec_id'])
+        return sum(len(exact_sets[q] & sets.get(q, set())) / len(exact_sets[q])
+                   for q in exact_sets) / len(exact_sets)
+
+    plain = recall(lsh_ann_topk(emb_df, queries, k=10, dim=64,
+                                n_planes=6, n_tables=2))
+    probed = recall(lsh_ann_topk(emb_df, queries, k=10, dim=64,
+                                 n_planes=6, n_tables=2, multiprobe=4))
+    # probing low-margin bit flips only ADDS candidate buckets
+    assert probed >= plain
