@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     'sample_temperature',
     'sim_ann_pq',
     'chunk_documents',
+    'text_quality_filter',
+    'text_lm_score',
+    'profile_table',
 ]
 
 
