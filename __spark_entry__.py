@@ -573,6 +573,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_ann_topk_int8(emb, queries_df, k=10, n_cells=16, n_probe=4)
     q['sim_ann_ivf_int8'] = _sim_ivf8
 
+    def _sim_ivfpq(spark, sf_dir):
+        from rbql_spark.ops.similarity import ivf_pq_ann_topk
+        emb = _t(spark, sf_dir, 'embeddings')
+        queries_df = emb.filter(F.col('vec_id') < 5) \
+                        .select(F.col('vec_id').alias('query_id'), 'embedding')
+        return ivf_pq_ann_topk(emb, queries_df, k=10, n_cells=16, n_probe=4,
+                               m=8, ks=16)
+    q['sim_ann_ivf_pq'] = _sim_ivfpq
+
     def _sim_pq(spark, sf_dir):
         from rbql_spark.ops.similarity import pq_ann_topk
         emb = _t(spark, sf_dir, 'embeddings')
@@ -1016,6 +1025,66 @@ def _pq_replay_sql(k: int, m: int, ks: int, rescore_factor: int,
     ).format(seed=seed, ks=ks, m=m, s=s, shortk=k * rescore_factor, k=k)
 
 
+def _ivf_pq_replay_sql(k: int, n_cells: int, n_probe: int, m: int, ks: int,
+                       rescore_factor: int, seed: int, dim: int = 64) -> str:
+    """Replay ivf_pq_ann_topk: hash centroids / argmax cells / n_probe
+    probes (as _ivf_replay_sql) composed with PQ codebooks / codes /
+    reconstruction (as _pq_replay_sql); candidates = probed cells scored
+    by cosine(query, reconstruction), exact rescore of the shortlist."""
+    s = dim // m
+    return (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 5), "
+        "cent AS (SELECT cell, cv FROM (SELECT v AS cv, row_number() OVER "
+        "(ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id) - 1 AS cell FROM c) "
+        "WHERE cell < {n_cells}), "
+        "asg AS (SELECT vec_id, cell FROM (SELECT c.vec_id, cent.cell, "
+        "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        "round(list_cosine_similarity(c.v, cent.cv), 6) DESC, cent.cell ASC) AS rn "
+        "FROM c CROSS JOIN cent) WHERE rn = 1), "
+        "prb AS (SELECT query_id, cell FROM (SELECT q.query_id, cent.cell, "
+        "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        "round(list_cosine_similarity(q.qv, cent.cv), 6) DESC, cent.cell ASC) AS rn "
+        "FROM q CROSS JOIN cent) WHERE rn <= {n_probe}), "
+        "pcent AS (SELECT code, cv FROM (SELECT v AS cv, row_number() OVER "
+        "(ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id) - 1 AS code FROM c) "
+        "WHERE code < {ks}), "
+        "sub AS (SELECT unnest(range(0, {m})) AS j), "
+        "cb AS (SELECT j, code, array_slice(cv, j*{s} + 1, j*{s} + {s}) AS ccv "
+        "FROM pcent CROSS JOIN sub), "
+        "cdist AS (SELECT cc.vec_id, cb.j, cb.code, "
+        "round(list_distance(array_slice(cc.v, cb.j*{s} + 1, cb.j*{s} + {s}), "
+        "cb.ccv), 6) AS d FROM c cc CROSS JOIN cb), "
+        "ccode AS (SELECT vec_id, j, code FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id, j ORDER BY d ASC, code ASC) AS rn FROM cdist) "
+        "WHERE rn = 1), "
+        "recon AS (SELECT cc.vec_id, flatten(list(cb.ccv ORDER BY cb.j)) AS rv "
+        "FROM ccode cc JOIN cb ON cb.j = cc.j AND cb.code = cc.code "
+        "GROUP BY cc.vec_id), "
+        "scored AS (SELECT p.query_id, a.vec_id, "
+        "CASE WHEN list_dot_product(r.rv, r.rv) > 0 "
+        "AND list_dot_product(q.qv, q.qv) > 0 "
+        "THEN round(list_dot_product(r.rv, q.qv) / "
+        "(sqrt(list_dot_product(r.rv, r.rv)) * sqrt(list_dot_product(q.qv, q.qv))), 6) "
+        "ELSE -1.0 END AS pq_sim "
+        "FROM asg a JOIN prb p ON a.cell = p.cell "
+        "JOIN recon r ON r.vec_id = a.vec_id "
+        "JOIN q ON q.query_id = p.query_id), "
+        "short AS (SELECT query_id, vec_id FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY pq_sim DESC, vec_id) AS rq FROM scored) "
+        "WHERE rq <= {shortk}), "
+        "resc AS (SELECT st.query_id, st.vec_id, "
+        "round(list_cosine_similarity(c.v, q.qv), 6) AS cosine_sim "
+        "FROM short st JOIN c ON c.vec_id = st.vec_id "
+        "JOIN q ON q.query_id = st.query_id), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine_sim DESC, vec_id) AS rank FROM resc) "
+        "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
+    ).format(seed=seed, n_cells=n_cells, n_probe=n_probe, ks=ks, m=m, s=s,
+             shortk=k * rescore_factor, k=k)
+
+
 def _neardup_replay_sql(threshold: float, dim: int, n_planes: int, seed: int) -> str:
     """Replay embedding_near_dup_pairs: single-table LSH bucket self-join +
     exact cosine filter at the (unrounded) threshold."""
@@ -1395,6 +1464,9 @@ def oracle_sql() -> dict[str, str]:
         k=10, n_cells=16, n_probe=4, rescore_factor=4, seed=42)
 
     o['sim_ann_pq'] = _pq_replay_sql(k=10, m=8, ks=16, rescore_factor=4, seed=42)
+
+    o['sim_ann_ivf_pq'] = _ivf_pq_replay_sql(
+        k=10, n_cells=16, n_probe=4, m=8, ks=16, rescore_factor=4, seed=42)
 
     o['sim_embedding_neardup'] = _neardup_replay_sql(
         threshold=0.8, dim=64, n_planes=12, seed=42)

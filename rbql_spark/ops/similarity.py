@@ -360,6 +360,39 @@ def _pq_codebooks(c: DataFrame, m: int, ks: int, seed: int) -> list[list[list[fl
     return [[v[j * s:(j + 1) * s] for v in vecs] for j in range(m)]
 
 
+def _pq_code_exprs(books: list[list[list[float]]]):
+    """(code_builder, recon_builder) over inline codebook literals —
+    shared by pq_ann_topk and ivf_pq_ann_topk."""
+    m = len(books)
+    s = len(books[0][0])
+    book_lits = [F.array(*[F.array(*[F.lit(x) for x in cb]) for cb in books[j]])
+                 for j in range(m)]
+
+    def _code(vec: Column, j: int) -> Column:
+        # transform with an (entry, index) lambda iterates the codebook as
+        # a LOOP in generated code — an unrolled array of ks per-code L2
+        # expressions compiles to a multi-second janino job per stage and
+        # dominated the runtime; the arithmetic (zip-square fold → sqrt →
+        # round 6, ties → lowest code) is unchanged
+        sub = F.slice(vec, j * s + 1, s)
+        keyed = F.transform(
+            book_lits[j],
+            lambda cb, i: F.struct(
+                F.round(F.sqrt(F.aggregate(
+                    F.zip_with(sub, cb, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, v: acc + v)), 6).alias('d'),
+                i.alias('code')))
+        # array_min over (round(dist, 6), code): min dist, ties → lowest code
+        return F.array_min(keyed)['code']
+
+    def _recon(codes: list[Column]) -> Column:
+        # decoded vector: concatenation of the m codebook entries
+        return F.concat(*[F.element_at(book_lits[j], codes[j] + 1)
+                          for j in range(m)])
+
+    return _code, _recon
+
+
 def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 m: int = 8, ks: int = 16, rescore_factor: int = 4,
                 id_col: str = 'vec_id', vec_col: str = 'embedding',
@@ -398,31 +431,7 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
     books = _pq_codebooks(c, m, ks, seed)
-    s = len(books[0][0])
-    book_lits = [F.array(*[F.array(*[F.lit(x) for x in cb]) for cb in books[j]])
-                 for j in range(m)]
-
-    def _code(vec: Column, j: int) -> Column:
-        # transform with an (entry, index) lambda iterates the codebook as
-        # a LOOP in generated code — an unrolled array of ks per-code L2
-        # expressions compiles to a multi-second janino job per stage and
-        # dominated the runtime; the arithmetic (zip-square fold → sqrt →
-        # round 6, ties → lowest code) is unchanged
-        sub = F.slice(vec, j * s + 1, s)
-        keyed = F.transform(
-            book_lits[j],
-            lambda cb, i: F.struct(
-                F.round(F.sqrt(F.aggregate(
-                    F.zip_with(sub, cb, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda acc, v: acc + v)), 6).alias('d'),
-                i.alias('code')))
-        # array_min over (round(dist, 6), code): min dist, ties → lowest code
-        return F.array_min(keyed)['code']
-
-    def _recon(codes: list[Column]) -> Column:
-        # decoded vector: concatenation of the m codebook entries
-        return F.concat(*[F.element_at(book_lits[j], codes[j] + 1)
-                          for j in range(m)])
+    _code, _recon = _pq_code_exprs(books)
 
     # staged projections: codes → reconstruction → per-row norm, so the
     # argmins run once per corpus ROW and the (join-replicated) pair
@@ -442,6 +451,72 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 / (F.sqrt(F.col('__rn2')) * F.sqrt(F.col('__qn2'))), 6)
     ).otherwise(F.lit(-1.0))
     scored = (decoded.join(F.broadcast(qn) if broadcast_queries else qn)
+                     .select('query_id', 'vec_id', pair_sim.alias('pq_sim')))
+    wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(), F.col('vec_id').asc())
+    shortlist = (scored.withColumn('rq', F.row_number().over(wq))
+                       .filter(F.col('rq') <= k * rescore_factor)
+                       .select('query_id', 'vec_id'))
+    rescored = (c.join(F.broadcast(shortlist), 'vec_id')
+                 .join(F.broadcast(q), 'query_id')
+                 .select('query_id', 'vec_id',
+                         F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim')))
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
+    return (rescored.withColumn('rank', F.row_number().over(w))
+                    .filter(F.col('rank') <= k)
+                    .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+                    .orderBy('query_id', 'rank'))
+
+
+def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    n_cells: int = 16, n_probe: int = 4,
+                    m: int = 8, ks: int = 16, rescore_factor: int = 4,
+                    id_col: str = 'vec_id', vec_col: str = 'embedding',
+                    query_id_col: str = 'query_id', seed: int = 42,
+                    broadcast_queries: bool = True) -> DataFrame:
+    """IVF-PQ ANN — the production-standard composition (FAISS's IVFPQ
+    shape, non-residual variant): coarse cells prune WHICH vectors are
+    touched (each query scores only its n_probe nearest cells, ~n_probe /
+    n_cells of the corpus), PQ codes shrink WHAT is read per touched
+    vector (m bytes instead of dim floats), and the exact float rescore
+    touches only the rescore_factor × k shortlist.
+
+    One corpus projection computes cell + codes + reconstruction + norm
+    inline; candidates come from the broadcast probed-query join on the
+    cell id, scored against the PQ reconstruction; the shortlist
+    broadcasts back into the float rescore scan.  Two corpus scans, no
+    corpus shuffle, every stage deterministic (hash centroids +
+    codebooks, round-6 compares) — the DuckDB oracle replays cells,
+    codes, ADC scores, and shortlist membership value-for-value.
+    """
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
+    q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
+    centroids = _train_centroids(c, n_cells, seed, quantizer='hash')
+    _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
+    books = _pq_codebooks(c, m, ks, seed)
+    _code, _recon = _pq_code_exprs(books)
+
+    coded = c.select('vec_id',
+                     _argmax_cell(F.col('__cv')).alias('cell'),
+                     *[_code(F.col('__cv'), j).alias('__c{}'.format(j))
+                       for j in range(m)])
+    decoded = (coded.select('vec_id', 'cell',
+                            _recon([F.col('__c{}'.format(j)) for j in range(m)])
+                            .alias('__rv'))
+                    .select('vec_id', 'cell', '__rv',
+                            _dot(F.col('__rv'), F.col('__rv')).alias('__rn2')))
+    probed = q.select('query_id',
+                      F.explode(_probe_cells(F.col('__qv'))).alias('cell'),
+                      F.col('__qv'),
+                      _dot(F.col('__qv'), F.col('__qv')).alias('__qn2'))
+
+    pair_sim = F.when(
+        (F.col('__rn2') > 0) & (F.col('__qn2') > 0),
+        F.round(_dot(F.col('__rv'), F.col('__qv'))
+                / (F.sqrt(F.col('__rn2')) * F.sqrt(F.col('__qn2'))), 6)
+    ).otherwise(F.lit(-1.0))
+    scored = (decoded.join(F.broadcast(probed) if broadcast_queries else probed,
+                           'cell')
                      .select('query_id', 'vec_id', pair_sim.alias('pq_sim')))
     wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(), F.col('vec_id').asc())
     shortlist = (scored.withColumn('rq', F.row_number().over(wq))

@@ -850,3 +850,32 @@ def test_lsh_multiprobe_boosts_recall_fewer_tables(spark, emb_df):
                                  n_planes=6, n_tables=2, multiprobe=4))
     # probing low-margin bit flips only ADDS candidate buckets
     assert probed >= plain
+
+
+def test_ivf_pq_recall_and_determinism(spark, emb_df):
+    from rbql_spark.ops.similarity import cosine_topk_bruteforce, ivf_pq_ann_topk
+    queries = emb_df.filter(F.col('vec_id') < 3) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    exact_sets = {}
+    for r in cosine_topk_bruteforce(emb_df, queries, k=10).collect():
+        exact_sets.setdefault(r['query_id'], set()).add(r['vec_id'])
+    approx = ivf_pq_ann_topk(emb_df, queries, k=10, n_cells=8, n_probe=4,
+                             m=8, ks=16)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r['query_id'], set()).add(r['vec_id'])
+    recalls = []
+    for qid, ex in exact_sets.items():
+        ap = approx_sets.get(qid, set())
+        # the query's own cell is always probed and its reconstruction
+        # scores itself highly — the double approximation must still
+        # surface the self-match through the exact rescore
+        assert qid in ap
+        recalls.append(len(ex & ap) / len(ex))
+    # two stacked approximations (cell pruning + PQ ADC) on near-uniform
+    # random vectors: a lower floor than either alone
+    assert sum(recalls) / len(recalls) >= 0.2
+    a = [tuple(r) for r in approx.collect()]
+    b = [tuple(r) for r in ivf_pq_ann_topk(emb_df, queries, k=10, n_cells=8,
+                                           n_probe=4, m=8, ks=16).collect()]
+    assert a == b
