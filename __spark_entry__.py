@@ -617,6 +617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lm_score(_t(spark, sf_dir, 'documents'))
     q['text_lm_score'] = _lm_score
 
+    def _lm_score_bigram(spark, sf_dir):
+        from rbql_spark.ops.textstats import lm_score
+        return lm_score(_t(spark, sf_dir, 'documents'), order=2)
+    q['text_lm_score_bigram'] = _lm_score_bigram
+
     def _quality_filter(spark, sf_dir):
         from rbql_spark.ops.textstats import quality_filter
         return quality_filter(_t(spark, sf_dir, 'documents'),
@@ -1576,6 +1581,25 @@ def oracle_sql() -> dict[str, str]:
         "/ count(*), 6) AS avg_neg_logprob "
         "FROM tk LEFT JOIN c ON c.tok = tk.tok CROSS JOIN s "
         "GROUP BY tk.doc_id")
+
+    # conditional-bigram LM replay: -ln((c(prev,w)+1)/(c(prev)+vocab))
+    o['text_lm_score_bigram'] = (
+        "WITH toks AS (SELECT doc_id, " +
+        _SQL_TOKS.format(src="coalesce(text, '')") + " AS t FROM documents), "
+        "bgx AS (SELECT doc_id, t[i] AS prev, "
+        "array_to_string(array_slice(t, i, i + 1), ' ') AS gram "
+        "FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks "
+        "WHERE len(t) >= 2)), "
+        "uni AS (SELECT unnest(t) AS tok FROM toks), "
+        "uc AS (SELECT tok, count(*) AS cnt FROM uni GROUP BY tok), "
+        "v AS (SELECT count(*) AS vocab FROM uc), "
+        "bc AS (SELECT gram, count(*) AS bcnt FROM bgx GROUP BY gram) "
+        "SELECT bgx.doc_id, count(*) AS n_scored_tokens, "
+        "round(sum(-ln((coalesce(bc.bcnt, 0) + 1.0) / "
+        "(coalesce(uc.cnt, 0) + v.vocab))) / count(*), 6) AS avg_neg_logprob "
+        "FROM bgx LEFT JOIN bc ON bc.gram = bgx.gram "
+        "LEFT JOIN uc ON uc.tok = bgx.prev CROSS JOIN v "
+        "GROUP BY bgx.doc_id")
 
     # fused quality filter replay: same signal definitions as the
     # quality/langid oracles, rule names joined in the Spark rule order

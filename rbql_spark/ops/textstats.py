@@ -403,13 +403,18 @@ def quality_filter(df: DataFrame, text_col: str = 'text',
 
 def lm_score(df: DataFrame, lm_corpus: DataFrame | None = None,
              text_col: str = 'text', id_col: str = 'doc_id',
-             broadcast_lm: bool = True) -> DataFrame:
-    """Unigram language-model scoring (the KenLM-style perplexity quality
-    signal, unigram order): train add-one-smoothed token probabilities on
-    `lm_corpus` (default: the scored corpus itself), then score each
-    document → (doc_id, n_scored_tokens, avg_neg_logprob) with
-    avg_neg_logprob = mean over tokens of −ln((count+1)/(total+vocab)),
-    rounded to 6.  High values flag gibberish / out-of-domain documents.
+             broadcast_lm: bool = True, order: int = 1) -> DataFrame:
+    """N-gram language-model scoring (the KenLM-style perplexity quality
+    signal): train add-one-smoothed probabilities on `lm_corpus`
+    (default: the scored corpus itself), then score each document →
+    (doc_id, n_scored_tokens, avg_neg_logprob), rounded to 6.  High
+    values flag gibberish / out-of-domain documents.
+
+    order=1: per-token −ln((count+1)/(total+vocab)).
+    order=2: conditional bigrams −ln((c(prev,w)+1)/(c(prev)+vocab)) —
+    the scoring join carries (prev, bigram) pairs against BOTH count
+    tables (broadcast with the same gate); documents shorter than two
+    tokens emit nothing at order 2.
 
     Scale shape: ONE aggregation over the LM corpus builds the token
     counts; total and vocabulary size come from a window over that
@@ -422,23 +427,55 @@ def lm_score(df: DataFrame, lm_corpus: DataFrame | None = None,
     float-order error sits far below the 1e-6 rounding grid, so the
     DuckDB oracle replays the score.
     """
+    from .dedup import let_once
     lm_src = lm_corpus if lm_corpus is not None else df
-    counts = (lm_src.select(F.explode(tokens(F.col(text_col))).alias('tok'))
-                    .groupBy('tok').agg(F.count(F.lit(1)).alias('__cnt')))
-    # total corpus tokens + vocabulary size: one tiny 1-row aggregate of
-    # the counts table, broadcast-cross-joined onto every scored token
-    # row (a corpus-wide window for the constants would single-partition
-    # the exploded token stream)
-    scalars = counts.agg(F.sum('__cnt').alias('__total'),
-                         F.count(F.lit(1)).alias('__vocab'))
-    toks = (df.select(F.col(id_col).alias('doc_id'),
-                      F.explode(tokens(F.col(text_col))).alias('tok')))
-    joined = (toks.crossJoin(F.broadcast(scalars))
-                  .join(F.broadcast(counts) if broadcast_lm else counts,
-                        'tok', 'left'))
-    neg_lp = -F.log((F.coalesce(F.col('__cnt'), F.lit(0)) + 1.0)
-                    / (F.col('__total') + F.col('__vocab')))
-    return (joined.withColumn('__nlp', neg_lp)
+    uni = (lm_src.select(F.explode(tokens(F.col(text_col))).alias('tok'))
+                 .groupBy('tok').agg(F.count(F.lit(1)).alias('__cnt')))
+    # vocabulary size (and, at order 1, total tokens): one tiny 1-row
+    # aggregate of the counts table, broadcast-cross-joined onto every
+    # scored row (a corpus-wide window for the constants would
+    # single-partition the exploded token stream)
+    scalars = uni.agg(F.sum('__cnt').alias('__total'),
+                      F.count(F.lit(1)).alias('__vocab'))
+
+    if order == 2:
+        def bigram_structs(ta):
+            n = F.size(ta)
+            idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+            return F.when(n >= 2, F.transform(
+                idx, lambda i: F.struct(
+                    F.element_at(ta, i + 1).alias('prev'),
+                    F.concat_ws(' ', F.slice(ta, i + 1, 2)).alias('gram'))
+            )).otherwise(F.array().cast(
+                'array<struct<prev:string,gram:string>>'))
+
+        def bigrams(src, with_id):
+            cols = ([F.col(id_col).alias('doc_id')] if with_id else [])
+            return (src.select(*cols,
+                               F.explode(let_once(tokens(F.col(text_col)),
+                                                  bigram_structs)).alias('bg'))
+                       .select(*(['doc_id'] if with_id else []),
+                               'bg.prev', 'bg.gram'))
+
+        bi = bigrams(lm_src, False).groupBy('gram') \
+            .agg(F.count(F.lit(1)).alias('__bcnt'))
+        scored = (bigrams(df, True)
+                  .crossJoin(F.broadcast(scalars.select('__vocab')))
+                  .join(F.broadcast(bi) if broadcast_lm else bi, 'gram', 'left')
+                  .join(F.broadcast(uni.withColumnRenamed('tok', 'prev'))
+                        if broadcast_lm else uni.withColumnRenamed('tok', 'prev'),
+                        'prev', 'left'))
+        neg_lp = -F.log((F.coalesce(F.col('__bcnt'), F.lit(0)) + 1.0)
+                        / (F.coalesce(F.col('__cnt'), F.lit(0)) + F.col('__vocab')))
+    else:
+        scored = (df.select(F.col(id_col).alias('doc_id'),
+                            F.explode(tokens(F.col(text_col))).alias('tok'))
+                    .crossJoin(F.broadcast(scalars))
+                    .join(F.broadcast(uni) if broadcast_lm else uni,
+                          'tok', 'left'))
+        neg_lp = -F.log((F.coalesce(F.col('__cnt'), F.lit(0)) + 1.0)
+                        / (F.col('__total') + F.col('__vocab')))
+    return (scored.withColumn('__nlp', neg_lp)
                   .groupBy('doc_id')
                   .agg(F.count(F.lit(1)).cast('long').alias('n_scored_tokens'),
                        F.round(F.sum('__nlp') / F.count(F.lit(1)), 6)

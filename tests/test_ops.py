@@ -879,3 +879,23 @@ def test_ivf_pq_recall_and_determinism(spark, emb_df):
     b = [tuple(r) for r in ivf_pq_ann_topk(emb_df, queries, k=10, n_cells=8,
                                            n_probe=4, m=8, ks=16).collect()]
     assert a == b
+
+
+def test_lm_score_bigram_order_sensitivity(spark):
+    from rbql_spark.ops.textstats import lm_score
+    # same word multiset, scrambled order: the unigram model cannot tell
+    # them apart; the bigram model must score the in-order doc far better
+    fluent = 'the cat sat on the mat ' * 5
+    scrambled = 'mat the on sat cat the ' * 5
+    df = spark.createDataFrame(
+        [(i, fluent) for i in range(8)] + [(99, scrambled)],
+        'doc_id long, text string')
+    uni = {r['doc_id']: r['avg_neg_logprob'] for r in lm_score(df).collect()}
+    bi = {r['doc_id']: r['avg_neg_logprob']
+          for r in lm_score(df, order=2).collect()}
+    assert abs(uni[0] - uni[99]) < 1e-6          # unigram: identical
+    assert bi[99] > bi[0]                        # bigram: order matters
+    # a one-token doc emits nothing at order 2
+    one = spark.createDataFrame([(1, 'hello'), (2, 'a b')],
+                                'doc_id long, text string')
+    assert {r['doc_id'] for r in lm_score(one, order=2).collect()} == {2}
