@@ -79,8 +79,12 @@ SUBSET = [
     'bpe_train',
     'text_quality_filter',
     'text_lm_score',
+    'text_lm_score_bigram',
     'sample_split',
     'export_manifest',
+    'dedup_incremental',
+    'sim_ann_lsh_multiprobe',
+    'sim_ann_ivf_pq',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
