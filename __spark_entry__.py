@@ -1394,14 +1394,18 @@ def oracle_sql() -> dict[str, str]:
         "m AS (SELECT min(cnt) AS cmin FROM c), "
         "r AS (SELECT lang, round(pow(cnt * 1.0 / cmin, -0.5), 6) AS rate "
         "FROM c, m) "
-        "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "JOIN r ON d.lang IS NOT DISTINCT FROM r.lang "
         "WHERE " + _unit + " < r.rate")
 
     # deterministic split assignment: cumulative md5-unit thresholds in
-    # declaration order, last split absorbs the tail
+    # declaration order, last split absorbs the tail; the ':split' salt
+    # decorrelates split assignment from the samplers' key hash
+    _split_unit = ("('0x' || md5(doc_id::VARCHAR || ':split:42')[1:8])::BIGINT "
+                   "/ 4294967296.0")
     o['sample_split'] = (
-        "SELECT doc_id, CASE WHEN " + _unit + " < 0.9 THEN 'train' "
-        "WHEN " + _unit + " < 0.95 THEN 'val' ELSE 'test' END AS split "
+        "SELECT doc_id, CASE WHEN " + _split_unit + " < 0.9 THEN 'train' "
+        "WHEN " + _split_unit + " < 0.95 THEN 'val' ELSE 'test' END AS split "
         "FROM documents")
 
     # sharded-export manifest: md5-32(key) mod n shard, order-independent
@@ -1603,14 +1607,15 @@ def oracle_sql() -> dict[str, str]:
 
     # fused quality filter replay: same signal definitions as the
     # quality/langid oracles, rule names joined in the Spark rule order
-    _qf_toks = "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x != '')"
+    _qf_toks = ("list_filter(string_split_regex(lower(coalesce(text, '')), "
+                "'[^\\p{L}\\p{N}]+'), x -> x != '')")
     o['text_quality_filter'] = (
         "WITH f AS (SELECT doc_id, "
-        "len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_words, "
-        "length(text) AS n_chars, "
-        "length(regexp_replace(text, '\\s', '', 'g')) AS word_chars, "
-        "length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct, "
-        "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper, "
+        "len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x != '')) AS n_words, "
+        "length(coalesce(text, '')) AS n_chars, "
+        "length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) AS word_chars, "
+        "length(regexp_replace(coalesce(text, ''), '[^[:punct:]]', '', 'g')) AS n_punct, "
+        "length(regexp_replace(coalesce(text, ''), '[^A-Z]', '', 'g')) AS n_upper, "
         "len(" + _qf_toks + ") AS n_toks, "
         "len(list_filter(" + _qf_toks + ", x -> list_contains(" + _STOP['en'] +
         ", x))) AS n_stop, "

@@ -664,7 +664,12 @@ def dedup_lines(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
     set too large to broadcast (min_count=2 over a pathological corpus).
     """
     t = F.col(text_col)
-    lines = F.split(t, line_sep, -1)
+    # line_sep is a LITERAL separator: F.split takes a Java regex, so an
+    # unescaped '|' or '.' would split on every character while the
+    # DuckDB oracle's string_split stays literal — escape it (re.escape
+    # backslashes every non-alphanumeric, which Java regex accepts)
+    import re as _re
+    lines = F.split(t, _re.escape(line_sep), -1)
     base = df.select(F.col(id_col).alias('doc_id'),
                      F.posexplode(lines).alias('pos', 'line'))
     norm = F.trim(F.col('line'))

@@ -29,10 +29,19 @@ from pyspark.sql import functions as F
 _HASH_SPACE = float(1 << 32)
 
 
-def _hash_unit(key: Column, seed: int) -> Column:
-    """md5-based uniform [0, 1) value from a key column (engine-portable)."""
+def _hash_unit(key: Column, seed: int, op: str = '') -> Column:
+    """md5-based uniform [0, 1) value from a key column (engine-portable).
+
+    `op` salts the hash per OPERATOR: samplers and split_corpus hash the
+    same key with the same default seed, and without a per-op salt the
+    split becomes a deterministic function of sampling survival — any
+    stratum sampled at rate < 0.9 would yield only 'train' rows and zero
+    val/test documents.  The salt makes the two decisions independent
+    while keeping each one rerun-stable and engine-replayable.
+    """
+    salt = ':{}:{}'.format(op, seed) if op else ':{}'.format(seed)
     h32 = F.conv(F.substring(F.md5(F.concat(key.cast('string'),
-                                            F.lit(':{}'.format(seed)))), 1, 8),
+                                            F.lit(salt))), 1, 8),
                  16, 10).cast('long')
     return h32 / F.lit(_HASH_SPACE)
 
@@ -92,7 +101,10 @@ def temperature_sample(df: DataFrame, strata_col: str, alpha: float = 0.5,
         F.col('__g'),
         F.round(F.pow(F.col('__cnt') / F.min('__cnt').over(Window.partitionBy()),
                       F.lit(float(alpha) - 1.0)), 6).alias('__rate'))
-    return (df.join(F.broadcast(rates), df[strata_col] == F.col('__g'))
+    # null-safe join: the groupBy computes a rate for the NULL stratum,
+    # so NULL-stratum rows must reach the filter too (plain == would
+    # silently drop them)
+    return (df.join(F.broadcast(rates), df[strata_col].eqNullSafe(F.col('__g')))
               .where(_hash_unit(F.col(key_col), seed) < F.col('__rate'))
               .drop('__g', '__rate'))
 
@@ -103,11 +115,13 @@ def split_corpus(df: DataFrame, splits: list[tuple[str, float]] | None = None,
     column chosen by its md5 key hash against the cumulative split
     fractions (given order; the last split absorbs rounding slack).
     Same _hash_unit contract as hash_sample — rerun-stable,
-    join-consistent across tables keyed the same way, engine-replayable.
+    join-consistent across tables keyed the same way, engine-replayable —
+    but salted with op='split' so composing a sampler with split_corpus
+    (the documented pipeline shape) keeps the two decisions independent.
     Pure stateless projection: no shuffle, no count pass.
     """
     splits = splits or [('train', 0.9), ('val', 0.05), ('test', 0.05)]
-    u = _hash_unit(F.col(key_col), seed)
+    u = _hash_unit(F.col(key_col), seed, op='split')
     expr = F.lit(splits[-1][0])
     acc = 0.0
     bounds = []

@@ -353,6 +353,9 @@ def _pq_codebooks(c: DataFrame, m: int, ks: int, seed: int) -> list[list[list[fl
              .limit(ks)
              .collect())
     vecs = [[float(x) for x in r['__cv']] for r in rows]
+    if not vecs:
+        raise ValueError('PQ codebook training needs a non-empty corpus '
+                         '(got 0 training vectors)')
     dim = len(vecs[0])
     if dim % m != 0:
         raise ValueError('dim {} not divisible by m={}'.format(dim, m))

@@ -364,7 +364,10 @@ def quality_filter(df: DataFrame, text_col: str = 'text',
     one corpus scan, zero shuffles, whole filter decision in-scan.
     """
     df = spread_partitions(df)
-    t = F.col(text_col)
+    # coalesce NULL text to '' so every rule signal is defined: a NULL
+    # document must fail too_few_words, not slide past NULL-valued
+    # conditions (the DuckDB replay tokenizes coalesce(text, '') too)
+    t = F.coalesce(F.col(text_col), F.lit(''))
     n_chars = F.length(t).cast('double')
     n_words = F.regexp_count(t, F.lit(r'\S+')).cast('double')
     n_punct = F.regexp_count(t, F.lit(r'[\p{Punct}]')).cast('double')

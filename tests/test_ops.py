@@ -899,3 +899,62 @@ def test_lm_score_bigram_order_sensitivity(spark):
     one = spark.createDataFrame([(1, 'hello'), (2, 'a b')],
                                 'doc_id long, text string')
     assert {r['doc_id'] for r in lm_score(one, order=2).collect()} == {2}
+
+
+def test_quality_filter_null_text_fails_reliably(spark):
+    # a NULL document must fail too_few_words (signals are computed over
+    # coalesce(text, '')), not slide past NULL-valued rule conditions
+    from rbql_spark.ops.textstats import quality_filter
+    df = spark.createDataFrame(
+        [(1, None), (2, 'the cat is in the house and that is fine today ok')],
+        'doc_id long, text string')
+    rows = {r['doc_id']: r for r in quality_filter(
+        df, min_words=5, mean_word_len_range=(0.0, 99.0)).collect()}
+    assert not rows[1]['keep'] and 'too_few_words' in rows[1]['reasons']
+    assert rows[2]['keep']
+
+
+def test_dedup_lines_literal_separator_with_metachars(spark):
+    # '|' is a regex metachar: an unescaped separator would split on every
+    # character; the op must treat line_sep literally
+    from rbql_spark.ops.dedup import dedup_lines
+    df = spark.createDataFrame([
+        (1, 'all rights reserved|unique alpha line'),
+        (2, 'all rights reserved|unique beta line'),
+    ], 'doc_id long, text string')
+    rows = {r['doc_id']: r for r in
+            dedup_lines(df, min_count=2, line_sep='|').collect()}
+    assert rows[1]['n_lines'] == 2 and rows[1]['n_removed'] == 1
+    assert rows[1]['clean_text'] == 'unique alpha line'
+    assert rows[2]['clean_text'] == 'unique beta line'
+
+
+def test_temperature_sample_keeps_null_stratum_rows(spark):
+    # NULL-stratum rows get a rate from the groupBy like any other stratum
+    # and must reach the filter (null-safe join), not vanish
+    from rbql_spark.ops.sampling import temperature_sample
+    rows = [(i, 'en') for i in range(200)] + [(1000 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, 'doc_id long, lang string')
+    out = temperature_sample(df, 'lang', alpha=1.0)  # alpha=1 → keep all
+    assert out.count() == df.count()
+    assert out.filter(F.col('lang').isNull()).count() == 5
+
+
+def test_split_corpus_independent_of_sampling_hash(spark, sf_dir):
+    # compose hash_sample(0.5) with split_corpus: the per-op salt keeps
+    # split assignment independent of sampling survival (the unsalted
+    # shared hash made every survivor land in 'train')
+    from rbql_spark.ops.sampling import hash_sample, split_corpus
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    sampled = hash_sample(docs, 0.5)
+    splits = {r['split'] for r in split_corpus(sampled).select('split').distinct().collect()}
+    assert 'val' in splits and 'test' in splits
+
+
+def test_pq_codebooks_empty_corpus_clear_error(spark):
+    from rbql_spark.ops.similarity import pq_ann_topk
+    empty = spark.createDataFrame([], 'vec_id long, embedding array<double>')
+    q = spark.createDataFrame([(0, [0.0] * 64)],
+                              'query_id long, embedding array<double>')
+    with pytest.raises(ValueError, match='non-empty corpus'):
+        pq_ann_topk(empty, q, k=5, m=8, ks=16)
