@@ -565,6 +565,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_ann_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
     q['sim_ann_ivf'] = _sim_ivf
 
+    def _sim_ivf_mp(spark, sf_dir):
+        # index-side multiprobe: every corpus vector indexed in its 2
+        # nearest cells, so probes catch across-boundary neighbors
+        from rbql_spark.ops.similarity import ivf_ann_topk
+        emb = _t(spark, sf_dir, 'embeddings')
+        queries_df = emb.filter(F.col('vec_id') < 5) \
+                        .select(F.col('vec_id').alias('query_id'), 'embedding')
+        return ivf_ann_topk(emb, queries_df, k=10, n_cells=16, n_probe=4,
+                            n_assign=2)
+    q['sim_ann_ivf_multiprobe'] = _sim_ivf_mp
+
     def _sim_ivf8(spark, sf_dir):
         from rbql_spark.ops.similarity import ivf_ann_topk_int8
         emb = _t(spark, sf_dir, 'embeddings')
@@ -894,9 +905,11 @@ def _ann_lsh_mp_replay_sql(k: int, dim: int, n_planes: int, n_tables: int,
     ).format(mp=mp, k=k)
 
 
-def _ivf_replay_sql(k: int, n_cells: int, n_probe: int, seed: int) -> str:
+def _ivf_replay_sql(k: int, n_cells: int, n_probe: int, seed: int,
+                    n_assign: int = 1) -> str:
     """Replay ivf_ann_topk in DuckDB: hash-sampled centroids (n_cells
-    smallest md5(vec_id:seed)), argmax cell assignment, n_probe nearest
+    smallest md5(vec_id:seed)), cell assignment (top-n_assign cells —
+    index-side multiprobe when >1, candidates deduped), n_probe nearest
     cells per query, exact cosine rescore + rank — all on similarities
     rounded to 6 places before comparison, matching the Spark op."""
     return (
@@ -909,18 +922,18 @@ def _ivf_replay_sql(k: int, n_cells: int, n_probe: int, seed: int) -> str:
         "asg AS (SELECT vec_id, v, cell FROM (SELECT c.vec_id, c.v, cent.cell, "
         "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
         "round(list_cosine_similarity(c.v, cent.cv), 6) DESC, cent.cell ASC) AS rn "
-        "FROM c CROSS JOIN cent) WHERE rn = 1), "
+        "FROM c CROSS JOIN cent) WHERE rn <= {n_assign}), "
         "prb AS (SELECT query_id, qv, cell FROM (SELECT q.query_id, q.qv, cent.cell, "
         "row_number() OVER (PARTITION BY q.query_id ORDER BY "
         "round(list_cosine_similarity(q.qv, cent.cv), 6) DESC, cent.cell ASC) AS rn "
         "FROM q CROSS JOIN cent) WHERE rn <= {n_probe}), "
-        "scored AS (SELECT p.query_id, a.vec_id, "
+        "scored AS (SELECT DISTINCT p.query_id, a.vec_id, "
         "round(list_cosine_similarity(a.v, p.qv), 6) AS cosine_sim "
         "FROM asg a JOIN prb p ON a.cell = p.cell), "
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
         "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
-    ).format(seed=seed, n_cells=n_cells, n_probe=n_probe, k=k)
+    ).format(seed=seed, n_cells=n_cells, n_probe=n_probe, n_assign=n_assign, k=k)
 
 
 def _ivf_int8_replay_sql(k: int, n_cells: int, n_probe: int,
@@ -1508,6 +1521,9 @@ def oracle_sql() -> dict[str, str]:
         k=10, dim=64, n_planes=8, n_tables=2, seed=42, mp=4)
 
     o['sim_ann_ivf'] = _ivf_replay_sql(k=10, n_cells=16, n_probe=4, seed=42)
+
+    o['sim_ann_ivf_multiprobe'] = _ivf_replay_sql(
+        k=10, n_cells=16, n_probe=4, seed=42, n_assign=2)
 
     o['sim_ann_ivf_int8'] = _ivf_int8_replay_sql(
         k=10, n_cells=16, n_probe=4, rescore_factor=4, seed=42)

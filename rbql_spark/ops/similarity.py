@@ -206,7 +206,7 @@ def _cell_exprs(centroids: list[list[float]], n_probe: int):
 
 
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                 n_cells: int = 16, n_probe: int = 4,
+                 n_cells: int = 16, n_probe: int = 4, n_assign: int = 1,
                  id_col: str = 'vec_id', vec_col: str = 'embedding',
                  query_id_col: str = 'query_id', seed: int = 42,
                  quantizer: str = 'hash',
@@ -241,6 +241,16 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     executor holds queries × n_probe rows INCLUDING the embedding
     arrays); for bulk query workloads pass False to fall back to a plain
     shuffle join on the cell id.
+
+    n_assign > 1 is INDEX-side multiprobe (FAISS's multi-assignment):
+    each corpus vector is indexed in its n_assign nearest cells, so a
+    query's probes also catch vectors that sit just across a cell
+    boundary.  The candidate set is a strict superset of n_assign=1 —
+    recall can only improve — at the cost of replicating the index
+    ×n_assign (storage, not scan compute, in a deployment that
+    materializes the cell assignment).  Cell ranking reuses the same
+    deterministic round-6 probe order, so the DuckDB oracle replays the
+    assignment exactly.
     """
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
@@ -248,13 +258,22 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     centroids = _train_centroids(c, n_cells, seed, quantizer)
     _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
 
-    assigned = c.select('vec_id', '__cv', _argmax_cell(F.col('__cv')).alias('cell'))
+    if n_assign > 1:
+        _, _assign_cells = _cell_exprs(centroids, n_assign)
+        assigned = c.select('vec_id', '__cv',
+                            F.explode(_assign_cells(F.col('__cv'))).alias('cell'))
+    else:
+        assigned = c.select('vec_id', '__cv',
+                            _argmax_cell(F.col('__cv')).alias('cell'))
     probed = q.select('query_id', '__qv',
                       F.explode(_probe_cells(F.col('__qv'))).alias('cell'))
-    # a corpus vector lives in exactly one cell and a query probes distinct
-    # cells, so candidates are already unique per (query, vec)
+    # with n_assign=1 a corpus vector lives in exactly one cell and a query
+    # probes distinct cells, so candidates are already unique per
+    # (query, vec); multi-assignment can surface a pair via several cells
     cand = assigned.join(F.broadcast(probed) if broadcast_queries else probed,
                          'cell')
+    if n_assign > 1:
+        cand = cand.dropDuplicates(['query_id', 'vec_id'])
     w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
     return (cand.select('query_id', 'vec_id',
                         F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim'))

@@ -958,3 +958,32 @@ def test_pq_codebooks_empty_corpus_clear_error(spark):
                               'query_id long, embedding array<double>')
     with pytest.raises(ValueError, match='non-empty corpus'):
         pq_ann_topk(empty, q, k=5, m=8, ks=16)
+
+
+def test_ivf_multi_assignment_recall_dominates(spark, emb_df):
+    # n_assign=2 indexes each vector in its 2 nearest cells: the candidate
+    # set is a strict superset of n_assign=1 per query, so recall vs the
+    # exact answer can only improve (and candidate counts never shrink)
+    from rbql_spark.ops.similarity import cosine_topk_bruteforce, ivf_ann_topk
+    queries = emb_df.filter(F.col('vec_id') < 5) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    exact = cosine_topk_bruteforce(emb_df, queries, k=10)
+    a1 = ivf_ann_topk(emb_df, queries, k=10, n_cells=8, n_probe=2, n_assign=1)
+    a2 = ivf_ann_topk(emb_df, queries, k=10, n_cells=8, n_probe=2, n_assign=2)
+
+    def recall(approx):
+        ex = {}
+        for r in exact.collect():
+            ex.setdefault(r['query_id'], set()).add(r['vec_id'])
+        ap = {}
+        for r in approx.collect():
+            ap.setdefault(r['query_id'], set()).add(r['vec_id'])
+        per_q = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+        return sum(per_q) / len(per_q)
+
+    r1, r2 = recall(a1), recall(a2)
+    assert r2 >= r1
+    # deterministic across reruns
+    assert sorted(map(tuple, a2.collect())) == \
+        sorted(map(tuple, ivf_ann_topk(emb_df, queries, k=10, n_cells=8,
+                                       n_probe=2, n_assign=2).collect()))
