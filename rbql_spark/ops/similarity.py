@@ -382,6 +382,63 @@ def _pq_codebooks(c: DataFrame, m: int, ks: int, seed: int) -> list[list[list[fl
     return [[v[j * s:(j + 1) * s] for v in vecs] for j in range(m)]
 
 
+def _pq_codebooks_kmeans(c: DataFrame, m: int, ks: int, seed: int,
+                         sample_size: int = 4096,
+                         n_iter: int = 20) -> list[list[list[float]]]:
+    """Per-subspace k-means PQ codebooks (the FAISS-standard trainer):
+    Lloyd iterations over each of the m subvector spaces, run driver-side
+    in numpy on a BOUNDED deterministic training sample (the sample_size
+    corpus vectors with the smallest md5(vec_id:seed) — the same
+    content-hash selection rule as the hash codebooks, so the sample is a
+    pure function of the data).  PQ codebooks are conventionally trained
+    on a sample at any corpus scale, so the driver-side collect is
+    scale-sane: it is O(sample_size × dim), never O(corpus).
+
+    Deterministic given (data, seed, n_iter): init = the ks hash-first
+    sample rows' subvectors, ties in assignment go to the lowest code,
+    empty clusters keep their previous centroid.  k-means centers are NOT
+    bit-replayable in another engine, so kmeans-quantized PQ is gated by
+    recall dominance over the hash codebooks rather than a differential
+    oracle (see ivf_ann_topk's quantizer note)."""
+    import numpy as np
+
+    rows = (c.select('__cv',
+                     F.md5(F.concat(F.col('vec_id').cast('string'),
+                                    F.lit(':{}'.format(seed)))).alias('__h'),
+                     'vec_id')
+             .orderBy('__h', 'vec_id')
+             .limit(int(sample_size))
+             .collect())
+    X = np.asarray([[float(x) for x in r['__cv']] for r in rows])
+    if X.size == 0:
+        raise ValueError('PQ codebook training needs a non-empty corpus '
+                         '(got 0 training vectors)')
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError('dim {} not divisible by m={}'.format(dim, m))
+    s = dim // m
+    books = []
+    for j in range(m):
+        D = X[:, j * s:(j + 1) * s]
+        cent = D[:ks].copy()
+        if len(cent) < ks:                       # tiny corpus: pad by cycling
+            reps = -(-ks // max(1, len(cent)))
+            cent = np.tile(cent, (reps, 1))[:ks]
+        for _ in range(n_iter):
+            d2 = ((D[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            asg = np.argmin(d2, axis=1)          # first min = lowest code
+            new = cent.copy()
+            for code in range(ks):
+                mask = asg == code
+                if mask.any():
+                    new[code] = D[mask].mean(axis=0)
+            if np.array_equal(new, cent):
+                break
+            cent = new
+        books.append([[float(x) for x in row] for row in cent])
+    return books
+
+
 def _pq_code_exprs(books: list[list[list[float]]]):
     """(code_builder, recon_builder) over inline codebook literals —
     shared by pq_ann_topk and ivf_pq_ann_topk."""
@@ -549,7 +606,8 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = 'vec_id', vec_col: str = 'embedding',
                 query_id_col: str = 'query_id', seed: int = 42,
                 broadcast_queries: bool = True,
-                encoder: str = 'arrow') -> DataFrame:
+                encoder: str = 'arrow',
+                quantizer: str = 'hash') -> DataFrame:
     """Product-quantization ANN (exhaustive ADC scan + exact rescore):
     split each vector into m subvectors, encode every subvector as its
     nearest codebook entry (ks entries per subspace, L2, ties to the
@@ -583,6 +641,12 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     numpy kernel over Arrow batches (_pq_codes_arrow — same argmin/tie
     semantics, ~10× less encode wall time); encoder='native' keeps the
     pure-expression path (no Python stage in the plan).
+
+    quantizer='hash' (default) draws codebook entries from content-hash
+    selected corpus rows — replayable by the differential oracle;
+    quantizer='kmeans' trains per-subspace Lloyd codebooks on a bounded
+    hash sample (_pq_codebooks_kmeans) — better quantization error and
+    recall, gated by recall dominance instead of an equality oracle.
     """
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
@@ -597,8 +661,9 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         # two small driver-side jobs (codebook selection, query collect)
         # overlap on separate scheduler threads.
         import concurrent.futures as _cf
+        _train = {'hash': _pq_codebooks, 'kmeans': _pq_codebooks_kmeans}[quantizer]
         with _cf.ThreadPoolExecutor(2) as ex:
-            fb = ex.submit(_pq_codebooks, c, m, ks, seed)
+            fb = ex.submit(_train, c, m, ks, seed)
             fq = ex.submit(q.collect)
         books, qrows = fb.result(), fq.result()
         scored = _pq_adc_scored_arrow(c, qrows, dict(q.dtypes)['query_id'],
@@ -623,7 +688,8 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     # native path: staged projections — codes → reconstruction → per-row
     # norm, so the argmins run once per corpus ROW and the
     # (join-replicated) pair expression touches only precomputed columns
-    books = _pq_codebooks(c, m, ks, seed)
+    books = {'hash': _pq_codebooks,
+             'kmeans': _pq_codebooks_kmeans}[quantizer](c, m, ks, seed)
     _code, _recon = _pq_code_exprs(books)
     coded = c.select('vec_id', *[_code(F.col('__cv'), j).alias('__c{}'.format(j))
                                  for j in range(m)])
@@ -662,7 +728,8 @@ def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = 'vec_id', vec_col: str = 'embedding',
                     query_id_col: str = 'query_id', seed: int = 42,
                     broadcast_queries: bool = True,
-                    encoder: str = 'arrow') -> DataFrame:
+                    encoder: str = 'arrow',
+                    quantizer: str = 'hash') -> DataFrame:
     """IVF-PQ ANN — the production-standard composition (FAISS's IVFPQ
     shape, non-residual variant): coarse cells prune WHICH vectors are
     touched (each query scores only its n_probe nearest cells, ~n_probe /
@@ -681,9 +748,13 @@ def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
-    centroids = _train_centroids(c, n_cells, seed, quantizer='hash')
+    # quantizer steers BOTH trainers: coarse cells (_train_centroids) and
+    # PQ codebooks; 'kmeans' buys recall at the cost of the differential
+    # oracle (gated by recall dominance instead)
+    centroids = _train_centroids(c, n_cells, seed, quantizer=quantizer)
     _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
-    books = _pq_codebooks(c, m, ks, seed)
+    books = {'hash': _pq_codebooks,
+             'kmeans': _pq_codebooks_kmeans}[quantizer](c, m, ks, seed)
     _code, _recon = _pq_code_exprs(books)
 
     # arrow encoder emits codes from a numpy kernel and keeps __cv in the

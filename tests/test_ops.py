@@ -987,3 +987,52 @@ def test_ivf_multi_assignment_recall_dominates(spark, emb_df):
     assert sorted(map(tuple, a2.collect())) == \
         sorted(map(tuple, ivf_ann_topk(emb_df, queries, k=10, n_cells=8,
                                        n_probe=2, n_assign=2).collect()))
+
+
+def test_pq_kmeans_codebooks_dominate_hash(spark, emb_df):
+    # the kmeans trainer initializes from exactly the hash-selected
+    # vectors and Lloyd monotonically decreases quantization error, so on
+    # a corpus within the training-sample bound the kmeans codebooks must
+    # quantize at least as well — and the better shortlist should carry
+    # through to recall vs the exact answer
+    import numpy as np
+
+    from rbql_spark.ops.similarity import (
+        _pq_codebooks, _pq_codebooks_kmeans, cosine_topk_bruteforce, pq_ann_topk,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    c = emb_df.select(F.col('vec_id').alias('vec_id'),
+                      as_double(F.col('embedding')).alias('__cv'))
+    hash_books = _pq_codebooks(c, 8, 16, 42)
+    km_books = _pq_codebooks_kmeans(c, 8, 16, 42)
+    X = np.asarray([[float(x) for x in r['__cv']] for r in c.collect()])
+    s = X.shape[1] // 8
+
+    def qerr(books):
+        total = 0.0
+        for j in range(8):
+            D = X[:, j * s:(j + 1) * s]
+            cb = np.asarray(books[j])
+            d2 = ((D[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            total += d2.min(axis=1).mean()
+        return total
+
+    assert qerr(km_books) <= qerr(hash_books)
+
+    queries = emb_df.filter(F.col('vec_id') < 5) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    exact = {}
+    for r in cosine_topk_bruteforce(emb_df, queries, k=10).collect():
+        exact.setdefault(r['query_id'], set()).add(r['vec_id'])
+
+    def recall(quantizer):
+        ap = {}
+        res = pq_ann_topk(emb_df, queries, k=10, m=8, ks=16,
+                          quantizer=quantizer)
+        for r in res.collect():
+            ap.setdefault(r['query_id'], set()).add(r['vec_id'])
+        per_q = [len(exact[q] & ap.get(q, set())) / len(exact[q]) for q in exact]
+        return sum(per_q) / len(per_q)
+
+    assert recall('kmeans') >= recall('hash')
