@@ -205,12 +205,61 @@ def _cell_exprs(centroids: list[list[float]], n_probe: int):
     return argmax_cell, probe_cells
 
 
+def _cells_arrow(df: DataFrame, centroids: list[list[float]], top_n: int,
+                 vec_col: str) -> DataFrame:
+    """Top-n cell ids per row from a BROADCAST centroid matrix — the
+    large-n_cells regime of IVF cell assignment/probing.
+
+    The inline `_cell_exprs` path embeds n_cells × dim doubles as plan
+    literals in every expression: correct and shuffle-free, but the plan
+    (and its codegen) grows linearly with n_cells — fine in the hundreds,
+    pathological at 4096+.  Here the centroids travel once per executor
+    as a Spark broadcast variable and the argmax runs as a numpy kernel
+    over Arrow batches: plan size is CONSTANT in n_cells, still a single
+    scan with no shuffle (each input row expands to its top_n cells
+    in-place).
+
+    Ordering matches the inline path: similarities rounded half-up to 6
+    places, cells ranked sim DESC then cell ASC (stable argsort of the
+    negated sims keeps ties in ascending-cell order).
+    """
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt(np.einsum('ij,ij->i', C, C))
+    bc = df.sparkSession.sparkContext.broadcast((C, cn))
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField('cell', IntegerType())])
+
+    def assign(batches):
+        CC, ccn = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            denom = np.outer(np.sqrt(np.einsum('ij,ij->i', X, X)), ccn)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                sims = np.floor((X @ CC.T) / denom * 1e6 + 0.5) / 1e6
+            sims = np.where(denom > 0, sims, -1.0)
+            idx = np.argsort(-sims, axis=1, kind='stable')[:, :top_n]
+            out = pdf.loc[pdf.index.repeat(idx.shape[1])].reset_index(drop=True)
+            out['cell'] = idx.reshape(-1).astype('int32')
+            yield out
+
+    return df.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  n_cells: int = 16, n_probe: int = 4, n_assign: int = 1,
                  id_col: str = 'vec_id', vec_col: str = 'embedding',
                  query_id_col: str = 'query_id', seed: int = 42,
                  quantizer: str = 'hash',
-                 broadcast_queries: bool = True) -> DataFrame:
+                 broadcast_queries: bool = True,
+                 centroid_strategy: str = 'auto') -> DataFrame:
     """IVF-flat ANN: partition the corpus into coarse cells around centroid
     vectors; each query probes only its n_probe nearest cells and
     exact-rescores those candidates.
@@ -256,17 +305,30 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
     centroids = _train_centroids(c, n_cells, seed, quantizer)
-    _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
 
-    if n_assign > 1:
-        _, _assign_cells = _cell_exprs(centroids, n_assign)
-        assigned = c.select('vec_id', '__cv',
-                            F.explode(_assign_cells(F.col('__cv'))).alias('cell'))
+    # centroid_strategy: 'inline' embeds the centroids as plan literals
+    # (zero Python stages; plan grows with n_cells — keep it for n_cells
+    # in the hundreds), 'arrow' ships them as a broadcast variable into a
+    # numpy kernel (constant plan size — the n_cells ≥ thousands regime);
+    # 'auto' switches on the actual centroid count
+    strategy = centroid_strategy
+    if strategy == 'auto':
+        strategy = 'inline' if len(centroids) <= 256 else 'arrow'
+    if strategy == 'arrow':
+        assigned = _cells_arrow(c, centroids, top_n=max(1, n_assign),
+                                vec_col='__cv')
+        probed = _cells_arrow(q, centroids, top_n=n_probe, vec_col='__qv')
     else:
-        assigned = c.select('vec_id', '__cv',
-                            _argmax_cell(F.col('__cv')).alias('cell'))
-    probed = q.select('query_id', '__qv',
-                      F.explode(_probe_cells(F.col('__qv'))).alias('cell'))
+        _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
+        if n_assign > 1:
+            _, _assign_cells = _cell_exprs(centroids, n_assign)
+            assigned = c.select('vec_id', '__cv',
+                                F.explode(_assign_cells(F.col('__cv'))).alias('cell'))
+        else:
+            assigned = c.select('vec_id', '__cv',
+                                _argmax_cell(F.col('__cv')).alias('cell'))
+        probed = q.select('query_id', '__qv',
+                          F.explode(_probe_cells(F.col('__qv'))).alias('cell'))
     # with n_assign=1 a corpus vector lives in exactly one cell and a query
     # probes distinct cells, so candidates are already unique per
     # (query, vec); multi-assignment can surface a pair via several cells

@@ -316,3 +316,46 @@ def test_minhash_match_broadcasts_batch_bands(spark, sf_dir):
     plan = minhash_match(batch, index, threshold=0.5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert 'BroadcastExchange' in plan
+
+
+def test_ivf_centroid_strategies_agree_and_join_plan_stays_flat(spark, sf_dir):
+    # 'arrow' ships centroids as a broadcast variable: result-identical to
+    # the inline-literal path at gate scale, and the plan must NOT grow
+    # with n_cells (the inline plan embeds n_cells x dim literals)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.similarity import ivf_ann_topk
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+    q = emb.filter(F.col('vec_id') < 3) \
+           .select(F.col('vec_id').alias('query_id'), 'embedding')
+    a = ivf_ann_topk(emb, q, k=5, n_cells=16, n_probe=4,
+                     centroid_strategy='inline')
+    b = ivf_ann_topk(emb, q, k=5, n_cells=16, n_probe=4,
+                     centroid_strategy='arrow')
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # multi-assignment agrees across strategies too
+    a2 = ivf_ann_topk(emb, q, k=5, n_cells=16, n_probe=4, n_assign=2,
+                      centroid_strategy='inline')
+    b2 = ivf_ann_topk(emb, q, k=5, n_cells=16, n_probe=4, n_assign=2,
+                      centroid_strategy='arrow')
+    assert sorted(map(tuple, a2.collect())) == sorted(map(tuple, b2.collect()))
+
+    # synthetic wide corpus so n_cells can exceed the corpus at gate scale
+    vec = F.array(*[(F.hash(F.col('id'), F.lit(i)) % 1000 / 1000.0)
+                    for i in range(64)])
+    wide = spark.range(5000).select(F.col('id').alias('vec_id'),
+                                    vec.alias('embedding'))
+    wq = wide.filter(F.col('vec_id') < 2) \
+             .select(F.col('vec_id').alias('query_id'), 'embedding')
+    plans = {}
+    for nc in (64, 1024):
+        res = ivf_ann_topk(wide, wq, k=5, n_cells=nc, n_probe=4,
+                           centroid_strategy='arrow')
+        plans[nc] = res._jdf.queryExecution().executedPlan().toString()
+    # constant plan size in n_cells (the centroids live in a broadcast
+    # variable, not the plan); inline at 1024 would embed 65k literals
+    assert len(plans[1024]) < 1.2 * len(plans[64]), (
+        len(plans[64]), len(plans[1024]))
+    # 'auto' picks the arrow kernel in the large-n_cells regime
+    auto = ivf_ann_topk(wide, wq, k=5, n_cells=1024, n_probe=4)
+    assert 'MapInPandas' in auto._jdf.queryExecution().executedPlan().toString()
