@@ -715,6 +715,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return resize_stub(payloads, factor=4)
     q['multimodal_resize'] = _multimodal_resize
 
+    def _pipeline(spark, sf_dir):
+        # the full training-data pipeline as ONE gate: quality filter →
+        # minhash near-dup dedup + connected components → keep canonical →
+        # decontaminate vs the benchmark suite → train split → sequence
+        # packing.  Every stage is the same config as its standalone gate,
+        # so the DuckDB replay composes the per-stage oracles end-to-end.
+        from rbql_spark.ops.dedup import (
+            decontaminate, keep_canonical, minhash_dedup_pairs,
+        )
+        from rbql_spark.ops.sampling import pack_sequences, split_corpus
+        from rbql_spark.ops.textstats import quality_filter
+        docs = _t(spark, sf_dir, 'documents')
+        qf = quality_filter(docs, min_words=20, min_stopword_ratio=0.05,
+                            allowed_langs=['de', 'en', 'es', 'fr'])
+        kept = docs.join(qf.where('keep').select('doc_id'), 'doc_id')
+        pairs = minhash_dedup_pairs(kept, 'text', 'doc_id',
+                                    threshold=0.5, hash_fn='md5')
+        canon = keep_canonical(kept, pairs)
+        bench = docs.filter(F.col('doc_id') % 50 == 0).select('doc_id', 'text')
+        flagged = decontaminate(canon, bench, shingle_k=3, min_overlap=2)
+        clean = canon.join(flagged.select('doc_id').dropDuplicates(),
+                           'doc_id', 'left_anti')
+        train = split_corpus(clean).where("split = 'train'")
+        return pack_sequences(train, max_tokens=256, target_docs_per_bucket=64)
+    q['pipeline_training_data'] = _pipeline
+
     # The driver's CORRECTNESS snapshot records a bounded prefix of this
     # dict (50 entries in round 6 vs 76 gates): order the gates the
     # driver has never checked FIRST so their proof lands in the driver
@@ -749,10 +775,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SQL_TOKS = ("list_filter(string_split_regex(lower({src}), '[^\\p{{L}}\\p{{N}}]+'), "
              "x -> x != '')")
 
+# stopword lists shared with rbql_spark.ops.textstats._STOPWORDS
+_STOP = {
+    'de': "['der','die','und','das','ist','nicht','ein','mit','für','von']",
+    'en': "['the','and','of','to','in','is','that','for','with','was']",
+    'es': "['el','la','de','que','los','es','para','con','una','por']",
+    'fr': "['le','la','et','les','des','est','pour','dans','que','une']",
+}
+
+
+def _qf_replay_sql(source: str = 'documents') -> str:
+    """Replay quality_filter (the text_quality_filter gate config:
+    min_words=20, min_stopword_ratio=0.05, allowed_langs=de/en/es/fr) —
+    same signal definitions as the quality/langid oracles, rule names
+    joined in the Spark rule order; signals over coalesce(text, '')."""
+    _qf_toks = ("list_filter(string_split_regex(lower(coalesce(text, '')), "
+                "'[^\\p{L}\\p{N}]+'), x -> x != '')")
+    return (
+        "WITH f AS (SELECT doc_id, "
+        "len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x != '')) AS n_words, "
+        "length(coalesce(text, '')) AS n_chars, "
+        "length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) AS word_chars, "
+        "length(regexp_replace(coalesce(text, ''), '[^[:punct:]]', '', 'g')) AS n_punct, "
+        "length(regexp_replace(coalesce(text, ''), '[^A-Z]', '', 'g')) AS n_upper, "
+        "len(" + _qf_toks + ") AS n_toks, "
+        "len(list_filter(" + _qf_toks + ", x -> list_contains(" + _STOP['en'] +
+        ", x))) AS n_stop, "
+        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['de'] + ")) AS s_de, "
+        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['en'] + ")) AS s_en, "
+        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['es'] + ")) AS s_es, "
+        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['fr'] + ")) AS s_fr "
+        "FROM " + source + "), "
+        "g AS (SELECT *, "
+        "CASE WHEN n_words > 0 THEN word_chars * 1.0 / n_words ELSE 0.0 END AS mwl, "
+        "CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr, "
+        "CASE WHEN n_chars > 0 THEN n_upper * 1.0 / n_chars ELSE 0.0 END AS ur, "
+        "CASE WHEN n_toks > 0 THEN n_stop * 1.0 / n_toks ELSE 0.0 END AS sr, "
+        "CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und' "
+        " WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
+        " WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
+        " WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
+        " ELSE 'fr' END AS pred FROM f), "
+        "r AS (SELECT doc_id, list_filter(["
+        "CASE WHEN n_words < 20 THEN 'too_few_words' ELSE '' END, "
+        "CASE WHEN n_words > 100000 THEN 'too_many_words' ELSE '' END, "
+        "CASE WHEN mwl < 3.0 OR mwl > 12.0 THEN 'mean_word_len' ELSE '' END, "
+        "CASE WHEN pr > 0.2 THEN 'punct_ratio' ELSE '' END, "
+        "CASE WHEN ur > 0.3 THEN 'upper_ratio' ELSE '' END, "
+        "CASE WHEN sr < 0.05 THEN 'stopword_ratio' ELSE '' END, "
+        "CASE WHEN pred NOT IN ('de', 'en', 'es', 'fr') THEN 'lang' ELSE '' END"
+        "], x -> x != '') AS failed FROM g) "
+        "SELECT doc_id, len(failed) = 0 AS keep, "
+        "coalesce(array_to_string(failed, '|'), '') AS reasons FROM r")
+
 
 def _minhash_replay_sql(num_perm: int, shingle_k: int, seed: int,
                         bands: int, rows_per_band: int, threshold: float,
-                        sides: str = 'self') -> str:
+                        sides: str = 'self',
+                        source: str = 'documents') -> str:
     """Replay minhash_dedup_pairs/ngram_jaccard_pairs (hash_fn='md5') in
     DuckDB: md5-32 shingle hashes → seeded-permutation signatures → band
     keys (joined on the pre-hash concat string — equality is identical to
@@ -781,7 +861,7 @@ def _minhash_replay_sql(num_perm: int, shingle_k: int, seed: int,
     band_rows = ", ".join("({})".format(b) for b in range(bands))
     rpb = str(rows_per_band)
     return (
-        "WITH toks AS (SELECT doc_id, " + toks + " AS t FROM documents), "
+        "WITH toks AS (SELECT doc_id, " + toks + " AS t FROM " + source + "), "
         "shg AS (SELECT doc_id, list_distinct(list_transform(" + shingle_strs +
         ", s -> ('0x' || md5(s)[1:8])::BIGINT)) AS sh FROM toks), "
         "sigs AS (SELECT doc_id, sh, [" + sig_entries + "] AS sig FROM shg), "
@@ -1160,6 +1240,71 @@ def _neardup_replay_sql(threshold: float, dim: int, n_planes: int, seed: int) ->
         "JOIN c cb2 ON cb2.vec_id = cand.vec_b) "
         "SELECT vec_a, vec_b, round(raw, 6) AS cosine_sim FROM s WHERE raw >= {thr}"
     ).format(thr=threshold)
+
+
+def _pipeline_replay_sql() -> str:
+    """Replay the composed training-data pipeline end-to-end: quality
+    filter (the text_quality_filter config) → minhash pairs over the
+    survivors (the dedup_minhash_lsh config) → connected components →
+    keep-canonical → decontaminate vs the every-50th-doc benchmark suite
+    (min_overlap=2) → ':split'-salted train split → greedy packing with
+    the survivor-derived bucket count.  Each fragment is the same SQL the
+    standalone gates replay, re-sourced onto the previous stage's CTE.
+
+    Every stage CTE is MATERIALIZED: the two recursive CTEs (reach, p)
+    reference the upstream chain per iteration, and DuckDB's default
+    CTE inlining would otherwise re-evaluate quality filter + minhash +
+    shingling once per recursion step (measured: minutes instead of
+    seconds at sf0.001)."""
+    mh = _minhash_replay_sql(num_perm=64, shingle_k=3, seed=42, bands=16,
+                             rows_per_band=4, threshold=0.5, source='docs1')
+    dec_toks = _SQL_TOKS.format(src="coalesce(text, '')")
+    dec_shingles = (
+        "CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), "
+        "i -> array_to_string(t[i:i + 2], ' ')) "
+        "ELSE [array_to_string(t, ' ')] END")
+    split_unit = ("('0x' || md5(doc_id::VARCHAR || ':split:42')[1:8])::BIGINT "
+                  "/ 4294967296.0")
+    return (
+        "WITH RECURSIVE "
+        "qkeep AS MATERIALIZED (SELECT doc_id FROM (" + _qf_replay_sql() + ") _qf WHERE keep), "
+        "docs1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN qkeep USING (doc_id)), "
+        "pairs AS MATERIALIZED (SELECT * FROM (" + mh + ") _p), "
+        "edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS id FROM edges), "
+        "reach(id, r) AS (SELECT id, id FROM nodes "
+        "UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id), "
+        "labels AS MATERIALIZED (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id), "
+        "canon AS MATERIALIZED (SELECT doc_id FROM docs1 WHERE doc_id NOT IN "
+        "(SELECT id FROM labels WHERE id != cluster_id)), "
+        "dtoks AS MATERIALIZED (SELECT doc_id, " + dec_toks + " AS t FROM documents), "
+        "dshg AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(" + dec_shingles +
+        ", s -> ('0x' || md5(s)[1:8])::BIGINT)) AS sh FROM dtoks), "
+        "tset AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM dshg "
+        "WHERE doc_id IN (SELECT doc_id FROM canon)), "
+        "bset AS MATERIALIZED (SELECT doc_id AS bench_id, unnest(sh) AS s FROM dshg "
+        "WHERE doc_id % 50 = 0), "
+        "flag0 AS MATERIALIZED (SELECT t.doc_id, b.bench_id FROM tset t JOIN bset b USING (s) "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "clean AS MATERIALIZED (SELECT doc_id FROM canon WHERE doc_id NOT IN "
+        "(SELECT DISTINCT doc_id FROM flag0)), "
+        "tr AS MATERIALIZED (SELECT doc_id FROM clean WHERE " + split_unit + " < 0.9), "
+        "ptoks AS MATERIALIZED (SELECT d.doc_id, len(" + _SQL_TOKS.format(src='d.text') +
+        ") AS n_tokens FROM documents d JOIN tr USING (doc_id)), "
+        "pt AS MATERIALIZED (SELECT doc_id, n_tokens, doc_id % (SELECT "
+        "greatest(1, ceil(count(*) / 64.0))::BIGINT FROM ptoks) AS bucket "
+        "FROM ptoks), "
+        "sq AS MATERIALIZED (SELECT doc_id, n_tokens, bucket, "
+        "row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM pt), "
+        "p(bucket, rn, doc_id, n_tokens, acc, bin_id, bin_seq) AS ("
+        "SELECT bucket, rn, doc_id, n_tokens, n_tokens, 0, 0 FROM sq WHERE rn = 1 "
+        "UNION ALL SELECT sq.bucket, sq.rn, sq.doc_id, sq.n_tokens, "
+        "CASE WHEN p.acc + sq.n_tokens > 256 THEN sq.n_tokens ELSE p.acc + sq.n_tokens END, "
+        "CASE WHEN p.acc + sq.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END, "
+        "CASE WHEN p.acc + sq.n_tokens > 256 THEN 0 ELSE p.bin_seq + 1 END "
+        "FROM sq JOIN p ON sq.bucket = p.bucket AND sq.rn = p.rn + 1) "
+        "SELECT doc_id, n_tokens, bucket, bin_id, bin_seq FROM p")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1573,12 +1718,6 @@ def oracle_sql() -> dict[str, str]:
         "           ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
         "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10")
 
-    _STOP = {
-        'de': "['der','die','und','das','ist','nicht','ein','mit','für','von']",
-        'en': "['the','and','of','to','in','is','that','for','with','was']",
-        'es': "['el','la','de','que','los','es','para','con','una','por']",
-        'fr': "['le','la','et','les','des','est','pour','dans','que','une']",
-    }
     o['text_quality_score'] = (
         "SELECT doc_id, "
         "round(CASE WHEN n_words > 0 THEN total_word_chars * 1.0 / n_words ELSE 0.0 END, 4) AS mean_word_len, "
@@ -1661,46 +1800,9 @@ def oracle_sql() -> dict[str, str]:
         "LEFT JOIN uc ON uc.tok = bgx.prev CROSS JOIN v "
         "GROUP BY bgx.doc_id")
 
-    # fused quality filter replay: same signal definitions as the
-    # quality/langid oracles, rule names joined in the Spark rule order
-    _qf_toks = ("list_filter(string_split_regex(lower(coalesce(text, '')), "
-                "'[^\\p{L}\\p{N}]+'), x -> x != '')")
-    o['text_quality_filter'] = (
-        "WITH f AS (SELECT doc_id, "
-        "len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x != '')) AS n_words, "
-        "length(coalesce(text, '')) AS n_chars, "
-        "length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) AS word_chars, "
-        "length(regexp_replace(coalesce(text, ''), '[^[:punct:]]', '', 'g')) AS n_punct, "
-        "length(regexp_replace(coalesce(text, ''), '[^A-Z]', '', 'g')) AS n_upper, "
-        "len(" + _qf_toks + ") AS n_toks, "
-        "len(list_filter(" + _qf_toks + ", x -> list_contains(" + _STOP['en'] +
-        ", x))) AS n_stop, "
-        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['de'] + ")) AS s_de, "
-        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['en'] + ")) AS s_en, "
-        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['es'] + ")) AS s_es, "
-        "len(list_intersect(list_distinct(" + _qf_toks + "), " + _STOP['fr'] + ")) AS s_fr "
-        "FROM documents), "
-        "g AS (SELECT *, "
-        "CASE WHEN n_words > 0 THEN word_chars * 1.0 / n_words ELSE 0.0 END AS mwl, "
-        "CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr, "
-        "CASE WHEN n_chars > 0 THEN n_upper * 1.0 / n_chars ELSE 0.0 END AS ur, "
-        "CASE WHEN n_toks > 0 THEN n_stop * 1.0 / n_toks ELSE 0.0 END AS sr, "
-        "CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und' "
-        " WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de' "
-        " WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' "
-        " WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' "
-        " ELSE 'fr' END AS pred FROM f), "
-        "r AS (SELECT doc_id, list_filter(["
-        "CASE WHEN n_words < 20 THEN 'too_few_words' ELSE '' END, "
-        "CASE WHEN n_words > 100000 THEN 'too_many_words' ELSE '' END, "
-        "CASE WHEN mwl < 3.0 OR mwl > 12.0 THEN 'mean_word_len' ELSE '' END, "
-        "CASE WHEN pr > 0.2 THEN 'punct_ratio' ELSE '' END, "
-        "CASE WHEN ur > 0.3 THEN 'upper_ratio' ELSE '' END, "
-        "CASE WHEN sr < 0.05 THEN 'stopword_ratio' ELSE '' END, "
-        "CASE WHEN pred NOT IN ('de', 'en', 'es', 'fr') THEN 'lang' ELSE '' END"
-        "], x -> x != '') AS failed FROM g) "
-        "SELECT doc_id, len(failed) = 0 AS keep, "
-        "coalesce(array_to_string(failed, '|'), '') AS reasons FROM r")
+    o['text_quality_filter'] = _qf_replay_sql()
+
+    o['pipeline_training_data'] = _pipeline_replay_sql()
 
     # bigram frequency top-k: total order (count DESC, ngram ASC) makes the
     # k-cut deterministic on both engines
