@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     'text_quality_filter',
     'text_lm_score',
     'profile_table',
+    # round 7 additions (composed pipeline)
+    'pipeline_training_data',
 ]
 
 
