@@ -12,6 +12,14 @@ extra reps (min-of-5) because local[32] single-run numbers carry ±0.4s
 scheduler/GC noise that polluted earlier round-over-round comparisons.
 `queries` reports the per-query min (the comparable number); the median
 rides alongside in `queries_median` as the noise gauge.
+
+Reps are interleaved ROUND-ROBIN across the whole query list (pass 1 of
+everything, then pass 2, ...), not run back-to-back per query: a
+transient contention window on a shared box then inflates one rep of
+many queries instead of every rep of a few, so per-query mins stay
+honest (round-7 postmortem: consecutive reps let contention sink whole
+queries 2-6x).  `loadavg` (os.getloadavg at start/end) rides in the
+artifact as the contention gauge.
 """
 
 from __future__ import annotations
@@ -89,28 +97,45 @@ def main() -> None:
     entrymod._t(spark, SF_DIR, 'lineitem').limit(10).count()
 
     sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
+    load_start = os.getloadavg()
+    samples: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    failed: set[str] = set()
+
+    def run_once(name: str) -> None:
+        t0 = time.perf_counter()
+        try:
+            df = queries[name](spark, SF_DIR)
+            df.write.format('noop').mode('overwrite').save()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+        except Exception as e:  # keep benching; a failed query reports -1
+            failed.add(name)
+            print('BENCH ERROR {}: {}'.format(name, e), file=sys.stderr)
+
+    # round-robin passes: one rep of EVERY query per pass, so a transient
+    # contention window hits one rep of many queries, never all reps of one
+    for _ in range(max(1, REPS)):
+        for name in BENCH_QUERIES:
+            if name not in failed:
+                run_once(name)
+    # sub-second queries are jitter-dominated: extend to min-of-5, still
+    # interleaved across the sub-second subset
+    for _ in range(5 - max(1, REPS)):
+        pending = [n for n in BENCH_QUERIES
+                   if n not in failed and samples[n]
+                   and min(samples[n]) < 1.0 and len(samples[n]) < 5]
+        if not pending:
+            break
+        for name in pending:
+            run_once(name)
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = queries[name]
-        reps: list[float] = []
-        failed = False
-        # sub-second queries are jitter-dominated: extend to min-of-5
-        while len(reps) < max(1, REPS) or (min(reps) < 1.0 and len(reps) < 5):
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, SF_DIR)
-                df.write.format('noop').mode('overwrite').save()
-                reps.append(round(time.perf_counter() - t0, 3))
-            except Exception as e:  # keep benching; a failed query reports -1
-                failed = True
-                print('BENCH ERROR {}: {}'.format(name, e), file=sys.stderr)
-                break
-        if failed or not reps:
+        reps = sorted(samples[name])
+        if name in failed or not reps:
             timings[name] = -1.0
             medians[name] = -1.0
         else:
-            reps.sort()
             timings[name] = reps[0]
             medians[name] = reps[len(reps) // 2]
 
@@ -122,6 +147,7 @@ def main() -> None:
         'queries': timings,
         'queries_median': medians,
         'sf': float(sf) if sf.replace('.', '').isdigit() else sf,
+        'loadavg': {'start': list(load_start), 'end': list(os.getloadavg())},
     }))
     spark.stop()
 

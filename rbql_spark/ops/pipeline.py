@@ -1,0 +1,102 @@
+"""Composed training-data pipeline: quality filter → minhash near-dup
+dedup (LSH + connected components) → keep canonical → decontaminate vs a
+benchmark suite → deterministic train split → sequence packing.
+
+One function so the composition itself is a first-class, testable
+operator.  The key scale concern is corpus I/O: composed naively, the
+stages re-derive the survivor frame from the raw `documents` lineage at
+every reuse point, which executed as FIVE full FileScans of the corpus in
+the round-7 plan.  At 100 TB that is five full-corpus read passes where
+two-to-three suffice, so `materialize=True` (default) persists the two
+frames every later stage re-reads:
+
+  * the quality-filter survivor frame (`kept`) — read by the minhash
+    pair pipeline, the canonical cut, and (via canon) every later stage;
+  * the canonical corpus (`canon`) — read by decontaminate AND re-joined
+    against its own flag output.
+
+With both pinned — and the quality filter run in `output='rows'` mode so
+the survivor frame is decided in-scan (one corpus pass, no doc_id
+self-join) — the executed plan scans the raw corpus at most twice: once
+to build the survivor cache, plus once for the benchmark slice when the
+benchmark is itself derived from the corpus (tests/test_pipeline_e2e.py
+asserts the bound).  StorageLevel is MEMORY_AND_DISK: survivors of an aggressive
+quality filter are a fraction of the corpus, and disk spill beats a
+re-scan of the raw input.  Persisted frames follow the same lifecycle as
+the dedup module's cached builds — call spark.catalog.clearCache()
+between pipelines if the session is long-lived.
+
+Reference scope note: the reference engine (rbql_engine.py) has no
+pipeline composition; this is part of the deliberate large-scale
+training-data superset (SURVEY.md §2 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from rbql_spark.ops.dedup import (
+    decontaminate, keep_canonical, minhash_dedup_pairs,
+)
+from rbql_spark.ops.sampling import pack_sequences, split_corpus
+from rbql_spark.ops.textstats import quality_filter
+
+__all__ = ['training_data_pipeline']
+
+
+def training_data_pipeline(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    text_col: str = 'text',
+    id_col: str = 'doc_id',
+    quality_kwargs: dict | None = None,
+    minhash_kwargs: dict | None = None,
+    decontaminate_kwargs: dict | None = None,
+    split_kwargs: dict | None = None,
+    pack_kwargs: dict | None = None,
+    split_name: str = 'train',
+    materialize: bool = True,
+) -> DataFrame:
+    """Run the full pipeline over `docs`, returning the packed `split_name`
+    slice as (doc_id, n_tokens, bucket, bin_id, bin_seq).
+
+    Every stage takes its standalone-gate defaults; per-stage kwargs
+    override.  `benchmark=None` skips decontamination.  `materialize`
+    persists the survivor and canonical frames (see module docstring);
+    pass False to keep the composition fully lazy (e.g. when the caller
+    persists at its own boundaries or the corpus fits a single scan).
+    """
+    quality_kwargs = dict(quality_kwargs or {})
+    minhash_kwargs = dict(minhash_kwargs or {})
+    decontaminate_kwargs = dict(decontaminate_kwargs or {})
+    split_kwargs = dict(split_kwargs or {})
+    pack_kwargs = dict(pack_kwargs or {})
+    pack_kwargs.setdefault('max_tokens', 2048)
+
+    # output='rows' decides the filter in-scan: survivors arrive with
+    # their original columns from ONE corpus pass, no doc_id self-join
+    kept = quality_filter(docs, text_col=text_col, id_col=id_col,
+                          output='rows', **quality_kwargs)
+    if materialize:
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pairs = minhash_dedup_pairs(kept, text_col, id_col, **minhash_kwargs)
+    canon = keep_canonical(kept, pairs, id_col=id_col)
+    if materialize:
+        canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if benchmark is not None:
+        flagged = decontaminate(canon, benchmark, text_col=text_col,
+                                id_col=id_col, **decontaminate_kwargs)
+        clean = canon.join(flagged.select(id_col).dropDuplicates(),
+                           id_col, 'left_anti')
+    else:
+        clean = canon
+
+    train = (split_corpus(clean, key_col=id_col, **split_kwargs)
+             .where(F.col('split') == split_name))
+    return pack_sequences(train, id_col=id_col, text_col=text_col,
+                          **pack_kwargs)

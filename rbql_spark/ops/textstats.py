@@ -349,7 +349,8 @@ def quality_filter(df: DataFrame, text_col: str = 'text',
                    max_punct_ratio: float = 0.2,
                    max_upper_ratio: float = 0.3,
                    min_stopword_ratio: float = 0.0,
-                   allowed_langs: list[str] | None = None) -> DataFrame:
+                   allowed_langs: list[str] | None = None,
+                   output: str = 'flags') -> DataFrame:
     """The end-to-end C4/Gopher-style corpus filter: apply the standard
     heuristic rules in ONE fused projection → (doc_id, keep, reasons) with
     `reasons` the '|'-joined names of every failed rule (deterministic
@@ -398,6 +399,14 @@ def quality_filter(df: DataFrame, text_col: str = 'text',
         F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(''))
                   for name, cond in rules]),
         lambda x: x != '')
+    if output == 'rows':
+        # survivors with their original columns, decided in-scan: ONE
+        # corpus pass, zero joins — the shape a 100 TB pipeline wants
+        # (flags mode forces a second scan + doc_id join to recover rows)
+        return df.where(F.size(failed) == 0)
+    if output != 'flags':
+        raise ValueError("output must be 'flags' or 'rows', got {!r}"
+                         .format(output))
     return df.select(
         F.col(id_col),
         (F.size(failed) == 0).alias('keep'),
