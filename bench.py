@@ -110,6 +110,10 @@ def main() -> None:
         except Exception as e:  # keep benching; a failed query reports -1
             failed.add(name)
             print('BENCH ERROR {}: {}'.format(name, e), file=sys.stderr)
+        finally:
+            # gates that persist stage frames (pipeline_training_data) must
+            # not carry cache into the next rep — re-materialize honestly
+            spark.catalog.clearCache()
 
     # round-robin passes: one rep of EVERY query per pass, so a transient
     # contention window hits one rep of many queries, never all reps of one

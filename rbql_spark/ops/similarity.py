@@ -36,7 +36,21 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # explicit zero-norm guard: degenerate vectors score -1.0 (sorts last)
+    # instead of NULL from Spark's non-ANSI div-by-zero, so the expression
+    # path agrees with the Arrow kernels' -1.0 rule for zero-norm vectors
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(-1.0))
+
+
+def _round6_np(x):
+    """round-half-AWAY-FROM-ZERO to 6 places on a numpy array — matches
+    Spark's F.round (BigDecimal HALF_UP) for negative values too, where a
+    plain floor(x*1e6+0.5)/1e6 rounds negative midpoints toward +inf.
+    np.where (not copysign) so -0.0 inputs normalize to +0.0."""
+    import numpy as np
+    out = np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    return np.where(x < 0, -out, out)
 
 
 def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -243,7 +257,7 @@ def _cells_arrow(df: DataFrame, centroids: list[list[float]], top_n: int,
                             for v in pdf[vec_col]])
             denom = np.outer(np.sqrt(np.einsum('ij,ij->i', X, X)), ccn)
             with np.errstate(divide='ignore', invalid='ignore'):
-                sims = np.floor((X @ CC.T) / denom * 1e6 + 0.5) / 1e6
+                sims = _round6_np((X @ CC.T) / denom)
             sims = np.where(denom > 0, sims, -1.0)
             idx = np.argsort(-sims, axis=1, kind='stable')[:, :top_n]
             out = pdf.loc[pdf.index.repeat(idx.shape[1])].reset_index(drop=True)
@@ -534,7 +548,9 @@ def _pq_code_exprs(books: list[list[list[float]]]):
     return _code, _recon
 
 
-def _pq_codes_arrow(c: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+def _pq_codes_arrow(c: DataFrame, books: list[list[list[float]]],
+                    centroids: list[list[float]] | None = None,
+                    n_assign: int = 1) -> DataFrame:
     """Arrow-batched PQ encode: (vec_id, __cv) → (vec_id, __cv, __c0..__c{m-1}).
 
     Same semantics as the native `_pq_code_exprs` path — per-subspace L2
@@ -546,12 +562,22 @@ def _pq_codes_arrow(c: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     dominated the ADC scan's wall time: interpreted higher-order
     functions cost ~µs per element).
 
-    Rounding note: half-up at 6 places via floor(x·1e6 + 0.5)/1e6 — it can
+    Rounding note: half-away-from-zero at 6 places (_round6_np) — it can
     differ from Spark's BigDecimal HALF_UP only for values within one ulp
     of a decimal grid midpoint, and a difference matters only when it
     flips an argmin between two distances < 1e-6 apart; verified
     value-identical to the native path and the DuckDB replay on the gate
     data.
+
+    `centroids`/`n_assign` optionally FUSE the IVF coarse-cell assignment
+    into the same Arrow stage (the ivf_pq centroid_strategy='arrow'
+    path): each row additionally gains its n_assign nearest cell ids
+    (same ordering rules as _cells_arrow), expanding to n_assign output
+    rows — codes + cells from ONE kernel pass over one corpus scan, plan
+    size constant in n_cells.
+
+    The vec_id output type follows the input column (ids are not
+    necessarily bigint).
     """
     import numpy as np
     import pandas as pd
@@ -559,12 +585,17 @@ def _pq_codes_arrow(c: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     m = len(books)
     s = len(books[0][0])
     cb = [np.asarray(b, dtype=np.float64) for b in books]
-    schema = ('vec_id long, __cv array<double>, '
+    schema = ('vec_id {}, __cv array<double>, '.format(dict(c.dtypes)['vec_id'])
               + ', '.join('__c{} int'.format(j) for j in range(m)))
+    if centroids is not None:
+        schema += ', cell int'
+        C = np.asarray(centroids, dtype=np.float64)
+        ccn = np.sqrt(np.einsum('ij,ij->i', C, C))
 
     def encode(batches):
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
             X = np.asarray([np.asarray(v, dtype=np.float64)
                             for v in pdf['__cv']])
@@ -575,10 +606,19 @@ def _pq_codes_arrow(c: DataFrame, books: list[list[list[float]]]) -> DataFrame:
                 acc = sq[:, :, 0].copy()
                 for t in range(1, s):
                     acc += sq[:, :, t]
-                d = np.floor(np.sqrt(acc) * 1e6 + 0.5) / 1e6
+                d = _round6_np(np.sqrt(acc))
                 # first occurrence of the min = the lowest code (tie rule)
                 res['__c{}'.format(j)] = np.argmin(d, axis=1).astype('int32')
-            yield pd.DataFrame(res)
+            out = pd.DataFrame(res)
+            if centroids is not None:
+                denom = np.outer(np.sqrt(np.einsum('ij,ij->i', X, X)), ccn)
+                with np.errstate(divide='ignore', invalid='ignore'):
+                    sims = _round6_np((X @ C.T) / denom)
+                sims = np.where(denom > 0, sims, -1.0)
+                idx = np.argsort(-sims, axis=1, kind='stable')[:, :max(1, n_assign)]
+                out = out.loc[out.index.repeat(idx.shape[1])].reset_index(drop=True)
+                out['cell'] = idx.reshape(-1).astype('int32')
+            yield out
 
     return c.mapInPandas(encode, schema=schema)
 
@@ -593,7 +633,8 @@ def _pq_adc_scored_arrow(c: DataFrame, qrows: list,
     _pq_codes_arrow), reconstruction gathered from the codebooks, then
     one numpy matmul against the collected query matrix.  pq_sim =
     round(cos(recon, query), 6) with the same degenerate-norm -1.0 rule
-    as the expression path.
+    as the expression path (cosine()'s zero-norm guard).  Both id output
+    types follow the input columns — ids are not necessarily bigint.
 
     `shortk` prunes each batch to its top-shortk rows per query (by
     pq_sim desc, vec_id asc — the global shortlist order, so a per-batch
@@ -617,7 +658,8 @@ def _pq_adc_scored_arrow(c: DataFrame, qrows: list,
     qids = np.asarray([r['query_id'] for r in qrows])
     Q = np.asarray([[float(x) for x in r['__qv']] for r in qrows])
     qn = np.sqrt(np.einsum('ij,ij->i', Q, Q)) if len(qrows) else None
-    schema = 'query_id {}, vec_id long, pq_sim double'.format(qid_type)
+    schema = 'query_id {}, vec_id {}, pq_sim double'.format(
+        qid_type, dict(c.dtypes)['vec_id'])
 
     def score(batches):
         for pdf in batches:
@@ -633,13 +675,13 @@ def _pq_adc_scored_arrow(c: DataFrame, qrows: list,
                 acc = sq[:, :, 0].copy()
                 for t in range(1, s):
                     acc += sq[:, :, t]
-                d = np.floor(np.sqrt(acc) * 1e6 + 0.5) / 1e6
+                d = _round6_np(np.sqrt(acc))
                 parts.append(cb[j][np.argmin(d, axis=1)])      # (n, s)
             R = np.concatenate(parts, axis=1)                  # (n, dim)
             rn = np.sqrt(np.einsum('ij,ij->i', R, R))
             denom = rn[:, None] * qn[None, :]
             with np.errstate(divide='ignore', invalid='ignore'):
-                sims = np.floor((R @ Q.T) / denom * 1e6 + 0.5) / 1e6
+                sims = _round6_np((R @ Q.T) / denom)
             sims = np.where(denom > 0, sims, -1.0)             # (n, nq)
             vids = pdf['vec_id'].to_numpy()
             if shortk is not None and shortk < n:
@@ -702,7 +744,11 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     encoder='arrow' (default) runs the per-row code assignment as a
     numpy kernel over Arrow batches (_pq_codes_arrow — same argmin/tie
     semantics, ~10× less encode wall time); encoder='native' keeps the
-    pure-expression path (no Python stage in the plan).
+    pure-expression path (no Python stage in the plan).  The arrow path
+    collects the query set into the task closure (the broadcast-sized
+    contract), so broadcast_queries=False routes to the native path —
+    bulk query workloads get the shuffle join they asked for instead of a
+    silent driver collect.
 
     quantizer='hash' (default) draws codebook entries from content-hash
     selected corpus rows — replayable by the differential oracle;
@@ -714,12 +760,13 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
 
-    if encoder == 'arrow':
+    if encoder == 'arrow' and broadcast_queries:
         # fused encode + ADC score in one Arrow stage: the kernel already
         # holds the floats and codebooks, so reconstruct and score against
         # the collected query set in numpy (matmul) instead of emitting
         # codes and paying an interpreted 64-dim fold per (corpus×query)
-        # pair.  Queries are the broadcast-sized side by contract.  The
+        # pair.  Queries are the broadcast-sized side by contract
+        # (broadcast_queries=False falls through to the native path).  The
         # two small driver-side jobs (codebook selection, query collect)
         # overlap on separate scheduler threads.
         import concurrent.futures as _cf
@@ -785,13 +832,14 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                    n_cells: int = 16, n_probe: int = 4,
+                    n_cells: int = 16, n_probe: int = 4, n_assign: int = 1,
                     m: int = 8, ks: int = 16, rescore_factor: int = 4,
                     id_col: str = 'vec_id', vec_col: str = 'embedding',
                     query_id_col: str = 'query_id', seed: int = 42,
                     broadcast_queries: bool = True,
                     encoder: str = 'arrow',
-                    quantizer: str = 'hash') -> DataFrame:
+                    quantizer: str = 'hash',
+                    centroid_strategy: str = 'auto') -> DataFrame:
     """IVF-PQ ANN — the production-standard composition (FAISS's IVFPQ
     shape, non-residual variant): coarse cells prune WHICH vectors are
     touched (each query scores only its n_probe nearest cells, ~n_probe /
@@ -806,6 +854,16 @@ def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     corpus shuffle, every stage deterministic (hash centroids +
     codebooks, round-6 compares) — the DuckDB oracle replays cells,
     codes, ADC scores, and shortlist membership value-for-value.
+
+    centroid_strategy / n_assign mirror ivf_ann_topk: 'inline' embeds the
+    centroids as plan literals (zero extra Python stages; plan grows with
+    n_cells), 'arrow' ships them as a broadcast variable into the same
+    Arrow kernel that computes the PQ codes — encode + cell assignment
+    fused in ONE MapInPandas, plan size constant in n_cells (the
+    large-index regime); 'auto' switches on the centroid count.
+    n_assign > 1 indexes each corpus vector in its n_assign nearest cells
+    (index-side multiprobe; candidates a strict superset, replicating the
+    stored index ×n_assign, not the scan compute).
     """
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
@@ -814,32 +872,59 @@ def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     # PQ codebooks; 'kmeans' buys recall at the cost of the differential
     # oracle (gated by recall dominance instead)
     centroids = _train_centroids(c, n_cells, seed, quantizer=quantizer)
-    _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
     books = {'hash': _pq_codebooks,
              'kmeans': _pq_codebooks_kmeans}[quantizer](c, m, ks, seed)
     _code, _recon = _pq_code_exprs(books)
 
-    # arrow encoder emits codes from a numpy kernel and keeps __cv in the
-    # batch so the (native) cell assignment composes on top — still one
-    # corpus scan for cell + codes
-    if encoder == 'arrow':
-        coded = (_pq_codes_arrow(c, books)
-                 .select('vec_id', _argmax_cell(F.col('__cv')).alias('cell'),
-                         *['__c{}'.format(j) for j in range(m)]))
+    strategy = centroid_strategy
+    if strategy == 'auto':
+        strategy = 'inline' if len(centroids) <= 256 else 'arrow'
+
+    if strategy == 'arrow':
+        if encoder == 'arrow':
+            # codes + n_assign cells from ONE fused kernel / one scan
+            coded = (_pq_codes_arrow(c, books, centroids=centroids,
+                                     n_assign=max(1, n_assign))
+                     .select('vec_id', 'cell',
+                             *['__c{}'.format(j) for j in range(m)]))
+        else:
+            native_codes = c.select(
+                'vec_id', '__cv',
+                *[_code(F.col('__cv'), j).alias('__c{}'.format(j))
+                  for j in range(m)])
+            coded = (_cells_arrow(native_codes, centroids,
+                                  top_n=max(1, n_assign), vec_col='__cv')
+                     .select('vec_id', 'cell',
+                             *['__c{}'.format(j) for j in range(m)]))
+        probed = (_cells_arrow(q, centroids, top_n=n_probe, vec_col='__qv')
+                  .select('query_id', 'cell', '__qv',
+                          _dot(F.col('__qv'), F.col('__qv')).alias('__qn2')))
     else:
-        coded = c.select('vec_id',
-                         _argmax_cell(F.col('__cv')).alias('cell'),
-                         *[_code(F.col('__cv'), j).alias('__c{}'.format(j))
-                           for j in range(m)])
+        _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
+        # arrow encoder emits codes from a numpy kernel and keeps __cv in
+        # the batch so the inline cell expressions compose on top — still
+        # one corpus scan for cell + codes
+        base = _pq_codes_arrow(c, books) if encoder == 'arrow' else c
+        if encoder == 'arrow':
+            code_cols = [F.col('__c{}'.format(j)) for j in range(m)]
+        else:
+            code_cols = [_code(F.col('__cv'), j).alias('__c{}'.format(j))
+                         for j in range(m)]
+        if n_assign > 1:
+            _, _assign_cells = _cell_exprs(centroids, n_assign)
+            cell_expr = F.explode(_assign_cells(F.col('__cv')))
+        else:
+            cell_expr = _argmax_cell(F.col('__cv'))
+        coded = base.select('vec_id', cell_expr.alias('cell'), *code_cols)
+        probed = q.select('query_id',
+                          F.explode(_probe_cells(F.col('__qv'))).alias('cell'),
+                          F.col('__qv'),
+                          _dot(F.col('__qv'), F.col('__qv')).alias('__qn2'))
     decoded = (coded.select('vec_id', 'cell',
                             _recon([F.col('__c{}'.format(j)) for j in range(m)])
                             .alias('__rv'))
                     .select('vec_id', 'cell', '__rv',
                             _dot(F.col('__rv'), F.col('__rv')).alias('__rn2')))
-    probed = q.select('query_id',
-                      F.explode(_probe_cells(F.col('__qv'))).alias('cell'),
-                      F.col('__qv'),
-                      _dot(F.col('__qv'), F.col('__qv')).alias('__qn2'))
 
     pair_sim = F.when(
         (F.col('__rn2') > 0) & (F.col('__qn2') > 0),
@@ -849,6 +934,10 @@ def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = (decoded.join(F.broadcast(probed) if broadcast_queries else probed,
                            'cell')
                      .select('query_id', 'vec_id', pair_sim.alias('pq_sim')))
+    if n_assign > 1:
+        # multi-assignment can surface a (query, vec) pair via several
+        # cells with identical pq_sim — dedup before the shortlist rank
+        scored = scored.dropDuplicates(['query_id', 'vec_id'])
     wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(), F.col('vec_id').asc())
     shortlist = (scored.withColumn('rq', F.row_number().over(wq))
                        .filter(F.col('rq') <= k * rescore_factor)

@@ -359,3 +359,103 @@ def test_ivf_centroid_strategies_agree_and_join_plan_stays_flat(spark, sf_dir):
     # 'auto' picks the arrow kernel in the large-n_cells regime
     auto = ivf_ann_topk(wide, wq, k=5, n_cells=1024, n_probe=4)
     assert 'MapInPandas' in auto._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_pq_centroid_strategies_and_multiassign(spark, sf_dir):
+    # round-8: ivf_pq_ann_topk gets the same large-n_cells and recall
+    # options as plain IVF — arrow centroid strategy (constant plan size)
+    # and index-side multi-assignment, value-identical to inline at gate
+    # scale for both encoders
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.similarity import ivf_pq_ann_topk
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+    q = emb.filter(F.col('vec_id') < 3) \
+           .select(F.col('vec_id').alias('query_id'), 'embedding')
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for enc in ('native', 'arrow'):
+        a = ivf_pq_ann_topk(emb, q, k=5, encoder=enc,
+                            centroid_strategy='inline')
+        b = ivf_pq_ann_topk(emb, q, k=5, encoder=enc,
+                            centroid_strategy='arrow')
+        assert rows(a) == rows(b), enc
+    a2 = ivf_pq_ann_topk(emb, q, k=5, n_assign=2, centroid_strategy='inline')
+    b2 = ivf_pq_ann_topk(emb, q, k=5, n_assign=2, centroid_strategy='arrow')
+    assert rows(a2) == rows(b2)
+    # multi-assignment candidates are a superset: top-k recall >= n_assign=1
+    base = {(r[0], r[1]) for r in rows(ivf_pq_ann_topk(emb, q, k=5))}
+    multi = {(r[0], r[1]) for r in rows(a2)}
+    assert len(multi) >= len(base)
+
+    # constant plan size in n_cells: the centroids live in a broadcast
+    # variable; inline at 1024 cells would embed 65k literals in the plan
+    vec = F.array(*[(F.hash(F.col('id'), F.lit(i)) % 1000 / 1000.0)
+                    for i in range(64)])
+    wide = spark.range(5000).select(F.col('id').alias('vec_id'),
+                                    vec.alias('embedding'))
+    wq = wide.filter(F.col('vec_id') < 2) \
+             .select(F.col('vec_id').alias('query_id'), 'embedding')
+    plans = {}
+    for nc in (64, 1024):
+        res = ivf_pq_ann_topk(wide, wq, k=5, n_cells=nc, n_probe=4,
+                              centroid_strategy='arrow')
+        plans[nc] = res._jdf.queryExecution().executedPlan().toString()
+    assert len(plans[1024]) < 1.2 * len(plans[64]), (
+        len(plans[64]), len(plans[1024]))
+    # 'auto' picks the arrow path in the large-n_cells regime
+    auto = ivf_pq_ann_topk(wide, wq, k=5, n_cells=1024, n_probe=4)
+    assert 'MapInPandas' in auto._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pq_arrow_generic_id_types_and_bulk_query_fallback(spark, sf_dir):
+    # the arrow kernels must not assume bigint ids (schema is derived from
+    # the input columns), and broadcast_queries=False must NOT silently
+    # collect the query set to the driver — it falls back to the native
+    # shuffle-join path (no Python stage in the plan)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.similarity import ivf_pq_ann_topk, pq_ann_topk
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+    q = emb.filter(F.col('vec_id') < 3) \
+           .select(F.col('vec_id').alias('query_id'), 'embedding')
+    emb_s = emb.select(F.concat(F.lit('v'), F.col('vec_id').cast('string'))
+                        .alias('vec_id'), 'embedding')
+    q_s = q.select(F.concat(F.lit('q'), F.col('query_id').cast('string'))
+                    .alias('query_id'), 'embedding')
+
+    r = pq_ann_topk(emb_s, q_s, k=5, encoder='arrow')
+    got = r.collect()
+    assert len(got) == 15 and isinstance(got[0]['vec_id'], str)
+    # string ids through the fused ivf_pq arrow strategy too
+    r2 = ivf_pq_ann_topk(emb_s, q_s, k=5, encoder='arrow',
+                         centroid_strategy='arrow')
+    assert len(r2.collect()) == 15
+
+    nb = pq_ann_topk(emb, q, k=5, encoder='arrow', broadcast_queries=False)
+    plan = nb._jdf.queryExecution().executedPlan().toString()
+    assert 'MapInPandas' not in plan and 'BatchEvalPython' not in plan
+    assert sorted(map(tuple, nb.collect())) == \
+        sorted(map(tuple, pq_ann_topk(emb, q, k=5, encoder='arrow').collect()))
+
+
+def test_cosine_zero_norm_guard(spark):
+    # degenerate (zero-norm) vectors score -1.0 in BOTH the expression path
+    # and the arrow kernels — not NULL from non-ANSI div-by-zero
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.similarity import cosine, cosine_topk_bruteforce
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        'vec_id long, embedding array<double>')
+    sims = df.select(
+        cosine(F.col('embedding'), F.array(F.lit(1.0), F.lit(0.0)))
+        .alias('s')).collect()
+    assert sorted(r['s'] for r in sims) == [-1.0, 1.0]
+    q = spark.createDataFrame([(0, [1.0, 0.0])],
+                              'query_id long, embedding array<double>')
+    top = cosine_topk_bruteforce(df, q, k=2).collect()
+    assert [r['vec_id'] for r in top] == [2, 1]
+    assert [r['cosine_sim'] for r in top] == [1.0, -1.0]
