@@ -59,6 +59,8 @@ def training_data_pipeline(
     pack_kwargs: dict | None = None,
     split_name: str = 'train',
     materialize: bool = True,
+    export_path: str | None = None,
+    export_shards: int = 1024,
 ) -> DataFrame:
     """Run the full pipeline over `docs`, returning the packed `split_name`
     slice as (doc_id, n_tokens, bucket, bin_id, bin_seq).
@@ -68,6 +70,13 @@ def training_data_pipeline(
     persists the survivor and canonical frames (see module docstring);
     pass False to keep the composition fully lazy (e.g. when the caller
     persists at its own boundaries or the corpus fits a single scan).
+
+    `export_path` additionally writes the cleaned `split_name` documents
+    (id + text columns, pre-packing) as content-hash-sharded parquet via
+    write_sharded and returns that WRITE's verification manifest
+    (shard, n_rows, content_checksum) INSTEAD of the packing frame —
+    the deployment-shaped tail of the pipeline, where downstream
+    training jobs read pruned shards and re-verify content.
     """
     quality_kwargs = dict(quality_kwargs or {})
     minhash_kwargs = dict(minhash_kwargs or {})
@@ -98,5 +107,9 @@ def training_data_pipeline(
 
     train = (split_corpus(clean, key_col=id_col, **split_kwargs)
              .where(F.col('split') == split_name))
+    if export_path is not None:
+        from rbql_spark.ops.export import write_sharded
+        return write_sharded(train.select(id_col, text_col), export_path,
+                             n_shards=export_shards, key_col=id_col)
     return pack_sequences(train, id_col=id_col, text_col=text_col,
                           **pack_kwargs)

@@ -123,6 +123,28 @@ def test_training_pipeline_module_matches_inline_composition(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_training_pipeline_export_tail(spark, sf_dir, tmp_path):
+    """export_path switches the pipeline tail to a sharded verified write:
+    the returned manifest covers exactly the clean train split, and the
+    written shards re-verify against it."""
+    from rbql_spark.ops.export import verify_shards
+    from rbql_spark.ops.pipeline import training_data_pipeline
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    out = str(tmp_path / 'shards')
+    try:
+        manifest = training_data_pipeline(
+            docs, None,
+            quality_kwargs=dict(min_words=20, min_stopword_ratio=0.05),
+            minhash_kwargs=dict(threshold=0.5, hash_fn='md5'),
+            export_path=out, export_shards=4)
+        rows = manifest.collect()
+        written = spark.read.parquet(out)
+        assert sum(r['n_rows'] for r in rows) == written.count() > 0
+        assert verify_shards(written.drop('shard'), manifest, n_shards=4)
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_training_pipeline_null_text_and_lang_parity(spark, tmp_path):
     """Pipeline-level NULL robustness: plant documents with NULL text and
     NULL lang into the corpus and assert END-TO-END row parity with the
