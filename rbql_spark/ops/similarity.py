@@ -368,11 +368,12 @@ def _quantize_int8(vec: Column, scale: float = 127.0) -> Column:
 
 
 def ivf_ann_topk_int8(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                      n_cells: int = 16, n_probe: int = 4,
+                      n_cells: int = 16, n_probe: int = 4, n_assign: int = 1,
                       rescore_factor: int = 4,
                       id_col: str = 'vec_id', vec_col: str = 'embedding',
                       query_id_col: str = 'query_id', seed: int = 42,
-                      broadcast_queries: bool = True) -> DataFrame:
+                      broadcast_queries: bool = True,
+                      centroid_strategy: str = 'auto') -> DataFrame:
     """IVF ANN with int8-compressed candidate scoring: probe cells as in
     ivf_ann_topk, order candidates by the cosine of their int8-quantized
     vectors, keep the top rescore_factor × k per query, and exact-rescore
@@ -393,19 +394,41 @@ def ivf_ann_topk_int8(corpus: DataFrame, queries: DataFrame, k: int = 10,
     default, broadcast_queries=False for bulk workloads); the shortlist
     (tiny) BROADCASTS back into a second corpus scan for the float
     rescore — the corpus is never shuffled.
+
+    centroid_strategy / n_assign mirror ivf_ann_topk: 'arrow' ships the
+    centroids as a broadcast variable into a numpy kernel (constant plan
+    size in n_cells), n_assign > 1 indexes each vector in its n_assign
+    nearest cells (index-side multiprobe; the int8 quantization composes
+    on the cell-tagged rows either way).
     """
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
     centroids = _train_centroids(c, n_cells, seed, quantizer='hash')
-    _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
 
-    assigned8 = c.select('vec_id',
-                         _argmax_cell(F.col('__cv')).alias('cell'),
-                         _quantize_int8(F.col('__cv')).alias('__v8'))
-    probed8 = q.select('query_id',
-                       F.explode(_probe_cells(F.col('__qv'))).alias('cell'),
-                       _quantize_int8(F.col('__qv')).alias('__q8'))
+    strategy = centroid_strategy
+    if strategy == 'auto':
+        strategy = 'inline' if len(centroids) <= 256 else 'arrow'
+    if strategy == 'arrow':
+        assigned8 = (_cells_arrow(c, centroids, top_n=max(1, n_assign),
+                                  vec_col='__cv')
+                     .select('vec_id', 'cell',
+                             _quantize_int8(F.col('__cv')).alias('__v8')))
+        probed8 = (_cells_arrow(q, centroids, top_n=n_probe, vec_col='__qv')
+                   .select('query_id', 'cell',
+                           _quantize_int8(F.col('__qv')).alias('__q8')))
+    else:
+        _argmax_cell, _probe_cells = _cell_exprs(centroids, n_probe)
+        if n_assign > 1:
+            _, _assign_cells = _cell_exprs(centroids, n_assign)
+            cell_expr = F.explode(_assign_cells(F.col('__cv')))
+        else:
+            cell_expr = _argmax_cell(F.col('__cv'))
+        assigned8 = c.select('vec_id', cell_expr.alias('cell'),
+                             _quantize_int8(F.col('__cv')).alias('__v8'))
+        probed8 = q.select('query_id',
+                           F.explode(_probe_cells(F.col('__qv'))).alias('cell'),
+                           _quantize_int8(F.col('__qv')).alias('__q8'))
 
     def _sim8(a: Column, b: Column) -> Column:
         na, nb = _dot(a, a), _dot(b, b)
@@ -417,6 +440,10 @@ def ivf_ann_topk_int8(corpus: DataFrame, queries: DataFrame, k: int = 10,
                             'cell')
                       .select('query_id', 'vec_id',
                               _sim8(F.col('__v8'), F.col('__q8')).alias('sim8')))
+    if n_assign > 1:
+        # multi-assignment can surface a (query, vec) pair via several
+        # cells with identical sim8 — dedup before the shortlist rank
+        cand8 = cand8.dropDuplicates(['query_id', 'vec_id'])
     w8 = Window.partitionBy('query_id').orderBy(F.col('sim8').desc(), F.col('vec_id').asc())
     shortlist = (cand8.withColumn('r8', F.row_number().over(w8))
                       .filter(F.col('r8') <= k * rescore_factor)

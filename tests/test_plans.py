@@ -410,6 +410,29 @@ def test_ivf_pq_centroid_strategies_and_multiassign(spark, sf_dir):
     assert 'MapInPandas' in auto._jdf.queryExecution().executedPlan().toString()
 
 
+def test_ivf_int8_centroid_strategies_and_multiassign(spark, sf_dir):
+    # the int8 family member gets the same options: strategies value-agree
+    # (the int8 quantization composes on the cell-tagged rows either way)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.similarity import ivf_ann_topk_int8
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+    q = emb.filter(F.col('vec_id') < 3) \
+           .select(F.col('vec_id').alias('query_id'), 'embedding')
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    a = ivf_ann_topk_int8(emb, q, k=5, centroid_strategy='inline')
+    b = ivf_ann_topk_int8(emb, q, k=5, centroid_strategy='arrow')
+    assert rows(a) == rows(b)
+    a2 = ivf_ann_topk_int8(emb, q, k=5, n_assign=2,
+                           centroid_strategy='inline')
+    b2 = ivf_ann_topk_int8(emb, q, k=5, n_assign=2,
+                           centroid_strategy='arrow')
+    assert rows(a2) == rows(b2)
+
+
 def test_pq_arrow_generic_id_types_and_bulk_query_fallback(spark, sf_dir):
     # the arrow kernels must not assume bigint ids (schema is derived from
     # the input columns), and broadcast_queries=False must NOT silently
