@@ -210,6 +210,21 @@ def main() -> None:
         print('{}: sf0.1={}s sf1={}s ratio={}'.format(name, t01, t1, ratio),
               file=sys.stderr)
 
+    # honest-ratio caveat: the sf1 replicas are letter-permutation
+    # ciphered, so pipeline_training_data's language-allowlist +
+    # stopword-ratio quality rules drop them near-totally — its survivor
+    # set (and thus all post-filter stages) barely grows at sf1.  The
+    # pipeline ratio therefore validates the top-of-funnel scan+filter
+    # scaling; downstream dedup/CC scaling is validated by their
+    # standalone rows (dedup_minhash_lsh, dedup_clusters), which run on
+    # the full corpus without the language gate.
+    if 'pipeline_training_data' in results:
+        results['pipeline_training_data']['note'] = (
+            'ciphered sf1 replicas fail the language/stopword quality '
+            'rules, so post-filter stage input barely grows; ratio '
+            'reflects scan+filter scaling — see dedup_* rows for '
+            'downstream-stage scaling')
+
     artifact = {
         'metric': 'sf1_scale_validation',
         'unit': 'sec',
