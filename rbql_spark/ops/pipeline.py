@@ -61,6 +61,7 @@ def training_data_pipeline(
     materialize: bool = True,
     export_path: str | None = None,
     export_shards: int = 1024,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run the full pipeline over `docs`, returning the packed `split_name`
     slice as (doc_id, n_tokens, bucket, bin_id, bin_seq).
@@ -93,7 +94,12 @@ def training_data_pipeline(
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
 
     pairs = minhash_dedup_pairs(kept, text_col, id_col, **minhash_kwargs)
-    canon = keep_canonical(kept, pairs, id_col=id_col)
+    # checkpoint_dir puts the connected-components iteration state on
+    # reliable storage (keep_canonical → dedup_clusters contract): on a
+    # cluster, executor loss mid-iteration then costs one round, not the
+    # whole multi-hour pipeline
+    canon = keep_canonical(kept, pairs, id_col=id_col,
+                           checkpoint_dir=checkpoint_dir)
     if materialize:
         canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
 

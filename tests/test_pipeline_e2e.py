@@ -145,6 +145,27 @@ def test_training_pipeline_export_tail(spark, sf_dir, tmp_path):
         spark.catalog.clearCache()
 
 
+def test_training_pipeline_empty_and_fully_filtered_corpus(spark, tmp_path):
+    """100 TB jobs hit empty slices: an empty corpus — or one the quality
+    filter rejects entirely — flows through every stage to an empty
+    result, no crash; checkpoint_dir passthrough exercises the reliable
+    CC-state path."""
+    from rbql_spark.ops.pipeline import training_data_pipeline
+    schema = 'doc_id long, text string, lang string, source string, n_chars long'
+    empty = spark.createDataFrame([], schema)
+    try:
+        assert training_data_pipeline(
+            empty, None, minhash_kwargs=dict(threshold=0.5, hash_fn='md5'),
+            checkpoint_dir=str(tmp_path / 'cc')).count() == 0
+        rejected = spark.createDataFrame(
+            [(1, 'x', 'en', 's', 1), (2, 'y y', 'en', 's', 3)], schema)
+        assert training_data_pipeline(
+            rejected, None, quality_kwargs=dict(min_words=50),
+            minhash_kwargs=dict(threshold=0.5, hash_fn='md5')).count() == 0
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_training_pipeline_null_text_and_lang_parity(spark, tmp_path):
     """Pipeline-level NULL robustness: plant documents with NULL text and
     NULL lang into the corpus and assert END-TO-END row parity with the
