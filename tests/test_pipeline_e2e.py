@@ -91,10 +91,24 @@ def test_training_pipeline_scan_bound(spark, sf_dir):
     documents.parquet at most twice — survivor-cache build + the
     corpus-derived benchmark slice.  Round 7 shipped 5 scans; at 100 TB
     each extra scan is a full-corpus I/O pass."""
+    import re
+
     import __spark_entry__ as entrymod
     df = entrymod.queries()['pipeline_training_data'](spark, sf_dir)
     try:
         assert _count_corpus_scans(df, 'documents') <= 2
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # no pair-space blowups, no Python stages anywhere in the chain
+        assert 'CartesianProduct' not in plan
+        assert 'MapInPandas' not in plan and 'BatchEvalPython' not in plan
+        # bounded shuffle count (distinct by plan_id — cached subtrees
+        # print their exchanges once per reference): r7 executed 10,
+        # stage materialization brought it to 7 (2 small-scan spreads,
+        # 2 CC-iteration, 2 dedup join-backs, 1 packing bucket)
+        ids = {m.group(1) for m in re.finditer(
+            r'Exchange (?:hash|range|RoundRobin|Single)\w*[^\n]*plan_id=(\d+)',
+            plan)}
+        assert len(ids) <= 8, sorted(ids)
         # and the result is still real work, not an empty survivor set
         assert df.count() > 0
     finally:
