@@ -392,6 +392,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select('doc_id', 'bench_id', 'n_overlap'))
     q['streaming_decontaminate'] = _streaming_decontaminate
 
+    def _streaming_quality_filter(spark, sf_dir):
+        # streaming quality filter: documents replayed in two halves; the
+        # operator is a stateless fused projection, so the stream's
+        # lifetime append output equals the batch quality_filter over the
+        # same documents — the oracle is the batch replay SQL
+        from rbql_spark.streaming.documents import (
+            read_document_stream, stream_quality_filter,
+        )
+        from rbql_spark.streaming.events import run_stream_to_memory
+        tmp = _stream_replay_dir(spark, sf_dir, 'qf',
+                                 ['doc_id % 2 = 0', 'doc_id % 2 = 1'],
+                                 table='documents')
+        stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
+        flags = stream_quality_filter(
+            stream, min_words=20, min_stopword_ratio=0.05,
+            allowed_langs=['de', 'en', 'es', 'fr'])
+        qname = 'rbql_stream_qf_gate'
+        sq = run_stream_to_memory(flags, qname, output_mode='append')
+        sq.stop()
+        return spark.table(qname).select('doc_id', 'keep', 'reasons')
+    q['streaming_quality_filter'] = _streaming_quality_filter
+
     # ---- superset: dedup --------------------------------------------------
     def _dedup_exact(spark, sf_dir):
         from rbql_spark.ops.dedup import exact_dedup
@@ -757,7 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'setop_union_all', 'setop_intersect', 'setop_except',
         'streaming_windowed_counts', 'streaming_user_totals',
         'streaming_exact_dedup', 'streaming_minhash_neardup',
-        'streaming_decontaminate',
+        'streaming_decontaminate', 'streaming_quality_filter',
         'dedup_exact', 'dedup_minhash_lsh', 'dedup_simhash',
         'dedup_incremental', 'dedup_ngram_jaccard', 'decontaminate_ngram',
         'dedup_clusters', 'dedup_keep_canonical', 'dedup_lines',
@@ -1709,6 +1731,8 @@ def oracle_sql() -> dict[str, str]:
     # streaming decontamination's lifetime final state per key equals the
     # batch decontaminate answer — same replay as decontaminate_ngram
     o['streaming_decontaminate'] = o['decontaminate_ngram']
+    # stateless projection: lifetime stream output == the batch filter
+    o['streaming_quality_filter'] = _qf_replay_sql()
 
     o['dedup_exact'] = (
         "SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash, "

@@ -158,3 +158,25 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
     return (banded.groupBy('band_idx', 'band_hash')
                   .applyInPandasWithState(update_fn, out_schema, state_schema,
                                           'update', GroupStateTimeout.NoTimeout))
+
+
+def stream_quality_filter(docs: DataFrame, text_col: str = 'text',
+                          id_col: str = 'doc_id', **kwargs) -> DataFrame:
+    """Streaming corpus quality filtering — the streaming face of
+    ops.textstats.quality_filter.
+
+    The batch operator is ONE stateless fused projection (every heuristic
+    signal is a native expression over the same row), so it applies to a
+    stream unchanged: append mode, no state, no watermark — each arriving
+    document is decided inside its own micro-batch's scan tasks, and the
+    stream's lifetime output equals the batch answer over the same
+    documents (the differential oracle).  kwargs pass through to
+    quality_filter (min_words, allowed_langs, output='rows', ...); with
+    output='rows' this is the streaming ingest filter that admits only
+    survivors into a corpus.
+
+    (quality_filter's small-scan repartition guard recognizes streaming
+    inputs and passes them through untouched.)
+    """
+    from rbql_spark.ops.textstats import quality_filter
+    return quality_filter(docs, text_col=text_col, id_col=id_col, **kwargs)

@@ -199,3 +199,49 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         assert (3, 100) not in got             # unrelated doc stays clean
     finally:
         q.stop()
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path, sf_dir):
+    # stateless fused projection: the stream's lifetime append output must
+    # equal the batch quality_filter over the same documents — NULL text
+    # and output='rows' included
+    import os
+
+    from rbql_spark.ops.textstats import quality_filter
+    from rbql_spark.streaming.documents import (
+        read_document_stream, stream_quality_filter,
+    )
+    from rbql_spark.streaming.events import run_stream_to_memory
+
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet')) \
+                .unionByName(spark.createDataFrame(
+                    [(990001, None, None, 'planted', 0)],
+                    'doc_id long, text string, lang string, source string, '
+                    'n_chars long'))
+    out = os.path.join(str(tmp_path), 'qf_stream')
+    docs.where('doc_id % 2 = 0').coalesce(1).write.mode('overwrite').parquet(out)
+    docs.where('doc_id % 2 = 1').coalesce(1).write.mode('append').parquet(out)
+
+    stream = read_document_stream(spark, out, max_files_per_trigger=1)
+    q = run_stream_to_memory(
+        stream_quality_filter(stream, min_words=10), 'qf_sink')
+    try:
+        got = sorted(map(tuple, spark.table('qf_sink')
+                         .select('doc_id', 'keep', 'reasons').collect()))
+        want = sorted(map(tuple,
+                          quality_filter(docs, min_words=10).collect()))
+        assert got == want and len(got) == docs.count()
+    finally:
+        q.stop()
+
+    # rows mode streams survivors with their original columns
+    q2 = run_stream_to_memory(
+        stream_quality_filter(stream, min_words=10, output='rows'),
+        'qf_rows_sink')
+    try:
+        got_ids = {r['doc_id'] for r in spark.table('qf_rows_sink').collect()}
+        want_ids = {r['doc_id'] for r in quality_filter(
+            docs, min_words=10, output='rows').collect()}
+        assert got_ids == want_ids and 990001 not in got_ids
+    finally:
+        q2.stop()
