@@ -482,3 +482,63 @@ def test_cosine_zero_norm_guard(spark):
     top = cosine_topk_bruteforce(df, q, k=2).collect()
     assert [r['vec_id'] for r in top] == [2, 1]
     assert [r['cosine_sim'] for r in top] == [1.0, -1.0]
+
+
+def test_ivf_pq_residual_encoding(spark, sf_dir):
+    # FAISS-style residual IVF-PQ: encoders/strategies/multi-assign agree
+    # on gate data; reconstruction fidelity dominates raw encoding on
+    # CLUSTERED vectors (the distribution residual encoding exists for) —
+    # on isotropic gate embeddings raw wins, which is why residual is
+    # opt-in (see ivf_pq_ann_topk docstring)
+    import numpy as np
+    import pytest  # noqa: F811
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.similarity import (
+        _pq_codebooks_kmeans, _pq_codes_arrow, _train_centroids, cosine,
+        ivf_pq_ann_topk,
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+    q = emb.filter(F.col('vec_id') < 3) \
+           .select(F.col('vec_id').alias('query_id'), 'embedding')
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    a = ivf_pq_ann_topk(emb, q, k=5, residual=True, encoder='arrow',
+                        centroid_strategy='inline')
+    b = ivf_pq_ann_topk(emb, q, k=5, residual=True, encoder='native',
+                        centroid_strategy='inline')
+    c = ivf_pq_ann_topk(emb, q, k=5, residual=True, encoder='arrow',
+                        centroid_strategy='arrow')
+    assert rows(a) == rows(b) == rows(c) and len(rows(a)) == 15
+    a2 = ivf_pq_ann_topk(emb, q, k=5, residual=True, n_assign=2)
+    b2 = ivf_pq_ann_topk(emb, q, k=5, residual=True, n_assign=2,
+                         encoder='native', centroid_strategy='inline')
+    assert rows(a2) == rows(b2)
+    with pytest.raises(ValueError):
+        ivf_pq_ann_topk(emb, q, k=5, residual=True, encoder='native',
+                        centroid_strategy='arrow')
+
+    # clustered corpus: 8 tight clusters on the unit sphere
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for i in range(1000):
+        v = centers[i % 8] + 0.15 * rng.standard_normal(32)
+        v /= np.linalg.norm(v)
+        pts.append((i, [float(x) for x in v]))
+    cdf = spark.createDataFrame(pts, 'vec_id long, embedding array<double>') \
+               .select('vec_id', F.col('embedding').alias('__cv'))
+    cents = _train_centroids(cdf, 8, 42, 'kmeans')
+
+    def recon_quality(residual):
+        books = _pq_codebooks_kmeans(
+            cdf, 8, 16, 42, residual_centroids=cents if residual else None)
+        rec = _pq_codes_arrow(cdf, books, centroids=cents, n_assign=1,
+                              residual=residual, emit_recon=True)
+        return rec.select(F.avg(cosine(F.col('__cv'), F.col('__rv')))) \
+                  .collect()[0][0]
+
+    assert recon_quality(True) > recon_quality(False)
