@@ -620,6 +620,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                m=8, ks=16)
     q['sim_ann_ivf_pq'] = _sim_ivfpq
 
+    def _sim_index_search(spark, sf_dir):
+        # the deployment shape: IVF-PQ index materialized ONCE as
+        # cell-partitioned parquet (partition pruning limits each search
+        # to its probed cells), searched at the same parameters as the
+        # sim_ann_ivf_pq gate — results are row-identical by design, so
+        # the same oracle replays it
+        import hashlib
+        import tempfile
+
+        from rbql_spark.ops.ann_index import (
+            build_ivf_pq_index, search_ivf_pq_index,
+        )
+        src = os.path.join(sf_dir, 'embeddings.parquet')
+        try:
+            stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
+        except OSError:
+            stamp = ''
+        key = hashlib.md5('{}|{}'.format(sf_dir, stamp).encode()).hexdigest()[:10]
+        path = os.path.join(tempfile.gettempdir(),
+                            'rbql_annidx_{}'.format(key))
+        if not os.path.exists(os.path.join(path, '_SUCCESS')):
+            build_ivf_pq_index(_t(spark, sf_dir, 'embeddings'), path,
+                               n_cells=16, m=8, ks=16)
+        emb = _t(spark, sf_dir, 'embeddings')
+        queries_df = emb.filter(F.col('vec_id') < 5) \
+                        .select(F.col('vec_id').alias('query_id'), 'embedding')
+        return search_ivf_pq_index(spark, path, queries_df, k=10, n_probe=4)
+    q['sim_ann_index_search'] = _sim_index_search
+
     def _sim_pq(spark, sf_dir):
         from rbql_spark.ops.similarity import pq_ann_topk
         emb = _t(spark, sf_dir, 'embeddings')
@@ -780,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'streaming_windowed_counts', 'streaming_user_totals',
         'streaming_exact_dedup', 'streaming_minhash_neardup',
         'streaming_decontaminate', 'streaming_quality_filter',
+        'sim_ann_index_search',
         'dedup_exact', 'dedup_minhash_lsh', 'dedup_simhash',
         'dedup_incremental', 'dedup_ngram_jaccard', 'decontaminate_ngram',
         'dedup_clusters', 'dedup_keep_canonical', 'dedup_lines',
@@ -1705,6 +1735,10 @@ def oracle_sql() -> dict[str, str]:
 
     o['sim_ann_ivf_pq'] = _ivf_pq_replay_sql(
         k=10, n_cells=16, n_probe=4, m=8, ks=16, rescore_factor=4, seed=42)
+    # the stored-index search is row-identical to the in-plan operator at
+    # the same parameters (the index is a cache, not a semantic fork), so
+    # the same replay is its oracle
+    o['sim_ann_index_search'] = o['sim_ann_ivf_pq']
 
     o['sim_embedding_neardup'] = _neardup_replay_sql(
         threshold=0.8, dim=64, n_planes=12, seed=42)

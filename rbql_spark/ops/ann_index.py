@@ -1,0 +1,196 @@
+"""Materialized ANN index: build an IVF-PQ index ONCE as cell-partitioned
+parquet, then serve top-k queries against the stored index.
+
+The in-plan operators (ops.similarity.ivf_pq_ann_topk & co.) derive the
+index — cells, codes — inside every query's plan because the test corpus
+is small.  A 100 TB deployment builds the index once and amortizes it
+across queries; this module is that deployment shape, Spark-first:
+
+  * the index is parquet PARTITIONED BY the coarse cell id, so a search
+    reads ONLY its probed cells via partition pruning (the plan shows
+    `PartitionFilters: [cell IN (...)]` — asserted in
+    tests/test_plans.py).  With n_probe=4 of n_cells=1024, a query scans
+    ~0.4% of the index bytes.
+  * PQ codes are the stored scan payload (m uint8-sized ints per vector
+    instead of dim floats); `store_floats=True` (default) additionally
+    stores the raw embedding per row so the exact rescore reads floats
+    from the SAME pruned partitions — no second full-corpus source.
+  * the quantization model (coarse centroids + per-subspace codebooks +
+    parameters) rides in a JSON sidecar; search loads it and rebuilds
+    the exact scoring expressions, so `search_ivf_pq_index` returns
+    row-identical results to `ivf_pq_ann_topk` at the same parameters
+    (the equality test/gate) — the stored index is a cache, never a
+    semantic fork.
+
+Reference scope note: the reference engine (rbql_engine.py) has no ANN
+surface; this is part of the deliberate large-scale superset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rbql_spark.ops.similarity import (
+    _cell_exprs,
+    _pq_code_exprs,
+    _pq_codebooks,
+    _pq_codebooks_kmeans,
+    _pq_codes_arrow,
+    _train_centroids,
+    cosine,
+)
+
+__all__ = ['build_ivf_pq_index', 'search_ivf_pq_index']
+
+_META_FILE = '_rbql_index_meta.json'
+
+
+def build_ivf_pq_index(corpus: DataFrame, path: str,
+                       n_cells: int = 16, m: int = 8, ks: int = 16,
+                       id_col: str = 'vec_id', vec_col: str = 'embedding',
+                       seed: int = 42, quantizer: str = 'hash',
+                       residual: bool = False, n_assign: int = 1,
+                       store_floats: bool = True) -> dict:
+    """Train the quantization model and write the cell-partitioned index.
+
+    Layout: `path/cell=N/part-*.parquet` with columns (vec_id,
+    __c0..__c{m-1}[, embedding]), plus `path/_rbql_index_meta.json`
+    holding centroids/codebooks/params.  n_assign > 1 stores each vector
+    under its n_assign nearest cells (index-side multiprobe — index
+    storage ×n_assign, scan bytes per probe unchanged).  Returns the
+    meta dict.
+
+    One corpus scan: the fused Arrow kernel computes cells + codes
+    (+ residual codes when residual=True) in a single pass; the write
+    shuffles on nothing (partitionBy splits files inside the scan
+    tasks' output).
+    """
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias('vec_id'),
+                      as_double(F.col(vec_col)).alias('__cv'),
+                      F.col(vec_col).alias('__raw'))
+    centroids = _train_centroids(c, n_cells, seed, quantizer)
+    trainer = {'hash': _pq_codebooks, 'kmeans': _pq_codebooks_kmeans}[quantizer]
+    books = trainer(c, m, ks, seed,
+                    residual_centroids=centroids if residual else None)
+
+    coded = _pq_codes_arrow(c.select('vec_id', '__cv'), books,
+                            centroids=centroids, n_assign=max(1, n_assign),
+                            residual=residual)
+    cols = ['vec_id'] + ['__c{}'.format(j) for j in range(m)] + ['cell']
+    if store_floats:
+        coded = coded.join(c.select('vec_id', '__raw'), 'vec_id') \
+                     .withColumnRenamed('__raw', vec_col)
+        cols.append(vec_col)
+    coded.select(*cols).write.mode('overwrite').partitionBy('cell') \
+         .parquet(path)
+
+    meta = {
+        'kind': 'ivf_pq', 'n_cells': n_cells, 'm': m, 'ks': ks,
+        'seed': seed, 'quantizer': quantizer, 'residual': residual,
+        'n_assign': n_assign, 'store_floats': store_floats,
+        'id_col': id_col, 'vec_col': vec_col,
+        'centroids': centroids, 'books': books,
+    }
+    with open(os.path.join(path, _META_FILE), 'w') as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,
+                        k: int = 10, n_probe: int = 4,
+                        rescore_factor: int = 4,
+                        query_id_col: str = 'query_id') -> DataFrame:
+    """Top-k cosine search against a stored index → (query_id, vec_id,
+    cosine_sim, rank), row-identical to ivf_pq_ann_topk at the build's
+    parameters (equality-tested).
+
+    The probed cell ids are computed from the (broadcast-sized) query
+    set and collected into an IN-list literal, so the parquet source
+    prunes to the probed partitions before any I/O — the scan's
+    PartitionFilters carry the cell list.  ADC scoring and the exact
+    rescore both read from those pruned partitions only.
+
+    Rescore precision: with store_floats the shortlist rescores against
+    the stored raw floats (exact); without, ranking stays in ADC order
+    (pure-PQ index, FAISS-style) and `cosine_sim` is the PQ similarity.
+    """
+    with open(os.path.join(path, _META_FILE)) as fh:
+        meta = json.load(fh)
+    m, centroids, books = meta['m'], meta['centroids'], meta['books']
+    vec_col = meta['vec_col']
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    q = queries.select(F.col(query_id_col).alias('query_id'),
+                       as_double(F.col(vec_col)).alias('__qv'))
+
+    _, _probe_cells = _cell_exprs(centroids, n_probe)
+    probed = q.select('query_id',
+                      F.explode(_probe_cells(F.col('__qv'))).alias('cell'),
+                      F.col('__qv'),
+                      (F.aggregate(F.transform(F.col('__qv'), lambda x: x * x),
+                                   F.lit(0.0), lambda a, v: a + v))
+                      .alias('__qn2'))
+    cells = sorted({r['cell'] for r in
+                    probed.select('cell').distinct().collect()})
+
+    # literal IN-list → PartitionFilters on the cell directory column:
+    # only the probed partitions are listed/read
+    idx = spark.read.parquet(path).where(F.col('cell').isin(cells))
+
+    _code, _recon = _pq_code_exprs(books)
+    recon = _recon([F.col('__c{}'.format(j)) for j in range(m)])
+    if meta['residual']:
+        cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv])
+                             for cv in centroids])
+        recon = F.zip_with(F.element_at(cent_lit, F.col('cell') + 1), recon,
+                           lambda x, y: x + y)
+    decoded = (idx.select('vec_id', 'cell', recon.alias('__rv'),
+                          *([vec_col] if meta['store_floats'] else []))
+                  .select('vec_id', 'cell', '__rv',
+                          (F.aggregate(F.transform(F.col('__rv'),
+                                                   lambda x: x * x),
+                                       F.lit(0.0), lambda a, v: a + v))
+                          .alias('__rn2'),
+                          *([vec_col] if meta['store_floats'] else [])))
+
+    pair_sim = F.when(
+        (F.col('__rn2') > 0) & (F.col('__qn2') > 0),
+        F.round(F.aggregate(F.zip_with(F.col('__rv'), F.col('__qv'),
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda a, v: a + v)
+                / (F.sqrt(F.col('__rn2')) * F.sqrt(F.col('__qn2'))), 6)
+    ).otherwise(F.lit(-1.0))
+    scored = (decoded.join(F.broadcast(probed), 'cell')
+                     .select('query_id', 'vec_id',
+                             pair_sim.alias('pq_sim'),
+                             *([vec_col] if meta['store_floats'] else [])))
+    if meta['n_assign'] > 1:
+        scored = scored.dropDuplicates(['query_id', 'vec_id'])
+
+    wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(),
+                                                F.col('vec_id').asc())
+    if not meta['store_floats']:
+        return (scored.withColumn('rank', F.row_number().over(wq))
+                      .filter(F.col('rank') <= k)
+                      .select('query_id', 'vec_id',
+                              F.col('pq_sim').alias('cosine_sim'), 'rank')
+                      .orderBy('query_id', 'rank'))
+
+    shortlist = (scored.withColumn('rq', F.row_number().over(wq))
+                       .filter(F.col('rq') <= k * rescore_factor)
+                       .select('query_id', 'vec_id',
+                               as_double(F.col(vec_col)).alias('__cv')))
+    rescored = (shortlist.join(F.broadcast(q), 'query_id')
+                .select('query_id', 'vec_id',
+                        F.round(cosine(F.col('__cv'), F.col('__qv')), 6)
+                         .alias('cosine_sim')))
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(),
+                                               F.col('vec_id').asc())
+    return (rescored.withColumn('rank', F.row_number().over(w))
+                    .filter(F.col('rank') <= k)
+                    .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+                    .orderBy('query_id', 'rank'))

@@ -1,0 +1,91 @@
+"""Materialized ANN index: the stored cell-partitioned IVF-PQ index must
+be a pure cache of the in-plan operator — row-identical search results —
+and searches must prune to the probed cell partitions."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope='module')
+def emb_q(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+    q = emb.filter(F.col('vec_id') < 3) \
+           .select(F.col('vec_id').alias('query_id'), 'embedding')
+    return emb, q
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stored_search_equals_inplan(spark, tmp_path, emb_q):
+    from rbql_spark.ops.ann_index import (
+        build_ivf_pq_index, search_ivf_pq_index,
+    )
+    from rbql_spark.ops.similarity import ivf_pq_ann_topk
+    emb, q = emb_q
+    path = str(tmp_path / 'idx')
+    build_ivf_pq_index(emb, path, n_cells=16, m=8, ks=16)
+    got = search_ivf_pq_index(spark, path, q, k=5, n_probe=4)
+    want = ivf_pq_ann_topk(emb, q, k=5, n_cells=16, n_probe=4)
+    assert _rows(got) == _rows(want) and len(_rows(got)) == 15
+
+
+def test_stored_search_partition_pruning(spark, tmp_path, emb_q):
+    # the scan must carry the probed cells as PartitionFilters — only
+    # those directories are read (n_probe/n_cells of the index bytes)
+    from rbql_spark.ops.ann_index import (
+        build_ivf_pq_index, search_ivf_pq_index,
+    )
+    emb, q = emb_q
+    path = str(tmp_path / 'idx')
+    build_ivf_pq_index(emb, path, n_cells=16, m=8, ks=16)
+    res = search_ivf_pq_index(spark, path, q, k=5, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the filter is a literal IN-list over the probed cells (e.g.
+    # `cell#N IN (0,5,7,...)`), so only those directories are listed/read
+    seg = plan.split('PartitionFilters')[1][:300]
+    assert ' IN (' in seg, seg
+    in_list = seg.split(' IN (')[1].split(')')[0]
+    assert 0 < len(in_list.split(',')) <= 3 * 2  # <= queries x n_probe
+
+
+def test_stored_search_residual_and_multiassign(spark, tmp_path, emb_q):
+    from rbql_spark.ops.ann_index import (
+        build_ivf_pq_index, search_ivf_pq_index,
+    )
+    from rbql_spark.ops.similarity import ivf_pq_ann_topk
+    emb, q = emb_q
+    p1 = str(tmp_path / 'idx_res')
+    build_ivf_pq_index(emb, p1, n_cells=16, m=8, ks=16, residual=True)
+    got = search_ivf_pq_index(spark, p1, q, k=5, n_probe=4)
+    want = ivf_pq_ann_topk(emb, q, k=5, n_cells=16, n_probe=4,
+                           residual=True)
+    assert _rows(got) == _rows(want)
+
+    p2 = str(tmp_path / 'idx_ma')
+    build_ivf_pq_index(emb, p2, n_cells=16, m=8, ks=16, n_assign=2)
+    got2 = search_ivf_pq_index(spark, p2, q, k=5, n_probe=4)
+    want2 = ivf_pq_ann_topk(emb, q, k=5, n_cells=16, n_probe=4, n_assign=2)
+    assert _rows(got2) == _rows(want2)
+
+
+def test_stored_search_pure_pq_index(spark, tmp_path, emb_q):
+    # store_floats=False: a FAISS-style codes-only index — ranking stays
+    # in ADC order, ids still come back k-per-query
+    from rbql_spark.ops.ann_index import (
+        build_ivf_pq_index, search_ivf_pq_index,
+    )
+    emb, q = emb_q
+    path = str(tmp_path / 'idx_pq')
+    build_ivf_pq_index(emb, path, n_cells=16, m=8, ks=16,
+                       store_floats=False)
+    # the index stores only ids + m code columns (+ the cell partition)
+    files = spark.read.parquet(path)
+    assert set(files.columns) == {'vec_id', 'cell'} | {
+        '__c{}'.format(j) for j in range(8)}
+    res = search_ivf_pq_index(spark, path, q, k=5, n_probe=4).collect()
+    assert len(res) == 15
+    assert {r['query_id'] for r in res} == {0, 1, 2}
