@@ -44,7 +44,8 @@ from rbql_spark.ops.similarity import (
     cosine,
 )
 
-__all__ = ['build_ivf_pq_index', 'search_ivf_pq_index']
+__all__ = ['build_ivf_pq_index', 'append_to_ivf_pq_index',
+           'search_ivf_pq_index']
 
 _META_FILE = '_rbql_index_meta.json'
 
@@ -71,24 +72,11 @@ def build_ivf_pq_index(corpus: DataFrame, path: str,
     """
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'),
-                      as_double(F.col(vec_col)).alias('__cv'),
-                      F.col(vec_col).alias('__raw'))
+                      as_double(F.col(vec_col)).alias('__cv'))
     centroids = _train_centroids(c, n_cells, seed, quantizer)
     trainer = {'hash': _pq_codebooks, 'kmeans': _pq_codebooks_kmeans}[quantizer]
     books = trainer(c, m, ks, seed,
                     residual_centroids=centroids if residual else None)
-
-    coded = _pq_codes_arrow(c.select('vec_id', '__cv'), books,
-                            centroids=centroids, n_assign=max(1, n_assign),
-                            residual=residual)
-    cols = ['vec_id'] + ['__c{}'.format(j) for j in range(m)] + ['cell']
-    if store_floats:
-        coded = coded.join(c.select('vec_id', '__raw'), 'vec_id') \
-                     .withColumnRenamed('__raw', vec_col)
-        cols.append(vec_col)
-    coded.select(*cols).write.mode('overwrite').partitionBy('cell') \
-         .parquet(path)
-
     meta = {
         'kind': 'ivf_pq', 'n_cells': n_cells, 'm': m, 'ks': ks,
         'seed': seed, 'quantizer': quantizer, 'residual': residual,
@@ -96,9 +84,54 @@ def build_ivf_pq_index(corpus: DataFrame, path: str,
         'id_col': id_col, 'vec_col': vec_col,
         'centroids': centroids, 'books': books,
     }
+    _encode_with_meta(corpus, meta).write.mode('overwrite') \
+        .partitionBy('cell').parquet(path)
     with open(os.path.join(path, _META_FILE), 'w') as fh:
         json.dump(meta, fh)
     return meta
+
+
+def _encode_with_meta(vectors: DataFrame, meta: dict) -> DataFrame:
+    """Encode vectors with a STORED quantization model (no re-training):
+    the same fused kernel pass as the build, frozen centroids/books."""
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    id_col, vec_col = meta['id_col'], meta['vec_col']
+    c = vectors.select(F.col(id_col).alias('vec_id'),
+                       as_double(F.col(vec_col)).alias('__cv'),
+                       F.col(vec_col).alias('__raw'))
+    coded = _pq_codes_arrow(c.select('vec_id', '__cv'), meta['books'],
+                            centroids=meta['centroids'],
+                            n_assign=max(1, meta['n_assign']),
+                            residual=meta['residual'])
+    cols = ['vec_id'] + ['__c{}'.format(j) for j in range(meta['m'])] + ['cell']
+    if meta['store_floats']:
+        coded = coded.join(c.select('vec_id', '__raw'), 'vec_id') \
+                     .withColumnRenamed('__raw', vec_col)
+        cols.append(vec_col)
+    return coded.select(*cols)
+
+
+def append_to_ivf_pq_index(vectors: DataFrame, path: str) -> int:
+    """Incremental index growth: encode a NEW batch of vectors with the
+    index's stored (frozen) quantization model and append it into the
+    cell partitions — the ingest path of a deployed ANN index, where the
+    model is trained once and new embeddings stream in.
+
+    The appended rows carry exactly the codes the original build would
+    have produced for them (same kernel, same frozen centroids/books —
+    asserted in tests), so a search after N appends equals a search over
+    an index built in one shot from the union WITH THE SAME MODEL.  Note
+    the model does NOT retrain: as the corpus distribution drifts, recall
+    decays the way any frozen IVF-PQ index's does — rebuild to re-center
+    (FAISS semantics).  Caller is responsible for id uniqueness across
+    appends (duplicate ids are two index entries, like any append-only
+    store).  Returns the number of index rows appended.
+    """
+    with open(os.path.join(path, _META_FILE)) as fh:
+        meta = json.load(fh)
+    coded = _encode_with_meta(vectors, meta)
+    coded.write.mode('append').partitionBy('cell').parquet(path)
+    return coded.count()
 
 
 def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,

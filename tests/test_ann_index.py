@@ -89,3 +89,41 @@ def test_stored_search_pure_pq_index(spark, tmp_path, emb_q):
     res = search_ivf_pq_index(spark, path, q, k=5, n_probe=4).collect()
     assert len(res) == 15
     assert {r['query_id'] for r in res} == {0, 1, 2}
+
+
+def test_append_grows_index_with_frozen_model(spark, tmp_path, emb_q):
+    # appended rows must carry EXACTLY the codes the build kernel would
+    # produce under the stored model, and a search after append equals a
+    # search over a one-shot union index with the same (frozen) model
+    from rbql_spark.ops.ann_index import (
+        append_to_ivf_pq_index, build_ivf_pq_index, search_ivf_pq_index,
+    )
+    emb, q = emb_q
+    half_a = emb.filter(F.col('vec_id') % 2 == 0)
+    half_b = emb.filter(F.col('vec_id') % 2 == 1)
+
+    grown = str(tmp_path / 'idx_grown')
+    build_ivf_pq_index(half_a, grown, n_cells=8, m=8, ks=16)
+    n = append_to_ivf_pq_index(half_b, grown)
+    assert n == half_b.count()
+
+    # one-shot union index under the SAME model: encode the union with
+    # the grown index's stored meta and compare code rows
+    import json as _json
+    import os as _os
+    from rbql_spark.ops.ann_index import _META_FILE, _encode_with_meta
+    with open(_os.path.join(grown, _META_FILE)) as fh:
+        meta = _json.load(fh)
+    want_rows = sorted(map(tuple, _encode_with_meta(emb, meta)
+                           .drop(meta['vec_col']).collect()))
+    got_rows = sorted(map(tuple, spark.read.parquet(grown)
+                          .select('vec_id',
+                                  *['__c{}'.format(j) for j in range(8)],
+                                  'cell').collect()))
+    assert got_rows == want_rows
+
+    # (got_rows == want_rows above already proves the index holds exactly
+    # the union's encoding); a query's exact self-match ranks first
+    res = search_ivf_pq_index(spark, grown, q, k=5, n_probe=4).collect()
+    top = {r['query_id']: r['vec_id'] for r in res if r['rank'] == 1}
+    assert top == {0: 0, 1: 1, 2: 2}
