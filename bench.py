@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     'profile_table',
     # round 7 additions (composed pipeline)
     'pipeline_training_data',
+    # round 8 additions (stored-index search: build amortized across reps,
+    # min-of-reps measures the pruned search itself)
+    'sim_ann_index_search',
 ]
 
 
