@@ -45,7 +45,7 @@ from rbql_spark.ops.similarity import (
 )
 
 __all__ = ['build_ivf_pq_index', 'append_to_ivf_pq_index',
-           'search_ivf_pq_index']
+           'search_ivf_pq_index', 'ivf_pq_index_stats']
 
 _META_FILE = '_rbql_index_meta.json'
 
@@ -132,6 +132,27 @@ def append_to_ivf_pq_index(vectors: DataFrame, path: str) -> int:
     coded = _encode_with_meta(vectors, meta)
     coded.write.mode('append').partitionBy('cell').parquet(path)
     return coded.count()
+
+
+def ivf_pq_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell occupancy report: (cell, n_rows, pct, balance_ratio) with
+    balance_ratio = n_rows / mean-rows-per-cell.  The operational gauge
+    for a deployed index: a hot cell (ratio ≫ 1, e.g. after appends under
+    a drifted distribution) concentrates search I/O exactly the way a
+    skewed join key concentrates a shuffle — the signal to rebuild with
+    more cells or re-trained centroids.  One aggregation over the index
+    (cells prune nothing here: stats read everything by design)."""
+    idx = spark.read.parquet(path)
+    counts = idx.groupBy('cell').agg(F.count(F.lit(1)).alias('n_rows'))
+    tot = Window.partitionBy()
+    return (counts
+            .select('cell', 'n_rows',
+                    F.round(F.col('n_rows') * 100.0
+                            / F.sum('n_rows').over(tot), 2).alias('pct'),
+                    F.round(F.col('n_rows')
+                            / F.avg('n_rows').over(tot), 3)
+                     .alias('balance_ratio'))
+            .orderBy(F.col('n_rows').desc()))
 
 
 def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,

@@ -127,3 +127,22 @@ def test_append_grows_index_with_frozen_model(spark, tmp_path, emb_q):
     res = search_ivf_pq_index(spark, grown, q, k=5, n_probe=4).collect()
     top = {r['query_id']: r['vec_id'] for r in res if r['rank'] == 1}
     assert top == {0: 0, 1: 1, 2: 2}
+
+
+def test_index_stats_balance(spark, tmp_path, emb_q):
+    from rbql_spark.ops.ann_index import (
+        build_ivf_pq_index, ivf_pq_index_stats,
+    )
+    emb, _ = emb_q
+    path = str(tmp_path / 'idx_stats')
+    build_ivf_pq_index(emb, path, n_cells=8, m=8, ks=16)
+    rows = ivf_pq_index_stats(spark, path).collect()
+    assert sum(r['n_rows'] for r in rows) == emb.count()
+    assert abs(sum(r['pct'] for r in rows) - 100.0) < 0.5
+    # balance_ratio is normalized to the mean: the average over observed
+    # cells is 1 by construction
+    import statistics
+    assert abs(statistics.mean(r['balance_ratio'] for r in rows) - 1.0) < 0.05
+    # sorted hot-first
+    assert [r['n_rows'] for r in rows] == sorted(
+        (r['n_rows'] for r in rows), reverse=True)
