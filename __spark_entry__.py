@@ -537,6 +537,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select('doc_id', 'split')
     q['sample_split'] = _split
 
+    def _sample_shuffle(spark, sf_dir):
+        from rbql_spark.ops.sampling import shuffle_corpus
+        return shuffle_corpus(_t(spark, sf_dir, 'documents')) \
+            .select('doc_id', 'shuffle_pos')
+    q['sample_shuffle'] = _sample_shuffle
+
+    def _sample_mix(spark, sf_dir):
+        # three sub-corpora (doc_id mod 3) mixed 60/30/10 — the training
+        # recipe's data-mixture step; deterministic hash downsampling
+        from rbql_spark.ops.sampling import mix_corpora
+        docs = _t(spark, sf_dir, 'documents')
+        srcs = [docs.filter(F.col('doc_id') % 3 == i) for i in range(3)]
+        return mix_corpora(srcs, [0.6, 0.3, 0.1]) \
+            .select('doc_id', 'mix_source')
+    q['sample_mix'] = _sample_mix
+
     def _export_manifest(spark, sf_dir):
         from rbql_spark.ops.export import shard_manifest
         return shard_manifest(_t(spark, sf_dir, 'documents'), n_shards=16)
@@ -814,7 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_incremental', 'dedup_ngram_jaccard', 'decontaminate_ngram',
         'dedup_clusters', 'dedup_keep_canonical', 'dedup_lines',
         'sample_hash', 'sample_stratified', 'sample_temperature',
-        'chunk_documents', 'sample_split',
+        'chunk_documents', 'sample_split', 'sample_shuffle', 'sample_mix',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1638,6 +1654,30 @@ def oracle_sql() -> dict[str, str]:
     _unit = "('0x' || md5(doc_id::VARCHAR || ':42')[1:8])::BIGINT / 4294967296.0"
     o['sample_hash'] = (
         "SELECT doc_id, lang FROM documents WHERE " + _unit + " < 0.3")
+
+    # deterministic global shuffle: order by the op-salted md5 unit
+    # (rbql_spark.ops.sampling.shuffle_corpus), ties broken by the key
+    _shuf_unit = ("('0x' || md5(doc_id::VARCHAR || ':shuffle:42')[1:8])"
+                  "::BIGINT / 4294967296.0")
+    o['sample_shuffle'] = (
+        "SELECT doc_id, row_number() OVER (ORDER BY " + _shuf_unit
+        + " ASC, doc_id ASC) - 1 AS shuffle_pos FROM documents")
+
+    # weighted mixture (mix_corpora): per-source keep = (w/n)/anchor with
+    # anchor = max ratio; same IEEE double expressions as the Python side
+    def _mix_unit(i):
+        return ("('0x' || md5(doc_id::VARCHAR || ':mix{}:42')[1:8])"
+                "::BIGINT / 4294967296.0".format(i))
+    _mix_w = [0.6, 0.3, 0.1]
+    _mix_ratio = ["({} / (SELECT count(*)::DOUBLE FROM documents "
+                  "WHERE doc_id % 3 = {}))".format(w, i)
+                  for i, w in enumerate(_mix_w)]
+    _mix_anchor = "greatest({}, {}, {})".format(*_mix_ratio)
+    o['sample_mix'] = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS mix_source FROM documents "
+        "WHERE doc_id % 3 = {i} AND ({r} / {a} >= 1.0 OR {u} < {r} / {a})"
+        .format(i=i, r=_mix_ratio[i], a=_mix_anchor, u=_mix_unit(i))
+        for i in range(3))
     o['sample_stratified'] = (
         "SELECT doc_id, lang FROM documents WHERE " + _unit + " < "
         "CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.5 "

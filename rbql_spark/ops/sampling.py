@@ -231,3 +231,73 @@ def pack_sequences(df: DataFrame, max_tokens: int, n_buckets: int | None = None,
     return (src.groupBy('bucket')
                .applyInPandas(pack, schema='doc_id long, n_tokens long, bucket long, '
                                            'bin_id long, bin_seq long'))
+
+
+def shuffle_corpus(df: DataFrame, key_col: str = 'doc_id',
+                   seed: int = 42) -> DataFrame:
+    """Deterministic global shuffle: order rows by md5(key:shuffle:seed)
+    — the pre-training randomization step ("shuffle the corpus before
+    packing/sharding"), as a pure function of the data.
+
+    A seeded RNG shuffle (orderBy(rand(seed))) depends on partitioning
+    and task scheduling; this is content-keyed, so the permutation is
+    rerun-stable, cluster-size-invariant, and replayable by the DuckDB
+    differential oracle.  The returned frame carries `shuffle_pos`
+    (0-based dense position) so downstream sharding can range-split it.
+
+    Scale shape: ONE range-partitioned sort (Spark samples the hash to
+    build balanced range bounds) — exactly what a global ORDER BY costs;
+    the window that numbers rows rides the same sort order with a single
+    partition pass over sorted output.  Ties are broken by the key
+    itself, so the order is total even across md5-32 collisions.
+    """
+    from pyspark.sql import Window
+    u = _hash_unit(F.col(key_col), seed, op='shuffle')
+    w = Window.orderBy(u.asc(), F.col(key_col).asc())
+    return (df.withColumn('shuffle_pos',
+                          F.row_number().over(w) - F.lit(1)))
+
+
+def mix_corpora(sources: list, weights: list[float],
+                key_col: str = 'doc_id', seed: int = 42,
+                source_col: str = 'mix_source') -> DataFrame:
+    """Weighted corpus mixture: deterministically downsample N sources so
+    their EXPECTED row proportions match `weights`, then union — the
+    "data mixture" step of a training recipe (e.g. 60% web, 30% code,
+    10% books).
+
+    The largest weight-to-size ratio anchors at keep-rate 1.0 (no source
+    is ever upsampled — repetition is the epochs schedule's job, not the
+    mixer's); every other source keeps the hash-sampled fraction that
+    brings its share to the target ratio.  Sampling is per-source
+    content-hash Bernoulli (`_hash_unit` with an op salt including the
+    source index), so the mixture is rerun-stable and engine-replayable;
+    `source_col` tags provenance.  Sizes come from one count per source
+    — driver-side scalars, the only non-lazy step.
+
+    Scale shape: N stateless filtered scans + unionAll, no shuffle.
+    """
+    if len(sources) != len(weights) or not sources:
+        raise ValueError('need equally many sources and weights (>0)')
+    if any(w <= 0 for w in weights):
+        raise ValueError('weights must be positive')
+    sizes = [df.count() for df in sources]
+    if any(n == 0 for n in sizes):
+        raise ValueError('mix_corpora sources must be non-empty')
+    # anchor: the source whose target share is largest relative to its
+    # size keeps everything; others downsample to match proportions
+    ratios = [w / n for w, n in zip(weights, sizes)]
+    anchor = max(ratios)
+    parts = []
+    for i, (df, r) in enumerate(zip(sources, ratios)):
+        keep = r / anchor
+        tagged = df.withColumn(source_col, F.lit(i))
+        if keep >= 1.0:
+            parts.append(tagged)
+        else:
+            u = _hash_unit(F.col(key_col), seed, op='mix{}'.format(i))
+            parts.append(tagged.filter(u < F.lit(float(keep))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

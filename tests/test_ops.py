@@ -1036,3 +1036,52 @@ def test_pq_kmeans_codebooks_dominate_hash(spark, emb_df):
         return sum(per_q) / len(per_q)
 
     assert recall('kmeans') >= recall('hash')
+
+
+def test_shuffle_corpus_deterministic_permutation(spark, sf_dir):
+    import os
+
+    from rbql_spark.ops.sampling import shuffle_corpus
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    a = {r['doc_id']: r['shuffle_pos'] for r in shuffle_corpus(docs).collect()}
+    # dense 0..n-1 permutation
+    assert sorted(a.values()) == list(range(len(a)))
+    # rerun-stable AND partitioning-invariant (content-keyed, not rand())
+    b = {r['doc_id']: r['shuffle_pos']
+         for r in shuffle_corpus(docs.repartition(7)).collect()}
+    assert a == b
+    # a different seed is a different permutation
+    c = {r['doc_id']: r['shuffle_pos']
+         for r in shuffle_corpus(docs, seed=7).collect()}
+    assert a != c
+    # and it is a real shuffle, not id order
+    n = len(a)
+    in_place = sum(1 for i, (d, p) in enumerate(sorted(a.items())) if i == p)
+    assert in_place < n * 0.1
+
+
+def test_mix_corpora_proportions_and_anchor(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.sampling import mix_corpora
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    srcs = [docs.filter(F.col('doc_id') % 3 == i) for i in range(3)]
+    sizes = [s.count() for s in srcs]
+    out = mix_corpora(srcs, [0.6, 0.3, 0.1])
+    counts = {r['mix_source']: r['cnt'] for r in
+              out.groupBy('mix_source').agg(F.count('*').alias('cnt')).collect()}
+    # the anchor source (largest weight/size ratio) keeps every row
+    ratios = [w / n for w, n in zip([0.6, 0.3, 0.1], sizes)]
+    anchor = ratios.index(max(ratios))
+    assert counts[anchor] == sizes[anchor]
+    # realized shares approximate the weights (hash Bernoulli tolerance)
+    total = sum(counts.values())
+    for i, w in enumerate([0.6, 0.3, 0.1]):
+        assert abs(counts[i] / total - w) < 0.08, (i, counts, total)
+    # no source is ever upsampled
+    for i in range(3):
+        assert counts[i] <= sizes[i]
+    # schema: original columns + provenance tag
+    assert set(out.columns) == set(docs.columns) | {'mix_source'}
