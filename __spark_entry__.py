@@ -816,8 +816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # refresh proof for all 78.  The strict local mirror,
     # tools/check_oracles.py, still value-checks every gate each round.)
     # Round 8 rotation: the 28 gates absent from CORRECTNESS_r07.json
-    # (present+green in r06) lead; the 50 recorded in r07 follow in
-    # declaration order.
+    # (present+green in r06) lead, followed by the gates NEW in round 8
+    # (streaming_quality_filter, sim_ann_index_search, sample_shuffle,
+    # sample_mix — no driver proof yet); the r07-recorded gates fill the
+    # rest in declaration order.
     rotate_first = [
         'window_running_sum', 'window_tumbling', 'window_session',
         'window_sliding', 'skew_salted_join', 'having_groups',
