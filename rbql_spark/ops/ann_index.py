@@ -45,7 +45,8 @@ from rbql_spark.ops.similarity import (
 )
 
 __all__ = ['build_ivf_pq_index', 'append_to_ivf_pq_index',
-           'search_ivf_pq_index', 'ivf_pq_index_stats']
+           'stream_append_to_ivf_pq_index', 'search_ivf_pq_index',
+           'ivf_pq_index_stats']
 
 _META_FILE = '_rbql_index_meta.json'
 
@@ -153,6 +154,36 @@ def ivf_pq_index_stats(spark: SparkSession, path: str) -> DataFrame:
                             / F.avg('n_rows').over(tot), 3)
                      .alias('balance_ratio'))
             .orderBy(F.col('n_rows').desc()))
+
+
+def stream_append_to_ivf_pq_index(vectors: DataFrame, path: str,
+                                  checkpoint_dir: str,
+                                  query_name: str = 'rbql_ann_ingest'):
+    """Streaming embedding ingest into a deployed index: each micro-batch
+    encodes under the stored frozen model and appends into the cell
+    partitions — `append_to_ivf_pq_index` as a `foreachBatch` sink, so
+    searches see new vectors one trigger after they arrive.
+
+    `checkpoint_dir` is the streaming checkpoint (offsets) — batch
+    replays after a crash re-encode deterministically, but the parquet
+    append itself is at-least-once across crash/retry windows, like any
+    foreachBatch file append: deduplicate by id downstream, or compact
+    periodically, if exactly-once index rows matter.  Returns the
+    StreamingQuery (caller awaits/stops).
+    """
+    with open(os.path.join(path, _META_FILE)) as fh:
+        meta = json.load(fh)
+
+    def sink(batch_df, batch_id):
+        _encode_with_meta(batch_df, meta).write.mode('append') \
+            .partitionBy('cell').parquet(path)
+
+    return (vectors.writeStream
+            .foreachBatch(sink)
+            .option('checkpointLocation', checkpoint_dir)
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start())
 
 
 def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,

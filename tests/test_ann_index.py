@@ -146,3 +146,42 @@ def test_index_stats_balance(spark, tmp_path, emb_q):
     # sorted hot-first
     assert [r['n_rows'] for r in rows] == sorted(
         (r['n_rows'] for r in rows), reverse=True)
+
+
+def test_stream_append_ingest(spark, tmp_path, emb_q):
+    # streaming embedding ingest: two micro-batch files appended under the
+    # frozen model == the one-shot union encoding (same kernel, same meta)
+    from rbql_spark.ops.ann_index import (
+        _META_FILE, _encode_with_meta, build_ivf_pq_index,
+        stream_append_to_ivf_pq_index,
+    )
+    import json as _json
+
+    emb, _ = emb_q
+    half_a = emb.filter(F.col('vec_id') % 2 == 0)
+    half_b = emb.filter(F.col('vec_id') % 2 == 1)
+    path = str(tmp_path / 'idx_stream')
+    build_ivf_pq_index(half_a, path, n_cells=8, m=8, ks=16)
+
+    stream_dir = str(tmp_path / 'incoming')
+    half_b.filter(F.col('vec_id') % 4 == 1).coalesce(1) \
+          .write.mode('overwrite').parquet(stream_dir)
+    half_b.filter(F.col('vec_id') % 4 == 3).coalesce(1) \
+          .write.mode('append').parquet(stream_dir)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(stream_dir).schema)
+              .option('maxFilesPerTrigger', 1)
+              .parquet(stream_dir))
+    q = stream_append_to_ivf_pq_index(
+        stream, path, checkpoint_dir=str(tmp_path / 'ckpt'))
+    q.awaitTermination(120)
+    q.stop()
+
+    with open(os.path.join(path, _META_FILE)) as fh:
+        meta = _json.load(fh)
+    want = sorted(map(tuple, _encode_with_meta(emb, meta)
+                      .drop(meta['vec_col']).collect()))
+    got = sorted(map(tuple, spark.read.parquet(path)
+                     .select('vec_id', *['__c{}'.format(j) for j in range(8)],
+                             'cell').collect()))
+    assert got == want
