@@ -725,6 +725,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               allowed_langs=['de', 'en', 'es', 'fr'])
     q['text_quality_filter'] = _quality_filter
 
+    def _embed_hashing(spark, sf_dir):
+        from rbql_spark.ops.textstats import embed_hashing
+        return embed_hashing(_t(spark, sf_dir, 'documents'), dim=16)
+    q['text_embed_hashing'] = _embed_hashing
+
     def _text_top_ngrams(spark, sf_dir):
         from rbql_spark.ops.textstats import top_ngrams
         return top_ngrams(_t(spark, sf_dir, 'documents'), n=2, k=100)
@@ -833,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_clusters', 'dedup_keep_canonical', 'dedup_lines',
         'sample_hash', 'sample_stratified', 'sample_temperature',
         'chunk_documents', 'sample_split', 'sample_shuffle', 'sample_mix',
+        'text_embed_hashing',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1656,6 +1662,32 @@ def oracle_sql() -> dict[str, str]:
     _unit = "('0x' || md5(doc_id::VARCHAR || ':42')[1:8])::BIGINT / 4294967296.0"
     o['sample_hash'] = (
         "SELECT doc_id, lang FROM documents WHERE " + _unit + " < 0.3")
+
+    # feature-hashing embeddings (ops.textstats.embed_hashing, dim=16):
+    # md5 bucket + sign per token, grouped votes, dense vector, L2 norm
+    _eh_toks = _SQL_TOKS.format(src="coalesce(text, '')")
+    _eh_md5 = "md5(tok || ':embed:42')"
+    o['text_embed_hashing'] = (
+        "WITH t AS (SELECT doc_id, unnest(" + _eh_toks + ") AS tok "
+        "FROM documents), "
+        "h AS (SELECT doc_id, "
+        "('0x' || " + _eh_md5 + "[1:8])::BIGINT % 16 AS b, "
+        "CASE WHEN ('0x' || " + _eh_md5 + "[9:9])::BIGINT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END AS s FROM t), "
+        "v AS (SELECT doc_id, b, sum(s) AS val FROM h GROUP BY 1, 2), "
+        "p AS (SELECT doc_id, list(struct_pack(b := b, val := val)) AS pairs "
+        "FROM v GROUP BY 1), "
+        "d AS (SELECT doc_id, list_transform(range(0, 16), i -> "
+        "coalesce(list_sum(list_transform(list_filter(pairs, x -> x.b = i), "
+        "x -> x.val)), 0.0)) AS raw FROM p), "
+        "a AS (SELECT dd.doc_id, "
+        "coalesce(d.raw, list_transform(range(0, 16), i -> 0.0)) AS raw "
+        "FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id), "
+        "n AS (SELECT doc_id, raw, "
+        "sqrt(list_sum(list_transform(raw, x -> x * x))) AS nm FROM a) "
+        "SELECT doc_id, CASE WHEN nm > 0 THEN "
+        "list_transform(raw, x -> round(x / nm, 6)) ELSE raw END AS embedding "
+        "FROM n")
 
     # deterministic global shuffle: order by the op-salted md5 unit
     # (rbql_spark.ops.sampling.shuffle_corpus), ties broken by the key

@@ -525,3 +525,66 @@ def top_ngrams(df: DataFrame, text_col: str = 'text',
               .agg(F.count(F.lit(1)).alias('n_occurrences'))
               .orderBy(F.col('n_occurrences').desc(), F.col('ngram').asc())
               .limit(k))
+
+
+def embed_hashing(df: DataFrame, dim: int = 64, text_col: str = 'text',
+                  id_col: str = 'doc_id', seed: int = 42) -> DataFrame:
+    """Feature-hashing document embeddings (the "hashing trick",
+    Weinberger et al. 2009): every token votes ±1 into md5-chosen buckets
+    of a dim-wide vector, which is then L2-normalized → (doc_id,
+    embedding array<double>).
+
+    The model-free path from text to the similarity/ANN/index stack: no
+    external encoder exists in this environment, but hashed
+    bag-of-words embeddings are a real technique (near-dup detection,
+    cheap clustering, mixture diagnostics) — cosine on these vectors
+    approximates token-multiset overlap.  Deterministic md5 bucket+sign
+    per token makes the vectors a pure function of the data, replayed
+    value-for-value by the DuckDB differential oracle.
+
+    Scale shape: one corpus scan → explode tokens → ONE partial/final
+    aggregation keyed (doc, bucket) → one reduction to the dense vector
+    per doc (map lookup per dimension, O(dim)).  Token hashing and the
+    ±1 votes are exact integer-valued double math, so bucket sums are
+    order-independent; normalization divides by the fold-ordered L2 norm
+    and rounds to 6 places (the cross-engine compare grid).  Documents
+    with no tokens embed as the zero vector.
+    """
+    df = spread_partitions(df)
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(''))),
+                            r'[^\p{L}\p{N}]+', -1),
+                    lambda x: x != '')
+    ex = df.select(F.col(id_col).alias('doc_id'),
+                   F.explode_outer(toks).alias('__tok'))
+    h = F.md5(F.concat(F.col('__tok'), F.lit(':embed:{}'.format(seed))))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast('long')
+              % F.lit(int(dim)))
+    sign = F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast('long')
+                  % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    votes = (ex.where(F.col('__tok').isNotNull())
+               .select('doc_id', bucket.alias('__b'), sign.alias('__s'))
+               .groupBy('doc_id', '__b')
+               .agg(F.sum('__s').alias('__v')))
+    dense = (votes.groupBy('doc_id')
+                  .agg(F.map_from_entries(
+                      F.collect_list(F.struct('__b', '__v'))).alias('__m'))
+                  .select('doc_id',
+                          F.transform(
+                              F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+                              lambda i: F.coalesce(
+                                  F.element_at(F.col('__m'), i), F.lit(0.0)))
+                          .alias('__raw')))
+    # docs whose text yields zero tokens still get a (zero) embedding row
+    base = df.select(F.col(id_col).alias('doc_id'))
+    zero = F.array_repeat(F.lit(0.0), int(dim))
+    withvec = (base.join(dense, 'doc_id', 'left')
+                   .select('doc_id', F.coalesce(F.col('__raw'), zero)
+                           .alias('__raw')))
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col('__raw'), lambda x: x * x),
+        F.lit(0.0), lambda a, v: a + v))
+    emb = F.when(norm > 0,
+                 F.transform(F.col('__raw'),
+                             lambda x: F.round(x / norm, 6))) \
+           .otherwise(F.col('__raw'))
+    return withvec.select('doc_id', emb.alias('embedding'))

@@ -1085,3 +1085,28 @@ def test_mix_corpora_proportions_and_anchor(spark, sf_dir):
         assert counts[i] <= sizes[i]
     # schema: original columns + provenance tag
     assert set(out.columns) == set(docs.columns) | {'mix_source'}
+
+
+def test_embed_hashing_feeds_similarity_stack(spark):
+    # text -> model-free hashed embeddings -> the ANN stack: an exact
+    # duplicate document is its twin's nearest neighbor at cosine 1.0
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.similarity import cosine_topk_bruteforce
+    from rbql_spark.ops.textstats import embed_hashing
+    rows = [
+        (1, 'the quick brown fox jumps over the lazy dog'),
+        (2, 'the quick brown fox jumps over the lazy dog'),
+        (3, 'entirely unrelated text about spark query planning'),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    emb = embed_hashing(docs, dim=32).withColumnRenamed('doc_id', 'vec_id')
+    q = emb.filter(F.col('vec_id') == 1) \
+           .select(F.col('vec_id').alias('query_id'), 'embedding')
+    top = cosine_topk_bruteforce(emb, q, k=2).collect()
+    # self first, exact duplicate second, both at 1.0
+    assert [(r['vec_id'], r['cosine_sim']) for r in top] == [(1, 1.0), (2, 1.0)]
+    # the NULL doc embeds as the zero vector and scores -1.0 (guard), last
+    all4 = cosine_topk_bruteforce(emb, q, k=4).collect()
+    assert all4[-1]['vec_id'] == 4 and all4[-1]['cosine_sim'] == -1.0
