@@ -189,7 +189,8 @@ def stream_append_to_ivf_pq_index(vectors: DataFrame, path: str,
 def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,
                         k: int = 10, n_probe: int = 4,
                         rescore_factor: int = 4,
-                        query_id_col: str = 'query_id') -> DataFrame:
+                        query_id_col: str = 'query_id',
+                        scorer: str = 'arrow') -> DataFrame:
     """Top-k cosine search against a stored index → (query_id, vec_id,
     cosine_sim, rank), row-identical to ivf_pq_ann_topk at the build's
     parameters (equality-tested).
@@ -199,6 +200,15 @@ def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,
     prunes to the probed partitions before any I/O — the scan's
     PartitionFilters carry the cell list.  ADC scoring and the exact
     rescore both read from those pruned partitions only.
+
+    scorer='arrow' (default) probes and ADC-scores through numpy kernels
+    with the model shipped as task data, so NO centroid/codebook literal
+    reaches the plan.  This is a per-QUERY-call latency lever, not just
+    a plan-size one: inline literals cost seconds of Catalyst
+    analysis/codegen on EVERY fresh search plan (measured ~4s at
+    n_cells=16 × dim=64 × m=8 × ks=16), which an amortized index exists
+    to avoid; the arrow path analyzes in milliseconds.  scorer='native'
+    keeps the pure-expression plan (zero Python stages).
 
     Rescore precision: with store_floats the shortlist rescores against
     the stored raw floats (exact); without, ranking stays in ADC order
@@ -211,6 +221,10 @@ def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     q = queries.select(F.col(query_id_col).alias('query_id'),
                        as_double(F.col(vec_col)).alias('__qv'))
+
+    if scorer == 'arrow':
+        return _search_arrow(spark, path, q, meta, k=k, n_probe=n_probe,
+                             rescore_factor=rescore_factor)
 
     _, _probe_cells = _cell_exprs(centroids, n_probe)
     probed = q.select('query_id',
@@ -270,6 +284,111 @@ def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,
                        .select('query_id', 'vec_id',
                                as_double(F.col(vec_col)).alias('__cv')))
     rescored = (shortlist.join(F.broadcast(q), 'query_id')
+                .select('query_id', 'vec_id',
+                        F.round(cosine(F.col('__cv'), F.col('__qv')), 6)
+                         .alias('cosine_sim')))
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(),
+                                               F.col('vec_id').asc())
+    return (rescored.withColumn('rank', F.row_number().over(w))
+                    .filter(F.col('rank') <= k)
+                    .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+                    .orderBy('query_id', 'rank'))
+
+
+def _search_arrow(spark: SparkSession, path: str, q: DataFrame, meta: dict,
+                  k: int, n_probe: int, rescore_factor: int) -> DataFrame:
+    """Literal-free search path: probe cells via numpy on the collected
+    query set (broadcast-sized by contract), ADC-score the pruned index
+    partitions in ONE mapInPandas kernel (codes → codebook gather →
+    matmul vs the query matrix, masked to each query's probe set), then
+    the usual shortlist window + float rescore.  Same rounding/tie rules
+    as the native path — row-identical (tested)."""
+    import numpy as np
+
+    from rbql_spark.ops.similarity import _round6_np
+
+    m, books = meta['m'], meta['books']
+    centroids = meta['centroids']
+    vec_col = meta['vec_col']
+    qrows = q.collect()
+    if not qrows:
+        schema = 'query_id string, vec_id string, cosine_sim double, rank int'
+        return spark.createDataFrame([], schema)
+    qids = [r['query_id'] for r in qrows]
+    Q = np.asarray([[float(x) for x in r['__qv']] for r in qrows])
+    C = np.asarray(centroids, dtype=np.float64)
+    ccn = np.sqrt(np.einsum('ij,ij->i', C, C))
+    denom = np.outer(np.sqrt(np.einsum('ij,ij->i', Q, Q)), ccn)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        sims = _round6_np((Q @ C.T) / denom)
+    sims = np.where(denom > 0, sims, -1.0)
+    probe_sets = np.argsort(-sims, axis=1, kind='stable')[:, :n_probe]
+    cells = sorted({int(c) for row in probe_sets for c in row})
+
+    idx = spark.read.parquet(path).where(F.col('cell').isin(cells))
+    code_cols = ['__c{}'.format(j) for j in range(m)]
+    payload = idx.select('vec_id', 'cell', *code_cols)
+    vid_type = dict(payload.dtypes)['vec_id']
+    qid_type = dict(q.dtypes)['query_id']
+    cb = [np.asarray(b, dtype=np.float64) for b in books]
+    qn = np.sqrt(np.einsum('ij,ij->i', Q, Q))
+    residual = bool(meta['residual'])
+    psets = [np.asarray(row) for row in probe_sets]
+    out_schema = 'query_id {}, vec_id {}, pq_sim double'.format(
+        qid_type, vid_type)
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.stack([pdf[c].to_numpy() for c in code_cols], axis=1)
+            R = np.concatenate([cb[j][codes[:, j]] for j in range(m)], axis=1)
+            bcells = pdf['cell'].to_numpy()
+            if residual:
+                R = R + C[bcells]
+            rn = np.sqrt(np.einsum('ij,ij->i', R, R))
+            vids = pdf['vec_id'].to_numpy()
+            qi_out, vi_out, s_out = [], [], []
+            for qi in range(len(qids)):
+                mask = np.isin(bcells, psets[qi])
+                if not mask.any():
+                    continue
+                dn = rn[mask] * qn[qi]
+                with np.errstate(divide='ignore', invalid='ignore'):
+                    s = _round6_np((R[mask] @ Q[qi]) / dn)
+                s = np.where(dn > 0, s, -1.0)
+                qi_out.append(np.full(int(mask.sum()), qids[qi]))
+                vi_out.append(vids[mask])
+                s_out.append(s)
+            if qi_out:
+                yield pd.DataFrame({'query_id': np.concatenate(qi_out),
+                                    'vec_id': np.concatenate(vi_out),
+                                    'pq_sim': np.concatenate(s_out)})
+
+    scored = payload.mapInPandas(score, schema=out_schema)
+    if meta['n_assign'] > 1:
+        scored = scored.dropDuplicates(['query_id', 'vec_id'])
+    wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(),
+                                                F.col('vec_id').asc())
+    if not meta['store_floats']:
+        return (scored.withColumn('rank', F.row_number().over(wq))
+                      .filter(F.col('rank') <= k)
+                      .select('query_id', 'vec_id',
+                              F.col('pq_sim').alias('cosine_sim'), 'rank')
+                      .orderBy('query_id', 'rank'))
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    shortlist = (scored.withColumn('rq', F.row_number().over(wq))
+                       .filter(F.col('rq') <= k * rescore_factor)
+                       .select('query_id', 'vec_id'))
+    floats = idx.select('vec_id', as_double(F.col(vec_col)).alias('__cv'))
+    if meta['n_assign'] > 1:
+        # multi-assigned vectors appear once per cell copy — one float
+        # row per vec_id for the rescore
+        floats = floats.dropDuplicates(['vec_id'])
+    rescored = (floats.join(F.broadcast(shortlist), 'vec_id')
+                .join(F.broadcast(q), 'query_id')
                 .select('query_id', 'vec_id',
                         F.round(cosine(F.col('__cv'), F.col('__qv')), 6)
                          .alias('cosine_sim')))

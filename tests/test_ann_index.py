@@ -185,3 +185,21 @@ def test_stream_append_ingest(spark, tmp_path, emb_q):
                      .select('vec_id', *['__c{}'.format(j) for j in range(8)],
                              'cell').collect()))
     assert got == want
+
+
+def test_search_scorers_agree(spark, tmp_path, emb_q):
+    # scorer='arrow' (literal-free kernels) and scorer='native' (pure
+    # expressions) must be row-identical, incl. residual indexes
+    from rbql_spark.ops.ann_index import (
+        build_ivf_pq_index, search_ivf_pq_index,
+    )
+    emb, q = emb_q
+    for kwargs, name in [(dict(), 'plain'), (dict(residual=True), 'res'),
+                         (dict(n_assign=2), 'ma')]:
+        path = str(tmp_path / ('idx_sc_' + name))
+        build_ivf_pq_index(emb, path, n_cells=16, m=8, ks=16, **kwargs)
+        a = search_ivf_pq_index(spark, path, q, k=5, n_probe=4,
+                                scorer='arrow')
+        b = search_ivf_pq_index(spark, path, q, k=5, n_probe=4,
+                                scorer='native')
+        assert _rows(a) == _rows(b), name
