@@ -646,14 +646,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
 
         from rbql_spark.ops.ann_index import (
-            build_ivf_pq_index, search_ivf_pq_index,
+            INDEX_FORMAT_VERSION, build_ivf_pq_index, search_ivf_pq_index,
         )
         src = os.path.join(sf_dir, 'embeddings.parquet')
         try:
             stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
         except OSError:
             stamp = ''
-        key = hashlib.md5('{}|{}'.format(sf_dir, stamp).encode()).hexdigest()[:10]
+        key = hashlib.md5('{}|{}|v{}'.format(
+            sf_dir, stamp, INDEX_FORMAT_VERSION).encode()).hexdigest()[:10]
         path = os.path.join(tempfile.gettempdir(),
                             'rbql_annidx_{}'.format(key))
         if not os.path.exists(os.path.join(path, '_SUCCESS')):

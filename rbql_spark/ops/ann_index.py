@@ -50,6 +50,11 @@ __all__ = ['build_ivf_pq_index', 'append_to_ivf_pq_index',
 
 _META_FILE = '_rbql_index_meta.json'
 
+# bump when the stored layout or encoding semantics change, so cached
+# index directories keyed on (data, version) are rebuilt rather than
+# served stale
+INDEX_FORMAT_VERSION = 1
+
 
 def build_ivf_pq_index(corpus: DataFrame, path: str,
                        n_cells: int = 16, m: int = 8, ks: int = 16,
