@@ -89,6 +89,11 @@ SUBSET = [
     # query — quality filter + minhash/CC dedup + decontaminate + split +
     # pack, end to end
     'pipeline_training_data',
+    # round 8 additions
+    'sample_shuffle',
+    'sample_mix',
+    'text_embed_hashing',
+    'sim_ann_index_search',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
