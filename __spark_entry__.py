@@ -657,7 +657,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sf_dir, stamp, INDEX_FORMAT_VERSION).encode()).hexdigest()[:10]
         path = os.path.join(tempfile.gettempdir(),
                             'rbql_annidx_{}'.format(key))
-        if not os.path.exists(os.path.join(path, '_SUCCESS')):
+        # cache-valid needs BOTH markers: build writes the parquet
+        # _SUCCESS first and the meta sidecar after, so a crash between
+        # the two leaves a dir that passes a _SUCCESS-only check yet
+        # fails every search (advisor, round 8)
+        if not (os.path.exists(os.path.join(path, '_SUCCESS'))
+                and os.path.exists(os.path.join(path,
+                                                '_rbql_index_meta.json'))):
             build_ivf_pq_index(_t(spark, sf_dir, 'embeddings'), path,
                                n_cells=16, m=8, ks=16)
         emb = _t(spark, sf_dir, 'embeddings')
@@ -727,8 +733,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q['text_quality_filter'] = _quality_filter
 
     def _embed_hashing(spark, sf_dir):
+        # embedding rides as e0..e15 scalars: the driver's canonicalizer
+        # sorts by every column and can't hash an array<double> cell
+        # (the multimodal_features pattern — round-8's one red row)
         from rbql_spark.ops.textstats import embed_hashing
-        return embed_hashing(_t(spark, sf_dir, 'documents'), dim=16)
+        res = embed_hashing(_t(spark, sf_dir, 'documents'), dim=16)
+        return res.select(
+            'doc_id',
+            *[F.col('embedding')[i].alias('e{}'.format(i)) for i in range(16)])
     q['text_embed_hashing'] = _embed_hashing
 
     def _text_top_ngrams(spark, sf_dir):
@@ -821,25 +833,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the bound lives in the driver, so rotation here is the only way to
     # refresh proof for all 78.  The strict local mirror,
     # tools/check_oracles.py, still value-checks every gate each round.)
-    # Round 8 rotation: the 28 gates absent from CORRECTNESS_r07.json
-    # (present+green in r06) lead, followed by the gates NEW in round 8
-    # (streaming_quality_filter, sim_ann_index_search, sample_shuffle,
-    # sample_mix — no driver proof yet); the r07-recorded gates fill the
-    # rest in declaration order.
+    # Round 9 rotation: the 33 gates absent from CORRECTNESS_r08.json
+    # (recorded green in r07) lead, then text_embed_hashing (r08's one
+    # red row, now projected to e0..e15 scalars) and the gates NEW in
+    # round 9 (sim_ann_index_churn, sim_kmeans_recall — no driver proof
+    # yet); the r08-recorded gates fill the rest in declaration order.
     rotate_first = [
-        'window_running_sum', 'window_tumbling', 'window_session',
-        'window_sliding', 'skew_salted_join', 'having_groups',
-        'setop_union_all', 'setop_intersect', 'setop_except',
-        'streaming_windowed_counts', 'streaming_user_totals',
-        'streaming_exact_dedup', 'streaming_minhash_neardup',
-        'streaming_decontaminate', 'streaming_quality_filter',
-        'sim_ann_index_search',
-        'dedup_exact', 'dedup_minhash_lsh', 'dedup_simhash',
-        'dedup_incremental', 'dedup_ngram_jaccard', 'decontaminate_ngram',
-        'dedup_clusters', 'dedup_keep_canonical', 'dedup_lines',
-        'sample_hash', 'sample_stratified', 'sample_temperature',
-        'chunk_documents', 'sample_split', 'sample_shuffle', 'sample_mix',
-        'text_embed_hashing',
+        'rbql_like', 'rbql_string_ops', 'rbql_pipe_chain',
+        'rbql_ternary_expr', 'window_row_number', 'export_manifest',
+        'pack_sequences', 'text_redact_pii',
+        'sim_topk_bruteforce', 'sim_ann_lsh', 'sim_ann_lsh_multiprobe',
+        'sim_ann_ivf', 'sim_ann_ivf_multiprobe', 'sim_ann_ivf_int8',
+        'sim_ann_ivf_pq', 'sim_ann_pq', 'sim_embedding_neardup',
+        'text_token_stats', 'text_quality_score', 'text_language_id',
+        'text_lm_score', 'text_lm_score_bigram', 'text_quality_filter',
+        'text_top_ngrams', 'text_repetition',
+        'bpe_train', 'bpe_apply', 'profile_table', 'text_fingerprint',
+        'multimodal_features', 'multimodal_frame_sample',
+        'multimodal_resize', 'pipeline_training_data',
+        'text_embed_hashing', 'sim_ann_index_churn', 'sim_kmeans_recall',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1685,10 +1697,14 @@ def oracle_sql() -> dict[str, str]:
         "coalesce(d.raw, list_transform(range(0, 16), i -> 0.0)) AS raw "
         "FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id), "
         "n AS (SELECT doc_id, raw, "
-        "sqrt(list_sum(list_transform(raw, x -> x * x))) AS nm FROM a) "
-        "SELECT doc_id, CASE WHEN nm > 0 THEN "
-        "list_transform(raw, x -> round(x / nm, 6)) ELSE raw END AS embedding "
-        "FROM n")
+        "sqrt(list_sum(list_transform(raw, x -> x * x))) AS nm FROM a), "
+        "e AS (SELECT doc_id, CASE WHEN nm > 0 THEN "
+        "list_transform(raw, x -> round(x / nm, 6)) ELSE raw END AS emb "
+        "FROM n) "
+        # array projected to scalars e0..e15 (DuckDB lists are 1-indexed)
+        # to match the gate: the driver canonicalizer can't hash list cells
+        "SELECT doc_id, " + ", ".join(
+            "emb[{}] AS e{}".format(i + 1, i) for i in range(16)) + " FROM e")
 
     # deterministic global shuffle: order by the op-salted md5 unit
     # (rbql_spark.ops.sampling.shuffle_corpus), ties broken by the key
