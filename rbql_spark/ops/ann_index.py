@@ -133,11 +133,19 @@ def append_to_ivf_pq_index(vectors: DataFrame, path: str) -> int:
     appends (duplicate ids are two index entries, like any append-only
     store).  Returns the number of index rows appended.
     """
+    from pyspark.storagelevel import StorageLevel
+
     with open(os.path.join(path, _META_FILE)) as fh:
         meta = json.load(fh)
-    coded = _encode_with_meta(vectors, meta)
-    coded.write.mode('append').partitionBy('cell').parquet(path)
-    return coded.count()
+    # persist around write+count: without it the count() re-executes the
+    # whole encode (scan + kernel + store_floats join) a second time
+    coded = _encode_with_meta(vectors, meta).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    try:
+        coded.write.mode('append').partitionBy('cell').parquet(path)
+        return coded.count()
+    finally:
+        coded.unpersist()
 
 
 def ivf_pq_index_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -273,7 +281,13 @@ def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,
                              pair_sim.alias('pq_sim'),
                              *([vec_col] if meta['store_floats'] else [])))
     if meta['n_assign'] > 1:
-        scored = scored.dropDuplicates(['query_id', 'vec_id'])
+        # residual copies carry per-cell codes → per-copy pq_sims; reduce
+        # deterministically with max() (see ivf_pq_ann_topk).  The stored
+        # floats are identical across copies, so first() is value-stable.
+        scored = (scored.groupBy('query_id', 'vec_id')
+                        .agg(F.max('pq_sim').alias('pq_sim'),
+                             *([F.first(vec_col).alias(vec_col)]
+                               if meta['store_floats'] else [])))
 
     wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(),
                                                 F.col('vec_id').asc())
@@ -374,7 +388,10 @@ def _search_arrow(spark: SparkSession, path: str, q: DataFrame, meta: dict,
 
     scored = payload.mapInPandas(score, schema=out_schema)
     if meta['n_assign'] > 1:
-        scored = scored.dropDuplicates(['query_id', 'vec_id'])
+        # deterministic reduction over cell copies (residual codes are
+        # per-cell — see ivf_pq_ann_topk)
+        scored = (scored.groupBy('query_id', 'vec_id')
+                        .agg(F.max('pq_sim').alias('pq_sim')))
     wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(),
                                                 F.col('vec_id').asc())
     if not meta['store_floats']:

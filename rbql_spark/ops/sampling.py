@@ -234,7 +234,7 @@ def pack_sequences(df: DataFrame, max_tokens: int, n_buckets: int | None = None,
 
 
 def shuffle_corpus(df: DataFrame, key_col: str = 'doc_id',
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, n_buckets: int = 4096) -> DataFrame:
     """Deterministic global shuffle: order rows by md5(key:shuffle:seed)
     — the pre-training randomization step ("shuffle the corpus before
     packing/sharding"), as a pure function of the data.
@@ -243,19 +243,42 @@ def shuffle_corpus(df: DataFrame, key_col: str = 'doc_id',
     and task scheduling; this is content-keyed, so the permutation is
     rerun-stable, cluster-size-invariant, and replayable by the DuckDB
     differential oracle.  The returned frame carries `shuffle_pos`
-    (0-based dense position) so downstream sharding can range-split it.
+    (0-based dense long position) so downstream sharding can range-split
+    it.
 
-    Scale shape: ONE range-partitioned sort (Spark samples the hash to
-    build balanced range bounds) — exactly what a global ORDER BY costs;
-    the window that numbers rows rides the same sort order with a single
-    partition pass over sorted output.  Ties are broken by the key
-    itself, so the order is total even across md5-32 collisions.
+    Scale shape: a global Window.orderBy would pull the ENTIRE corpus
+    into one task (Spark's no-partition window), so positions are
+    composed from a content-derived bucket instead: bucket =
+    floor(unit × n_buckets) is monotone in the sort unit (the md5 unit
+    is uniform on [0,1), so buckets are balanced by construction), rows
+    rank WITHIN their bucket in parallel, and each bucket's global
+    offset is the cumulative count of the buckets before it — an
+    aggregation of n_buckets rows, broadcast back.  Two corpus passes
+    (count + rank), no single-task stage over corpus rows; positions are
+    long (offset + 32-bit within-bucket rank ⇒ ~2^43 rows at the
+    default n_buckets).  Ties are broken by the key itself, so the
+    order is total even across md5-32 collisions.
     """
     from pyspark.sql import Window
     u = _hash_unit(F.col(key_col), seed, op='shuffle')
-    w = Window.orderBy(u.asc(), F.col(key_col).asc())
-    return (df.withColumn('shuffle_pos',
-                          F.row_number().over(w) - F.lit(1)))
+    keyed = df.withColumn('__u', u).withColumn(
+        '__bkt', F.floor(F.col('__u') * n_buckets).cast('int'))
+    counts = keyed.groupBy('__bkt').agg(F.count(F.lit(1)).alias('__n'))
+    # cumulative offsets over n_buckets rows — a bounded, tiny window
+    woff = (Window.orderBy('__bkt')
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        '__bkt',
+        F.coalesce(F.sum('__n').over(woff), F.lit(0))
+         .cast('long').alias('__off'))
+    wrank = (Window.partitionBy('__bkt')
+             .orderBy(F.col('__u').asc(), F.col(key_col).asc()))
+    return (keyed.withColumn('__rnk', F.row_number().over(wrank))
+                 .join(F.broadcast(offsets), '__bkt')
+                 .withColumn('shuffle_pos',
+                             (F.col('__off') + F.col('__rnk') - 1)
+                             .cast('long'))
+                 .drop('__u', '__bkt', '__rnk', '__off'))
 
 
 def mix_corpora(sources: list, weights: list[float],

@@ -1126,9 +1126,15 @@ def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                            'cell')
                      .select('query_id', 'vec_id', pair_sim.alias('pq_sim')))
     if n_assign > 1:
-        # multi-assignment can surface a (query, vec) pair via several
-        # cells with identical pq_sim — dedup before the shortlist rank
-        scored = scored.dropDuplicates(['query_id', 'vec_id'])
+        # multi-assignment surfaces a (query, vec) pair once per assigned
+        # cell; under residual encoding each cell copy carries its OWN
+        # residual codes, so the copies' pq_sims can differ — reduce with
+        # max() (deterministic) rather than dropDuplicates (keeps an
+        # arbitrary copy, making shortlist membership partition-order-
+        # dependent).  Non-residual copies score identically, so max is
+        # a no-op there.
+        scored = (scored.groupBy('query_id', 'vec_id')
+                        .agg(F.max('pq_sim').alias('pq_sim')))
     wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(), F.col('vec_id').asc())
     shortlist = (scored.withColumn('rq', F.row_number().over(wq))
                        .filter(F.col('rq') <= k * rescore_factor)

@@ -542,3 +542,42 @@ def test_ivf_pq_residual_encoding(spark, sf_dir):
                   .collect()[0][0]
 
     assert recon_quality(True) > recon_quality(False)
+
+
+def test_residual_multiassign_partition_invariant(spark, sf_dir):
+    # round-9 advisor regression: with residual=True and n_assign>1 each
+    # cell copy of a vector carries its OWN residual codes, so the
+    # per-copy pq_sims differ; the reduction over copies must be
+    # deterministic (max), never keep-an-arbitrary-copy — results must
+    # not depend on the corpus's physical partitioning
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.similarity import ivf_pq_ann_topk
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+    q = emb.filter(F.col('vec_id') < 3) \
+           .select(F.col('vec_id').alias('query_id'), 'embedding')
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = rows(ivf_pq_ann_topk(emb, q, k=5, residual=True, n_assign=2))
+    for part in (emb.repartition(13), emb.coalesce(1)):
+        assert rows(ivf_pq_ann_topk(part, q, k=5, residual=True,
+                                    n_assign=2)) == base
+
+
+def test_shuffle_corpus_no_corpus_wide_single_partition_window(spark, sf_dir):
+    # round-9 advisor regression: positions must never come from an
+    # unpartitioned Window over corpus rows (one-task global sort).  The
+    # only single-partition stage allowed is the bounded per-bucket
+    # offsets aggregation (n_buckets rows).
+    from rbql_spark.ops.sampling import shuffle_corpus
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    plan = shuffle_corpus(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.splitlines():
+        if 'row_number()' in line:
+            # the corpus row-numbering window carries a partition spec
+            assert 'windowspecdefinition(__bkt' in line, line
+    # long positions (≥2^31-safe at scale)
+    assert dict(shuffle_corpus(docs).dtypes)['shuffle_pos'] == 'bigint'
