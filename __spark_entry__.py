@@ -672,6 +672,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return search_ivf_pq_index(spark, path, queries_df, k=10, n_probe=4)
     q['sim_ann_index_search'] = _sim_index_search
 
+    def _sim_index_churn(spark, sf_dir):
+        # index lifecycle under churn: build on the full corpus → delete
+        # vec_id%7==3 → COMPACT (physical partition rewrite, tombstones
+        # cleared) → append BACK the vec_id%14==3 slice under the frozen
+        # model → delete vec_id%5==0 again, left as live TOMBSTONES so
+        # the search exercises the anti-join path.  All churn rows are
+        # original corpus vectors, so the oracle replays the frozen
+        # model (trained on the FULL corpus) over the surviving set:
+        #   (vec_id%7 != 3 OR vec_id%14 == 3) AND vec_id%5 != 0
+        import hashlib
+        import shutil
+        import tempfile
+
+        from rbql_spark.ops.ann_index import (
+            INDEX_FORMAT_VERSION, append_to_ivf_pq_index,
+            build_ivf_pq_index, compact_ivf_pq_index,
+            delete_from_ivf_pq_index, search_ivf_pq_index,
+        )
+        src = os.path.join(sf_dir, 'embeddings.parquet')
+        try:
+            stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
+        except OSError:
+            stamp = ''
+        key = hashlib.md5('churn|{}|{}|v{}'.format(
+            sf_dir, stamp, INDEX_FORMAT_VERSION).encode()).hexdigest()[:10]
+        path = os.path.join(tempfile.gettempdir(),
+                            'rbql_annidx_churn_{}'.format(key))
+        emb = _t(spark, sf_dir, 'embeddings')
+        done = os.path.join(path, '_rbql_churn_done')
+        if not os.path.exists(done):
+            # the churn sequence is stateful: always run it start-to-
+            # finish on a fresh dir (a half-churned cache would skew)
+            shutil.rmtree(path, ignore_errors=True)
+            build_ivf_pq_index(emb.select('vec_id', 'embedding'), path,
+                               n_cells=16, m=8, ks=16)
+            delete_from_ivf_pq_index(
+                spark, path,
+                emb.filter(F.col('vec_id') % 7 == 3).select('vec_id'))
+            compact_ivf_pq_index(spark, path)
+            append_to_ivf_pq_index(
+                emb.filter(F.col('vec_id') % 14 == 3)
+                   .select('vec_id', 'embedding'), path)
+            delete_from_ivf_pq_index(
+                spark, path,
+                emb.filter(F.col('vec_id') % 5 == 0).select('vec_id'))
+            with open(done, 'w') as fh:
+                fh.write('ok')
+        queries_df = emb.filter(F.col('vec_id') < 5) \
+                        .select(F.col('vec_id').alias('query_id'), 'embedding')
+        return search_ivf_pq_index(spark, path, queries_df, k=10, n_probe=4)
+    q['sim_ann_index_churn'] = _sim_index_churn
+
     def _sim_pq(spark, sf_dir):
         from rbql_spark.ops.similarity import pq_ann_topk
         emb = _t(spark, sf_dir, 'embeddings')
@@ -1251,18 +1303,26 @@ def _pq_replay_sql(k: int, m: int, ks: int, rescore_factor: int,
 
 
 def _ivf_pq_replay_sql(k: int, n_cells: int, n_probe: int, m: int, ks: int,
-                       rescore_factor: int, seed: int, dim: int = 64) -> str:
+                       rescore_factor: int, seed: int, dim: int = 64,
+                       data_where: str = '') -> str:
     """Replay ivf_pq_ann_topk: hash centroids / argmax cells / n_probe
     probes (as _ivf_replay_sql) composed with PQ codebooks / codes /
     reconstruction (as _pq_replay_sql); candidates = probed cells scored
-    by cosine(query, reconstruction), exact rescore of the shortlist."""
+    by cosine(query, reconstruction), exact rescore of the shortlist.
+
+    `data_where` restricts WHICH vectors are indexed/scored while the
+    quantization model (centroids + codebooks, the `cm` CTE) still
+    trains on the FULL corpus — the frozen-model semantics of a stored
+    index after delete/append churn (sim_ann_index_churn gate)."""
     s = dim // m
+    dw = (' WHERE ' + data_where) if data_where else ''
     return (
-        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "WITH cm AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "c AS (SELECT * FROM cm" + dw + "), "
         "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
         "FROM embeddings WHERE vec_id < 5), "
         "cent AS (SELECT cell, cv FROM (SELECT v AS cv, row_number() OVER "
-        "(ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id) - 1 AS cell FROM c) "
+        "(ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id) - 1 AS cell FROM cm) "
         "WHERE cell < {n_cells}), "
         "asg AS (SELECT vec_id, cell FROM (SELECT c.vec_id, cent.cell, "
         "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
@@ -1273,7 +1333,7 @@ def _ivf_pq_replay_sql(k: int, n_cells: int, n_probe: int, m: int, ks: int,
         "round(list_cosine_similarity(q.qv, cent.cv), 6) DESC, cent.cell ASC) AS rn "
         "FROM q CROSS JOIN cent) WHERE rn <= {n_probe}), "
         "pcent AS (SELECT code, cv FROM (SELECT v AS cv, row_number() OVER "
-        "(ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id) - 1 AS code FROM c) "
+        "(ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id) - 1 AS code FROM cm) "
         "WHERE code < {ks}), "
         "sub AS (SELECT unnest(range(0, {m})) AS j), "
         "cb AS (SELECT j, code, array_slice(cv, j*{s} + 1, j*{s} + {s}) AS ccv "
@@ -1830,6 +1890,10 @@ def oracle_sql() -> dict[str, str]:
     # the same parameters (the index is a cache, not a semantic fork), so
     # the same replay is its oracle
     o['sim_ann_index_search'] = o['sim_ann_ivf_pq']
+    # churned index: same frozen model, surviving vectors only (see gate)
+    o['sim_ann_index_churn'] = _ivf_pq_replay_sql(
+        k=10, n_cells=16, n_probe=4, m=8, ks=16, rescore_factor=4, seed=42,
+        data_where='(vec_id % 7 != 3 OR vec_id % 14 = 3) AND vec_id % 5 != 0')
 
     o['sim_embedding_neardup'] = _neardup_replay_sql(
         threshold=0.8, dim=64, n_planes=12, seed=42)

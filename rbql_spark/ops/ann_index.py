@@ -46,9 +46,11 @@ from rbql_spark.ops.similarity import (
 
 __all__ = ['build_ivf_pq_index', 'append_to_ivf_pq_index',
            'stream_append_to_ivf_pq_index', 'search_ivf_pq_index',
-           'ivf_pq_index_stats']
+           'ivf_pq_index_stats', 'delete_from_ivf_pq_index',
+           'compact_ivf_pq_index', 'rebuild_if_imbalanced']
 
 _META_FILE = '_rbql_index_meta.json'
+_TOMBSTONE_DIR = '_rbql_tombstones'
 
 # bump when the stored layout or encoding semantics change, so cached
 # index directories keyed on (data, version) are rebuilt rather than
@@ -154,8 +156,12 @@ def ivf_pq_index_stats(spark: SparkSession, path: str) -> DataFrame:
     for a deployed index: a hot cell (ratio ≫ 1, e.g. after appends under
     a drifted distribution) concentrates search I/O exactly the way a
     skewed join key concentrates a shuffle — the signal to rebuild with
-    more cells or re-trained centroids.  One aggregation over the index
-    (cells prune nothing here: stats read everything by design)."""
+    more cells or re-trained centroids (`rebuild_if_imbalanced` consumes
+    exactly this report).  Counts are PHYSICAL rows: tombstoned-but-
+    uncompacted rows are included, matching the scan bytes a search
+    actually pays — run compact_ivf_pq_index first for live-row stats.
+    One aggregation over the index (cells prune nothing here: stats read
+    everything by design)."""
     idx = spark.read.parquet(path)
     counts = idx.groupBy('cell').agg(F.count(F.lit(1)).alias('n_rows'))
     tot = Window.partitionBy()
@@ -167,6 +173,158 @@ def ivf_pq_index_stats(spark: SparkSession, path: str) -> DataFrame:
                             / F.avg('n_rows').over(tot), 3)
                      .alias('balance_ratio'))
             .orderBy(F.col('n_rows').desc()))
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The index's live tombstone set (vec_id rows), or None if empty."""
+    tdir = os.path.join(path, _TOMBSTONE_DIR)
+    if not os.path.isdir(tdir) or not any(
+            f.endswith('.parquet') or f == '_SUCCESS'
+            for f in os.listdir(tdir)):
+        return None
+    return spark.read.parquet(tdir).select('vec_id').dropDuplicates()
+
+
+def delete_from_ivf_pq_index(spark: SparkSession, path: str,
+                             ids) -> int:
+    """Logical deletion: record the given vec_ids as TOMBSTONES next to
+    the index (`path/_rbql_tombstones/`, plain parquet).  Search
+    anti-joins the tombstone set after partition pruning, so deleted
+    vectors stop appearing immediately without rewriting any index
+    partition — the right trade for frequent small deletes on a 100 TB
+    index, where a physical rewrite per delete would dominate.
+
+    `ids` is a DataFrame with a vec_id column (preferred — stays
+    distributed) or a Python list of ids.  Deleting an id that is not in
+    the index is a no-op at search time; deleting twice is idempotent
+    (the tombstone set is deduplicated on read).  The physical rows are
+    reclaimed by `compact_ivf_pq_index`; until then, index stats and
+    scan bytes still include the dead rows — the documented cost of the
+    tombstone contract.  Returns the number of tombstone ids written.
+    """
+    if not isinstance(ids, DataFrame):
+        ids = [(i,) for i in ids]
+        if not ids:
+            return 0
+        idx_sample = spark.read.parquet(path).select('vec_id').limit(1)
+        vid_type = dict(idx_sample.dtypes)['vec_id']
+        ids = spark.createDataFrame(ids, 'vec_id {}'.format(vid_type))
+    tomb = ids.select('vec_id').dropDuplicates()
+    tomb.write.mode('append').parquet(os.path.join(path, _TOMBSTONE_DIR))
+    return tomb.count()
+
+
+def compact_ivf_pq_index(spark: SparkSession, path: str) -> dict:
+    """Physically apply the tombstone set: rewrite ONLY the cell
+    partitions that contain tombstoned rows (dynamic partition
+    overwrite), then clear the tombstones.  Untouched cells keep their
+    files byte-for-byte — at scale a compaction touches n_affected /
+    n_cells of the index, not all of it.
+
+    Returns {'rows_removed': n, 'cells_rewritten': [...]}.  No-op (and
+    empty report) when there are no tombstones.
+    """
+    import shutil
+
+    from pyspark.storagelevel import StorageLevel
+
+    tomb = _tombstones(spark, path)
+    if tomb is None:
+        return {'rows_removed': 0, 'cells_rewritten': []}
+    idx = spark.read.parquet(path)
+    # one scan bounded to matching rows: which cells hold dead rows?
+    dead = (idx.join(F.broadcast(tomb), 'vec_id')
+               .groupBy('cell').agg(F.count(F.lit(1)).alias('__n'))
+               .collect())
+    cells = sorted(int(r['cell']) for r in dead)
+    removed = int(sum(r['__n'] for r in dead))
+    if cells:
+        survivors = (idx.where(F.col('cell').isin(cells))
+                        .join(F.broadcast(tomb), 'vec_id', 'left_anti')
+                        .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            survivors.count()  # materialize BEFORE overwriting the source
+            with _partition_overwrite_dynamic(spark):
+                (survivors.select(*[c for c in idx.columns])
+                          .write.mode('overwrite').partitionBy('cell')
+                          .parquet(path))
+        finally:
+            survivors.unpersist()
+    shutil.rmtree(os.path.join(path, _TOMBSTONE_DIR), ignore_errors=True)
+    return {'rows_removed': removed, 'cells_rewritten': cells}
+
+
+class _partition_overwrite_dynamic:
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic: overwrite
+    replaces only the partitions present in the written frame."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        conf = self.spark.conf
+        self.prev = conf.get('spark.sql.sources.partitionOverwriteMode',
+                             'static')
+        conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
+
+    def __exit__(self, *exc):
+        self.spark.conf.set('spark.sql.sources.partitionOverwriteMode',
+                            self.prev)
+        return False
+
+
+def rebuild_if_imbalanced(spark: SparkSession, path: str,
+                          threshold: float = 4.0) -> dict:
+    """Consume `ivf_pq_index_stats`: when the hottest cell exceeds
+    `threshold` × the mean cell occupancy (the hot-cell signal appends
+    under a drifted distribution produce), RETRAIN the quantization model
+    on the current live vectors and rebuild the index in place — the
+    documented answer to "an index you can only grow".
+
+    Requires `store_floats=True` at build time (the raw embeddings are
+    re-read from the index itself; a pure-PQ index cannot re-encode and
+    raises with that contract spelled out).  Compaction runs first so the
+    balance reading and the retraining corpus exclude tombstoned rows.
+    Returns {'rebuilt': bool, 'max_balance_ratio': x, 'threshold': t}.
+    """
+    with open(os.path.join(path, _META_FILE)) as fh:
+        meta = json.load(fh)
+    compact_ivf_pq_index(spark, path)
+    stats = ivf_pq_index_stats(spark, path)
+    worst = stats.agg(F.max('balance_ratio').alias('m')).collect()[0]['m']
+    worst = float(worst if worst is not None else 0.0)
+    if worst <= threshold:
+        return {'rebuilt': False, 'max_balance_ratio': worst,
+                'threshold': threshold}
+    if not meta['store_floats']:
+        raise ValueError(
+            'rebuild_if_imbalanced needs the raw embeddings, but this '
+            'index was built with store_floats=False (pure-PQ codes '
+            'cannot be re-encoded under a new model). Rebuild contract '
+            'for pure-PQ indexes: re-run build_ivf_pq_index from the '
+            'source corpus.')
+    vec_col = meta['vec_col']
+    live = (spark.read.parquet(path)
+                 .select(F.col('vec_id').alias(meta['id_col']),
+                         F.col(vec_col))
+                 .dropDuplicates([meta['id_col']]))  # n_assign copies
+    # materialize the retraining corpus OUTSIDE the index dir before the
+    # overwrite destroys its own input
+    tmp = path.rstrip('/') + '__rebuild_src'
+    live.write.mode('overwrite').parquet(tmp)
+    try:
+        src = spark.read.parquet(tmp)
+        build_ivf_pq_index(
+            src, path, n_cells=meta['n_cells'], m=meta['m'],
+            ks=meta['ks'], id_col=meta['id_col'], vec_col=vec_col,
+            seed=meta['seed'], quantizer=meta['quantizer'],
+            residual=meta['residual'], n_assign=meta['n_assign'],
+            store_floats=True)
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {'rebuilt': True, 'max_balance_ratio': worst,
+            'threshold': threshold}
 
 
 def stream_append_to_ivf_pq_index(vectors: DataFrame, path: str,
@@ -252,6 +410,11 @@ def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,
     # literal IN-list → PartitionFilters on the cell directory column:
     # only the probed partitions are listed/read
     idx = spark.read.parquet(path).where(F.col('cell').isin(cells))
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        # logically-deleted vectors (bounded between compactions) drop
+        # out right after the pruned scan
+        idx = idx.join(F.broadcast(tomb), 'vec_id', 'left_anti')
 
     _code, _recon = _pq_code_exprs(books)
     recon = _recon([F.col('__c{}'.format(j)) for j in range(m)])
@@ -345,6 +508,9 @@ def _search_arrow(spark: SparkSession, path: str, q: DataFrame, meta: dict,
     cells = sorted({int(c) for row in probe_sets for c in row})
 
     idx = spark.read.parquet(path).where(F.col('cell').isin(cells))
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        idx = idx.join(F.broadcast(tomb), 'vec_id', 'left_anti')
     code_cols = ['__c{}'.format(j) for j in range(m)]
     payload = idx.select('vec_id', 'cell', *code_cols)
     vid_type = dict(payload.dtypes)['vec_id']

@@ -203,3 +203,116 @@ def test_search_scorers_agree(spark, tmp_path, emb_q):
         b = search_ivf_pq_index(spark, path, q, k=5, n_probe=4,
                                 scorer='native')
         assert _rows(a) == _rows(b), name
+
+
+def test_delete_tombstones_then_compact(spark, tmp_path, emb_q):
+    # lifecycle: delete is immediately visible to search (tombstone
+    # anti-join), idempotent, and compaction rewrites ONLY the affected
+    # cell partitions while leaving results identical
+    from rbql_spark.ops.ann_index import (
+        build_ivf_pq_index, compact_ivf_pq_index, delete_from_ivf_pq_index,
+        search_ivf_pq_index,
+    )
+    from rbql_spark.ops.similarity import ivf_pq_ann_topk
+    emb, q = emb_q
+    path = str(tmp_path / 'idx_del')
+    build_ivf_pq_index(emb, path, n_cells=16, m=8, ks=16)
+
+    victims = emb.filter(F.col('vec_id') % 5 == 4).select('vec_id')
+    n = delete_from_ivf_pq_index(spark, path, victims)
+    assert n == victims.count()
+    # double delete is idempotent at search time
+    delete_from_ivf_pq_index(spark, path, victims)
+
+    survivors = emb.filter(F.col('vec_id') % 5 != 4)
+    want = ivf_pq_ann_topk(survivors, q, k=5, n_cells=16, n_probe=4)
+    # frozen model vs survivor-trained model differ: compare via the
+    # surviving-id invariant + both scorers instead
+    got = search_ivf_pq_index(spark, path, q, k=5, n_probe=4)
+    got_rows = _rows(got)
+    assert len(got_rows) == 15
+    dead = {r['vec_id'] for r in victims.collect()}
+    assert not any(r[1] in dead for r in got_rows)
+    assert _rows(search_ivf_pq_index(spark, path, q, k=5, n_probe=4,
+                                     scorer='native')) == got_rows
+
+    # compaction: physical rows drop, untouched cells keep their files
+    import glob
+    pre_files = {c: sorted(glob.glob(os.path.join(path, c, '*.parquet')))
+                 for c in os.listdir(path) if c.startswith('cell=')}
+    report = compact_ivf_pq_index(spark, path)
+    assert report['rows_removed'] == victims.count()
+    post = spark.read.parquet(path)
+    assert post.join(victims, 'vec_id').count() == 0
+    for c in (set(pre_files) -
+              {'cell={}'.format(x) for x in report['cells_rewritten']}):
+        assert sorted(glob.glob(os.path.join(path, c, '*.parquet'))) \
+            == pre_files[c]
+    # search results unchanged by compaction, and tombstones are gone
+    assert _rows(search_ivf_pq_index(spark, path, q, k=5, n_probe=4)) \
+        == got_rows
+    assert not os.path.isdir(os.path.join(path, '_rbql_tombstones'))
+    # second compaction is a no-op
+    assert compact_ivf_pq_index(spark, path) == {
+        'rows_removed': 0, 'cells_rewritten': []}
+    del want  # frozen-model semantics documented above
+
+
+def test_rebuild_if_imbalanced(spark, tmp_path, emb_q):
+    from rbql_spark.ops.ann_index import (
+        append_to_ivf_pq_index, build_ivf_pq_index, ivf_pq_index_stats,
+        rebuild_if_imbalanced, search_ivf_pq_index,
+    )
+    emb, q = emb_q
+    path = str(tmp_path / 'idx_rb')
+    build_ivf_pq_index(emb, path, n_cells=8, m=8, ks=16)
+    # balanced index: below threshold, no rebuild
+    r = rebuild_if_imbalanced(spark, path, threshold=4.0)
+    assert r['rebuilt'] is False and r['max_balance_ratio'] < 4.0
+
+    # force a hot cell: append many near-copies of one vector (all land
+    # in its cell under the frozen model)
+    # 26 copies x 4 appends = ~100 extra rows in one cell of a
+    # 500-row / 8-cell index (mean ~75 after) -> ratio > 2
+    one = emb.filter(F.col('vec_id') == 0).select('vec_id', 'embedding')
+    clones = one
+    for i in range(1, 26):
+        clones = clones.unionByName(
+            one.select((F.col('vec_id') + 10000 * i).alias('vec_id'),
+                       'embedding'))
+    for _ in range(4):
+        append_to_ivf_pq_index(clones, path)
+    worst_before = ivf_pq_index_stats(spark, path) \
+        .agg(F.max('balance_ratio').alias('m')).collect()[0]['m']
+    r2 = rebuild_if_imbalanced(spark, path, threshold=1.5)
+    assert r2['rebuilt'] is True
+    assert r2['max_balance_ratio'] == pytest.approx(float(worst_before))
+    # the retrained model spreads the hot mass: skew strictly improves
+    worst_after = ivf_pq_index_stats(spark, path) \
+        .agg(F.max('balance_ratio').alias('m')).collect()[0]['m']
+    assert worst_after < float(worst_before)
+    # index still serves correct-shape results after the rebuild
+    res = search_ivf_pq_index(spark, path, q, k=5, n_probe=4).collect()
+    assert len(res) == 15 and {r['query_id'] for r in res} == {0, 1, 2}
+
+
+def test_pure_pq_rebuild_contract(spark, tmp_path, emb_q):
+    # store_floats=False indexes cannot re-encode: the rebuild contract
+    # is an explicit error pointing at the source corpus
+    from rbql_spark.ops.ann_index import (
+        append_to_ivf_pq_index, build_ivf_pq_index, rebuild_if_imbalanced,
+    )
+    emb, _ = emb_q
+    path = str(tmp_path / 'idx_pp')
+    build_ivf_pq_index(emb, path, n_cells=8, m=8, ks=16,
+                       store_floats=False)
+    one = emb.filter(F.col('vec_id') == 0).select('vec_id', 'embedding')
+    clones = one
+    for i in range(1, 26):
+        clones = clones.unionByName(
+            one.select((F.col('vec_id') + 10000 * i).alias('vec_id'),
+                       'embedding'))
+    for _ in range(4):
+        append_to_ivf_pq_index(clones, path)
+    with pytest.raises(ValueError, match='store_floats=False'):
+        rebuild_if_imbalanced(spark, path, threshold=1.2)
