@@ -724,6 +724,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return search_ivf_pq_index(spark, path, queries_df, k=10, n_probe=4)
     q['sim_ann_index_churn'] = _sim_index_churn
 
+    def _kmeans_recall(spark, sf_dir):
+        # driver visibility for the production-recall quantizer path:
+        # hash-quantizer IVF recall@10 vs brute-force truth is exactly
+        # replayable in DuckDB; kmeans cluster centers are NOT
+        # bit-replayable in another engine, so the kmeans path's
+        # oracle-checkable output is the DOMINANCE VERDICT itself — the
+        # gate emits 1.0 only when kmeans recall >= hash recall over the
+        # same queries/truth, and the oracle asserts the literal 1.0.
+        # If the kmeans coarse quantizer ever stops dominating, the
+        # value-hash mismatches and the gate turns red.
+        from rbql_spark.ops.similarity import (
+            cosine_topk_bruteforce, ivf_ann_topk,
+        )
+        k = 10
+        emb = _t(spark, sf_dir, 'embeddings')
+        queries_df = emb.filter(F.col('vec_id') < 20) \
+                        .select(F.col('vec_id').alias('query_id'), 'embedding')
+        exact = cosine_topk_bruteforce(emb, queries_df, k=k) \
+            .select('query_id', 'vec_id')
+        den = queries_df.agg((F.count(F.lit(1)) * k).alias('den'))
+
+        def hits(quantizer):
+            ann = ivf_ann_topk(emb, queries_df, k=k, n_cells=16, n_probe=4,
+                               quantizer=quantizer) \
+                .select('query_id', 'vec_id')
+            return ann.join(exact, ['query_id', 'vec_id']) \
+                      .agg(F.count(F.lit(1)).alias('hits'))
+
+        h_hash = hits('hash')
+        h_kmeans = hits('kmeans').withColumnRenamed('hits', 'khits')
+        recall_row = h_hash.crossJoin(den).select(
+            F.lit('recall_hash').alias('metric'),
+            F.round(F.col('hits') / F.col('den'), 6).alias('value'))
+        verdict_row = h_kmeans.crossJoin(h_hash).select(
+            F.lit('kmeans_ge_hash').alias('metric'),
+            F.when(F.col('khits') >= F.col('hits'), F.lit(1.0))
+             .otherwise(F.lit(0.0)).alias('value'))
+        return recall_row.unionByName(verdict_row)
+    q['sim_kmeans_recall'] = _kmeans_recall
+
     def _sim_pq(spark, sf_dir):
         from rbql_spark.ops.similarity import pq_ann_topk
         emb = _t(spark, sf_dir, 'embeddings')
@@ -1894,6 +1934,39 @@ def oracle_sql() -> dict[str, str]:
     o['sim_ann_index_churn'] = _ivf_pq_replay_sql(
         k=10, n_cells=16, n_probe=4, m=8, ks=16, rescore_factor=4, seed=42,
         data_where='(vec_id % 7 != 3 OR vec_id % 14 = 3) AND vec_id % 5 != 0')
+
+    # kmeans-quantizer dominance: recall_hash replayed exactly (hash IVF
+    # vs brute-force truth, 20 queries); the kmeans row asserts the
+    # verdict literal — Spark emits 0.0 if kmeans recall ever drops
+    # below hash recall, turning the value-hash red (see gate comment)
+    o['sim_kmeans_recall'] = (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 20), "
+        "cent AS (SELECT cell, cv FROM (SELECT v AS cv, row_number() OVER "
+        "(ORDER BY md5(vec_id::VARCHAR || ':42'), vec_id) - 1 AS cell FROM c) "
+        "WHERE cell < 16), "
+        "asg AS (SELECT vec_id, v, cell FROM (SELECT c.vec_id, c.v, cent.cell, "
+        "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        "round(list_cosine_similarity(c.v, cent.cv), 6) DESC, cent.cell ASC) AS rn "
+        "FROM c CROSS JOIN cent) WHERE rn = 1), "
+        "prb AS (SELECT query_id, qv, cell FROM (SELECT q.query_id, q.qv, cent.cell, "
+        "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        "round(list_cosine_similarity(q.qv, cent.cv), 6) DESC, cent.cell ASC) AS rn "
+        "FROM q CROSS JOIN cent) WHERE rn <= 4), "
+        "ivf AS (SELECT query_id, vec_id FROM (SELECT p.query_id, a.vec_id, "
+        "row_number() OVER (PARTITION BY p.query_id ORDER BY "
+        "round(list_cosine_similarity(a.v, p.qv), 6) DESC, a.vec_id) AS rank "
+        "FROM asg a JOIN prb p ON a.cell = p.cell) WHERE rank <= 10), "
+        "exact AS (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, "
+        "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) "
+        "DESC, e.vec_id) AS rank FROM embeddings e CROSS JOIN q) WHERE rank <= 10), "
+        "h AS (SELECT count(*) AS hits FROM ivf JOIN exact USING (query_id, vec_id)), "
+        "d AS (SELECT count(*) * 10 AS den FROM q) "
+        "SELECT 'recall_hash' AS metric, round(hits * 1.0 / den, 6) AS value "
+        "FROM h, d "
+        "UNION ALL SELECT 'kmeans_ge_hash' AS metric, 1.0 AS value")
 
     o['sim_embedding_neardup'] = _neardup_replay_sql(
         threshold=0.8, dim=64, n_planes=12, seed=42)
