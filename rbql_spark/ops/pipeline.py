@@ -62,6 +62,7 @@ def training_data_pipeline(
     export_path: str | None = None,
     export_shards: int = 1024,
     checkpoint_dir: str | None = None,
+    with_metrics: bool = False,
 ) -> DataFrame:
     """Run the full pipeline over `docs`, returning the packed `split_name`
     slice as (doc_id, n_tokens, bucket, bin_id, bin_seq).
@@ -78,6 +79,16 @@ def training_data_pipeline(
     (shard, n_rows, content_checksum) INSTEAD of the packing frame —
     the deployment-shaped tail of the pipeline, where downstream
     training jobs read pruned shards and re-verify content.
+
+    `with_metrics=True` returns `(result, metrics)` where metrics is a
+    list of per-stage dicts {'stage', 'rows_in', 'rows_out'} — the
+    survivor funnel a 100 TB operator needs without re-running stages.
+    Counts come from the stage frames themselves: `kept`/`canon`/`clean`
+    are persisted first (requires materialize=True; raises otherwise),
+    so each count materializes a cache the downstream stages reuse
+    rather than adding corpus scans, and the raw-input count is a
+    parquet metadata-only count.  Metrics are computed eagerly at call
+    time (they ARE the materialization points).
     """
     quality_kwargs = dict(quality_kwargs or {})
     minhash_kwargs = dict(minhash_kwargs or {})
@@ -85,6 +96,10 @@ def training_data_pipeline(
     split_kwargs = dict(split_kwargs or {})
     pack_kwargs = dict(pack_kwargs or {})
     pack_kwargs.setdefault('max_tokens', 2048)
+    if with_metrics and not materialize:
+        raise ValueError('with_metrics counts the persisted stage frames;'
+                         ' it requires materialize=True')
+    metrics: list[dict] = []
 
     # output='rows' decides the filter in-scan: survivors arrive with
     # their original columns from ONE corpus pass, no doc_id self-join
@@ -92,6 +107,12 @@ def training_data_pipeline(
                           output='rows', **quality_kwargs)
     if materialize:
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    if with_metrics:
+        # parquet metadata count for the raw side; the kept count IS the
+        # survivor-cache materialization the next stages reuse
+        metrics.append({'stage': 'quality_filter',
+                        'rows_in': docs.count(),
+                        'rows_out': kept.count()})
 
     pairs = minhash_dedup_pairs(kept, text_col, id_col, **minhash_kwargs)
     # checkpoint_dir puts the connected-components iteration state on
@@ -102,20 +123,36 @@ def training_data_pipeline(
                            checkpoint_dir=checkpoint_dir)
     if materialize:
         canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
+    if with_metrics:
+        metrics.append({'stage': 'dedup_keep_canonical',
+                        'rows_in': metrics[-1]['rows_out'],
+                        'rows_out': canon.count()})
 
     if benchmark is not None:
         flagged = decontaminate(canon, benchmark, text_col=text_col,
                                 id_col=id_col, **decontaminate_kwargs)
         clean = canon.join(flagged.select(id_col).dropDuplicates(),
                            id_col, 'left_anti')
+        if with_metrics:
+            clean = clean.persist(StorageLevel.MEMORY_AND_DISK)
+            metrics.append({'stage': 'decontaminate',
+                            'rows_in': metrics[-1]['rows_out'],
+                            'rows_out': clean.count()})
     else:
         clean = canon
 
     train = (split_corpus(clean, key_col=id_col, **split_kwargs)
              .where(F.col('split') == split_name))
+    if with_metrics:
+        train = train.persist(StorageLevel.MEMORY_AND_DISK)
+        metrics.append({'stage': 'split_' + split_name,
+                        'rows_in': metrics[-1]['rows_out'],
+                        'rows_out': train.count()})
     if export_path is not None:
         from rbql_spark.ops.export import write_sharded
-        return write_sharded(train.select(id_col, text_col), export_path,
-                             n_shards=export_shards, key_col=id_col)
-    return pack_sequences(train, id_col=id_col, text_col=text_col,
-                          **pack_kwargs)
+        result = write_sharded(train.select(id_col, text_col), export_path,
+                               n_shards=export_shards, key_col=id_col)
+        return (result, metrics) if with_metrics else result
+    result = pack_sequences(train, id_col=id_col, text_col=text_col,
+                            **pack_kwargs)
+    return (result, metrics) if with_metrics else result

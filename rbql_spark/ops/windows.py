@@ -8,7 +8,12 @@ from pyspark.sql import functions as F
 
 
 def events_row_number(events: DataFrame) -> DataFrame:
-    """row_number / rank / lag / lead per user ordered by event time."""
+    """row_number / rank / lag / lead per user ordered by event time.
+
+    Returns UNORDERED output: a per-row operator must not fuse a global
+    display sort (a full-corpus range Exchange at 100 TB) — callers that
+    want presentation order sort at their own boundary.
+    """
     w = Window.partitionBy('user_id').orderBy(F.col('ts').asc(), F.col('event_id').asc())
     return events.select(
         'user_id', 'event_id', 'value',
@@ -16,17 +21,18 @@ def events_row_number(events: DataFrame) -> DataFrame:
         F.rank().over(w).alias('rnk'),
         F.lag('value', 1).over(w).alias('prev_value'),
         F.lead('value', 1).over(w).alias('next_value'),
-    ).orderBy('user_id', 'rn')
+    )
 
 
 def events_running_sum(events: DataFrame) -> DataFrame:
+    """Per-user running sum; unordered output (see events_row_number)."""
     w = (Window.partitionBy('user_id')
          .orderBy(F.col('ts').asc(), F.col('event_id').asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return events.select(
         'user_id', 'event_id',
         F.round(F.sum('value').over(w), 6).alias('running_value'),
-    ).orderBy('user_id', 'event_id')
+    )
 
 
 def tumbling_window_agg(events: DataFrame, width: str = '1 hour') -> DataFrame:

@@ -215,3 +215,55 @@ def test_training_pipeline_null_text_and_lang_parity(spark, tmp_path):
         entrymod.oracle_sql()['pipeline_training_data']).fetchall()))
     assert len(got) > 0
     assert got == want
+
+
+def test_pipeline_stage_metrics_match_standalone_counts(spark, sf_dir):
+    # with_metrics returns the survivor funnel from the persisted stage
+    # frames; each stage's rows_in/rows_out must chain and must equal
+    # the counts the standalone operators produce at the same config
+    from rbql_spark.ops.dedup import keep_canonical, minhash_dedup_pairs
+    from rbql_spark.ops.pipeline import training_data_pipeline
+    from rbql_spark.ops.textstats import quality_filter
+
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    bench = docs.filter(F.col('doc_id') % 50 == 0).select('doc_id', 'text')
+    cfg = dict(
+        quality_kwargs=dict(min_words=20, min_stopword_ratio=0.05,
+                            allowed_langs=['de', 'en', 'es', 'fr']),
+        minhash_kwargs=dict(threshold=0.5, hash_fn='md5'),
+        decontaminate_kwargs=dict(shingle_k=3, min_overlap=2),
+        pack_kwargs=dict(max_tokens=256, target_docs_per_bucket=64))
+    result, metrics = training_data_pipeline(docs, bench, with_metrics=True,
+                                             **cfg)
+    spark.catalog.clearCache()
+
+    stages = [m['stage'] for m in metrics]
+    assert stages == ['quality_filter', 'dedup_keep_canonical',
+                      'decontaminate', 'split_train']
+    # the funnel chains and only removes
+    for prev, cur in zip(metrics, metrics[1:]):
+        assert cur['rows_in'] == prev['rows_out']
+        assert cur['rows_out'] <= cur['rows_in']
+    assert metrics[0]['rows_in'] == docs.count()
+
+    # standalone replays of the first two stages at the same config
+    kept = quality_filter(docs, output='rows', **cfg['quality_kwargs'])
+    assert metrics[0]['rows_out'] == kept.count()
+    pairs = minhash_dedup_pairs(kept, 'text', 'doc_id',
+                                **cfg['minhash_kwargs'])
+    assert metrics[1]['rows_out'] == keep_canonical(kept, pairs).count()
+
+    # the returned packing frame covers exactly the split survivors
+    assert result.select('doc_id').distinct().count() \
+        == metrics[-1]['rows_out']
+    spark.catalog.clearCache()
+
+
+def test_pipeline_metrics_require_materialize(spark, sf_dir):
+    import pytest
+
+    from rbql_spark.ops.pipeline import training_data_pipeline
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    with pytest.raises(ValueError, match='materialize'):
+        training_data_pipeline(docs, None, with_metrics=True,
+                               materialize=False)
