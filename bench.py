@@ -73,7 +73,58 @@ BENCH_QUERIES = [
     # round 8 additions (stored-index search: build amortized across reps,
     # min-of-reps measures the pruned search itself)
     'sim_ann_index_search',
+    # round 9 additions: the previously-unbenchmarked half — the six
+    # streaming gates (each rep times the full drain of the file-replay
+    # stream to its sink), incremental dedup (sf1's second-worst scale
+    # ratio), the churned-index search, the round-8/9 sampling + text +
+    # recall gates, and the COLD index build (the index's real cost;
+    # only search was timed before — special-cased below to build into
+    # a fresh dir every rep)
+    'streaming_windowed_counts',
+    'streaming_user_totals',
+    'streaming_exact_dedup',
+    'streaming_minhash_neardup',
+    'streaming_decontaminate',
+    'streaming_quality_filter',
+    'dedup_incremental',
+    'sim_ann_index_churn',
+    'sample_shuffle',
+    'sample_mix',
+    'text_embed_hashing',
+    'sim_kmeans_recall',
+    'window_session',
+    'setop_intersect',
+    'ann_index_build',
 ]
+
+
+def _bench_ann_index_build(spark, sf_dir):
+    """Cold IVF-PQ index build into a FRESH dir (no cache reuse), same
+    parameters as the sim_ann_index_search gate; the dir is removed
+    afterwards so every rep pays the full train+encode+write cost."""
+    import shutil
+    import tempfile
+
+    from rbql_spark.ops.ann_index import build_ivf_pq_index
+    emb = _entry()._t(spark, sf_dir, 'embeddings')
+    path = tempfile.mkdtemp(prefix='rbql_bench_idx_')
+    try:
+        build_ivf_pq_index(emb.select('vec_id', 'embedding'), path,
+                           n_cells=16, m=8, ks=16)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _entry():
+    import __spark_entry__ as entrymod
+    return entrymod
+
+
+# bench-only measurements that are not queries() gates (they return no
+# DataFrame): name -> fn(spark, sf_dir), timed like a query rep
+EXTRA_BENCH = {
+    'ann_index_build': _bench_ann_index_build,
+}
 
 
 def main() -> None:
@@ -107,8 +158,11 @@ def main() -> None:
     def run_once(name: str) -> None:
         t0 = time.perf_counter()
         try:
-            df = queries[name](spark, SF_DIR)
-            df.write.format('noop').mode('overwrite').save()
+            if name in EXTRA_BENCH:
+                EXTRA_BENCH[name](spark, SF_DIR)
+            else:
+                df = queries[name](spark, SF_DIR)
+                df.write.format('noop').mode('overwrite').save()
             samples[name].append(round(time.perf_counter() - t0, 3))
         except Exception as e:  # keep benching; a failed query reports -1
             failed.add(name)

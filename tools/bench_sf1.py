@@ -94,6 +94,15 @@ SUBSET = [
     'sample_mix',
     'text_embed_hashing',
     'sim_ann_index_search',
+    # round 9 additions: the streaming gates (stateful stream ops — band
+    # index, seen-key state — are exactly where 10x data can go
+    # super-linear) plus the churned-index search
+    'streaming_exact_dedup',
+    'streaming_minhash_neardup',
+    'streaming_quality_filter',
+    'streaming_windowed_counts',
+    'streaming_user_totals',
+    'sim_ann_index_churn',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
@@ -120,9 +129,15 @@ def _cipher(i: int) -> tuple[str, str]:
 
 
 def build_sf1(spark) -> None:
+    import shutil
+
     from pyspark.sql import functions as F
-    if os.path.exists(os.path.join(SF1_DIR, '_DONE')):
+
+    # v2: adds the replicated events table (streaming gates) — a v1 dir
+    # (marker '_DONE') predates it and is rebuilt from scratch
+    if os.path.exists(os.path.join(SF1_DIR, '_DONE_v2')):
         return
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
     os.makedirs(SF1_DIR, exist_ok=True)
 
     docs = spark.read.parquet(os.path.join(SF01_DIR, 'documents.parquet'))
@@ -144,6 +159,25 @@ def build_sf1(spark) -> None:
         out = out.unionAll(p)
     out.repartition(CPUS).write.mode('overwrite') \
        .parquet(os.path.join(SF1_DIR, 'documents.parquet'))
+
+    # events: replica i shifts event_id AND user_id so ids stay unique
+    # and the stateful-stream key count (users) grows linearly — the
+    # honest scale-up for keyed state (replicating user_ids verbatim
+    # would 10x the rows per key but keep state size flat).  ts/value
+    # are unchanged: the event-time span — and so watermark behavior —
+    # is that of the original workload, just 10x denser.
+    ev = spark.read.parquet(os.path.join(SF01_DIR, 'events.parquet'))
+    ev_parts = []
+    for i in range(N_REPLICAS):
+        ev_parts.append(ev.select(
+            (F.col('event_id') + i * _ID_STEP).alias('event_id'), 'ts',
+            (F.col('user_id') + i * _ID_STEP).alias('user_id'),
+            'event_type', 'value', 'props'))
+    out = ev_parts[0]
+    for p in ev_parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(CPUS).write.mode('overwrite') \
+       .parquet(os.path.join(SF1_DIR, 'events.parquet'))
 
     emb = spark.read.parquet(os.path.join(SF01_DIR, 'embeddings.parquet'))
 
@@ -176,7 +210,7 @@ def build_sf1(spark) -> None:
     out.repartition(CPUS).write.mode('overwrite') \
        .parquet(os.path.join(SF1_DIR, 'embeddings.parquet'))
 
-    with open(os.path.join(SF1_DIR, '_DONE'), 'w') as f:
+    with open(os.path.join(SF1_DIR, '_DONE_v2'), 'w') as f:
         f.write('ok\n')
 
 
@@ -233,8 +267,10 @@ def main() -> None:
     artifact = {
         'metric': 'sf1_scale_validation',
         'unit': 'sec',
-        'sf0.1_rows': {'documents': 5000, 'embeddings': 2000},
-        'sf1_rows': {'documents': 50000, 'embeddings': 20000},
+        'sf0.1_rows': {'documents': 5000, 'embeddings': 2000,
+                       'events': 100000},
+        'sf1_rows': {'documents': 50000, 'embeddings': 20000,
+                     'events': 1000000},
         'reps': REPS,
         'queries': results,
         'super_linear_queries': [n for n, r in results.items() if r['super_linear']],
