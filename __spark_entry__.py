@@ -263,6 +263,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c.subtract(o)
     q['setop_except'] = _except
 
+    def _join_asof(spark, sf_dir):
+        # backward as-of join (absent from open-source Spark; DuckDB has
+        # it natively, so the oracle is a literal ASOF LEFT JOIN): every
+        # event picks up the latest same-user "marker" at or before it.
+        # Markers are pre-aggregated to one row per (user, instant) —
+        # the as-of uniqueness contract.
+        from rbql_spark.ops.timejoin import asof_join
+        ev = _t(spark, sf_dir, 'events') \
+            .select('user_id', 'ts', 'event_id', 'value')
+        markers = (ev.filter(F.col('event_id') % 19 == 0)
+                     .groupBy('user_id', 'ts')
+                     .agg(F.max('value').alias('mval')))
+        return asof_join(ev, markers, on='ts', by='user_id')
+    q['join_asof'] = _join_asof
+
+    def _join_interval(spark, sf_dir):
+        # point-in-interval join via time-binned equi-join (the plain
+        # inequality predicate would plan as a nested loop): events
+        # against 2-hour windows opened at each same-user marker
+        from rbql_spark.ops.timejoin import interval_join
+        ev = _t(spark, sf_dir, 'events') \
+            .select('user_id', 'ts', 'event_id', 'value')
+        iv = (ev.filter(F.col('event_id') % 19 == 0)
+                .groupBy('user_id', F.col('ts').alias('start_ts'))
+                .agg(F.max('value').alias('ival'))
+                .select('user_id', 'start_ts',
+                        (F.col('start_ts') + F.expr('INTERVAL 2 hours'))
+                        .alias('end_ts'), 'ival'))
+        return interval_join(ev, iv, point_col='ts',
+                             start_col='start_ts', end_col='end_ts',
+                             by='user_id')
+    q['join_interval'] = _join_interval
+
     def _streaming(spark, sf_dir):
         # Structured Streaming end-to-end (superset; rows-only check): the
         # events table replayed as a file stream → watermarked tumbling
@@ -928,8 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 9 rotation: the 33 gates absent from CORRECTNESS_r08.json
     # (recorded green in r07) lead, then text_embed_hashing (r08's one
     # red row, now projected to e0..e15 scalars) and the gates NEW in
-    # round 9 (sim_ann_index_churn, sim_kmeans_recall — no driver proof
-    # yet); the r08-recorded gates fill the rest in declaration order.
+    # round 9 (sim_ann_index_churn, sim_kmeans_recall, join_asof,
+    # join_interval — no driver proof yet); the r08-recorded gates fill
+    # the rest in declaration order.
     rotate_first = [
         'rbql_like', 'rbql_string_ops', 'rbql_pipe_chain',
         'rbql_ternary_expr', 'window_row_number', 'export_manifest',
@@ -944,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_features', 'multimodal_frame_sample',
         'multimodal_resize', 'pipeline_training_data',
         'text_embed_hashing', 'sim_ann_index_churn', 'sim_kmeans_recall',
+        'join_asof', 'join_interval',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1632,6 +1667,30 @@ def oracle_sql() -> dict[str, str]:
     o['setop_except'] = (
         "SELECT c_custkey FROM customer EXCEPT "
         "SELECT o_custkey FROM orders WHERE o_totalprice > 300000")
+
+    # backward as-of join: DuckDB replays it with its NATIVE ASOF LEFT
+    # JOIN (the operator Spark lacks — the gate's whole point); markers
+    # pre-aggregated to one row per (user, instant)
+    o['join_asof'] = (
+        "WITH e AS (SELECT user_id, ts, event_id, value FROM events), "
+        "m AS (SELECT user_id, ts, max(value) AS mval FROM events "
+        "WHERE event_id % 19 = 0 GROUP BY 1, 2) "
+        "SELECT e.user_id, e.ts, e.event_id, e.value, "
+        "m.mval AS mval_r, m.ts AS ts_r "
+        "FROM e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts")
+
+    # point-in-interval join: the oracle uses the plain inequality
+    # predicate (DuckDB's IEJoin handles it); Spark runs the time-binned
+    # equi-join rewrite, half-open [start, end)
+    o['join_interval'] = (
+        "WITH e AS (SELECT user_id, ts, event_id, value FROM events), "
+        "m AS (SELECT user_id, ts AS start_ts, "
+        "ts + INTERVAL 2 hours AS end_ts, max(value) AS ival "
+        "FROM events WHERE event_id % 19 = 0 GROUP BY 1, 2) "
+        "SELECT e.user_id, e.ts, e.event_id, e.value, "
+        "m.start_ts, m.end_ts, m.ival "
+        "FROM e JOIN m ON e.user_id = m.user_id "
+        "AND e.ts >= m.start_ts AND e.ts < m.end_ts")
 
     # session windows via gap-and-island: new session when the gap to the
     # previous event is >= 30 min (Spark session_window merges on overlap of

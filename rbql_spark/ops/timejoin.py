@@ -1,0 +1,136 @@
+"""Time-keyed joins Spark lacks natively: as-of join and interval join.
+
+Open-source Spark has no ASOF JOIN (it exists in DuckDB/Pandas/kdb) and
+executes point-in-interval predicates as a broadcast-nested-loop or a
+sort-merge over an inequality — both quadratic-ish at corpus scale.
+These operators re-express the semantics as compositions Spark runs
+well:
+
+  * `asof_join` — the union-and-carry-forward pattern: tag both inputs,
+    union them, and per partition key run ONE window ordered by time in
+    which each left row picks up the last non-null right payload at or
+    before it.  Cost: one shuffle on the `by` key + an in-partition
+    sort — the same as any keyed window; never a cross product, and
+    skew only where a single `by` key is itself hot.
+  * `interval_join` — time-binned equi-join: intervals are exploded to
+    the fixed-width bins they cover, points map to exactly ONE bin, and
+    the equi-join on (by, bin) prunes candidates before the exact
+    containment filter.  Candidate count is |points| + Σ interval
+    spans / bin_width, not |points| × |intervals|; each point matches
+    an interval once (its own bin), so no post-join dedup is needed.
+
+Reference scope note: the reference engine (rbql_engine.py joins,
+:991-1013) supports only equality joins; these are part of the
+deliberate large-scale superset (SURVEY.md §2.3 "not implemented"
+row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ['asof_join', 'interval_join']
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = 'ts',
+              by: str = 'user_id', tolerance: str | None = None,
+              suffix: str = '_r') -> DataFrame:
+    """Backward as-of join: each left row is matched with the LAST right
+    row of the same `by` key whose `on` value is <= the left row's
+    (inclusive — the DuckDB/pandas `asof backward` tie rule).  Right
+    payload columns arrive suffixed; the matched right timestamp rides
+    as `{on}{suffix}`.  Unmatched left rows keep NULL payloads (left
+    outer semantics).
+
+    `tolerance` (an INTERVAL string like '2 hours') additionally voids
+    matches older than `on - tolerance`, like pandas merge_asof.
+
+    The right side must be unique per (by, on) — the standard as-of
+    contract; ambiguous same-instant right rows would make the result
+    engine-dependent, so pre-aggregate (e.g. max payload per instant)
+    before calling.  One shuffle on `by`, one in-partition sort, no
+    cross product.
+    """
+    payload = [c for c in right.columns if c not in (by, on)]
+    l_tag = left.select(
+        F.col(by), F.col(on), F.lit(1).alias('__side'),
+        *[F.col(c) for c in left.columns if c not in (by, on)],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c + suffix)
+          for c in payload],
+        F.lit(None).cast(dict(right.dtypes)[on]).alias(on + suffix))
+    r_tag = right.select(
+        F.col(by), F.col(on), F.lit(0).alias('__side'),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left.columns if c not in (by, on)],
+        *[F.col(c).alias(c + suffix) for c in payload],
+        F.col(on).alias(on + suffix))
+    # right rows sort BEFORE left rows at the same instant, so the
+    # carry-forward window sees them — the inclusive (<=) tie rule
+    w = (Window.partitionBy(by)
+         .orderBy(F.col(on).asc(), F.col('__side').asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = l_tag.unionByName(r_tag).select(
+        '*',
+        *[F.last(c + suffix, ignorenulls=True).over(w)
+           .alias('__m_' + c) for c in payload],
+        F.last(on + suffix, ignorenulls=True).over(w).alias('__m_on'))
+    out = (carried.where(F.col('__side') == 1)
+           .select(by, on,
+                   *[c for c in left.columns if c not in (by, on)],
+                   *[F.col('__m_' + c).alias(c + suffix) for c in payload],
+                   F.col('__m_on').alias(on + suffix)))
+    if tolerance is not None:
+        stale = F.col(on + suffix) < \
+            F.col(on) - F.expr('INTERVAL {}'.format(tolerance))
+        out = out.select(
+            by, on, *[c for c in left.columns if c not in (by, on)],
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c + suffix))
+               .alias(c + suffix) for c in payload],
+            F.when(stale, F.lit(None)).otherwise(F.col(on + suffix))
+             .alias(on + suffix))
+    return out
+
+
+def _bin_of(col: Column, bin_seconds: int) -> Column:
+    return F.floor(F.unix_timestamp(col) / F.lit(int(bin_seconds))) \
+            .cast('long')
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_col: str = 'ts', start_col: str = 'start_ts',
+                  end_col: str = 'end_ts', by: str = 'user_id',
+                  bin_seconds: int = 3600) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair of the same
+    `by` key with start <= point < end (half-open, the windowing
+    convention).  Output = point columns + interval columns.
+
+    Naively this is an inequality join — Spark plans it as a broadcast
+    nested loop (quadratic work at corpus scale).  Here each interval
+    explodes to the `bin_seconds`-wide time bins it covers and each
+    point maps to its single bin, so candidates come from an EQUI-join
+    on (by, bin) and only then pass the exact containment filter.  A
+    point lies in exactly one bin, so a qualifying pair appears exactly
+    once — no dedup stage.  Pick bin_seconds near the typical interval
+    span: candidate blow-up is ~(span / bin_seconds + 2) copies per
+    interval (storage of the exploded build side, not of the points).
+    """
+    n_bins = (_bin_of(F.col(end_col) - F.expr('INTERVAL 1 second'),
+                      bin_seconds)
+              - _bin_of(F.col(start_col), bin_seconds))
+    iv = intervals.select(
+        '*',
+        F.explode(F.sequence(
+            _bin_of(F.col(start_col), bin_seconds),
+            _bin_of(F.col(start_col), bin_seconds) + n_bins))
+         .alias('__bin'))
+    pt = points.select('*', _bin_of(F.col(point_col), bin_seconds)
+                       .alias('__bin'))
+    cond = ((pt[by] == iv[by]) & (pt['__bin'] == iv['__bin'])
+            & (pt[point_col] >= iv[start_col])
+            & (pt[point_col] < iv[end_col]))
+    return (pt.join(iv, cond)
+              .select(*[pt[c] for c in points.columns],
+                      *[iv[c] for c in intervals.columns
+                        if c not in (by,)])
+              .drop('__bin'))

@@ -1,0 +1,118 @@
+"""As-of and interval joins (superset; reference joins are equality-only,
+rbql_engine.py:991-1013): semantics vs hand-built expectations and vs
+DuckDB replays, plus plan-shape guards (no nested-loop/cartesian)."""
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _mk_events(spark):
+    rows = [
+        # (user, ts, event_id, value)
+        (1, datetime(2024, 1, 1, 10, 0), 100, 1.0),
+        (1, datetime(2024, 1, 1, 11, 0), 101, 2.0),
+        (1, datetime(2024, 1, 1, 13, 0), 102, 3.0),
+        (2, datetime(2024, 1, 1, 10, 30), 200, 4.0),
+        (3, datetime(2024, 1, 1, 9, 0), 300, 5.0),
+    ]
+    return spark.createDataFrame(
+        rows, 'user_id long, ts timestamp, event_id long, value double')
+
+
+def _mk_markers(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 10.0),   # same instant as e100
+        (1, datetime(2024, 1, 1, 12, 0), 20.0),
+        (2, datetime(2024, 1, 1, 9, 0), 30.0),
+    ]
+    return spark.createDataFrame(
+        rows, 'user_id long, ts timestamp, mval double')
+
+
+def test_asof_join_semantics(spark):
+    from rbql_spark.ops.timejoin import asof_join
+    ev, mk = _mk_events(spark), _mk_markers(spark)
+    got = {r['event_id']: (r['mval_r'], r['ts_r'])
+           for r in asof_join(ev, mk).collect()}
+    # inclusive tie: the 10:00 event matches the 10:00 marker
+    assert got[100] == (10.0, datetime(2024, 1, 1, 10, 0))
+    # carry-forward between markers
+    assert got[101][0] == 10.0
+    # the 13:00 event sees the newer 12:00 marker
+    assert got[102] == (20.0, datetime(2024, 1, 1, 12, 0))
+    assert got[200][0] == 30.0
+    # user 3 has no markers: left outer NULLs
+    assert got[300] == (None, None)
+    # every left row survives exactly once
+    assert len(got) == ev.count()
+
+
+def test_asof_join_tolerance(spark):
+    from rbql_spark.ops.timejoin import asof_join
+    ev, mk = _mk_events(spark), _mk_markers(spark)
+    got = {r['event_id']: r['mval_r']
+           for r in asof_join(ev, mk, tolerance='1 hours').collect()}
+    assert got[100] == 10.0      # 0 min old
+    assert got[101] == 10.0      # 60 min old — inclusive boundary
+    assert got[102] == 20.0      # 60 min old
+    assert got[200] is None      # 90 min old: voided
+    assert got[300] is None
+
+
+def test_asof_join_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from rbql_spark.ops.timejoin import asof_join
+    ev = spark.read.parquet(os.path.join(sf_dir, 'events.parquet')) \
+        .select('user_id', 'ts', 'event_id', 'value')
+    mk = (ev.filter(F.col('event_id') % 19 == 0)
+            .groupBy('user_id', 'ts').agg(F.max('value').alias('mval')))
+    pdf = asof_join(ev, mk).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM '{}'".format(
+        os.path.join(sf_dir, 'events.parquet')))
+    odf = con.sql(
+        "WITH e AS (SELECT user_id, ts, event_id, value FROM events), "
+        "m AS (SELECT user_id, ts, max(value) AS mval FROM events "
+        "WHERE event_id % 19 = 0 GROUP BY 1, 2) "
+        "SELECT e.user_id, e.ts, e.event_id, e.value, m.mval AS mval_r, "
+        "m.ts AS ts_r FROM e ASOF LEFT JOIN m "
+        "ON e.user_id = m.user_id AND e.ts >= m.ts").df()
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(v) for v in row) for row in
+                      df[cols].itertuples(index=False, name=None))
+    assert canon(pdf) == canon(odf)
+
+
+def test_interval_join_semantics_and_plan(spark):
+    from rbql_spark.ops.timejoin import interval_join
+    ev = _mk_events(spark)
+    iv = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 30), datetime(2024, 1, 1, 11, 0), 7.0)],
+        'user_id long, start_ts timestamp, end_ts timestamp, ival double')
+    res = interval_join(ev, iv, point_col='ts', start_col='start_ts',
+                        end_col='end_ts', by='user_id')
+    rows = res.collect()
+    # half-open: 10:00 in, 11:00 (== end) out, 13:00 out, other users out
+    assert {r['event_id'] for r in rows} == {100}
+    # the binned rewrite must plan as an equi-join, never a nested loop
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastNestedLoopJoin' not in plan
+    assert 'CartesianProduct' not in plan
+
+
+def test_interval_join_multi_bin_span(spark):
+    # an interval spanning several bins still matches each point once
+    from rbql_spark.ops.timejoin import interval_join
+    ev = _mk_events(spark)
+    iv = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 0), datetime(2024, 1, 1, 14, 0), 8.0)],
+        'user_id long, start_ts timestamp, end_ts timestamp, ival double')
+    rows = interval_join(ev, iv, point_col='ts', start_col='start_ts',
+                         end_col='end_ts', by='user_id',
+                         bin_seconds=1800).collect()
+    assert sorted(r['event_id'] for r in rows) == [100, 101, 102]
