@@ -263,6 +263,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c.subtract(o)
     q['setop_except'] = _except
 
+    def _join_semi(spark, sf_dir):
+        # LEFT SEMI (exists-style) join — SURVEY §2.3 lists semi/anti as
+        # native-Spark superset; customers with at least one big order
+        return (_t(spark, sf_dir, 'customer')
+                .join(_t(spark, sf_dir, 'orders')
+                      .filter(F.col('o_totalprice') > 200000)
+                      .select(F.col('o_custkey').alias('c_custkey')),
+                      'c_custkey', 'left_semi')
+                .select('c_custkey', 'c_name', 'c_mktsegment'))
+    q['join_semi'] = _join_semi
+
+    def _join_anti(spark, sf_dir):
+        # LEFT ANTI join: customers with no BIG order — the plain
+        # customers-without-orders cut is 0 rows at sf0.01 (every
+        # customer orders), which would make the gate vacuous
+        return (_t(spark, sf_dir, 'customer')
+                .join(_t(spark, sf_dir, 'orders')
+                      .filter(F.col('o_totalprice') > 200000)
+                      .select(F.col('o_custkey').alias('c_custkey')),
+                      'c_custkey', 'left_anti')
+                .select('c_custkey', 'c_acctbal'))
+    q['join_anti'] = _join_anti
+
+    def _join_full(spark, sf_dir):
+        # FULL OUTER join on an intentionally partial overlap: big-order
+        # customers vs high-balance customers
+        a = (_t(spark, sf_dir, 'orders')
+             .filter(F.col('o_totalprice') > 300000)
+             .groupBy(F.col('o_custkey').alias('custkey'))
+             .agg(F.count(F.lit(1)).alias('n_big_orders')))
+        b = (_t(spark, sf_dir, 'customer')
+             .filter(F.col('c_acctbal') > 9000)
+             .select(F.col('c_custkey').alias('custkey'), 'c_acctbal'))
+        return a.join(b, 'custkey', 'full_outer') \
+                .select('custkey', 'n_big_orders', 'c_acctbal')
+    q['join_full_outer'] = _join_full
+
     def _join_asof(spark, sf_dir):
         # backward as-of join (absent from open-source Spark; DuckDB has
         # it natively, so the oracle is a literal ASOF LEFT JOIN): every
@@ -978,7 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_features', 'multimodal_frame_sample',
         'multimodal_resize', 'pipeline_training_data',
         'text_embed_hashing', 'sim_ann_index_churn', 'sim_kmeans_recall',
-        'join_asof', 'join_interval',
+        'join_asof', 'join_interval', 'join_semi', 'join_anti',
+        'join_full_outer',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1667,6 +1705,25 @@ def oracle_sql() -> dict[str, str]:
     o['setop_except'] = (
         "SELECT c_custkey FROM customer EXCEPT "
         "SELECT o_custkey FROM orders WHERE o_totalprice > 300000")
+
+    o['join_semi'] = (
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 200000)")
+
+    o['join_anti'] = (
+        "SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 200000)")
+
+    o['join_full_outer'] = (
+        "WITH a AS (SELECT o_custkey AS custkey, count(*) AS n_big_orders "
+        "FROM orders WHERE o_totalprice > 300000 GROUP BY 1), "
+        "b AS (SELECT c_custkey AS custkey, c_acctbal FROM customer "
+        "WHERE c_acctbal > 9000) "
+        "SELECT coalesce(a.custkey, b.custkey) AS custkey, "
+        "a.n_big_orders, b.c_acctbal "
+        "FROM a FULL OUTER JOIN b ON a.custkey = b.custkey")
 
     # backward as-of join: DuckDB replays it with its NATIVE ASOF LEFT
     # JOIN (the operator Spark lacks — the gate's whole point); markers
