@@ -333,6 +333,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              by='user_id')
     q['join_interval'] = _join_interval
 
+    def _streaming_asof(spark, sf_dir):
+        # stream-static as-of enrichment: the events stream picks up the
+        # latest same-user marker at or before each event from the
+        # broadcast static marker table.  Matches depend only on static
+        # data, so the drained stream equals the batch as-of join — the
+        # join_asof oracle replays it verbatim.
+        from rbql_spark.streaming.events import (
+            read_event_stream, run_stream_to_memory, stream_asof_enrich,
+        )
+        tmp = _stream_replay_dir(spark, sf_dir, 'asof',
+                                 ['event_id % 2 = 0', 'event_id % 2 = 1'])
+        ev = _t(spark, sf_dir, 'events') \
+            .select('user_id', 'ts', 'event_id', 'value')
+        markers = (ev.filter(F.col('event_id') % 19 == 0)
+                     .groupBy('user_id', 'ts')
+                     .agg(F.max('value').alias('mval')))
+        stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
+        enriched = stream_asof_enrich(stream, markers)
+        qname = 'rbql_stream_asof_gate'
+        sq = run_stream_to_memory(enriched, qname, output_mode='append')
+        sq.stop()
+        return spark.table(qname).select(
+            'user_id', 'ts', 'event_id', 'value', 'mval_r', 'ts_r')
+    q['streaming_asof'] = _streaming_asof
+
     def _streaming(spark, sf_dir):
         # Structured Streaming end-to-end (superset; rows-only check): the
         # events table replayed as a file stream → watermarked tumbling
@@ -1016,7 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_resize', 'pipeline_training_data',
         'text_embed_hashing', 'sim_ann_index_churn', 'sim_kmeans_recall',
         'join_asof', 'join_interval', 'join_semi', 'join_anti',
-        'join_full_outer',
+        'join_full_outer', 'streaming_asof',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1735,6 +1760,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT e.user_id, e.ts, e.event_id, e.value, "
         "m.mval AS mval_r, m.ts AS ts_r "
         "FROM e ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts")
+
+    # streaming as-of enrichment: same output contract as the batch
+    # as-of join (matches depend only on the static marker table)
+    o['streaming_asof'] = o['join_asof']
 
     # point-in-interval join: the oracle uses the plain inequality
     # predicate (DuckDB's IEJoin handles it); Spark runs the time-binned

@@ -118,3 +118,77 @@ def running_user_totals(events: DataFrame, watermark: str = '2 hours') -> DataFr
             .groupBy('user_id')
             .applyInPandasWithState(update_fn, _OUT_SCHEMA, _STATE_SCHEMA,
                                     'update', GroupStateTimeout.NoTimeout))
+
+
+def stream_asof_enrich(events: DataFrame, markers: DataFrame,
+                       on: str = 'ts', by: str = 'user_id',
+                       suffix: str = '_r') -> DataFrame:
+    """Stream-static as-of enrichment: each streamed event picks up the
+    latest static marker of its key at or before its event time — the
+    streaming face of ops.timejoin.asof_join (inclusive tie rule, NULL
+    payload when no marker precedes), and batch-equivalent to it by
+    construction: every match depends only on the STATIC marker table,
+    so the drained stream equals the batch as-of join row-for-row
+    (tested; the join_asof oracle replays both).
+
+    The marker table is collected and broadcast as a per-key sorted
+    time index; each Arrow batch resolves matches with one vectorized
+    searchsorted per key present in the batch — a stateless mapInPandas
+    stage, so it composes with any downstream watermark/aggregation.
+    Broadcast-sized markers are the contract (the dimension-table shape
+    of stream enrichment); for corpus-scale right sides use the batch
+    asof_join.  Markers must be unique per (by, on) — the as-of
+    contract (pre-aggregate ambiguous instants first).
+    """
+    import numpy as np
+
+    from pyspark.sql.types import StructField, StructType
+
+    payload = [c for c in markers.columns if c not in (by, on)]
+    index: dict = {}
+    for r in markers.select(by, on, *payload).collect():
+        index.setdefault(r[by], []).append(
+            (r[on], tuple(r[c] for c in payload)))
+    model = {}
+    for k, v in index.items():
+        v.sort(key=lambda x: x[0])
+        model[k] = (np.array([t for t, _ in v], dtype='datetime64[us]'),
+                    [p for _, p in v])
+    bc = events.sparkSession.sparkContext.broadcast(model)
+
+    mfields = {f.name: f.dataType for f in markers.schema.fields}
+    out_schema = StructType(
+        list(events.schema.fields)
+        + [StructField(c + suffix, mfields[c]) for c in payload]
+        + [StructField(on + suffix, mfields[on])])
+
+    def enrich(batches):
+        import pandas as pd
+        mdl = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            pay_out = {c: np.full(n, None, dtype=object) for c in payload}
+            ts_out = np.full(n, np.datetime64('NaT'), dtype='datetime64[us]')
+            ts_vals = pdf[on].to_numpy(dtype='datetime64[us]')
+            keys = pdf[by].to_numpy()
+            for u in pd.unique(keys):
+                m = mdl.get(u)
+                if m is None:
+                    continue
+                mask = keys == u
+                mts, mpay = m
+                idx = np.searchsorted(mts, ts_vals[mask], side='right') - 1
+                for gi, ii in zip(np.where(mask)[0], idx):
+                    if ii >= 0:
+                        ts_out[gi] = mts[ii]
+                        for ci, c in enumerate(payload):
+                            pay_out[c][gi] = mpay[ii][ci]
+            out = pdf.copy()
+            for c in payload:
+                out[c + suffix] = pd.Series(pay_out[c], index=pdf.index)
+            out[on + suffix] = pd.Series(ts_out, index=pdf.index)
+            yield out
+
+    return events.mapInPandas(enrich, schema=out_schema)

