@@ -263,6 +263,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c.subtract(o)
     q['setop_except'] = _except
 
+    def _pivot_counts(spark, sf_dir):
+        # groupBy().pivot() — Spark's dedicated wide-aggregation operator
+        # (single pass, one shuffle; the explicit value list skips the
+        # extra distinct-values job AND keeps the column set stable for
+        # the oracle, which replays it as conditional aggregation)
+        kinds = ['click', 'error', 'purchase', 'signup', 'view']
+        return (_t(spark, sf_dir, 'events')
+                .groupBy('user_id')
+                .pivot('event_type', kinds)
+                .agg(F.count(F.lit(1)))
+                .na.fill(0, kinds))
+    q['pivot_event_counts'] = _pivot_counts
+
     def _join_semi(spark, sf_dir):
         # LEFT SEMI (exists-style) join — SURVEY §2.3 lists semi/anti as
         # native-Spark superset; customers with at least one big order
@@ -1041,7 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_resize', 'pipeline_training_data',
         'text_embed_hashing', 'sim_ann_index_churn', 'sim_kmeans_recall',
         'join_asof', 'join_interval', 'join_semi', 'join_anti',
-        'join_full_outer', 'streaming_asof',
+        'join_full_outer', 'streaming_asof', 'pivot_event_counts',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1730,6 +1743,15 @@ def oracle_sql() -> dict[str, str]:
     o['setop_except'] = (
         "SELECT c_custkey FROM customer EXCEPT "
         "SELECT o_custkey FROM orders WHERE o_totalprice > 300000")
+
+    o['pivot_event_counts'] = (
+        "SELECT user_id, "
+        "count(*) FILTER (WHERE event_type = 'click') AS click, "
+        "count(*) FILTER (WHERE event_type = 'error') AS error, "
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
+        "count(*) FILTER (WHERE event_type = 'view') AS view "
+        "FROM events GROUP BY user_id")
 
     o['join_semi'] = (
         "SELECT c_custkey, c_name, c_mktsegment FROM customer "
