@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     'window_session',
     'setop_intersect',
     'ann_index_build',
+    # round 9 late additions: time-keyed joins (batch + streaming
+    # enrichment) and the pivot wide-aggregation
+    'join_asof',
+    'join_interval',
+    'streaming_asof',
+    'pivot_event_counts',
 ]
 
 
