@@ -53,6 +53,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = 'ts',
     cross product.
     """
     payload = [c for c in right.columns if c not in (by, on)]
+    clashes = ({c + suffix for c in payload} | {on + suffix}) \
+        & set(left.columns)
+    if clashes:
+        raise ValueError('asof_join output name collision: left already '
+                         'has {} — pick another suffix'.format(sorted(clashes)))
     l_tag = left.select(
         F.col(by), F.col(on), F.lit(1).alias('__side'),
         *[F.col(c) for c in left.columns if c not in (by, on)],
@@ -118,6 +123,10 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     n_bins = (_bin_of(F.col(end_col) - F.expr('INTERVAL 1 second'),
                       bin_seconds)
               - _bin_of(F.col(start_col), bin_seconds))
+    # a start >= end interval contains no point under half-open
+    # semantics — dropping it is exact AND prevents the descending bin
+    # sequence such a row would otherwise generate
+    intervals = intervals.where(F.col(end_col) > F.col(start_col))
     iv = intervals.select(
         '*',
         F.explode(F.sequence(

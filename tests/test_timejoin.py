@@ -116,3 +116,27 @@ def test_interval_join_multi_bin_span(spark):
                          end_col='end_ts', by='user_id',
                          bin_seconds=1800).collect()
     assert sorted(r['event_id'] for r in rows) == [100, 101, 102]
+
+
+def test_asof_join_suffix_collision_raises(spark):
+    import pytest
+
+    from rbql_spark.ops.timejoin import asof_join
+    ev = _mk_events(spark).withColumnRenamed('value', 'mval_r')
+    with pytest.raises(ValueError, match='collision'):
+        asof_join(ev, _mk_markers(spark))
+
+
+def test_interval_join_ignores_empty_intervals(spark):
+    from rbql_spark.ops.timejoin import interval_join
+    ev = _mk_events(spark)
+    iv = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), datetime(2024, 1, 1, 10, 0), 1.0),
+         (1, datetime(2024, 1, 1, 12, 0), datetime(2024, 1, 1, 11, 0), 2.0),
+         (1, datetime(2024, 1, 1, 9, 30), datetime(2024, 1, 1, 10, 30), 3.0)],
+        'user_id long, start_ts timestamp, end_ts timestamp, ival double')
+    rows = interval_join(ev, iv, point_col='ts', start_col='start_ts',
+                         end_col='end_ts', by='user_id').collect()
+    # only the real interval matches; zero-width and inverted ones match
+    # nothing (half-open semantics) instead of mis-binning
+    assert [(r['event_id'], r['ival']) for r in rows] == [(100, 3.0)]
