@@ -288,12 +288,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q['join_semi'] = _join_semi
 
     def _join_anti(spark, sf_dir):
-        # LEFT ANTI join: customers with no BIG order — the plain
-        # customers-without-orders cut is 0 rows at sf0.01 (every
-        # customer orders), which would make the gate vacuous
+        # LEFT ANTI join: customers with no 300k+ order — the plain
+        # customers-without-orders cut is 0 rows at every sf (every
+        # customer orders), and a 200k threshold is still 0 at sf0.001;
+        # 300k keeps the result non-vacuous at both mirror SFs
         return (_t(spark, sf_dir, 'customer')
                 .join(_t(spark, sf_dir, 'orders')
-                      .filter(F.col('o_totalprice') > 200000)
+                      .filter(F.col('o_totalprice') > 300000)
                       .select(F.col('o_custkey').alias('c_custkey')),
                       'c_custkey', 'left_anti')
                 .select('c_custkey', 'c_acctbal'))
@@ -392,6 +393,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             'window_start', 'event_type', 'n_events',
             F.round('sum_value', 6).alias('sum_value'))
     q['streaming_windowed_counts'] = _streaming
+
+    def _streaming_sessions(spark, sf_dir):
+        # gap-based session windows under Structured Streaming: sessions
+        # merge across micro-batches; append mode emits exactly the
+        # sessions whose END (last event + gap) passed the final
+        # watermark (max event time − 1 hour) — the batch gap-and-island
+        # replay reproduces that set with a HAVING-style filter
+        from rbql_spark.streaming.events import (
+            read_event_stream, run_stream_to_memory, session_counts,
+        )
+        tmp = _stream_replay_dir(spark, sf_dir, 'sess',
+                                 ['event_id % 2 = 0', 'event_id % 2 = 1'])
+        stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
+        sess = session_counts(stream, gap='30 minutes', watermark='1 hour')
+        qname = 'rbql_stream_session_gate'
+        sq = run_stream_to_memory(sess, qname, output_mode='append')
+        sq.stop()
+        return spark.table(qname).select('user_id', 'session_start',
+                                         'n_events')
+    q['streaming_session_counts'] = _streaming_sessions
 
     def _streaming_totals(spark, sf_dir):
         # custom stateful operator (applyInPandasWithState) end-to-end:
@@ -832,6 +853,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return search_ivf_pq_index(spark, path, queries_df, k=10, n_probe=4)
     q['sim_ann_index_churn'] = _sim_index_churn
 
+    def _sim_index_stats(spark, sf_dir):
+        # the operational gauge itself as a gate: per-cell occupancy of
+        # the stored index (same cached build as sim_ann_index_search —
+        # built here if absent, so gate order doesn't matter).  The
+        # oracle replays the hash-centroid cell assignment and the
+        # pct/balance arithmetic.
+        import hashlib
+        import tempfile
+
+        from rbql_spark.ops.ann_index import (
+            INDEX_FORMAT_VERSION, build_ivf_pq_index, ivf_pq_index_stats,
+        )
+        src = os.path.join(sf_dir, 'embeddings.parquet')
+        try:
+            stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
+        except OSError:
+            stamp = ''
+        key = hashlib.md5('{}|{}|v{}'.format(
+            sf_dir, stamp, INDEX_FORMAT_VERSION).encode()).hexdigest()[:10]
+        path = os.path.join(tempfile.gettempdir(),
+                            'rbql_annidx_{}'.format(key))
+        if not (os.path.exists(os.path.join(path, '_SUCCESS'))
+                and os.path.exists(os.path.join(path,
+                                                '_rbql_index_meta.json'))):
+            build_ivf_pq_index(_t(spark, sf_dir, 'embeddings'), path,
+                               n_cells=16, m=8, ks=16)
+        return ivf_pq_index_stats(spark, path)
+    q['sim_ann_index_stats'] = _sim_index_stats
+
     def _kmeans_recall(spark, sf_dir):
         # driver visibility for the production-recall quantizer path:
         # hash-quantizer IVF recall@10 vs brute-force truth is exactly
@@ -1055,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_embed_hashing', 'sim_ann_index_churn', 'sim_kmeans_recall',
         'join_asof', 'join_interval', 'join_semi', 'join_anti',
         'join_full_outer', 'streaming_asof', 'pivot_event_counts',
+        'sim_ann_index_stats', 'streaming_session_counts',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1761,7 +1812,7 @@ def oracle_sql() -> dict[str, str]:
     o['join_anti'] = (
         "SELECT c_custkey, c_acctbal FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
-        "WHERE o_totalprice > 200000)")
+        "WHERE o_totalprice > 300000)")
 
     o['join_full_outer'] = (
         "WITH a AS (SELECT o_custkey AS custkey, count(*) AS n_big_orders "
@@ -1811,6 +1862,22 @@ def oracle_sql() -> dict[str, str]:
         "ROWS UNBOUNDED PRECEDING) AS sess FROM s) "
         "SELECT user_id, min(ts) AS session_start, count(*) AS n_events "
         "FROM g GROUP BY user_id, sess")
+
+    # streaming session windows: batch gap-and-island replay (the
+    # window_session oracle's island logic) filtered to sessions whose
+    # end (last event + gap) passed the final watermark
+    o['streaming_session_counts'] = (
+        "WITH s AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts >= lag(ts) OVER w + INTERVAL 30 minutes THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "g AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM s), "
+        "agg AS (SELECT user_id, min(ts) AS session_start, "
+        "max(ts) AS session_last, count(*) AS n_events "
+        "FROM g GROUP BY user_id, sess) "
+        "SELECT user_id, session_start, n_events FROM agg "
+        "WHERE session_last + INTERVAL 30 minutes <= "
+        "(SELECT max(ts) FROM events) - INTERVAL 1 hour")
 
     # append-mode emission set: availableNow + the trailing no-data batch
     # emit exactly the windows whose end passed the final watermark
@@ -2101,6 +2168,23 @@ def oracle_sql() -> dict[str, str]:
     o['sim_ann_index_churn'] = _ivf_pq_replay_sql(
         k=10, n_cells=16, n_probe=4, m=8, ks=16, rescore_factor=4, seed=42,
         data_where='(vec_id % 7 != 3 OR vec_id % 14 = 3) AND vec_id % 5 != 0')
+
+    # stored-index occupancy stats: replay the hash-centroid assignment
+    # and the pct/balance arithmetic over the full index
+    o['sim_ann_index_stats'] = (
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "cent AS (SELECT cell, cv FROM (SELECT v AS cv, row_number() OVER "
+        "(ORDER BY md5(vec_id::VARCHAR || ':42'), vec_id) - 1 AS cell FROM c) "
+        "WHERE cell < 16), "
+        "asg AS (SELECT vec_id, cell FROM (SELECT c.vec_id, cent.cell, "
+        "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        "round(list_cosine_similarity(c.v, cent.cv), 6) DESC, cent.cell ASC) AS rn "
+        "FROM c CROSS JOIN cent) WHERE rn = 1), "
+        "cnt AS (SELECT cell, count(*) AS n_rows FROM asg GROUP BY 1) "
+        "SELECT cell, n_rows, "
+        "round(n_rows * 100.0 / sum(n_rows) OVER (), 2) AS pct, "
+        "round(n_rows * 1.0 / avg(n_rows) OVER (), 3) AS balance_ratio "
+        "FROM cnt")
 
     # kmeans-quantizer dominance: recall_hash replayed exactly (hash IVF
     # vs brute-force truth, 20 queries); the kmeans row asserts the

@@ -140,3 +140,58 @@ def test_interval_join_ignores_empty_intervals(spark):
     # only the real interval matches; zero-width and inverted ones match
     # nothing (half-open semantics) instead of mis-binning
     assert [(r['event_id'], r['ival']) for r in rows] == [(100, 3.0)]
+
+
+def test_asof_join_randomized_vs_duckdb(spark):
+    # seeded randomized differential check: arbitrary key/time layouts,
+    # duplicate left instants, keys with no markers, marker-only keys —
+    # all compared value-for-value against DuckDB's native ASOF JOIN
+    import random
+    from datetime import timedelta
+
+    import duckdb
+
+    rnd = random.Random(90210)
+    base = datetime(2024, 3, 1)
+    for trial in range(5):
+        ev_rows = [(rnd.randint(1, 6),
+                    base + timedelta(minutes=rnd.randint(0, 600)),
+                    i, float(rnd.randint(-50, 50)))
+                   for i in range(rnd.randint(5, 60))]
+        mk_keyed = {}
+        for _ in range(rnd.randint(0, 25)):
+            k = (rnd.randint(1, 8),
+                 base + timedelta(minutes=rnd.randint(0, 600)))
+            mk_keyed[k] = float(rnd.randint(0, 9))  # unique per (by, on)
+        mk_rows = [(k[0], k[1], v) for k, v in mk_keyed.items()]
+
+        ev = spark.createDataFrame(
+            ev_rows, 'user_id long, ts timestamp, event_id long, value double')
+        if mk_rows:
+            mk = spark.createDataFrame(
+                mk_rows, 'user_id long, ts timestamp, mval double')
+        else:
+            mk = spark.createDataFrame(
+                [], 'user_id long, ts timestamp, mval double')
+
+        from rbql_spark.ops.timejoin import asof_join
+        pdf = asof_join(ev, mk).toPandas()
+
+        con = duckdb.connect()
+        con.execute('CREATE TABLE e (user_id BIGINT, ts TIMESTAMP, '
+                    'event_id BIGINT, value DOUBLE)')
+        con.execute('CREATE TABLE m (user_id BIGINT, ts TIMESTAMP, '
+                    'mval DOUBLE)')
+        con.executemany('INSERT INTO e VALUES (?,?,?,?)', ev_rows)
+        if mk_rows:
+            con.executemany('INSERT INTO m VALUES (?,?,?)', mk_rows)
+        odf = con.sql(
+            'SELECT e.user_id, e.ts, e.event_id, e.value, '
+            'm.mval AS mval_r, m.ts AS ts_r FROM e ASOF LEFT JOIN m '
+            'ON e.user_id = m.user_id AND e.ts >= m.ts').df()
+
+        def canon(df):
+            cols = sorted(df.columns)
+            return sorted(tuple(str(v) for v in row) for row in
+                          df[cols].itertuples(index=False, name=None))
+        assert canon(pdf) == canon(odf), 'trial {}'.format(trial)
