@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     'join_interval',
     'streaming_asof',
     'pivot_event_counts',
+    'sim_ann_index_stats',
+    'streaming_session_counts',
 ]
 
 
