@@ -195,3 +195,20 @@ def test_asof_join_randomized_vs_duckdb(spark):
             return sorted(tuple(str(v) for v in row) for row in
                           df[cols].itertuples(index=False, name=None))
         assert canon(pdf) == canon(odf), 'trial {}'.format(trial)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # the operator itself must add exactly ONE exchange (the by-key
+    # window); inputs here are pre-shaped so no upstream agg pollutes
+    # the count
+    from rbql_spark.ops.timejoin import asof_join
+    ev = spark.read.parquet(os.path.join(sf_dir, 'events.parquet')) \
+        .select('user_id', 'ts', 'event_id', 'value')
+    mk = spark.read.parquet(os.path.join(sf_dir, 'events.parquet')) \
+        .filter('event_id % 50 = 0') \
+        .select('user_id', 'ts', F.col('value').alias('mval'))
+    plan = asof_join(ev, mk)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count('Exchange') == 1, plan
+    assert 'CartesianProduct' not in plan
+    assert 'BroadcastNestedLoopJoin' not in plan

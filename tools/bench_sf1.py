@@ -103,6 +103,12 @@ SUBSET = [
     'streaming_windowed_counts',
     'streaming_user_totals',
     'sim_ann_index_churn',
+    # round 9 late additions: session-window merge state and the
+    # stream-static enrichment, plus the batch time-keyed joins
+    'streaming_session_counts',
+    'streaming_asof',
+    'join_asof',
+    'join_interval',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
