@@ -263,6 +263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return c.subtract(o)
     q['setop_except'] = _except
 
+    def _dedup_spans(spark, sf_dir):
+        # substring-level dedup signal (Lee et al. 2021): rolling 5-token
+        # windows duplicated >= 2x corpus-wide mark their token spans
+        from rbql_spark.ops.dedup import dedup_spans
+        return dedup_spans(_t(spark, sf_dir, 'documents'), k=5)
+    q['dedup_spans'] = _dedup_spans
+
     def _pivot_counts(spark, sf_dir):
         # groupBy().pivot() — Spark's dedicated wide-aggregation operator
         # (single pass, one shuffle; the explicit value list skips the
@@ -1105,7 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_embed_hashing', 'sim_ann_index_churn', 'sim_kmeans_recall',
         'join_asof', 'join_interval', 'join_semi', 'join_anti',
         'join_full_outer', 'streaming_asof', 'pivot_event_counts',
-        'sim_ann_index_stats', 'streaming_session_counts',
+        'sim_ann_index_stats', 'streaming_session_counts', 'dedup_spans',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1794,6 +1801,28 @@ def oracle_sql() -> dict[str, str]:
     o['setop_except'] = (
         "SELECT c_custkey FROM customer EXCEPT "
         "SELECT o_custkey FROM orders WHERE o_totalprice > 300000")
+
+    # duplicate 5-token span detection: window digests, corpus frequency,
+    # span coverage via distinct position union
+    _sp_toks = _SQL_TOKS.format(src="coalesce(text, '')")
+    o['dedup_spans'] = (
+        "WITH tk AS (SELECT doc_id, " + _sp_toks + " AS t FROM documents), "
+        "b AS (SELECT doc_id, len(t)::INT AS n_tokens, "
+        "greatest(len(t) - 4, 0)::BIGINT AS n_windows FROM tk), "
+        "w AS (SELECT doc_id, unnest(range(0, greatest(len(t) - 4, 0))) AS s, t "
+        "FROM tk), "
+        "wh AS (SELECT doc_id, s, md5(array_to_string(t[s+1 : s+5], ' ')) AS h "
+        "FROM w), "
+        "freq AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2), "
+        "d AS (SELECT doc_id, s FROM wh JOIN freq USING (h)), "
+        "nd AS (SELECT doc_id, count(*) AS n_dup FROM d GROUP BY doc_id), "
+        "cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM "
+        "(SELECT doc_id, unnest(range(s, s+5)) AS p FROM d) GROUP BY doc_id) "
+        "SELECT b.doc_id, b.n_tokens, b.n_windows, "
+        "coalesce(nd.n_dup, 0) AS n_dup_windows, "
+        "round(CASE WHEN b.n_tokens > 0 THEN coalesce(cov.covered, 0) * 1.0 "
+        "/ b.n_tokens ELSE 0.0 END, 6) AS dup_token_frac "
+        "FROM b LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)")
 
     o['pivot_event_counts'] = (
         "SELECT user_id, "

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     'pivot_event_counts',
     'sim_ann_index_stats',
     'streaming_session_counts',
+    'dedup_spans',
 ]
 
 

@@ -854,3 +854,83 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
         out = out.localCheckpoint(True)
         fps.unpersist()
     return out
+
+
+def dedup_spans(df: DataFrame, text_col: str = 'text',
+                id_col: str = 'doc_id', k: int = 5, min_count: int = 2,
+                broadcast_frequent: bool = True) -> DataFrame:
+    """Duplicate n-gram SPAN detection — the substring-level dedup signal
+    of "Deduplicating Training Data Makes Language Models Better" (Lee
+    et al. 2021), re-expressed for Spark: every k-token rolling window
+    whose text occurs ≥min_count times ACROSS the corpus marks its token
+    span as duplicated.  Returns per-document
+    (doc_id, n_tokens, n_windows, n_dup_windows, dup_token_frac) where
+    dup_token_frac is the fraction of token positions covered by at
+    least one duplicated window — the retain/trim/drop signal finer than
+    dedup_lines (line-level) or minhash (document-level).
+
+    Scale shape (the dedup_lines pattern one level down): window DIGESTS
+    — never window text — shuffle into one partial/final frequency
+    count; the surviving frequent set (heavy hitters by definition) is
+    BROADCAST into the marking join, so the corpus window stream is
+    never shuffled for the lookup; coverage merges spans per document
+    with an in-scan array union (no position explosion).  Two corpus
+    scans (per-doc totals, window pass); suffix arrays — the paper's
+    exact machinery — are replaced by the rolling-window hash join,
+    which finds every duplicated span of length ≥ k at 1/k the
+    index cost, the standard large-scale approximation.
+    broadcast_frequent=False falls back to a shuffle join when the
+    frequent set itself is too large to broadcast.
+
+    Documents shorter than k tokens have no windows (n_windows = 0,
+    frac 0.0); a window repeated WITHIN one document counts toward the
+    corpus frequency — internal boilerplate is duplication too.
+    Deterministic md5 window digests keep the whole pipeline replayable
+    by the DuckDB differential oracle.
+    """
+    df = spread_partitions(df)
+    t = F.coalesce(F.col(text_col), F.lit(''))
+    base = df.select(F.col(id_col).alias('doc_id'),
+                     F.size(tokens(t)).alias('n_tokens')) \
+             .withColumn('n_windows',
+                         F.greatest(F.col('n_tokens') - k + 1,
+                                    F.lit(0)).cast('long'))
+
+    def winarr(ta: Column) -> Column:
+        n = F.size(ta)
+        # slice-to-length keeps the sequence ascending AND empty when
+        # n < k (sequence(0, negative) would descend)
+        idx = F.slice(F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+                      1, F.greatest(n - k + 1, F.lit(0)))
+        return F.transform(
+            idx, lambda s: F.struct(
+                s.alias('s'),
+                F.md5(F.encode(F.concat_ws(' ', F.slice(ta, s + 1, k)),
+                               'utf-8')).alias('h')))
+
+    wins = (df.select(F.col(id_col).alias('doc_id'),
+                      F.explode(let_once(tokens(t), winarr)).alias('w'))
+              .select('doc_id', F.col('w.s').alias('s'),
+                      F.col('w.h').alias('h')))
+    freq = (wins.groupBy('h').agg(F.count(F.lit(1)).alias('__cnt'))
+                .where(F.col('__cnt') >= min_count)
+                .select('h'))
+    if broadcast_frequent:
+        freq = F.broadcast(freq)
+    dup = wins.join(freq, 'h').select('doc_id', 's')
+    agg = (dup.groupBy('doc_id')
+              .agg(F.count(F.lit(1)).alias('__nd'),
+                   F.collect_list('s').alias('__starts'))
+              .withColumn('__covered', F.size(F.array_distinct(F.flatten(
+                  F.transform('__starts',
+                              lambda s: F.sequence(s, s + k - 1))))))
+              .select('doc_id', '__nd', '__covered'))
+    return (base.join(agg, 'doc_id', 'left')
+                .select('doc_id', 'n_tokens', 'n_windows',
+                        F.coalesce(F.col('__nd'), F.lit(0))
+                         .alias('n_dup_windows'),
+                        F.round(F.when(
+                            F.col('n_tokens') > 0,
+                            F.coalesce(F.col('__covered'), F.lit(0))
+                            / F.col('n_tokens')).otherwise(F.lit(0.0)), 6)
+                         .alias('dup_token_frac')))

@@ -1110,3 +1110,48 @@ def test_embed_hashing_feeds_similarity_stack(spark):
     # the NULL doc embeds as the zero vector and scores -1.0 (guard), last
     all4 = cosine_topk_bruteforce(emb, q, k=4).collect()
     assert all4[-1]['vec_id'] == 4 and all4[-1]['cosine_sim'] == -1.0
+
+
+def test_dedup_spans_planted(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from rbql_spark.ops.dedup import dedup_spans
+    boiler = 'the quick brown fox jumps'          # 5 tokens, planted twice
+    rows = [
+        (1, 'alpha beta ' + boiler + ' gamma delta unique one here'),
+        (2, 'totally different start ' + boiler + ' and another tail'),
+        (3, 'no shared phrases in this document at all whatsoever'),
+        (4, 'short doc'),                         # < k tokens: no windows
+        (5, None),                                # NULL text
+        (6, boiler + ' ' + boiler),               # internal repetition
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in dedup_spans(df, k=5).collect()}
+    assert len(got) == 6
+    # the planted boilerplate marks exactly its 5-token span in docs 1+2
+    assert got[1]['n_dup_windows'] == 1
+    assert abs(got[1]['dup_token_frac'] - 5 / got[1]['n_tokens']) < 1e-6
+    assert got[2]['n_dup_windows'] == 1
+    # doc 3 shares nothing
+    assert got[3]['n_dup_windows'] == 0 and got[3]['dup_token_frac'] == 0.0
+    # sub-k docs have no windows and zero frac
+    assert got[4]['n_windows'] == 0 and got[4]['dup_token_frac'] == 0.0
+    assert got[5]['n_tokens'] == 0 and got[5]['dup_token_frac'] == 0.0
+    # internal repetition: doc 6 is 10 tokens of doubled boilerplate —
+    # every window of the repeated phrase is duplicated somewhere
+    assert got[6]['n_dup_windows'] >= 2
+    assert got[6]['dup_token_frac'] > 0.5
+
+
+def test_dedup_spans_coverage_merges_overlaps(spark):
+    # overlapping duplicated windows must count shared positions once
+    from rbql_spark.ops.dedup import dedup_spans
+    phrase = 'one two three four five six'        # 6 tokens -> 2 windows of 5
+    # suffixes diverge IMMEDIATELY after the phrase so no extra window
+    # (e.g. 'three four five six ending') duplicates by accident
+    rows = [(1, phrase + ' alpha tail x'), (2, phrase + ' beta coda y')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in dedup_spans(df, k=5).collect()}
+    # 2 dup windows cover positions 0..5 = 6 distinct tokens, not 10
+    assert got[1]['n_dup_windows'] == 2
+    assert abs(got[1]['dup_token_frac'] - 6 / got[1]['n_tokens']) < 1e-6
