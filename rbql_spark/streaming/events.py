@@ -145,7 +145,10 @@ def stream_asof_enrich(events: DataFrame, markers: DataFrame,
     from pyspark.sql.types import StructField, StructType
 
     payload = [c for c in markers.columns if c not in (by, on)]
-    rows = markers.select(by, on, *payload).collect()
+    # a NULL-keyed or NULL-time marker can never match (and would break
+    # the index build) — drop up front
+    rows = (markers.where(F.col(by).isNotNull() & F.col(on).isNotNull())
+                   .select(by, on, *payload).collect())
     rows.sort(key=lambda r: (repr(r[by]), r[on]))
     # dense key ids in the SAME order the rows were sorted by, so the
     # composite key below is globally monotone over (key, ts)

@@ -284,3 +284,33 @@ def test_stream_asof_enrich_equals_batch_asof(spark, sf_dir, tmp_path):
     assert got == want and len(got) == ev.count()
     # unmatched rows surface with NULL payloads, not dropped
     assert any(r[4] is None for r in got) or all(r[4] is not None for r in got)
+
+
+def test_stream_asof_enrich_null_markers_dropped(spark, tmp_path):
+    from datetime import datetime as dt
+
+    from rbql_spark.streaming.events import (
+        read_event_stream, run_stream_to_memory, stream_asof_enrich,
+    )
+    ev_rows = [(1, dt(2024, 1, 1, 10), 100, 1.0, 'view', 'p')]
+    evb = spark.createDataFrame(
+        ev_rows, 'user_id long, ts timestamp, event_id long, value double, '
+                 'event_type string, props string')
+    # reorder to the EVENT_SCHEMA column order for the file stream
+    evb = evb.select('event_id', 'ts', 'user_id', 'event_type', 'value',
+                     'props')
+    replay = str(tmp_path / 'nullmark_replay')
+    evb.coalesce(1).write.mode('overwrite').parquet(replay)
+    markers = spark.createDataFrame(
+        [(None, dt(2024, 1, 1, 9), 1.0), (1, None, 2.0),
+         (1, dt(2024, 1, 1, 9, 30), 3.0)],
+        'user_id long, ts timestamp, mval double')
+    stream = read_event_stream(spark, replay)
+    out = stream_asof_enrich(
+        stream.select('user_id', 'ts', 'event_id', 'value'), markers)
+    sq = run_stream_to_memory(out, 'nullmark_test', output_mode='append')
+    sq.stop()
+    rows = spark.table('nullmark_test').collect()
+    assert len(rows) == 1
+    # only the valid marker participates
+    assert rows[0]['mval_r'] == 3.0

@@ -109,6 +109,7 @@ SUBSET = [
     'streaming_asof',
     'join_asof',
     'join_interval',
+    'dedup_spans',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
