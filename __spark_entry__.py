@@ -42,6 +42,47 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, name + '.parquet'))
 
 
+def _ann_index_cache_path(sf_dir: str, tag: str = '') -> str:
+    """Cache dir for a stored ANN index keyed on (sf_dir, data stamp,
+    format version) — ONE implementation of the key so the search/stats/
+    churn gates can never drift on validity rules (the round-8 crash-
+    window fix had to be applied in several hand-copies before this)."""
+    import hashlib
+    import tempfile
+
+    from rbql_spark.ops.ann_index import INDEX_FORMAT_VERSION
+    src = os.path.join(sf_dir, 'embeddings.parquet')
+    try:
+        stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
+    except OSError:
+        stamp = ''
+    base = '{}|{}|v{}'.format(sf_dir, stamp, INDEX_FORMAT_VERSION)
+    if tag:
+        base = tag + '|' + base
+    key = hashlib.md5(base.encode()).hexdigest()[:10]
+    name = 'rbql_annidx_{}{}'.format(tag + '_' if tag else '', key)
+    return os.path.join(tempfile.gettempdir(), name)
+
+
+def _ann_index_is_valid(path: str) -> bool:
+    """Valid only when BOTH the parquet _SUCCESS marker and the meta
+    sidecar exist: build writes them in that order, so a crash between
+    the two must read as invalid (round-8 advisor finding)."""
+    return (os.path.exists(os.path.join(path, '_SUCCESS'))
+            and os.path.exists(os.path.join(path,
+                                            '_rbql_index_meta.json')))
+
+
+def _ensure_base_index(spark: SparkSession, sf_dir: str) -> str:
+    """The shared plain-build index (search + stats gates)."""
+    from rbql_spark.ops.ann_index import build_ivf_pq_index
+    path = _ann_index_cache_path(sf_dir)
+    if not _ann_index_is_valid(path):
+        build_ivf_pq_index(_t(spark, sf_dir, 'embeddings'), path,
+                           n_cells=16, m=8, ks=16)
+    return path
+
+
 def _stream_replay_dir(spark: SparkSession, sf_dir: str, name: str,
                        filters: list[str], table: str = 'events') -> str:
     """Deterministic replay directory for a streaming gate: the source
@@ -778,30 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to its probed cells), searched at the same parameters as the
         # sim_ann_ivf_pq gate — results are row-identical by design, so
         # the same oracle replays it
-        import hashlib
-        import tempfile
-
-        from rbql_spark.ops.ann_index import (
-            INDEX_FORMAT_VERSION, build_ivf_pq_index, search_ivf_pq_index,
-        )
-        src = os.path.join(sf_dir, 'embeddings.parquet')
-        try:
-            stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
-        except OSError:
-            stamp = ''
-        key = hashlib.md5('{}|{}|v{}'.format(
-            sf_dir, stamp, INDEX_FORMAT_VERSION).encode()).hexdigest()[:10]
-        path = os.path.join(tempfile.gettempdir(),
-                            'rbql_annidx_{}'.format(key))
-        # cache-valid needs BOTH markers: build writes the parquet
-        # _SUCCESS first and the meta sidecar after, so a crash between
-        # the two leaves a dir that passes a _SUCCESS-only check yet
-        # fails every search (advisor, round 8)
-        if not (os.path.exists(os.path.join(path, '_SUCCESS'))
-                and os.path.exists(os.path.join(path,
-                                                '_rbql_index_meta.json'))):
-            build_ivf_pq_index(_t(spark, sf_dir, 'embeddings'), path,
-                               n_cells=16, m=8, ks=16)
+        from rbql_spark.ops.ann_index import search_ivf_pq_index
+        path = _ensure_base_index(spark, sf_dir)
         emb = _t(spark, sf_dir, 'embeddings')
         queries_df = emb.filter(F.col('vec_id') < 5) \
                         .select(F.col('vec_id').alias('query_id'), 'embedding')
@@ -817,24 +836,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # original corpus vectors, so the oracle replays the frozen
         # model (trained on the FULL corpus) over the surviving set:
         #   (vec_id%7 != 3 OR vec_id%14 == 3) AND vec_id%5 != 0
-        import hashlib
         import shutil
-        import tempfile
 
         from rbql_spark.ops.ann_index import (
-            INDEX_FORMAT_VERSION, append_to_ivf_pq_index,
-            build_ivf_pq_index, compact_ivf_pq_index,
-            delete_from_ivf_pq_index, search_ivf_pq_index,
+            append_to_ivf_pq_index, build_ivf_pq_index,
+            compact_ivf_pq_index, delete_from_ivf_pq_index,
+            search_ivf_pq_index,
         )
-        src = os.path.join(sf_dir, 'embeddings.parquet')
-        try:
-            stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
-        except OSError:
-            stamp = ''
-        key = hashlib.md5('churn|{}|{}|v{}'.format(
-            sf_dir, stamp, INDEX_FORMAT_VERSION).encode()).hexdigest()[:10]
-        path = os.path.join(tempfile.gettempdir(),
-                            'rbql_annidx_churn_{}'.format(key))
+        path = _ann_index_cache_path(sf_dir, tag='churn')
         emb = _t(spark, sf_dir, 'embeddings')
         done = os.path.join(path, '_rbql_churn_done')
         if not os.path.exists(done):
@@ -866,27 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # built here if absent, so gate order doesn't matter).  The
         # oracle replays the hash-centroid cell assignment and the
         # pct/balance arithmetic.
-        import hashlib
-        import tempfile
-
-        from rbql_spark.ops.ann_index import (
-            INDEX_FORMAT_VERSION, build_ivf_pq_index, ivf_pq_index_stats,
-        )
-        src = os.path.join(sf_dir, 'embeddings.parquet')
-        try:
-            stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
-        except OSError:
-            stamp = ''
-        key = hashlib.md5('{}|{}|v{}'.format(
-            sf_dir, stamp, INDEX_FORMAT_VERSION).encode()).hexdigest()[:10]
-        path = os.path.join(tempfile.gettempdir(),
-                            'rbql_annidx_{}'.format(key))
-        if not (os.path.exists(os.path.join(path, '_SUCCESS'))
-                and os.path.exists(os.path.join(path,
-                                                '_rbql_index_meta.json'))):
-            build_ivf_pq_index(_t(spark, sf_dir, 'embeddings'), path,
-                               n_cells=16, m=8, ks=16)
-        return ivf_pq_index_stats(spark, path)
+        from rbql_spark.ops.ann_index import ivf_pq_index_stats
+        return ivf_pq_index_stats(spark, _ensure_base_index(spark, sf_dir))
     q['sim_ann_index_stats'] = _sim_index_stats
 
     def _kmeans_recall(spark, sf_dir):

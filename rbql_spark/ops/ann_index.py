@@ -248,6 +248,17 @@ def compact_ivf_pq_index(spark: SparkSession, path: str) -> dict:
                 (survivors.select(*[c for c in idx.columns])
                           .write.mode('overwrite').partitionBy('cell')
                           .parquet(path))
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # written frame: a cell whose rows were ALL tombstoned has
+            # zero survivors, its files would outlive the write, and
+            # clearing the tombstones below would resurrect the deleted
+            # vectors — remove such cell directories explicitly
+            live_cells = {int(r['cell']) for r in
+                          survivors.select('cell').distinct().collect()}
+            for dead_cell in set(cells) - live_cells:
+                shutil.rmtree(
+                    os.path.join(path, 'cell={}'.format(dead_cell)),
+                    ignore_errors=True)
         finally:
             survivors.unpersist()
     shutil.rmtree(os.path.join(path, _TOMBSTONE_DIR), ignore_errors=True)

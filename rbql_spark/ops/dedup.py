@@ -873,8 +873,9 @@ def dedup_spans(df: DataFrame, text_col: str = 'text',
     — never window text — shuffle into one partial/final frequency
     count; the surviving frequent set (heavy hitters by definition) is
     BROADCAST into the marking join, so the corpus window stream is
-    never shuffled for the lookup; coverage merges spans per document
-    with an in-scan array union (no position explosion).  Two corpus
+    never shuffled for the lookup; coverage sums min(k, gap) over the
+    document's sorted duplicate starts — O(n_dup) per doc, no k-fold
+    position expansion.  Two corpus
     scans (per-doc totals, window pass); suffix arrays — the paper's
     exact machinery — are replaced by the rolling-window hash join,
     which finds every duplicated span of length ≥ k at 1/k the
@@ -918,12 +919,20 @@ def dedup_spans(df: DataFrame, text_col: str = 'text',
     if broadcast_frequent:
         freq = F.broadcast(freq)
     dup = wins.join(freq, 'h').select('doc_id', 's')
+    # coverage from SORTED starts in O(n_dup): the first window covers k
+    # positions, each later one adds min(k, gap to its predecessor) —
+    # no k-fold position expansion (a boilerplate-heavy document would
+    # otherwise blow one aggregation row up k x before the distinct)
+    srt = F.array_sort('__starts')
+    pair_len = F.greatest(F.size(srt) - 1, F.lit(0))
+    covered = F.lit(k) + F.aggregate(
+        F.zip_with(F.slice(srt, 2, pair_len), F.slice(srt, 1, pair_len),
+                   lambda a, b: F.least(F.lit(k), a - b)),
+        F.lit(0), lambda acc, x: acc + x)
     agg = (dup.groupBy('doc_id')
               .agg(F.count(F.lit(1)).alias('__nd'),
                    F.collect_list('s').alias('__starts'))
-              .withColumn('__covered', F.size(F.array_distinct(F.flatten(
-                  F.transform('__starts',
-                              lambda s: F.sequence(s, s + k - 1))))))
+              .withColumn('__covered', covered)
               .select('doc_id', '__nd', '__covered'))
     return (base.join(agg, 'doc_id', 'left')
                 .select('doc_id', 'n_tokens', 'n_windows',

@@ -58,33 +58,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = 'ts',
     if clashes:
         raise ValueError('asof_join output name collision: left already '
                          'has {} — pick another suffix'.format(sorted(clashes)))
+    # NULL-keyed / NULL-time right rows can never match under join
+    # semantics (e.ts >= NULL and NULL = NULL are both false in the
+    # oracle); left in, a NULL-ts row would sort first and leak its
+    # payload, and NULL keys would "match" other NULL keys through the
+    # window partition
+    right = right.where(F.col(by).isNotNull() & F.col(on).isNotNull())
+    # the matched marker travels as ONE struct so its timestamp and
+    # payload stay atomic: carrying payload columns independently with
+    # last(ignorenulls) would skip a matched marker whose payload value
+    # is NULL and leak an OLDER marker's value forward
+    pack_t = 'struct<__t:{}{}>'.format(
+        dict(right.dtypes)[on],
+        ''.join(',{}:{}'.format(c, dict(right.dtypes)[c])
+                for c in payload))
     l_tag = left.select(
         F.col(by), F.col(on), F.lit(1).alias('__side'),
         *[F.col(c) for c in left.columns if c not in (by, on)],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c + suffix)
-          for c in payload],
-        F.lit(None).cast(dict(right.dtypes)[on]).alias(on + suffix))
+        F.lit(None).cast(pack_t).alias('__pack'))
     r_tag = right.select(
         F.col(by), F.col(on), F.lit(0).alias('__side'),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in left.columns if c not in (by, on)],
-        *[F.col(c).alias(c + suffix) for c in payload],
-        F.col(on).alias(on + suffix))
+        F.struct(F.col(on).alias('__t'),
+                 *[F.col(c) for c in payload]).alias('__pack'))
     # right rows sort BEFORE left rows at the same instant, so the
     # carry-forward window sees them — the inclusive (<=) tie rule
     w = (Window.partitionBy(by)
          .orderBy(F.col(on).asc(), F.col('__side').asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = l_tag.unionByName(r_tag).select(
-        '*',
-        *[F.last(c + suffix, ignorenulls=True).over(w)
-           .alias('__m_' + c) for c in payload],
-        F.last(on + suffix, ignorenulls=True).over(w).alias('__m_on'))
+        '*', F.last('__pack', ignorenulls=True).over(w).alias('__m'))
     out = (carried.where(F.col('__side') == 1)
            .select(by, on,
                    *[c for c in left.columns if c not in (by, on)],
-                   *[F.col('__m_' + c).alias(c + suffix) for c in payload],
-                   F.col('__m_on').alias(on + suffix)))
+                   *[F.col('__m.{}'.format(c)).alias(c + suffix)
+                     for c in payload],
+                   F.col('__m.__t').alias(on + suffix)))
     if tolerance is not None:
         stale = F.col(on + suffix) < \
             F.col(on) - F.expr('INTERVAL {}'.format(tolerance))
@@ -97,8 +107,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = 'ts',
     return out
 
 
+def _us(col: Column) -> Column:
+    # unix_micros rejects TIMESTAMP_NTZ (the type parquet timestamps
+    # read as); the session-tz cast shifts points and bounds by the SAME
+    # offset, so bin membership arithmetic is unaffected
+    return F.unix_micros(col.cast('timestamp'))
+
+
 def _bin_of(col: Column, bin_seconds: int) -> Column:
-    return F.floor(F.unix_timestamp(col) / F.lit(int(bin_seconds))) \
+    # microsecond precision: unix_timestamp() truncates sub-seconds,
+    # which shifted end-boundary arithmetic by up to a second (an
+    # interval ending at 10:00:00.250 must still generate the 10:00 bin
+    # for a point at 10:00:00.100)
+    return F.floor(_us(col) / F.lit(int(bin_seconds) * 1_000_000)) \
             .cast('long')
 
 
@@ -120,9 +141,11 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     span: candidate blow-up is ~(span / bin_seconds + 2) copies per
     interval (storage of the exploded build side, not of the points).
     """
-    n_bins = (_bin_of(F.col(end_col) - F.expr('INTERVAL 1 second'),
-                      bin_seconds)
-              - _bin_of(F.col(start_col), bin_seconds))
+    # the last candidate bin holds end − 1µs (half-open upper bound)
+    bin_us = int(bin_seconds) * 1_000_000
+    last_bin = F.floor((_us(F.col(end_col)) - 1)
+                       / F.lit(bin_us)).cast('long')
+    n_bins = last_bin - _bin_of(F.col(start_col), bin_seconds)
     # a start >= end interval contains no point under half-open
     # semantics — dropping it is exact AND prevents the descending bin
     # sequence such a row would otherwise generate

@@ -59,16 +59,27 @@ def session_counts(events: DataFrame, gap: str = '30 minutes',
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
-                         output_mode: str = 'append', timeout_sec: int = 60):
+                         output_mode: str = 'append',
+                         timeout_sec: int = 600):
     """Drive a streaming DataFrame into an in-memory sink until idle; returns
-    the StreamingQuery (caller reads ``spark.table(query_name)``)."""
+    the StreamingQuery (caller reads ``spark.table(query_name)``).
+
+    Raises on timeout rather than returning silently: a partially
+    drained memory table reads as a plausible-but-wrong result, and a
+    benchmark rep that times out would record truncated work as if it
+    were a full drain — masking exactly the super-linear behavior the
+    scale harness exists to catch."""
     q = (stream_df.writeStream
          .format('memory')
          .queryName(query_name)
          .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(
+            'stream {} did not drain within {}s'.format(query_name,
+                                                        timeout_sec))
     return q
 
 
@@ -189,17 +200,20 @@ def stream_asof_enrich(events: DataFrame, markers: DataFrame,
             n = len(pdf)
             if n == 0:
                 continue
-            ts_int = pdf[on].to_numpy(dtype='datetime64[us]') \
-                .astype(np.int64)
+            ts_raw = pdf[on].to_numpy(dtype='datetime64[us]')
+            ts_int = ts_raw.astype(np.int64)
             ki = pd.Series(pdf[by].to_numpy()).map(kd) \
                 .fillna(-1).to_numpy(dtype=np.int64)
             # clip query offsets into [0, span-1]: before-all-markers
             # maps below the key's first marker (no match via the key
-            # check), after-all maps at/above its last (inclusive tie)
+            # check), after-all maps at/above its last (inclusive tie).
+            # NaT events must be masked out FIRST: NaT's int64-min
+            # sentinel wraps under the subtraction and would clip to the
+            # last marker's offset (a phantom newest-marker match).
             off = np.clip(ts_int - mn + 1, 0, sp - 1)
             qcomp = ki * sp + off
             idx = np.searchsorted(comp, qcomp, side='right') - 1
-            valid = (ki >= 0) & (idx >= 0)
+            valid = (ki >= 0) & (idx >= 0) & ~np.isnat(ts_raw)
             valid[valid] &= mk[idx[valid]] == ki[valid]
             ts_out = np.full(n, np.datetime64('NaT'), dtype='datetime64[us]')
             ts_out[valid] = mt[idx[valid]]

@@ -316,3 +316,32 @@ def test_pure_pq_rebuild_contract(spark, tmp_path, emb_q):
         append_to_ivf_pq_index(clones, path)
     with pytest.raises(ValueError, match='store_floats=False'):
         rebuild_if_imbalanced(spark, path, threshold=1.2)
+
+
+def test_compact_fully_tombstoned_cell_not_resurrected(spark, tmp_path,
+                                                       emb_q):
+    # round-9 review regression: dynamic partition overwrite writes no
+    # rows for a cell whose vectors were ALL deleted, so its files used
+    # to survive compaction while the tombstones were cleared —
+    # resurrecting every deleted vector
+    from rbql_spark.ops.ann_index import (
+        build_ivf_pq_index, compact_ivf_pq_index, delete_from_ivf_pq_index,
+    )
+    emb, _ = emb_q
+    path = str(tmp_path / 'idx_cellkill')
+    build_ivf_pq_index(emb, path, n_cells=8, m=8, ks=16)
+    idx = spark.read.parquet(path)
+    cell = int(idx.select('cell').first()['cell'])
+    victim_ids = [r['vec_id'] for r in
+                  idx.where(F.col('cell') == cell)
+                     .select('vec_id').distinct().collect()]
+    assert victim_ids
+    victims = spark.createDataFrame([(v,) for v in victim_ids],
+                                    'vec_id long')
+    delete_from_ivf_pq_index(spark, path, victims)
+    report = compact_ivf_pq_index(spark, path)
+    assert report['rows_removed'] == len(victim_ids)
+    post = spark.read.parquet(path)
+    assert post.where(F.col('cell') == cell).count() == 0
+    assert post.join(victims, 'vec_id').count() == 0
+    assert not os.path.isdir(os.path.join(path, 'cell={}'.format(cell)))

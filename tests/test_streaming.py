@@ -314,3 +314,32 @@ def test_stream_asof_enrich_null_markers_dropped(spark, tmp_path):
     assert len(rows) == 1
     # only the valid marker participates
     assert rows[0]['mval_r'] == 3.0
+
+
+def test_stream_asof_enrich_nat_event_ts(spark, tmp_path):
+    # round-9 review regression: a NULL event timestamp used to wrap via
+    # int64 overflow and phantom-match the key's NEWEST marker
+    from datetime import datetime as dt
+
+    from rbql_spark.streaming.events import (
+        read_event_stream, run_stream_to_memory, stream_asof_enrich,
+    )
+    evb = spark.createDataFrame(
+        [(100, dt(2024, 1, 1, 13), 1, 'view', 1.0, 'p'),
+         (101, None, 1, 'view', 2.0, 'p')],
+        'event_id long, ts timestamp, user_id long, event_type string, '
+        'value double, props string')
+    replay = str(tmp_path / 'nat_replay')
+    evb.coalesce(1).write.mode('overwrite').parquet(replay)
+    markers = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10), 5.0), (1, dt(2024, 1, 1, 12), 7.0)],
+        'user_id long, ts timestamp, mval double')
+    stream = read_event_stream(spark, replay)
+    out = stream_asof_enrich(
+        stream.select('user_id', 'ts', 'event_id', 'value'), markers)
+    sq = run_stream_to_memory(out, 'nat_test', output_mode='append')
+    sq.stop()
+    got = {r['event_id']: r['mval_r']
+           for r in spark.table('nat_test').collect()}
+    assert got[100] == 7.0
+    assert got[101] is None

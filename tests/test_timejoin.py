@@ -212,3 +212,49 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert plan.count('Exchange') == 1, plan
     assert 'CartesianProduct' not in plan
     assert 'BroadcastNestedLoopJoin' not in plan
+
+
+def test_asof_join_null_payload_marker_does_not_leak(spark):
+    # round-9 review regression: a matched marker whose payload is NULL
+    # must yield NULL (not an older marker's value), NULL-ts markers
+    # never match, and NULL keys never match each other — all matching
+    # DuckDB ASOF semantics
+    from rbql_spark.ops.timejoin import asof_join
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 13, 0), 100, 1.0),
+         (None, datetime(2024, 1, 1, 13, 0), 101, 2.0)],
+        'user_id long, ts timestamp, event_id long, value double')
+    mk = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), 5.0),
+         (1, datetime(2024, 1, 1, 12, 0), None),    # NULL payload
+         (1, None, 7.0),                            # NULL ts: never matches
+         (None, datetime(2024, 1, 1, 9, 0), 9.0)],  # NULL key: never matches
+        'user_id long, ts timestamp, mval double')
+    got = {r['event_id']: (r['mval_r'], r['ts_r'])
+           for r in asof_join(ev, mk).collect()}
+    # the 12:00 marker matches; its NULL payload must ride with its ts
+    assert got[100] == (None, datetime(2024, 1, 1, 12, 0))
+    # NULL-keyed left rows never match NULL-keyed markers
+    assert got[101] == (None, None)
+
+
+def test_interval_join_subsecond_end_boundary(spark):
+    # round-9 review regression: an interval ending just past a bin
+    # boundary (fractional seconds) must still generate that bin
+    from rbql_spark.ops.timejoin import interval_join
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0, 0, 100000), 100, 1.0)],
+        'user_id long, ts timestamp, event_id long, value double')
+    iv = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 0),
+          datetime(2024, 1, 1, 10, 0, 0, 250000), 7.0)],
+        'user_id long, start_ts timestamp, end_ts timestamp, ival double')
+    rows = interval_join(ev, iv, point_col='ts', start_col='start_ts',
+                         end_col='end_ts', by='user_id').collect()
+    assert [r['event_id'] for r in rows] == [100]
+    # and the half-open bound still excludes a point AT the end instant
+    ev2 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0, 0, 250000), 101, 1.0)],
+        'user_id long, ts timestamp, event_id long, value double')
+    assert interval_join(ev2, iv, point_col='ts', start_col='start_ts',
+                         end_col='end_ts', by='user_id').count() == 0
