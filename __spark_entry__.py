@@ -990,6 +990,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.col('embedding')[i].alias('e{}'.format(i)) for i in range(16)])
     q['text_embed_hashing'] = _embed_hashing
 
+    def _bm25(spark, sf_dir):
+        # lexical retrieval next to the ANN stack: BM25 top-100 for a
+        # fixed 3-term query, ranked on round-6 scores with doc_id ties
+        from rbql_spark.ops.textstats import bm25_score
+        return bm25_score(_t(spark, sf_dir, 'documents'),
+                          ['hash', 'join', 'scan'], top_k=100)
+    q['text_bm25'] = _bm25
+
     def _text_top_ngrams(spark, sf_dir):
         from rbql_spark.ops.textstats import top_ngrams
         return top_ngrams(_t(spark, sf_dir, 'documents'), n=2, k=100)
@@ -1103,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'join_asof', 'join_interval', 'join_semi', 'join_anti',
         'join_full_outer', 'streaming_asof', 'pivot_event_counts',
         'sim_ann_index_stats', 'streaming_session_counts', 'dedup_spans',
+        'text_bm25',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1791,6 +1800,29 @@ def oracle_sql() -> dict[str, str]:
     o['setop_except'] = (
         "SELECT c_custkey FROM customer EXCEPT "
         "SELECT o_custkey FROM orders WHERE o_totalprice > 300000")
+
+    # BM25 (Lucene formula) for the fixed gate query, k1=1.2 b=0.75:
+    # idf/tf/length-norm replayed exactly; rank on round-6 score
+    _bm_toks = _SQL_TOKS.format(src="coalesce(text, '')")
+    o['text_bm25'] = (
+        "WITH base AS (SELECT doc_id, len(" + _bm_toks + ") AS dl, "
+        + _bm_toks + " AS t FROM documents), "
+        "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base), "
+        "q AS (SELECT unnest(['hash', 'join', 'scan']) AS term), "
+        "hit AS (SELECT doc_id, dl, term, "
+        "len(list_filter(t, x -> x = term)) AS tf "
+        "FROM base CROSS JOIN q), "
+        "hits AS (SELECT * FROM hit WHERE tf > 0), "
+        "dfreq AS (SELECT term, count(*) AS df_t FROM hits GROUP BY 1), "
+        "contrib AS (SELECT h.doc_id, "
+        "ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5)) "
+        "* (h.tf * 2.2) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl)) AS c "
+        "FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s), "
+        "scored AS (SELECT doc_id, round(sum(c), 6) AS bm25 "
+        "FROM contrib GROUP BY 1), "
+        "top AS (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 100) "
+        "SELECT doc_id, bm25, row_number() OVER "
+        "(ORDER BY bm25 DESC, doc_id) AS rank FROM top")
 
     # duplicate 5-token span detection: window digests, corpus frequency,
     # span coverage via distinct position union

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     'sim_ann_index_stats',
     'streaming_session_counts',
     'dedup_spans',
+    'text_bm25',
 ]
 
 

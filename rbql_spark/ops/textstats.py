@@ -588,3 +588,78 @@ def embed_hashing(df: DataFrame, dim: int = 64, text_col: str = 'text',
                              lambda x: F.round(x / norm, 6))) \
            .otherwise(F.col('__raw'))
     return withvec.select('doc_id', emb.alias('embedding'))
+
+
+def bm25_score(df: DataFrame, query_terms: list[str], k1: float = 1.2,
+               b: float = 0.75, top_k: int = 100,
+               text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+    """BM25 lexical retrieval over the corpus for one query (the Lucene
+    formula: idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturation with
+    k1, length normalization with b against the corpus mean length) →
+    top_k (doc_id, bm25, rank), scores rounded to 6 places before the
+    deterministic (score DESC, doc_id ASC) ranking.
+
+    The lexical side of the retrieval stack next to the ANN operators:
+    vector search catches semantics, BM25 catches exact term salience —
+    production retrieval runs both and fuses.
+
+    Scale shape: ONE corpus scan computes per-doc length and the
+    query-term frequencies in-scan (the term list is a broadcast-sized
+    literal array — a QUERY, not a second corpus); document frequencies
+    and the corpus length stats are two small aggregations over that
+    projection; both broadcast back into the scoring projection.  Only
+    docs containing ≥1 query term are scored (the others score 0 and
+    are never materialized); TakeOrderedAndProject caps the result at
+    top_k.  Everything is exact integer counts + double arithmetic on
+    rounded outputs — replayed value-for-value by the DuckDB oracle.
+    """
+    if not query_terms:
+        raise ValueError('bm25_score needs at least one query term')
+    terms = sorted({t.lower() for t in query_terms})
+    df = spread_partitions(df)
+    t = F.coalesce(F.col(text_col), F.lit(''))
+    term_lit = F.array(*[F.lit(x) for x in terms])
+    from .dedup import let_once
+
+    # tokenize ONCE per row (let_once): dl plus one filter per query
+    # term would otherwise re-tokenize the document per reference —
+    # per-term occurrence counts are computed in-scan against the
+    # broadcast term literal (no token explode of the whole corpus)
+    def proj(ta: Column) -> Column:
+        return F.struct(
+            F.size(ta).alias('dl'),
+            F.transform(term_lit,
+                        lambda q: F.size(F.filter(ta, lambda x: x == q)))
+             .alias('tfs'))
+
+    packed = let_once(tokens(t), proj)
+    base = df.select(F.col(id_col).alias('doc_id'),
+                     packed.alias('__p')) \
+             .select('doc_id', F.col('__p.dl').alias('dl'),
+                     F.col('__p.tfs').alias('tfs'))
+    stats = base.agg(F.count(F.lit(1)).alias('n_docs'),
+                     F.avg('dl').alias('avgdl'))
+    hit = base.select('doc_id', 'dl',
+                      F.posexplode('tfs').alias('ti', 'tf')) \
+              .where(F.col('tf') > 0)
+    dfreq = hit.groupBy('ti').agg(F.count(F.lit(1)).alias('df_t'))
+    idf = F.log(F.lit(1.0)
+                + (F.col('n_docs') - F.col('df_t') + 0.5)
+                / (F.col('df_t') + 0.5))
+    contrib = (hit.join(F.broadcast(dfreq), 'ti')
+                  .crossJoin(F.broadcast(stats))
+                  .select('doc_id',
+                          (idf * (F.col('tf') * (k1 + 1))
+                           / (F.col('tf') + k1 * (1 - b + b * F.col('dl')
+                                                  / F.col('avgdl'))))
+                          .alias('__c')))
+    from pyspark.sql import Window
+    scored = contrib.groupBy('doc_id') \
+                    .agg(F.round(F.sum('__c'), 6).alias('bm25'))
+    # TakeOrderedAndProject caps the candidate set FIRST; the ranking
+    # window then runs over at most top_k rows (a global row_number
+    # window over all matching docs would single-partition them)
+    top = scored.orderBy(F.col('bm25').desc(), F.col('doc_id').asc()) \
+                .limit(top_k)
+    w = Window.orderBy(F.col('bm25').desc(), F.col('doc_id').asc())
+    return top.withColumn('rank', F.row_number().over(w))

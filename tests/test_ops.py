@@ -1155,3 +1155,36 @@ def test_dedup_spans_coverage_merges_overlaps(spark):
     # 2 dup windows cover positions 0..5 = 6 distinct tokens, not 10
     assert got[1]['n_dup_windows'] == 2
     assert abs(got[1]['dup_token_frac'] - 6 / got[1]['n_tokens']) < 1e-6
+
+
+def test_bm25_score_ranking_and_plan(spark):
+    import pytest
+
+    from rbql_spark.ops.textstats import bm25_score
+    rows = [
+        (1, 'spark spark spark shuffle'),        # high tf for 'spark'
+        (2, 'spark appears once in this much longer document about '
+            'completely different topics entirely unrelated to engines'),
+        (3, 'nothing relevant here at all'),
+        (4, 'rare unique spark'),                # short doc, one hit
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    res = bm25_score(df, ['spark', 'rare'], top_k=10)
+    got = {r['doc_id']: (r['bm25'], r['rank']) for r in res.collect()}
+    # doc 3 matches nothing: never materialized
+    assert 3 not in got
+    # doc 4 hits the rarest term AND is short: it must outrank doc 2's
+    # single 'spark' in a long doc
+    assert got[4][0] > got[2][0]
+    # tf saturation still rewards doc 1's repetition over doc 2
+    assert got[1][0] > got[2][0]
+    # ranks are dense over the rounded-score DESC, doc_id ASC order
+    by_rank = sorted(got.values(), key=lambda v: v[1])
+    assert [v[1] for v in by_rank] == list(range(1, len(got) + 1))
+    assert all(a[0] >= b[0] for a, b in zip(by_rank, by_rank[1:]))
+    # top-k caps through TakeOrderedAndProject, not a global sort
+    plan = bm25_score(df, ['spark'], top_k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert 'TakeOrderedAndProject' in plan
+    with pytest.raises(ValueError):
+        bm25_score(df, [])
