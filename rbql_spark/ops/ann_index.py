@@ -209,9 +209,20 @@ def delete_from_ivf_pq_index(spark: SparkSession, path: str,
         idx_sample = spark.read.parquet(path).select('vec_id').limit(1)
         vid_type = dict(idx_sample.dtypes)['vec_id']
         ids = spark.createDataFrame(ids, 'vec_id {}'.format(vid_type))
-    tomb = ids.select('vec_id').dropDuplicates()
-    tomb.write.mode('append').parquet(os.path.join(path, _TOMBSTONE_DIR))
-    return tomb.count()
+    from pyspark.storagelevel import StorageLevel
+
+    # persist around write+count: without it the count re-executes the
+    # ids plan after the write, so a non-deterministic ids frame could
+    # report a different number than was actually written (and the
+    # upstream job runs twice either way)
+    tomb = ids.select('vec_id').dropDuplicates() \
+              .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = tomb.count()
+        tomb.write.mode('append').parquet(os.path.join(path, _TOMBSTONE_DIR))
+    finally:
+        tomb.unpersist()
+    return n
 
 
 def compact_ivf_pq_index(spark: SparkSession, path: str) -> dict:
@@ -226,8 +237,6 @@ def compact_ivf_pq_index(spark: SparkSession, path: str) -> dict:
     """
     import shutil
 
-    from pyspark.storagelevel import StorageLevel
-
     tomb = _tombstones(spark, path)
     if tomb is None:
         return {'rows_removed': 0, 'cells_rewritten': []}
@@ -239,14 +248,20 @@ def compact_ivf_pq_index(spark: SparkSession, path: str) -> dict:
     cells = sorted(int(r['cell']) for r in dead)
     removed = int(sum(r['__n'] for r in dead))
     if cells:
-        survivors = (idx.where(F.col('cell').isin(cells))
-                        .join(F.broadcast(tomb), 'vec_id', 'left_anti')
-                        .persist(StorageLevel.MEMORY_AND_DISK))
+        # stage survivors to a sibling dir BEFORE overwriting the source
+        # (the __rebuild_src pattern).  A cached frame is not enough:
+        # executor loss evicts both memory and disk cache, and the
+        # lineage recompute would re-read the partially-replaced source
+        # mid-write.  The parquet staging write severs lineage entirely.
+        tmp = path.rstrip('/') + '__compact_src'
         try:
-            survivors.count()  # materialize BEFORE overwriting the source
+            (idx.where(F.col('cell').isin(cells))
+                .join(F.broadcast(tomb), 'vec_id', 'left_anti')
+                .select(*[c for c in idx.columns])
+                .write.mode('overwrite').parquet(tmp))
+            survivors = spark.read.parquet(tmp)
             with _partition_overwrite_dynamic(spark):
-                (survivors.select(*[c for c in idx.columns])
-                          .write.mode('overwrite').partitionBy('cell')
+                (survivors.write.mode('overwrite').partitionBy('cell')
                           .parquet(path))
             # dynamic overwrite only replaces partitions PRESENT in the
             # written frame: a cell whose rows were ALL tombstoned has
@@ -260,7 +275,7 @@ def compact_ivf_pq_index(spark: SparkSession, path: str) -> dict:
                     os.path.join(path, 'cell={}'.format(dead_cell)),
                     ignore_errors=True)
         finally:
-            survivors.unpersist()
+            shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(os.path.join(path, _TOMBSTONE_DIR), ignore_errors=True)
     return {'rows_removed': removed, 'cells_rewritten': cells}
 

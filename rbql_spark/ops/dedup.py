@@ -858,7 +858,8 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
 
 def dedup_spans(df: DataFrame, text_col: str = 'text',
                 id_col: str = 'doc_id', k: int = 5, min_count: int = 2,
-                broadcast_frequent: bool = True) -> DataFrame:
+                broadcast_frequent: bool | None = None,
+                broadcast_max_rows: int = 1_000_000) -> DataFrame:
     """Duplicate n-gram SPAN detection — the substring-level dedup signal
     of "Deduplicating Training Data Makes Language Models Better" (Lee
     et al. 2021), re-expressed for Spark: every k-token rolling window
@@ -888,6 +889,15 @@ def dedup_spans(df: DataFrame, text_col: str = 'text',
     corpus frequency — internal boilerplate is duplication too.
     Deterministic md5 window digests keep the whole pipeline replayable
     by the DuckDB differential oracle.
+
+    broadcast_frequent=None (the default) decides at runtime: the
+    frequent set is NOT inherently bounded — on a duplicate-heavy corpus
+    most windows are frequent, and force-broadcasting it would fail at
+    exactly the scale this operator targets — so the set is persisted,
+    counted, and broadcast only when ≤ broadcast_max_rows (the count
+    reuses the cached digests; the marking join reads the same cache, so
+    no extra corpus scan).  Pass True/False to skip the measuring job
+    when the caller already knows the corpus's duplication profile.
     """
     df = spread_partitions(df)
     t = F.coalesce(F.col(text_col), F.lit(''))
@@ -916,6 +926,10 @@ def dedup_spans(df: DataFrame, text_col: str = 'text',
     freq = (wins.groupBy('h').agg(F.count(F.lit(1)).alias('__cnt'))
                 .where(F.col('__cnt') >= min_count)
                 .select('h'))
+    if broadcast_frequent is None:
+        from pyspark.storagelevel import StorageLevel
+        freq = freq.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_frequent = freq.count() <= broadcast_max_rows
     if broadcast_frequent:
         freq = F.broadcast(freq)
     dup = wins.join(freq, 'h').select('doc_id', 's')

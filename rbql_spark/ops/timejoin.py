@@ -107,19 +107,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = 'ts',
     return out
 
 
-def _us(col: Column) -> Column:
-    # unix_micros rejects TIMESTAMP_NTZ (the type parquet timestamps
-    # read as); the session-tz cast shifts points and bounds by the SAME
-    # offset, so bin membership arithmetic is unaffected
-    return F.unix_micros(col.cast('timestamp'))
-
-
-def _bin_of(col: Column, bin_seconds: int) -> Column:
+def _us(col: Column, ntz: bool) -> Column:
     # microsecond precision: unix_timestamp() truncates sub-seconds,
     # which shifted end-boundary arithmetic by up to a second (an
     # interval ending at 10:00:00.250 must still generate the 10:00 bin
-    # for a point at 10:00:00.100)
-    return F.floor(_us(col) / F.lit(int(bin_seconds) * 1_000_000)) \
+    # for a point at 10:00:00.100).
+    if ntz:
+        # unix_micros rejects TIMESTAMP_NTZ (the type parquet timestamps
+        # read as).  A session-tz cast is NOT safe here: across a DST
+        # transition the offset differs between values on opposite sides
+        # of it, so a point and its containing interval could land in
+        # non-adjacent bins and silently drop the pair.  Wall-clock
+        # arithmetic against an NTZ epoch literal is timezone-free — a
+        # fixed-offset conversion by construction.
+        return F.timestamp_diff(
+            'MICROSECOND',
+            F.lit('1970-01-01 00:00:00').cast('timestamp_ntz'), col)
+    return F.unix_micros(col.cast('timestamp'))
+
+
+def _bin_of(col: Column, bin_seconds: int, ntz: bool) -> Column:
+    return F.floor(_us(col, ntz) / F.lit(int(bin_seconds) * 1_000_000)) \
             .cast('long')
 
 
@@ -141,11 +149,29 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     span: candidate blow-up is ~(span / bin_seconds + 2) copies per
     interval (storage of the exploded build side, not of the points).
     """
+    # output-name collision guard (mirrors asof_join's): a shared
+    # non-`by` column name would emit duplicate columns and break any
+    # downstream select/collect
+    clashes = (set(points.columns) & set(intervals.columns)) - {by}
+    if clashes:
+        raise ValueError('interval_join output name collision: both '
+                         'sides carry {} — rename or drop on one side'
+                         .format(sorted(clashes)))
+    # binning must be a fixed-offset conversion on BOTH sides, keyed off
+    # each column's own type; mixing NTZ points with tz-aware intervals
+    # (or vice versa) would bin the two sides on different clocks
+    p_ntz = dict(points.dtypes)[point_col] == 'timestamp_ntz'
+    i_ntz = dict(intervals.dtypes)[start_col] == 'timestamp_ntz'
+    if p_ntz != i_ntz or \
+            (dict(intervals.dtypes)[end_col] == 'timestamp_ntz') != i_ntz:
+        raise ValueError('interval_join: point and interval time columns '
+                         'mix TIMESTAMP_NTZ with tz-aware timestamps — '
+                         'cast both sides to one kind first')
     # the last candidate bin holds end − 1µs (half-open upper bound)
     bin_us = int(bin_seconds) * 1_000_000
-    last_bin = F.floor((_us(F.col(end_col)) - 1)
+    last_bin = F.floor((_us(F.col(end_col), i_ntz) - 1)
                        / F.lit(bin_us)).cast('long')
-    n_bins = last_bin - _bin_of(F.col(start_col), bin_seconds)
+    n_bins = last_bin - _bin_of(F.col(start_col), bin_seconds, i_ntz)
     # a start >= end interval contains no point under half-open
     # semantics — dropping it is exact AND prevents the descending bin
     # sequence such a row would otherwise generate
@@ -153,10 +179,10 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     iv = intervals.select(
         '*',
         F.explode(F.sequence(
-            _bin_of(F.col(start_col), bin_seconds),
-            _bin_of(F.col(start_col), bin_seconds) + n_bins))
+            _bin_of(F.col(start_col), bin_seconds, i_ntz),
+            _bin_of(F.col(start_col), bin_seconds, i_ntz) + n_bins))
          .alias('__bin'))
-    pt = points.select('*', _bin_of(F.col(point_col), bin_seconds)
+    pt = points.select('*', _bin_of(F.col(point_col), bin_seconds, p_ntz)
                        .alias('__bin'))
     cond = ((pt[by] == iv[by]) & (pt['__bin'] == iv['__bin'])
             & (pt[point_col] >= iv[start_col])

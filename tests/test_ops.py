@@ -1157,6 +1157,34 @@ def test_dedup_spans_coverage_merges_overlaps(spark):
     assert abs(got[1]['dup_token_frac'] - 6 / got[1]['n_tokens']) < 1e-6
 
 
+def test_dedup_spans_auto_broadcast_fallback(spark):
+    # round-10 advisor fix: broadcast_frequent=None measures the
+    # frequent set and falls back to a shuffle join above
+    # broadcast_max_rows — values must be identical on every path
+    from rbql_spark.ops.dedup import dedup_spans
+    boiler = 'the quick brown fox jumps'
+    rows = [(1, 'alpha beta ' + boiler + ' gamma delta unique one here'),
+            (2, 'totally different start ' + boiler + ' and a tail'),
+            (3, 'no shared phrases in this document at all whatsoever')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+
+    def snap(**kw):
+        return sorted(tuple(r) for r in dedup_spans(df, k=5, **kw).collect())
+
+    auto_bc = snap()                                    # auto → broadcast
+    forced_shuffle = snap(broadcast_max_rows=0)         # auto → shuffle
+    explicit = snap(broadcast_frequent=False)
+    assert auto_bc == forced_shuffle == explicit
+    # broadcast_frequent=False really drops the FORCED broadcast hint
+    # (Spark may still pick broadcast from size stats — the fix is
+    # about never forcing it on an unbounded frequent set)
+    def analyzed(**kw):
+        return dedup_spans(df, k=5, **kw) \
+            ._jdf.queryExecution().analyzed().toString()
+    assert 'ResolvedHint' not in analyzed(broadcast_frequent=False)
+    assert 'ResolvedHint' in analyzed(broadcast_frequent=True)
+
+
 def test_bm25_score_ranking_and_plan(spark):
     import pytest
 

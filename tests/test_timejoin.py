@@ -258,3 +258,61 @@ def test_interval_join_subsecond_end_boundary(spark):
         'user_id long, ts timestamp, event_id long, value double')
     assert interval_join(ev2, iv, point_col='ts', start_col='start_ts',
                          end_col='end_ts', by='user_id').count() == 0
+
+
+def test_interval_join_ntz_session_tz_invariant(spark):
+    # round-10 advisor fix: NTZ binning must be a fixed-offset
+    # conversion, so results cannot depend on the session timezone even
+    # when the data spans a DST transition of that zone (2024-03-10
+    # 02:00 America/New_York).  The old session-tz cast mapped
+    # wall-clock values through a zone-dependent (and around the gap,
+    # non-injective) function.
+    from rbql_spark.ops.timejoin import interval_join
+    ev = spark.createDataFrame(
+        [(1, '2024-03-10 01:45:00', 100),
+         (1, '2024-03-10 02:30:00', 101),   # nonexistent NY wall-clock
+         (1, '2024-03-10 03:15:00', 102),
+         (1, '2024-03-10 05:30:00', 103)],
+        'user_id long, raw string, event_id long') \
+        .select('user_id', F.col('raw').cast('timestamp_ntz').alias('ts'),
+                'event_id')
+    iv = spark.createDataFrame(
+        [(1, '2024-03-10 01:30:00', '2024-03-10 03:30:00', 7.0)],
+        'user_id long, s string, e string, ival double') \
+        .select('user_id', F.col('s').cast('timestamp_ntz').alias('start_ts'),
+                F.col('e').cast('timestamp_ntz').alias('end_ts'), 'ival')
+    prev = spark.conf.get('spark.sql.session.timeZone')
+    try:
+        got = {}
+        for tz in ('UTC', 'America/New_York'):
+            spark.conf.set('spark.sql.session.timeZone', tz)
+            rows = interval_join(ev, iv, point_col='ts',
+                                 start_col='start_ts', end_col='end_ts',
+                                 by='user_id').collect()
+            got[tz] = sorted(r['event_id'] for r in rows)
+        assert got['UTC'] == got['America/New_York'] == [100, 101, 102]
+    finally:
+        spark.conf.set('spark.sql.session.timeZone', prev)
+
+
+def test_interval_join_collision_and_mixed_kind_guards(spark):
+    import pytest
+
+    from rbql_spark.ops.timejoin import interval_join
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), 1.0)],
+        'user_id long, ts timestamp, value double')
+    iv = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 0), datetime(2024, 1, 1, 11, 0), 2.0)],
+        'user_id long, start_ts timestamp, end_ts timestamp, value double')
+    with pytest.raises(ValueError, match='collision.*value'):
+        interval_join(ev, iv, point_col='ts', start_col='start_ts',
+                      end_col='end_ts', by='user_id')
+    iv_ok = iv.withColumnRenamed('value', 'ival')
+    # mixing NTZ points with tz-aware intervals bins the sides on
+    # different clocks — rejected explicitly
+    ev_ntz = ev.select('user_id', F.col('ts').cast('timestamp_ntz')
+                       .alias('ts'), 'value')
+    with pytest.raises(ValueError, match='mix TIMESTAMP_NTZ'):
+        interval_join(ev_ntz, iv_ok, point_col='ts', start_col='start_ts',
+                      end_col='end_ts', by='user_id')
