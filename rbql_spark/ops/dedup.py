@@ -156,6 +156,9 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
     broadcast_benchmark=True fits the normal case (benchmark suites are
     executor-memory sized); pass False for a benchmark set too large to
     broadcast — the join falls back to a shuffle on the shingle hash.
+
+    Output is UNORDERED (as are all pair/label producers in this module):
+    a display sort would range-shuffle the entire result set.
     """
     sh = (word_shingles_md5(F.col(text_col), k=shingle_k) if hash_fn == 'md5'
           else word_shingles(F.col(text_col), k=shingle_k))
@@ -168,8 +171,7 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
     return (t.join(F.broadcast(b) if broadcast_benchmark else b, 'sh')
              .groupBy('doc_id', 'bench_id')
              .agg(F.count(F.lit(1)).alias('n_overlap'))
-             .where(F.col('n_overlap') >= min_overlap)
-             .orderBy('doc_id', 'bench_id'))
+             .where(F.col('n_overlap') >= min_overlap))
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -370,7 +372,7 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                              hash_fn=hash_fn) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
-    out = jaccard_verify(cand, sig, threshold).orderBy('doc_a', 'doc_b')
+    out = jaccard_verify(cand, sig, threshold)
     if eager:
         out = out.localCheckpoint(True)
         sig.unpersist()
@@ -430,8 +432,7 @@ def minhash_match(batch: DataFrame, index: DataFrame,
     jac = F.when(union > 0, inter.cast('double') / union.cast('double')) \
            .otherwise(F.lit(0.0))
     out = (j.select('batch_id', 'index_id', jac.alias('jaccard'))
-            .filter(F.col('jaccard') >= threshold)
-            .orderBy('batch_id', 'index_id'))
+            .filter(F.col('jaccard') >= threshold))
     if eager:
         out = out.localCheckpoint(True)
         bsig.unpersist()
@@ -452,7 +453,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                              shingle_k=n, seed=seed, hash_fn=hash_fn) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
-    out = jaccard_verify(cand, sig, threshold).orderBy('doc_a', 'doc_b')
+    out = jaccard_verify(cand, sig, threshold)
     if eager:
         out = out.localCheckpoint(True)
         sig.unpersist()
@@ -629,9 +630,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
                   .alias('e'))
                .select('e.id', 'e.label')
                .groupBy('id').agg(F.min('label').alias('label')))
-    return (labels.select(F.col('id').alias('doc_id'),
-                          F.col('label').alias('cluster_id'))
-            .orderBy('doc_id'))
+    return labels.select(F.col('id').alias('doc_id'),
+                         F.col('label').alias('cluster_id'))
 
 
 def dedup_lines(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
@@ -848,8 +848,7 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
              .distinct())
     hamming = F.bit_count(F.col('fp_a').bitwiseXOR(F.col('fp_b')))
     out = (cand.select('doc_a', 'doc_b', hamming.alias('hamming'))
-               .filter(F.col('hamming') <= max_hamming)
-               .orderBy('doc_a', 'doc_b'))
+               .filter(F.col('hamming') <= max_hamming))
     if eager:
         out = out.localCheckpoint(True)
         fps.unpersist()

@@ -1165,5 +1165,4 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
              .select(F.col('l.vec_id').alias('vec_a'), F.col('r.vec_id').alias('vec_b'),
                      cosine(F.col('l.__v'), F.col('r.__v')).alias('cosine_sim')))
     return (cand.filter(F.col('cosine_sim') >= threshold)
-                .select('vec_a', 'vec_b', F.round('cosine_sim', 6).alias('cosine_sim'))
-                .orderBy('vec_a', 'vec_b'))
+                .select('vec_a', 'vec_b', F.round('cosine_sim', 6).alias('cosine_sim')))

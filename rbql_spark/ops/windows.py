@@ -37,14 +37,18 @@ def events_running_sum(events: DataFrame) -> DataFrame:
 
 def tumbling_window_agg(events: DataFrame, width: str = '1 hour') -> DataFrame:
     """Event-time tumbling window aggregation (batch form of the streaming
-    operator; the same projection works under readStream + withWatermark)."""
+    operator; the same projection works under readStream + withWatermark).
+
+    Output is UNORDERED (all batch aggs here are): a display sort is a
+    full-result range Exchange at corpus scale — callers sort at their own
+    presentation boundary.
+    """
     win = F.window(F.col('ts'), width)
     return (events.groupBy(win.alias('win'), F.col('event_type'))
                   .agg(F.count(F.lit(1)).alias('n_events'),
                        F.round(F.sum('value'), 6).alias('sum_value'))
                   .select(F.col('win.start').alias('window_start'),
-                          'event_type', 'n_events', 'sum_value')
-                  .orderBy('window_start', 'event_type'))
+                          'event_type', 'n_events', 'sum_value'))
 
 
 def sliding_window_agg(events: DataFrame, width: str = '2 hours',
@@ -52,8 +56,7 @@ def sliding_window_agg(events: DataFrame, width: str = '2 hours',
     win = F.window(F.col('ts'), width, slide)
     return (events.groupBy(win.alias('win'))
                   .agg(F.count(F.lit(1)).alias('n_events'))
-                  .select(F.col('win.start').alias('window_start'), 'n_events')
-                  .orderBy('window_start'))
+                  .select(F.col('win.start').alias('window_start'), 'n_events'))
 
 
 def session_window_agg(events: DataFrame, gap: str = '30 minutes') -> DataFrame:
@@ -61,8 +64,7 @@ def session_window_agg(events: DataFrame, gap: str = '30 minutes') -> DataFrame:
     return (events.groupBy(win.alias('win'), F.col('user_id'))
                   .agg(F.count(F.lit(1)).alias('n_events'))
                   .select('user_id', F.col('win.start').alias('session_start'),
-                          'n_events')
-                  .orderBy('user_id', 'session_start'))
+                          'n_events'))
 
 
 def having_filter(df: DataFrame, group_col: str, agg_col: str, min_count: int) -> DataFrame:
@@ -70,5 +72,4 @@ def having_filter(df: DataFrame, group_col: str, agg_col: str, min_count: int) -
     rbql_engine.py:963-964 — provided natively here as a superset)."""
     return (df.groupBy(group_col)
               .agg(F.count(F.lit(1)).alias('cnt'), F.round(F.sum(agg_col), 6).alias('total'))
-              .filter(F.col('cnt') >= min_count)
-              .orderBy(group_col))
+              .filter(F.col('cnt') >= min_count))

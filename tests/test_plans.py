@@ -581,3 +581,25 @@ def test_shuffle_corpus_no_corpus_wide_single_partition_window(spark, sf_dir):
             assert 'windowspecdefinition(__bkt' in line, line
     # long positions (≥2^31-safe at scale)
     assert dict(shuffle_corpus(docs).dtypes)['shuffle_pos'] == 'bigint'
+
+
+# Gates whose operators used to end in a display `.orderBy` — retired in
+# round 11 (the orderBy was a rangepartitioning Exchange over the ENTIRE
+# result set, pure presentation waste at corpus scale).  Mirrors the
+# round-9 events_row_number precedent: the executed plan must contain no
+# ordering Exchange; callers sort at their own display boundary (the gate
+# canonicalizer sorts rows before hashing, so correctness is unaffected).
+_UNORDERED_GATES = [
+    'dedup_minhash_lsh', 'dedup_simhash', 'dedup_ngram_jaccard',
+    'dedup_incremental', 'decontaminate_ngram', 'dedup_clusters',
+    'sim_embedding_neardup', 'window_tumbling', 'window_sliding',
+    'window_session', 'having_groups',
+]
+
+
+@pytest.mark.parametrize('gate', _UNORDERED_GATES)
+def test_no_presentation_sort_exchange(spark, sf_dir, entry, gate):
+    df = entry.queries()[gate](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert 'rangepartitioning' not in plan, \
+        '{} still ends in an ordering Exchange:\n{}'.format(gate, plan[:1200])
