@@ -385,7 +385,8 @@ def minhash_match(batch: DataFrame, index: DataFrame,
                   bands: int = 16, rows_per_band: int = 4,
                   threshold: float = 0.7, seed: int = 42,
                   hash_fn: str = 'crc32',
-                  broadcast_batch: bool = True,
+                  broadcast_batch: bool | None = None,
+                  broadcast_max_rows: int = 1_000_000,
                   eager: bool = False) -> DataFrame:
     """Incremental near-dup detection: match a NEW batch of documents
     against an EXISTING corpus (the index side) → (batch_id, index_id,
@@ -399,8 +400,15 @@ def minhash_match(batch: DataFrame, index: DataFrame,
     stores the index side's (signature, shingles) ONCE and every
     increment only signs its own documents.  The band join is asymmetric:
     batch bands (the small side) BROADCAST against the index band stream
-    — the corpus is never shuffled; pass broadcast_batch=False for
-    index-sized batches to fall back to a hash join on the band key.
+    — the corpus is never shuffled.  broadcast_batch=None (the default)
+    measures rather than assumes "small": the batch signatures are
+    already persisted for the band+verify reuse, so counting them is one
+    job the lazy plan would run anyway; the batch's band rows
+    (n_batch × bands) broadcast only when ≤ broadcast_max_rows, else the
+    band join falls back to a hash join on the band key — an
+    index-sized "batch" (a full re-crawl) would otherwise OOM the
+    executors at exactly the scale the incremental path exists for.
+    Pass True/False to skip the measuring job.
     Both verify joins hash-partition on candidate ids (candidates are
     band-collision-sized, not corpus-sized).  Both signature DataFrames
     persist for the band+verify reuse; eager=True materializes the match
@@ -418,6 +426,8 @@ def minhash_match(batch: DataFrame, index: DataFrame,
         .withColumnsRenamed({'doc_id': 'batch_id'})
     ib = _band_keys(isig, bands, rows_per_band) \
         .withColumnsRenamed({'doc_id': 'index_id'})
+    if broadcast_batch is None:
+        broadcast_batch = bsig.count() * bands <= broadcast_max_rows
     cand = (ib.join(F.broadcast(bb) if broadcast_batch else bb,
                     ['band_idx', 'band_hash'])
               .select('batch_id', 'index_id')
@@ -637,7 +647,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
 def dedup_lines(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
                 min_count: int = 2, line_sep: str = '\n',
                 hash_fn: str = 'md5',
-                broadcast_frequent: bool = True) -> DataFrame:
+                broadcast_frequent: bool | None = None,
+                broadcast_max_rows: int = 1_000_000) -> DataFrame:
     """Corpus-level duplicate-line removal (the C4-style boilerplate pass):
     drop every line whose trimmed text occurs ≥min_count times ACROSS the
     corpus, rebuild each document from its surviving lines →
@@ -660,8 +671,18 @@ def dedup_lines(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
     hash_fn='md5' keeps the digest replayable by other engines (the
     DuckDB oracle compares trimmed line text — equality is identical);
     'xxhash64' is the cheaper engine-local variant.
-    broadcast_frequent=False falls back to a shuffle join for a frequent
-    set too large to broadcast (min_count=2 over a pathological corpus).
+
+    broadcast_frequent=None (the default) decides at runtime, exactly as
+    dedup_spans does: the frequent-line set is NOT inherently bounded — a
+    boilerplate-heavy corpus makes most lines "frequent", and
+    force-broadcasting it would fail at precisely the scale this C4 pass
+    targets — so the set is persisted, counted (one eager measuring job
+    that performs the count pass the lazy plan would run anyway), and
+    broadcast only when ≤ broadcast_max_rows.  The marking join then
+    reads the cached frequent set, so the corpus is still scanned exactly
+    twice and the persisted set (heavy hitters only) outlives the call
+    like any cached lineage.  Pass True/False to skip the measuring job
+    when the corpus's duplication profile is already known.
     """
     t = F.col(text_col)
     # line_sep is a LITERAL separator: F.split takes a Java regex, so an
@@ -680,6 +701,10 @@ def dedup_lines(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
                 .groupBy('__key').agg(F.count(F.lit(1)).alias('__cnt'))
                 .where(F.col('__cnt') >= min_count)
                 .select('__key', F.lit(True).alias('__dup')))
+    if broadcast_frequent is None:
+        from pyspark.storagelevel import StorageLevel
+        freq = freq.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_frequent = freq.count() <= broadcast_max_rows
     # LEFT join (not anti) so every line — removed or kept — reaches the
     # per-doc rebuild: n_lines/n_removed fall out of the same aggregation
     # and fully-scrubbed documents still emit a row (empty clean_text),

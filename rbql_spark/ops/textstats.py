@@ -415,7 +415,8 @@ def quality_filter(df: DataFrame, text_col: str = 'text',
 
 def lm_score(df: DataFrame, lm_corpus: DataFrame | None = None,
              text_col: str = 'text', id_col: str = 'doc_id',
-             broadcast_lm: bool = True, order: int = 1) -> DataFrame:
+             broadcast_lm: bool | None = None, order: int = 1,
+             broadcast_max_rows: int = 1_000_000) -> DataFrame:
     """N-gram language-model scoring (the KenLM-style perplexity quality
     signal): train add-one-smoothed probabilities on `lm_corpus`
     (default: the scored corpus itself), then score each document →
@@ -431,18 +432,33 @@ def lm_score(df: DataFrame, lm_corpus: DataFrame | None = None,
     Scale shape: ONE aggregation over the LM corpus builds the token
     counts; total and vocabulary size come from a window over that
     (tiny-relative) counts table, never a second corpus scan.  Scoring
-    explodes the target corpus' tokens and joins the LM table —
-    broadcast by default (vocabularies are usually executor-memory
-    sized; pass broadcast_lm=False to shuffle-join a giant vocabulary) —
-    then one groupBy on doc_id.  Unseen tokens smooth to count 0 via the
-    left join.  Both engines sum ~doc-length logs whose accumulated
+    explodes the target corpus' tokens and joins the LM table, then one
+    groupBy on doc_id.  Unseen tokens smooth to count 0 via the left
+    join.  Both engines sum ~doc-length logs whose accumulated
     float-order error sits far below the 1e-6 rounding grid, so the
     DuckDB oracle replays the score.
+
+    broadcast_lm=None (the default) decides at runtime: unigram vocab
+    grows sublinearly (Heaps' law) but the order-2 bigram table grows
+    near-linearly with LM-corpus size, so neither is inherently
+    broadcastable — the count tables are persisted, counted (the
+    measuring job doubles as the LM-build pass, which the cached tables
+    then serve to both the scalar aggregate and the scoring join, saving
+    a redundant LM-corpus scan the lazy plan pays), and broadcast only
+    when every table is ≤ broadcast_max_rows.  Pass True/False to skip
+    the measuring job.
     """
     from .dedup import let_once
     lm_src = lm_corpus if lm_corpus is not None else df
     uni = (lm_src.select(F.explode(tokens(F.col(text_col))).alias('tok'))
                  .groupBy('tok').agg(F.count(F.lit(1)).alias('__cnt')))
+    if broadcast_lm is None:
+        from pyspark.storagelevel import StorageLevel
+        uni = uni.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_lm = uni.count() <= broadcast_max_rows
+        _bi_auto = True
+    else:
+        _bi_auto = False
     # vocabulary size (and, at order 1, total tokens): one tiny 1-row
     # aggregate of the counts table, broadcast-cross-joined onto every
     # scored row (a corpus-wide window for the constants would
@@ -471,6 +487,12 @@ def lm_score(df: DataFrame, lm_corpus: DataFrame | None = None,
 
         bi = bigrams(lm_src, False).groupBy('gram') \
             .agg(F.count(F.lit(1)).alias('__bcnt'))
+        if _bi_auto and broadcast_lm:
+            # the bigram table is the larger of the two — it must pass the
+            # same gate before both LM tables are forced to broadcast
+            from pyspark.storagelevel import StorageLevel
+            bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
+            broadcast_lm = bi.count() <= broadcast_max_rows
         scored = (bigrams(df, True)
                   .crossJoin(F.broadcast(scalars.select('__vocab')))
                   .join(F.broadcast(bi) if broadcast_lm else bi, 'gram', 'left')

@@ -650,6 +650,22 @@ def test_minhash_match_shuffle_fallback_agrees(spark, doc_df):
                minhash_match(batch, index, threshold=0.5,
                              broadcast_batch=False).collect())
     assert a == b and len(a) > 0
+    # round-11: broadcast_batch=None measures the (already-persisted) batch
+    # signatures and falls back above broadcast_max_rows — values agree on
+    # every path, and the forced-broadcast hint really drops on fallback
+    c = sorted(tuple(r) for r in
+               minhash_match(batch, index, threshold=0.5,
+                             broadcast_max_rows=0).collect())
+    d = sorted(tuple(r) for r in
+               minhash_match(batch, index, threshold=0.5,
+                             broadcast_batch=True).collect())
+    assert a == c == d
+
+    def analyzed(**kw):
+        return minhash_match(batch, index, threshold=0.5, **kw) \
+            ._jdf.queryExecution().analyzed().toString()
+    assert 'ResolvedHint' not in analyzed(broadcast_batch=False)
+    assert 'ResolvedHint' in analyzed(broadcast_batch=True)
 
 
 def test_profile_table_stats(spark):
@@ -823,10 +839,21 @@ def test_lm_score_flags_gibberish(spark):
     lm = df.filter('doc_id < 10')
     scored = {r['doc_id']: r for r in lm_score(df, lm_corpus=lm).collect()}
     assert scored[99]['avg_neg_logprob'] > scored[0]['avg_neg_logprob']
-    # broadcast and shuffle joins agree
+    # broadcast and shuffle joins agree; round-11: broadcast_lm=None
+    # measures the LM tables and falls back above broadcast_max_rows —
+    # every path (auto-broadcast, auto-shuffle, explicit) agrees, at both
+    # orders (order 2 gates on the larger bigram table too)
     a = sorted(tuple(r) for r in lm_score(df).collect())
     b = sorted(tuple(r) for r in lm_score(df, broadcast_lm=False).collect())
-    assert a == b
+    c = sorted(tuple(r) for r in lm_score(df, broadcast_max_rows=0).collect())
+    d = sorted(tuple(r) for r in lm_score(df, broadcast_lm=True).collect())
+    assert a == b == c == d
+    a2 = sorted(tuple(r) for r in lm_score(df, order=2).collect())
+    b2 = sorted(tuple(r) for r in
+                lm_score(df, order=2, broadcast_max_rows=0).collect())
+    c2 = sorted(tuple(r) for r in
+                lm_score(df, order=2, broadcast_lm=True).collect())
+    assert a2 == b2 == c2
 
 
 def test_lsh_multiprobe_boosts_recall_fewer_tables(spark, emb_df):
@@ -1180,6 +1207,37 @@ def test_dedup_spans_auto_broadcast_fallback(spark):
     # about never forcing it on an unbounded frequent set)
     def analyzed(**kw):
         return dedup_spans(df, k=5, **kw) \
+            ._jdf.queryExecution().analyzed().toString()
+    assert 'ResolvedHint' not in analyzed(broadcast_frequent=False)
+    assert 'ResolvedHint' in analyzed(broadcast_frequent=True)
+
+
+def test_dedup_lines_auto_broadcast_fallback(spark):
+    # round-11: dedup_lines adopts dedup_spans' measured-broadcast default
+    # (broadcast_frequent=None) — the frequent-line set of a
+    # boilerplate-heavy corpus is unbounded, so it is persisted, counted,
+    # and broadcast only when small; every path must agree on values
+    from rbql_spark.ops.dedup import dedup_lines
+    boiler = 'all rights reserved'
+    rows = [(1, 'alpha beta\n' + boiler + '\nunique line one'),
+            (2, 'gamma delta\n' + boiler + '\nanother unique line'),
+            (3, 'totally distinct\ncontent here\nno shared lines')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+
+    def snap(**kw):
+        return sorted(tuple(r) for r in dedup_lines(df, **kw).collect())
+
+    auto_bc = snap()                                    # auto → broadcast
+    forced_shuffle = snap(broadcast_max_rows=0)         # auto → shuffle
+    explicit = snap(broadcast_frequent=False)
+    assert auto_bc == forced_shuffle == explicit
+    # the boilerplate line was removed everywhere, uniques kept
+    by_id = {r[0]: r for r in auto_bc}
+    assert by_id[1][3] == 1 and boiler not in by_id[1][1]
+    assert by_id[3][3] == 0
+
+    def analyzed(**kw):
+        return dedup_lines(df, **kw) \
             ._jdf.queryExecution().analyzed().toString()
     assert 'ResolvedHint' not in analyzed(broadcast_frequent=False)
     assert 'ResolvedHint' in analyzed(broadcast_frequent=True)
