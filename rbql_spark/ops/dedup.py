@@ -183,7 +183,8 @@ def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_perm: int = 64, shingle_k: int = 3,
                        seed: int = 42, engine: str = 'vectorized',
-                       hash_fn: str = 'crc32') -> DataFrame:
+                       hash_fn: str = 'crc32',
+                       carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """(id, signature array<long>[num_perm], shingles) per document.
 
     Each permutation j: min over shingles s of (a_j*s + b_j) mod M.
@@ -216,7 +217,10 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         use_md5 = hash_fn == 'md5'
         flush_uniq = (_MINHASH_FLUSH_UNIQ if _MINHASH_FLUSH_UNIQ
                       else max(1024, _MINHASH_TILE_BYTES // (8 * num_perm)))
-        src = df.select(F.col(id_col).alias('doc_id'), F.col(text_col).alias('__text'))
+        src = df.select(F.col(id_col).alias('doc_id'), F.col(text_col).alias('__text'),
+                        *[F.col(c) for c in carry_cols])
+        carry_ddl = ''.join(', {} {}'.format(c, df.schema[c].dataType.simpleString())
+                            for c in carry_cols)
 
         def run(batches):
             import hashlib
@@ -280,15 +284,22 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                     if len(uniq) >= flush_uniq:
                         flush()
                 flush()
-                yield pd.DataFrame({'doc_id': pdf['doc_id'],
-                                    'shingles': pd.Series(sh_out, index=pdf.index, dtype='object'),
-                                    'signature': pd.Series(sig_out, index=pdf.index, dtype='object')})
+                out = {'doc_id': pdf['doc_id'],
+                       'shingles': pd.Series(sh_out, index=pdf.index, dtype='object'),
+                       'signature': pd.Series(sig_out, index=pdf.index, dtype='object')}
+                for c in carry:
+                    out[c] = pdf[c]
+                yield pd.DataFrame(out)
 
+        carry = list(carry_cols)
         return src.mapInPandas(
-            run, schema='doc_id long, shingles array<long>, signature array<long>')
+            run,
+            schema='doc_id long, shingles array<long>, signature array<long>'
+                   + carry_ddl)
 
     sh = word_shingles(F.col(text_col), k=shingle_k)
-    df = df.select(F.col(id_col).alias('doc_id'), sh.alias('shingles'))
+    df = df.select(F.col(id_col).alias('doc_id'), sh.alias('shingles'),
+                   *[F.col(c) for c in carry_cols])
 
     # exchange barrier: without it Catalyst collapses the two projections and
     # re-inlines the (regex-heavy) shingle expression into each of the
@@ -304,7 +315,7 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         F.array_min(F.transform(F.col('shingles'), _perm_fn(a, b)))
         for a, b in params
     ])
-    return df.select('doc_id', 'shingles', sig.alias('signature'))
+    return df.select('doc_id', 'shingles', sig.alias('signature'), *carry_cols)
 
 
 def _band_keys(sig_df: DataFrame, bands: int, rows_per_band: int) -> DataFrame:

@@ -73,7 +73,10 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
                              id_col: str = 'doc_id', num_perm: int = 64,
                              shingle_k: int = 3, bands: int = 16,
                              rows_per_band: int = 4, threshold: float = 0.7,
-                             seed: int = 42) -> DataFrame:
+                             seed: int = 42,
+                             state_retention: str | None = None,
+                             ts_col: str | None = None,
+                             watermark: str = '1 hour') -> DataFrame:
     """Incremental near-dup detection: emits a verified (doc_a, doc_b,
     jaccard) pair the moment the SECOND document of the pair arrives.
 
@@ -96,24 +99,46 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
         consume idempotently) for exactly-once pair delivery.
       * redelivered documents (at-least-once transport) are recognized by
         id and skipped — no self-pairs, no duplicate state rows.
-      * documents carry no event-time column, so bucket state never
-        expires; for forever-streams bound it upstream (periodic index
-        re-shard) the way any streaming LSH index must.
+      * state BOUNDING (round-11): `state_retention` evicts a band
+        bucket's stored members once the bucket has been idle past the
+        retention horizon.  With `ts_col` set (a document event-time
+        column), eviction is EVENT-TIME driven — a watermark is applied
+        and a bucket whose newest member is older than watermark −
+        retention drops; this mode is replay-safe (an availableNow
+        drain terminates normally) and is what a forever-run ingest job
+        with timestamped documents should use.  Without ts_col, eviction
+        falls back to PROCESSING-TIME (wall-clock idle); note Spark keeps
+        scheduling timer batches under availableNow in this mode, so use
+        it only with continuous (processingTime) triggers.  The near-dup
+        guarantee is scoped to the retention window — a new document
+        pairs against every member indexed within it; matches against
+        older evicted members are missed (the standard streaming-LSH
+        trade: lifetime indexes need the batch op or a materialized
+        ann_index).  state_retention=None (default) keeps the unbounded
+        lifetime index — sized for bounded replays, not forever-runs.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from rbql_spark.ops.dedup import minhash_signatures
 
+    retention_ms = None if state_retention is None else \
+        int(__import__('pandas').Timedelta(state_retention).total_seconds() * 1000)
+    event_time = retention_ms is not None and ts_col is not None
+
     sig = minhash_signatures(docs, text_col, id_col, num_perm=num_perm,
-                             shingle_k=shingle_k, seed=seed, hash_fn='md5')
+                             shingle_k=shingle_k, seed=seed, hash_fn='md5',
+                             carry_cols=(ts_col,) if event_time else ())
     band_arr = F.array(*[
         F.xxhash64(F.concat_ws(',', *[
             F.col('signature')[b * rows_per_band + r].cast('string')
             for r in range(rows_per_band)]))
         for b in range(bands)
     ])
-    banded = sig.select('doc_id', 'shingles',
+    extra = [ts_col] if event_time else []
+    banded = sig.select('doc_id', 'shingles', *extra,
                         F.posexplode(band_arr).alias('band_idx', 'band_hash'))
+    if event_time:
+        banded = banded.withWatermark(ts_col, watermark)
 
     out_schema = 'doc_a long, doc_b long, jaccard double'
     state_schema = 'ids array<long>, shingles array<array<long>>'
@@ -121,6 +146,13 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
 
     def update_fn(key, pdf_iter, state):
         import pandas as pd
+        if state.hasTimedOut:
+            # bucket idle past retention: evict its members, emit nothing
+            state.remove()
+            yield pd.DataFrame({'doc_a': pd.Series([], dtype='int64'),
+                                'doc_b': pd.Series([], dtype='int64'),
+                                'jaccard': pd.Series([], dtype='float64')})
+            return
         if state.exists:
             stored_ids, stored_shs = state.get
             ids = [int(x) for x in stored_ids]
@@ -129,9 +161,14 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
             ids, shs = [], []
         seen = set(ids)
         new: list[tuple[int, set]] = []
+        last_ts_ms = 0
         for pdf in pdf_iter:
             for d, sh in zip(pdf['doc_id'], pdf['shingles']):
                 new.append((int(d), {int(x) for x in sh}))
+            if event_time and len(pdf):
+                batch_max = pdf[ts_col].max()
+                last_ts_ms = max(last_ts_ms,
+                                 int(pd.Timestamp(batch_max).value // 1_000_000))
         out_a: list[int] = []
         out_b: list[int] = []
         out_j: list[float] = []
@@ -151,13 +188,22 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
             shs.append(sh)
             seen.add(d)
         state.update((ids, [sorted(s) for s in shs]))
+        if retention_ms is not None:
+            if event_time:
+                anchor = max(last_ts_ms, state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(anchor + retention_ms)
+            else:
+                state.setTimeoutDuration(retention_ms)
         yield pd.DataFrame({'doc_a': pd.Series(out_a, dtype='int64'),
                             'doc_b': pd.Series(out_b, dtype='int64'),
                             'jaccard': pd.Series(out_j, dtype='float64')})
 
+    timeout = (GroupStateTimeout.NoTimeout if retention_ms is None
+               else GroupStateTimeout.EventTimeTimeout if event_time
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (banded.groupBy('band_idx', 'band_hash')
                   .applyInPandasWithState(update_fn, out_schema, state_schema,
-                                          'update', GroupStateTimeout.NoTimeout))
+                                          'update', timeout))
 
 
 def stream_quality_filter(docs: DataFrame, text_col: str = 'text',

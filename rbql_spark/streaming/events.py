@@ -106,29 +106,66 @@ _STATE_SCHEMA = 'user_id long, n_events long, total_value double'
 _OUT_SCHEMA = 'user_id long, n_events long, total_value double'
 
 
-def running_user_totals(events: DataFrame, watermark: str = '2 hours') -> DataFrame:
+def running_user_totals(events: DataFrame, watermark: str = '2 hours',
+                        state_retention: str | None = '90 days') -> DataFrame:
     """Custom stateful streaming aggregation: per-user running event count and
-    value total across micro-batches (applyInPandasWithState)."""
+    value total across micro-batches (applyInPandasWithState).
+
+    State is BOUNDED by event-time eviction (round-11): a user idle for
+    longer than `state_retention` past their last event — measured by the
+    stream's watermark, so wall-clock stalls don't evict — has their
+    counters dropped; a later event restarts that user's totals from zero.
+    This bounds state to (active users within the retention horizon) rather
+    than (every user ever seen), which is what keeps a forever-run ingest
+    job from OOMing.  The default (90 days, matching stream_exact_dedup's
+    redelivery-tolerance convention) preserves whole-history totals for any
+    stream whose replay horizon is shorter; pass None for the old unbounded
+    lifetime state.
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    retention_ms = None if state_retention is None else \
+        int(__import__('pandas').Timedelta(state_retention).total_seconds() * 1000)
+
     def update_fn(key, pdf_iter, state):
+        import pandas as pd
+        if state.hasTimedOut:
+            # idle past retention: drop the counters, emit nothing — the
+            # user's last emitted totals remain the final word until (if
+            # ever) they reappear and restart from zero
+            state.remove()
+            yield pd.DataFrame({'user_id': pd.Series([], dtype='int64'),
+                                'n_events': pd.Series([], dtype='int64'),
+                                'total_value': pd.Series([], dtype='float64')})
+            return
         user_id = key[0]
         if state.exists:
             _, n, total = state.get
         else:
             n, total = 0, 0.0
-        import pandas as pd
+        last_ts_ms = 0
         for pdf in pdf_iter:
             n += len(pdf)
             total += float(pdf['value'].fillna(0.0).sum())
+            if len(pdf):
+                batch_max = pdf['ts'].max()
+                last_ts_ms = max(last_ts_ms,
+                                 int(pd.Timestamp(batch_max).value // 1_000_000))
         state.update((user_id, n, total))
+        if retention_ms is not None:
+            # timeout must sit above the current watermark — anchor on the
+            # later of (this user's newest event, the watermark itself)
+            anchor = max(last_ts_ms, state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(anchor + retention_ms)
         yield pd.DataFrame({'user_id': [user_id], 'n_events': [n], 'total_value': [total]})
 
+    timeout = (GroupStateTimeout.NoTimeout if retention_ms is None
+               else GroupStateTimeout.EventTimeTimeout)
     return (events
             .withWatermark('ts', watermark)
             .groupBy('user_id')
             .applyInPandasWithState(update_fn, _OUT_SCHEMA, _STATE_SCHEMA,
-                                    'update', GroupStateTimeout.NoTimeout))
+                                    'update', timeout))
 
 
 def stream_asof_enrich(events: DataFrame, markers: DataFrame,

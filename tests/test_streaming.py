@@ -343,3 +343,127 @@ def test_stream_asof_enrich_nat_event_ts(spark, tmp_path):
            for r in spark.table('nat_test').collect()}
     assert got[100] == 7.0
     assert got[101] is None
+
+
+def test_running_totals_event_time_eviction(spark, tmp_path):
+    """round-11: state_retention bounds running_user_totals state by
+    event-time eviction — a user idle past retention has their counters
+    dropped and restarts from zero on reappearance; retention=None keeps
+    the old lifetime totals."""
+    from datetime import datetime
+
+    from rbql_spark.streaming.events import (
+        read_event_stream, run_stream_to_memory, running_user_totals,
+    )
+
+    def ev(eid, ts, uid):
+        return (eid, datetime.fromisoformat(ts), uid, 'click', 1.0, '{}')
+
+    schema = ('event_id long, ts timestamp, user_id long, '
+              'event_type string, value double, props string')
+    batches = [
+        [ev(1, '2024-01-01T00:00:00', 1), ev(2, '2024-01-01T00:00:00', 2)],
+        [ev(3, '2024-01-10T00:00:00', 2)],   # watermark jumps past user 1's
+        [ev(4, '2024-01-11T00:00:00', 2)],   # timeout → user 1 evicts here
+        [ev(5, '2024-01-12T00:00:00', 1)],   # user 1 reappears: restart at 0
+    ]
+    out = os.path.join(str(tmp_path), 'evict_src')
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode('append').parquet(out)
+
+    def final_counts(retention, sink):
+        stream = read_event_stream(spark, out, max_files_per_trigger=1)
+        totals = running_user_totals(stream, watermark='1 minute',
+                                     state_retention=retention)
+        q = run_stream_to_memory(totals, sink, output_mode='update')
+        try:
+            final = {}
+            for r in spark.table(sink).collect():
+                final[r['user_id']] = max(final.get(r['user_id'], 0),
+                                          r['n_events'])
+            return final
+        finally:
+            q.stop()
+
+    # NOTE: file-source batch order is not guaranteed to match write order,
+    # but all four event times are distinct and only relative watermark
+    # motion matters: whichever order the files land, user 1 is idle from
+    # Jan 1 until Jan 12 while the watermark crosses Jan 2 (= Jan 1 + 1 day)
+    bounded = final_counts('1 day', 'evict_bounded')
+    assert bounded[2] == 3
+    assert bounded[1] == 1          # restarted after eviction, not 2
+    unbounded = final_counts(None, 'evict_unbounded')
+    assert unbounded == {1: 2, 2: 3}
+
+
+def test_stream_minhash_event_time_eviction(spark, tmp_path):
+    """round-11: with a document event-time column, state_retention bounds
+    the streaming LSH index by event-time eviction (replay-safe under
+    availableNow) — a near-dup arriving after its partner's buckets
+    expired goes unmatched (the documented trade); retention=None keeps
+    the lifetime index."""
+    from datetime import datetime
+
+    from rbql_spark.streaming.documents import (
+        read_document_stream, stream_minhash_near_dups,
+    )
+    from rbql_spark.streaming.events import run_stream_to_memory
+
+    base = ('the quick brown fox jumps over the lazy dog while the cat '
+            'sleeps in the warm afternoon sun near the old stone bridge')
+    schema = 'doc_id long, ts timestamp, text string'
+
+    def doc(did, ts, text):
+        return (did, datetime.fromisoformat(ts), text)
+
+    batches = [
+        [doc(1, '2024-01-01T00:00:00', base)],
+        # unrelated docs push the watermark past doc 1's timeout (Jan 2)
+        [doc(50, '2024-01-10T00:00:00',
+             'zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo')],
+        [doc(51, '2024-01-11T00:00:00',
+             'mmm nnn lll kkk jjj iii hhh ggg fff eee ddd ccc')],
+        # near-dup of doc 1, arriving after the eviction horizon
+        [doc(2, '2024-01-12T00:00:00',
+             base.replace('warm afternoon sun', 'cold night'))],
+    ]
+    out = os.path.join(str(tmp_path), 'evict_docs')
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode('append').parquet(out)
+
+    def pair_set(retention, sink):
+        stream = read_document_stream(spark, out, max_files_per_trigger=1)
+        pairs = stream_minhash_near_dups(stream, threshold=0.5,
+                                         state_retention=retention,
+                                         ts_col='ts', watermark='1 minute')
+        q = run_stream_to_memory(pairs, sink, output_mode='update')
+        try:
+            return {(r['doc_a'], r['doc_b'])
+                    for r in spark.table(sink).collect()}
+        finally:
+            q.stop()
+
+    assert pair_set('1 day', 'mh_evict') == set()
+    assert (1, 2) in pair_set(None, 'mh_keep')
+
+
+def test_stream_minhash_timeout_mode_selection(spark, tmp_path):
+    """Retention without an event-time column falls back to
+    processing-time timers (continuous-trigger forever-runs only — the
+    docstring documents that availableNow replays must use ts_col);
+    defaults keep the NoTimeout lifetime index."""
+    from rbql_spark.streaming.documents import (
+        read_document_stream, stream_minhash_near_dups,
+    )
+    out = os.path.join(str(tmp_path), 'mode_docs')
+    spark.createDataFrame([(1, 'alpha beta gamma delta epsilon zeta')],
+                          'doc_id long, text string') \
+        .coalesce(1).write.mode('overwrite').parquet(out)
+    stream = read_document_stream(spark, out, max_files_per_trigger=1)
+    # the three modes all build a valid streaming plan
+    for kw in [dict(), dict(state_retention='1 hour'),
+               dict(state_retention='1 hour', ts_col=None)]:
+        df = stream_minhash_near_dups(stream, threshold=0.5, **kw)
+        assert df.isStreaming
