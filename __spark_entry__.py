@@ -896,8 +896,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf_dir, 'embeddings')
         queries_df = emb.filter(F.col('vec_id') < 20) \
                         .select(F.col('vec_id').alias('query_id'), 'embedding')
-        exact = cosine_topk_bruteforce(emb, queries_df, k=k) \
-            .select('query_id', 'vec_id')
+        # the brute-force truth table is the gate's dominant cost and is
+        # pure in (sf_dir, data stamp) — cache it as parquet under the
+        # same keying the stored-index gates use, so repeat runs (and the
+        # two hits() joins below, which would otherwise each recompute
+        # the lazy brute-force lineage) read it instead (round-11,
+        # verdict #6; values unchanged)
+        truth_path = _ann_index_cache_path(sf_dir, tag='kmtruth')
+        if not os.path.exists(os.path.join(truth_path, '_SUCCESS')):
+            cosine_topk_bruteforce(emb, queries_df, k=k) \
+                .select('query_id', 'vec_id') \
+                .write.mode('overwrite').parquet(truth_path)
+        exact = spark.read.parquet(truth_path)
         den = queries_df.agg((F.count(F.lit(1)) * k).alias('den'))
 
         def hits(quantizer):

@@ -58,6 +58,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = 'ts',
     if clashes:
         raise ValueError('asof_join output name collision: left already '
                          'has {} — pick another suffix'.format(sorted(clashes)))
+    # the union-then-sort below compares the two sides' `on` values on one
+    # clock; mixing NTZ with tz-aware timestamps would coerce through the
+    # session timezone and reorder rows across DST transitions (the same
+    # hazard interval_join guards at its binning step)
+    l_ntz = dict(left.dtypes)[on] == 'timestamp_ntz'
+    if (dict(right.dtypes)[on] == 'timestamp_ntz') != l_ntz:
+        raise ValueError('asof_join: left and right `{}` columns mix '
+                         'TIMESTAMP_NTZ with tz-aware timestamps — cast '
+                         'both sides to one kind first'.format(on))
     # NULL-keyed / NULL-time right rows can never match under join
     # semantics (e.ts >= NULL and NULL = NULL are both false in the
     # oracle); left in, a NULL-ts row would sort first and leak its

@@ -316,3 +316,31 @@ def test_interval_join_collision_and_mixed_kind_guards(spark):
     with pytest.raises(ValueError, match='mix TIMESTAMP_NTZ'):
         interval_join(ev_ntz, iv_ok, point_col='ts', start_col='start_ts',
                       end_col='end_ts', by='user_id')
+
+
+def test_asof_join_mixed_timestamp_kind_guard(spark):
+    # round-11 (verdict #4): asof_join's union-then-sort compares both
+    # sides' `on` values on one clock — mixed NTZ / tz-aware inputs must
+    # raise (the interval_join guard, mirrored) instead of silently
+    # coercing through the session timezone
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.timejoin import asof_join
+    left = spark.createDataFrame(
+        [(1, '2024-01-01 10:00:00', 5.0)],
+        'user_id long, raw string, value double') \
+        .select('user_id', F.col('raw').cast('timestamp').alias('ts'), 'value')
+    right_ntz = spark.createDataFrame(
+        [(1, '2024-01-01 09:00:00', 'm1')],
+        'user_id long, raw string, marker string') \
+        .select('user_id', F.col('raw').cast('timestamp_ntz').alias('ts'),
+                'marker')
+    with pytest.raises(ValueError, match='mix TIMESTAMP_NTZ'):
+        asof_join(left, right_ntz)
+    # both-NTZ inputs stay allowed (one clock, fixed offset)
+    left_ntz = left.select('user_id',
+                           F.col('ts').cast('timestamp_ntz').alias('ts'),
+                           'value')
+    got = asof_join(left_ntz, right_ntz).collect()
+    assert len(got) == 1 and got[0]['marker_r'] == 'm1'
