@@ -22,6 +22,14 @@ across queries; this module is that deployment shape, Spark-first:
     (the equality test/gate) — the stored index is a cache, never a
     semantic fork.
 
+Filesystem contract: maintenance paths (compaction staging, dead-cell
+directory removal, tombstone clearing, meta sidecars) use driver-side
+os/shutil operations — index `path`s must live on a filesystem the
+DRIVER sees POSIX-style (local disk, NFS, or a FUSE mount of an object
+store).  A bare s3a://-style URI would read/build fine through Spark
+but leave staging/tombstone debris unmanaged; use a mounted path
+instead.
+
 Reference scope note: the reference engine (rbql_engine.py) has no ANN
 surface; this is part of the deliberate large-scale superset.
 """
@@ -253,7 +261,15 @@ def compact_ivf_pq_index(spark: SparkSession, path: str) -> dict:
         # executor loss evicts both memory and disk cache, and the
         # lineage recompute would re-read the partially-replaced source
         # mid-write.  The parquet staging write severs lineage entirely.
-        tmp = path.rstrip('/') + '__compact_src'
+        # per-run staging suffix: with a FIXED sibling path, two
+        # concurrent compactions of the same index would overwrite each
+        # other's staged survivors mid-run — silent data corruption
+        # instead of a write conflict.  (Concurrent compaction remains
+        # unsupported; the token turns the silent case back into a loud
+        # one and keeps crash debris distinguishable per run.)
+        import uuid
+        tmp = '{}__compact_src_{}'.format(path.rstrip('/'),
+                                          uuid.uuid4().hex[:12])
         try:
             (idx.where(F.col('cell').isin(cells))
                 .join(F.broadcast(tomb), 'vec_id', 'left_anti')

@@ -933,6 +933,14 @@ def dedup_spans(df: DataFrame, text_col: str = 'text',
     reuses the cached digests; the marking join reads the same cache, so
     no extra corpus scan).  Pass True/False to skip the measuring job
     when the caller already knows the corpus's duplication profile.
+
+    Cache lifetime (auto mode only): the measuring job runs EAGERLY at
+    call time, and the persisted frequent set backs the lazily-returned
+    frame — it stays in the Spark cache until the session ends or the
+    caller unpersists it (`spark.catalog.clearCache()` or
+    df.unpersist() on the cached frame).  Long-lived sessions invoking
+    this repeatedly should pass an explicit True/False, which keeps the
+    call fully lazy and cache-free.
     """
     df = spread_partitions(df)
     t = F.coalesce(F.col(text_col), F.lit(''))
