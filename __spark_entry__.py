@@ -121,7 +121,11 @@ def _stream_replay_dir(spark: SparkSession, sf_dir: str, name: str,
 
 
 def _rbql(query: str, table: str, strict: bool = True, broadcast: bool = True):
-    """Build a queries() callable that runs RBQL text through the engine."""
+    """Build a queries() callable that runs RBQL text through the engine.
+
+    The StageResult's translator telemetry from the latest invocation is
+    exposed as ``run.last_telemetry`` so the native-coverage test can
+    assert the bench gates plan zero Python expression stages."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         handle = TableHandle(df=_t(spark, sf_dir, table))
         handle.header = list(handle.df.columns)
@@ -129,7 +133,9 @@ def _rbql(query: str, table: str, strict: bool = True, broadcast: bool = True):
                               registry=ParquetDirRegistry(sf_dir),
                               options=EngineOptions(strict_checks=strict,
                                                     broadcast_join=broadcast))
+        run.last_telemetry = res.telemetry
         return res.display_df()
+    run.last_telemetry = None
     return run
 
 

@@ -69,6 +69,13 @@ class StageResult:
     # output columns holding JSON-object text (JSONL source parity) —
     # collect paths parse them back to objects
     json_out_cols: list[str] = field(default_factory=list)
+    # translator telemetry: {'native_count': int, 'fallback_count': int,
+    # 'fallback_reasons': [str]} — counts each native-vs-Arrow-evaluator
+    # decision (SELECT items, WHERE predicates, sort keys, UPDATE values);
+    # pipe chains sum across stages.  The operational signal for "is this
+    # query running JVM-side": fallback_count == 0 means no Python stage
+    # was planned for expression evaluation.
+    telemetry: dict = field(default_factory=dict)
 
     def out_cols(self) -> list[str]:
         return [c for c in self.df.columns if c.startswith('__out_')]
@@ -113,6 +120,14 @@ class _ExprComputer:
         self.binding = Binding(wf)
         self.translator = ExpressionTranslator(self.binding)
         self.options = options
+        self.native_count = 0
+        self.fallback_count = 0
+        self.fallback_reasons: list[str] = []
+
+    def telemetry(self) -> dict:
+        return {'native_count': self.native_count,
+                'fallback_count': self.fallback_count,
+                'fallback_reasons': list(self.fallback_reasons)}
 
     def compute(self, df: DataFrame, named_exprs: list[tuple[str, str]]) -> tuple[DataFrame, dict[str, str]]:
         """Returns (df_with_columns, {out_name: type_tag})."""
@@ -124,8 +139,11 @@ class _ExprComputer:
                 tc = self.translator.translate(text)
                 native.append((name, tc))
                 tags[name] = tc.tag
-            except TranslationFallback:
+                self.native_count += 1
+            except TranslationFallback as fb:
                 fallback.append(PyExpr(out_col=name, expr=text))
+                self.fallback_count += 1
+                self.fallback_reasons.append('{}: {}'.format(text, fb))
         if native:
             df = df.withColumns({name: tc.col for name, tc in native})
         if fallback:
@@ -138,8 +156,12 @@ class _ExprComputer:
 
     def predicate(self, df: DataFrame, text: str) -> tuple[DataFrame, Column]:
         try:
-            return df, self.translator.translate_predicate(text)
-        except TranslationFallback:
+            col = self.translator.translate_predicate(text)
+            self.native_count += 1
+            return df, col
+        except TranslationFallback as fb:
+            self.fallback_count += 1
+            self.fallback_reasons.append('{}: {}'.format(text, fb))
             pe = PyExpr(out_col='__where', expr='bool({})'.format(text))
             from pyspark.sql import types as T
             pe.dtype = T.BooleanType()
@@ -438,6 +460,8 @@ class StageRunner:
             wf = self._load_b_side(stage, wf)
 
         comp = _ExprComputer(wf, self.options)
+        if early_filtered:
+            comp.native_count += 1
         df = wf.df
 
         if stage.is_select:
@@ -563,7 +587,8 @@ class StageRunner:
         header = list(wf.a.header) if wf.a.header is not None else None
         return StageResult(df=df, out_names=header, order_cols=[F.col(NR_COL)],
                            warnings=self.warnings,
-                           trim_width_col=NF_COL if wf.a.ragged else None)
+                           trim_width_col=NF_COL if wf.a.ragged else None,
+                           telemetry=comp.telemetry())
 
     # -- SELECT -------------------------------------------------------------
 
@@ -815,7 +840,8 @@ class StageRunner:
             df = df.orderBy(*order).limit(stage.top_count)
 
         return StageResult(df=df, out_names=out_names, order_cols=order,
-                           warnings=self.warnings)
+                           warnings=self.warnings,
+                           telemetry=comp.telemetry())
 
     # -- aggregation --------------------------------------------------------
 
@@ -962,7 +988,8 @@ class StageRunner:
         join_header = wf.b.header if wf.b is not None else None
         out_names = select_output_header(input_header, join_header, infos)
         return StageResult(df=grouped, out_names=out_names, order_cols=order,
-                           warnings=self.warnings, int_flag_cols=final_flags)
+                           warnings=self.warnings, int_flag_cols=final_flags,
+                           telemetry=comp.telemetry())
 
 
 # ---------------------------------------------------------------------------
@@ -977,11 +1004,17 @@ def run_query(spark: SparkSession, query_text: str,
     result: StageResult | None = None
     handle = input_handle
     all_warnings: list[str] = []
+    tel = {'native_count': 0, 'fallback_count': 0, 'fallback_reasons': []}
     for i, stage in enumerate(stages):
         runner = StageRunner(spark, registry, options)
         result = runner.run(stage, handle)
         all_warnings.extend(result.warnings)
         result.warnings = list(dict.fromkeys(all_warnings))
+        for k in ('native_count', 'fallback_count'):
+            tel[k] += result.telemetry.get(k, 0)
+        tel['fallback_reasons'].extend(
+            result.telemetry.get('fallback_reasons', []))
+        result.telemetry = dict(tel)
         if i + 1 < len(stages):
             # pipe boundary: next stage's input order = this stage's output
             # order (reference TablePipe, rbql_engine.py:1711-1727). orderBy

@@ -54,6 +54,30 @@ def _merge_num(a: str, b: str) -> str:
     return 'int' if a == 'int' and b == 'int' else 'float'
 
 
+_JAVA_SAFE_ESCAPES = set('.*+?()[]{}|^$\\/-')
+
+
+def _java_safe_regex(pat: str) -> bool:
+    """True when `pat` means the same thing to Python `re` and Java
+    `java.util.regex` (what rlike runs).  Conservative: plain characters,
+    the shared metacharacter set, and escapes of metacharacters only —
+    class escapes (\\w \\d \\s \\b …, unicode-vs-ASCII divergent), named
+    groups ((?P<…> vs (?<…>), and inline-flag/lookaround constructs are
+    rejected so the Python evaluator keeps those."""
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == '\\':
+            if i + 1 >= n or pat[i + 1] not in _JAVA_SAFE_ESCAPES:
+                return False
+            i += 2
+            continue
+        if c == '(' and pat[i:i + 2] == '(?':
+            return False
+        i += 1
+    return True
+
+
 def as_predicate(tc: TCol) -> Column:
     """Python truthiness of a value in boolean context."""
     if tc.tag == 'bool':
@@ -66,6 +90,8 @@ def as_predicate(tc: TCol) -> Column:
         return F.lit(False)
     if tc.tag.startswith('array:'):
         return F.size(tc.col) > 0
+    if tc.tag == 'match_opt':
+        return tc.col.eqNullSafe(F.lit(True))
     raise TranslationFallback('truthiness of type {!r}'.format(tc.tag))
 
 
@@ -322,7 +348,13 @@ class ExpressionTranslator:
             if isinstance(op, (ast.Is, ast.IsNot)):
                 if not (isinstance(comparator, ast.Constant) and comparator.value is None):
                     raise TranslationFallback('is: only None comparisons')
-                piece = left.col.isNull() if isinstance(op, ast.Is) else left.col.isNotNull()
+                if left.tag == 'match_opt':
+                    # match is None ⟺ the pattern did not match; a NULL
+                    # input (no string to search) also yields no match
+                    hit = left.col.eqNullSafe(F.lit(True))
+                    piece = ~hit if isinstance(op, ast.Is) else hit
+                else:
+                    piece = left.col.isNull() if isinstance(op, ast.Is) else left.col.isNotNull()
                 left = TCol(F.lit(None), 'null')  # chained after `is` is weird; keep simple
             elif isinstance(op, (ast.In, ast.NotIn)):
                 if isinstance(comparator, (ast.List, ast.Tuple, ast.Set)):
@@ -404,6 +436,29 @@ class ExpressionTranslator:
                     return TCol(F.pow(x.col, y.col), 'float')
             raise TranslationFallback('math.{}'.format(fn.attr))
 
+        if isinstance(fn, ast.Attribute) and isinstance(fn.value, ast.Name) \
+                and fn.value.id == 're' \
+                and fn.attr in ('search', 'match', 'fullmatch') \
+                and len(node.args) == 2 \
+                and isinstance(node.args[0], ast.Constant) \
+                and isinstance(node.args[0].value, str):
+            pat = node.args[0].value
+            if not _java_safe_regex(pat):
+                raise TranslationFallback('re.{} pattern outside the '
+                                          'Java-identical subset'.format(fn.attr))
+            target = self._expr(node.args[1])
+            if target.tag != 'str':
+                raise TranslationFallback('re.{} on {}'.format(fn.attr, target.tag))
+            if fn.attr == 'match':
+                jpat = '^(?:{})'.format(pat)
+            elif fn.attr == 'fullmatch':
+                jpat = '^(?:{})$'.format(pat)
+            else:
+                jpat = pat
+            # tag 'match_opt': truthy/None-comparison views of a would-be
+            # Match object; any other use (e.g. .group()) falls back
+            return TCol(target.col.rlike(jpat), 'match_opt')
+
         if isinstance(fn, ast.Attribute):
             return self._method_call(fn, node.args)
 
@@ -412,7 +467,7 @@ class ExpressionTranslator:
         name = fn.id
         args = node.args
 
-        if name == 'like' and len(args) == 2:
+        if name in ('like', 'LIKE') and len(args) == 2:
             text = self._expr(args[0])
             if text.tag != 'str':
                 raise TranslationFallback('like() on non-string')
@@ -514,6 +569,9 @@ class ExpressionTranslator:
         base = self._expr(fn.value)
         m = fn.attr
         if base.tag == 'str':
+            if m == 'format' and isinstance(fn.value, ast.Constant) \
+                    and isinstance(fn.value.value, str):
+                return self._literal_format(fn.value.value, args)
             if m == 'lower' and not args:
                 return TCol(F.lower(base.col), 'str')
             if m == 'upper' and not args:
@@ -587,6 +645,44 @@ class ExpressionTranslator:
             if m == 'date' and not args and base.tag == 'ts':
                 return TCol(F.to_date(base.col), 'date')
         raise TranslationFallback('method .{}() on {}'.format(m, base.tag))
+
+    def _literal_format(self, tmpl: str, args: list[ast.expr]) -> TCol:
+        """'{} ({})'.format(x, y) on a LITERAL template → concat, the same
+        translation (and the same str/int-only operand rule — Spark's
+        double rendering diverges from Python repr) as f-strings.  Only
+        bare auto-numbered '{}' placeholders qualify; indexed/named/spec'd
+        placeholders keep the Python evaluator."""
+        segs: list[str] = ['']
+        i, n = 0, len(tmpl)
+        while i < n:
+            two = tmpl[i:i + 2]
+            if two == '{{':
+                segs[-1] += '{'
+                i += 2
+            elif two == '}}':
+                segs[-1] += '}'
+                i += 2
+            elif two == '{}':
+                segs.append('')
+                i += 2
+            elif tmpl[i] in '{}':
+                raise TranslationFallback('format() placeholder with spec')
+            else:
+                segs[-1] += tmpl[i]
+                i += 1
+        if len(segs) - 1 != len(args):
+            raise TranslationFallback('format() arity mismatch')
+        parts: list[Column] = []
+        if segs[0]:
+            parts.append(F.lit(segs[0]))
+        for seg, arg in zip(segs[1:], args):
+            v = self._expr(arg)
+            if v.tag not in ('str', 'int'):
+                raise TranslationFallback('format() on {}'.format(v.tag))
+            parts.append(v.col.cast('string'))
+            if seg:
+                parts.append(F.lit(seg))
+        return TCol(F.concat(*parts) if parts else F.lit(''), 'str')
 
     def _fstring(self, node: ast.JoinedStr) -> TCol:
         parts: list[Column] = []

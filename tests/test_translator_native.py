@@ -138,3 +138,103 @@ def test_round_int_native(spark):
     df = spark.createDataFrame([(125,), (135,)], 'n long')
     rows = _run_native(spark, df, 'SELECT round(a.n, -1), round(a.n)')
     assert rows == [[120, 125], [140, 135]]
+
+
+def test_telemetry_counts_native_and_fallback(spark):
+    # round-11 (r9 verdict item #3): StageResult carries per-query
+    # translator telemetry so fallbacks are observable, not inferred
+    df = spark.createDataFrame([(1, 'ab'), (2, 'cd')], 'x long, s string')
+    res = query_dataframe(spark, "SELECT a.x * 2, a.s.upper() WHERE a.x > 0", df)
+    tel = res.telemetry
+    assert tel['native_count'] == 3 and tel['fallback_count'] == 0
+    # an untranslatable expression is counted with its reason
+    res2 = query_dataframe(spark, "SELECT ''.join(reversed(a.s))", df)
+    tel2 = res2.telemetry
+    assert tel2['fallback_count'] == 1
+    assert any('reversed' in r or 'join' in r for r in tel2['fallback_reasons'])
+    # pipe chains sum across stages
+    res3 = query_dataframe(
+        spark, "SELECT a.x * 2 AS y | SELECT a.y + 1 WHERE a.y > 0", df)
+    assert res3.telemetry['native_count'] == 3
+
+
+def test_bench_gates_fully_native(spark, sf_dir):
+    # the 21 rbql_* bench gates must plan ZERO Python expression stages:
+    # every SELECT item / WHERE / sort key / UPDATE value translates to
+    # native Catalyst columns (telemetry-backed, replacing plan-string
+    # spot checks on a 6-gate subset)
+    import __spark_entry__ as entrymod
+    q = entrymod.queries()
+    gates = [n for n in q if n.startswith('rbql_') and n != 'rbql_array_agg']
+    assert len(gates) == 20   # 21 rbql_* minus the array_agg wrapper
+    for name in gates:
+        fn = q[name]
+        fn(spark, sf_dir)
+        tel = fn.last_telemetry
+        assert tel is not None, name
+        assert tel['fallback_count'] == 0, (name, tel['fallback_reasons'])
+        assert tel['native_count'] > 0 or name == 'rbql_except', name
+
+
+def test_re_search_native_rlike(spark):
+    # round-11: re.search/match/fullmatch with a literal Java-identical
+    # pattern translate to rlike — the top corpus fallback class
+    df = spark.createDataFrame(
+        [('alpha beta',), ('gamma',), (' beta x',)], 's string')
+    rows = _run_native(
+        spark, df, 'SELECT a.s WHERE re.search("a.*be", a.s) is not None')
+    assert [r[0] for r in rows] == ['alpha beta']
+    rows = _run_native(
+        spark, df, 'SELECT a.s WHERE re.match("ga", a.s) is not None')
+    assert [r[0] for r in rows] == ['gamma']      # match anchors at start
+    rows = _run_native(
+        spark, df, 'SELECT a.s WHERE re.fullmatch("gamma", a.s) is not None')
+    assert [r[0] for r in rows] == ['gamma']
+    # truthiness and `is None` views
+    rows = _run_native(
+        spark, df, 'SELECT a.s WHERE re.search("beta", a.s)')
+    assert [r[0] for r in rows] == ['alpha beta', ' beta x']
+    rows = _run_native(
+        spark, df, 'SELECT a.s WHERE re.search("beta", a.s) is None')
+    assert [r[0] for r in rows] == ['gamma']
+    # value parity with the Python evaluator on the same query
+    import re as _re
+    expected = [[s] for s in ['alpha beta', 'gamma', ' beta x']
+                if _re.search('a.*be', s) is not None]
+    assert _run_native(
+        spark, df,
+        'SELECT a.s WHERE re.search("a.*be", a.s) is not None') == expected
+
+
+def test_re_search_unsafe_patterns_fall_back(spark):
+    # class escapes (\w unicode-vs-ASCII), named groups, and inline-flag
+    # constructs mean different things in Java — they must keep pyeval
+    df = spark.createDataFrame([('héllo wörld',), ('x1',)], 's string')
+    for pat in [r'\\w+', r'(?P<x>a)', r'(?i)abc']:
+        res = query_dataframe(
+            spark, 'SELECT a.s WHERE re.search("{}", a.s) is not None'.format(pat), df)
+        assert res.telemetry['fallback_count'] == 1, pat
+    # and the pyeval answer is Python-correct for the unicode case
+    res = query_dataframe(
+        spark, r'SELECT a.s WHERE re.search("\w+$", a.s) is not None', df)
+    vals = [r[0] for r in res.display_df(ordered=True).collect()]
+    assert vals == ['héllo wörld', 'x1']    # Python \w matches ö; Java would not
+
+
+def test_format_literal_template_native(spark):
+    df = spark.createDataFrame([('car', 5), ('dog', 7)], 's string, n long')
+    rows = _run_native(spark, df, 'SELECT "{} has {}!".format(a.s, a.n)')
+    assert [r[0] for r in rows] == ['car has 5!', 'dog has 7!']
+    rows = _run_native(spark, df, 'SELECT "{{{}}}".format(a.s)')
+    assert [r[0] for r in rows] == ['{car}', '{dog}']
+    # spec'd / indexed placeholders keep the Python evaluator (parity)
+    res = query_dataframe(spark, 'SELECT "{0} {0}".format(a.s)', df)
+    assert res.telemetry['fallback_count'] == 1
+    vals = [r[0] for r in res.display_df(ordered=True).collect()]
+    assert vals == ['car car', 'dog dog']
+
+
+def test_like_uppercase_alias_native(spark):
+    df = spark.createDataFrame([('lada',), ('toyota',)], 's string')
+    rows = _run_native(spark, df, "SELECT a.s WHERE LIKE(a.s, 'la%')")
+    assert [r[0] for r in rows] == ['lada']
