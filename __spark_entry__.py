@@ -962,6 +962,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                         threshold=0.8, dim=64)
     q['sim_embedding_neardup'] = _sim_neardup
 
+    def _sim_semantic_dedup(spark, sf_dir):
+        # SemDeDup over the same planted corpus as sim_embedding_neardup:
+        # each planted copy (vec_id + 1000000, embedding ×1.5) sits at
+        # cosine 1.0 with its original, so every cluster is {orig, copy}
+        # and keep-min retains the original — the gate proves the full
+        # pairs → connected-components → anti-join removal path (the 25
+        # planted rows must vanish, nothing else).  Output is the scalar
+        # id column only (array-typed columns don't value-hash).
+        from rbql_spark.ops.similarity import semantic_dedup
+        emb = _t(spark, sf_dir, 'embeddings').select(
+            'vec_id',
+            F.transform('embedding', lambda x: x.cast('double')).alias('embedding'))
+        planted = emb.filter(F.col('vec_id') < 25).select(
+            (F.col('vec_id') + 1000000).alias('vec_id'),
+            F.transform('embedding', lambda x: x * F.lit(1.5)).alias('embedding'))
+        kept = semantic_dedup(emb.unionByName(planted), threshold=0.8, dim=64)
+        return kept.select('vec_id')
+    q['sim_semantic_dedup'] = _sim_semantic_dedup
+
     # ---- superset: text analysis -------------------------------------------
     def _text_tokens(spark, sf_dir):
         from rbql_spark.ops.textstats import token_stats
@@ -1104,30 +1123,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the bound lives in the driver, so rotation here is the only way to
     # refresh proof for all 78.  The strict local mirror,
     # tools/check_oracles.py, still value-checks every gate each round.)
-    # Round 9 rotation: the 33 gates absent from CORRECTNESS_r08.json
-    # (recorded green in r07) lead, then text_embed_hashing (r08's one
-    # red row, now projected to e0..e15 scalars) and the gates NEW in
-    # round 9 (sim_ann_index_churn, sim_kmeans_recall, join_asof,
-    # join_interval — no driver proof yet); the r08-recorded gates fill
-    # the rest in declaration order.
+    # Round 11 rotation (verdict #8): the r10 sample duplicated r9's 50
+    # gates, leaving 46 gates' driver proof two rounds old — those lead,
+    # with the round-11-new sim_semantic_dedup (no driver proof yet)
+    # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
-        'rbql_like', 'rbql_string_ops', 'rbql_pipe_chain',
-        'rbql_ternary_expr', 'window_row_number', 'export_manifest',
-        'pack_sequences', 'text_redact_pii',
-        'sim_topk_bruteforce', 'sim_ann_lsh', 'sim_ann_lsh_multiprobe',
-        'sim_ann_ivf', 'sim_ann_ivf_multiprobe', 'sim_ann_ivf_int8',
-        'sim_ann_ivf_pq', 'sim_ann_pq', 'sim_embedding_neardup',
-        'text_token_stats', 'text_quality_score', 'text_language_id',
-        'text_lm_score', 'text_lm_score_bigram', 'text_quality_filter',
-        'text_top_ngrams', 'text_repetition',
-        'bpe_train', 'bpe_apply', 'profile_table', 'text_fingerprint',
-        'multimodal_features', 'multimodal_frame_sample',
-        'multimodal_resize', 'pipeline_training_data',
-        'text_embed_hashing', 'sim_ann_index_churn', 'sim_kmeans_recall',
-        'join_asof', 'join_interval', 'join_semi', 'join_anti',
-        'join_full_outer', 'streaming_asof', 'pivot_event_counts',
-        'sim_ann_index_stats', 'streaming_session_counts', 'dedup_spans',
-        'text_bm25',
+        'sim_semantic_dedup',
+        'rbql_distinct_count', 'rbql_group_agg', 'rbql_group_expr_key',
+        'rbql_array_agg', 'rbql_global_agg', 'rbql_inner_join',
+        'rbql_left_join', 'rbql_multikey_join', 'rbql_strict_left_join',
+        'rbql_update', 'rbql_update_join', 'rbql_fstring', 'rbql_except',
+        'rbql_unnest', 'window_running_sum', 'window_tumbling',
+        'window_session', 'window_sliding', 'skew_salted_join',
+        'having_groups', 'setop_union_all', 'setop_intersect',
+        'setop_except', 'streaming_windowed_counts', 'streaming_user_totals',
+        'streaming_exact_dedup', 'streaming_minhash_neardup',
+        'streaming_decontaminate', 'streaming_quality_filter', 'dedup_exact',
+        'dedup_minhash_lsh', 'dedup_simhash', 'dedup_incremental',
+        'dedup_ngram_jaccard', 'decontaminate_ngram', 'dedup_clusters',
+        'dedup_keep_canonical', 'dedup_lines', 'sample_hash',
+        'sample_stratified', 'sample_temperature', 'chunk_documents',
+        'sample_split', 'sample_shuffle', 'sample_mix',
+        'sim_ann_index_search',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2288,6 +2305,25 @@ def oracle_sql() -> dict[str, str]:
 
     o['sim_embedding_neardup'] = _neardup_replay_sql(
         threshold=0.8, dim=64, n_planes=12, seed=42)
+
+    # SemDeDup replay: the neardup pair set → undirected reachability →
+    # min-label clusters → drop non-representatives from the planted-union
+    # corpus (the dedup_keep_canonical recursive-CTE pattern over cosine
+    # pairs instead of simhash pairs)
+    o['sim_semantic_dedup'] = (
+        "WITH RECURSIVE pairs AS (SELECT * FROM (" +
+        _neardup_replay_sql(threshold=0.8, dim=64, n_planes=12, seed=42) +
+        ") _q), "
+        "edges AS (SELECT vec_a AS a, vec_b AS b FROM pairs "
+        "UNION SELECT vec_b, vec_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS id FROM edges), "
+        "reach(id, r) AS (SELECT id, id FROM nodes "
+        "UNION SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id), "
+        "labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id), "
+        "corpus AS (SELECT vec_id FROM embeddings "
+        "UNION ALL SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 25) "
+        "SELECT vec_id FROM corpus "
+        "WHERE vec_id NOT IN (SELECT id FROM labels WHERE id != cluster_id)")
 
     # decontamination replay: same md5-32 shingles as the minhash oracle,
     # benchmark side = every 50th doc, overlap = count of shared distinct

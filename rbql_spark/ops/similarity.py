@@ -1166,3 +1166,38 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95,
                      cosine(F.col('l.__v'), F.col('r.__v')).alias('cosine_sim')))
     return (cand.filter(F.col('cosine_sim') >= threshold)
                 .select('vec_a', 'vec_b', F.round('cosine_sim', 6).alias('cosine_sim')))
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.95,
+                   dim: int = 32, n_planes: int = 12,
+                   id_col: str = 'vec_id', vec_col: str = 'embedding',
+                   seed: int = 42,
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): deduplicate a corpus
+    by EMBEDDING similarity — documents whose representations are
+    near-identical under cosine are semantic duplicates even when their
+    surface text differs (translations, templated rewrites, boilerplate
+    variants that n-gram dedup misses).  Returns the surviving corpus rows:
+    one representative (the min id) per semantic-duplicate cluster plus
+    every row in no cluster.
+
+    Pure composition of existing scale paths — nothing new shuffles:
+    embedding_near_dup_pairs (LSH bucket self-join, never all-pairs)
+    produces the ≥threshold pair set, dedup_clusters (per-partition
+    union-find + star contraction) labels components, and a left_anti join
+    removes non-representatives.  The paper clusters with k-means and
+    dedups within cells; the LSH-bucket prefilter plays the same
+    candidate-bounding role with the advantage of a deterministic,
+    engine-replayable decision rule.  Cluster-iteration scratch state
+    follows dedup_clusters' checkpoint_dir contract.
+    """
+    from rbql_spark.ops.dedup import dedup_clusters
+
+    pairs = embedding_near_dup_pairs(corpus, threshold=threshold, dim=dim,
+                                     n_planes=n_planes, id_col=id_col,
+                                     vec_col=vec_col, seed=seed) \
+        .select(F.col('vec_a').alias('doc_a'), F.col('vec_b').alias('doc_b'))
+    clusters = dedup_clusters(pairs, checkpoint_dir=checkpoint_dir)
+    removed = (clusters.where(F.col('doc_id') != F.col('cluster_id'))
+                       .select(F.col('doc_id').alias(id_col)))
+    return corpus.join(removed, id_col, 'left_anti')

@@ -31,7 +31,10 @@ def read_document_stream(spark: SparkSession, source_dir: str,
 def stream_decontaminate(docs: DataFrame, benchmark: DataFrame,
                          text_col: str = 'text', id_col: str = 'doc_id',
                          shingle_k: int = 3,
-                         hash_fn: str = 'md5') -> DataFrame:
+                         hash_fn: str = 'md5',
+                         ts_col: str | None = None,
+                         watermark: str = '1 hour',
+                         state_retention: str = '1 day') -> DataFrame:
     """Streaming train/test decontamination: flag documents ARRIVING on a
     stream that share k-word shingles with a (static, small) benchmark
     suite → (doc_id, bench_id, n_overlap) in update mode.
@@ -48,24 +51,40 @@ def stream_decontaminate(docs: DataFrame, benchmark: DataFrame,
     (thresholding inside the stream would emit partial counts the moment
     they cross the bar, before the doc's remaining shingles are summed).
 
-    State note: the (doc, bench) aggregation state has no watermark (the
-    table has no event-time column) and so grows with the distinct flagged
-    docs over the stream's lifetime — bounded in practice because only
-    benchmark-overlapping docs create state, but a forever-stream should
-    recycle the query periodically, as any unwatermarked streaming agg
-    must.
+    State bounding (round-11): with `ts_col` set (a document event-time
+    column), the aggregation key gains a `state_retention`-wide event-time
+    window under a watermark, so Spark drops each (window, doc, bench)
+    count once the watermark passes it — state is bounded by the retention
+    horizon's arrival volume instead of the stream's lifetime.  Semantics
+    are unchanged because a document's shingles all arrive in its own
+    micro-batch and its timestamp pins it to exactly one window (the
+    window column is dropped from the output).  A redelivery later than
+    watermark + retention is silently ignored (its rows are late); one
+    inside the horizon re-counts into the same window, as in the
+    unwatermarked form.  Without ts_col the aggregation keeps lifetime
+    state — bounded in practice because only benchmark-overlapping docs
+    create state, but a forever-stream should set ts_col or recycle the
+    query periodically, as any unwatermarked streaming agg must.
     """
     from rbql_spark.ops.dedup import word_shingles, word_shingles_md5
 
     mk = word_shingles_md5 if hash_fn == 'md5' else word_shingles
-    t = (docs.select(F.col(id_col).alias('doc_id'),
+    extra = [F.col(ts_col)] if ts_col is not None else []
+    t = (docs.select(F.col(id_col).alias('doc_id'), *extra,
                      mk(F.col(text_col), k=shingle_k).alias('__sh'))
-             .select('doc_id', F.explode('__sh').alias('sh')))
+             .select('doc_id', *([ts_col] if ts_col else []),
+                     F.explode('__sh').alias('sh')))
     b = (benchmark.select(F.col(id_col).alias('bench_id'),
                           mk(F.col(text_col), k=shingle_k).alias('__sh'))
                   .select('bench_id', F.explode('__sh').alias('sh')))
-    return (t.join(F.broadcast(b), 'sh')
-             .groupBy('doc_id', 'bench_id')
+    j = t.join(F.broadcast(b), 'sh')
+    if ts_col is not None:
+        return (j.withWatermark(ts_col, watermark)
+                 .groupBy(F.window(F.col(ts_col), state_retention),
+                          'doc_id', 'bench_id')
+                 .agg(F.count(F.lit(1)).alias('n_overlap'))
+                 .select('doc_id', 'bench_id', 'n_overlap'))
+    return (j.groupBy('doc_id', 'bench_id')
              .agg(F.count(F.lit(1)).alias('n_overlap')))
 
 

@@ -1274,3 +1274,22 @@ def test_bm25_score_ranking_and_plan(spark):
     assert 'TakeOrderedAndProject' in plan
     with pytest.raises(ValueError):
         bm25_score(df, [])
+
+
+def test_semantic_dedup_removes_embedding_near_dups(spark, emb_df):
+    # SemDeDup composition: planted scaled copies (cosine 1.0 with their
+    # originals) must vanish; min-id representatives and unclustered rows
+    # survive untouched
+    from rbql_spark.ops.similarity import semantic_dedup
+    base = emb_df.select('vec_id', 'embedding')
+    planted = base.filter(F.col('vec_id') < 5).select(
+        (F.col('vec_id') + 1000).alias('vec_id'),
+        F.transform('embedding', lambda x: x * F.lit(2.0)).alias('embedding'))
+    corpus = base.unionByName(planted)
+    kept = {r['vec_id'] for r in
+            semantic_dedup(corpus, threshold=0.95, dim=64).select('vec_id').collect()}
+    originals = {r['vec_id'] for r in base.select('vec_id').collect()}
+    assert kept == originals          # copies removed, nothing else
+    # idempotent: a second pass removes nothing
+    kept2 = semantic_dedup(base, threshold=0.95, dim=64)
+    assert kept2.count() == len(originals)

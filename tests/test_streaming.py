@@ -467,3 +467,53 @@ def test_stream_minhash_timeout_mode_selection(spark, tmp_path):
                dict(state_retention='1 hour', ts_col=None)]:
         df = stream_minhash_near_dups(stream, threshold=0.5, **kw)
         assert df.isStreaming
+
+
+def test_stream_decontaminate_event_time_bounded_matches_batch(spark, tmp_path):
+    """round-11: ts_col adds a watermarked event-time window to the
+    (doc, bench) aggregation key so state evicts behind the watermark;
+    per-key final counts still equal the batch decontaminate answer."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from rbql_spark.ops.dedup import decontaminate
+    from rbql_spark.streaming.documents import (
+        read_document_stream, stream_decontaminate,
+    )
+    from rbql_spark.streaming.events import run_stream_to_memory
+
+    base = ('the quick brown fox jumps over the lazy dog while the cat '
+            'sleeps in the warm afternoon sun near the old stone bridge')
+    rows = [
+        (1, datetime.fromisoformat('2024-01-01T00:00:00'), base),
+        (2, datetime.fromisoformat('2024-01-05T00:00:00'),
+         base.replace('warm afternoon sun', 'cold night')),
+        (3, datetime.fromisoformat('2024-01-09T00:00:00'),
+         'completely different text about query engines and shuffles '
+         'with columnar storage and adaptive execution everywhere'),
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, ts timestamp, text string')
+    bench = spark.createDataFrame([(100, base)], 'doc_id long, text string')
+    out = os.path.join(str(tmp_path), 'dec_ts_stream')
+    docs.where('doc_id % 2 = 1').coalesce(1).write.mode('overwrite').parquet(out)
+    docs.where('doc_id % 2 = 0').coalesce(1).write.mode('append').parquet(out)
+
+    stream = read_document_stream(spark, out, max_files_per_trigger=1)
+    flagged = stream_decontaminate(stream, bench, shingle_k=3, ts_col='ts',
+                                   watermark='1 minute', state_retention='1 day')
+    assert set(flagged.schema.names) == {'doc_id', 'bench_id', 'n_overlap'}
+    q = run_stream_to_memory(flagged, 'dec_ts_sink', output_mode='update')
+    try:
+        w = Window.partitionBy('doc_id', 'bench_id') \
+                  .orderBy(F.col('n_overlap').desc())
+        got = {(r['doc_id'], r['bench_id']): r['n_overlap']
+               for r in spark.table('dec_ts_sink')
+                             .withColumn('__rn', F.row_number().over(w))
+                             .filter('__rn = 1').collect()}
+        want = {(r['doc_id'], r['bench_id']): r['n_overlap']
+                for r in decontaminate(docs.drop('ts'), bench,
+                                       min_overlap=1).collect()}
+        assert got == want and (1, 100) in got
+    finally:
+        q.stop()
