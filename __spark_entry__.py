@@ -981,6 +981,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select('vec_id')
     q['sim_semantic_dedup'] = _sim_semantic_dedup
 
+    def _sim_kmeans_cluster(spark, sf_dir):
+        # hash-seeded Lloyd k-means: centroids start at the 8 rows with
+        # the smallest md5(vec_id:seed), iterate 2 rounds with round-6
+        # mean centroids — a pure function of the data the oracle unrolls
+        # round-for-round in SQL
+        from rbql_spark.ops.cluster import kmeans_cluster
+        emb = _t(spark, sf_dir, 'embeddings').select('vec_id', 'embedding')
+        return kmeans_cluster(emb, k=8, n_iter=2)
+    q['sim_kmeans_cluster'] = _sim_kmeans_cluster
+
+    def _sim_prototype_prune(spark, sf_dir):
+        # prototype-based data pruning (Sorscher et al.): keep the half of
+        # each k-means cluster FARTHEST from its centroid (hard examples)
+        from rbql_spark.ops.cluster import prototype_prune
+        emb = _t(spark, sf_dir, 'embeddings').select('vec_id', 'embedding')
+        return prototype_prune(emb, k=8, keep_frac=0.5, n_iter=2,
+                               keep='hard')
+    q['sim_prototype_prune'] = _sim_prototype_prune
+
     # ---- superset: text analysis -------------------------------------------
     def _text_tokens(spark, sf_dir):
         from rbql_spark.ops.textstats import token_stats
@@ -1128,7 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the round-11-new sim_semantic_dedup (no driver proof yet)
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
-        'sim_semantic_dedup',
+        'sim_semantic_dedup', 'sim_kmeans_cluster', 'sim_prototype_prune',
         'rbql_distinct_count', 'rbql_group_agg', 'rbql_group_expr_key',
         'rbql_array_agg', 'rbql_global_agg', 'rbql_inner_join',
         'rbql_left_join', 'rbql_multikey_join', 'rbql_strict_left_join',
@@ -1401,6 +1420,50 @@ def _ivf_replay_sql(k: int, n_cells: int, n_probe: int, seed: int,
         "ORDER BY cosine_sim DESC, vec_id) AS rank FROM scored) "
         "SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= {k}"
     ).format(seed=seed, n_cells=n_cells, n_probe=n_probe, n_assign=n_assign, k=k)
+
+
+def _kmeans_replay_sql(k: int, n_iter: int, seed: int, dim: int,
+                       final_select: str) -> str:
+    """Replay kmeans_cluster in DuckDB: hash-seeded init (k smallest
+    md5(vec_id:seed)), then n_iter unrolled Lloyd rounds — assignment by
+    round-6 cosine argmax (ties to the lowest cell), centroid update =
+    element-wise member mean rounded to 6 places (so both engines iterate
+    from IDENTICAL centroids; summation-order drift can never compound),
+    empty cells carrying their previous centroid — ending in `fin`
+    (vec_id, cluster_id, centroid_sim), over which final_select runs."""
+    parts = [
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        ("cent0 AS (SELECT cell, cv FROM (SELECT v AS cv, row_number() OVER "
+         "(ORDER BY md5(vec_id::VARCHAR || ':{seed}'), vec_id) - 1 AS cell "
+         "FROM c) WHERE cell < {k})").format(seed=seed, k=k),
+    ]
+    for i in range(1, n_iter + 1):
+        prev = 'cent{}'.format(i - 1)
+        parts.append(
+            "asg{i} AS (SELECT vec_id, v, cell FROM (SELECT c.vec_id, c.v, "
+            "{prev}.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+            "round(list_cosine_similarity(c.v, {prev}.cv), 6) DESC, "
+            "{prev}.cell ASC) AS rn FROM c CROSS JOIN {prev}) WHERE rn = 1)"
+            .format(i=i, prev=prev))
+        parts.append(
+            "cm{i} AS (SELECT cell, pos, round(avg(v[pos]), 6) AS m "
+            "FROM asg{i}, (SELECT unnest(range(1, {dp})) AS pos) p "
+            "GROUP BY cell, pos)".format(i=i, dp=dim + 1))
+        parts.append(
+            "cent{i} AS (SELECT cell, list(m ORDER BY pos) AS cv FROM cm{i} "
+            "GROUP BY cell UNION ALL SELECT cell, cv FROM {prev} "
+            "WHERE cell NOT IN (SELECT cell FROM cm{i}))"
+            .format(i=i, prev=prev))
+    fc = 'cent{}'.format(n_iter)
+    parts.append(
+        "fin AS (SELECT vec_id, cell AS cluster_id, s AS centroid_sim FROM "
+        "(SELECT c.vec_id, {fc}.cell, "
+        "round(list_cosine_similarity(c.v, {fc}.cv), 6) AS s, "
+        "row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        "round(list_cosine_similarity(c.v, {fc}.cv), 6) DESC, "
+        "{fc}.cell ASC) AS rn FROM c CROSS JOIN {fc}) WHERE rn = 1)"
+        .format(fc=fc))
+    return 'WITH ' + ', '.join(parts) + ' ' + final_select
 
 
 def _ivf_int8_replay_sql(k: int, n_cells: int, n_probe: int,
@@ -2324,6 +2387,23 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT vec_id + 1000000 FROM embeddings WHERE vec_id < 25) "
         "SELECT vec_id FROM corpus "
         "WHERE vec_id NOT IN (SELECT id FROM labels WHERE id != cluster_id)")
+
+    # Lloyd k-means replay: hash-seeded centroids, 2 unrolled rounds with
+    # round-6 mean updates, final round-6 cosine assignment
+    o['sim_kmeans_cluster'] = _kmeans_replay_sql(
+        k=8, n_iter=2, seed=42, dim=64,
+        final_select='SELECT vec_id, cluster_id, centroid_sim FROM fin')
+
+    # prototype pruning replay: rank each cluster ASC by centroid_sim
+    # (hard-example keep), ties on vec_id, keep ceil(0.5 × cluster size)
+    o['sim_prototype_prune'] = _kmeans_replay_sql(
+        k=8, n_iter=2, seed=42, dim=64,
+        final_select=(
+            "SELECT vec_id, cluster_id, centroid_sim FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY cluster_id "
+            "ORDER BY centroid_sim ASC, vec_id ASC) AS rn, "
+            "count(*) OVER (PARTITION BY cluster_id) AS n FROM fin) "
+            "WHERE rn <= CEIL(n * 0.5)"))
 
     # decontamination replay: same md5-32 shingles as the minhash oracle,
     # benchmark side = every 50th doc, overlap = count of shared distinct

@@ -1276,6 +1276,69 @@ def test_bm25_score_ranking_and_plan(spark):
         bm25_score(df, [])
 
 
+def test_kmeans_cluster_nearest_centroid_and_plan(spark, emb_df):
+    # every row's reported sim is the max over ALL centroids (true
+    # nearest-centroid assignment), inline and arrow strategies agree,
+    # and the output plan is shuffle-free (assignment is a pure scan)
+    from rbql_spark.ops.cluster import kmeans_cluster
+    base = emb_df.select('vec_id', 'embedding')
+    out = kmeans_cluster(base, k=4, n_iter=2)
+    rows = out.collect()
+    assert len(rows) == base.count()
+    assert {r['cluster_id'] for r in rows} <= set(range(4))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan      # one scan, no shuffle
+    arrow = kmeans_cluster(base, k=4, n_iter=2, centroid_strategy='arrow')
+    a = {(r['vec_id'], r['cluster_id'], round(r['centroid_sim'], 6))
+         for r in rows}
+    b = {(r['vec_id'], r['cluster_id'], round(r['centroid_sim'], 6))
+         for r in arrow.collect()}
+    assert a == b
+
+
+def test_kmeans_cluster_ml_quantizer(spark, emb_df):
+    from rbql_spark.ops.cluster import kmeans_cluster
+    base = emb_df.select('vec_id', 'embedding').limit(100)
+    out = kmeans_cluster(base, k=3, n_iter=5, quantizer='kmeans')
+    assert out.count() == 100
+    assert out.select('cluster_id').distinct().count() <= 3
+    with pytest.raises(ValueError):
+        kmeans_cluster(base, k=3, quantizer='nope')
+
+
+def test_prototype_prune_keep_modes(spark, emb_df):
+    # hard + easy partitions cover each cluster's ceil/floor split;
+    # per-cluster kept count == ceil(0.5 × size); exactly one hash
+    # Exchange (cluster_id) and no ordering Exchange in the plan
+    import math
+
+    from rbql_spark.ops.cluster import kmeans_cluster, prototype_prune
+    base = emb_df.select('vec_id', 'embedding')
+    sizes = {r['cluster_id']: r['n'] for r in
+             kmeans_cluster(base, k=4, n_iter=2)
+             .groupBy('cluster_id').agg(F.count(F.lit(1)).alias('n'))
+             .collect()}
+    hard = prototype_prune(base, k=4, keep_frac=0.5, n_iter=2, keep='hard')
+    kept = {r['cluster_id']: r['n'] for r in
+            hard.groupBy('cluster_id').agg(F.count(F.lit(1)).alias('n'))
+                .collect()}
+    assert kept == {c: math.ceil(n * 0.5) for c, n in sizes.items()}
+    plan = hard._jdf.queryExecution().executedPlan().toString()
+    assert plan.count('Exchange hashpartitioning') == 1
+    assert 'rangepartitioning' not in plan.lower()
+    easy = prototype_prune(base, k=4, keep_frac=0.5, n_iter=2, keep='easy')
+    h = {r['vec_id'] for r in hard.collect()}
+    e = {r['vec_id'] for r in easy.collect()}
+    n_all = base.count()
+    # ceil on both sides → overlap only at per-cluster sim midpoints;
+    # together they must cover everything
+    assert len(h | e) == n_all
+    with pytest.raises(ValueError):
+        prototype_prune(base, keep='middling')
+    with pytest.raises(ValueError):
+        prototype_prune(base, keep_frac=0.0)
+
+
 def test_semantic_dedup_removes_embedding_near_dups(spark, emb_df):
     # SemDeDup composition: planted scaled copies (cosine 1.0 with their
     # originals) must vanish; min-id representatives and unclustered rows
