@@ -605,6 +605,8 @@ _UNORDERED_GATES = [
     'dedup_incremental', 'decontaminate_ngram', 'dedup_clusters',
     'sim_embedding_neardup', 'window_tumbling', 'window_sliding',
     'window_session', 'having_groups',
+    # round-11 additions, unordered from birth
+    'sim_semantic_dedup', 'sim_kmeans_cluster', 'sim_prototype_prune',
 ]
 
 
