@@ -741,6 +741,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return shard_manifest(_t(spark, sf_dir, 'documents'), n_shards=16)
     q['export_manifest'] = _export_manifest
 
+    def _export_webdataset(spark, sf_dir):
+        # full write→read round trip through the tar shards: the gate
+        # value is the manifest of the RE-READ data (doc_id cast back to
+        # long), so a byte-level corruption anywhere in the tar path
+        # breaks the checksum compare against the SQL replay
+        import os
+        import tempfile
+
+        from rbql_spark.ops.export import read_webdataset, shard_manifest, \
+            write_webdataset
+        docs = _t(spark, sf_dir, 'documents').select('doc_id', 'text')
+        out = os.path.join(tempfile.gettempdir(),
+                           'rbql_spark_wds_gate_' +
+                           os.path.basename(os.path.normpath(sf_dir)))
+        write_webdataset(docs, out, n_shards=8)
+        back = read_webdataset(spark, out).select(
+            F.col('doc_id').cast('long').alias('doc_id'), 'text')
+        return shard_manifest(back, n_shards=8, content_cols=['text'])
+    q['export_webdataset'] = _export_webdataset
+
     def _pack(spark, sf_dir):
         from rbql_spark.ops.sampling import pack_sequences
         # bucket count derives from the corpus size (ceil(count/64) here so
@@ -1148,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
         'sim_semantic_dedup', 'sim_kmeans_cluster', 'sim_prototype_prune',
+        'export_webdataset',
         'rbql_distinct_count', 'rbql_group_agg', 'rbql_group_expr_key',
         'rbql_array_agg', 'rbql_global_agg', 'rbql_inner_join',
         'rbql_left_join', 'rbql_multikey_join', 'rbql_strict_left_join',
@@ -2245,6 +2266,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 16 AS shard, "
         "count(*) AS n_rows, "
         "(sum(" + _row_digest + ") % 2147483648)::BIGINT AS content_checksum "
+        "FROM documents GROUP BY 1")
+
+    # webdataset round trip: the gate re-reads the tars it wrote, so this
+    # replay over the SOURCE rows only matches if write→read preserved
+    # every (doc_id, text) byte; null text round-trips as '' (the writer
+    # contract), matching coalesce here
+    o['export_webdataset'] = (
+        "SELECT ('0x' || md5(doc_id::VARCHAR)[1:8])::BIGINT % 8 AS shard, "
+        "count(*) AS n_rows, "
+        "(sum(('0x' || md5(doc_id::VARCHAR || ':' || coalesce(text, ''))"
+        "[1:8])::BIGINT) % 2147483648)::BIGINT AS content_checksum "
         "FROM documents GROUP BY 1")
 
     # overlapping token-window chunking: starts every (32-8)=24 tokens

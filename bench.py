@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     'streaming_session_counts',
     'dedup_spans',
     'text_bm25',
+    # round 11 additions: embedding-space curation (SemDeDup composition,
+    # Lloyd k-means, prototype pruning)
+    'sim_semantic_dedup',
+    'sim_kmeans_cluster',
+    'sim_prototype_prune',
 ]
 
 

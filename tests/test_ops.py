@@ -825,6 +825,61 @@ def test_write_sharded_roundtrip_manifest(spark, tmp_path, sf_dir):
     assert not verify_shards(tampered, manifest, n_shards=8)
 
 
+def test_webdataset_roundtrip_and_determinism(spark, tmp_path, sf_dir):
+    # tar-shard export: content round-trips, bytes are deterministic
+    # across reruns, every shard lands in exactly one tar, and the
+    # manifest counts match the content-hash assignment
+    import hashlib
+
+    from rbql_spark.ops.export import (
+        read_webdataset, shard_assign, write_webdataset,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet')) \
+                .select('doc_id', 'text', 'lang')
+    path = os.path.join(str(tmp_path), 'wds')
+    man = write_webdataset(docs, path, n_shards=4, meta_cols=['lang'])
+    got = {r['shard']: r['n_samples'] for r in man.collect()}
+    want = {r['shard']: r['n'] for r in
+            shard_assign(docs, 4).groupBy('shard')
+            .agg(F.count(F.lit(1)).alias('n')).collect()}
+    assert got == want
+    tars = sorted(f for f in os.listdir(path) if f.endswith('.tar'))
+    assert tars == ['shard-{:05d}.tar'.format(s) for s in sorted(got)]
+
+    back = read_webdataset(spark, path, with_meta=True)
+    orig = {(str(r['doc_id']), r['text'] or '', r['lang'])
+            for r in docs.collect()}
+    import json as _json
+    rt = {(r['doc_id'], r['text'],
+           _json.loads(r['meta_json'])['lang']) for r in back.collect()}
+    assert rt == orig
+
+    def _sha(p):
+        return hashlib.sha256(open(p, 'rb').read()).hexdigest()
+    before = {t: _sha(os.path.join(path, t)) for t in tars}
+    # rerun from a different physical partitioning → identical bytes
+    write_webdataset(docs.repartition(7), path, n_shards=4,
+                     meta_cols=['lang'])
+    after = {t: _sha(os.path.join(path, t)) for t in tars}
+    assert before == after
+
+
+def test_webdataset_binary_column(spark, tmp_path):
+    from rbql_spark.ops.export import read_webdataset, write_webdataset
+    df = spark.createDataFrame(
+        [(1, 'alpha', bytearray(b'\x00\x01\xff')),
+         (2, 'beta', None)],
+        'doc_id long, text string, payload binary')
+    path = os.path.join(str(tmp_path), 'wdsb')
+    man = write_webdataset(df, path, n_shards=1, binary_col='payload')
+    assert [(r['shard'], r['n_samples']) for r in man.collect()] == [(0, 2)]
+    back = {r['doc_id']: (r['text'], r['bin'])
+            for r in read_webdataset(spark, path,
+                                     with_binary=True).collect()}
+    assert back['1'] == ('alpha', bytearray(b'\x00\x01\xff'))
+    assert back['2'] == ('beta', None)
+
+
 def test_lm_score_flags_gibberish(spark):
     from rbql_spark.ops.textstats import lm_score
     common = 'the cat sat on the mat and the dog sat on the rug'
