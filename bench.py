@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     'sim_semantic_dedup',
     'sim_kmeans_cluster',
     'sim_prototype_prune',
+    'export_webdataset',
 ]
 
 

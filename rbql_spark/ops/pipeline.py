@@ -1,6 +1,7 @@
 """Composed training-data pipeline: quality filter → minhash near-dup
-dedup (LSH + connected components) → keep canonical → decontaminate vs a
-benchmark suite → deterministic train split → sequence packing.
+dedup (LSH + connected components) → keep canonical → optional
+embedding-space curation (SemDeDup + prototype pruning) → decontaminate
+vs a benchmark suite → deterministic train split → sequence packing.
 
 One function so the composition itself is a first-class, testable
 operator.  The key scale concern is corpus I/O: composed naively, the
@@ -63,6 +64,10 @@ def training_data_pipeline(
     export_shards: int = 1024,
     checkpoint_dir: str | None = None,
     with_metrics: bool = False,
+    embeddings: DataFrame | None = None,
+    embedding_col: str = 'embedding',
+    semantic_kwargs: dict | None = None,
+    prototype_kwargs: dict | None = None,
 ) -> DataFrame:
     """Run the full pipeline over `docs`, returning the packed `split_name`
     slice as (doc_id, n_tokens, bucket, bin_id, bin_seq).
@@ -79,6 +84,19 @@ def training_data_pipeline(
     (shard, n_rows, content_checksum) INSTEAD of the packing frame —
     the deployment-shaped tail of the pipeline, where downstream
     training jobs read pruned shards and re-verify content.
+
+    `embeddings` (an (id_col, embedding_col) frame keyed like `docs`)
+    enables the embedding-space curation stage AFTER surface dedup and
+    BEFORE decontamination — the order the public pipelines use
+    (SemDeDup runs on the fuzzy-deduped corpus): `semantic_kwargs`
+    (default {}) drives semantic_dedup (drop all but one representative
+    of each embedding-near-dup cluster), then `prototype_kwargs` (None →
+    skip; e.g. {'k': 64, 'keep_frac': 0.7}) drives prototype_prune.
+    Both stages reduce to a left_semi join of surviving ids against the
+    canonical frame — the embedding table is scanned by its own
+    operators and the corpus itself is never re-shuffled.  Rows of
+    `docs` with no embedding row are DROPPED by the stage (the join
+    semantics); curate only fully-embedded corpora.
 
     `with_metrics=True` returns `(result, metrics)` where metrics is a
     list of per-stage dicts {'stage', 'rows_in', 'rows_out'} — the
@@ -127,6 +145,30 @@ def training_data_pipeline(
         metrics.append({'stage': 'dedup_keep_canonical',
                         'rows_in': metrics[-1]['rows_out'],
                         'rows_out': canon.count()})
+
+    if embeddings is not None:
+        from rbql_spark.ops.cluster import prototype_prune
+        from rbql_spark.ops.similarity import semantic_dedup
+        emb = embeddings.select(F.col(id_col), F.col(embedding_col)) \
+                        .join(canon.select(id_col), id_col, 'left_semi')
+        sem_kept = semantic_dedup(emb, id_col=id_col, vec_col=embedding_col,
+                                  **dict(semantic_kwargs or {}))
+        canon = canon.join(sem_kept.select(id_col), id_col, 'left_semi')
+        if with_metrics:
+            canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
+            metrics.append({'stage': 'semantic_dedup',
+                            'rows_in': metrics[-1]['rows_out'],
+                            'rows_out': canon.count()})
+        if prototype_kwargs is not None:
+            pruned = prototype_prune(sem_kept, id_col=id_col,
+                                     vec_col=embedding_col,
+                                     **dict(prototype_kwargs))
+            canon = canon.join(pruned.select(id_col), id_col, 'left_semi')
+            if with_metrics:
+                canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
+                metrics.append({'stage': 'prototype_prune',
+                                'rows_in': metrics[-1]['rows_out'],
+                                'rows_out': canon.count()})
 
     if benchmark is not None:
         flagged = decontaminate(canon, benchmark, text_col=text_col,

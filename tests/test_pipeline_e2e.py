@@ -267,3 +267,53 @@ def test_pipeline_metrics_require_materialize(spark, sf_dir):
     with pytest.raises(ValueError, match='materialize'):
         training_data_pipeline(docs, None, with_metrics=True,
                                materialize=False)
+
+
+def test_pipeline_embedding_curation_stage(spark, sf_dir):
+    """round-11: the optional embedding-space stage (SemDeDup →
+    prototype_prune between surface dedup and decontamination) equals the
+    manual composition, and its funnel rows land in metrics."""
+    from pyspark.sql import functions as F
+    from rbql_spark.ops.cluster import prototype_prune
+    from rbql_spark.ops.dedup import keep_canonical, minhash_dedup_pairs
+    from rbql_spark.ops.pipeline import training_data_pipeline
+    from rbql_spark.ops.similarity import semantic_dedup
+    from rbql_spark.ops.textstats import quality_filter
+
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet')) \
+               .select(F.col('vec_id').alias('doc_id'), 'embedding')
+    cfg = dict(
+        quality_kwargs={'min_words': 5, 'min_stopword_ratio': 0.0},
+        minhash_kwargs={'threshold': 0.5},
+        semantic_kwargs={'threshold': 0.9, 'dim': 64},
+        prototype_kwargs={'k': 4, 'keep_frac': 0.8, 'n_iter': 1},
+        split_kwargs={'splits': [('train', 1.0)]},
+    )
+    result, metrics = training_data_pipeline(
+        docs, None, embeddings=emb, with_metrics=True, **cfg)
+    stages = [m['stage'] for m in metrics]
+    assert stages == ['quality_filter', 'dedup_keep_canonical',
+                      'semantic_dedup', 'prototype_prune', 'split_train']
+    for prev, cur in zip(metrics, metrics[1:]):
+        assert cur['rows_in'] == prev['rows_out']
+        assert cur['rows_out'] <= cur['rows_in']
+
+    # manual composition at identical config
+    kept = quality_filter(docs, output='rows', **cfg['quality_kwargs'])
+    pairs = minhash_dedup_pairs(kept, 'text', 'doc_id',
+                                **cfg['minhash_kwargs'])
+    canon = keep_canonical(kept, pairs)
+    e = emb.join(canon.select('doc_id'), 'doc_id', 'left_semi')
+    sem = semantic_dedup(e, id_col='doc_id', vec_col='embedding',
+                         **cfg['semantic_kwargs'])
+    assert metrics[2]['rows_out'] == \
+        canon.join(sem.select('doc_id'), 'doc_id', 'left_semi').count()
+    pruned = prototype_prune(sem, id_col='doc_id', vec_col='embedding',
+                             **cfg['prototype_kwargs'])
+    want = {r['doc_id'] for r in pruned.collect()} & \
+           {r['doc_id'] for r in canon.collect()}
+    assert metrics[3]['rows_out'] == len(want)
+    got = {r['doc_id'] for r in result.select('doc_id').distinct().collect()}
+    assert got == want
+    spark.catalog.clearCache()
