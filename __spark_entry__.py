@@ -646,6 +646,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decontaminate(docs, bench, shingle_k=3, min_overlap=2)
     q['decontaminate_ngram'] = _decontaminate
 
+    def _decontaminate_bloom(spark, sf_dir):
+        from rbql_spark.ops.dedup import decontaminate_bloom
+        docs = _t(spark, sf_dir, 'documents')
+        bench = docs.filter(F.col('doc_id') % 50 == 0).select('doc_id', 'text')
+        # 2^16 bits is deliberately undersized for the sf0.01 benchmark so
+        # the gate exercises real bloom false positives — the oracle
+        # replays the exact same bit arithmetic, so values still match
+        return decontaminate_bloom(docs, bench, shingle_k=3, min_hits=1,
+                                   bloom_bits=1 << 16, bloom_hashes=3)
+    q['decontaminate_bloom'] = _decontaminate_bloom
+
     def _dedup_clusters(spark, sf_dir):
         from rbql_spark.ops.dedup import dedup_clusters, simhash_near_dups
         pairs = simhash_near_dups(_t(spark, sf_dir, 'documents'), 'text', 'doc_id',
@@ -1020,6 +1031,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                keep='hard')
     q['sim_prototype_prune'] = _sim_prototype_prune
 
+    # ---- superset: importance resampling (DSIR) ----------------------------
+    def _dsir_weights(spark, sf_dir):
+        # every 7th document stands in for the in-domain target corpus;
+        # every doc gets its hashed-bigram log importance weight
+        from rbql_spark.ops.dsir import dsir_log_weights
+        docs = _t(spark, sf_dir, 'documents')
+        target = docs.filter(F.col('doc_id') % 7 == 0)
+        return dsir_log_weights(docs, target, dim=1024)
+    q['dsir_weights'] = _dsir_weights
+
+    def _dsir_topk(spark, sf_dir):
+        # Gumbel top-k sampling without replacement ∝ importance weight
+        from rbql_spark.ops.dsir import dsir_sample
+        docs = _t(spark, sf_dir, 'documents')
+        target = docs.filter(F.col('doc_id') % 7 == 0)
+        return dsir_sample(docs, target, n_select=100, dim=1024)
+    q['dsir_topk'] = _dsir_topk
+
     # ---- superset: text analysis -------------------------------------------
     def _text_tokens(spark, sf_dir):
         from rbql_spark.ops.textstats import token_stats
@@ -1167,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the round-11-new sim_semantic_dedup (no driver proof yet)
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
+        'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sim_semantic_dedup', 'sim_kmeans_cluster', 'sim_prototype_prune',
         'export_webdataset',
         'rbql_distinct_count', 'rbql_group_agg', 'rbql_group_expr_key',
@@ -2456,9 +2486,68 @@ def oracle_sql() -> dict[str, str]:
         "FROM t JOIN b USING (s) GROUP BY t.doc_id, b.bench_id "
         "HAVING count(*) >= 2")
 
+    # bloom decontamination replay: same md5-32 shingles, then the exact
+    # bit arithmetic of ops/dedup._bloom_positions — 3 salted 48-bit md5
+    # positions mod 2^16 per shingle, benchmark = every 50th doc; a train
+    # shingle is bloom-positive iff all 3 of its position rows find a set
+    # bit (count(*) = 3 is exact even under internal position collisions)
+    o['decontaminate_bloom'] = (
+        "WITH toks AS (SELECT doc_id, " + _dec_toks + " AS t FROM documents), "
+        "shg AS (SELECT doc_id, list_distinct(list_transform(" + _dec_shingles +
+        ", s -> ('0x' || md5(s)[1:8])::BIGINT)) AS sh FROM toks), "
+        "tsh AS (SELECT doc_id, unnest(sh) AS s FROM shg), "
+        "pos AS (SELECT doc_id, s, i, ('0x' || md5(s::VARCHAR || ':bloom:42:' "
+        "|| i::VARCHAR)[1:12])::BIGINT % 65536 AS p "
+        "FROM tsh, (SELECT unnest(range(0, 3)) AS i)), "
+        "bits AS (SELECT DISTINCT p FROM pos WHERE doc_id % 50 = 0), "
+        "hit AS (SELECT doc_id, s FROM pos JOIN bits USING (p) "
+        "GROUP BY doc_id, s HAVING count(*) = 3) "
+        "SELECT doc_id, count(*) AS n_flagged_shingles FROM hit "
+        "GROUP BY doc_id HAVING count(*) >= 1")
+
     # streaming decontamination's lifetime final state per key equals the
     # batch decontaminate answer — same replay as decontaminate_ngram
     o['streaming_decontaminate'] = o['decontaminate_ngram']
+
+    # DSIR replay: hashed unigram+bigram features into 1024 md5 buckets,
+    # add-one bucket models on target (doc_id % 7 = 0) vs raw (all docs),
+    # per-doc sum of bucket log ratios rounded to 6 — the same
+    # far-below-the-grid float-order argument as text_lm_score
+    _dsir_weights_sql = (
+        "WITH toks AS (SELECT doc_id, " + _dec_toks + " AS t FROM documents), "
+        "grams AS (SELECT doc_id, unnest(t) AS g FROM toks "
+        "UNION ALL SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g "
+        "FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks "
+        "WHERE len(t) >= 2)), "
+        "feats AS (SELECT doc_id, ('0x' || md5(g || ':dsir:42')[1:8])::BIGINT "
+        "% 1024 AS bucket FROM grams), "
+        "ct AS (SELECT bucket, count(*) AS c FROM feats WHERE doc_id % 7 = 0 "
+        "GROUP BY bucket), "
+        "cr AS (SELECT bucket, count(*) AS c FROM feats GROUP BY bucket), "
+        "tt AS (SELECT sum(c) AS t FROM ct), "
+        "tr AS (SELECT sum(c) AS t FROM cr), "
+        "model AS (SELECT b.bucket, "
+        "ln((coalesce(ct.c, 0) + 1.0) / (tt.t + 1024.0)) "
+        "- ln((coalesce(cr.c, 0) + 1.0) / (tr.t + 1024.0)) AS lr "
+        "FROM (SELECT unnest(range(0, 1024)) AS bucket) b "
+        "LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket) "
+        "CROSS JOIN tt CROSS JOIN tr) "
+        "SELECT f.doc_id, count(*) AS n_features, "
+        "round(sum(m.lr), 6) AS log_weight "
+        "FROM feats f JOIN model m USING (bucket) GROUP BY f.doc_id")
+    o['dsir_weights'] = _dsir_weights_sql
+
+    # Gumbel top-k: rank on the ROUNDED score (ties by doc_id) exactly as
+    # the Spark side sorts, so the 1e-6 grid can never flip the cut line
+    o['dsir_topk'] = (
+        "WITH w AS (" + _dsir_weights_sql + "), "
+        "g AS (SELECT doc_id, log_weight, round(log_weight + "
+        "-ln(-ln((('0x' || md5(doc_id::VARCHAR || ':gumbel:42')[1:12])::BIGINT "
+        "+ 1.0) / " + str(float((1 << 48) + 2)) + ")), 6) AS gumbel_score "
+        "FROM w) "
+        "SELECT doc_id, log_weight, gumbel_score FROM "
+        "(SELECT *, row_number() OVER (ORDER BY gumbel_score DESC, doc_id) "
+        "AS rn FROM g) WHERE rn <= 100")
     # stateless projection: lifetime stream output == the batch filter
     o['streaming_quality_filter'] = _qf_replay_sql()
 

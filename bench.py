@@ -111,6 +111,11 @@ BENCH_QUERIES = [
     'sim_kmeans_cluster',
     'sim_prototype_prune',
     'export_webdataset',
+    # round 11 additions: DSIR importance resampling + bloom-filter
+    # decontamination (the unbounded-benchmark scale path)
+    'dsir_weights',
+    'dsir_topk',
+    'decontaminate_bloom',
 ]
 
 

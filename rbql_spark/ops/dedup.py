@@ -174,6 +174,112 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
              .where(F.col('n_overlap') >= min_overlap))
 
 
+def _bloom_positions(sh: Column, bloom_hashes: int, bloom_bits: int,
+                     seed: int) -> Column:
+    """Array of the `bloom_hashes` bit positions of shingle-hash `sh` —
+    48-bit md5-derived values mod bloom_bits, one per salt index, all
+    native Catalyst so any engine with md5() replays them."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(bloom_hashes) - 1)),
+        lambda i: F.conv(F.substring(F.md5(F.concat(
+            sh.cast('string'), F.lit(':bloom:{}:'.format(seed)),
+            i.cast('string'))), 1, 12), 16, 10).cast('long')
+        % F.lit(int(bloom_bits)))
+
+
+def decontaminate_bloom(train: DataFrame, benchmark: DataFrame,
+                        text_col: str = 'text', id_col: str = 'doc_id',
+                        shingle_k: int = 3, min_hits: int = 1,
+                        bloom_bits: int = 1 << 20, bloom_hashes: int = 3,
+                        seed: int = 42, impl: str = 'native') -> DataFrame:
+    """Bloom-filter decontamination — the scale path of decontaminate()
+    for when the benchmark side is itself corpus-sized (e.g. "flag
+    anything that overlaps our eval CORPUS", or cross-corpus leakage
+    sweeps): → (doc_id, n_flagged_shingles) for training docs with
+    ≥ min_hits shingles whose every bloom position is set.
+
+    decontaminate() broadcasts the benchmark's full shingle set, which
+    grows without bound; here the benchmark collapses into a classic
+    Bloom filter — `bloom_hashes` md5-derived positions per shingle in a
+    `bloom_bits`-wide bit space — so what ships to every executor is
+    capped at min(bloom_bits, hashes × bench_shingles) DISTINCT set bits
+    no matter how large the benchmark grows.  The trade is bloom
+    semantics: the flagged set is a SUPERSET of the true overlap (false
+    positive rate ≈ (1 − e^(−k·n/m))^k; the 2^20/3-hash default holds
+    <1% to ~200k benchmark shingles — size bloom_bits to the benchmark),
+    which is the safe direction for contamination screens: borderline
+    docs get a second exact pass or are dropped.
+
+    impl='native' (default) keeps everything in Catalyst: the set-bit
+    positions stay a DataFrame, broadcast-hash-joined against the
+    corpus' exploded (shingle × position) stream — one corpus scan, no
+    corpus shuffle, the only shuffles are over surviving hit rows; a
+    shingle is bloom-positive iff all `bloom_hashes` of its position
+    rows find a partner (count == k is exact even when a shingle's own
+    positions collide).  This path is replayed value-for-value by the
+    DuckDB oracle.  impl='bitmap' packs the same positions into a
+    numpy bit array on the driver (bloom_bits/8 bytes, e.g. 128 KiB at
+    the default) broadcast to an Arrow mapInPandas membership kernel —
+    position hashing still native, only the O(1) bit test in Python —
+    for when even the position table is too wide to hash-join.  Both
+    impls return identical rows (engines-agree tested).
+
+    Output is UNORDERED (pair/label producers never pay a display sort).
+    """
+    sh = word_shingles_md5(F.col(text_col), k=shingle_k)
+    bits = (benchmark.select(F.explode(sh).alias('sh'))
+                     .select(F.explode(_bloom_positions(
+                         F.col('sh'), bloom_hashes, bloom_bits, seed))
+                         .alias('pos'))
+                     .distinct())
+    t = (spread_partitions(train)
+         .select(F.col(id_col).alias('doc_id'), F.explode(sh).alias('sh')))
+    if impl == 'bitmap':
+        import numpy as np
+        set_bits = np.fromiter((r['pos'] for r in bits.collect()),
+                               dtype=np.int64)
+        bm = np.zeros((int(bloom_bits) + 7) // 8, dtype=np.uint8)
+        np.bitwise_or.at(bm, set_bits >> 3,
+                         np.left_shift(1, (set_bits & 7).astype(np.uint8),
+                                       dtype=np.uint8))
+        bc = train.sparkSession.sparkContext.broadcast(bm)
+        k = int(bloom_hashes)
+        pos_df = t.select('doc_id', _bloom_positions(
+            F.col('sh'), bloom_hashes, bloom_bits, seed).alias('ps'))
+
+        def member(batches):
+            import pandas as pd
+            bmv = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                flat = np.concatenate(pdf['ps'].to_numpy())
+                hit = (bmv[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
+                ends = np.cumsum(pdf['ps'].map(len).to_numpy())
+                starts = np.concatenate(([0], ends[:-1]))
+                allhit = np.add.reduceat(hit, starts) == k
+                # reduceat on an empty segment would misbehave, but every
+                # shingle emits exactly k positions
+                yield pd.DataFrame({'doc_id': pdf['doc_id'],
+                                    'flag': allhit.astype('int64')})
+
+        flags = pos_df.mapInPandas(member, schema='doc_id long, flag long')
+        return (flags.groupBy('doc_id')
+                     .agg(F.sum('flag').cast('long')
+                          .alias('n_flagged_shingles'))
+                     .where(F.col('n_flagged_shingles') >= min_hits))
+    tp = (t.select('doc_id', 'sh', F.explode(_bloom_positions(
+              F.col('sh'), bloom_hashes, bloom_bits, seed)).alias('pos'))
+           .join(F.broadcast(bits), 'pos'))
+    positive = (tp.groupBy('doc_id', 'sh')
+                  .agg(F.count(F.lit(1)).alias('__n'))
+                  .where(F.col('__n') == int(bloom_hashes)))
+    return (positive.groupBy('doc_id')
+                    .agg(F.count(F.lit(1)).cast('long')
+                         .alias('n_flagged_shingles'))
+                    .where(F.col('n_flagged_shingles') >= min_hits))
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     rnd = random.Random(seed)
     return [(rnd.randrange(1, 1 << 30), rnd.randrange(0, 1 << 30))

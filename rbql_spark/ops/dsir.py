@@ -1,0 +1,184 @@
+"""Data Selection via Importance Resampling (DSIR; Xie et al. 2023,
+arXiv:2302.03169): pick raw-corpus documents whose hashed-n-gram
+distribution looks like a target corpus.
+
+The published recipe, re-expressed as Spark aggregations:
+
+1. featurize every document as a bag of hashed n-grams (unigrams +
+   bigrams folded into `dim` buckets — the paper's 10k-bucket hashing);
+2. fit two bag-of-words models over the buckets: one on the target
+   corpus, one on the raw corpus (add-`smoothing` Laplace estimates);
+3. per raw document, the log importance weight is the sum over its
+   n-gram occurrences of log p_target(bucket) − log p_raw(bucket);
+4. sample without replacement with probability ∝ weight via the Gumbel
+   top-k trick: g_i = log w_i + Gumbel(0,1), keep the n largest g_i.
+
+Scale shape: the bucket models are `dim`-row tables (a fixed parameter,
+like IVF's n_cells) built by one aggregation per corpus, then BROADCAST
+into the scoring join — the raw corpus never shuffles to be scored; its
+exploded n-gram stream maps through the broadcast model and collapses
+in one partial/final sum per doc_id.  All hashing is native Catalyst
+md5 arithmetic, and the Gumbel noise is an md5-derived uniform keyed on
+doc_id — the whole pipeline is a pure function of the data, replayed
+value-for-value by the DuckDB differential oracle.  Like lm_score, the
+accumulated float-order error of summing per-gram logs sits far below
+the 1e-6 rounding grid both engines emit.
+
+Reference parity note: the reference engine (mechatroner/RBQL) has no
+data-selection surface; this module is part of the LLM-training-data
+superset, mirroring the conventions of ops/textstats.py (lm_score) and
+ops/dedup.py (decontaminate).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import let_once, spread_partitions, tokens
+
+__all__ = ['dsir_log_weights', 'dsir_sample']
+
+
+def _hashed_grams(col: Column, ngram_max: int = 2) -> Column:
+    """Array of n-gram strings (1..ngram_max words, space-joined), one
+    entry per OCCURRENCE — DSIR features are counts, not sets, so no
+    array_distinct here (unlike the dedup shingles)."""
+    def grams(ta: Column) -> Column:
+        n = F.size(ta)
+
+        def kgram(k):
+            # closure factory, NOT `lambda i, k=k`: pyspark would read the
+            # defaulted param as the (element, index) two-arg lambda form
+            return lambda i: F.concat_ws(' ', F.slice(ta, i + 1, k))
+
+        parts = [ta]
+        for k in range(2, int(ngram_max) + 1):
+            idx = F.sequence(F.lit(0), n - k)
+            parts.append(F.when(n >= k, F.transform(idx, kgram(k)))
+                          .otherwise(F.array().cast('array<string>')))
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+    return let_once(tokens(col), grams)
+
+
+def _bucket(gram: Column, dim: int, seed: int) -> Column:
+    """md5-derived feature bucket in [0, dim) — the hashing trick, same
+    first-8-hex-chars construction as word_shingles_md5 so any engine
+    with md5() replays it."""
+    h = F.md5(F.concat(gram, F.lit(':dsir:{}'.format(seed))))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast('long') % F.lit(int(dim))
+
+
+def _bucket_counts(df: DataFrame, text_col: str, dim: int, ngram_max: int,
+                   seed: int, name: str) -> DataFrame:
+    """(bucket, <name>) occurrence counts — ONE scan + one partial/final
+    aggregation collapsing to ≤ dim rows."""
+    g = (spread_partitions(df)
+         .select(F.explode(_hashed_grams(F.col(text_col), ngram_max))
+                 .alias('__g'))
+         .select(_bucket(F.col('__g'), dim, seed).alias('bucket')))
+    return g.groupBy('bucket').agg(F.count(F.lit(1)).alias(name))
+
+
+def dsir_log_weights(raw: DataFrame, target: DataFrame,
+                     text_col: str = 'text', id_col: str = 'doc_id',
+                     dim: int = 4096, ngram_max: int = 2,
+                     seed: int = 42, smoothing: float = 1.0) -> DataFrame:
+    """Score every raw document with its DSIR log importance weight →
+    (doc_id, n_features, log_weight), log_weight rounded to 6.
+
+    `dim` bounds BOTH model tables at dim rows regardless of corpus
+    size, which is what makes them broadcastable at any scale (the
+    paper uses 10k buckets); `smoothing` is the Laplace constant of the
+    two bucket models.  Documents whose text yields no tokens have no
+    features and emit no row (the lm_score bigram convention).
+
+    Cost: one scan of `target`, TWO scans of `raw` (model fit + scoring
+    — persist `raw` upstream if it is not a cheap parquet re-read).
+    Output is UNORDERED (pair/score producers never pay a display
+    sort); dsir_sample ranks it.
+    """
+    ct = _bucket_counts(target, text_col, dim, ngram_max, seed, '__ct')
+    cr = _bucket_counts(raw, text_col, dim, ngram_max, seed, '__cr')
+    # dense dim-row model: every bucket present so unseen buckets smooth
+    # instead of dropping out of the scoring join
+    buckets = (raw.sparkSession.range(0, int(dim))
+                  .select(F.col('id').alias('bucket')))
+    a = F.lit(float(smoothing))
+    model = (buckets.join(ct, 'bucket', 'left').join(cr, 'bucket', 'left')
+             .crossJoin(F.broadcast(
+                 ct.agg(F.sum('__ct').alias('__tt'))
+                   .join(cr.agg(F.sum('__cr').alias('__tr')))))
+             .select('bucket',
+                     (F.log((F.coalesce(F.col('__ct'), F.lit(0)) + a)
+                            / (F.col('__tt') + a * int(dim)))
+                      - F.log((F.coalesce(F.col('__cr'), F.lit(0)) + a)
+                              / (F.col('__tr') + a * int(dim))))
+                     .alias('__lr')))
+    scored = (spread_partitions(raw)
+              .select(F.col(id_col).alias('doc_id'),
+                      F.explode(_hashed_grams(F.col(text_col), ngram_max))
+                      .alias('__g'))
+              .select('doc_id',
+                      _bucket(F.col('__g'), dim, seed).alias('bucket'))
+              .join(F.broadcast(model), 'bucket'))
+    return (scored.groupBy('doc_id')
+                  .agg(F.count(F.lit(1)).cast('long').alias('n_features'),
+                       F.round(F.sum('__lr'), 6).alias('log_weight')))
+
+
+def _gumbel(key: Column, seed: int) -> Column:
+    """Deterministic standard-Gumbel noise keyed on the doc id: an
+    md5-derived 48-bit uniform u ∈ (0,1), g = −ln(−ln u).  Stateless
+    and engine-replayable, like sampling._hash_unit."""
+    h = F.md5(F.concat(key.cast('string'), F.lit(':gumbel:{}'.format(seed))))
+    u = ((F.conv(F.substring(h, 1, 12), 16, 10).cast('double') + 1.0)
+         / float((1 << 48) + 2))
+    return -F.log(-F.log(u))
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, n_select: int,
+                text_col: str = 'text', id_col: str = 'doc_id',
+                dim: int = 4096, ngram_max: int = 2, seed: int = 42,
+                smoothing: float = 1.0, exact_max_n: int = 1_000_000,
+                weights: DataFrame | None = None) -> DataFrame:
+    """Gumbel-top-k DSIR selection: the n_select raw documents sampled
+    without replacement with probability ∝ exp(log_weight) →
+    (doc_id, log_weight, gumbel_score).
+
+    Ranking compares the ROUNDED scores (ties broken by doc_id) so both
+    engines order identically even when two documents land on the same
+    1e-6 grid cell.
+
+    Scale shape: n_select ≤ exact_max_n runs TakeOrderedAndProject —
+    no full range shuffle, but the driver holds n_select rows.  Larger
+    selections switch to a threshold plan: approx_percentile picks the
+    cutoff score (one extra aggregation of the slim score triple) and a
+    filter keeps ≈n_select rows with NO global sort — the 100 TB path,
+    where "give me the best 10%" never needs an exact rank.
+
+    `weights`: pass a precomputed dsir_log_weights frame to skip the
+    scoring scans (e.g. score once, sample at several sizes).
+    """
+    w = weights if weights is not None else dsir_log_weights(
+        raw, target, text_col=text_col, id_col=id_col, dim=dim,
+        ngram_max=ngram_max, seed=seed, smoothing=smoothing)
+    scored = w.select('doc_id', 'log_weight',
+                      F.round(F.col('log_weight')
+                              + _gumbel(F.col('doc_id'), seed), 6)
+                       .alias('gumbel_score'))
+    if int(n_select) <= int(exact_max_n):
+        return (scored.orderBy(F.col('gumbel_score').desc(),
+                               F.col('doc_id').asc())
+                      .limit(int(n_select)))
+    # threshold plan: persist the slim triple once (it feeds the count,
+    # the percentile aggregation, and the final filter), pick the cutoff
+    # at the (1 − n/total) quantile, keep everything above it
+    from pyspark.storagelevel import StorageLevel
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    total = scored.count()
+    q = max(0.0, 1.0 - float(n_select) / max(total, 1))
+    cut = scored.agg(F.percentile_approx('gumbel_score', F.lit(q), 10_000)
+                     .alias('__cut'))
+    return (scored.crossJoin(F.broadcast(cut))
+                  .where(F.col('gumbel_score') >= F.col('__cut'))
+                  .drop('__cut'))

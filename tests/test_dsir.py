@@ -1,0 +1,155 @@
+"""DSIR importance resampling (ops/dsir.py) and bloom decontamination
+(ops/dedup.decontaminate_bloom) — round-11 additions to the
+training-data superset."""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope='module')
+def corpora(spark):
+    """A raw corpus with two clearly separated vocabularies and a target
+    drawn from one of them: 'science' docs must out-weigh 'sports'."""
+    sci = ['the electron orbits the nucleus in quantum theory',
+           'relativity curves spacetime near every large mass',
+           'the genome encodes proteins through messenger rna',
+           'entropy increases in every isolated physical system']
+    spo = ['the striker scored a late goal in the final',
+           'the coach praised the defense after the match',
+           'fans cheered as the team lifted the trophy',
+           'the referee booked two players for rough tackles']
+    raw = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(sci + spo)], 'doc_id long, text string')
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(sci)], 'doc_id long, text string')
+    return raw, target
+
+
+def test_dsir_weights_separate_domains(spark, corpora):
+    from rbql_spark.ops.dsir import dsir_log_weights
+    raw, target = corpora
+    w = {r['doc_id']: r['log_weight']
+         for r in dsir_log_weights(raw, target, dim=512).collect()}
+    assert set(w) == set(range(8))
+    sci_min = min(w[i] for i in range(4))
+    spo_max = max(w[i] for i in range(4, 8))
+    assert sci_min > spo_max, w
+
+
+def test_dsir_weights_feature_count_and_empty(spark):
+    from rbql_spark.ops.dsir import dsir_log_weights
+    raw = spark.createDataFrame(
+        [(1, 'alpha beta gamma'), (2, ''), (3, None), (4, 'solo')],
+        'doc_id long, text string')
+    w = {r['doc_id']: r['n_features']
+         for r in dsir_log_weights(raw, raw, dim=64).collect()}
+    # 3 unigrams + 2 bigrams; tokenless docs emit no row; 1-token doc has
+    # its unigram only
+    assert w == {1: 5, 4: 1}
+    uni = {r['doc_id']: r['n_features']
+           for r in dsir_log_weights(raw, raw, dim=64, ngram_max=1).collect()}
+    assert uni == {1: 3, 4: 1}
+
+
+def test_dsir_weights_native_plan(spark, corpora):
+    from rbql_spark.ops.dsir import dsir_log_weights
+    raw, target = corpora
+    plan = dsir_log_weights(raw, target, dim=128) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert 'BatchEvalPython' not in plan and 'mapInPandas' not in plan
+    assert 'BroadcastHashJoin' in plan  # model joins the gram stream broadcast
+
+
+def test_dsir_sample_exact_topk(spark, corpora):
+    from rbql_spark.ops.dsir import dsir_log_weights, dsir_sample
+    raw, target = corpora
+    w = dsir_log_weights(raw, target, dim=512)
+    sel = dsir_sample(raw, target, n_select=3, dim=512).collect()
+    assert len(sel) == 3
+    scores = [r['gumbel_score'] for r in sel]
+    assert scores == sorted(scores, reverse=True)
+    # precomputed-weights path returns the identical selection
+    sel2 = dsir_sample(raw, target, n_select=3, dim=512, weights=w).collect()
+    assert [tuple(r) for r in sel] == [tuple(r) for r in sel2]
+
+
+def test_dsir_sample_threshold_path(spark, corpora):
+    from rbql_spark.ops.dsir import dsir_log_weights, dsir_sample
+    raw, target = corpora
+    w = dsir_log_weights(raw, target, dim=512)
+    got = dsir_sample(raw, target, n_select=3, dim=512, weights=w,
+                      exact_max_n=0).collect()
+    assert 3 <= len(got) <= 8
+    # threshold semantics: the result is exactly every scored doc at or
+    # above the selected cut — no score above the cut is missing
+    from rbql_spark.ops.dsir import _gumbel
+    allsc = {r['doc_id']: r['g'] for r in w.select(
+        'doc_id', F.round(F.col('log_weight')
+                          + _gumbel(F.col('doc_id'), 42), 6).alias('g'))
+        .collect()}
+    cut = min(r['gumbel_score'] for r in got)
+    assert {r['doc_id'] for r in got} == \
+        {d for d, g in allsc.items() if g >= cut}
+    spark.catalog.clearCache()
+
+
+def test_bloom_decontaminate_impls_agree(spark, sf_dir):
+    from rbql_spark.ops.dedup import decontaminate_bloom
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    bench = docs.filter(F.col('doc_id') % 50 == 0).select('doc_id', 'text')
+    nat = {tuple(r) for r in decontaminate_bloom(
+        docs, bench, bloom_bits=1 << 16).collect()}
+    bit = {tuple(r) for r in decontaminate_bloom(
+        docs, bench, bloom_bits=1 << 16, impl='bitmap').collect()}
+    assert nat == bit and nat
+
+
+def test_bloom_decontaminate_superset_and_saturation(spark):
+    from rbql_spark.ops.dedup import decontaminate, decontaminate_bloom
+    docs = spark.createDataFrame(
+        [(1, 'alpha beta gamma delta epsilon zeta'),
+         (2, 'totally unrelated words nowhere near benchmark text'),
+         (3, 'alpha beta gamma delta overlapping prefix here')],
+        'doc_id long, text string')
+    bench = spark.createDataFrame(
+        [(10, 'alpha beta gamma delta epsilon zeta')],
+        'doc_id long, text string')
+    exact = {r['doc_id'] for r in decontaminate(docs, bench).collect()}
+    roomy = {r['doc_id'] for r in decontaminate_bloom(
+        docs, bench, bloom_bits=1 << 20).collect()}
+    assert exact == {1, 3}
+    # a roomy filter has no false positives on this tiny shingle set
+    assert roomy == exact
+    # a saturated 16-bit filter flags even the disjoint doc — bloom's
+    # documented false-positive direction
+    tiny = {r['doc_id'] for r in decontaminate_bloom(
+        docs, bench, bloom_bits=16).collect()}
+    assert tiny == {1, 2, 3}
+
+
+def test_bloom_decontaminate_min_hits(spark):
+    from rbql_spark.ops.dedup import decontaminate_bloom
+    docs = spark.createDataFrame(
+        [(1, 'alpha beta gamma delta epsilon zeta'),
+         (2, 'alpha beta gamma unrelated tail words here')],
+        'doc_id long, text string')
+    bench = docs.filter(F.col('doc_id') == 1).select('doc_id', 'text')
+    hits = {r['doc_id']: r['n_flagged_shingles']
+            for r in decontaminate_bloom(docs, bench,
+                                         bloom_bits=1 << 20).collect()}
+    assert hits[1] == 4 and hits[2] == 1  # doc2 shares one 3-shingle
+    strict = {r['doc_id'] for r in decontaminate_bloom(
+        docs, bench, bloom_bits=1 << 20, min_hits=2).collect()}
+    assert strict == {1}
+
+
+def test_bloom_decontaminate_native_plan(spark, sf_dir):
+    from rbql_spark.ops.dedup import decontaminate_bloom
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    bench = docs.filter(F.col('doc_id') % 50 == 0).select('doc_id', 'text')
+    plan = decontaminate_bloom(docs, bench, bloom_bits=1 << 16) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert 'BatchEvalPython' not in plan and 'mapInPandas' not in plan
+    assert 'BroadcastHashJoin' in plan  # set-bit table broadcast, not corpus
+    assert 'rangepartitioning' not in plan  # unordered output
