@@ -33,6 +33,8 @@ PICKS = [
     ('sim_ann_index_churn', 'Stored-index search after delete/append churn: PartitionFilters prune to the probed cells, the tombstone set anti-joins via broadcast right after the pruned scan, shortlist + float rescore as the clean-index path.'),
     ('sim_kmeans_cluster', 'Lloyd k-means final assignment: one corpus FileScan, the centroid argmax is a single native projection — NO Exchange anywhere in the plan (per-iteration centroid updates are separate bounded partial-agg jobs that never shuffle the corpus).'),
     ('sim_prototype_prune', 'Prototype-based pruning: the slim (id, cluster, sim) triple shuffles ONCE on cluster_id; both windows (rank + cluster size) reuse that partitioning — exactly one hashpartitioning Exchange, no ordering Exchange.'),
+    ('dsir_weights', 'DSIR importance weights: the dim-row bucket models broadcast into the exploded gram stream — the raw corpus is scored without ever shuffling (its only Exchange is the final per-doc partial/final sum); all hashing native md5, zero Python stages.'),
+    ('decontaminate_bloom', 'Bloom decontamination: the benchmark collapses to a distinct set-bit table (capped at bloom_bits rows) that BROADCASTS into the corpus (shingle × position) stream; only surviving hit rows shuffle — the corpus side never exchanges before the membership join.'),
 ]
 
 out = ['# PLANS — physical plans of headline queries (sf0.001, local)',
