@@ -747,6 +747,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select('doc_id', 'mix_source')
     q['sample_mix'] = _sample_mix
 
+    def _sample_mix_tokens(spark, sf_dir):
+        # the same 60/30/10 recipe budgeted by TOKEN mass instead of rows
+        from rbql_spark.ops.sampling import mix_corpora
+        docs = _t(spark, sf_dir, 'documents')
+        srcs = [docs.filter(F.col('doc_id') % 3 == i) for i in range(3)]
+        return mix_corpora(srcs, [0.6, 0.3, 0.1], by='tokens') \
+            .select('doc_id', 'mix_source')
+    q['sample_mix_tokens'] = _sample_mix_tokens
+
     def _export_manifest(spark, sf_dir):
         from rbql_spark.ops.export import shard_manifest
         return shard_manifest(_t(spark, sf_dir, 'documents'), n_shards=16)
@@ -1197,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
+        'sample_mix_tokens',
         'sim_semantic_dedup', 'sim_kmeans_cluster', 'sim_prototype_prune',
         'export_webdataset',
         'rbql_distinct_count', 'rbql_group_agg', 'rbql_group_expr_key',
@@ -2260,6 +2270,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, {i} AS mix_source FROM documents "
         "WHERE doc_id % 3 = {i} AND ({r} / {a} >= 1.0 OR {u} < {r} / {a})"
         .format(i=i, r=_mix_ratio[i], a=_mix_anchor, u=_mix_unit(i))
+        for i in range(3))
+
+    # token-budget mixture: same keep logic, source mass = whitespace
+    # token sum (exact integer-valued double sums on both engines)
+    _mixt_ntok = ("len(list_filter(string_split_regex(coalesce(text, ''), "
+                  "'\\s+'), x -> x != ''))")
+    _mixt_ratio = ["({} / (SELECT sum({})::DOUBLE FROM documents "
+                   "WHERE doc_id % 3 = {}))".format(w, _mixt_ntok, i)
+                   for i, w in enumerate(_mix_w)]
+    _mixt_anchor = "greatest({}, {}, {})".format(*_mixt_ratio)
+    o['sample_mix_tokens'] = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS mix_source FROM documents "
+        "WHERE doc_id % 3 = {i} AND ({r} / {a} >= 1.0 OR {u} < {r} / {a})"
+        .format(i=i, r=_mixt_ratio[i], a=_mixt_anchor, u=_mix_unit(i))
         for i in range(3))
     o['sample_stratified'] = (
         "SELECT doc_id, lang FROM documents WHERE " + _unit + " < "

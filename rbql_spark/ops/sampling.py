@@ -283,11 +283,21 @@ def shuffle_corpus(df: DataFrame, key_col: str = 'doc_id',
 
 def mix_corpora(sources: list, weights: list[float],
                 key_col: str = 'doc_id', seed: int = 42,
-                source_col: str = 'mix_source') -> DataFrame:
+                source_col: str = 'mix_source', by: str = 'rows',
+                token_col: str | None = None,
+                text_col: str = 'text') -> DataFrame:
     """Weighted corpus mixture: deterministically downsample N sources so
-    their EXPECTED row proportions match `weights`, then union — the
+    their EXPECTED proportions match `weights`, then union — the
     "data mixture" step of a training recipe (e.g. 60% web, 30% code,
     10% books).
+
+    by='rows' (default) balances document counts; by='tokens' balances
+    TOKEN mass — what an LLM training recipe actually budgets (a books
+    source with 100× longer documents should contribute 100× fewer of
+    them per mixture point).  Token mass per source is one sum over
+    `token_col` if given, else the whitespace token count of `text_col`
+    computed in-scan; document-level Bernoulli keeps are unbiased w.r.t.
+    length, so the EXPECTED token share matches the target weights.
 
     The largest weight-to-size ratio anchors at keep-rate 1.0 (no source
     is ever upsampled — repetition is the epochs schedule's job, not the
@@ -295,16 +305,27 @@ def mix_corpora(sources: list, weights: list[float],
     brings its share to the target ratio.  Sampling is per-source
     content-hash Bernoulli (`_hash_unit` with an op salt including the
     source index), so the mixture is rerun-stable and engine-replayable;
-    `source_col` tags provenance.  Sizes come from one count per source
-    — driver-side scalars, the only non-lazy step.
+    `source_col` tags provenance.  Sizes come from one count (or token
+    sum) per source — driver-side scalars, the only non-lazy step.
 
-    Scale shape: N stateless filtered scans + unionAll, no shuffle.
+    Scale shape: N stateless filtered scans + unionAll, no shuffle (the
+    token-mass measuring jobs are one partial/final agg per source).
     """
     if len(sources) != len(weights) or not sources:
         raise ValueError('need equally many sources and weights (>0)')
     if any(w <= 0 for w in weights):
         raise ValueError('weights must be positive')
-    sizes = [df.count() for df in sources]
+    if by == 'rows':
+        sizes = [df.count() for df in sources]
+    elif by == 'tokens':
+        ntok = (F.col(token_col).cast('double') if token_col is not None
+                else F.size(F.filter(F.split(F.coalesce(F.col(text_col),
+                                                        F.lit('')),
+                                             r'\s+', -1),
+                                     lambda x: x != '')).cast('double'))
+        sizes = [df.agg(F.sum(ntok)).first()[0] or 0 for df in sources]
+    else:
+        raise ValueError("by must be 'rows' or 'tokens'")
     if any(n == 0 for n in sizes):
         raise ValueError('mix_corpora sources must be non-empty')
     # anchor: the source whose target share is largest relative to its

@@ -1169,6 +1169,41 @@ def test_mix_corpora_proportions_and_anchor(spark, sf_dir):
     assert set(out.columns) == set(docs.columns) | {'mix_source'}
 
 
+def test_mix_corpora_token_budget(spark):
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.sampling import _hash_unit, mix_corpora
+    # source 0: few long docs (10 × 100 tokens); source 1: many short
+    # docs (100 × 1 token) — a 50/50 ROW mix keeps all of source 0, but
+    # a 50/50 TOKEN mix must downsample its dominant token mass
+    long_docs = [(i, ' '.join('tok{}'.format(j) for j in range(100)))
+                 for i in range(10)]
+    short_docs = [(100 + i, 'word') for i in range(100)]
+    a = spark.createDataFrame(long_docs, 'doc_id long, text string')
+    b = spark.createDataFrame(short_docs, 'doc_id long, text string')
+    out = mix_corpora([a, b], [0.5, 0.5], by='tokens')
+    rows = out.collect()
+    kept0 = {r['doc_id'] for r in rows if r['mix_source'] == 0}
+    kept1 = {r['doc_id'] for r in rows if r['mix_source'] == 1}
+    # anchor by token ratio: 0.5/1000 vs 0.5/100 → source 1 keeps all
+    assert kept1 == {r[0] for r in short_docs}
+    # source 0 keeps the hash-Bernoulli 10% of its docs — exactly the
+    # ids whose mix-salted hash unit clears the keep rate
+    keep_rate = (0.5 / 1000.0) / (0.5 / 100.0)
+    expect0 = {r['doc_id'] for r in a.select(
+        'doc_id', _hash_unit(F.col('doc_id'), 42, op='mix0').alias('u'))
+        .collect() if r['u'] < keep_rate}
+    assert kept0 == expect0 and len(kept0) < 10
+    # token_col shortcut agrees with in-scan counting
+    a2 = a.withColumn('n_tok', F.lit(100))
+    b2 = b.withColumn('n_tok', F.lit(1))
+    out2 = mix_corpora([a2, b2], [0.5, 0.5], by='tokens', token_col='n_tok')
+    assert {(r['doc_id'], r['mix_source']) for r in out2.collect()} == \
+        {(r['doc_id'], r['mix_source']) for r in rows}
+    with pytest.raises(ValueError, match="'rows' or 'tokens'"):
+        mix_corpora([a, b], [0.5, 0.5], by='chars')
+
+
 def test_embed_hashing_feeds_similarity_stack(spark):
     # text -> model-free hashed embeddings -> the ANN stack: an exact
     # duplicate document is its twin's nearest neighbor at cosine 1.0
