@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     'dsir_weights',
     'dsir_topk',
     'decontaminate_bloom',
+    'sample_mix_tokens',
 ]
 
 

@@ -68,6 +68,8 @@ def training_data_pipeline(
     embedding_col: str = 'embedding',
     semantic_kwargs: dict | None = None,
     prototype_kwargs: dict | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_kwargs: dict | None = None,
 ) -> DataFrame:
     """Run the full pipeline over `docs`, returning the packed `split_name`
     slice as (doc_id, n_tokens, bucket, bin_id, bin_seq).
@@ -97,6 +99,15 @@ def training_data_pipeline(
     operators and the corpus itself is never re-shuffled.  Rows of
     `docs` with no embedding row are DROPPED by the stage (the join
     semantics); curate only fully-embedded corpora.
+
+    `dsir_target` (a corpus shaped like `docs`) enables DSIR importance
+    resampling AFTER dedup/curation and BEFORE decontamination: the
+    surviving corpus is scored against the target's hashed-n-gram
+    distribution and cut to `dsir_kwargs['n_select']` documents
+    (required; other dsir_sample kwargs pass through).  Selection runs
+    on the persisted canonical frame, so the two scoring scans DSIR
+    needs hit the stage cache, not raw parquet.  Decontamination stays
+    last — selection must never resurrect a benchmark-contaminated doc.
 
     `with_metrics=True` returns `(result, metrics)` where metrics is a
     list of per-stage dicts {'stage', 'rows_in', 'rows_out'} — the
@@ -169,6 +180,21 @@ def training_data_pipeline(
                 metrics.append({'stage': 'prototype_prune',
                                 'rows_in': metrics[-1]['rows_out'],
                                 'rows_out': canon.count()})
+
+    if dsir_target is not None:
+        from rbql_spark.ops.dsir import dsir_sample
+        kw = dict(dsir_kwargs or {})
+        if 'n_select' not in kw:
+            raise ValueError("dsir_kwargs must include n_select")
+        sel = dsir_sample(canon, dsir_target, text_col=text_col,
+                          id_col=id_col, **kw)
+        canon = canon.join(sel.select(F.col('doc_id').alias(id_col)),
+                           id_col, 'left_semi')
+        if with_metrics:
+            canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
+            metrics.append({'stage': 'dsir_select',
+                            'rows_in': metrics[-1]['rows_out'],
+                            'rows_out': canon.count()})
 
     if benchmark is not None:
         flagged = decontaminate(canon, benchmark, text_col=text_col,

@@ -6,6 +6,7 @@ final actions."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -267,6 +268,45 @@ def test_pipeline_metrics_require_materialize(spark, sf_dir):
     with pytest.raises(ValueError, match='materialize'):
         training_data_pipeline(docs, None, with_metrics=True,
                                materialize=False)
+
+
+def test_pipeline_dsir_stage(spark, sf_dir):
+    """round-11: dsir_target cuts the canonical frame to n_select docs
+    before decontamination, equal to the manual composition."""
+    from pyspark.sql import functions as F
+    from rbql_spark.ops.dedup import keep_canonical, minhash_dedup_pairs
+    from rbql_spark.ops.dsir import dsir_sample
+    from rbql_spark.ops.pipeline import training_data_pipeline
+    from rbql_spark.ops.textstats import quality_filter
+
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    target = docs.where(F.col('doc_id') % 7 == 0)
+    cfg = dict(
+        quality_kwargs={'min_words': 5, 'min_stopword_ratio': 0.0},
+        minhash_kwargs={'threshold': 0.5},
+        dsir_kwargs={'n_select': 40, 'dim': 512},
+        split_kwargs={'splits': [('train', 1.0)]},
+    )
+    result, metrics = training_data_pipeline(
+        docs, None, dsir_target=target, with_metrics=True, **cfg)
+    stages = [m['stage'] for m in metrics]
+    assert stages == ['quality_filter', 'dedup_keep_canonical',
+                      'dsir_select', 'split_train']
+    assert metrics[2]['rows_out'] == 40
+
+    kept = quality_filter(docs, output='rows', **cfg['quality_kwargs'])
+    pairs = minhash_dedup_pairs(kept, 'text', 'doc_id',
+                                **cfg['minhash_kwargs'])
+    canon = keep_canonical(kept, pairs)
+    sel = dsir_sample(canon, target, **cfg['dsir_kwargs'])
+    want = {r['doc_id'] for r in sel.collect()}
+    got = {r['doc_id'] for r in result.select('doc_id').distinct().collect()}
+    assert got == want
+
+    with pytest.raises(ValueError, match='n_select'):
+        training_data_pipeline(docs, None, dsir_target=target,
+                               dsir_kwargs={'dim': 512})
+    spark.catalog.clearCache()
 
 
 def test_pipeline_embedding_curation_stage(spark, sf_dir):
