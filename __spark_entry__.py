@@ -1058,6 +1058,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dsir_sample(docs, target, n_select=100, dim=1024)
     q['dsir_topk'] = _dsir_topk
 
+    def _domain_classify(spark, sf_dir):
+        # NB domain tagging against three exemplar slices (doc_id mod 3)
+        from rbql_spark.ops.dsir import domain_classify
+        docs = _t(spark, sf_dir, 'documents')
+        doms = {'d{}'.format(i): docs.filter(F.col('doc_id') % 3 == i)
+                for i in range(3)}
+        return domain_classify(docs, doms, dim=1024)
+    q['domain_classify'] = _domain_classify
+
     # ---- superset: text analysis -------------------------------------------
     def _text_tokens(spark, sf_dir):
         from rbql_spark.ops.textstats import token_stats
@@ -1206,7 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
-        'sample_mix_tokens',
+        'sample_mix_tokens', 'domain_classify',
         'sim_semantic_dedup', 'sim_kmeans_cluster', 'sim_prototype_prune',
         'export_webdataset',
         'rbql_distinct_count', 'rbql_group_agg', 'rbql_group_expr_key',
@@ -2560,6 +2569,36 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(m.lr), 6) AS log_weight "
         "FROM feats f JOIN model m USING (bucket) GROUP BY f.doc_id")
     o['dsir_weights'] = _dsir_weights_sql
+
+    # NB domain classification replay: one add-one bucket model per
+    # doc_id%3 exemplar slice, mean-logprob scores, greatest/CASE argmax
+    # with declaration-order ties — the language_id oracle pattern over
+    # the DSIR feature CTEs
+    _dom_models = ", ".join(
+        "c{i} AS (SELECT bucket, count(*) AS c FROM feats "
+        "WHERE doc_id % 3 = {i} GROUP BY bucket), "
+        "t{i} AS (SELECT sum(c) AS t FROM c{i})".format(i=i)
+        for i in range(3))
+    o['domain_classify'] = (
+        _dsir_weights_sql[:_dsir_weights_sql.index('ct AS')] + _dom_models +
+        ", model AS (SELECT b.bucket, "
+        + ", ".join(
+            "ln((coalesce(c{i}.c, 0) + 1.0) / (t{i}.t + 1024.0)) AS lp{i}"
+            .format(i=i) for i in range(3)) +
+        " FROM (SELECT unnest(range(0, 1024)) AS bucket) b "
+        + " ".join("LEFT JOIN c{i} USING (bucket)".format(i=i)
+                   for i in range(3)) +
+        " CROSS JOIN t0 CROSS JOIN t1 CROSS JOIN t2), "
+        "sc AS (SELECT f.doc_id, count(*) AS n_features, "
+        + ", ".join(
+            "round(sum(m.lp{i}) / count(*), 6) AS score_d{i}".format(i=i)
+            for i in range(3)) +
+        " FROM feats f JOIN model m USING (bucket) GROUP BY f.doc_id) "
+        "SELECT doc_id, CASE "
+        "WHEN score_d0 = greatest(score_d0, score_d1, score_d2) THEN 'd0' "
+        "WHEN score_d1 = greatest(score_d0, score_d1, score_d2) THEN 'd1' "
+        "ELSE 'd2' END AS domain_pred, n_features, "
+        "score_d0, score_d1, score_d2 FROM sc")
 
     # Gumbel top-k: rank on the ROUNDED score (ties by doc_id) exactly as
     # the Spark side sorts, so the 1e-6 grid can never flip the cut line

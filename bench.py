@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     'dsir_topk',
     'decontaminate_bloom',
     'sample_mix_tokens',
+    'domain_classify',
 ]
 
 

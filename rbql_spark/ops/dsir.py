@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .dedup import let_once, spread_partitions, tokens
 
-__all__ = ['dsir_log_weights', 'dsir_sample']
+__all__ = ['dsir_log_weights', 'dsir_sample', 'domain_classify']
 
 
 def _hashed_grams(col: Column, ngram_max: int = 2) -> Column:
@@ -182,3 +182,70 @@ def dsir_sample(raw: DataFrame, target: DataFrame, n_select: int,
     return (scored.crossJoin(F.broadcast(cut))
                   .where(F.col('gumbel_score') >= F.col('__cut'))
                   .drop('__cut'))
+
+
+def domain_classify(raw: DataFrame, domains: dict, text_col: str = 'text',
+                    id_col: str = 'doc_id', dim: int = 4096,
+                    ngram_max: int = 2, seed: int = 42,
+                    smoothing: float = 1.0) -> DataFrame:
+    """Naive-Bayes domain tagging over the DSIR feature space: score
+    every raw document under an add-one hashed-n-gram model fit on each
+    exemplar corpus in `domains` (an ordered {name: DataFrame} dict) →
+    (doc_id, domain_pred, n_features, score_<name>…), scores = mean log
+    probability rounded to 6, ties broken by domain declaration order.
+
+    The curation use: tag a web crawl against exemplar corpora
+    ("books", "code", "forums"), then feed the tags to
+    stratified/temperature sampling or mix_corpora for domain-balanced
+    training recipes.  Same structure as textstats.language_id
+    (per-class score columns + greatest/CASE argmax), with learned
+    hashed-n-gram models in place of stopword lists.
+
+    Scale shape: one aggregation per exemplar corpus builds its dim-row
+    bucket model; the models join into ONE wide dim-row table (bucket,
+    logp_0…logp_{n-1}) that BROADCASTS into the raw corpus' exploded
+    gram stream — a 1:1 join (no ×n_domains row fan-out), then a single
+    per-doc partial/final sum per domain column.  The raw corpus never
+    shuffles to be scored; documents with no tokens emit no row.
+    """
+    if not domains:
+        raise ValueError('domains must be a non-empty {name: DataFrame}')
+    names = list(domains)
+    buckets = (raw.sparkSession.range(0, int(dim))
+                  .select(F.col('id').alias('bucket')))
+    a = float(smoothing)
+    wide = buckets
+    for i, name in enumerate(names):
+        cnt = _bucket_counts(domains[name], text_col, dim, ngram_max, seed,
+                             '__c{}'.format(i))
+        wide = (wide.join(cnt, 'bucket', 'left')
+                    .crossJoin(F.broadcast(cnt.agg(
+                        F.sum('__c{}'.format(i)).alias('__t{}'.format(i)))))
+                    .withColumn('__lp{}'.format(i), F.log(
+                        (F.coalesce(F.col('__c{}'.format(i)), F.lit(0)) + a)
+                        / (F.coalesce(F.col('__t{}'.format(i)), F.lit(0))
+                           + a * int(dim))))
+                    .drop('__c{}'.format(i), '__t{}'.format(i)))
+    scored = (spread_partitions(raw)
+              .select(F.col(id_col).alias('doc_id'),
+                      F.explode(_hashed_grams(F.col(text_col), ngram_max))
+                      .alias('__g'))
+              .select('doc_id',
+                      _bucket(F.col('__g'), dim, seed).alias('bucket'))
+              .join(F.broadcast(wide), 'bucket'))
+    aggs = [F.count(F.lit(1)).cast('long').alias('n_features')]
+    for i, name in enumerate(names):
+        aggs.append(F.round(F.sum('__lp{}'.format(i)) / F.count(F.lit(1)), 6)
+                    .alias('score_{}'.format(name)))
+    per_doc = scored.groupBy('doc_id').agg(*aggs)
+    best = F.greatest(*[F.col('score_{}'.format(n)) for n in names]) \
+        if len(names) > 1 else F.col('score_{}'.format(names[0]))
+    pred = None
+    for name in reversed(names):
+        hit = F.col('score_{}'.format(name)) == best
+        pred = F.when(hit, F.lit(name)) if pred is None \
+            else F.when(hit, F.lit(name)).otherwise(pred)
+    # the when-chain is built in REVERSE so the FIRST declared domain
+    # wins ties (each earlier domain's branch overwrites later ones)
+    return per_doc.select('doc_id', pred.alias('domain_pred'), 'n_features',
+                          *['score_{}'.format(n) for n in names])

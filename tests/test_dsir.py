@@ -153,3 +153,41 @@ def test_bloom_decontaminate_native_plan(spark, sf_dir):
     assert 'BatchEvalPython' not in plan and 'mapInPandas' not in plan
     assert 'BroadcastHashJoin' in plan  # set-bit table broadcast, not corpus
     assert 'rangepartitioning' not in plan  # unordered output
+
+
+def test_domain_classify_separates(spark, corpora):
+    from rbql_spark.ops.dsir import domain_classify
+    raw, target = corpora  # raw = 4 science + 4 sports docs
+    sci = raw.filter(F.col('doc_id') < 4)
+    spo = raw.filter(F.col('doc_id') >= 4)
+    out = domain_classify(raw, {'science': sci, 'sports': spo}, dim=512)
+    preds = {r['doc_id']: r['domain_pred'] for r in out.collect()}
+    assert all(preds[i] == 'science' for i in range(4))
+    assert all(preds[i] == 'sports' for i in range(4, 8))
+    cols = out.columns
+    assert cols == ['doc_id', 'domain_pred', 'n_features',
+                    'score_science', 'score_sports']
+
+
+def test_domain_classify_tie_break_order(spark):
+    from rbql_spark.ops.dsir import domain_classify
+    raw = spark.createDataFrame([(1, 'alpha beta')], 'doc_id long, text string')
+    same = spark.createDataFrame([(9, 'alpha beta')], 'doc_id long, text string')
+    # identical exemplar corpora → identical scores; the FIRST declared
+    # domain must win the tie, whatever its name sorts like
+    out1 = domain_classify(raw, {'zzz': same, 'aaa': same}, dim=64).collect()
+    assert out1[0]['domain_pred'] == 'zzz'
+    assert out1[0]['score_zzz'] == out1[0]['score_aaa']
+    out2 = domain_classify(raw, {'aaa': same, 'zzz': same}, dim=64).collect()
+    assert out2[0]['domain_pred'] == 'aaa'
+    with pytest.raises(ValueError, match='non-empty'):
+        domain_classify(raw, {})
+
+
+def test_domain_classify_native_single_domain(spark, corpora):
+    from rbql_spark.ops.dsir import domain_classify
+    raw, target = corpora
+    out = domain_classify(raw, {'only': target}, dim=128)
+    assert {r['domain_pred'] for r in out.collect()} == {'only'}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'BatchEvalPython' not in plan and 'mapInPandas' not in plan
