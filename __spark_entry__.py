@@ -575,6 +575,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select('doc_id', 'bench_id', 'n_overlap'))
     q['streaming_decontaminate'] = _streaming_decontaminate
 
+    def _streaming_decontaminate_bloom(spark, sf_dir):
+        # streaming bloom decontamination: same two-half replay; the
+        # benchmark ships as a 2^16-bit bloom bitmap, membership tests in
+        # a stateless Arrow kernel, one update-mode agg — last update per
+        # doc equals the batch decontaminate_bloom answer at min_hits=1
+        from pyspark.sql import Window
+
+        from rbql_spark.streaming.documents import (
+            read_document_stream, stream_decontaminate_bloom,
+        )
+        from rbql_spark.streaming.events import run_stream_to_memory
+        tmp = _stream_replay_dir(spark, sf_dir, 'decbloom',
+                                 ['doc_id % 2 = 0', 'doc_id % 2 = 1'],
+                                 table='documents')
+        bench = (_t(spark, sf_dir, 'documents')
+                 .filter(F.col('doc_id') % 50 == 0).select('doc_id', 'text'))
+        stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
+        flagged = stream_decontaminate_bloom(stream, bench, shingle_k=3,
+                                             bloom_bits=1 << 16,
+                                             bloom_hashes=3)
+        qname = 'rbql_stream_decbloom_gate'
+        sq = run_stream_to_memory(flagged, qname, output_mode='update')
+        sq.stop()
+        w = Window.partitionBy('doc_id') \
+                  .orderBy(F.col('n_flagged_shingles').desc())
+        return (spark.table(qname)
+                .withColumn('__rn', F.row_number().over(w))
+                .filter((F.col('__rn') == 1)
+                        & (F.col('n_flagged_shingles') >= 1))
+                .select('doc_id', 'n_flagged_shingles'))
+    q['streaming_decontaminate_bloom'] = _streaming_decontaminate_bloom
+
     def _streaming_quality_filter(spark, sf_dir):
         # streaming quality filter: documents replayed in two halves; the
         # operator is a stateless fused projection, so the stream's
@@ -1216,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotate_first = [
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
+        'streaming_decontaminate_bloom',
         'sim_semantic_dedup', 'sim_kmeans_cluster', 'sim_prototype_prune',
         'export_webdataset',
         'rbql_distinct_count', 'rbql_group_agg', 'rbql_group_expr_key',
@@ -2541,6 +2574,8 @@ def oracle_sql() -> dict[str, str]:
     # streaming decontamination's lifetime final state per key equals the
     # batch decontaminate answer — same replay as decontaminate_ngram
     o['streaming_decontaminate'] = o['decontaminate_ngram']
+    # ... and the bloom variant's equals batch decontaminate_bloom
+    o['streaming_decontaminate_bloom'] = o['decontaminate_bloom']
 
     # DSIR replay: hashed unigram+bigram features into 1024 md5 buckets,
     # add-one bucket models on target (doc_id % 7 = 0) vs raw (all docs),

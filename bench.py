@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     'decontaminate_bloom',
     'sample_mix_tokens',
     'domain_classify',
+    'streaming_decontaminate_bloom',
 ]
 
 

@@ -187,6 +187,58 @@ def _bloom_positions(sh: Column, bloom_hashes: int, bloom_bits: int,
         % F.lit(int(bloom_bits)))
 
 
+def _bloom_pack_bitmap(spark, bits: DataFrame, bloom_bits: int):
+    """Collect the (bounded, ≤ bloom_bits-row) set-bit position frame into
+    a numpy bitmap of bloom_bits/8 bytes and broadcast it."""
+    import numpy as np
+    set_bits = np.fromiter((r['pos'] for r in bits.collect()),
+                           dtype=np.int64)
+    bm = np.zeros((int(bloom_bits) + 7) // 8, dtype=np.uint8)
+    if len(set_bits):
+        np.bitwise_or.at(bm, set_bits >> 3,
+                         np.left_shift(1, (set_bits & 7).astype(np.uint8),
+                                       dtype=np.uint8))
+    return spark.sparkContext.broadcast(bm)
+
+
+def _bloom_member_flags(t: DataFrame, bc, bloom_hashes: int, bloom_bits: int,
+                        seed: int, carry_cols: tuple = (),
+                        carry_schema: str = '') -> DataFrame:
+    """(doc_id, sh[, carry…]) → (doc_id, flag[, carry…]): flag=1 iff every
+    bloom position of the shingle is set in the broadcast bitmap.
+    Position hashing stays native Catalyst; only the O(1) bit test runs
+    in the Arrow kernel — stateless, so it composes into Structured
+    Streaming plans too (carry_cols threads e.g. an event-time column
+    through, with its schema appended via carry_schema)."""
+    import numpy as np
+    k = int(bloom_hashes)
+    pos_df = t.select('doc_id', *carry_cols, _bloom_positions(
+        F.col('sh'), bloom_hashes, bloom_bits, seed).alias('ps'))
+    schema = 'doc_id long, flag long' + \
+        (', ' + carry_schema if carry_schema else '')
+
+    def member(batches):
+        import pandas as pd
+        bmv = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat = np.concatenate(pdf['ps'].to_numpy())
+            hit = (bmv[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
+            ends = np.cumsum(pdf['ps'].map(len).to_numpy())
+            starts = np.concatenate(([0], ends[:-1]))
+            allhit = np.add.reduceat(hit, starts) == k
+            # reduceat on an empty segment would misbehave, but every
+            # shingle emits exactly k positions
+            out = {'doc_id': pdf['doc_id'],
+                   'flag': allhit.astype('int64')}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return pos_df.mapInPandas(member, schema=schema)
+
+
 def decontaminate_bloom(train: DataFrame, benchmark: DataFrame,
                         text_col: str = 'text', id_col: str = 'doc_id',
                         shingle_k: int = 3, min_hits: int = 1,
@@ -235,35 +287,8 @@ def decontaminate_bloom(train: DataFrame, benchmark: DataFrame,
     t = (spread_partitions(train)
          .select(F.col(id_col).alias('doc_id'), F.explode(sh).alias('sh')))
     if impl == 'bitmap':
-        import numpy as np
-        set_bits = np.fromiter((r['pos'] for r in bits.collect()),
-                               dtype=np.int64)
-        bm = np.zeros((int(bloom_bits) + 7) // 8, dtype=np.uint8)
-        np.bitwise_or.at(bm, set_bits >> 3,
-                         np.left_shift(1, (set_bits & 7).astype(np.uint8),
-                                       dtype=np.uint8))
-        bc = train.sparkSession.sparkContext.broadcast(bm)
-        k = int(bloom_hashes)
-        pos_df = t.select('doc_id', _bloom_positions(
-            F.col('sh'), bloom_hashes, bloom_bits, seed).alias('ps'))
-
-        def member(batches):
-            import pandas as pd
-            bmv = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                flat = np.concatenate(pdf['ps'].to_numpy())
-                hit = (bmv[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
-                ends = np.cumsum(pdf['ps'].map(len).to_numpy())
-                starts = np.concatenate(([0], ends[:-1]))
-                allhit = np.add.reduceat(hit, starts) == k
-                # reduceat on an empty segment would misbehave, but every
-                # shingle emits exactly k positions
-                yield pd.DataFrame({'doc_id': pdf['doc_id'],
-                                    'flag': allhit.astype('int64')})
-
-        flags = pos_df.mapInPandas(member, schema='doc_id long, flag long')
+        bc = _bloom_pack_bitmap(train.sparkSession, bits, bloom_bits)
+        flags = _bloom_member_flags(t, bc, bloom_hashes, bloom_bits, seed)
         return (flags.groupBy('doc_id')
                      .agg(F.sum('flag').cast('long')
                           .alias('n_flagged_shingles'))

@@ -88,6 +88,72 @@ def stream_decontaminate(docs: DataFrame, benchmark: DataFrame,
              .agg(F.count(F.lit(1)).alias('n_overlap')))
 
 
+def stream_decontaminate_bloom(docs: DataFrame, benchmark: DataFrame,
+                               text_col: str = 'text',
+                               id_col: str = 'doc_id',
+                               shingle_k: int = 3,
+                               bloom_bits: int = 1 << 20,
+                               bloom_hashes: int = 3, seed: int = 42,
+                               ts_col: str | None = None,
+                               watermark: str = '1 hour',
+                               state_retention: str = '1 day') -> DataFrame:
+    """Streaming bloom-filter decontamination — stream_decontaminate's
+    scale path for a benchmark too large to broadcast as shingles: →
+    (doc_id, n_flagged_shingles) in update mode, flagging streamed
+    documents whose shingles are bloom-members of the (static)
+    benchmark set.
+
+    The benchmark collapses ONCE at plan-build time into the same
+    bloom_bits-wide bitmap as ops.dedup.decontaminate_bloom
+    (impl='bitmap'): a bloom_bits/8-byte broadcast, fixed no matter how
+    large the benchmark grows.  Each micro-batch shingles in-scan
+    (native md5), tests membership in a STATELESS Arrow kernel, and
+    only bloom-positive shingle rows reach the one streaming
+    aggregation — so state is bounded to flagged documents, exactly the
+    exact-variant's state story, and the flagged set is the documented
+    SUPERSET of the true overlap.  A document's shingles complete
+    within its own micro-batch, so the last update per doc_id equals
+    the batch decontaminate_bloom answer at min_hits=1 (the
+    differential oracle); threshold downstream.
+
+    `ts_col` bounds state by event time exactly as stream_decontaminate:
+    the aggregation key gains a `state_retention`-wide window under
+    `watermark`, dropped once the watermark passes it.
+    """
+    from rbql_spark.ops.dedup import (
+        _bloom_member_flags, _bloom_pack_bitmap, _bloom_positions,
+        word_shingles_md5,
+    )
+    bits = (benchmark.select(F.explode(
+                word_shingles_md5(F.col(text_col), k=shingle_k)).alias('sh'))
+                     .select(F.explode(_bloom_positions(
+                         F.col('sh'), bloom_hashes, bloom_bits, seed))
+                         .alias('pos'))
+                     .distinct())
+    bc = _bloom_pack_bitmap(docs.sparkSession, bits, bloom_bits)
+    extra = [F.col(ts_col)] if ts_col is not None else []
+    t = (docs.select(F.col(id_col).alias('doc_id'), *extra,
+                     word_shingles_md5(F.col(text_col),
+                                       k=shingle_k).alias('__sh'))
+             .select('doc_id', *([ts_col] if ts_col else []),
+                     F.explode('__sh').alias('sh')))
+    flags = _bloom_member_flags(
+        t, bc, bloom_hashes, bloom_bits, seed,
+        carry_cols=(ts_col,) if ts_col else (),
+        carry_schema='{} timestamp'.format(ts_col) if ts_col else '')
+    pos = flags.where(F.col('flag') == 1)
+    if ts_col is not None:
+        return (pos.withWatermark(ts_col, watermark)
+                   .groupBy(F.window(F.col(ts_col), state_retention),
+                            'doc_id')
+                   .agg(F.count(F.lit(1)).cast('long')
+                        .alias('n_flagged_shingles'))
+                   .select('doc_id', 'n_flagged_shingles'))
+    return (pos.groupBy('doc_id')
+               .agg(F.count(F.lit(1)).cast('long')
+                    .alias('n_flagged_shingles')))
+
+
 def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
                              id_col: str = 'doc_id', num_perm: int = 64,
                              shingle_k: int = 3, bands: int = 16,

@@ -517,3 +517,59 @@ def test_stream_decontaminate_event_time_bounded_matches_batch(spark, tmp_path):
         assert got == want and (1, 100) in got
     finally:
         q.stop()
+
+
+def test_stream_decontaminate_bloom_matches_batch(spark, tmp_path):
+    """round-11: the streaming bloom variant's last update per doc equals
+    batch decontaminate_bloom at min_hits=1, in both lifetime and
+    event-time-bounded modes."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from rbql_spark.ops.dedup import decontaminate_bloom
+    from rbql_spark.streaming.documents import (
+        read_document_stream, stream_decontaminate_bloom,
+    )
+    from rbql_spark.streaming.events import run_stream_to_memory
+
+    base = ('the quick brown fox jumps over the lazy dog while the cat '
+            'sleeps in the warm afternoon sun near the old stone bridge')
+    rows = [
+        (1, datetime.fromisoformat('2024-01-01T00:00:00'), base),
+        (2, datetime.fromisoformat('2024-01-05T00:00:00'),
+         base.replace('warm afternoon sun', 'cold night')),
+        (3, datetime.fromisoformat('2024-01-09T00:00:00'),
+         'completely different text about query engines and shuffles '
+         'with columnar storage and adaptive execution everywhere'),
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, ts timestamp, text string')
+    bench = spark.createDataFrame([(100, base)], 'doc_id long, text string')
+    out = os.path.join(str(tmp_path), 'decbloom_stream')
+    docs.where('doc_id % 2 = 1').coalesce(1).write.mode('overwrite').parquet(out)
+    docs.where('doc_id % 2 = 0').coalesce(1).write.mode('append').parquet(out)
+
+    want = {(r['doc_id'], r['n_flagged_shingles'])
+            for r in decontaminate_bloom(docs.drop('ts'), bench,
+                                         bloom_bits=1 << 16).collect()}
+    assert want and {d for d, _ in want} == {1, 2}
+
+    for sink, kw in [('decbloom_life', {}),
+                     ('decbloom_ts', dict(ts_col='ts', watermark='1 minute',
+                                          state_retention='1 day'))]:
+        stream = read_document_stream(spark, out, max_files_per_trigger=1)
+        flagged = stream_decontaminate_bloom(stream, bench,
+                                             bloom_bits=1 << 16, **kw)
+        assert flagged.isStreaming
+        assert set(flagged.schema.names) == {'doc_id', 'n_flagged_shingles'}
+        q = run_stream_to_memory(flagged, sink, output_mode='update')
+        try:
+            w = Window.partitionBy('doc_id') \
+                      .orderBy(F.col('n_flagged_shingles').desc())
+            got = {(r['doc_id'], r['n_flagged_shingles'])
+                   for r in spark.table(sink)
+                                 .withColumn('__rn', F.row_number().over(w))
+                                 .filter('__rn = 1').collect()}
+            assert got == want, (sink, got, want)
+        finally:
+            q.stop()
