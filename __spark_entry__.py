@@ -788,6 +788,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select('doc_id', 'mix_source')
     q['sample_mix_tokens'] = _sample_mix_tokens
 
+    def _sample_epochs(spark, sf_dir):
+        # 2.5-epoch repetition schedule: two full passes + a deterministic
+        # half-pass (0.5 is an exact double, so the oracle threshold
+        # literal matches the Python-side fraction bit-for-bit)
+        from rbql_spark.ops.sampling import epoch_repeat
+        return epoch_repeat(_t(spark, sf_dir, 'documents'), 2.5) \
+            .select('doc_id', 'epoch')
+    q['sample_epochs'] = _sample_epochs
+
     def _export_manifest(spark, sf_dir):
         from rbql_spark.ops.export import shard_manifest
         return shard_manifest(_t(spark, sf_dir, 'documents'), n_shards=16)
@@ -1248,7 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotate_first = [
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
-        'streaming_decontaminate_bloom',
+        'streaming_decontaminate_bloom', 'sample_epochs',
         'sim_semantic_dedup', 'sim_kmeans_cluster', 'sim_prototype_prune',
         'export_webdataset',
         'rbql_distinct_count', 'rbql_group_agg', 'rbql_group_expr_key',
@@ -2327,6 +2336,15 @@ def oracle_sql() -> dict[str, str]:
         "WHERE doc_id % 3 = {i} AND ({r} / {a} >= 1.0 OR {u} < {r} / {a})"
         .format(i=i, r=_mixt_ratio[i], a=_mixt_anchor, u=_mix_unit(i))
         for i in range(3))
+    # fractional-epoch repetition: 2 full passes + the ':epoch2'-salted
+    # 50% hash cut as the partial third
+    o['sample_epochs'] = (
+        "SELECT doc_id, 0 AS epoch FROM documents "
+        "UNION ALL SELECT doc_id, 1 AS epoch FROM documents "
+        "UNION ALL SELECT doc_id, 2 AS epoch FROM documents "
+        "WHERE ('0x' || md5(doc_id::VARCHAR || ':epoch2:42')[1:8])::BIGINT "
+        "/ 4294967296.0 < 0.5")
+
     o['sample_stratified'] = (
         "SELECT doc_id, lang FROM documents WHERE " + _unit + " < "
         "CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.5 "

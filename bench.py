@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     'sample_mix_tokens',
     'domain_classify',
     'streaming_decontaminate_bloom',
+    'sample_epochs',
 ]
 
 

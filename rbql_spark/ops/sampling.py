@@ -345,3 +345,39 @@ def mix_corpora(sources: list, weights: list[float],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def epoch_repeat(df: DataFrame, epochs: float, key_col: str = 'doc_id',
+                 seed: int = 42, epoch_col: str = 'epoch') -> DataFrame:
+    """Fractional-epoch repetition schedule: replicate the corpus
+    `epochs` times (e.g. 2.4 → every document twice, plus a
+    deterministic 40% hash sample as the partial third pass), tagging
+    each copy with `epoch_col` — the repetition half of a training
+    recipe, which mix_corpora deliberately does NOT do (it only ever
+    downsamples; see its docstring).
+
+    The partial epoch is a content-hash Bernoulli cut (`_hash_unit`
+    with an ':epoch<k>' op salt, decorrelated from the samplers and the
+    splitter), so which documents repeat an extra time is rerun-stable
+    and engine-replayable, and downstream per-epoch shuffles
+    (shuffle_corpus keyed on (key, epoch)) reorder each pass
+    independently.
+
+    Scale shape: ceil(epochs) stateless filtered scans + unionAll — no
+    shuffle, no driver-side data.  At 100 TB the copies are virtual
+    until an action consumes them (a writer materializes one epoch at a
+    time); epochs < 1 degenerates to hash_sample with an epoch tag.
+    """
+    if epochs <= 0:
+        raise ValueError('epochs must be positive')
+    full = int(epochs)
+    frac = float(epochs) - full
+    parts = [df.withColumn(epoch_col, F.lit(e)) for e in range(full)]
+    if frac > 0:
+        u = _hash_unit(F.col(key_col), seed, op='epoch{}'.format(full))
+        parts.append(df.filter(u < F.lit(frac))
+                       .withColumn(epoch_col, F.lit(full)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

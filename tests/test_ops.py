@@ -1446,3 +1446,31 @@ def test_semantic_dedup_removes_embedding_near_dups(spark, emb_df):
     # idempotent: a second pass removes nothing
     kept2 = semantic_dedup(base, threshold=0.95, dim=64)
     assert kept2.count() == len(originals)
+
+
+def test_epoch_repeat_schedule(spark):
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.sampling import _hash_unit, epoch_repeat, hash_sample
+    docs = spark.createDataFrame([(i, 'text {}'.format(i)) for i in range(40)],
+                                 'doc_id long, text string')
+    out = epoch_repeat(docs, 2.5)
+    counts = {r['epoch']: r['cnt'] for r in
+              out.groupBy('epoch').agg(F.count('*').alias('cnt')).collect()}
+    assert counts[0] == 40 and counts[1] == 40
+    # partial pass: exactly the ':epoch2'-salted hash cut
+    expect = {r['doc_id'] for r in docs.select(
+        'doc_id', _hash_unit(F.col('doc_id'), 42, op='epoch2').alias('u'))
+        .collect() if r['u'] < 0.5}
+    got = {r['doc_id'] for r in out.where('epoch = 2').collect()}
+    assert got == expect and 0 < counts[2] < 40
+    # sub-epoch degenerates to a tagged hash sample (different salt than
+    # the plain sampler: epoch0 vs the default)
+    sub = epoch_repeat(docs, 0.25)
+    assert {r['epoch'] for r in sub.collect()} == {0}
+    assert sub.count() < 40
+    # integral epochs have no partial pass
+    assert epoch_repeat(docs, 2.0).groupBy('epoch').count().count() == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='positive'):
+        epoch_repeat(docs, 0)
