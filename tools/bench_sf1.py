@@ -110,6 +110,18 @@ SUBSET = [
     'join_asof',
     'join_interval',
     'dedup_spans',
+    # round 11 additions: embedding curation, importance resampling, the
+    # bloom decontamination scale path, and the new sampling schedules
+    'sim_semantic_dedup',
+    'sim_kmeans_cluster',
+    'sim_prototype_prune',
+    'dsir_weights',
+    'dsir_topk',
+    'domain_classify',
+    'decontaminate_bloom',
+    'sample_mix_tokens',
+    'sample_epochs',
+    'streaming_decontaminate_bloom',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
