@@ -277,7 +277,15 @@ def decontaminate_bloom(train: DataFrame, benchmark: DataFrame,
     impls return identical rows (engines-agree tested).
 
     Output is UNORDERED (pair/label producers never pay a display sort).
+
+    Duplicate id rows in `train` (same doc twice) are an upstream
+    malformation; the native path still flags correctly (per distinct
+    shingle, via salt-index counting) while the bitmap path counts each
+    row — run exact_dedup first if ids may repeat.
     """
+    if impl not in ('native', 'bitmap'):
+        raise ValueError("impl must be 'native' or 'bitmap', got "
+                         + repr(impl))
     sh = word_shingles_md5(F.col(text_col), k=shingle_k)
     bits = (benchmark.select(F.explode(sh).alias('sh'))
                      .select(F.explode(_bloom_positions(
@@ -293,11 +301,17 @@ def decontaminate_bloom(train: DataFrame, benchmark: DataFrame,
                      .agg(F.sum('flag').cast('long')
                           .alias('n_flagged_shingles'))
                      .where(F.col('n_flagged_shingles') >= min_hits))
-    tp = (t.select('doc_id', 'sh', F.explode(_bloom_positions(
-              F.col('sh'), bloom_hashes, bloom_bits, seed)).alias('pos'))
+    tp = (t.select('doc_id', 'sh', F.posexplode(_bloom_positions(
+              F.col('sh'), bloom_hashes, bloom_bits, seed))
+              .alias('__i', 'pos'))
            .join(F.broadcast(bits), 'pos'))
+    # countDistinct over the salt INDEX, not count(*): duplicate
+    # (doc_id, sh) rows (e.g. an upstream union glitch repeating a doc)
+    # would inflate a plain count to 2k ≠ k and silently UNFLAG a truly
+    # contaminated document — the one direction a contamination screen
+    # must never err in; distinct-index counting is duplicate-proof
     positive = (tp.groupBy('doc_id', 'sh')
-                  .agg(F.count(F.lit(1)).alias('__n'))
+                  .agg(F.countDistinct('__i').alias('__n'))
                   .where(F.col('__n') == int(bloom_hashes)))
     return (positive.groupBy('doc_id')
                     .agg(F.count(F.lit(1)).cast('long')

@@ -110,10 +110,15 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
                    .join(cr.agg(F.sum('__cr').alias('__tr')))))
              .select('bucket',
                      (F.log((F.coalesce(F.col('__ct'), F.lit(0)) + a)
-                            / (F.col('__tt') + a * int(dim)))
+                            / (F.coalesce(F.col('__tt'), F.lit(0))
+                               + a * int(dim)))
                       - F.log((F.coalesce(F.col('__cr'), F.lit(0)) + a)
-                              / (F.col('__tr') + a * int(dim))))
+                              / (F.coalesce(F.col('__tr'), F.lit(0))
+                                 + a * int(dim))))
                      .alias('__lr')))
+    # the total coalesces matter: an all-tokenless corpus sums to NULL,
+    # which would NULL every weight — coalescing to 0 degrades to the
+    # uniform smoothed model instead (domain_classify does the same)
     scored = (spread_partitions(raw)
               .select(F.col(id_col).alias('doc_id'),
                       F.explode(_hashed_grams(F.col(text_col), ngram_max))
@@ -151,8 +156,14 @@ def dsir_sample(raw: DataFrame, target: DataFrame, n_select: int,
 
     Scale shape: n_select ≤ exact_max_n runs TakeOrderedAndProject —
     no full range shuffle, but the driver holds n_select rows.  Larger
-    selections switch to a threshold plan: approx_percentile picks the
-    cutoff score (one extra aggregation of the slim score triple) and a
+    selections switch to a threshold plan: the slim score triple is
+    persisted and counted (ONE eager measuring job at call time; the
+    percentile aggregation rides the returned lazy plan and re-reads
+    the cache, not the corpus).  The cache entry backs the
+    lazily-returned frame, so it outlives the call like any cached
+    lineage — use the exact path or unpersist via
+    spark.catalog.clearCache() in long-lived sessions.
+    approx_percentile picks the cutoff score and a
     filter keeps ≈n_select rows with NO global sort — the 100 TB path,
     where "give me the best 10%" never needs an exact rank.
 

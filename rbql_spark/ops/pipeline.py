@@ -165,8 +165,12 @@ def training_data_pipeline(
         sem_kept = semantic_dedup(emb, id_col=id_col, vec_col=embedding_col,
                                   **dict(semantic_kwargs or {}))
         canon = canon.join(sem_kept.select(id_col), id_col, 'left_semi')
-        if with_metrics:
+        # persist under materialize (not just with_metrics): the stage
+        # subtree would otherwise recompute inside decontamination's
+        # double-read of canon, breaking the ≤2-corpus-scans contract
+        if materialize:
             canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
+        if with_metrics:
             metrics.append({'stage': 'semantic_dedup',
                             'rows_in': metrics[-1]['rows_out'],
                             'rows_out': canon.count()})
@@ -175,8 +179,9 @@ def training_data_pipeline(
                                      vec_col=embedding_col,
                                      **dict(prototype_kwargs))
             canon = canon.join(pruned.select(id_col), id_col, 'left_semi')
-            if with_metrics:
+            if materialize:
                 canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
+            if with_metrics:
                 metrics.append({'stage': 'prototype_prune',
                                 'rows_in': metrics[-1]['rows_out'],
                                 'rows_out': canon.count()})
@@ -190,8 +195,9 @@ def training_data_pipeline(
                           id_col=id_col, **kw)
         canon = canon.join(sel.select(F.col('doc_id').alias(id_col)),
                            id_col, 'left_semi')
-        if with_metrics:
+        if materialize:
             canon = canon.persist(StorageLevel.MEMORY_AND_DISK)
+        if with_metrics:
             metrics.append({'stage': 'dsir_select',
                             'rows_in': metrics[-1]['rows_out'],
                             'rows_out': canon.count()})

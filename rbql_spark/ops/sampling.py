@@ -324,6 +324,10 @@ def mix_corpora(sources: list, weights: list[float],
                                              r'\s+', -1),
                                      lambda x: x != '')).cast('double'))
         sizes = [df.agg(F.sum(ntok)).first()[0] or 0 for df in sources]
+        if any(n == 0 for n in sizes):
+            raise ValueError('mix_corpora(by=\'tokens\') sources must have '
+                             'non-zero token mass (a source may have rows '
+                             'whose texts are all empty)')
     else:
         raise ValueError("by must be 'rows' or 'tokens'")
     if any(n == 0 for n in sizes):

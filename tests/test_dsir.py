@@ -191,3 +191,47 @@ def test_domain_classify_native_single_domain(spark, corpora):
     assert {r['domain_pred'] for r in out.collect()} == {'only'}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert 'BatchEvalPython' not in plan and 'mapInPandas' not in plan
+
+
+def test_dsir_weights_tokenless_target_uniform_model(spark):
+    # review fix: an all-tokenless target must degrade to the uniform
+    # smoothed model (coalesced totals), never NULL weights
+    from rbql_spark.ops.dsir import dsir_log_weights
+    raw = spark.createDataFrame(
+        [(1, 'alpha beta gamma'), (2, 'delta epsilon')],
+        'doc_id long, text string')
+    empty_target = spark.createDataFrame(
+        [(9, ''), (10, None)], 'doc_id long, text string')
+    rows = dsir_log_weights(raw, empty_target, dim=64).collect()
+    assert len(rows) == 2
+    assert all(r['log_weight'] is not None for r in rows)
+
+
+def test_bloom_decontaminate_duplicate_rows_still_flag(spark):
+    # review fix: a duplicated train row must not UNFLAG a contaminated
+    # doc on the native path (salt-index counting, not count(*) == k)
+    from rbql_spark.ops.dedup import decontaminate_bloom
+    docs = spark.createDataFrame(
+        [(1, 'alpha beta gamma delta epsilon zeta'),
+         (1, 'alpha beta gamma delta epsilon zeta'),
+         (2, 'unrelated words entirely different text here')],
+        'doc_id long, text string')
+    bench = spark.createDataFrame(
+        [(10, 'alpha beta gamma delta epsilon zeta')],
+        'doc_id long, text string')
+    flagged = {r['doc_id']: r['n_flagged_shingles']
+               for r in decontaminate_bloom(docs, bench,
+                                            bloom_bits=1 << 20).collect()}
+    assert flagged == {1: 4}  # per distinct shingle, duplicates collapsed
+    with pytest.raises(ValueError, match="'native' or 'bitmap'"):
+        decontaminate_bloom(docs, bench, impl='numpy')
+
+
+def test_mix_corpora_zero_token_source_error(spark):
+    from rbql_spark.ops.sampling import mix_corpora
+    a = spark.createDataFrame([(1, 'some words here')],
+                              'doc_id long, text string')
+    b = spark.createDataFrame([(2, ''), (3, None)],
+                              'doc_id long, text string')
+    with pytest.raises(ValueError, match='token mass'):
+        mix_corpora([a, b], [0.5, 0.5], by='tokens')

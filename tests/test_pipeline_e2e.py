@@ -357,3 +357,26 @@ def test_pipeline_embedding_curation_stage(spark, sf_dir):
     got = {r['doc_id'] for r in result.select('doc_id').distinct().collect()}
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_pipeline_curation_stage_persisted_without_metrics(spark, sf_dir):
+    """round-11 review fix: the embedding-curation stage must persist
+    under materialize=True even WITHOUT with_metrics — otherwise the
+    semantic_dedup subtree recomputes inside decontamination's
+    double-read and the ≤2-corpus-scan contract breaks."""
+    from rbql_spark.ops.pipeline import training_data_pipeline
+
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    emb = spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet')) \
+               .select(F.col('vec_id').alias('doc_id'), 'embedding')
+    bench = docs.where(F.col('doc_id') % 50 == 0).select('doc_id', 'text')
+    res = training_data_pipeline(
+        docs, bench, embeddings=emb,
+        quality_kwargs={'min_words': 5, 'min_stopword_ratio': 0.0},
+        minhash_kwargs={'threshold': 0.5},
+        semantic_kwargs={'threshold': 0.9, 'dim': 64},
+        split_kwargs={'splits': [('train', 1.0)]})
+    assert _count_corpus_scans(res, 'embeddings') <= 1
+    assert _count_corpus_scans(res, 'documents') <= 2
+    assert res.count() > 0
+    spark.catalog.clearCache()
