@@ -1108,6 +1108,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return domain_classify(docs, doms, dim=1024)
     q['domain_classify'] = _domain_classify
 
+    def _quality_classifier(spark, sf_dir):
+        # fastText-style quality LR (ops/classifier.py): train 2 full-batch
+        # GD rounds on lang='en' labels over 256 hashed-bigram buckets,
+        # then score the whole corpus; the round-6 determinism contract
+        # lets the oracle unroll both training rounds in SQL
+        from rbql_spark.ops.classifier import (classifier_score,
+                                               classifier_train)
+        docs = _t(spark, sf_dir, 'documents')
+        labeled = docs.withColumn(
+            'label', F.when(F.col('lang') == 'en', 1).otherwise(0))
+        w = classifier_train(labeled, dim=256, n_iter=2, lr=1.0)
+        return classifier_score(docs, w, dim_check=256)
+    q['quality_classifier'] = _quality_classifier
+
     # ---- superset: text analysis -------------------------------------------
     def _text_tokens(spark, sf_dir):
         from rbql_spark.ops.textstats import token_stats
@@ -1255,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the round-11-new sim_semantic_dedup (no driver proof yet)
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
+        'quality_classifier',
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
         'streaming_decontaminate_bloom', 'sample_epochs',
@@ -2664,6 +2679,56 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, log_weight, gumbel_score FROM "
         "(SELECT *, row_number() OVER (ORDER BY gumbel_score DESC, doc_id) "
         "AS rn FROM g) WHERE rn <= 100")
+
+    # logistic-regression quality classifier replay: the round-6
+    # determinism contract (ops/classifier.py) makes each full-batch GD
+    # round a pure function of the data, so training unrolls as one CTE
+    # chain per round — w0 = 0, z_r = round6(Σ w·x), residual
+    # g = σ(z) − y, w_{r+1} = round6(w_r − lr·grad/n_docs) — followed by
+    # the scoring projection under the final weights
+    def _classifier_replay_sql(dim, n_iter, lr):
+        s = (
+            "WITH toks AS (SELECT doc_id, " + _dec_toks + " AS t FROM documents), "
+            "grams AS (SELECT doc_id, unnest(t) AS g FROM toks "
+            "UNION ALL SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g "
+            "FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks "
+            "WHERE len(t) >= 2)), "
+            "bkt AS (SELECT doc_id, ('0x' || md5(g || ':dsir:42')[1:8])::BIGINT "
+            "% {dim} AS bucket FROM grams), "
+            "cnt AS (SELECT doc_id, bucket, count(*) AS c FROM bkt GROUP BY 1, 2), "
+            "nf AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1), "
+            "feats AS (SELECT c.doc_id, c.bucket, c.c * 1.0 / nf.n AS x, nf.n AS n "
+            "FROM cnt c JOIN nf USING (doc_id) "
+            "UNION ALL SELECT doc_id, {dim} AS bucket, 1.0 AS x, n FROM nf), "
+            "lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END "
+            "AS y FROM documents), "
+            "nd AS (SELECT count(*) AS m FROM nf), "
+            "dense AS (SELECT unnest(range(0, {dimp1})) AS bucket), "
+            "w0 AS (SELECT bucket, 0.0 AS w FROM dense), "
+        ).replace('{dim}', str(int(dim))).replace('{dimp1}', str(int(dim) + 1))
+        for r in range(1, n_iter + 1):
+            s += (
+                "z{r} AS (SELECT f.doc_id, round(sum(w.w * f.x), 6) AS z "
+                "FROM feats f JOIN w{p} w USING (bucket) GROUP BY 1), "
+                "g{r} AS (SELECT z.doc_id, 1.0 / (1.0 + exp(-z.z)) - lab.y AS g "
+                "FROM z{r} z JOIN lab USING (doc_id)), "
+                "gr{r} AS (SELECT f.bucket, sum(g.g * f.x) AS grad "
+                "FROM feats f JOIN g{r} g USING (doc_id) GROUP BY 1), "
+                "w{r} AS (SELECT d.bucket, round(w.w - {lr} * "
+                "coalesce(gr.grad, 0) / nd.m, 6) AS w "
+                "FROM dense d JOIN w{p} w USING (bucket) "
+                "LEFT JOIN gr{r} gr USING (bucket) CROSS JOIN nd), "
+            ).format(r=r, p=r - 1, lr=float(lr))
+        s += (
+            "sc AS (SELECT f.doc_id, max(f.n)::BIGINT AS n_features, "
+            "round(sum(w.w * f.x), 6) AS logit "
+            "FROM feats f JOIN w{n} w USING (bucket) GROUP BY 1) "
+            "SELECT doc_id, n_features, logit, "
+            "round(1.0 / (1.0 + exp(-logit)), 6) AS prob FROM sc"
+        ).format(n=n_iter)
+        return s
+
+    o['quality_classifier'] = _classifier_replay_sql(dim=256, n_iter=2, lr=1.0)
     # stateless projection: lifetime stream output == the batch filter
     o['streaming_quality_filter'] = _qf_replay_sql()
 

@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     'domain_classify',
     'streaming_decontaminate_bloom',
     'sample_epochs',
+    # round 11 addition: logistic-regression quality classifier (each rep
+    # pays the full 2-round training + corpus scoring)
+    'quality_classifier',
 ]
 
 

@@ -1,0 +1,177 @@
+"""Hashed-feature quality classifier: distributed logistic regression
+over the DSIR n-gram bucket space.
+
+The fastText-style quality classifier of the published LLM-pipeline
+recipes (GPT-3 App. A "high-quality" LR filter; CCNet, arXiv:1911.00359)
+re-expressed as Spark aggregations:
+
+  * classifier_train — full-batch gradient descent on logistic loss over
+    hashed unigram+bigram count features (length-normalized, plus an
+    always-on intercept bucket).  Each round is one job over a persisted
+    slim feature triple; only the (dim+1)-row gradient ever reaches the
+    driver.
+  * classifier_score — score any corpus under the trained weights: one
+    broadcast join + one partial/final sum per doc.
+
+Determinism contract (the kmeans_cluster convention, ops/cluster.py):
+per-doc logits and the updated weights are rounded half-away-from-zero
+to 6 places every round, so the whole fit is a pure function of the
+data that the DuckDB differential oracle replays round-for-round; the
+float-order error of the unrounded gradient sums sits far below the
+1e-6 grid (the lm_score argument).
+
+Scale shape: the feature triple (doc_id, y, bucket, x) is persisted
+hash-partitioned on doc_id ONCE; each round's logit aggregation and
+gradient join reuse that partitioning (no per-round corpus shuffle) and
+the per-bucket gradient collapses map-side to ≤ partitions × (dim+1)
+partial rows before the one small exchange.  The weight table is dim+1
+rows — a fixed parameter, like IVF's n_cells — broadcast into both the
+training rounds and the scoring join, so the corpus never shuffles to
+be scored.
+
+Reference parity note: the reference engine (mechatroner/RBQL) has no
+model-training surface; this module is part of the LLM-training-data
+superset alongside ops/dsir.py and ops/cluster.py.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import spread_partitions
+from .dsir import _bucket, _hashed_grams
+from .similarity import _round6_np
+
+__all__ = ['classifier_train', 'classifier_score']
+
+
+def _features(df: DataFrame, text_col: str, id_col: str, dim: int,
+              ngram_max: int, seed: int,
+              label: Column | None = None) -> DataFrame:
+    """Length-normalized hashed-n-gram features → (doc_id[, y], bucket,
+    x, n_features): per-doc bucket counts divided by the doc's total
+    gram occurrences, PLUS one intercept row per doc (bucket = dim,
+    x = 1.0).  Documents whose text yields no tokens emit no rows (the
+    DSIR convention).  n_features = total gram occurrences (intercept
+    excluded) — an exact integer ratio, so x is bit-identical in any
+    IEEE engine.
+    """
+    carry = [] if label is None else ['y']
+    base = spread_partitions(df).select(
+        F.col(id_col).alias('doc_id'),
+        *([] if label is None else [label.cast('double').alias('y')]),
+        F.explode(_hashed_grams(F.col(text_col), ngram_max)).alias('__g'))
+    cnt = (base.select('doc_id', *carry,
+                       _bucket(F.col('__g'), dim, seed).alias('bucket'))
+               .groupBy('doc_id', *carry, 'bucket')
+               .agg(F.count(F.lit(1)).alias('__c')))
+    w = Window.partitionBy('doc_id')
+    fx = (cnt.withColumn('n_features', F.sum('__c').over(w))
+             .select('doc_id', *carry, 'bucket',
+                     (F.col('__c') / F.col('n_features')).alias('x'),
+                     'n_features'))
+    intercept = (fx.groupBy('doc_id', *carry)
+                   .agg(F.first('n_features').alias('n_features'))
+                   .select('doc_id', *carry,
+                           F.lit(int(dim)).cast('long').alias('bucket'),
+                           F.lit(1.0).alias('x'), 'n_features'))
+    return fx.unionByName(intercept)
+
+
+def _weights_df(spark, weights: list[float]) -> DataFrame:
+    return spark.createDataFrame(
+        [(j, float(wj)) for j, wj in enumerate(weights)],
+        'bucket long, __w double')
+
+
+def classifier_train(labeled: DataFrame, label_col: str = 'label',
+                     text_col: str = 'text', id_col: str = 'doc_id',
+                     dim: int = 4096, ngram_max: int = 2, seed: int = 42,
+                     n_iter: int = 3, lr: float = 1.0) -> list[float]:
+    """Fit the logistic-regression quality model → a (dim+1)-length
+    weight list (index dim is the intercept), every entry on the 1e-6
+    grid.
+
+    `label_col` must be 0/1-valued (castable to double).  Each of the
+    `n_iter` full-batch rounds runs ONE Spark job: logits via a
+    broadcast join with the current weights, per-doc aggregation
+    (reusing the persisted doc_id partitioning — no corpus shuffle),
+    sigmoid residuals joined back to the features co-located on doc_id,
+    then a map-side-combined per-bucket gradient whose exchange carries
+    ≤ partitions × (dim+1) rows.  The update
+    w ← round6(w − lr·(grad / n_docs)) happens driver-side on dim+1
+    numbers.
+
+    Persists the slim feature triple for the duration of the call and
+    unpersists before returning (the kmeans_cluster cache contract);
+    one eager count job measures n_docs up front.
+    """
+    if int(n_iter) < 1:
+        raise ValueError('n_iter must be >= 1')
+    feats = _features(labeled, text_col, id_col, dim, ngram_max, seed,
+                      label=F.col(label_col))
+    from pyspark.storagelevel import StorageLevel
+    feats = feats.repartition('doc_id').persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_docs = feats.filter(F.col('bucket') == int(dim)).count()
+        if n_docs == 0:
+            raise ValueError('classifier_train: no documents with features')
+        w = [0.0] * (int(dim) + 1)
+        for _ in range(int(n_iter)):
+            wdf = _weights_df(labeled.sparkSession, w)
+            docg = (feats.join(F.broadcast(wdf), 'bucket')
+                         .groupBy('doc_id')
+                         .agg(F.first('y').alias('y'),
+                              F.round(F.sum(F.col('__w') * F.col('x')), 6)
+                               .alias('__z'))
+                         .select('doc_id',
+                                 (F.lit(1.0) / (F.lit(1.0)
+                                                + F.exp(-F.col('__z')))
+                                  - F.col('y')).alias('__g')))
+            grad = (feats.join(docg, 'doc_id')
+                         .groupBy('bucket')
+                         .agg(F.sum(F.col('__g') * F.col('x'))
+                               .alias('__grad'))
+                         .collect())
+            gd = {int(r['bucket']): float(r['__grad']) for r in grad}
+            w = [float(_round6_np(w[j] - float(lr) * (gd.get(j, 0.0)
+                                                      / float(n_docs))))
+                 for j in range(int(dim) + 1)]
+    finally:
+        feats.unpersist()
+    return w
+
+
+def classifier_score(corpus: DataFrame, weights: list[float],
+                     text_col: str = 'text', id_col: str = 'doc_id',
+                     ngram_max: int = 2, seed: int = 42,
+                     dim_check: int | None = None) -> DataFrame:
+    """Score a corpus under trained weights → (doc_id, n_features,
+    logit, prob), logit and prob rounded to 6.  `weights` is the
+    classifier_train output; its length fixes dim (= len − 1).
+
+    One scan: explode grams → bucket → broadcast-join the (dim+1)-row
+    weight table → one partial/final sum per doc.  The corpus never
+    shuffles (the dsir_log_weights shape).  Documents with no tokens
+    emit no row.  Output is UNORDERED; rank/filter downstream
+    (e.g. `.where(F.col('prob') >= 0.5)` as the keep gate, or feed
+    dsir_sample-style Gumbel selection).
+    """
+    dim = len(weights) - 1
+    if dim < 1:
+        raise ValueError('weights must have >= 2 entries (dim + intercept)')
+    if dim_check is not None and dim != int(dim_check):
+        raise ValueError('classifier_score: dim mismatch — weights imply '
+                         'dim={} but dim_check={} (train and score must '
+                         'share dim/ngram_max/seed)'.format(dim, dim_check))
+    feats = _features(corpus, text_col, id_col, dim, ngram_max, seed)
+    wdf = _weights_df(corpus.sparkSession, list(weights))
+    z = (feats.join(F.broadcast(wdf), 'bucket')
+              .groupBy('doc_id')
+              .agg(F.first('n_features').alias('n_features'),
+                   F.round(F.sum(F.col('__w') * F.col('x')), 6)
+                    .alias('logit')))
+    return z.select('doc_id', 'n_features', 'logit',
+                    F.round(F.lit(1.0) / (F.lit(1.0)
+                                          + F.exp(-F.col('logit'))), 6)
+                     .alias('prob'))
