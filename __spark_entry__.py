@@ -1174,6 +1174,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           ['hash', 'join', 'scan'], top_k=100)
     q['text_bm25'] = _bm25
 
+    def _hybrid_rrf(spark, sf_dir):
+        # hybrid retrieval: BM25 lexical top-50 and hash-embedding cosine
+        # top-50 for the same query, fused by reciprocal-rank fusion
+        # (k=60) — the lexical+semantic combiner production retrieval
+        # runs; all three stages are existing oracle-replayed operators
+        from rbql_spark.ops.similarity import cosine_topk_bruteforce
+        from rbql_spark.ops.textstats import (bm25_score, embed_hashing,
+                                              rrf_fuse)
+        docs = _t(spark, sf_dir, 'documents')
+        terms = ['hash', 'join', 'scan']
+        lex = bm25_score(docs, terms, top_k=50).select('doc_id', 'rank')
+        emb = embed_hashing(docs, dim=16).select(
+            F.col('doc_id').alias('vec_id'), 'embedding')
+        qdf = embed_hashing(
+            spark.createDataFrame([(-1, ' '.join(terms))],
+                                  'doc_id long, text string'),
+            dim=16).select(F.col('doc_id').alias('qid'), 'embedding')
+        sem = cosine_topk_bruteforce(emb, qdf, k=50, query_id_col='qid') \
+            .select(F.col('vec_id').alias('doc_id'), 'rank')
+        return rrf_fuse([lex, sem], k=60, top_k=20)
+    q['retrieval_hybrid_rrf'] = _hybrid_rrf
+
     def _text_top_ngrams(spark, sf_dir):
         from rbql_spark.ops.textstats import top_ngrams
         return top_ngrams(_t(spark, sf_dir, 'documents'), n=2, k=100)
@@ -1269,7 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the round-11-new sim_semantic_dedup (no driver proof yet)
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
-        'quality_classifier',
+        'quality_classifier', 'retrieval_hybrid_rrf',
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
         'streaming_decontaminate_bloom', 'sample_epochs',
@@ -2313,6 +2335,64 @@ def oracle_sql() -> dict[str, str]:
         # to match the gate: the driver canonicalizer can't hash list cells
         "SELECT doc_id, " + ", ".join(
             "emb[{}] AS e{}".format(i + 1, i) for i in range(16)) + " FROM e")
+
+    # hybrid RRF retrieval replay: the bm25 top-50 chain + the hashing-
+    # embedding cosine top-50 chain (query unioned into the embed CTEs as
+    # doc_id = -1 — per-doc embeddings are corpus-independent, so the
+    # extra row changes nothing), fused by 1/(60+rank) sums rounded to 6
+    o['retrieval_hybrid_rrf'] = (
+        "WITH src AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT -1, 'hash join scan'), "
+        "et AS (SELECT doc_id, unnest(" + _eh_toks + ") AS tok FROM src), "
+        "eh AS (SELECT doc_id, "
+        "('0x' || " + _eh_md5 + "[1:8])::BIGINT % 16 AS b, "
+        "CASE WHEN ('0x' || " + _eh_md5 + "[9:9])::BIGINT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END AS s FROM et), "
+        "ev AS (SELECT doc_id, b, sum(s) AS val FROM eh GROUP BY 1, 2), "
+        "ep AS (SELECT doc_id, list(struct_pack(b := b, val := val)) AS pairs "
+        "FROM ev GROUP BY 1), "
+        "ed AS (SELECT doc_id, list_transform(range(0, 16), i -> "
+        "coalesce(list_sum(list_transform(list_filter(pairs, x -> x.b = i), "
+        "x -> x.val)), 0.0)) AS raw FROM ep), "
+        "ea AS (SELECT s.doc_id, "
+        "coalesce(ed.raw, list_transform(range(0, 16), i -> 0.0)) AS raw "
+        "FROM src s LEFT JOIN ed ON s.doc_id = ed.doc_id), "
+        "en AS (SELECT doc_id, raw, "
+        "sqrt(list_sum(list_transform(raw, x -> x * x))) AS nm FROM ea), "
+        "ee AS (SELECT doc_id, CASE WHEN nm > 0 THEN "
+        "list_transform(raw, x -> round(x / nm, 6)) ELSE raw END AS emb, nm "
+        "FROM en), "
+        "sem AS (SELECT c.doc_id, CASE WHEN c.nm > 0 AND q.nm > 0 THEN "
+        "round(list_cosine_similarity(c.emb, q.emb), 6) ELSE -1.0 END AS cs "
+        "FROM ee c, (SELECT emb, nm FROM ee WHERE doc_id = -1) q "
+        "WHERE c.doc_id >= 0), "
+        "semr AS (SELECT doc_id, rnk AS rank FROM (SELECT doc_id, "
+        "row_number() OVER (ORDER BY cs DESC, doc_id) AS rnk FROM sem) "
+        "WHERE rnk <= 50), "
+        "bbase AS (SELECT doc_id, len(" + _bm_toks + ") AS dl, "
+        + _bm_toks + " AS t FROM documents), "
+        "bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bbase), "
+        "bq AS (SELECT unnest(['hash', 'join', 'scan']) AS term), "
+        "bhits AS (SELECT * FROM (SELECT doc_id, dl, term, "
+        "len(list_filter(t, x -> x = term)) AS tf FROM bbase CROSS JOIN bq) "
+        "WHERE tf > 0), "
+        "bdf AS (SELECT term, count(*) AS df_t FROM bhits GROUP BY 1), "
+        "bcon AS (SELECT h.doc_id, "
+        "ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5)) "
+        "* (h.tf * 2.2) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl)) AS c "
+        "FROM bhits h JOIN bdf d USING (term) CROSS JOIN bstats s), "
+        "bsc AS (SELECT doc_id, round(sum(c), 6) AS bm25 "
+        "FROM bcon GROUP BY 1), "
+        "btop AS (SELECT * FROM bsc ORDER BY bm25 DESC, doc_id LIMIT 50), "
+        "lexr AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY bm25 DESC, doc_id) AS rank FROM btop), "
+        "u AS (SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM lexr "
+        "UNION ALL SELECT doc_id, 1.0 / (60.0 + rank) FROM semr), "
+        "fsc AS (SELECT doc_id, round(sum(c), 6) AS rrf_score, "
+        "count(*) AS n_lists FROM u GROUP BY 1), "
+        "ftop AS (SELECT * FROM fsc ORDER BY rrf_score DESC, doc_id LIMIT 20) "
+        "SELECT doc_id, rrf_score, n_lists, row_number() OVER "
+        "(ORDER BY rrf_score DESC, doc_id) AS rank FROM ftop")
 
     # deterministic global shuffle: order by the op-salted md5 unit
     # (rbql_spark.ops.sampling.shuffle_corpus), ties broken by the key

@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     # round 11 addition: logistic-regression quality classifier (each rep
     # pays the full 2-round training + corpus scoring)
     'quality_classifier',
+    # round 11 addition: hybrid retrieval (BM25 + embedding cosine + RRF)
+    'retrieval_hybrid_rrf',
 ]
 
 

@@ -685,3 +685,40 @@ def bm25_score(df: DataFrame, query_terms: list[str], k1: float = 1.2,
                 .limit(top_k)
     w = Window.orderBy(F.col('bm25').desc(), F.col('doc_id').asc())
     return top.withColumn('rank', F.row_number().over(w))
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 60, top_k: int = 100,
+             id_col: str = 'doc_id', rank_col: str = 'rank') -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked
+    retrieval lists → (doc_id, rrf_score, n_lists, rank).
+
+    score(d) = Σ_lists 1/(k + rank_d); a list where d is absent
+    contributes 0 (n_lists counts the lists that returned d).  Scores
+    round to 6 places and the final rank orders (rrf_score DESC, doc_id
+    ASC) — fully deterministic, so the DuckDB oracle replays the fusion
+    value-for-value.  The canonical hybrid-retrieval combiner for
+    bm25_score (lexical) + the ANN operators (semantic); k=60 is the
+    published default.
+
+    Scale shape: the inputs are top-k lists — already bounded upstream
+    (TakeOrderedAndProject in bm25_score, rank<=k in the ANN ops) — so
+    the union/agg/sort here touch at most Σ top-k rows regardless of
+    corpus size; the heavy lifting stays in the retrieval plans.
+    """
+    if not rankings:
+        raise ValueError('rrf_fuse needs at least one ranking')
+    parts = [r.select(F.col(id_col).alias('doc_id'),
+                      (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)))
+                      .alias('__c'))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = (u.groupBy('doc_id')
+               .agg(F.round(F.sum('__c'), 6).alias('rrf_score'),
+                    F.count(F.lit(1)).alias('n_lists')))
+    top = scored.orderBy(F.col('rrf_score').desc(),
+                         F.col('doc_id').asc()).limit(int(top_k))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col('rrf_score').desc(), F.col('doc_id').asc())
+    return top.withColumn('rank', F.row_number().over(w))

@@ -1366,6 +1366,41 @@ def test_bm25_score_ranking_and_plan(spark):
         bm25_score(df, [])
 
 
+def test_rrf_fuse_scores_and_membership(spark):
+    import pytest
+
+    from rbql_spark.ops.textstats import rrf_fuse
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                                'doc_id long, rank int')
+    sem = spark.createDataFrame([(20, 1), (40, 2), (10, 3)],
+                                'doc_id long, rank int')
+    out = {r['doc_id']: r for r in rrf_fuse([lex, sem], k=60).collect()}
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63; singles: 30 -> 1/63,
+    # 40 -> 1/62
+    assert out[20]['rrf_score'] == round(1 / 62 + 1 / 61, 6)
+    assert out[10]['rrf_score'] == round(1 / 61 + 1 / 63, 6)
+    assert out[30]['rrf_score'] == round(1 / 63, 6)
+    assert {d: r['n_lists'] for d, r in out.items()} == \
+        {10: 2, 20: 2, 30: 1, 40: 1}
+    # both-list docs outrank single-list docs; rank order is score DESC
+    ranks = {d: r['rank'] for d, r in out.items()}
+    assert ranks[20] == 1 and ranks[10] == 2
+    assert ranks[40] == 3 and ranks[30] == 4
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_rrf_fuse_top_k_and_tiebreak(spark):
+    from rbql_spark.ops.textstats import rrf_fuse
+    # identical ranks -> identical scores; ties break on doc_id ASC and
+    # top_k cuts deterministically
+    a = spark.createDataFrame([(i, 1) for i in [5, 3, 9]],
+                              'doc_id long, rank int')
+    out = rrf_fuse([a], k=60, top_k=2).collect()
+    assert [(r['doc_id'], r['rank']) for r in
+            sorted(out, key=lambda r: r['rank'])] == [(3, 1), (5, 2)]
+
+
 def test_kmeans_cluster_nearest_centroid_and_plan(spark, emb_df):
     # every row's reported sim is the max over ALL centroids (true
     # nearest-centroid assignment), inline and arrow strategies agree,
