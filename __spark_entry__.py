@@ -743,6 +743,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_fraction=0.8).select('doc_id', 'lang')
     q['sample_stratified'] = _sample_strat
 
+    def _sample_k_per_group(spark, sf_dir):
+        # exact 20-per-language sample via the skew-safe two-phase salted
+        # rank; slim scalar projection for the value hash
+        from rbql_spark.ops.sampling import sample_k_per_group
+        out = sample_k_per_group(_t(spark, sf_dir, 'documents'), k=20,
+                                 group_col='lang')
+        return out.select('doc_id', 'lang', 'sample_rank')
+    q['sample_k_per_group'] = _sample_k_per_group
+
     def _temp_sample(spark, sf_dir):
         # stratify on lang ('source' is uniform in the synthetic table —
         # every rate would be 1.0 and the gate would exercise nothing)
@@ -1291,7 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with the round-11-new sim_semantic_dedup (no driver proof yet)
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
-        'quality_classifier', 'retrieval_hybrid_rrf',
+        'quality_classifier', 'retrieval_hybrid_rrf', 'sample_k_per_group',
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
         'streaming_decontaminate_bloom', 'sample_epochs',
@@ -2444,6 +2453,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, lang FROM documents WHERE " + _unit + " < "
         "CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.5 "
         "ELSE 0.8 END")
+
+    # exact-k-per-group replay: a plain per-group row_number on the same
+    # ':kpg'-salted md5 unit — the Spark side's two-phase salted rank is
+    # an execution strategy, not a semantic fork, so the naive window IS
+    # its oracle
+    o['sample_k_per_group'] = (
+        "SELECT doc_id, lang, rnk AS sample_rank FROM "
+        "(SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+        "ORDER BY ('0x' || md5(doc_id::VARCHAR || ':kpg:42')[1:8])::BIGINT "
+        "/ 4294967296.0 ASC, doc_id ASC) AS rnk FROM documents) "
+        "WHERE rnk <= 20")
 
     # temperature mixture sampling: rates are a pure function of the
     # per-stratum counts — r_g = round((c_g/c_min)^(alpha-1), 6), alpha=0.5

@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     'quality_classifier',
     # round 11 addition: hybrid retrieval (BM25 + embedding cosine + RRF)
     'retrieval_hybrid_rrf',
+    # round 11 addition: exact-k-per-group sampling (two-phase salted rank)
+    'sample_k_per_group',
 ]
 
 

@@ -10,6 +10,8 @@ bit-for-bit (the DuckDB differential oracle does):
                              pure function of the data, which is what a
                              reproducible training pipeline needs.
   * stratified_hash_sample — per-stratum fractions with the same rule.
+  * sample_k_per_group     — EXACTLY k rows per group (smallest key
+                             hashes), skew-safe two-phase salted rank.
   * chunk_documents        — overlapping fixed-token-window chunking (the
                              RAG / context-window prep primitive).
   * pack_sequences         — greedy token-budget packing (the LLM-training
@@ -63,6 +65,67 @@ def stratified_hash_sample(df: DataFrame, fractions: dict, strata_col: str,
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == F.lit(value), F.lit(float(f))).otherwise(frac)
     return df.filter(_hash_unit(F.col(key_col), seed) < frac)
+
+
+def sample_k_per_group(df: DataFrame, k: int, group_col: str,
+                       key_col: str = 'doc_id', seed: int = 42,
+                       salt_buckets: int = 32,
+                       broadcast_picks: bool | None = None,
+                       broadcast_max_rows: int = 5_000_000) -> DataFrame:
+    """EXACTLY the k rows per group with the smallest deterministic key
+    hash (a fixed-size per-stratum sample: "take 10k docs per language",
+    where the fraction-based samplers can't hit an exact count) → the
+    input columns plus `sample_rank` (1..k within the group, ordered by
+    hash unit ASC, key ASC).  Groups smaller than k are kept whole.
+
+    Content-keyed like hash_sample: the picked set is a pure function of
+    the data — rerun-stable and engine-replayable (the DuckDB oracle is
+    a plain per-group row_number on the same md5 unit).
+
+    Scale shape — skew-safe exact rank without a per-group single task:
+    a naive row_number over PARTITION BY group serializes each group
+    into one task (a 5-group 100 TB corpus would rank on 5 cores).
+    Instead the slim (group, key, unit) triple ranks in two phases:
+    phase 1 within (group, salt) — salt_buckets× the parallelism, keep
+    rank ≤ k per salt bucket (a superset of the true top-k, since every
+    true top-k row is also top-k inside its own bucket); phase 2 ranks
+    only the ≤ salt_buckets×k survivors per group.  Both windows order
+    by (unit, key) so the result is EXACT — the salt never reaches the
+    output.  The payload joins back on the key: broadcast_picks=None
+    (default) persists the ≤ n_groups×k pick set, counts it (one eager
+    measuring job, cache retained by the returned lazy frame — the
+    dedup_lines contract), and broadcasts only under
+    broadcast_max_rows; pass False to force the shuffle join when
+    n_groups×k is corpus-scale.
+    """
+    if int(k) < 1:
+        raise ValueError('sample_k_per_group: k must be >= 1')
+    if int(salt_buckets) < 1:
+        raise ValueError('sample_k_per_group: salt_buckets must be >= 1')
+    from pyspark.sql import Window
+    slim = df.select(F.col(group_col).alias('__g'),
+                     F.col(key_col).alias('__k')) \
+             .withColumn('__u', _hash_unit(F.col('__k'), seed, op='kpg'))
+    # engine-side only: any partition of a group's rows preserves
+    # exactness, so the salt function never needs oracle replay
+    salted = slim.withColumn('__s', F.pmod(F.hash('__k'),
+                                           F.lit(int(salt_buckets))))
+    w1 = Window.partitionBy('__g', '__s').orderBy(F.col('__u').asc(),
+                                                  F.col('__k').asc())
+    cand = (salted.withColumn('__r1', F.row_number().over(w1))
+                  .where(F.col('__r1') <= int(k)))
+    w2 = Window.partitionBy('__g').orderBy(F.col('__u').asc(),
+                                           F.col('__k').asc())
+    picks = (cand.withColumn('sample_rank', F.row_number().over(w2))
+                 .where(F.col('sample_rank') <= int(k))
+                 .select('__k', 'sample_rank'))
+    if broadcast_picks is None:
+        from pyspark.storagelevel import StorageLevel
+        picks = picks.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_picks = picks.count() <= int(broadcast_max_rows)
+    joined = df.join(F.broadcast(picks) if broadcast_picks else picks,
+                     df[key_col] == picks['__k'])
+    return joined.drop('__k')
 
 
 def temperature_sample(df: DataFrame, strata_col: str, alpha: float = 0.5,

@@ -316,6 +316,62 @@ def test_stratified_hash_sample_respects_fractions(spark, sf_dir):
     assert out.filter("lang = 'de'").count() == n_de
 
 
+def test_sample_k_per_group_exact_counts_and_rank(spark, sf_dir):
+    import hashlib
+
+    from rbql_spark.ops.sampling import sample_k_per_group
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    out = sample_k_per_group(docs, k=10, group_col='lang').collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r['lang'], []).append(r)
+    sizes = {g: docs.filter(F.col('lang') == g).count() for g in by_lang}
+    for g, rows in by_lang.items():
+        assert len(rows) == min(10, sizes[g])
+        assert sorted(r['sample_rank'] for r in rows) == \
+            list(range(1, len(rows) + 1))
+    # exactness: the picked keys ARE the k smallest md5 units per group
+    def unit(doc_id):
+        h = hashlib.md5('{}:kpg:42'.format(doc_id).encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32)
+    all_rows = docs.select('doc_id', 'lang').collect()
+    for g, rows in by_lang.items():
+        expect = sorted((unit(r['doc_id']), r['doc_id'])
+                        for r in all_rows if r['lang'] == g)[:10]
+        got = sorted((unit(r['doc_id']), r['doc_id']) for r in rows)
+        assert got == expect, g
+
+
+def test_sample_k_per_group_salt_invariant_and_errors(spark, sf_dir):
+    import pytest
+
+    from rbql_spark.ops.sampling import sample_k_per_group
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    a = {(r['doc_id'], r['sample_rank']) for r in
+         sample_k_per_group(docs, k=5, group_col='lang',
+                            salt_buckets=1).collect()}
+    b = {(r['doc_id'], r['sample_rank']) for r in
+         sample_k_per_group(docs, k=5, group_col='lang',
+                            salt_buckets=7).collect()}
+    assert a == b                      # salt choice never reaches the output
+    with pytest.raises(ValueError):
+        sample_k_per_group(docs, k=0, group_col='lang')
+    with pytest.raises(ValueError):
+        sample_k_per_group(docs, k=5, group_col='lang', salt_buckets=0)
+
+
+def test_sample_k_per_group_plan(spark, sf_dir):
+    from rbql_spark.ops.sampling import sample_k_per_group
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    out = sample_k_per_group(docs, k=5, group_col='lang')
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # auto mode measured a tiny pick set -> broadcast join back, and the
+    # exact rank never range-shuffles
+    assert 'BroadcastHashJoin' in plan
+    assert 'rangepartitioning' not in plan.lower()
+    assert 'BatchEvalPython' not in plan and 'mapInPandas' not in plan
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     from rbql_spark.ops.sampling import pack_sequences
     docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))

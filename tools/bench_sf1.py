@@ -122,6 +122,11 @@ SUBSET = [
     'sample_mix_tokens',
     'sample_epochs',
     'streaming_decontaminate_bloom',
+    # round 11 late additions: the trained quality classifier (full
+    # 2-round GD per run) and hybrid BM25+embedding RRF retrieval
+    'quality_classifier',
+    'retrieval_hybrid_rrf',
+    'sample_k_per_group',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'

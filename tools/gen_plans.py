@@ -35,6 +35,8 @@ PICKS = [
     ('sim_prototype_prune', 'Prototype-based pruning: the slim (id, cluster, sim) triple shuffles ONCE on cluster_id; both windows (rank + cluster size) reuse that partitioning — exactly one hashpartitioning Exchange, no ordering Exchange.'),
     ('dsir_weights', 'DSIR importance weights: the dim-row bucket models broadcast into the exploded gram stream — the raw corpus is scored without ever shuffling (its only Exchange is the final per-doc partial/final sum); all hashing native md5, zero Python stages.'),
     ('decontaminate_bloom', 'Bloom decontamination: the benchmark collapses to a distinct set-bit table (capped at bloom_bits rows) that BROADCASTS into the corpus (shingle × position) stream; only surviving hit rows shuffle — the corpus side never exchanges before the membership join.'),
+    ('quality_classifier', 'LR quality-classifier scoring: the (dim+1)-row trained weight table broadcasts into the exploded gram stream — the corpus is scored without a corpus shuffle (its Exchanges are the per-doc partial/final count and sum aggregations); training ran beforehand as bounded gradient jobs over a persisted doc-partitioned feature triple, only dim+1 rows ever reaching the driver.'),
+    ('retrieval_hybrid_rrf', 'Hybrid retrieval fusion: BM25 and cosine lists are each capped upstream (TakeOrderedAndProject / rank<=k), so the RRF union + aggregation + final TakeOrdered touch at most 100 rows — the corpus-scale work stays inside the two retrieval subplans.'),
 ]
 
 out = ['# PLANS — physical plans of headline queries (sf0.001, local)',
