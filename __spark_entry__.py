@@ -1131,6 +1131,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return classifier_score(docs, w, dim_check=256)
     q['quality_classifier'] = _quality_classifier
 
+    def _streaming_classifier(spark, sf_dir):
+        # streaming face of the quality classifier: weights trained in
+        # batch, each arriving doc scored by the stateless inline fold
+        # (zero Exchange, append mode, no state) — the stream's lifetime
+        # output equals the batch scoring, so the oracle is the same
+        # training+scoring replay as quality_classifier
+        from rbql_spark.ops.classifier import classifier_train
+        from rbql_spark.streaming.documents import (read_document_stream,
+                                                    stream_classify)
+        from rbql_spark.streaming.events import run_stream_to_memory
+        docs = _t(spark, sf_dir, 'documents')
+        labeled = docs.withColumn(
+            'label', F.when(F.col('lang') == 'en', 1).otherwise(0))
+        w = classifier_train(labeled, dim=256, n_iter=2, lr=1.0)
+        tmp = _stream_replay_dir(spark, sf_dir, 'clf',
+                                 ['doc_id % 2 = 0', 'doc_id % 2 = 1'],
+                                 table='documents')
+        stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
+        qname = 'rbql_stream_clf_gate'
+        sq = run_stream_to_memory(stream_classify(stream, w), qname,
+                                  output_mode='append')
+        sq.stop()
+        return spark.table(qname)
+    q['streaming_classifier'] = _streaming_classifier
+
     # ---- superset: text analysis -------------------------------------------
     def _text_tokens(spark, sf_dir):
         from rbql_spark.ops.textstats import token_stats
@@ -1301,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
         'quality_classifier', 'retrieval_hybrid_rrf', 'sample_k_per_group',
+        'streaming_classifier',
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
         'streaming_decontaminate_bloom', 'sample_epochs',
@@ -2829,6 +2855,9 @@ def oracle_sql() -> dict[str, str]:
         return s
 
     o['quality_classifier'] = _classifier_replay_sql(dim=256, n_iter=2, lr=1.0)
+    # stateless scoring projection: lifetime stream output == the batch
+    # classifier_score under the same batch-trained weights
+    o['streaming_classifier'] = o['quality_classifier']
     # stateless projection: lifetime stream output == the batch filter
     o['streaming_quality_filter'] = _qf_replay_sql()
 

@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     'retrieval_hybrid_rrf',
     # round 11 addition: exact-k-per-group sampling (two-phase salted rank)
     'sample_k_per_group',
+    # round 11 addition: streaming classifier scoring (stateless inline
+    # fold; each rep pays training + the full stream drain)
+    'streaming_classifier',
 ]
 
 

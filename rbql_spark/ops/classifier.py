@@ -145,17 +145,29 @@ def classifier_train(labeled: DataFrame, label_col: str = 'label',
 def classifier_score(corpus: DataFrame, weights: list[float],
                      text_col: str = 'text', id_col: str = 'doc_id',
                      ngram_max: int = 2, seed: int = 42,
-                     dim_check: int | None = None) -> DataFrame:
+                     dim_check: int | None = None,
+                     impl: str = 'join') -> DataFrame:
     """Score a corpus under trained weights → (doc_id, n_features,
     logit, prob), logit and prob rounded to 6.  `weights` is the
     classifier_train output; its length fixes dim (= len − 1).
 
-    One scan: explode grams → bucket → broadcast-join the (dim+1)-row
-    weight table → one partial/final sum per doc.  The corpus never
-    shuffles (the dsir_log_weights shape).  Documents with no tokens
-    emit no row.  Output is UNORDERED; rank/filter downstream
-    (e.g. `.where(F.col('prob') >= 0.5)` as the keep gate, or feed
-    dsir_sample-style Gumbel selection).
+    impl='join' (default): one scan — explode grams → bucket →
+    broadcast-join the (dim+1)-row weight table → one partial/final sum
+    per doc.  The corpus never shuffles (the dsir_log_weights shape).
+
+    impl='inline': the weights inline as an array literal and the logit
+    folds per ROW — w_intercept + (Σ_occurrences w[bucket(g)]) / n, the
+    same exact-arithmetic value as the join path's Σ w_j·(c_j/n) — so
+    the plan has NO Exchange at all (a pure projection, the IVF inline-
+    centroid precedent).  This is the streaming path: stateless, append
+    mode, no watermark (streaming.documents.stream_classify).  Plan
+    size grows with dim — use 'join' for dim ≫ 10⁴.  The two impls
+    agree on the 1e-6 grid (differing only in float summation order,
+    far below it).
+
+    Documents with no tokens emit no row.  Output is UNORDERED;
+    rank/filter downstream (e.g. `.where(F.col('prob') >= 0.5)` as the
+    keep gate, or feed dsir_sample-style Gumbel selection).
     """
     dim = len(weights) - 1
     if dim < 1:
@@ -164,6 +176,12 @@ def classifier_score(corpus: DataFrame, weights: list[float],
         raise ValueError('classifier_score: dim mismatch — weights imply '
                          'dim={} but dim_check={} (train and score must '
                          'share dim/ngram_max/seed)'.format(dim, dim_check))
+    if impl not in ('join', 'inline'):
+        raise ValueError("classifier_score: impl must be 'join' or "
+                         "'inline', got {!r}".format(impl))
+    if impl == 'inline':
+        return _score_inline(corpus, list(weights), text_col, id_col,
+                             ngram_max, seed, dim)
     feats = _features(corpus, text_col, id_col, dim, ngram_max, seed)
     wdf = _weights_df(corpus.sparkSession, list(weights))
     z = (feats.join(F.broadcast(wdf), 'bucket')
@@ -175,3 +193,38 @@ def classifier_score(corpus: DataFrame, weights: list[float],
                     F.round(F.lit(1.0) / (F.lit(1.0)
                                           + F.exp(-F.col('logit'))), 6)
                      .alias('prob'))
+
+
+def _score_inline(corpus: DataFrame, weights: list[float], text_col: str,
+                  id_col: str, ngram_max: int, seed: int,
+                  dim: int) -> DataFrame:
+    """Stateless per-row scoring: weight-array literal + one fold over
+    the gram array — zero Exchange, streaming-safe."""
+    from .dedup import let_once
+    wlit = F.array(*[F.lit(float(w)) for w in weights[:dim]])
+    intercept = float(weights[dim])
+
+    def score(ga: Column) -> Column:
+        n = F.size(ga)
+        s = F.aggregate(
+            ga, F.lit(0.0),
+            lambda acc, g: acc + F.element_at(
+                wlit, (_bucket(g, dim, seed) + 1).cast('int')))
+        # ANSI-safe: tokenless docs (n = 0) are filtered below, but the
+        # division must not evaluate for them
+        logit = F.when(n > 0,
+                       F.round(F.lit(intercept) + s / n, 6))
+        return F.struct(n.cast('long').alias('n_features'),
+                        logit.alias('logit'))
+
+    packed = let_once(_hashed_grams(F.col(text_col), ngram_max), score)
+    base = (corpus.select(F.col(id_col).alias('doc_id'),
+                          packed.alias('__p'))
+                  .select('doc_id',
+                          F.col('__p.n_features').alias('n_features'),
+                          F.col('__p.logit').alias('logit'))
+                  .where(F.col('n_features') > 0))
+    return base.select('doc_id', 'n_features', 'logit',
+                       F.round(F.lit(1.0) / (F.lit(1.0)
+                                             + F.exp(-F.col('logit'))), 6)
+                        .alias('prob'))

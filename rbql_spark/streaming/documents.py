@@ -311,3 +311,27 @@ def stream_quality_filter(docs: DataFrame, text_col: str = 'text',
     """
     from rbql_spark.ops.textstats import quality_filter
     return quality_filter(docs, text_col=text_col, id_col=id_col, **kwargs)
+
+
+def stream_classify(docs: DataFrame, weights: list,
+                    text_col: str = 'text', id_col: str = 'doc_id',
+                    ngram_max: int = 2, seed: int = 42) -> DataFrame:
+    """Streaming quality-classifier scoring — the streaming face of
+    ops.classifier.classifier_score.
+
+    Scoring under FROZEN trained weights is per-document pure, so the
+    inline impl (weight-array literal + one fold over the row's gram
+    array — zero Exchange) applies to a stream unchanged: append mode,
+    no state, no watermark.  Each arriving document is scored inside
+    its own micro-batch's scan tasks and the stream's lifetime output
+    equals the batch classifier_score over the same documents (the
+    differential oracle), up to the shared 1e-6 rounding grid.
+
+    Train in batch (classifier_train), ship the (dim+1)-float list into
+    the long-running scoring job; retraining is a job restart with new
+    weights — the stream never feeds back into the model.
+    """
+    from rbql_spark.ops.classifier import classifier_score
+    return classifier_score(docs, weights, text_col=text_col,
+                            id_col=id_col, ngram_max=ngram_max, seed=seed,
+                            impl='inline')

@@ -118,6 +118,42 @@ def test_classifier_score_native_plan(spark, labeled):
     assert 'rangepartitioning' not in plan.lower()
 
 
+def test_classifier_score_impls_agree(spark, labeled):
+    """join (broadcast table + per-doc agg) and inline (weight-array
+    literal + per-row fold) compute the same exact-arithmetic value and
+    must agree on the 1e-6 grid."""
+    import pytest
+
+    from rbql_spark.ops.classifier import classifier_score, classifier_train
+    w = classifier_train(labeled, dim=64, n_iter=2, lr=2.0)
+    a = {r['doc_id']: (r['n_features'], r['logit'], r['prob'])
+         for r in classifier_score(labeled, w, impl='join').collect()}
+    b = {r['doc_id']: (r['n_features'], r['logit'], r['prob'])
+         for r in classifier_score(labeled, w, impl='inline').collect()}
+    assert a == b
+    with pytest.raises(ValueError, match='impl'):
+        classifier_score(labeled, w, impl='nope')
+
+
+def test_classifier_inline_plan_no_exchange(spark, labeled):
+    """The inline impl is a pure projection: stateless, zero Exchange —
+    the property that makes it streaming-safe."""
+    from rbql_spark.ops.classifier import classifier_score
+    out = classifier_score(labeled, [0.001] * 65, impl='inline')
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan
+    assert 'BatchEvalPython' not in plan and 'mapInPandas' not in plan
+
+
+def test_classifier_inline_tokenless_docs(spark):
+    from rbql_spark.ops.classifier import classifier_score
+    df = spark.createDataFrame(
+        [(1, 'alpha beta'), (2, ''), (3, None)], 'doc_id long, text string')
+    got = {r['doc_id'] for r in
+           classifier_score(df, [0.1] * 33, impl='inline').collect()}
+    assert got == {1}
+
+
 def test_classifier_train_unpersists(spark, labeled):
     from rbql_spark.ops.classifier import classifier_train
     sc = spark.sparkContext

@@ -201,6 +201,44 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         q.stop()
 
 
+def test_stream_classify_matches_batch(spark, tmp_path, sf_dir):
+    # frozen batch-trained weights + the stateless inline fold: the
+    # stream's lifetime append output must equal batch classifier_score
+    # over the same documents (NULL-text doc emits no row on either side)
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.classifier import classifier_score, classifier_train
+    from rbql_spark.streaming.documents import (
+        read_document_stream, stream_classify,
+    )
+    from rbql_spark.streaming.events import run_stream_to_memory
+
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet')) \
+                .unionByName(spark.createDataFrame(
+                    [(990002, None, None, 'planted', 0)],
+                    'doc_id long, text string, lang string, source string, '
+                    'n_chars long'))
+    labeled = docs.withColumn(
+        'label', F.when(F.col('lang') == 'en', 1).otherwise(0))
+    w = classifier_train(labeled, dim=64, n_iter=2)
+    out = os.path.join(str(tmp_path), 'clf_stream')
+    docs.where('doc_id % 2 = 0').coalesce(1).write.mode('overwrite').parquet(out)
+    docs.where('doc_id % 2 = 1').coalesce(1).write.mode('append').parquet(out)
+
+    stream = read_document_stream(spark, out, max_files_per_trigger=1)
+    q = run_stream_to_memory(stream_classify(stream, w), 'clf_sink')
+    try:
+        got = sorted(map(tuple, spark.table('clf_sink').collect()))
+        want = sorted(map(tuple,
+                          classifier_score(docs, w, impl='join').collect()))
+        assert got == want
+        assert all(r[0] != 990002 for r in got)
+    finally:
+        q.stop()
+
+
 def test_streaming_quality_filter_matches_batch(spark, tmp_path, sf_dir):
     # stateless fused projection: the stream's lifetime append output must
     # equal the batch quality_filter over the same documents — NULL text

@@ -127,6 +127,7 @@ SUBSET = [
     'quality_classifier',
     'retrieval_hybrid_rrf',
     'sample_k_per_group',
+    'streaming_classifier',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
