@@ -1156,6 +1156,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.table(qname)
     q['streaming_classifier'] = _streaming_classifier
 
+    def _classifier_pr_curve(spark, sf_dir):
+        # threshold calibration: precision/recall/F1 at every distinct
+        # score of the trained classifier — all inputs exact integer
+        # counts, so both engines compute bit-identical ratios
+        from rbql_spark.ops.classifier import (classifier_pr_curve,
+                                               classifier_score,
+                                               classifier_train)
+        docs = _t(spark, sf_dir, 'documents')
+        labeled = docs.withColumn(
+            'label', F.when(F.col('lang') == 'en', 1).otherwise(0))
+        w = classifier_train(labeled, dim=256, n_iter=2, lr=1.0)
+        scored = classifier_score(docs, w).join(
+            labeled.select('doc_id', 'label'), 'doc_id')
+        return classifier_pr_curve(scored)
+    q['classifier_pr_curve'] = _classifier_pr_curve
+
     # ---- superset: text analysis -------------------------------------------
     def _text_tokens(spark, sf_dir):
         from rbql_spark.ops.textstats import token_stats
@@ -1326,7 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
         'quality_classifier', 'retrieval_hybrid_rrf', 'sample_k_per_group',
-        'streaming_classifier',
+        'streaming_classifier', 'classifier_pr_curve',
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
         'streaming_decontaminate_bloom', 'sample_epochs',
@@ -2858,6 +2874,27 @@ def oracle_sql() -> dict[str, str]:
     # stateless scoring projection: lifetime stream output == the batch
     # classifier_score under the same batch-trained weights
     o['streaming_classifier'] = o['quality_classifier']
+
+    # PR-curve replay over the scored corpus: per-distinct-prob counts,
+    # cumulative window ordered threshold DESC, exact integer ratios
+    o['classifier_pr_curve'] = (
+        "WITH q AS (" + o['quality_classifier'] + "), "
+        "lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END "
+        "AS y FROM documents), "
+        "per AS (SELECT q.prob AS threshold, count(*) AS n, "
+        "sum(lab.y)::BIGINT AS np FROM q JOIN lab USING (doc_id) "
+        "GROUP BY 1), "
+        "tot AS (SELECT sum(np)::BIGINT AS tp FROM per), "
+        "c AS (SELECT threshold, (sum(n) OVER w)::BIGINT AS n_ge, "
+        "(sum(np) OVER w)::BIGINT AS n_pos_ge FROM per WINDOW w AS "
+        "(ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW)) "
+        "SELECT threshold, n_ge, n_pos_ge, round(p, 6) AS precision, "
+        "round(r, 6) AS recall, round(CASE WHEN p + r > 0 THEN "
+        "2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1 FROM "
+        "(SELECT threshold, n_ge, n_pos_ge, n_pos_ge * 1.0 / n_ge AS p, "
+        "CASE WHEN tp > 0 THEN n_pos_ge * 1.0 / tp ELSE 0.0 END AS r "
+        "FROM c CROSS JOIN tot)")
     # stateless projection: lifetime stream output == the batch filter
     o['streaming_quality_filter'] = _qf_replay_sql()
 

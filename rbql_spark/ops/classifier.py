@@ -42,7 +42,7 @@ from .dedup import spread_partitions
 from .dsir import _bucket, _hashed_grams
 from .similarity import _round6_np
 
-__all__ = ['classifier_train', 'classifier_score']
+__all__ = ['classifier_train', 'classifier_score', 'classifier_pr_curve']
 
 
 def _features(df: DataFrame, text_col: str, id_col: str, dim: int,
@@ -228,3 +228,46 @@ def _score_inline(corpus: DataFrame, weights: list[float], text_col: str,
                        F.round(F.lit(1.0) / (F.lit(1.0)
                                              + F.exp(-F.col('logit'))), 6)
                         .alias('prob'))
+
+
+def classifier_pr_curve(df: DataFrame, score_col: str = 'prob',
+                        label_col: str = 'label') -> DataFrame:
+    """Threshold-sweep evaluation of a scored corpus → one row per
+    DISTINCT score value t: (threshold, n_ge, n_pos_ge, precision,
+    recall, f1) for the classifier that keeps rows with score ≥ t.
+    Ratios round to 6; every input is an exact integer count, so both
+    engines compute bit-identical doubles — no float-order argument
+    needed.  Output is UNORDERED.
+
+    The calibration step between classifier_score and the keep gate:
+    pick the threshold whose precision/recall trade-off fits the
+    pipeline, then filter `.where(F.col('prob') >= t)`.
+
+    Scale shape: one partial/final aggregation collapses the corpus to
+    its distinct scores, which for round-6 probabilities is ≤ 1e6+1
+    rows NO MATTER the corpus size (the grid, not the data, bounds it)
+    — so the cumulative window's single-task stage is constant-bounded,
+    the sample_shuffle offsets-window argument.  The label column must
+    be 0/1-valued.
+    """
+    from pyspark.sql import Window
+    slim = df.select(F.col(score_col).alias('threshold'),
+                     F.col(label_col).cast('long').alias('__y'))
+    per = (slim.groupBy('threshold')
+               .agg(F.count(F.lit(1)).alias('__n'),
+                    F.sum('__y').alias('__np')))
+    w = Window.orderBy(F.col('threshold').desc()) \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = per.agg(F.sum('__np').alias('__tp'))
+    cum = (per.withColumn('n_ge', F.sum('__n').over(w))
+              .withColumn('n_pos_ge', F.sum('__np').over(w))
+              .crossJoin(F.broadcast(tot)))
+    p = F.col('n_pos_ge') / F.col('n_ge')
+    r = F.when(F.col('__tp') > 0, F.col('n_pos_ge') / F.col('__tp')) \
+         .otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0, F.lit(2.0) * p * r / (p + r)) \
+          .otherwise(F.lit(0.0))
+    return cum.select('threshold', 'n_ge', 'n_pos_ge',
+                      F.round(p, 6).alias('precision'),
+                      F.round(r, 6).alias('recall'),
+                      F.round(f1, 6).alias('f1'))

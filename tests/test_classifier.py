@@ -154,6 +154,34 @@ def test_classifier_inline_tokenless_docs(spark):
     assert got == {1}
 
 
+def test_classifier_pr_curve_hand_computed(spark):
+    from rbql_spark.ops.classifier import classifier_pr_curve
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.9, 1), (0.7, 0), (0.5, 1), (0.3, 0)],
+        'prob double, label int')
+    out = {r['threshold']: r for r in classifier_pr_curve(df).collect()}
+    assert set(out) == {0.9, 0.7, 0.5, 0.3}
+    r9 = out[0.9]
+    assert (r9['n_ge'], r9['n_pos_ge']) == (2, 2)
+    assert r9['precision'] == 1.0 and r9['recall'] == round(2 / 3, 6)
+    assert r9['f1'] == round(2 * 1.0 * (2 / 3) / (1.0 + 2 / 3), 6)
+    r5 = out[0.5]
+    assert (r5['n_ge'], r5['n_pos_ge']) == (4, 3)
+    assert r5['precision'] == 0.75 and r5['recall'] == 1.0
+    r3 = out[0.3]
+    assert r3['precision'] == round(3 / 5, 6) and r3['recall'] == 1.0
+
+
+def test_classifier_pr_curve_degenerate_labels(spark):
+    # all-negative corpus: recall and f1 fall back to 0.0, no
+    # divide-by-zero under ANSI mode
+    from rbql_spark.ops.classifier import classifier_pr_curve
+    df = spark.createDataFrame([(0.8, 0), (0.2, 0)], 'prob double, label int')
+    for r in classifier_pr_curve(df).collect():
+        assert r['recall'] == 0.0 and r['f1'] == 0.0
+        assert r['precision'] == 0.0
+
+
 def test_classifier_train_unpersists(spark, labeled):
     from rbql_spark.ops.classifier import classifier_train
     sc = spark.sparkContext
