@@ -1246,6 +1246,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rrf_fuse([lex, sem], k=60, top_k=20)
     q['retrieval_hybrid_rrf'] = _hybrid_rrf
 
+    def _bm25_batch(spark, sf_dir):
+        # batch retrieval: three queries scored in one pass (broadcast
+        # term table into the exploded token stream; per-query top-50 via
+        # the skew-safe topk_per_group)
+        from rbql_spark.ops.textstats import bm25_score_queries
+        qs = spark.createDataFrame(
+            [('q1', 'hash join scan'), ('q2', 'group window state'),
+             ('q3', 'parquet shuffle partition broadcast')],
+            'query_id string, text string')
+        return bm25_score_queries(_t(spark, sf_dir, 'documents'), qs,
+                                  top_k=50)
+    q['text_bm25_batch'] = _bm25_batch
+
     def _text_top_ngrams(spark, sf_dir):
         from rbql_spark.ops.textstats import top_ngrams
         return top_ngrams(_t(spark, sf_dir, 'documents'), n=2, k=100)
@@ -1342,7 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first; the r10-recorded gates fill the rest in declaration order.
     rotate_first = [
         'quality_classifier', 'retrieval_hybrid_rrf', 'sample_k_per_group',
-        'streaming_classifier', 'classifier_pr_curve',
+        'streaming_classifier', 'classifier_pr_curve', 'text_bm25_batch',
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
         'streaming_decontaminate_bloom', 'sample_epochs',
@@ -2119,6 +2132,33 @@ def oracle_sql() -> dict[str, str]:
         "top AS (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 100) "
         "SELECT doc_id, bm25, row_number() OVER "
         "(ORDER BY bm25 DESC, doc_id) AS rank FROM top")
+
+    # batch BM25 replay: the same Lucene formula over an exploded token
+    # stream joined to the distinct query-term set, per-(query, doc) sums,
+    # per-query rank (the Spark side's salted two-phase rank is exact, so
+    # the naive per-query window IS its oracle)
+    o['text_bm25_batch'] = (
+        "WITH toks AS (SELECT doc_id, " + _bm_toks + " AS t FROM documents), "
+        "base AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks), "
+        "stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks), "
+        "qs AS (SELECT * FROM (VALUES ('q1', 'hash join scan'), "
+        "('q2', 'group window state'), "
+        "('q3', 'parquet shuffle partition broadcast')) v(query_id, qtext)), "
+        "qt AS (SELECT query_id, unnest(list_distinct("
+        + _SQL_TOKS.format(src='qtext') + ")) AS term FROM qs), "
+        "terms AS (SELECT DISTINCT term FROM qt), "
+        "hit AS (SELECT doc_id, term, max(dl) AS dl, count(*) AS tf "
+        "FROM base JOIN terms USING (term) GROUP BY 1, 2), "
+        "dfreq AS (SELECT term, count(*) AS df_t FROM hit GROUP BY 1), "
+        "contrib AS (SELECT h.doc_id, h.term, "
+        "ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5)) "
+        "* (h.tf * 2.2) / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl)) AS c "
+        "FROM hit h JOIN dfreq d USING (term) CROSS JOIN stats s), "
+        "scored AS (SELECT q.query_id, c.doc_id, round(sum(c.c), 6) AS bm25 "
+        "FROM contrib c JOIN qt q USING (term) GROUP BY 1, 2) "
+        "SELECT query_id, doc_id, bm25, rnk AS rank FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY bm25 DESC, doc_id) AS rnk FROM scored) WHERE rnk <= 50")
 
     # duplicate 5-token span detection: window digests, corpus frequency,
     # span coverage via distinct position union

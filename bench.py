@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     # round 11 addition: streaming classifier scoring (stateless inline
     # fold; each rep pays training + the full stream drain)
     'streaming_classifier',
+    # round 11 addition: batch BM25 (3 queries, one corpus pass)
+    'text_bm25_batch',
 ]
 
 

@@ -102,23 +102,16 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
         raise ValueError('sample_k_per_group: k must be >= 1')
     if int(salt_buckets) < 1:
         raise ValueError('sample_k_per_group: salt_buckets must be >= 1')
-    from pyspark.sql import Window
+    from .skew import topk_per_group
     slim = df.select(F.col(group_col).alias('__g'),
                      F.col(key_col).alias('__k')) \
              .withColumn('__u', _hash_unit(F.col('__k'), seed, op='kpg'))
-    # engine-side only: any partition of a group's rows preserves
-    # exactness, so the salt function never needs oracle replay
-    salted = slim.withColumn('__s', F.pmod(F.hash('__k'),
-                                           F.lit(int(salt_buckets))))
-    w1 = Window.partitionBy('__g', '__s').orderBy(F.col('__u').asc(),
-                                                  F.col('__k').asc())
-    cand = (salted.withColumn('__r1', F.row_number().over(w1))
-                  .where(F.col('__r1') <= int(k)))
-    w2 = Window.partitionBy('__g').orderBy(F.col('__u').asc(),
-                                           F.col('__k').asc())
-    picks = (cand.withColumn('sample_rank', F.row_number().over(w2))
-                 .where(F.col('sample_rank') <= int(k))
-                 .select('__k', 'sample_rank'))
+    # the salt is engine-side only: any partition of a group's rows
+    # preserves exactness, so it never needs oracle replay
+    picks = topk_per_group(
+        slim, int(k), ['__g'], [F.col('__u').asc(), F.col('__k').asc()],
+        salt_key=F.col('__k'), salt_buckets=int(salt_buckets),
+        rank_name='sample_rank').select('__k', 'sample_rank')
     if broadcast_picks is None:
         from pyspark.storagelevel import StorageLevel
         picks = picks.persist(StorageLevel.MEMORY_AND_DISK)

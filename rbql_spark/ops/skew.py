@@ -41,3 +41,43 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: list[str],
         .withColumn(SALT_COL, F.col(SALT_COL).cast('int'))
     out = salted.join(replicated, on=on + [SALT_COL], how=how)
     return out.drop(SALT_COL)
+
+
+def topk_per_group(df: DataFrame, k: int, group_cols: list[str],
+                   order_cols: list, salt_key=None, salt_buckets: int = 32,
+                   rank_name: str = 'rank') -> DataFrame:
+    """EXACT top-k rows per group without serializing each group into a
+    single window task — the skew-safe replacement for
+    ``row_number() OVER (PARTITION BY group ORDER BY ...) <= k``.
+
+    Phase 1 ranks within (group, salt) — salt_buckets× the parallelism
+    of the naive window — and keeps k rows per salt bucket, a SUPERSET
+    of the true top-k (every true top-k row is also top-k inside its
+    own bucket, for any partition of the group's rows).  Phase 2 ranks
+    only the ≤ salt_buckets×k survivors per group.  The salt never
+    reaches the output, so the result is exactly the naive window's.
+
+    `order_cols` must be a DETERMINISTIC total order (include a unique
+    tiebreak column last); `salt_key` is any Column to salt on (default:
+    a uniform random-free spread via the first order column is NOT safe
+    — pass a high-cardinality key such as the row id).  Adds
+    `rank_name` (1..k within the group).
+    """
+    if int(k) < 1:
+        raise ValueError('topk_per_group: k must be >= 1')
+    if int(salt_buckets) < 1:
+        raise ValueError('topk_per_group: salt_buckets must be >= 1')
+    if salt_key is None:
+        raise ValueError('topk_per_group: salt_key is required (a '
+                         'high-cardinality column to spread each group '
+                         'across salt buckets)')
+    from pyspark.sql import Window
+    salted = df.withColumn('__tkg_s', F.pmod(F.hash(salt_key),
+                                             F.lit(int(salt_buckets))))
+    w1 = Window.partitionBy(*(group_cols + ['__tkg_s'])).orderBy(*order_cols)
+    cand = (salted.withColumn('__tkg_r1', F.row_number().over(w1))
+                  .where(F.col('__tkg_r1') <= int(k)))
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (cand.withColumn(rank_name, F.row_number().over(w2))
+                .where(F.col(rank_name) <= int(k))
+                .drop('__tkg_s', '__tkg_r1'))

@@ -722,3 +722,68 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 60, top_k: int = 100,
     from pyspark.sql import Window
     w = Window.orderBy(F.col('rrf_score').desc(), F.col('doc_id').asc())
     return top.withColumn('rank', F.row_number().over(w))
+
+
+def bm25_score_queries(df: DataFrame, queries: DataFrame, k1: float = 1.2,
+                       b: float = 0.75, top_k: int = 100,
+                       text_col: str = 'text', id_col: str = 'doc_id',
+                       query_id_col: str = 'query_id',
+                       query_text_col: str = 'text',
+                       salt_buckets: int = 32) -> DataFrame:
+    """Batch BM25: top_k lexical matches for EVERY query in `queries`
+    (query_id, text) → (query_id, doc_id, bm25, rank) — per-query
+    results identical to bm25_score(df, tokens(query)) (engines-agree
+    tested).  The batch face of retrieval: decontamination-by-retrieval
+    sweeps and RAG-eval runs score thousands of queries, not one.
+
+    Each query's terms are its distinct lowercase tokens; a query whose
+    text yields no tokens returns no rows.  Scores round to 6 and rank
+    deterministically (bm25 DESC, doc_id ASC).
+
+    Scale shape: the corpus tokenizes in TWO scans (length stats +
+    term explode — persist upstream if not a cheap parquet re-read;
+    the single-query operator's in-scan literal counting cannot host
+    an unbounded term set).  The exploded token stream joins the
+    BROADCAST distinct-term table FIRST, so only hit rows ever reach
+    an exchange; document frequencies and the (query, term) fan-out
+    are broadcast joins over dim-of-the-query-set tables.  Per-query
+    top-k uses skew.topk_per_group — exact rank at salt_buckets×
+    parallelism, never one task per query.
+    """
+    from .dedup import spread_partitions, tokens
+    from .skew import topk_per_group
+    qt = F.coalesce(F.col(query_text_col), F.lit(''))
+    qterms = queries.select(F.col(query_id_col).alias('query_id'),
+                            F.explode(F.array_distinct(tokens(qt)))
+                            .alias('__term'))
+    df = spread_partitions(df)
+    t = F.coalesce(F.col(text_col), F.lit(''))
+    stats = df.select(F.size(tokens(t)).alias('__dl')) \
+              .agg(F.count(F.lit(1)).alias('n_docs'),
+                   F.avg('__dl').alias('avgdl'))
+    base = (df.select(F.col(id_col).alias('doc_id'), tokens(t).alias('__ta'))
+              .select('doc_id', F.size('__ta').alias('dl'),
+                      F.explode('__ta').alias('__term')))
+    terms = qterms.select('__term').distinct()
+    hit = (base.join(F.broadcast(terms), '__term')
+               .groupBy('doc_id', '__term')
+               .agg(F.first('dl').alias('dl'),
+                    F.count(F.lit(1)).alias('tf')))
+    dfreq = hit.groupBy('__term').agg(F.count(F.lit(1)).alias('df_t'))
+    idf = F.log(F.lit(1.0)
+                + (F.col('n_docs') - F.col('df_t') + 0.5)
+                / (F.col('df_t') + 0.5))
+    contrib = (hit.join(F.broadcast(dfreq), '__term')
+                  .crossJoin(F.broadcast(stats))
+                  .select('doc_id', '__term',
+                          (idf * (F.col('tf') * (k1 + 1))
+                           / (F.col('tf') + k1 * (1 - b + b * F.col('dl')
+                                                  / F.col('avgdl'))))
+                          .alias('__c')))
+    scored = (contrib.join(F.broadcast(qterms), '__term')
+                     .groupBy('query_id', 'doc_id')
+                     .agg(F.round(F.sum('__c'), 6).alias('bm25')))
+    return topk_per_group(
+        scored, int(top_k), ['query_id'],
+        [F.col('bm25').desc(), F.col('doc_id').asc()],
+        salt_key=F.col('doc_id'), salt_buckets=int(salt_buckets))

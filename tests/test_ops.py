@@ -1422,6 +1422,60 @@ def test_bm25_score_ranking_and_plan(spark):
         bm25_score(df, [])
 
 
+def test_bm25_score_queries_matches_single(spark):
+    # per-query parity with the single-query operator, plus multi-query
+    # isolation (each query scored against its own terms only)
+    from rbql_spark.ops.textstats import bm25_score, bm25_score_queries
+    rows = [
+        (1, 'spark spark spark shuffle'),
+        (2, 'spark appears once in this much longer document about '
+            'completely different topics entirely unrelated to engines'),
+        (3, 'nothing relevant here at all'),
+        (4, 'rare unique spark'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    qs = spark.createDataFrame(
+        [('a', 'spark rare'), ('b', 'shuffle'), ('c', '')],
+        'query_id string, text string')
+    got = bm25_score_queries(df, qs, top_k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r['query_id'], {})[r['doc_id']] = \
+            (r['bm25'], r['rank'])
+    single_a = {r['doc_id']: (r['bm25'], r['rank'])
+                for r in bm25_score(df, ['spark', 'rare'], top_k=10).collect()}
+    single_b = {r['doc_id']: (r['bm25'], r['rank'])
+                for r in bm25_score(df, ['shuffle'], top_k=10).collect()}
+    assert by_q['a'] == single_a
+    assert by_q['b'] == single_b
+    assert 'c' not in by_q             # tokenless query returns no rows
+    plan = bm25_score_queries(df, qs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert 'BatchEvalPython' not in plan and 'mapInPandas' not in plan
+
+
+def test_topk_per_group_matches_naive_window(spark):
+    import pytest
+    from pyspark.sql import Window
+
+    from rbql_spark.ops.skew import topk_per_group
+    rows = [(i, i % 3, (i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, 'id long, g int, v int')
+    order = [F.col('v').asc(), F.col('id').asc()]
+    got = {(r['g'], r['id'], r['rank']) for r in
+           topk_per_group(df, 7, ['g'], order,
+                          salt_key=F.col('id'), salt_buckets=5).collect()}
+    w = Window.partitionBy('g').orderBy(*order)
+    want = {(r['g'], r['id'], r['rank']) for r in
+            df.withColumn('rank', F.row_number().over(w))
+              .where('rank <= 7').collect()}
+    assert got == want
+    with pytest.raises(ValueError):
+        topk_per_group(df, 0, ['g'], order, salt_key=F.col('id'))
+    with pytest.raises(ValueError):
+        topk_per_group(df, 5, ['g'], order, salt_key=None)
+
+
 def test_rrf_fuse_scores_and_membership(spark):
     import pytest
 

@@ -128,6 +128,7 @@ SUBSET = [
     'retrieval_hybrid_rrf',
     'sample_k_per_group',
     'streaming_classifier',
+    'text_bm25_batch',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
