@@ -37,6 +37,7 @@ PICKS = [
     ('decontaminate_bloom', 'Bloom decontamination: the benchmark collapses to a distinct set-bit table (capped at bloom_bits rows) that BROADCASTS into the corpus (shingle × position) stream; only surviving hit rows shuffle — the corpus side never exchanges before the membership join.'),
     ('quality_classifier', 'LR quality-classifier scoring: the (dim+1)-row trained weight table broadcasts into the exploded gram stream — the corpus is scored without a corpus shuffle (its Exchanges are the per-doc partial/final count and sum aggregations); training ran beforehand as bounded gradient jobs over a persisted doc-partitioned feature triple, only dim+1 rows ever reaching the driver.'),
     ('retrieval_hybrid_rrf', 'Hybrid retrieval fusion: BM25 and cosine lists are each capped upstream (TakeOrderedAndProject / rank<=k), so the RRF union + aggregation + final TakeOrdered touch at most 100 rows — the corpus-scale work stays inside the two retrieval subplans.'),
+    ('text_bm25_batch', 'Batch BM25 (N queries, one pass): the distinct query-term table broadcasts into the exploded token stream, so only hit rows ever reach an exchange; per-query top-k is the two-phase salted rank (two bounded window stages), never one task per query.'),
 ]
 
 out = ['# PLANS — physical plans of headline queries (sf0.001, local)',
