@@ -1259,6 +1259,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   top_k=50)
     q['text_bm25_batch'] = _bm25_batch
 
+    def _hybrid_batch(spark, sf_dir):
+        # batch hybrid retrieval: 3 queries through BM25-batch top-50 +
+        # hash-embedding cosine top-50, fused per query with grouped RRF
+        # (topk_per_group, never one task per query)
+        from rbql_spark.ops.similarity import cosine_topk_bruteforce
+        from rbql_spark.ops.textstats import (bm25_score_queries,
+                                              embed_hashing, rrf_fuse)
+        docs = _t(spark, sf_dir, 'documents')
+        qs = spark.createDataFrame(
+            [('q1', 'hash join scan'), ('q2', 'group window state'),
+             ('q3', 'parquet shuffle partition broadcast')],
+            'query_id string, text string')
+        lex = bm25_score_queries(docs, qs, top_k=50) \
+            .select('query_id', 'doc_id', 'rank')
+        emb = embed_hashing(docs, dim=16).select(
+            F.col('doc_id').alias('vec_id'), 'embedding')
+        qemb = embed_hashing(qs, dim=16, id_col='query_id').select(
+            F.col('doc_id').alias('query_id'), 'embedding')
+        sem = cosine_topk_bruteforce(emb, qemb, k=50) \
+            .select('query_id', F.col('vec_id').alias('doc_id'), 'rank')
+        return rrf_fuse([lex, sem], k=60, top_k=20,
+                        group_cols=['query_id'])
+    q['retrieval_hybrid_batch'] = _hybrid_batch
+
     def _text_top_ngrams(spark, sf_dir):
         from rbql_spark.ops.textstats import top_ngrams
         return top_ngrams(_t(spark, sf_dir, 'documents'), n=2, k=100)
@@ -1356,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotate_first = [
         'quality_classifier', 'retrieval_hybrid_rrf', 'sample_k_per_group',
         'streaming_classifier', 'classifier_pr_curve', 'text_bm25_batch',
+        'retrieval_hybrid_batch',
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
         'streaming_decontaminate_bloom', 'sample_epochs',
@@ -2160,6 +2185,63 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY bm25 DESC, doc_id) AS rnk FROM scored) WHERE rnk <= 50")
 
+    # hashing-embed SQL fragments (shared by text_embed_hashing, the two
+    # hybrid-retrieval replays)
+    _eh_toks = _SQL_TOKS.format(src="coalesce(text, '')")
+    _eh_md5 = "md5(tok || ':embed:42')"
+
+    # batch hybrid replay: the bm25-batch CTEs + the hashing-embed CTEs
+    # (query texts unioned in under negative ids), cosine top-50 per
+    # query, then grouped 1/(60+rank) fusion with per-query rank
+    _hb_qvals = ("(VALUES (-1, 'hash join scan'), "
+                 "(-2, 'group window state'), "
+                 "(-3, 'parquet shuffle partition broadcast'))")
+    o['retrieval_hybrid_batch'] = (
+        o['text_bm25_batch'][:o['text_bm25_batch']
+                             .index('SELECT query_id, doc_id, bm25')] +
+        ", lexr AS (SELECT query_id, doc_id, rnk AS rank FROM "
+        "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY bm25 DESC, doc_id) AS rnk FROM scored) WHERE rnk <= 50), "
+        "src AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT v.nid, v.qtext FROM " + _hb_qvals + " v(nid, qtext)), "
+        "et AS (SELECT doc_id, unnest(" + _eh_toks + ") AS tok FROM src), "
+        "eh AS (SELECT doc_id, "
+        "('0x' || " + _eh_md5 + "[1:8])::BIGINT % 16 AS b, "
+        "CASE WHEN ('0x' || " + _eh_md5 + "[9:9])::BIGINT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END AS s FROM et), "
+        "ev AS (SELECT doc_id, b, sum(s) AS val FROM eh GROUP BY 1, 2), "
+        "ep AS (SELECT doc_id, list(struct_pack(b := b, val := val)) AS pairs "
+        "FROM ev GROUP BY 1), "
+        "ed AS (SELECT doc_id, list_transform(range(0, 16), i -> "
+        "coalesce(list_sum(list_transform(list_filter(pairs, x -> x.b = i), "
+        "x -> x.val)), 0.0)) AS raw FROM ep), "
+        "ea AS (SELECT s.doc_id, "
+        "coalesce(ed.raw, list_transform(range(0, 16), i -> 0.0)) AS raw "
+        "FROM src s LEFT JOIN ed ON s.doc_id = ed.doc_id), "
+        "en AS (SELECT doc_id, raw, "
+        "sqrt(list_sum(list_transform(raw, x -> x * x))) AS nm FROM ea), "
+        "ee AS (SELECT doc_id, CASE WHEN nm > 0 THEN "
+        "list_transform(raw, x -> round(x / nm, 6)) ELSE raw END AS emb, nm "
+        "FROM en), "
+        "qm AS (SELECT * FROM (VALUES (-1, 'q1'), (-2, 'q2'), (-3, 'q3')) "
+        "v(nid, query_id)), "
+        "qe AS (SELECT qm.query_id, e.emb, e.nm FROM ee e "
+        "JOIN qm ON e.doc_id = qm.nid), "
+        "sem AS (SELECT qe.query_id, c.doc_id, "
+        "CASE WHEN c.nm > 0 AND qe.nm > 0 THEN "
+        "round(list_cosine_similarity(c.emb, qe.emb), 6) ELSE -1.0 END AS cs "
+        "FROM ee c CROSS JOIN qe WHERE c.doc_id >= 0), "
+        "semr AS (SELECT query_id, doc_id, rnk AS rank FROM "
+        "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cs DESC, doc_id) AS rnk FROM sem) WHERE rnk <= 50), "
+        "u AS (SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM lexr "
+        "UNION ALL SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM semr), "
+        "fsc AS (SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score, "
+        "count(*) AS n_lists FROM u GROUP BY 1, 2) "
+        "SELECT query_id, doc_id, rrf_score, n_lists, rnk AS rank FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY rrf_score DESC, doc_id) AS rnk FROM fsc) WHERE rnk <= 20")
+
     # duplicate 5-token span detection: window digests, corpus frequency,
     # span coverage via distinct position union
     _sp_toks = _SQL_TOKS.format(src="coalesce(text, '')")
@@ -2399,8 +2481,7 @@ def oracle_sql() -> dict[str, str]:
 
     # feature-hashing embeddings (ops.textstats.embed_hashing, dim=16):
     # md5 bucket + sign per token, grouped votes, dense vector, L2 norm
-    _eh_toks = _SQL_TOKS.format(src="coalesce(text, '')")
-    _eh_md5 = "md5(tok || ':embed:42')"
+    # (_eh_toks/_eh_md5 defined above the batch-hybrid replay)
     o['text_embed_hashing'] = (
         "WITH t AS (SELECT doc_id, unnest(" + _eh_toks + ") AS tok "
         "FROM documents), "

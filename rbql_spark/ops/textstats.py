@@ -688,7 +688,8 @@ def bm25_score(df: DataFrame, query_terms: list[str], k1: float = 1.2,
 
 
 def rrf_fuse(rankings: list[DataFrame], k: int = 60, top_k: int = 100,
-             id_col: str = 'doc_id', rank_col: str = 'rank') -> DataFrame:
+             id_col: str = 'doc_id', rank_col: str = 'rank',
+             group_cols: list[str] | None = None) -> DataFrame:
     """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked
     retrieval lists → (doc_id, rrf_score, n_lists, rank).
 
@@ -700,23 +701,37 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 60, top_k: int = 100,
     bm25_score (lexical) + the ANN operators (semantic); k=60 is the
     published default.
 
+    `group_cols` fuses PER GROUP (e.g. ['query_id'] over
+    bm25_score_queries + a multi-query ANN ranking): ranks are assumed
+    per-group in the inputs, scores aggregate per (group, id), and
+    top_k / the output rank apply within each group via the skew-safe
+    topk_per_group — batch retrieval fusion, never one task per query.
+
     Scale shape: the inputs are top-k lists — already bounded upstream
     (TakeOrderedAndProject in bm25_score, rank<=k in the ANN ops) — so
-    the union/agg/sort here touch at most Σ top-k rows regardless of
-    corpus size; the heavy lifting stays in the retrieval plans.
+    the union/agg/sort here touch at most Σ top-k rows per group
+    regardless of corpus size; the heavy lifting stays in the retrieval
+    plans.
     """
     if not rankings:
         raise ValueError('rrf_fuse needs at least one ranking')
-    parts = [r.select(F.col(id_col).alias('doc_id'),
+    g = list(group_cols or [])
+    parts = [r.select(*g, F.col(id_col).alias('doc_id'),
                       (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)))
                       .alias('__c'))
              for r in rankings]
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    scored = (u.groupBy('doc_id')
+    scored = (u.groupBy(*g, 'doc_id')
                .agg(F.round(F.sum('__c'), 6).alias('rrf_score'),
                     F.count(F.lit(1)).alias('n_lists')))
+    if g:
+        from .skew import topk_per_group
+        return topk_per_group(
+            scored, int(top_k), g,
+            [F.col('rrf_score').desc(), F.col('doc_id').asc()],
+            salt_key=F.col('doc_id'))
     top = scored.orderBy(F.col('rrf_score').desc(),
                          F.col('doc_id').asc()).limit(int(top_k))
     from pyspark.sql import Window

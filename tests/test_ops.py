@@ -1500,6 +1500,30 @@ def test_rrf_fuse_scores_and_membership(spark):
         rrf_fuse([])
 
 
+def test_rrf_fuse_grouped_matches_per_group(spark):
+    # per-group fusion equals running the ungrouped fuse on each group's
+    # slice independently
+    from rbql_spark.ops.textstats import rrf_fuse
+    lex = spark.createDataFrame(
+        [('a', 10, 1), ('a', 20, 2), ('b', 30, 1), ('b', 10, 2)],
+        'query_id string, doc_id long, rank int')
+    sem = spark.createDataFrame(
+        [('a', 20, 1), ('a', 40, 2), ('b', 10, 1)],
+        'query_id string, doc_id long, rank int')
+    out = rrf_fuse([lex, sem], k=60, group_cols=['query_id']).collect()
+    got = {(r['query_id'], r['doc_id']): (r['rrf_score'], r['n_lists'],
+                                          r['rank']) for r in out}
+    want = {}
+    for qid in ('a', 'b'):
+        sub = rrf_fuse([lex.where(F.col('query_id') == qid),
+                        sem.where(F.col('query_id') == qid)], k=60).collect()
+        for r in sub:
+            want[(qid, r['doc_id'])] = (r['rrf_score'], r['n_lists'],
+                                        r['rank'])
+    assert got == want
+    assert got[('b', 10)][1] == 2      # doc in both of b's lists
+
+
 def test_rrf_fuse_top_k_and_tiebreak(spark):
     from rbql_spark.ops.textstats import rrf_fuse
     # identical ranks -> identical scores; ties break on doc_id ASC and
