@@ -1311,6 +1311,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         group_cols=['query_id'])
     q['retrieval_hybrid_batch'] = _hybrid_batch
 
+    def _text_readability(spark, sf_dir):
+        # Flesch reading ease: one stateless fused projection (sentence/
+        # word/syllable heuristics all native regex)
+        from rbql_spark.ops.textstats import readability
+        return readability(_t(spark, sf_dir, 'documents'))
+    q['text_readability'] = _text_readability
+
     def _text_top_ngrams(spark, sf_dir):
         from rbql_spark.ops.textstats import top_ngrams
         return top_ngrams(_t(spark, sf_dir, 'documents'), n=2, k=100)
@@ -1408,7 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotate_first = [
         'quality_classifier', 'retrieval_hybrid_rrf', 'sample_k_per_group',
         'streaming_classifier', 'classifier_pr_curve', 'text_bm25_batch',
-        'retrieval_hybrid_batch',
+        'retrieval_hybrid_batch', 'text_readability',
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
         'streaming_decontaminate_bloom', 'sample_epochs',
@@ -2217,6 +2224,26 @@ def oracle_sql() -> dict[str, str]:
     # hybrid-retrieval replays)
     _eh_toks = _SQL_TOKS.format(src="coalesce(text, '')")
     _eh_md5 = "md5(tok || ':embed:42')"
+
+    # Flesch readability replay: same lowercased tokenizer, [.!?]+
+    # sentence segments (min 1 when words exist), vowel-group syllable
+    # counts clamped to 1 per word, multiply-before-divide double math
+    o['text_readability'] = (
+        "SELECT doc_id, n_sentences, n_words, n_syllables, "
+        "CASE WHEN n_words > 0 THEN floor((206.835::DOUBLE "
+        "- 1.015::DOUBLE * n_words / n_sentences "
+        "- 84.6::DOUBLE * n_syllables / n_words) * 10000 + 0.5) / 10000 "
+        "END AS flesch FROM "
+        "(SELECT doc_id, len(w)::BIGINT AS n_words, "
+        "CASE WHEN len(w) = 0 THEN 0 ELSE greatest(1, "
+        "len(list_filter(string_split_regex(t, '[.!?]+'), "
+        "x -> trim(x) != ''))) END::BIGINT AS n_sentences, "
+        "CASE WHEN len(w) > 0 THEN coalesce(list_sum(list_transform(w, "
+        "x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0) "
+        "ELSE 0 END::BIGINT AS n_syllables FROM "
+        "(SELECT doc_id, lower(coalesce(text, '')) AS t, "
+        + _SQL_TOKS.format(src="lower(coalesce(text, ''))") + " AS w "
+        "FROM documents))")
 
     # batch hybrid replay: the bm25-batch CTEs + the hashing-embed CTEs
     # (query texts unioned in under negative ids), cosine top-50 per

@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     'streaming_classifier',
     # round 11 addition: batch BM25 (3 queries, one corpus pass)
     'text_bm25_batch',
+    # round 11 addition: Flesch readability (stateless fused projection)
+    'text_readability',
 ]
 
 

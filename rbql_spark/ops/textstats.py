@@ -802,3 +802,56 @@ def bm25_score_queries(df: DataFrame, queries: DataFrame, k1: float = 1.2,
         scored, int(top_k), ['query_id'],
         [F.col('bm25').desc(), F.col('doc_id').asc()],
         salt_key=F.col('doc_id'), salt_buckets=int(salt_buckets))
+
+
+def readability(df: DataFrame, text_col: str = 'text',
+                id_col: str = 'doc_id') -> DataFrame:
+    """Flesch reading-ease per document → (doc_id, n_sentences, n_words,
+    n_syllables, flesch), flesch rounded to 4 (the quality_score grid).
+
+    The classic readability quality signal (206.835 − 1.015·words/
+    sentences − 84.6·syllables/words) with the standard heuristics:
+    sentences = non-empty [.!?]+ segments (min 1 when any word exists),
+    syllables = vowel-group count per word, min 1 per word.  A real
+    filter signal for English-heavy corpora; documents with no words
+    emit flesch NULL (no defined score), counts 0.
+
+    Scale shape: ONE stateless fused projection — native split /
+    regexp_extract_all / HOF fold, no shuffle, no Python — the
+    quality_score pattern, streaming-safe.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit('')))
+    words = F.filter(F.split(t, r'[^\p{L}\p{N}]+', -1),
+                     lambda x: x != '')
+    sents = F.filter(F.split(t, r'[.!?]+', -1),
+                     lambda x: F.trim(x) != '')
+    syl = F.aggregate(
+        F.transform(words,
+                    lambda w: F.greatest(
+                        F.lit(1).cast('long'),
+                        F.size(F.regexp_extract_all(w, F.lit('[aeiouy]+'),
+                                                    0)).cast('long'))),
+        F.lit(0).cast('long'), lambda acc, v: acc + v)
+    base = df.select(
+        F.col(id_col).alias('doc_id'),
+        F.size(words).cast('long').alias('n_words'),
+        # a wordful text with no terminator is one sentence
+        F.when(F.size(words) == 0, F.lit(0).cast('long'))
+         .otherwise(F.greatest(F.lit(1).cast('long'),
+                               F.size(sents).cast('long')))
+         .alias('n_sentences'),
+        F.when(F.size(words) > 0, syl).otherwise(F.lit(0).cast('long'))
+         .alias('n_syllables'))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * F.col('n_words') / F.col('n_sentences')
+              - F.lit(84.6) * F.col('n_syllables') / F.col('n_words'))
+    # floor-based rounding, NOT F.round: Spark rounds the shortest
+    # DECIMAL string of the double (BigDecimal HALF_UP) while other
+    # engines round the binary value, and flesch ratios DO land on
+    # .xxxx5 boundaries (seen at sf0.1: 28.19375 → 28.1938 vs 28.1937).
+    # floor(x·1e4 + 0.5)/1e4 is the same IEEE ops in any engine →
+    # bit-identical, at the cost of ties rounding toward +inf.
+    flesch_r = F.floor(flesch * 10000 + 0.5) / 10000
+    return base.select('doc_id', 'n_sentences', 'n_words', 'n_syllables',
+                       F.when(F.col('n_words') > 0, flesch_r)
+                        .alias('flesch'))

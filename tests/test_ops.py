@@ -1422,6 +1422,43 @@ def test_bm25_score_ranking_and_plan(spark):
         bm25_score(df, [])
 
 
+def test_readability_hand_computed(spark):
+    from rbql_spark.ops.textstats import readability
+    df = spark.createDataFrame(
+        [(1, 'The cat sat. The dog ran!'),
+         (2, 'no terminator here'),
+         (3, ''), (4, None), (5, 'zzz qqq')],
+        'doc_id long, text string')
+    got = {r['doc_id']: r for r in readability(df).collect()}
+    r1 = got[1]
+    # 6 words, 2 sentences, 6 one-syllable words
+    assert (r1['n_sentences'], r1['n_words'], r1['n_syllables']) == (2, 6, 6)
+    import math
+    exp = 206.835 - 1.015 * 6 / 2 - 84.6 * 6 / 6
+    assert r1['flesch'] == math.floor(exp * 10000 + 0.5) / 10000
+    # wordful text without a terminator counts as one sentence
+    assert got[2]['n_sentences'] == 1 and got[2]['n_words'] == 3
+    # empty/NULL text: zero counts, NULL flesch
+    for d in (3, 4):
+        assert (got[d]['n_sentences'], got[d]['n_words'],
+                got[d]['n_syllables']) == (0, 0, 0)
+        assert got[d]['flesch'] is None
+    # vowelless words clamp to 1 syllable each
+    assert got[5]['n_syllables'] == 2
+
+
+def test_readability_plan_stateless(spark, sf_dir):
+    import os
+
+    from rbql_spark.ops.textstats import readability
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    plan = readability(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert 'Exchange hashpartitioning' not in plan
+    assert 'rangepartitioning' not in plan.lower()
+    assert 'BatchEvalPython' not in plan and 'mapInPandas' not in plan
+
+
 def test_bm25_score_queries_matches_single(spark):
     # per-query parity with the single-query operator, plus multi-query
     # isolation (each query scored against its own terms only)

@@ -129,6 +129,7 @@ SUBSET = [
     'sample_k_per_group',
     'streaming_classifier',
     'text_bm25_batch',
+    'text_readability',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
