@@ -666,6 +666,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q['streaming_quality_filter'] = _streaming_quality_filter
 
     # ---- superset: dedup --------------------------------------------------
+    def _dedup_exact_incremental(spark, sf_dir):
+        # odd-doc batch deduped against the even-doc digest index (the
+        # dedup_incremental odd/even convention, exact digests here)
+        from rbql_spark.ops.dedup import exact_dedup, exact_dedup_incremental
+        docs = _t(spark, sf_dir, 'documents')
+        index = exact_dedup(docs.filter(F.col('doc_id') % 2 == 0),
+                            'text', 'doc_id', hash_fn='md5')
+        return exact_dedup_incremental(
+            docs.filter(F.col('doc_id') % 2 == 1), index)
+    q['dedup_exact_incremental'] = _dedup_exact_incremental
+
     def _dedup_exact(spark, sf_dir):
         from rbql_spark.ops.dedup import exact_dedup
         return exact_dedup(_t(spark, sf_dir, 'documents'), 'text', 'doc_id', hash_fn='md5')
@@ -1416,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_classifier', 'retrieval_hybrid_rrf', 'sample_k_per_group',
         'streaming_classifier', 'classifier_pr_curve', 'text_bm25_batch',
         'retrieval_hybrid_batch', 'text_readability',
+        'dedup_exact_incremental',
         'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
         'sample_mix_tokens', 'domain_classify',
         'streaming_decontaminate_bloom', 'sample_epochs',
@@ -3077,6 +3089,17 @@ def oracle_sql() -> dict[str, str]:
     o['dedup_exact'] = (
         "SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash, "
         "min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1")
+
+    # incremental exact dedup replay: odd-doc first-seen digests anti-join
+    # the even-doc digest index
+    o['dedup_exact_incremental'] = (
+        "WITH idx AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), "
+        "'\\s+', ' ', 'g')) AS text_hash FROM documents WHERE doc_id % 2 = 0), "
+        "b AS (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) "
+        "AS text_hash, min(doc_id) AS doc_id FROM documents "
+        "WHERE doc_id % 2 = 1 GROUP BY 1) "
+        "SELECT text_hash, doc_id FROM b "
+        "WHERE text_hash NOT IN (SELECT text_hash FROM idx)")
 
     o['sim_topk_bruteforce'] = (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

@@ -1145,3 +1145,40 @@ def dedup_spans(df: DataFrame, text_col: str = 'text',
                             F.coalesce(F.col('__covered'), F.lit(0))
                             / F.col('n_tokens')).otherwise(F.lit(0.0)), 6)
                          .alias('dup_token_frac')))
+
+
+def exact_dedup_incremental(batch: DataFrame, index: DataFrame,
+                            text_col: str = 'text', id_col: str = 'doc_id',
+                            hash_fn: str = 'md5',
+                            broadcast_index: bool | None = None,
+                            broadcast_max_rows: int = 5_000_000) -> DataFrame:
+    """Exact dedup of a NEW batch against a stored digest index →
+    (text_hash, doc_id): one row per batch document whose normalized
+    text is unseen — not in `index` (a frame with a `text_hash` column,
+    e.g. a previous exact_dedup output or this function's) and the
+    min-id holder of its digest within the batch.  Union the returned
+    text_hash column into the stored index to advance it — the exact
+    counterpart of minhash_match's stored-band-index contract (the
+    streaming face is streaming.stream_exact_dedup).
+
+    Scale shape: the batch collapses to first-seen digests in one
+    partial/final aggregation (digests shuffle, never text), then a
+    LEFT ANTI join against the index.  The index is corpus-scale, so
+    broadcast_index=None (default) persists its distinct digest set,
+    counts it (one eager measuring job — the dedup_lines contract), and
+    broadcasts only under broadcast_max_rows; a hash join otherwise.
+    """
+    norm = normalize_text(F.col(text_col))
+    key = (F.md5(F.encode(norm, 'utf-8')) if hash_fn == 'md5'
+           else F.xxhash64(norm).cast('string'))
+    firsts = (spread_partitions(batch)
+              .select(key.alias('text_hash'), F.col(id_col).alias('doc_id'))
+              .groupBy('text_hash')
+              .agg(F.min('doc_id').alias('doc_id')))
+    idx = index.select('text_hash').distinct()
+    if broadcast_index is None:
+        from pyspark.storagelevel import StorageLevel
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_index = idx.count() <= int(broadcast_max_rows)
+    return firsts.join(F.broadcast(idx) if broadcast_index else idx,
+                       'text_hash', 'left_anti')

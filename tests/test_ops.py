@@ -1422,6 +1422,30 @@ def test_bm25_score_ranking_and_plan(spark):
         bm25_score(df, [])
 
 
+def test_exact_dedup_incremental(spark):
+    from rbql_spark.ops.dedup import exact_dedup, exact_dedup_incremental
+    seen = spark.createDataFrame(
+        [(1, 'already indexed text'), (2, 'another known document')],
+        'doc_id long, text string')
+    index = exact_dedup(seen, 'text', 'doc_id', hash_fn='md5')
+    batch = spark.createDataFrame(
+        [(10, 'Already   indexed TEXT  '),   # normalizes to an indexed dup
+         (11, 'fresh document'),
+         (12, 'fresh document'),             # in-batch dup: min id wins
+         (13, 'brand new content')],
+        'doc_id long, text string')
+    for mode in (None, False, True):
+        got = {r['doc_id'] for r in exact_dedup_incremental(
+            batch, index, broadcast_index=mode).collect()}
+        assert got == {11, 13}, mode
+    # advancing the index: survivors' digests join the stored set
+    out = exact_dedup_incremental(batch, index)
+    advanced = index.select('text_hash').unionByName(
+        out.select('text_hash')).distinct()
+    again = exact_dedup_incremental(batch, advanced)
+    assert again.count() == 0
+
+
 def test_readability_hand_computed(spark):
     from rbql_spark.ops.textstats import readability
     df = spark.createDataFrame(
