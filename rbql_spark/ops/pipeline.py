@@ -54,6 +54,9 @@ def training_data_pipeline(
     text_col: str = 'text',
     id_col: str = 'doc_id',
     quality_kwargs: dict | None = None,
+    classifier_weights: list | None = None,
+    classifier_threshold: float = 0.5,
+    classifier_kwargs: dict | None = None,
     minhash_kwargs: dict | None = None,
     decontaminate_kwargs: dict | None = None,
     split_kwargs: dict | None = None,
@@ -100,6 +103,13 @@ def training_data_pipeline(
     `docs` with no embedding row are DROPPED by the stage (the join
     semantics); curate only fully-embedded corpora.
 
+    `classifier_weights` (a classifier_train output) enables the
+    model-scored quality stage right AFTER the heuristic filter and
+    BEFORE dedup (the GPT-3-recipe order): survivors scoring below
+    `classifier_threshold` drop; `classifier_kwargs` passes through to
+    classifier_score (ngram_max/seed/impl).  Tokenless survivors emit
+    no score row and drop with the stage.
+
     `dsir_target` (a corpus shaped like `docs`) enables DSIR importance
     resampling AFTER dedup/curation and BEFORE decontamination: the
     surviving corpus is scored against the target's hashed-n-gram
@@ -142,6 +152,30 @@ def training_data_pipeline(
         metrics.append({'stage': 'quality_filter',
                         'rows_in': docs.count(),
                         'rows_out': kept.count()})
+
+    if classifier_weights is not None:
+        # the GPT-3-recipe LR filter, adjacent to the heuristic filter
+        # and BEFORE dedup: model-scored quality keeps/drops documents,
+        # dedup then runs on the smaller high-quality corpus.  Scoring
+        # reads the persisted survivor cache (no extra raw scans);
+        # tokenless docs emit no score row and are dropped (they carry
+        # no trainable text).  Train via classifier_train upstream.
+        from rbql_spark.ops.classifier import classifier_score
+        scored = classifier_score(kept, list(classifier_weights),
+                                  text_col=text_col, id_col=id_col,
+                                  **dict(classifier_kwargs or {}))
+        keep_ids = (scored.where(F.col('prob')
+                                 >= float(classifier_threshold))
+                          .select(F.col('doc_id').alias(id_col)))
+        kept = kept.join(keep_ids, id_col, 'left_semi')
+        # persist under materialize (not just with_metrics): the stage
+        # subtree would otherwise recompute at every later reuse of kept
+        if materialize:
+            kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        if with_metrics:
+            metrics.append({'stage': 'classifier_filter',
+                            'rows_in': metrics[-1]['rows_out'],
+                            'rows_out': kept.count()})
 
     pairs = minhash_dedup_pairs(kept, text_col, id_col, **minhash_kwargs)
     # checkpoint_dir puts the connected-components iteration state on

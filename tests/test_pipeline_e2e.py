@@ -309,6 +309,41 @@ def test_pipeline_dsir_stage(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_pipeline_classifier_stage(spark, sf_dir):
+    """round-11: classifier_weights filters the quality survivors by
+    model score before dedup, equal to the manual composition."""
+    from pyspark.sql import functions as F
+    from rbql_spark.ops.classifier import classifier_score, classifier_train
+    from rbql_spark.ops.pipeline import training_data_pipeline
+    from rbql_spark.ops.textstats import quality_filter
+
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    labeled = docs.withColumn(
+        'label', F.when(F.col('lang') == 'en', 1).otherwise(0))
+    w = classifier_train(labeled, dim=128, n_iter=2)
+    qk = {'min_words': 5, 'min_stopword_ratio': 0.0}
+    # median prob as the threshold so the stage genuinely splits the corpus
+    kept = quality_filter(docs, output='rows', **qk)
+    probs = sorted(r['prob'] for r in classifier_score(kept, w).collect())
+    thr = probs[len(probs) // 2]
+    cfg = dict(quality_kwargs=qk, classifier_weights=w,
+               classifier_threshold=thr,
+               minhash_kwargs={'threshold': 0.5},
+               split_kwargs={'splits': [('train', 1.0)]})
+    result, metrics = training_data_pipeline(
+        docs, None, with_metrics=True, **cfg)
+    stages = [m['stage'] for m in metrics]
+    assert stages == ['quality_filter', 'classifier_filter',
+                      'dedup_keep_canonical', 'split_train']
+    assert 0 < metrics[1]['rows_out'] < metrics[1]['rows_in']
+
+    keep_ids = {r['doc_id'] for r in classifier_score(kept, w)
+                .where(F.col('prob') >= thr).collect()}
+    got = {r['doc_id'] for r in result.select('doc_id').distinct().collect()}
+    assert got <= keep_ids and got
+    spark.catalog.clearCache()
+
+
 def test_pipeline_embedding_curation_stage(spark, sf_dir):
     """round-11: the optional embedding-space stage (SemDeDup →
     prototype_prune between surface dedup and decontamination) equals the
