@@ -68,12 +68,18 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
                .select('query_id', 'vec_id',
                        F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim')))
     # rank on the ROUNDED similarity (+ vec_id) so rankings are reproducible
-    # across engines/float orders
-    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
-    return (scored.withColumn('rank', F.row_number().over(w))
-                  .filter(F.col('rank') <= k)
-                  .select('query_id', 'vec_id', 'cosine_sim', 'rank')
-                  .orderBy('query_id', 'rank'))
+    # across engines/float orders.  topk_per_group, not a naive per-query
+    # window: PARTITION BY query_id holds the ENTIRE corpus per query (a
+    # single sort task per query at scale); the salted two-phase rank is
+    # exact at salt_buckets× the parallelism.  The final orderBy is over
+    # ≤ n_queries×k rows — bounded, not a corpus-scale sort.
+    from .skew import topk_per_group
+    return (topk_per_group(scored, int(k), ['query_id'],
+                           [F.col('cosine_sim').desc(),
+                            F.col('vec_id').asc()],
+                           salt_key=F.col('vec_id'))
+            .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+            .orderBy('query_id', 'rank'))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
