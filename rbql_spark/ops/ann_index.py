@@ -494,19 +494,24 @@ def search_ivf_pq_index(spark: SparkSession, path: str, queries: DataFrame,
                              *([F.first(vec_col).alias(vec_col)]
                                if meta['store_floats'] else [])))
 
-    wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(),
-                                                F.col('vec_id').asc())
+    # the pruned-cell candidate set is a corpus fraction per query —
+    # rank via the salted two-phase topk_per_group, never one partition
+    # per query (the final rescore window stays over the bounded
+    # shortlist)
+    from .skew import topk_per_group
+    _order = [F.col('pq_sim').desc(), F.col('vec_id').asc()]
     if not meta['store_floats']:
-        return (scored.withColumn('rank', F.row_number().over(wq))
-                      .filter(F.col('rank') <= k)
-                      .select('query_id', 'vec_id',
-                              F.col('pq_sim').alias('cosine_sim'), 'rank')
-                      .orderBy('query_id', 'rank'))
+        return (topk_per_group(scored, int(k), ['query_id'], _order,
+                               salt_key=F.col('vec_id'))
+                .select('query_id', 'vec_id',
+                        F.col('pq_sim').alias('cosine_sim'), 'rank')
+                .orderBy('query_id', 'rank'))
 
-    shortlist = (scored.withColumn('rq', F.row_number().over(wq))
-                       .filter(F.col('rq') <= k * rescore_factor)
-                       .select('query_id', 'vec_id',
-                               as_double(F.col(vec_col)).alias('__cv')))
+    shortlist = (topk_per_group(scored, int(k * rescore_factor),
+                                ['query_id'], _order,
+                                salt_key=F.col('vec_id'), rank_name='rq')
+                 .select('query_id', 'vec_id',
+                         as_double(F.col(vec_col)).alias('__cv')))
     rescored = (shortlist.join(F.broadcast(q), 'query_id')
                 .select('query_id', 'vec_id',
                         F.round(cosine(F.col('__cv'), F.col('__qv')), 6)
@@ -600,18 +605,20 @@ def _search_arrow(spark: SparkSession, path: str, q: DataFrame, meta: dict,
         # per-cell — see ivf_pq_ann_topk)
         scored = (scored.groupBy('query_id', 'vec_id')
                         .agg(F.max('pq_sim').alias('pq_sim')))
-    wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(),
-                                                F.col('vec_id').asc())
+    # candidate-set rank via topk_per_group (see search_ivf_pq_index)
+    from .skew import topk_per_group
+    _order = [F.col('pq_sim').desc(), F.col('vec_id').asc()]
     if not meta['store_floats']:
-        return (scored.withColumn('rank', F.row_number().over(wq))
-                      .filter(F.col('rank') <= k)
-                      .select('query_id', 'vec_id',
-                              F.col('pq_sim').alias('cosine_sim'), 'rank')
-                      .orderBy('query_id', 'rank'))
+        return (topk_per_group(scored, int(k), ['query_id'], _order,
+                               salt_key=F.col('vec_id'))
+                .select('query_id', 'vec_id',
+                        F.col('pq_sim').alias('cosine_sim'), 'rank')
+                .orderBy('query_id', 'rank'))
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
-    shortlist = (scored.withColumn('rq', F.row_number().over(wq))
-                       .filter(F.col('rq') <= k * rescore_factor)
-                       .select('query_id', 'vec_id'))
+    shortlist = (topk_per_group(scored, int(k * rescore_factor),
+                                ['query_id'], _order,
+                                salt_key=F.col('vec_id'), rank_name='rq')
+                 .select('query_id', 'vec_id'))
     floats = idx.select('vec_id', as_double(F.col(vec_col)).alias('__cv'))
     if meta['n_assign'] > 1:
         # multi-assigned vectors appear once per cell copy — one float

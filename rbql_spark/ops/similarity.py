@@ -164,14 +164,19 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
               .select('query_id', 'vec_id', '__cv', '__qv')
               .dropDuplicates(['query_id', 'vec_id']))
     # rank on the ROUNDED similarity (+ vec_id) so rankings are reproducible
-    # across engines/float orders — same policy as cosine_topk_bruteforce
-    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
-    return (cand.select('query_id', 'vec_id',
-                        F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim'))
-                .withColumn('rank', F.row_number().over(w))
-                .filter(F.col('rank') <= k)
-                .select('query_id', 'vec_id', 'cosine_sim', 'rank')
-                .orderBy('query_id', 'rank'))
+    # across engines/float orders — same policy as cosine_topk_bruteforce.
+    # topk_per_group, not a naive per-query window: a hot LSH bucket can
+    # put a corpus-scale candidate set in one query's partition
+    from .skew import topk_per_group
+    scored = cand.select('query_id', 'vec_id',
+                         F.round(cosine(F.col('__cv'), F.col('__qv')), 6)
+                          .alias('cosine_sim'))
+    return (topk_per_group(scored, int(k), ['query_id'],
+                           [F.col('cosine_sim').desc(),
+                            F.col('vec_id').asc()],
+                           salt_key=F.col('vec_id'))
+            .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+            .orderBy('query_id', 'rank'))
 
 
 def _train_centroids(c: DataFrame, n_cells: int, seed: int,
@@ -356,13 +361,19 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                          'cell')
     if n_assign > 1:
         cand = cand.dropDuplicates(['query_id', 'vec_id'])
-    w = Window.partitionBy('query_id').orderBy(F.col('cosine_sim').desc(), F.col('vec_id').asc())
-    return (cand.select('query_id', 'vec_id',
-                        F.round(cosine(F.col('__cv'), F.col('__qv')), 6).alias('cosine_sim'))
-                .withColumn('rank', F.row_number().over(w))
-                .filter(F.col('rank') <= k)
-                .select('query_id', 'vec_id', 'cosine_sim', 'rank')
-                .orderBy('query_id', 'rank'))
+    # topk_per_group, not a naive per-query window: each query's probed
+    # cells hold ≈ n_probe/n_cells of the corpus — one sort task per
+    # query otherwise
+    from .skew import topk_per_group
+    scored = cand.select('query_id', 'vec_id',
+                         F.round(cosine(F.col('__cv'), F.col('__qv')), 6)
+                          .alias('cosine_sim'))
+    return (topk_per_group(scored, int(k), ['query_id'],
+                           [F.col('cosine_sim').desc(),
+                            F.col('vec_id').asc()],
+                           salt_key=F.col('vec_id'))
+            .select('query_id', 'vec_id', 'cosine_sim', 'rank')
+            .orderBy('query_id', 'rank'))
 
 
 def _quantize_int8(vec: Column, scale: float = 127.0) -> Column:
@@ -450,10 +461,14 @@ def ivf_ann_topk_int8(corpus: DataFrame, queries: DataFrame, k: int = 10,
         # multi-assignment can surface a (query, vec) pair via several
         # cells with identical sim8 — dedup before the shortlist rank
         cand8 = cand8.dropDuplicates(['query_id', 'vec_id'])
-    w8 = Window.partitionBy('query_id').orderBy(F.col('sim8').desc(), F.col('vec_id').asc())
-    shortlist = (cand8.withColumn('r8', F.row_number().over(w8))
-                      .filter(F.col('r8') <= k * rescore_factor)
-                      .select('query_id', 'vec_id'))
+    # topk_per_group for the candidate-set shortlist rank (corpus-scale
+    # per query); the final rescore window below runs over the bounded
+    # ≤ k×rescore_factor shortlist and stays a plain window
+    from .skew import topk_per_group
+    shortlist = topk_per_group(
+        cand8, int(k * rescore_factor), ['query_id'],
+        [F.col('sim8').desc(), F.col('vec_id').asc()],
+        salt_key=F.col('vec_id'), rank_name='r8').select('query_id', 'vec_id')
     # exact rescore: tiny shortlist broadcast into the float column scan
     rescored = (c.join(F.broadcast(shortlist), 'vec_id')
                  .join(F.broadcast(q), 'query_id')
@@ -882,11 +897,15 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         books, qrows = fb.result(), fq.result()
         scored = _pq_adc_scored_arrow(c, qrows, dict(q.dtypes)['query_id'],
                                       books, shortk=k * rescore_factor)
-        wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(),
-                                                    F.col('vec_id').asc())
-        shortlist = (scored.withColumn('rq', F.row_number().over(wq))
-                           .filter(F.col('rq') <= k * rescore_factor)
-                           .select('query_id', 'vec_id'))
+        # per-batch pre-pruning bounds this to partitions × shortk rows
+        # per query, but partition count is unbounded at scale — rank
+        # via the salted two-phase topk_per_group
+        from .skew import topk_per_group
+        shortlist = topk_per_group(
+            scored, int(k * rescore_factor), ['query_id'],
+            [F.col('pq_sim').desc(), F.col('vec_id').asc()],
+            salt_key=F.col('vec_id'),
+            rank_name='rq').select('query_id', 'vec_id')
         rescored = (c.join(F.broadcast(shortlist), 'vec_id')
                      .join(F.broadcast(q), 'query_id')
                      .select('query_id', 'vec_id',
@@ -921,10 +940,15 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ).otherwise(F.lit(-1.0))
     scored = (decoded.join(F.broadcast(qn) if broadcast_queries else qn)
                      .select('query_id', 'vec_id', pair_sim.alias('pq_sim')))
-    wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(), F.col('vec_id').asc())
-    shortlist = (scored.withColumn('rq', F.row_number().over(wq))
-                       .filter(F.col('rq') <= k * rescore_factor)
-                       .select('query_id', 'vec_id'))
+    # the PQ candidate set is corpus-scale per query (full ADC sweep, or
+    # probed-cell fraction for IVF-PQ) — shortlist-rank via the salted
+    # two-phase topk_per_group, never one partition per query; the final
+    # rescore window below is over the bounded k×rescore_factor shortlist
+    from .skew import topk_per_group
+    shortlist = topk_per_group(
+        scored, int(k * rescore_factor), ['query_id'],
+        [F.col('pq_sim').desc(), F.col('vec_id').asc()],
+        salt_key=F.col('vec_id'), rank_name='rq').select('query_id', 'vec_id')
     rescored = (c.join(F.broadcast(shortlist), 'vec_id')
                  .join(F.broadcast(q), 'query_id')
                  .select('query_id', 'vec_id',
@@ -1141,10 +1165,15 @@ def ivf_pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         # a no-op there.
         scored = (scored.groupBy('query_id', 'vec_id')
                         .agg(F.max('pq_sim').alias('pq_sim')))
-    wq = Window.partitionBy('query_id').orderBy(F.col('pq_sim').desc(), F.col('vec_id').asc())
-    shortlist = (scored.withColumn('rq', F.row_number().over(wq))
-                       .filter(F.col('rq') <= k * rescore_factor)
-                       .select('query_id', 'vec_id'))
+    # the PQ candidate set is corpus-scale per query (full ADC sweep, or
+    # probed-cell fraction for IVF-PQ) — shortlist-rank via the salted
+    # two-phase topk_per_group, never one partition per query; the final
+    # rescore window below is over the bounded k×rescore_factor shortlist
+    from .skew import topk_per_group
+    shortlist = topk_per_group(
+        scored, int(k * rescore_factor), ['query_id'],
+        [F.col('pq_sim').desc(), F.col('vec_id').asc()],
+        salt_key=F.col('vec_id'), rank_name='rq').select('query_id', 'vec_id')
     rescored = (c.join(F.broadcast(shortlist), 'vec_id')
                  .join(F.broadcast(q), 'query_id')
                  .select('query_id', 'vec_id',
