@@ -674,7 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         index = exact_dedup(docs.filter(F.col('doc_id') % 2 == 0),
                             'text', 'doc_id', hash_fn='md5')
         return exact_dedup_incremental(
-            docs.filter(F.col('doc_id') % 2 == 1), index)
+            docs.filter(F.col('doc_id') % 2 == 1), index, hash_fn='md5')
     q['dedup_exact_incremental'] = _dedup_exact_incremental
 
     def _dedup_exact(spark, sf_dir):
@@ -2253,8 +2253,8 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN len(w) > 0 THEN coalesce(list_sum(list_transform(w, "
         "x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0) "
         "ELSE 0 END::BIGINT AS n_syllables FROM "
-        "(SELECT doc_id, lower(coalesce(text, '')) AS t, "
-        + _SQL_TOKS.format(src="lower(coalesce(text, ''))") + " AS w "
+        "(SELECT doc_id, coalesce(text, '') AS t, "
+        + _SQL_TOKS.format(src="coalesce(text, '')") + " AS w "
         "FROM documents))")
 
     # batch hybrid replay: the bm25-batch CTEs + the hashing-embed CTEs
@@ -3098,8 +3098,12 @@ def oracle_sql() -> dict[str, str]:
         "b AS (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) "
         "AS text_hash, min(doc_id) AS doc_id FROM documents "
         "WHERE doc_id % 2 = 1 GROUP BY 1) "
+        # NOT EXISTS, not NOT IN: a NULL digest (NULL-text doc) must
+        # survive like Spark's left_anti keeps it, and a NULL in the
+        # index must not NULL-poison the whole predicate
         "SELECT text_hash, doc_id FROM b "
-        "WHERE text_hash NOT IN (SELECT text_hash FROM idx)")
+        "WHERE NOT EXISTS (SELECT 1 FROM idx "
+        "WHERE idx.text_hash = b.text_hash)")
 
     o['sim_topk_bruteforce'] = (
         "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

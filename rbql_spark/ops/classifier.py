@@ -250,7 +250,6 @@ def classifier_pr_curve(df: DataFrame, score_col: str = 'prob',
     the sample_shuffle offsets-window argument.  The label column must
     be 0/1-valued.
     """
-    from pyspark.sql import Window
     slim = df.select(F.col(score_col).alias('threshold'),
                      F.col(label_col).cast('long').alias('__y'))
     per = (slim.groupBy('threshold')

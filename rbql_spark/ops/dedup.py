@@ -1149,7 +1149,7 @@ def dedup_spans(df: DataFrame, text_col: str = 'text',
 
 def exact_dedup_incremental(batch: DataFrame, index: DataFrame,
                             text_col: str = 'text', id_col: str = 'doc_id',
-                            hash_fn: str = 'md5',
+                            hash_fn: str = 'xxhash64',
                             broadcast_index: bool | None = None,
                             broadcast_max_rows: int = 5_000_000) -> DataFrame:
     """Exact dedup of a NEW batch against a stored digest index →
@@ -1161,6 +1161,13 @@ def exact_dedup_incremental(batch: DataFrame, index: DataFrame,
     counterpart of minhash_match's stored-band-index contract (the
     streaming face is streaming.stream_exact_dedup).
 
+    `hash_fn` must match the one the index was built with (same default
+    as exact_dedup: xxhash64 → BIGINT digests, 'md5' → hex strings for
+    external-engine replay).  A digest-type mismatch would otherwise
+    coerce to NULL/double in the join and silently report every indexed
+    duplicate as unseen, so the index's text_hash dtype is validated
+    against the chosen hash_fn up front.
+
     Scale shape: the batch collapses to first-seen digests in one
     partial/final aggregation (digests shuffle, never text), then a
     LEFT ANTI join against the index.  The index is corpus-scale, so
@@ -1170,7 +1177,17 @@ def exact_dedup_incremental(batch: DataFrame, index: DataFrame,
     """
     norm = normalize_text(F.col(text_col))
     key = (F.md5(F.encode(norm, 'utf-8')) if hash_fn == 'md5'
-           else F.xxhash64(norm).cast('string'))
+           else F.xxhash64(norm))
+    idx_type = dict(index.dtypes).get('text_hash')
+    if idx_type is None:
+        raise ValueError('exact_dedup_incremental: index needs a '
+                         'text_hash column')
+    want = 'string' if hash_fn == 'md5' else 'bigint'
+    if idx_type != want:
+        raise ValueError(
+            'exact_dedup_incremental: index text_hash is {} but '
+            'hash_fn={!r} produces {} — pass the hash_fn the index was '
+            'built with'.format(idx_type, hash_fn, want))
     firsts = (spread_partitions(batch)
               .select(key.alias('text_hash'), F.col(id_col).alias('doc_id'))
               .groupBy('text_hash')

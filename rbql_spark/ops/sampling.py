@@ -80,7 +80,11 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
 
     Content-keyed like hash_sample: the picked set is a pure function of
     the data — rerun-stable and engine-replayable (the DuckDB oracle is
-    a plain per-group row_number on the same md5 unit).
+    a plain per-group row_number on the same md5 unit).  `key_col` must
+    uniquely identify rows (the hash_sample contract): duplicate keys
+    would make the (unit, key) rank order non-total and the join-back
+    fan out.  The join-back matches on (group, key), so a pick never
+    attaches outside its own group.
 
     Scale shape — skew-safe exact rank without a per-group single task:
     a naive row_number over PARTITION BY group serializes each group
@@ -111,14 +115,15 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
     picks = topk_per_group(
         slim, int(k), ['__g'], [F.col('__u').asc(), F.col('__k').asc()],
         salt_key=F.col('__k'), salt_buckets=int(salt_buckets),
-        rank_name='sample_rank').select('__k', 'sample_rank')
+        rank_name='sample_rank').select('__g', '__k', 'sample_rank')
     if broadcast_picks is None:
         from pyspark.storagelevel import StorageLevel
         picks = picks.persist(StorageLevel.MEMORY_AND_DISK)
         broadcast_picks = picks.count() <= int(broadcast_max_rows)
     joined = df.join(F.broadcast(picks) if broadcast_picks else picks,
-                     df[key_col] == picks['__k'])
-    return joined.drop('__k')
+                     (df[key_col] == picks['__k'])
+                     & df[group_col].eqNullSafe(picks['__g']))
+    return joined.drop('__k', '__g')
 
 
 def temperature_sample(df: DataFrame, strata_col: str, alpha: float = 0.5,

@@ -820,9 +820,9 @@ def readability(df: DataFrame, text_col: str = 'text',
     regexp_extract_all / HOF fold, no shuffle, no Python — the
     quality_score pattern, streaming-safe.
     """
-    t = F.lower(F.coalesce(F.col(text_col), F.lit('')))
-    words = F.filter(F.split(t, r'[^\p{L}\p{N}]+', -1),
-                     lambda x: x != '')
+    df = spread_partitions(df)
+    t = F.coalesce(F.col(text_col), F.lit(''))
+    words = tokens(t)          # the shared lowercased tokenizer
     sents = F.filter(F.split(t, r'[.!?]+', -1),
                      lambda x: F.trim(x) != '')
     syl = F.aggregate(

@@ -1436,14 +1436,25 @@ def test_exact_dedup_incremental(spark):
         'doc_id long, text string')
     for mode in (None, False, True):
         got = {r['doc_id'] for r in exact_dedup_incremental(
-            batch, index, broadcast_index=mode).collect()}
+            batch, index, hash_fn='md5', broadcast_index=mode).collect()}
         assert got == {11, 13}, mode
     # advancing the index: survivors' digests join the stored set
-    out = exact_dedup_incremental(batch, index)
+    out = exact_dedup_incremental(batch, index, hash_fn='md5')
     advanced = index.select('text_hash').unionByName(
         out.select('text_hash')).distinct()
-    again = exact_dedup_incremental(batch, advanced)
+    again = exact_dedup_incremental(batch, advanced, hash_fn='md5')
     assert again.count() == 0
+    # the xxhash64 default matches exact_dedup's default digest type
+    idx64 = exact_dedup(seen, 'text', 'doc_id')
+    got64 = {r['doc_id'] for r in
+             exact_dedup_incremental(batch, idx64).collect()}
+    assert got64 == {11, 13}
+    # digest-type mismatch is a loud error, never a silent full miss
+    import pytest
+    with pytest.raises(ValueError, match='text_hash is'):
+        exact_dedup_incremental(batch, index)           # md5 idx, xx default
+    with pytest.raises(ValueError, match='text_hash is'):
+        exact_dedup_incremental(batch, idx64, hash_fn='md5')
 
 
 def test_readability_hand_computed(spark):
