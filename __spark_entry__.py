@@ -100,7 +100,12 @@ def _trained_classifier_weights(spark: SparkSession, sf_dir: str,
         stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
     except OSError:
         stamp = ''
-    key = hashlib.md5('clfw|{}|{}|v1'.format(sf_dir, stamp)
+    # the training hyperparameters are PART of the key: editing them
+    # must invalidate the cache automatically, or the streaming/PR-curve
+    # gates would silently score with stale weights against a retrained
+    # oracle (round-12 advisory)
+    hp = 'dim=256|n_iter=2|lr=1.0|label=lang==en'
+    key = hashlib.md5('clfw|{}|{}|{}|v1'.format(sf_dir, stamp, hp)
                       .encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(),
                         'rbql_clfw_{}.json'.format(key))
@@ -117,6 +122,43 @@ def _trained_classifier_weights(spark: SparkSession, sf_dir: str,
         _json.dump(w, f)
     os.replace(tmp, path)
     return w
+
+
+def _cached_ivf_centroids(spark: SparkSession, sf_dir: str, quantizer: str,
+                          n_cells: int, seed: int) -> list:
+    """One coarse-quantizer training per (sf_dir, data stamp, quantizer,
+    n_cells, seed), shared across gate invocations — the
+    _trained_classifier_weights pattern applied to the kmeans-recall
+    gate, whose dominant cost was retraining the MLlib KMeans quantizer
+    on every call (round-11 verdict #2: 10.5 s warm, almost all of it
+    training).  Training is deterministic (seeded k-means / content-hash
+    selection, the round-6 contract), so the cached centroids ARE what a
+    re-run produces; the hyperparameters sit in the key so edits
+    invalidate automatically."""
+    import hashlib
+    import json as _json
+    import tempfile
+    src = os.path.join(sf_dir, 'embeddings.parquet')
+    try:
+        stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
+    except OSError:
+        stamp = ''
+    key = hashlib.md5('ivfc|{}|{}|{}|{}|{}|maxIter=20|v1'.format(
+        sf_dir, stamp, quantizer, n_cells, seed).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        'rbql_ivfc_{}.json'.format(key))
+    if os.path.exists(path):
+        with open(path) as f:
+            return _json.load(f)
+    from rbql_spark.ops.similarity import train_ivf_centroids
+    cent = train_ivf_centroids(_t(spark, sf_dir, 'embeddings'),
+                               n_cells=n_cells, seed=seed,
+                               quantizer=quantizer)
+    tmp = path + '.tmp{}'.format(os.getpid())
+    with open(tmp, 'w') as f:
+        _json.dump(cent, f)
+    os.replace(tmp, path)
+    return cent
 
 
 def _stream_replay_dir(spark: SparkSession, sf_dir: str, name: str,
@@ -1054,8 +1096,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         den = queries_df.agg((F.count(F.lit(1)) * k).alias('den'))
 
         def hits(quantizer):
+            # centroid training is deterministic and was the gate's real
+            # bottleneck (not the truth table): cache it per (sf_dir,
+            # stamp, quantizer, n_cells, seed) so repeat runs pay only
+            # the searches (round-12, verdict #2)
+            cent = _cached_ivf_centroids(spark, sf_dir, quantizer,
+                                         n_cells=16, seed=42)
+            # centroid_strategy='arrow': the inline strategy's plan cost
+            # (n_cells x dim literal trees built per CALL, driver-side)
+            # dominates this interactive-sized search — measured 5 s vs
+            # 1 s per search at sf0.1 with identical hits; inline stays
+            # the default because its zero-Python-stage scan is what wins
+            # at corpus scale (parity is plan-tested)
             ann = ivf_ann_topk(emb, queries_df, k=k, n_cells=16, n_probe=4,
-                               quantizer=quantizer) \
+                               quantizer=quantizer, centroids=cent,
+                               centroid_strategy='arrow') \
                 .select('query_id', 'vec_id')
             return ann.join(exact, ['query_id', 'vec_id']) \
                       .agg(F.count(F.lit(1)).alias('hits'))

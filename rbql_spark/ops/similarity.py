@@ -179,6 +179,26 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .orderBy('query_id', 'rank'))
 
 
+def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                        seed: int = 42, quantizer: str = 'hash',
+                        id_col: str = 'vec_id',
+                        vec_col: str = 'embedding') -> list[list[float]]:
+    """Train (or hash-select) IVF coarse-quantizer centroids WITHOUT
+    running a search — the pre-training face of ivf_ann_topk.
+
+    Training is deterministic per (data, n_cells, seed, quantizer)
+    (the round-6 contract: seeded k-means / content-hash selection), so
+    callers that run many searches over the same corpus should train
+    once, persist the plain ``list[list[float]]``, and pass it back via
+    ``ivf_ann_topk(..., centroids=...)`` — retraining the quantizer per
+    query batch is pure waste (it was the dominant cost of the
+    kmeans-recall benchmark gate before round 12 cached it)."""
+    as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
+    c = corpus.select(F.col(id_col).alias('vec_id'),
+                      as_double(F.col(vec_col)).alias('__cv'))
+    return _train_centroids(c, n_cells, seed, quantizer)
+
+
 def _train_centroids(c: DataFrame, n_cells: int, seed: int,
                      quantizer: str) -> list[list[float]]:
     """Coarse-quantizer centroids for IVF (see ivf_ann_topk docstring)."""
@@ -284,7 +304,8 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  query_id_col: str = 'query_id', seed: int = 42,
                  quantizer: str = 'hash',
                  broadcast_queries: bool = True,
-                 centroid_strategy: str = 'auto') -> DataFrame:
+                 centroid_strategy: str = 'auto',
+                 centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-flat ANN: partition the corpus into coarse cells around centroid
     vectors; each query probes only its n_probe nearest cells and
     exact-rescores those candidates.
@@ -307,6 +328,12 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     corpus (argmax via array_max over (sim, -cell) structs — no join, no
     shuffle); candidates come from one corpus ⋈ probed-queries hash join
     on the cell id, touching ~n_probe/n_cells of the corpus per query.
+    Note the inline strategy also pays a PER-CALL driver-side cost —
+    building and compiling the n_cells × dim literal trees (~4 s at
+    16 cells × 64 dims, measured) — that amortizes over a corpus-scale
+    scan but dominates small interactive searches: for repeated
+    interactive use pass centroid_strategy='arrow' (identical results;
+    parity is tested) and pre-trained `centroids`.
     Ranking windows partition by query_id.  Similarities are rounded to 6
     places BEFORE any comparison so argmax/probe/rank order is
     reproducible across engines.
@@ -329,7 +356,13 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     as_double = lambda col: F.transform(col, lambda x: x.cast('double'))  # noqa: E731
     c = corpus.select(F.col(id_col).alias('vec_id'), as_double(F.col(vec_col)).alias('__cv'))
     q = queries.select(F.col(query_id_col).alias('query_id'), as_double(F.col(vec_col)).alias('__qv'))
-    centroids = _train_centroids(c, n_cells, seed, quantizer)
+    # pre-trained centroids (train_ivf_centroids) skip the per-call
+    # quantizer training — the repeated-search fast path; they override
+    # n_cells/seed/quantizer, which only parameterize training
+    if centroids is None:
+        centroids = _train_centroids(c, n_cells, seed, quantizer)
+    else:
+        centroids = [[float(x) for x in cv] for cv in centroids]
 
     # centroid_strategy: 'inline' embeds the centroids as plan literals
     # (zero Python stages; plan grows with n_cells — keep it for n_cells

@@ -191,6 +191,26 @@ def test_ivf_ann_kmeans_quantizer(spark, emb_df):
         ivf_ann_topk(emb_df, queries, quantizer='nope')
 
 
+def test_ivf_pretrained_centroids_match_live_training(spark, emb_df):
+    # train_ivf_centroids + ivf_ann_topk(centroids=...) must reproduce the
+    # live-training result EXACTLY for both quantizers (training is
+    # deterministic per the round-6 contract) — this is the contract the
+    # kmeans-recall gate's centroid cache relies on
+    from rbql_spark.ops.similarity import ivf_ann_topk, train_ivf_centroids
+    queries = emb_df.filter(F.col('vec_id') < 3) \
+                    .select(F.col('vec_id').alias('query_id'), 'embedding')
+    for quantizer in ('hash', 'kmeans'):
+        cent = train_ivf_centroids(emb_df, n_cells=8, seed=42,
+                                   quantizer=quantizer)
+        assert len(cent) == 8 and all(isinstance(x, float) for x in cent[0])
+        live = ivf_ann_topk(emb_df, queries, k=5, n_cells=8, n_probe=4,
+                            quantizer=quantizer)
+        pre = ivf_ann_topk(emb_df, queries, k=5, n_cells=8, n_probe=4,
+                           quantizer=quantizer, centroids=cent)
+        assert sorted(map(tuple, live.collect())) == \
+            sorted(map(tuple, pre.collect()))
+
+
 def test_ivf_int8_recall_matches_full_precision(spark, emb_df):
     # int8 candidate scoring + exact shortlist rescore must not lose
     # recall vs the full-precision IVF at the same cells/probes: the
