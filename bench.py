@@ -241,7 +241,7 @@ def main() -> None:
             medians[name] = reps[len(reps) // 2]
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(json.dumps({
+    line = json.dumps({
         'metric': 'rbql_spark bench: headline queries end-to-end (noop sink)',
         'value': total,
         'unit': 'sec',
@@ -249,7 +249,19 @@ def main() -> None:
         'queries_median': medians,
         'sf': float(sf) if sf.replace('.', '').isdigit() else sf,
         'loadavg': {'start': list(load_start), 'end': list(os.getloadavg())},
-    }))
+    })
+    # the stdout JSON line is longer than some log-tail captures (the
+    # per-round BENCH_r*.json artifacts were truncating the first ~20
+    # per-query entries every round) — ALSO write it to a sibling file so
+    # round-over-round comparison always has the complete record
+    try:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'BENCH_LOCAL.json')
+        with open(out, 'w') as f:
+            f.write(line + '\n')
+    except OSError:
+        pass
+    print(line)
     spark.stop()
 
 

@@ -233,6 +233,62 @@ def delete_from_ivf_pq_index(spark: SparkSession, path: str,
     return n
 
 
+_COMPACT_LOCK = '_rbql_compact.lock'
+
+
+class ConcurrentCompactionError(RuntimeError):
+    """Another compaction holds the index's compaction lock."""
+
+
+class _compaction_lock:
+    """Exclusive per-index compaction lock (O_CREAT|O_EXCL on a lock file
+    inside the index dir — atomic on POSIX filesystems, which is the
+    module's filesystem contract).
+
+    The per-run staging suffix already stops two concurrent compactions
+    from corrupting each other's staged survivors, but they still raced
+    on the final meta swap: both would dynamic-overwrite cell partitions
+    and clear the tombstone dir, and last-wins silently dropped the other
+    run's tombstone application.  With the lock, the loser aborts LOUDLY
+    (ConcurrentCompactionError) before reading any state.  The lock file
+    records pid/host/time for the operator; it is removed on every exit
+    path short of a hard kill — after a kill -9 mid-compaction, delete
+    `<index>/_rbql_compact.lock` manually once no compactor is running.
+    """
+
+    def __init__(self, path: str):
+        self.lock_path = os.path.join(path, _COMPACT_LOCK)
+
+    def __enter__(self):
+        import socket
+        import time as _time
+        try:
+            fd = os.open(self.lock_path,
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(self.lock_path) as fh:
+                    holder = fh.read().strip()
+            except OSError:
+                holder = '<unreadable>'
+            raise ConcurrentCompactionError(
+                'another compaction holds {} ({}); wait for it, or delete '
+                'the lock file if its process crashed'.format(
+                    self.lock_path, holder))
+        with os.fdopen(fd, 'w') as fh:
+            fh.write('pid={} host={} at={}'.format(
+                os.getpid(), socket.gethostname(),
+                _time.strftime('%Y-%m-%dT%H:%M:%S')))
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.lock_path)
+        except OSError:
+            pass
+        return False
+
+
 def compact_ivf_pq_index(spark: SparkSession, path: str) -> dict:
     """Physically apply the tombstone set: rewrite ONLY the cell
     partitions that contain tombstoned rows (dynamic partition
@@ -241,10 +297,17 @@ def compact_ivf_pq_index(spark: SparkSession, path: str) -> dict:
     n_cells of the index, not all of it.
 
     Returns {'rows_removed': n, 'cells_rewritten': [...]}.  No-op (and
-    empty report) when there are no tombstones.
+    empty report) when there are no tombstones.  Exclusive per index:
+    a second concurrent compaction raises ConcurrentCompactionError
+    instead of racing this one on the tombstone-clear swap.
     """
     import shutil
 
+    with _compaction_lock(path):
+        return _compact_locked(spark, path, shutil)
+
+
+def _compact_locked(spark: SparkSession, path: str, shutil) -> dict:
     tomb = _tombstones(spark, path)
     if tomb is None:
         return {'rows_removed': 0, 'cells_rewritten': []}

@@ -345,3 +345,44 @@ def test_compact_fully_tombstoned_cell_not_resurrected(spark, tmp_path,
     assert post.where(F.col('cell') == cell).count() == 0
     assert post.join(victims, 'vec_id').count() == 0
     assert not os.path.isdir(os.path.join(path, 'cell={}'.format(cell)))
+
+
+def test_concurrent_compaction_lock(spark, tmp_path, emb_q):
+    # two compactors racing the tombstone-clear swap: the second must
+    # abort LOUDLY (ConcurrentCompactionError) before reading any state,
+    # the winner's lock is released on every exit path, and a post-race
+    # compaction still applies the tombstones correctly
+    from rbql_spark.ops.ann_index import (
+        ConcurrentCompactionError, _COMPACT_LOCK, build_ivf_pq_index,
+        compact_ivf_pq_index, delete_from_ivf_pq_index,
+    )
+    emb, _ = emb_q
+    path = str(tmp_path / 'idx_lock')
+    build_ivf_pq_index(emb, path, n_cells=8, m=8, ks=16)
+    victims = emb.filter(F.col('vec_id') % 7 == 3).select('vec_id')
+    n_victims = victims.count()
+    delete_from_ivf_pq_index(spark, path, victims)
+
+    # simulate compactor A holding the lock (deterministic stand-in for
+    # a true race: the loser's behavior is identical whichever thread
+    # wins the O_EXCL create)
+    lock = os.path.join(path, _COMPACT_LOCK)
+    with open(lock, 'w') as fh:
+        fh.write('pid=99999 host=other at=test')
+    with pytest.raises(ConcurrentCompactionError) as exc:
+        compact_ivf_pq_index(spark, path)
+    assert _COMPACT_LOCK in str(exc.value)
+    # the loser must not have touched the index: tombstones intact
+    assert os.path.isdir(os.path.join(path, '_rbql_tombstones'))
+    os.remove(lock)
+
+    # with the lock released, compaction proceeds and releases its own
+    # lock afterwards (no debris blocking the next run)
+    report = compact_ivf_pq_index(spark, path)
+    assert report['rows_removed'] == n_victims
+    assert not os.path.exists(lock)
+    assert spark.read.parquet(path).join(victims, 'vec_id').count() == 0
+    # and the no-op follow-up also acquires/releases cleanly
+    assert compact_ivf_pq_index(spark, path) == {
+        'rows_removed': 0, 'cells_rewritten': []}
+    assert not os.path.exists(lock)
