@@ -611,3 +611,56 @@ def test_stream_decontaminate_bloom_matches_batch(spark, tmp_path):
             assert got == want, (sink, got, want)
         finally:
             q.stop()
+
+
+def test_stateful_ops_under_rocksdb_state_store(spark, event_stream_dir):
+    """The stateful streaming ops must produce IDENTICAL results under the
+    RocksDB state-store provider — the configuration a long-running
+    deployment needs (the default HDFS-backed provider keeps every
+    version of state on the executor HEAP; RocksDB keeps it off-heap on
+    local disk, which is what bounds memory when the band index /
+    per-user state grows at 100x — see SCALING.md)."""
+    from pyspark.sql import functions as F
+
+    from rbql_spark.streaming.events import (
+        read_event_stream, run_stream_to_memory, running_user_totals,
+        stream_exact_dedup,
+    )
+
+    def drain(name):
+        stream = read_event_stream(spark, event_stream_dir,
+                                   max_files_per_trigger=1)
+        totals = running_user_totals(stream)  # applyInPandasWithState
+        q = run_stream_to_memory(totals, name, output_mode='update')
+        q.stop()
+        w_rows = {}
+        for r in spark.table(name).collect():
+            u = r['user_id']
+            if u not in w_rows or r['n_events'] > w_rows[u][1]:
+                w_rows[u] = (u, r['n_events'], round(r['total_value'], 6))
+        stream2 = read_event_stream(spark, event_stream_dir,
+                                    max_files_per_trigger=1)
+        dd = stream_exact_dedup(stream2)  # dropDuplicates state
+        q2 = run_stream_to_memory(dd.groupBy('user_id')
+                                  .agg(F.count(F.lit(1)).alias('n')),
+                                  name + '_dd', output_mode='complete')
+        q2.stop()
+        dd_rows = {(r['user_id'], r['n'])
+                   for r in spark.table(name + '_dd').collect()}
+        return set(w_rows.values()), dd_rows
+
+    provider_key = 'spark.sql.streaming.stateStore.providerClass'
+    rocksdb = ('org.apache.spark.sql.execution.streaming.state.'
+               'RocksDBStateStoreProvider')
+    prev = spark.conf.get(provider_key, None)
+    baseline = drain('rocks_base')
+    try:
+        spark.conf.set(provider_key, rocksdb)
+        under_rocksdb = drain('rocks_rdb')
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    assert under_rocksdb == baseline
+    assert len(baseline[0]) > 0 and len(baseline[1]) > 0
