@@ -3104,12 +3104,18 @@ def oracle_sql() -> dict[str, str]:
                 "FROM dense d JOIN w{p} w USING (bucket) "
                 "LEFT JOIN gr{r} gr USING (bucket) CROSS JOIN nd), "
             ).format(r=r, p=r - 1, lr=float(lr))
+        # scoring replays the round-12 CANONICAL summation: terms folded
+        # in ascending-bucket order (DuckDB's ordered aggregate
+        # accumulates in that order — verified) and floor-rounded, the
+        # same IEEE op sequence classifier_score runs in both impls
         s += (
             "sc AS (SELECT f.doc_id, max(f.n)::BIGINT AS n_features, "
-            "round(sum(w.w * f.x), 6) AS logit "
+            "floor(sum(w.w * f.x ORDER BY f.bucket) * 1000000 + 0.5) "
+            "/ 1000000 AS logit "
             "FROM feats f JOIN w{n} w USING (bucket) GROUP BY 1) "
             "SELECT doc_id, n_features, logit, "
-            "round(1.0 / (1.0 + exp(-logit)), 6) AS prob FROM sc"
+            "floor((1.0 / (1.0 + exp(-logit))) * 1000000 + 0.5) / 1000000 "
+            "AS prob FROM sc"
         ).format(n=n_iter)
         return s
 

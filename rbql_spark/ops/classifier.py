@@ -156,14 +156,24 @@ def classifier_score(corpus: DataFrame, weights: list[float],
     per doc.  The corpus never shuffles (the dsir_log_weights shape).
 
     impl='inline': the weights inline as an array literal and the logit
-    folds per ROW — w_intercept + (Σ_occurrences w[bucket(g)]) / n, the
-    same exact-arithmetic value as the join path's Σ w_j·(c_j/n) — so
-    the plan has NO Exchange at all (a pure projection, the IVF inline-
-    centroid precedent).  This is the streaming path: stateless, append
-    mode, no watermark (streaming.documents.stream_classify).  Plan
-    size grows with dim — use 'join' for dim ≫ 10⁴.  The two impls
-    agree on the 1e-6 grid (differing only in float summation order,
-    far below it).
+    folds per ROW with NO Exchange at all (a pure projection, the IVF
+    inline-centroid precedent).  This is the streaming path: stateless,
+    append mode, no watermark (streaming.documents.stream_classify).
+    Plan size grows with dim — use 'join' for dim ≫ 10⁴.
+
+    Both impls compute the CANONICAL summation (round-12): terms
+    w_b·(c_b/n) folded left in ascending-bucket order, intercept last,
+    then floor-rounded (floor(x·1e6 + 0.5)/1e6 — the flesch trick: the
+    same IEEE ops in any engine).  Earlier the inline path summed
+    per-OCCURRENCE ((Σ w)/n) while the join path let the aggregation
+    order float — exact rationals on the 1e-6 grid CAN land on half-grid
+    points, where a different summation order (or Spark's decimal-string
+    HALF_UP round vs another engine's binary round) flips the last
+    digit.  With a shared term list, fold order, and rounding scheme the
+    two impls are bit-identical, and any engine replaying the same
+    ordered fold (e.g. DuckDB's sum(x ORDER BY bucket)) matches them.
+    (Residual cross-engine risk: exp() in the sigmoid may differ by one
+    ulp between libms — inherent to prob, not to the logit.)
 
     Documents with no tokens emit no row.  Output is UNORDERED;
     rank/filter downstream (e.g. `.where(F.col('prob') >= 0.5)` as the
@@ -184,36 +194,77 @@ def classifier_score(corpus: DataFrame, weights: list[float],
                              ngram_max, seed, dim)
     feats = _features(corpus, text_col, id_col, dim, ngram_max, seed)
     wdf = _weights_df(corpus.sparkSession, list(weights))
-    z = (feats.join(F.broadcast(wdf), 'bucket')
-              .groupBy('doc_id')
-              .agg(F.first('n_features').alias('n_features'),
-                   F.round(F.sum(F.col('__w') * F.col('x')), 6)
-                    .alias('logit')))
+    # canonical summation: collect the per-bucket terms, sort by bucket
+    # (buckets are unique per doc; the intercept bucket = dim sorts
+    # last), fold left.  collect_list still partial-aggregates map-side
+    # and is bounded by dim+1 rows per doc.
+    terms = (feats.join(F.broadcast(wdf), 'bucket')
+                  .groupBy('doc_id')
+                  .agg(F.first('n_features').alias('n_features'),
+                       F.array_sort(F.collect_list(F.struct(
+                           F.col('bucket').alias('b'),
+                           (F.col('__w') * F.col('x')).alias('wx'))))
+                        .alias('__t')))
+    z = terms.select(
+        'doc_id', 'n_features',
+        _floor6(F.aggregate(F.col('__t'), F.lit(0.0),
+                            lambda acc, t: acc + t['wx'])).alias('logit'))
     return z.select('doc_id', 'n_features', 'logit',
-                    F.round(F.lit(1.0) / (F.lit(1.0)
-                                          + F.exp(-F.col('logit'))), 6)
+                    _floor6(F.lit(1.0) / (F.lit(1.0)
+                                          + F.exp(-F.col('logit'))))
                      .alias('prob'))
+
+
+def _floor6(col: Column) -> Column:
+    """floor(x·1e6 + 0.5)/1e6 — boundary-stable 6-place rounding: the
+    same IEEE op sequence in any engine (the flesch precedent), unlike
+    F.round's decimal-string HALF_UP.  Ties round toward +inf."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def _score_inline(corpus: DataFrame, weights: list[float], text_col: str,
                   id_col: str, ngram_max: int, seed: int,
                   dim: int) -> DataFrame:
     """Stateless per-row scoring: weight-array literal + one fold over
-    the gram array — zero Exchange, streaming-safe."""
+    the SORTED bucket array — zero Exchange, streaming-safe, and
+    bit-identical to the join impl (same canonical per-bucket terms,
+    fold order, and rounding; see classifier_score)."""
     from .dedup import let_once
     wlit = F.array(*[F.lit(float(w)) for w in weights[:dim]])
     intercept = float(weights[dim])
 
     def score(ga: Column) -> Column:
         n = F.size(ga)
-        s = F.aggregate(
-            ga, F.lit(0.0),
-            lambda acc, g: acc + F.element_at(
-                wlit, (_bucket(g, dim, seed) + 1).cast('int')))
+        # occurrences → sorted bucket ids → run-length fold producing
+        # the SAME term sequence the join impl sums: w_b·(c_b/n) in
+        # ascending-bucket order, intercept last
+        bs = F.array_sort(F.transform(
+            ga, lambda g: _bucket(g, dim, seed).cast('int')))
+        nd = n.cast('double')
+
+        def term(prev: Column, cnt: Column) -> Column:
+            return F.element_at(wlit, prev + 1) * (cnt / nd)
+
+        st0 = F.struct(F.lit(0.0).alias('acc'),
+                       F.lit(-1).alias('prev'),
+                       F.lit(0.0).alias('cnt'))
+        folded = F.aggregate(
+            bs, st0,
+            lambda st, b: F.struct(
+                F.when(b == st['prev'], st['acc'])
+                 .otherwise(st['acc'] + F.when(st['cnt'] > 0,
+                                               term(st['prev'], st['cnt']))
+                                         .otherwise(F.lit(0.0))).alias('acc'),
+                b.alias('prev'),
+                F.when(b == st['prev'], st['cnt'] + 1)
+                 .otherwise(F.lit(1.0)).alias('cnt')),
+            lambda st: (st['acc'] + F.when(st['cnt'] > 0,
+                                           term(st['prev'], st['cnt']))
+                                     .otherwise(F.lit(0.0)))
+                       + F.lit(intercept))
         # ANSI-safe: tokenless docs (n = 0) are filtered below, but the
-        # division must not evaluate for them
-        logit = F.when(n > 0,
-                       F.round(F.lit(intercept) + s / n, 6))
+        # fold must not index the weight array for them
+        logit = F.when(n > 0, _floor6(folded))
         return F.struct(n.cast('long').alias('n_features'),
                         logit.alias('logit'))
 
@@ -225,8 +276,8 @@ def _score_inline(corpus: DataFrame, weights: list[float], text_col: str,
                           F.col('__p.logit').alias('logit'))
                   .where(F.col('n_features') > 0))
     return base.select('doc_id', 'n_features', 'logit',
-                       F.round(F.lit(1.0) / (F.lit(1.0)
-                                             + F.exp(-F.col('logit'))), 6)
+                       _floor6(F.lit(1.0) / (F.lit(1.0)
+                                             + F.exp(-F.col('logit'))))
                         .alias('prob'))
 
 

@@ -77,6 +77,22 @@ def tokens(col: Column) -> Column:
     return F.filter(t, lambda x: x != '')
 
 
+def _text_digest(norm: Column, hash_fn: str) -> Column:
+    """Digest of normalized text with hash_fn-INVARIANT NULL semantics:
+    a NULL text gives a NULL digest under BOTH hash functions.  md5 does
+    this natively (SQL NULL propagation), but xxhash64(NULL) is the seed
+    constant (42) — left as-is, NULL-text docs would hash-collide with
+    each other and with any indexed NULL-text doc under xxhash64 while
+    always surviving the anti-join under md5 (round-12 advisory).  The
+    NULL digest still forms ONE group in a groupBy (both Spark and
+    DuckDB group NULLs together) and never matches in a join, so under
+    either hash_fn: NULL texts collapse within a frame but are never
+    reported 'seen' across an index."""
+    if hash_fn == 'md5':
+        return F.md5(F.encode(norm, 'utf-8'))
+    return F.when(norm.isNotNull(), F.xxhash64(norm))
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str,
                 hash_fn: str = 'xxhash64') -> DataFrame:
     """One representative (min id) per exact-normalized-text group.
@@ -84,10 +100,10 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str,
     Single hash shuffle on the digest key; at 100 TB enable AQE for skew
     handling of pathological dup groups.  hash_fn='md5' gives a digest
     reproducible in other engines (e.g. a DuckDB oracle); xxhash64 is the
-    cheaper default.
+    cheaper default.  NULL texts share one NULL-digest group under both
+    hash functions (see _text_digest).
     """
-    norm = normalize_text(F.col(text_col))
-    key = F.md5(F.encode(norm, 'utf-8')) if hash_fn == 'md5' else F.xxhash64(norm)
+    key = _text_digest(normalize_text(F.col(text_col)), hash_fn)
     return (df.groupBy(key.alias('text_hash'))
               .agg(F.min(F.col(id_col)).alias('keep_id'),
                    F.count(F.lit(1)).alias('dup_count')))
@@ -1166,7 +1182,10 @@ def exact_dedup_incremental(batch: DataFrame, index: DataFrame,
     external-engine replay).  A digest-type mismatch would otherwise
     coerce to NULL/double in the join and silently report every indexed
     duplicate as unseen, so the index's text_hash dtype is validated
-    against the chosen hash_fn up front.
+    against the chosen hash_fn up front.  NULL-text docs collapse to one
+    NULL-digest row per batch and are NEVER reported seen, under both
+    hash functions (_text_digest; previously xxhash64 hashed NULL to its
+    seed constant and diverged from the md5 path).
 
     Scale shape: the batch collapses to first-seen digests in one
     partial/final aggregation (digests shuffle, never text), then a
@@ -1175,9 +1194,7 @@ def exact_dedup_incremental(batch: DataFrame, index: DataFrame,
     counts it (one eager measuring job — the dedup_lines contract), and
     broadcasts only under broadcast_max_rows; a hash join otherwise.
     """
-    norm = normalize_text(F.col(text_col))
-    key = (F.md5(F.encode(norm, 'utf-8')) if hash_fn == 'md5'
-           else F.xxhash64(norm))
+    key = _text_digest(normalize_text(F.col(text_col)), hash_fn)
     idx_type = dict(index.dtypes).get('text_hash')
     if idx_type is None:
         raise ValueError('exact_dedup_incremental: index needs a '

@@ -84,7 +84,8 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
     uniquely identify rows (the hash_sample contract): duplicate keys
     would make the (unit, key) rank order non-total and the join-back
     fan out.  The join-back matches on (group, key), so a pick never
-    attaches outside its own group.
+    attaches outside its own group.  NULL-keyed rows are never sampled
+    (they cannot round-trip the key join; see the inline note).
 
     Scale shape — skew-safe exact rank without a per-group single task:
     a naive row_number over PARTITION BY group serializes each group
@@ -106,24 +107,38 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
         raise ValueError('sample_k_per_group: k must be >= 1')
     if int(salt_buckets) < 1:
         raise ValueError('sample_k_per_group: salt_buckets must be >= 1')
+    # reserved temp names, checked: a bare '__k'/'__g' would silently
+    # drop same-named USER columns from the output at the end
+    kc, gc, uc = '__rbql_kpg_k', '__rbql_kpg_g', '__rbql_kpg_u'
+    clash = {kc, gc, uc} & set(df.columns)
+    if clash:
+        raise ValueError('sample_k_per_group: reserved column name(s) '
+                         'present in input: {}'.format(sorted(clash)))
     from .skew import topk_per_group
-    slim = df.select(F.col(group_col).alias('__g'),
-                     F.col(key_col).alias('__k')) \
-             .withColumn('__u', _hash_unit(F.col('__k'), seed, op='kpg'))
+    # NULL sample keys are excluded up front: a NULL key hashes to a
+    # NULL unit, which sorts FIRST under Spark (NULLS FIRST) — it would
+    # occupy a top-k slot and then never join back (NULL == NULL is
+    # NULL), silently shrinking its group to k-1 rows; DuckDB's default
+    # NULLS LAST would additionally diverge.  The contract is therefore:
+    # NULL-keyed rows are never sampled.
+    slim = df.where(F.col(key_col).isNotNull()) \
+             .select(F.col(group_col).alias(gc),
+                     F.col(key_col).alias(kc)) \
+             .withColumn(uc, _hash_unit(F.col(kc), seed, op='kpg'))
     # the salt is engine-side only: any partition of a group's rows
     # preserves exactness, so it never needs oracle replay
     picks = topk_per_group(
-        slim, int(k), ['__g'], [F.col('__u').asc(), F.col('__k').asc()],
-        salt_key=F.col('__k'), salt_buckets=int(salt_buckets),
-        rank_name='sample_rank').select('__g', '__k', 'sample_rank')
+        slim, int(k), [gc], [F.col(uc).asc(), F.col(kc).asc()],
+        salt_key=F.col(kc), salt_buckets=int(salt_buckets),
+        rank_name='sample_rank').select(gc, kc, 'sample_rank')
     if broadcast_picks is None:
         from pyspark.storagelevel import StorageLevel
         picks = picks.persist(StorageLevel.MEMORY_AND_DISK)
         broadcast_picks = picks.count() <= int(broadcast_max_rows)
     joined = df.join(F.broadcast(picks) if broadcast_picks else picks,
-                     (df[key_col] == picks['__k'])
-                     & df[group_col].eqNullSafe(picks['__g']))
-    return joined.drop('__k', '__g')
+                     (df[key_col] == picks[kc])
+                     & df[group_col].eqNullSafe(picks[gc]))
+    return joined.drop(kc, gc)
 
 
 def temperature_sample(df: DataFrame, strata_col: str, alpha: float = 0.5,

@@ -120,15 +120,24 @@ def test_classifier_score_native_plan(spark, labeled):
 
 def test_classifier_score_impls_agree(spark, labeled):
     """join (broadcast table + per-doc agg) and inline (weight-array
-    literal + per-row fold) compute the same exact-arithmetic value and
-    must agree on the 1e-6 grid."""
+    literal + per-row fold) share the round-12 CANONICAL summation —
+    ascending-bucket term fold, intercept last, floor rounding — so they
+    are BIT-identical, not merely equal after rounding (the earlier
+    per-occurrence inline sum could flip a half-grid last digit against
+    the join path's float order)."""
+    import struct
+
     import pytest
 
     from rbql_spark.ops.classifier import classifier_score, classifier_train
     w = classifier_train(labeled, dim=64, n_iter=2, lr=2.0)
-    a = {r['doc_id']: (r['n_features'], r['logit'], r['prob'])
+
+    def bits(x):
+        return struct.pack('<d', x)
+
+    a = {r['doc_id']: (r['n_features'], bits(r['logit']), bits(r['prob']))
          for r in classifier_score(labeled, w, impl='join').collect()}
-    b = {r['doc_id']: (r['n_features'], r['logit'], r['prob'])
+    b = {r['doc_id']: (r['n_features'], bits(r['logit']), bits(r['prob']))
          for r in classifier_score(labeled, w, impl='inline').collect()}
     assert a == b
     with pytest.raises(ValueError, match='impl'):

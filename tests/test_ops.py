@@ -380,6 +380,28 @@ def test_sample_k_per_group_salt_invariant_and_errors(spark, sf_dir):
         sample_k_per_group(docs, k=5, group_col='lang', salt_buckets=0)
 
 
+def test_sample_k_per_group_null_keys_and_reserved_names(spark):
+    import pytest
+
+    from rbql_spark.ops.sampling import sample_k_per_group
+    # a NULL key used to hash to a NULL unit, sort FIRST (NULLS FIRST),
+    # occupy a pick slot, then never join back — the group silently
+    # returned k-1 rows; NULL-keyed rows are now excluded up front
+    df = spark.createDataFrame(
+        [(None, 'g'), (1, 'g'), (2, 'g'), (3, 'g'), (4, 'h')],
+        'doc_id long, grp string')
+    out = sample_k_per_group(df, k=2, group_col='grp', key_col='doc_id')
+    by_g = {}
+    for r in out.collect():
+        by_g.setdefault(r['grp'], set()).add(r['doc_id'])
+    assert len(by_g['g']) == 2 and None not in by_g['g']  # full k, no NULL
+    assert by_g['h'] == {4}
+    # temp names are reserved and checked, not silently dropped
+    clash = df.withColumn('__rbql_kpg_k', F.lit(1))
+    with pytest.raises(ValueError, match='reserved'):
+        sample_k_per_group(clash, k=2, group_col='grp', key_col='doc_id')
+
+
 def test_sample_k_per_group_plan(spark, sf_dir):
     from rbql_spark.ops.sampling import sample_k_per_group
     docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
@@ -1475,6 +1497,33 @@ def test_exact_dedup_incremental(spark):
         exact_dedup_incremental(batch, index)           # md5 idx, xx default
     with pytest.raises(ValueError, match='text_hash is'):
         exact_dedup_incremental(batch, idx64, hash_fn='md5')
+
+
+def test_exact_dedup_null_text_semantics_hash_fn_invariant(spark):
+    # NULL text must behave IDENTICALLY under md5 and xxhash64: one
+    # NULL-digest group within a frame, never reported 'seen' across an
+    # index (xxhash64(NULL) used to hash to its seed constant, so
+    # NULL-text batch docs collided with indexed NULL-text docs under
+    # xxhash64 while always surviving under md5)
+    from rbql_spark.ops.dedup import exact_dedup, exact_dedup_incremental
+    seen = spark.createDataFrame(
+        [(1, 'real doc'), (2, None)], 'doc_id long, text string')
+    batch = spark.createDataFrame(
+        [(10, None), (11, None), (12, 'new doc')],
+        'doc_id long, text string')
+    for hash_fn in ('md5', 'xxhash64'):
+        index = exact_dedup(seen, 'text', 'doc_id', hash_fn=hash_fn)
+        by_keep = {r['keep_id']: (r['text_hash'], r['dup_count'])
+                   for r in index.collect()}
+        # the NULL-text doc forms its own group with a NULL digest
+        assert by_keep[2][0] is None and by_keep[2][1] == 1, hash_fn
+        assert by_keep[1][0] is not None, hash_fn
+        out = exact_dedup_incremental(batch, index, hash_fn=hash_fn)
+        rows = {r['doc_id']: r['text_hash'] for r in out.collect()}
+        # in-batch NULLs collapse to min id; the indexed NULL never
+        # marks them seen; the real new doc survives too
+        assert set(rows) == {10, 12}, hash_fn
+        assert rows[10] is None and rows[12] is not None, hash_fn
 
 
 def test_readability_hand_computed(spark):
