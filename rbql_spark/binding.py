@@ -159,6 +159,9 @@ class Binding:
 
     def __init__(self, wf: WorkFrame):
         self.wf = wf
+        # set by the engine's UPDATE path once the NU running-count
+        # column is materialized; None = NU is the constant 0
+        self.nu_col: str | None = None
 
     def _side(self, prefix: str) -> SideInfo:
         if prefix == 'a':
@@ -205,6 +208,11 @@ class Binding:
             return VarRef(kind='bnf', side='b', index=None, token=name)
         if name == 'RBQL_VERSION':
             return VarRef(kind='version', side=None, index=None, token=name)
+        if name == 'NU':
+            # number-of-updates counter: 0 outside UPDATE loops
+            # (rbql_engine.py:744); inside UPDATE the engine materializes
+            # the running count and points nu_col at it
+            return VarRef(kind='nu', side=None, index=None, token=name)
         return None
 
     # ---- Spark-side resolution -------------------------------------------
@@ -222,6 +230,10 @@ class Binding:
         if ref.kind == 'version':
             from . import __version__
             return F.lit(__version__), 'str'
+        if ref.kind == 'nu':
+            if self.nu_col is not None:
+                return F.col(self.nu_col), 'int'
+            return F.lit(0), 'int'
         side = self._side(ref.side)
         if ref.index is not None and ref.index in side.json_cols:
             # JSON-object columns live in Python space (parsed dicts) — the

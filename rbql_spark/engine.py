@@ -534,6 +534,9 @@ class StageRunner:
         if re.search(r'(?:^|[^\w])NU(?:$|[^\w])', stage.unmask(stage.masked_text)):
             w = Window.orderBy(F.col(NR_COL)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
             df = df.withColumn('__nu', F.sum(F.when(cond, 1).otherwise(0)).over(w))
+            # the counter column exists from here on: let the native
+            # translator bind NU to it instead of falling back
+            binding.nu_col = '__nu'
 
         value_exprs = []
         targets: list[int] = []

@@ -333,7 +333,11 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
             if 'bNF' in plan.builtins:
                 env['bNF'] = row.get(BNF_COL)
             if 'NU' in plan.builtins:
-                env['NU'] = row.get('__nu')
+                # outside UPDATE no __nu column is materialized and the
+                # reference's counter simply stays 0 (rbql_engine.py:744:
+                # NU = 0, incremented only in the update loops)
+                nu = row.get('__nu')
+                env['NU'] = 0 if nu is None else nu
             return env
         return make_row_env
 

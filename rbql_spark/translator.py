@@ -54,6 +54,15 @@ def _merge_num(a: str, b: str) -> str:
     return 'int' if a == 'int' and b == 'int' else 'float'
 
 
+def _py_str(col: Column) -> Column:
+    """Python str() of a str/int column INCLUDING the null case: str(None)
+    (and f'{None}', '{}'.format(None)) renders 'None', where a bare Spark
+    cast/concat would propagate NULL — a silent value divergence from the
+    reference on typed inputs with null cells (round-12; the dual
+    evaluator runs real Python and always rendered 'None')."""
+    return F.when(col.isNull(), F.lit('None')).otherwise(col.cast('string'))
+
+
 _JAVA_SAFE_ESCAPES = set('.*+?()[]{}|^$\\/-')
 
 
@@ -515,13 +524,19 @@ class ExpressionTranslator:
         if name == 'str' and len(args) == 1:
             v = self._expr(args[0])
             if v.tag in ('int', 'str'):
-                return TCol(v.col.cast('string'), 'str')
+                return TCol(_py_str(v.col), 'str')
             if v.tag == 'float':
                 # Spark double→string ('1.0E16') diverges from Python repr
                 # ('1e+16') for large/small magnitudes — evaluate in Python.
                 raise TranslationFallback('str() on float')
             if v.tag == 'bool':
-                return TCol(F.when(v.col, F.lit('True')).otherwise(F.lit('False')), 'str')
+                # null FIRST: otherwise a NULL cell falls to 'False' while
+                # Python str(None) is 'None'
+                return TCol(F.when(v.col.isNull(), F.lit('None'))
+                             .when(v.col, F.lit('True'))
+                             .otherwise(F.lit('False')), 'str')
+            if v.tag == 'null':
+                return TCol(F.lit('None'), 'str')
             raise TranslationFallback('str() on {}'.format(v.tag))
         if name == 'abs' and len(args) == 1:
             v = self._expr(args[0])
@@ -677,9 +692,9 @@ class ExpressionTranslator:
             parts.append(F.lit(segs[0]))
         for seg, arg in zip(segs[1:], args):
             v = self._expr(arg)
-            if v.tag not in ('str', 'int'):
+            if v.tag not in ('str', 'int', 'null'):
                 raise TranslationFallback('format() on {}'.format(v.tag))
-            parts.append(v.col.cast('string'))
+            parts.append(_py_str(v.col))
             if seg:
                 parts.append(F.lit(seg))
         return TCol(F.concat(*parts) if parts else F.lit(''), 'str')
@@ -696,8 +711,8 @@ class ExpressionTranslator:
                 v = self._expr(piece.value)
                 # floats excluded: Spark double→string formatting diverges
                 # from Python repr for large/small magnitudes
-                if v.tag in ('str', 'int'):
-                    parts.append(v.col.cast('string'))
+                if v.tag in ('str', 'int', 'null'):
+                    parts.append(_py_str(v.col))
                     continue
             raise TranslationFallback('f-string piece')
         return TCol(F.concat(*parts) if parts else F.lit(''), 'str')

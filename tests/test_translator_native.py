@@ -238,3 +238,43 @@ def test_like_uppercase_alias_native(spark):
     df = spark.createDataFrame([('lada',), ('toyota',)], 's string')
     rows = _run_native(spark, df, "SELECT a.s WHERE LIKE(a.s, 'la%')")
     assert [r[0] for r in rows] == ['lada']
+
+
+def test_null_cell_python_parity_native(spark):
+    """Typed inputs carry real NULL cells (2D array / pandas / parquet
+    sources); the native fast path must render them the way the
+    reference's real-Python evaluator does: str(None)/f'{None}'/
+    '{}'.format(None) -> 'None', str(None-bool) -> 'None', and equality
+    with a null is a VALUE comparison (False), not SQL three-valued
+    logic.  Before round 12 the native path silently emitted NULL where
+    the reference emits 'None' (verified against the reference engine)."""
+    from rbql_spark import query_table
+
+    tbl = [['x', 1], [None, 2]]
+    for q, expected in [
+        ("SELECT str(a1)", [['x'], ['None']]),
+        ("SELECT f'{a1}!'", [['x!'], ['None!']]),
+        ('SELECT "{}!".format(a1)', [['x!'], ['None!']]),
+        ("SELECT f'{a1}={a2}'", [['x=1'], ['None=2']]),
+        ("SELECT a1 == 'x'", [[True], [False]]),
+        ("SELECT a1 != 'x'", [[False], [True]]),
+    ]:
+        rows, _ = query_table(spark, q, [list(r) for r in tbl])
+        assert rows == expected, q
+    # bool column with a null: str() renders 'None', not 'False'
+    df_rows = [[True], [None], [False]]
+    rows, _ = query_table(spark, 'SELECT str(a1)', [list(r) for r in df_rows])
+    assert rows == [['True'], ['None'], ['False']]
+
+
+def test_nu_builtin_select_and_update_parity(spark):
+    """NU is the reference's update counter: 0 in SELECT loops
+    (rbql_engine.py:744), the 1-based running count of updated records
+    (including the current one) in UPDATE loops."""
+    from rbql_spark import query_table
+
+    rows, _ = query_table(spark, 'SELECT NU, a1', [['x', 1], ['y', 2]])
+    assert rows == [[0, 'x'], [0, 'y']]
+    rows, _ = query_table(spark, "UPDATE SET a2 = NU WHERE a1 != 'y'",
+                          [['x', 1], ['y', 2], ['z', 3]])
+    assert rows == [['x', 1], ['y', 2], ['z', 2]]
