@@ -1299,6 +1299,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               allowed_langs=['de', 'en', 'es', 'fr'])
     q['text_quality_filter'] = _quality_filter
 
+    def _c4_lined_view(spark, sf_dir):
+        # the documents table is single-line word soup, so line-level
+        # curation gates derive a deterministic lined view (the
+        # dedup_lines precedent): every 4 tokens a line; line j gets a
+        # '- ' bullet prefix when j%5==2 and ends '...' (j%3==0), '.'
+        # (j%2==0) or bare — so terminal-punct, bullet and ellipsis
+        # shapes all occur and both engines rebuild the identical text
+        from rbql_spark.ops.dedup import let_once, tokens
+        docs = _t(spark, sf_dir, 'documents')
+
+        def _lined(ta):
+            n = F.size(ta)
+
+            def line(j):
+                body = F.concat_ws(' ', F.slice(ta, j * 4 + 1, 4))
+                pre = F.when(j % 5 == 2, F.lit('- ')).otherwise(F.lit(''))
+                suf = F.when(j % 3 == 0, F.lit('...')) \
+                       .when(j % 2 == 0, F.lit('.')).otherwise(F.lit(''))
+                return F.concat(pre, body, suf)
+
+            return F.when(n > 0, F.concat_ws('\n', F.transform(
+                F.sequence(F.lit(0), F.floor((n - 1) / 4).cast('int')),
+                line))).otherwise(F.lit(''))
+
+        return docs.select('doc_id',
+                           let_once(tokens(F.col('text')), _lined)
+                           .alias('text'))
+
+    def _c4_line_filter(spark, sf_dir):
+        from rbql_spark.ops.textstats import c4_line_filter
+        return c4_line_filter(_c4_lined_view(spark, sf_dir),
+                              min_words_per_line=4, min_kept_lines=3)
+    q['text_c4_line_filter'] = _c4_line_filter
+
+    def _gopher_filter(spark, sf_dir):
+        from rbql_spark.ops.textstats import gopher_quality_filter
+        return gopher_quality_filter(_c4_lined_view(spark, sf_dir),
+                                     max_symbol_word_ratio=0.3,
+                                     max_bullet_line_ratio=0.25,
+                                     max_ellipsis_line_ratio=0.35,
+                                     min_alpha_word_ratio=0.8,
+                                     min_required_words=1)
+    q['text_gopher_filter'] = _gopher_filter
+
     def _embed_hashing(spark, sf_dir):
         # embedding rides as e0..e15 scalars: the driver's canonicalizer
         # sorts by every column and can't hash an array<double> cell
@@ -1474,36 +1518,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the bound lives in the driver, so rotation here is the only way to
     # refresh proof for all 78.  The strict local mirror,
     # tools/check_oracles.py, still value-checks every gate each round.)
-    # Round 11 rotation (verdict #8): the r10 sample duplicated r9's 50
-    # gates, leaving 46 gates' driver proof two rounds old — those lead,
-    # with the round-11-new sim_semantic_dedup (no driver proof yet)
-    # first; the r10-recorded gates fill the rest in declaration order.
+    # Round 12 rotation (verdict #3): the new gates (no driver proof
+    # yet) lead, then every gate whose code was touched this round
+    # (canonical classifier summation, NULL-digest dedup, NULL-key
+    # sampling, the cached-centroid kmeans recall, the compaction lock,
+    # the translator null-parity/NU changes behind the rbql_* gates),
+    # then the 16 gates whose driver proof dates to r8 (all 16
+    # mirror-verified today); the rest fill in declaration order.
     rotate_first = [
-        'quality_classifier', 'retrieval_hybrid_rrf', 'sample_k_per_group',
-        'streaming_classifier', 'classifier_pr_curve', 'text_bm25_batch',
-        'retrieval_hybrid_batch', 'text_readability',
-        'dedup_exact_incremental',
-        'dsir_weights', 'dsir_topk', 'decontaminate_bloom',
-        'sample_mix_tokens', 'domain_classify',
-        'streaming_decontaminate_bloom', 'sample_epochs',
-        'sim_semantic_dedup', 'sim_kmeans_cluster', 'sim_prototype_prune',
-        'export_webdataset',
-        'rbql_distinct_count', 'rbql_group_agg', 'rbql_group_expr_key',
-        'rbql_array_agg', 'rbql_global_agg', 'rbql_inner_join',
-        'rbql_left_join', 'rbql_multikey_join', 'rbql_strict_left_join',
-        'rbql_update', 'rbql_update_join', 'rbql_fstring', 'rbql_except',
-        'rbql_unnest', 'window_running_sum', 'window_tumbling',
-        'window_session', 'window_sliding', 'skew_salted_join',
-        'having_groups', 'setop_union_all', 'setop_intersect',
-        'setop_except', 'streaming_windowed_counts', 'streaming_user_totals',
-        'streaming_exact_dedup', 'streaming_minhash_neardup',
-        'streaming_decontaminate', 'streaming_quality_filter', 'dedup_exact',
-        'dedup_minhash_lsh', 'dedup_simhash', 'dedup_incremental',
-        'dedup_ngram_jaccard', 'decontaminate_ngram', 'dedup_clusters',
-        'dedup_keep_canonical', 'dedup_lines', 'sample_hash',
-        'sample_stratified', 'sample_temperature', 'chunk_documents',
-        'sample_split', 'sample_shuffle', 'sample_mix',
-        'sim_ann_index_search',
+        'text_c4_line_filter', 'text_gopher_filter',
+        'quality_classifier', 'streaming_classifier', 'classifier_pr_curve',
+        'dedup_exact', 'dedup_exact_incremental', 'sample_k_per_group',
+        'sim_kmeans_recall', 'sim_ann_index_churn', 'sim_ann_index_search',
+        'sim_ann_ivf', 'rbql_fstring', 'rbql_update', 'rbql_update_join',
+        'rbql_string_ops', 'streaming_user_totals',
+        'dedup_minhash_lsh', 'dedup_simhash', 'dedup_ngram_jaccard',
+        'dedup_clusters', 'dedup_incremental', 'dedup_keep_canonical',
+        'dedup_lines', 'decontaminate_ngram', 'sample_hash',
+        'sample_stratified', 'sample_temperature', 'sample_split',
+        'sample_shuffle', 'sample_mix', 'chunk_documents',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -2295,6 +2328,69 @@ def oracle_sql() -> dict[str, str]:
     # Flesch readability replay: same lowercased tokenizer, [.!?]+
     # sentence segments (min 1 when words exist), vowel-group syllable
     # counts clamped to 1 per word, multiply-before-divide double math
+    # c4/gopher line-curation replay: rebuild the SAME deterministic
+    # lined view (4-token lines, '- ' bullet on j%5==2, '...' on j%3==0
+    # else '.' on j%2==0) then apply the rules.  Word-boundary tests use
+    # consuming alternation ((^|[^LN])w([^LN]|$)) where Spark uses a
+    # lookahead — RE2 has no lookahead; presence-wise they are identical.
+    _lined_sql = (
+        "lv AS (SELECT doc_id, CASE WHEN len(tk) > 0 THEN "
+        "array_to_string(list_transform("
+        "range(0, CAST(floor((len(tk) - 1) / 4) AS BIGINT) + 1), "
+        "j -> (CASE WHEN (j % 5) = 2 THEN '- ' ELSE '' END) || "
+        "array_to_string(tk[(j*4+1):(j*4+4)], ' ') || "
+        "(CASE WHEN (j % 3) = 0 THEN '...' WHEN (j % 2) = 0 THEN '.' "
+        "ELSE '' END)), chr(10)) ELSE '' END AS t FROM "
+        "(SELECT doc_id, " + _SQL_TOKS.format(src="coalesce(text, '')")
+        + " AS tk FROM documents))")
+    _c4_kept = ("list_filter(string_split(t, chr(10)), ln -> "
+                "regexp_matches(trim(ln), '[.!?\"’”'']$') AND "
+                "len(list_filter(string_split_regex(ln, '\\s+'), "
+                "x -> x != '')) >= 4 AND "
+                "NOT contains(lower(ln), 'javascript'))")
+    o['text_c4_line_filter'] = (
+        "WITH " + _lined_sql + ", "
+        "k AS (SELECT doc_id, t, len(string_split(t, chr(10)))::BIGINT "
+        "AS n_lines, " + _c4_kept + " AS kept FROM lv), "
+        "d AS (SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept, "
+        "NOT (contains(lower(t), 'lorem ipsum') OR contains(t, '{') "
+        "OR len(kept) < 3) AS keep, kept FROM k) "
+        "SELECT doc_id, n_lines, n_kept, keep, "
+        "CASE WHEN keep THEN array_to_string(kept, chr(10)) END "
+        "AS clean_text FROM d")
+    _gopher_req = ' + '.join(
+        "CASE WHEN regexp_matches(lower(t), "
+        "'(^|[^\\p{{L}}\\p{{N}}]){}([^\\p{{L}}\\p{{N}}]|$)') "
+        "THEN 1 ELSE 0 END".format(w)
+        for w in ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))
+    o['text_gopher_filter'] = (
+        "WITH " + _lined_sql + ", "
+        "f AS (SELECT doc_id, "
+        "len(list_filter(string_split_regex(t, '\\s+'), x -> x != ''))"
+        "::DOUBLE AS n_words, "
+        "(len(regexp_extract_all(t, '#')) "
+        "+ len(regexp_extract_all(t, '\\.\\.\\.|…')))::DOUBLE AS n_sym, "
+        "len(regexp_extract_all(t, '\\S*\\p{L}\\S*'))::DOUBLE AS n_alpha, "
+        "len(string_split(t, chr(10)))::DOUBLE AS n_lines, "
+        "len(list_filter(string_split(t, chr(10)), ln -> "
+        "regexp_matches(ltrim(ln), '^[-*•‣◦]')))::DOUBLE AS n_bullet, "
+        "len(list_filter(string_split(t, chr(10)), ln -> "
+        "regexp_matches(rtrim(ln), '(\\.\\.\\.|…)$')))::DOUBLE AS n_ell, "
+        + _gopher_req + " AS n_req FROM lv), "
+        "r AS (SELECT doc_id, list_filter(["
+        "CASE WHEN (CASE WHEN n_words > 0 THEN n_sym / n_words "
+        "ELSE 1.0 END) > 0.3 THEN 'symbol_word_ratio' ELSE '' END, "
+        "CASE WHEN (CASE WHEN n_lines > 0 THEN n_bullet / n_lines "
+        "ELSE 0.0 END) > 0.25 THEN 'bullet_lines' ELSE '' END, "
+        "CASE WHEN (CASE WHEN n_lines > 0 THEN n_ell / n_lines "
+        "ELSE 0.0 END) > 0.35 THEN 'ellipsis_lines' ELSE '' END, "
+        "CASE WHEN (CASE WHEN n_words > 0 THEN n_alpha / n_words "
+        "ELSE 0.0 END) < 0.8 THEN 'alpha_words' ELSE '' END, "
+        "CASE WHEN n_req < 1 THEN 'required_words' ELSE '' END"
+        "], x -> x != '') AS failed FROM f) "
+        "SELECT doc_id, len(failed) = 0 AS keep, "
+        "coalesce(array_to_string(failed, '|'), '') AS reasons FROM r")
+
     o['text_readability'] = (
         "SELECT doc_id, n_sentences, n_words, n_syllables, "
         "CASE WHEN n_words > 0 THEN floor((206.835::DOUBLE "

@@ -135,6 +135,11 @@ BENCH_QUERIES = [
     'text_bm25_batch',
     # round 11 addition: Flesch readability (stateless fused projection)
     'text_readability',
+    # round 12 additions: C4 line-level cleaning and the Gopher
+    # line-shape rules (both fused one-scan projections over the
+    # deterministic lined view)
+    'text_c4_line_filter',
+    'text_gopher_filter',
 ]
 
 

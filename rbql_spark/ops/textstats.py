@@ -855,3 +855,135 @@ def readability(df: DataFrame, text_col: str = 'text',
     return base.select('doc_id', 'n_sentences', 'n_words', 'n_syllables',
                        F.when(F.col('n_words') > 0, flesch_r)
                         .alias('flesch'))
+
+
+def c4_line_filter(df: DataFrame, text_col: str = 'text',
+                   id_col: str = 'doc_id', line_sep: str = '\n',
+                   min_words_per_line: int = 5, min_kept_lines: int = 3,
+                   output: str = 'flags') -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020 §2.2 — the
+    curation stage BEFORE the doc-level quality_filter): keep only lines
+    that end in a terminal punctuation mark AND contain at least
+    `min_words_per_line` words AND don't mention 'javascript'; then drop
+    the whole page when it contains 'lorem ipsum' or a '{' (code), or
+    when fewer than `min_kept_lines` lines survive.
+
+    Output ('flags', default): (doc_id, n_lines, n_kept, keep,
+    clean_text) with clean_text the kept lines re-joined in input order
+    (NULL when the document is dropped).  Output 'rows': the surviving
+    documents with their original columns and the text REPLACED by
+    clean_text — the composable corpus-in/corpus-out shape.
+
+    Scale shape: one fused projection per document — split, one
+    higher-order filter, re-join; NO explode, NO shuffle (dedup_lines
+    explodes because duplicate detection is cross-document; this pass is
+    purely per-document so the lines never leave their row).  The HOF
+    lambda executes interpreted (outside whole-stage codegen), which
+    benches fine here because the per-element work is one regexp — the
+    quality_score HOF caveat applies to per-element work worth fusing.
+    Line order is preserved by F.filter, so clean_text is deterministic
+    and the DuckDB oracle replays it with list_filter + array_to_string.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(''))
+    import re as _re
+    lines = F.split(t, _re.escape(line_sep), -1)
+    # a line survives when: terminal punctuation at its (trimmed) end,
+    # >= min_words_per_line whitespace-words, and no 'javascript'
+    # (C4 drops boilerplate cookie/JS-warning lines by that token)
+    keep_line = lambda ln: (  # noqa: E731
+        F.trim(ln).rlike(r'[.!?"’”\']$')
+        & (F.regexp_count(ln, F.lit(r'\S+')) >= int(min_words_per_line))
+        & ~F.lower(ln).contains('javascript'))
+    kept = F.filter(lines, keep_line)
+    n_lines = F.size(lines).cast('long')
+    n_kept = F.size(kept).cast('long')
+    doc_drop = (F.lower(t).contains('lorem ipsum')
+                | t.contains('{')
+                | (n_kept < int(min_kept_lines)))
+    keep = ~doc_drop
+    clean = F.when(keep, F.array_join(kept, line_sep))
+    if output == 'rows':
+        others = [c for c in df.columns if c != text_col]
+        return (df.withColumn('__c4_keep', keep)
+                  .withColumn(text_col, clean)
+                  .where(F.col('__c4_keep'))
+                  .drop('__c4_keep')
+                  .select(*df.columns))
+    if output != 'flags':
+        raise ValueError("output must be 'flags' or 'rows', got {!r}"
+                         .format(output))
+    return df.select(F.col(id_col), n_lines.alias('n_lines'),
+                     n_kept.alias('n_kept'), keep.alias('keep'),
+                     clean.alias('clean_text'))
+
+
+# Gopher's "required words": a document with fewer than 2 DISTINCT of
+# these is likely not natural English prose (Rae et al. 2021, A1.1)
+_GOPHER_REQUIRED = ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = 'text',
+                          id_col: str = 'doc_id',
+                          max_symbol_word_ratio: float = 0.1,
+                          max_bullet_line_ratio: float = 0.9,
+                          max_ellipsis_line_ratio: float = 0.3,
+                          min_alpha_word_ratio: float = 0.8,
+                          min_required_words: int = 2,
+                          output: str = 'flags') -> DataFrame:
+    """The Gopher repetition-shape rules (Rae et al. 2021, A1.1) that
+    quality_filter does NOT cover — symbol-to-word ratio ('#' and
+    ellipsis), bullet-started / ellipsis-ended line ratios, the
+    alphabetic-word ratio, and the required-stopwords test.  Compose
+    with quality_filter for the word-count / mean-word-length /
+    stopword-density bounds (same fused one-scan shape, same
+    (doc_id, keep, reasons) contract and 'rows' mode).
+
+    Every signal is a native expression over the row: counts via
+    regexp_count, line-shape ratios via split + two higher-order
+    filters.  One corpus scan, zero shuffles, no explode.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(''))
+    n_words = F.regexp_count(t, F.lit(r'\S+')).cast('double')
+    n_symbols = (F.regexp_count(t, F.lit(r'#'))
+                 + F.regexp_count(t, F.lit(r'\.\.\.|…'))).cast('double')
+    # words containing at least one letter; \S* cannot cross whitespace,
+    # so each word matches at most once
+    n_alpha_words = F.regexp_count(
+        t, F.lit(r'\S*\p{L}\S*')).cast('double')
+    lines = F.split(t, r'\n', -1)
+    n_lines = F.size(lines).cast('double')
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).rlike(r'^[\-\*•‣◦]'))
+    ).cast('double')
+    n_ellip_end = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike(r'(\.\.\.|…)$'))
+    ).cast('double')
+    low = F.lower(t)
+    n_required = sum(
+        F.when(low.rlike(r'(?:^|[^\p{L}\p{N}])' + w
+                         + r'(?![\p{L}\p{N}])'), 1).otherwise(0)
+        for w in _GOPHER_REQUIRED)
+    symbol_r = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(1.0))
+    alpha_r = F.when(n_words > 0, n_alpha_words / n_words).otherwise(F.lit(0.0))
+    bullet_r = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ellip_r = F.when(n_lines > 0, n_ellip_end / n_lines).otherwise(F.lit(0.0))
+    rules = [
+        ('symbol_word_ratio', symbol_r > float(max_symbol_word_ratio)),
+        ('bullet_lines', bullet_r > float(max_bullet_line_ratio)),
+        ('ellipsis_lines', ellip_r > float(max_ellipsis_line_ratio)),
+        ('alpha_words', alpha_r < float(min_alpha_word_ratio)),
+        ('required_words', n_required < int(min_required_words)),
+    ]
+    failed = F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(''))
+                  for name, cond in rules]),
+        lambda x: x != '')
+    if output == 'rows':
+        return df.where(F.size(failed) == 0)
+    if output != 'flags':
+        raise ValueError("output must be 'flags' or 'rows', got {!r}"
+                         .format(output))
+    return df.select(
+        F.col(id_col),
+        (F.size(failed) == 0).alias('keep'),
+        F.array_join(failed, '|').alias('reasons'))

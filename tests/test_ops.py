@@ -1784,3 +1784,74 @@ def test_epoch_repeat_schedule(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match='positive'):
         epoch_repeat(docs, 0)
+
+
+def test_c4_line_filter_rules_and_rows_mode(spark):
+    from rbql_spark.ops.textstats import c4_line_filter
+    rows = [
+        (1, 'This is a good long sentence with many words here.\nshort\n'
+            'Another proper sentence with enough words right here.\n'
+            'And a third full sentence to pass the minimum bar.'),
+        (2, 'Contains lorem ipsum in a long enough sentence here.\n'
+            'Second proper sentence with plenty of words here.\n'
+            'Third proper sentence with plenty of words here.'),
+        (3, 'code { block } in a sentence with enough words.\n'
+            'Another fine sentence with plenty of words here.\n'
+            'Third fine sentence with plenty of words here.'),
+        (4, None),
+        (5, 'Enable javascript to view this page with all words.\n'
+            'A real sentence with more than five words in it.\n'
+            'B real sentence with more than five words in it.\n'
+            'C real sentence with more than five words in it.'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in c4_line_filter(df).collect()}
+    assert got[1]['keep'] and got[1]['n_lines'] == 4 and got[1]['n_kept'] == 3
+    assert 'short' not in got[1]['clean_text']
+    assert not got[2]['keep'] and got[2]['clean_text'] is None  # lorem ipsum
+    assert not got[3]['keep']                                   # '{'
+    assert not got[4]['keep'] and got[4]['n_kept'] == 0         # NULL text
+    assert got[5]['keep'] and got[5]['n_kept'] == 3             # js line cut
+    assert 'javascript' not in got[5]['clean_text']
+    # rows mode: original columns, text replaced by the cleaned text
+    kept = c4_line_filter(df, output='rows').collect()
+    assert {r['doc_id'] for r in kept} == {1, 5}
+    assert all('javascript' not in r['text'] for r in kept)
+    import pytest
+    with pytest.raises(ValueError, match='output'):
+        c4_line_filter(df, output='nope')
+    # scale shape: pure per-document projection — no Exchange at all
+    plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan
+
+
+def test_gopher_quality_filter_rules(spark):
+    from rbql_spark.ops.textstats import gopher_quality_filter
+    rows = [
+        (1, 'the cat and the dog have fun with that ball of yarn to be'),
+        (2, '# # # # tag tag the end'),                      # symbol ratio
+        (3, '- one thing here now\n- two thing here now\n'
+            '- three thing here now\n- four thing here now\n'
+            '- five thing here now\n- six thing here now\n'
+            '- seven thing here now\n- eight thing here now\n'
+            '- nine thing here now\n- ten thing here now\n'
+            'the end of it'),                                # >90% bullets
+        (4, 'words trailing off...\nmore trailing...\nagain dots...\n'
+            'the of and to be that have with'),              # ellipsis lines
+        (5, '12345 67890 11111 22222 33333 the of'),         # alpha ratio
+        (6, 'zzz qqq xxx www yyy vvv mmm nnn'),              # no required
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in gopher_quality_filter(df).collect()}
+    assert got[1]['keep'] and got[1]['reasons'] == ''
+    assert 'symbol_word_ratio' in got[2]['reasons']
+    assert 'bullet_lines' in got[3]['reasons']
+    assert 'ellipsis_lines' in got[4]['reasons']
+    assert 'alpha_words' in got[5]['reasons']
+    assert 'required_words' in got[6]['reasons']
+    # rows mode + plan shape
+    kept = gopher_quality_filter(df, output='rows').collect()
+    assert {r['doc_id'] for r in kept} == {1}
+    plan = gopher_quality_filter(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert 'Exchange' not in plan
