@@ -707,6 +707,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.table(qname).select('doc_id', 'keep', 'reasons')
     q['streaming_quality_filter'] = _streaming_quality_filter
 
+    def _streaming_c4_filter(spark, sf_dir):
+        # streaming C4 line cleaning: stateless fused projection, so the
+        # lifetime append output equals the batch c4_line_filter over the
+        # same (lined-view) documents — the oracle is the batch replay
+        from rbql_spark.streaming.documents import (
+            read_document_stream, stream_c4_line_filter,
+        )
+        from rbql_spark.streaming.events import run_stream_to_memory
+        tmp = _stream_replay_dir(spark, sf_dir, 'c4',
+                                 ['doc_id % 2 = 0', 'doc_id % 2 = 1'],
+                                 table='documents')
+        stream = _lined_transform(
+            read_document_stream(spark, tmp, max_files_per_trigger=1))
+        flags = stream_c4_line_filter(stream, min_words_per_line=4,
+                                      min_kept_lines=3)
+        qname = 'rbql_stream_c4_gate'
+        sq = run_stream_to_memory(flags, qname, output_mode='append')
+        sq.stop()
+        return spark.table(qname).select('doc_id', 'n_lines', 'n_kept',
+                                         'keep', 'clean_text')
+    q['streaming_c4_filter'] = _streaming_c4_filter
+
     # ---- superset: dedup --------------------------------------------------
     def _dedup_exact_incremental(spark, sf_dir):
         # odd-doc batch deduped against the even-doc digest index (the
@@ -1299,15 +1321,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               allowed_langs=['de', 'en', 'es', 'fr'])
     q['text_quality_filter'] = _quality_filter
 
-    def _c4_lined_view(spark, sf_dir):
+    def _lined_transform(docs):
         # the documents table is single-line word soup, so line-level
         # curation gates derive a deterministic lined view (the
         # dedup_lines precedent): every 4 tokens a line; line j gets a
         # '- ' bullet prefix when j%5==2 and ends '...' (j%3==0), '.'
         # (j%2==0) or bare — so terminal-punct, bullet and ellipsis
-        # shapes all occur and both engines rebuild the identical text
+        # shapes all occur and both engines rebuild the identical text.
+        # A pure projection, so it applies to batch and stream alike.
         from rbql_spark.ops.dedup import let_once, tokens
-        docs = _t(spark, sf_dir, 'documents')
 
         def _lined(ta):
             n = F.size(ta)
@@ -1326,6 +1348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select('doc_id',
                            let_once(tokens(F.col('text')), _lined)
                            .alias('text'))
+
+    def _c4_lined_view(spark, sf_dir):
+        return _lined_transform(_t(spark, sf_dir, 'documents'))
 
     def _c4_line_filter(spark, sf_dir):
         from rbql_spark.ops.textstats import c4_line_filter
@@ -1526,7 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # then the 16 gates whose driver proof dates to r8 (all 16
     # mirror-verified today); the rest fill in declaration order.
     rotate_first = [
-        'text_c4_line_filter', 'text_gopher_filter',
+        'text_c4_line_filter', 'text_gopher_filter', 'streaming_c4_filter',
         'quality_classifier', 'streaming_classifier', 'classifier_pr_curve',
         'dedup_exact', 'dedup_exact_incremental', 'sample_k_per_group',
         'sim_kmeans_recall', 'sim_ann_index_churn', 'sim_ann_index_search',
@@ -2390,6 +2415,9 @@ def oracle_sql() -> dict[str, str]:
         "], x -> x != '') AS failed FROM f) "
         "SELECT doc_id, len(failed) = 0 AS keep, "
         "coalesce(array_to_string(failed, '|'), '') AS reasons FROM r")
+
+    # stateless projection: lifetime stream output == the batch filter
+    o['streaming_c4_filter'] = o['text_c4_line_filter']
 
     o['text_readability'] = (
         "SELECT doc_id, n_sentences, n_words, n_syllables, "

@@ -335,3 +335,30 @@ def stream_classify(docs: DataFrame, weights: list,
     return classifier_score(docs, weights, text_col=text_col,
                             id_col=id_col, ngram_max=ngram_max, seed=seed,
                             impl='inline')
+
+
+def stream_c4_line_filter(docs: DataFrame, text_col: str = 'text',
+                          id_col: str = 'doc_id', **kwargs) -> DataFrame:
+    """Streaming C4 line-level cleaning — the streaming face of
+    ops.textstats.c4_line_filter.
+
+    The batch operator is one stateless fused projection per document
+    (split → higher-order line filter → re-join; no explode, no
+    shuffle), so it applies to a stream unchanged: append mode, no
+    state, no watermark, and the stream's lifetime output equals the
+    batch answer over the same documents (the differential oracle).
+    With output='rows' this is the streaming ingest cleaner that admits
+    only the cleaned survivors into a corpus.
+    """
+    from rbql_spark.ops.textstats import c4_line_filter
+    return c4_line_filter(docs, text_col=text_col, id_col=id_col, **kwargs)
+
+
+def stream_gopher_filter(docs: DataFrame, text_col: str = 'text',
+                         id_col: str = 'doc_id', **kwargs) -> DataFrame:
+    """Streaming Gopher line-shape quality rules — the streaming face of
+    ops.textstats.gopher_quality_filter (same stateless-projection
+    argument as stream_c4_line_filter)."""
+    from rbql_spark.ops.textstats import gopher_quality_filter
+    return gopher_quality_filter(docs, text_col=text_col, id_col=id_col,
+                                 **kwargs)

@@ -719,3 +719,46 @@ def test_stateful_checkpoint_recovery_across_restart(spark, tmp_path, sf_dir):
     got_ids = {r['event_id'] for r in out.select('event_id').collect()}
     want_ids = {r['event_id'] for r in expected.select('event_id').collect()}
     assert got_ids == want_ids
+
+
+def test_stream_curation_filters_match_batch(spark, tmp_path, sf_dir):
+    """The C4/Gopher streaming faces are stateless projections: lifetime
+    stream output must equal the batch operator over the same docs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.textstats import (
+        c4_line_filter, gopher_quality_filter,
+    )
+    from rbql_spark.streaming.documents import (
+        read_document_stream, stream_c4_line_filter, stream_gopher_filter,
+    )
+    from rbql_spark.streaming.events import run_stream_to_memory
+
+    docs = (spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+            .select('doc_id',
+                    F.regexp_replace('text', ' (table|row) ', '.\n')
+                     .alias('text'))
+            .limit(200))
+    src = os.path.join(str(tmp_path), 'docs_src')
+    docs.where('doc_id % 2 = 0').coalesce(1) \
+        .write.mode('overwrite').parquet(src)
+    docs.where('doc_id % 2 = 1').coalesce(1) \
+        .write.mode('append').parquet(src)
+    stored = spark.read.parquet(src)
+
+    for face, batch_op, qn in [
+        (stream_c4_line_filter, c4_line_filter, 'cur_c4'),
+        (stream_gopher_filter, gopher_quality_filter, 'cur_gopher'),
+    ]:
+        stream = read_document_stream(spark, src, max_files_per_trigger=1)
+        stream = stream.select('doc_id', 'text')
+        sq = run_stream_to_memory(face(stream), qn, output_mode='append')
+        sq.stop()
+        got = sorted(map(tuple, spark.table(qn).collect()))
+        want = sorted(map(tuple,
+                          batch_op(stored.select('doc_id', 'text'))
+                          .collect()))
+        assert got == want, qn
+        assert len(got) == 200, qn
