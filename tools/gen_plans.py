@@ -38,6 +38,8 @@ PICKS = [
     ('quality_classifier', 'LR quality-classifier scoring: the (dim+1)-row trained weight table broadcasts into the exploded gram stream — the corpus is scored without a corpus shuffle (its Exchanges are the per-doc partial/final count and sum aggregations); training ran beforehand as bounded gradient jobs over a persisted doc-partitioned feature triple, only dim+1 rows ever reaching the driver.'),
     ('retrieval_hybrid_rrf', 'Hybrid retrieval fusion: BM25 and cosine lists are each capped upstream (TakeOrderedAndProject / rank<=k), so the RRF union + aggregation + final TakeOrdered touch at most 100 rows — the corpus-scale work stays inside the two retrieval subplans.'),
     ('text_bm25_batch', 'Batch BM25 (N queries, one pass): the distinct query-term table broadcasts into the exploded token stream, so only hit rows ever reach an exchange; per-query top-k is the two-phase salted rank (two bounded window stages), never one task per query.'),
+    ('text_c4_line_filter', 'C4 line-level cleaning: one fused per-document projection over the lined view (split, higher-order line filter, re-join) — single corpus FileScan, NO Exchange, no explode; line order preserved inside the row.'),
+    ('text_gopher_filter', 'Gopher line-shape rules: every signal (symbol counts, bullet/ellipsis line ratios, alpha-word ratio, required words) is a native expression over the same row — single corpus FileScan, NO Exchange.'),
 ]
 
 out = ['# PLANS — physical plans of headline queries (sf0.001, local)',
