@@ -182,3 +182,60 @@ def test_differential_random_join_update(spark, seed):
     assert equal_tables(got, expected), \
         'divergence for seed {}\n query: {}\n table: {}\n join: {}\n got:      {}\n reference: {}'.format(
             seed, query, table, join, got, expected)
+
+
+def make_null_table(rnd: random.Random):
+    """Typed rows where the string columns carry real None cells — the
+    round-12 parity surface (typed sources: 2D array / pandas / parquet).
+    a1 stays a non-null int string so ORDER BY keys never hit Python's
+    None-ordering TypeError."""
+    n = rnd.randint(2, 15)
+    def maybe_null(w):
+        return None if rnd.random() < 0.3 else w
+    return [[str(rnd.randint(-30, 99)), maybe_null(rnd.choice(WORDS)),
+             maybe_null(rnd.choice(WORDS)), str(rnd.randint(0, 5))]
+            for _ in range(n)]
+
+
+def make_null_query(rnd: random.Random) -> str:
+    """Queries over the VALUE-parity surface for null cells: rendering
+    (str/f-string/format), equality, is-None tests, truthiness — the
+    classes where native and the reference's real-Python evaluator must
+    agree exactly (ordering/arith on None raise in Python and are
+    documented out of the native contract)."""
+    items = rnd.sample([
+        'str(a2)', "f'{a2}!'", '"{}-{}".format(a2, a3)',
+        "a2 == 'alpha'", "a3 != 'beta'", 'a2 is None', 'a3 is not None',
+        "'y' if a2 == a3 else 'n'", 'a2', 'NR',
+    ], k=rnd.randint(1, 4))
+    q = 'SELECT '
+    if rnd.random() < 0.25:
+        q += 'DISTINCT '
+    q += ', '.join(items)
+    if rnd.random() < 0.6:
+        q += ' WHERE ' + rnd.choice([
+            "a2 == '{}'".format(rnd.choice(WORDS)),
+            "a2 != '{}'".format(rnd.choice(WORDS)),
+            'a2 is not None',
+            'a3 is None',
+            'a2 == a3',
+        ])
+    if rnd.random() < 0.4:
+        q += ' ORDER BY int(a1)'
+        if rnd.random() < 0.5:
+            q += ' DESC'
+    return q
+
+
+@pytest.mark.parametrize('seed', list(range(25)))
+def test_differential_null_cells(spark, seed):
+    from rbql_spark import query_table
+    rnd = random.Random(77_000 + seed)
+    table = make_null_table(rnd)
+    query = make_null_query(rnd)
+    expected = run_reference(query, table)
+    got, _hdr = query_table(spark, query, [list(r) for r in table])
+    assert equal_tables(got, expected), \
+        'null-cell divergence for seed {}\n query: {}\n table: {}\n ' \
+        'got:      {}\n reference: {}'.format(seed, query, table, got,
+                                              expected)
