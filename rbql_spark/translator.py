@@ -369,7 +369,17 @@ class ExpressionTranslator:
                 if isinstance(comparator, (ast.List, ast.Tuple, ast.Set)):
                     if not all(isinstance(e, ast.Constant) for e in comparator.elts):
                         raise TranslationFallback('in: non-literal collection')
-                    piece = left.col.isin([e.value for e in comparator.elts])
+                    vals = [e.value for e in comparator.elts]
+                    # Python membership is VALUE equality: None in ['x']
+                    # is False (not SQL NULL), and None in [None] is True
+                    # — coalesce the three-valued isin to False and test
+                    # a literal None explicitly
+                    nonnull = [v for v in vals if v is not None]
+                    piece = F.coalesce(
+                        left.col.isin(nonnull) if nonnull else F.lit(False),
+                        F.lit(False))
+                    if any(v is None for v in vals):
+                        piece = piece | left.col.isNull()
                     right = left
                 else:
                     right = self._expr(comparator)

@@ -207,6 +207,8 @@ def make_null_query(rnd: random.Random) -> str:
         'str(a2)', "f'{a2}!'", '"{}-{}".format(a2, a3)',
         "a2 == 'alpha'", "a3 != 'beta'", 'a2 is None', 'a3 is not None',
         "'y' if a2 == a3 else 'n'", 'a2', 'NR',
+        "a2 in ['alpha', 'beta']", "a3 not in ['gamma']",
+        "a2 in ['alpha', None]",
     ], k=rnd.randint(1, 4))
     q = 'SELECT '
     if rnd.random() < 0.25:
@@ -219,6 +221,8 @@ def make_null_query(rnd: random.Random) -> str:
             'a2 is not None',
             'a3 is None',
             'a2 == a3',
+            "a2 in ['alpha', 'beta', None]",
+            "a3 not in ['gamma', 'delta']",
         ])
     if rnd.random() < 0.4:
         q += ' ORDER BY int(a1)'
