@@ -130,6 +130,12 @@ SUBSET = [
     'streaming_classifier',
     'text_bm25_batch',
     'text_readability',
+    # round 12 additions: the line-level curation passes (fused
+    # per-document projections — the lined-view HOF filter is where a
+    # 10x corpus would expose interpreted-lambda cost growth)
+    'text_c4_line_filter',
+    'text_gopher_filter',
+    'streaming_c4_filter',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
