@@ -145,6 +145,133 @@ def numeric_coerce(col: Column, tag: str, nr: Column | None = None) -> tuple[Col
     raise RbqlParsingError(NUMERIC_CONVERSION_ERROR.format('<' + tag + '>'))
 
 
+def null_arg_guard(kind: str, raw: Column, coerced: Column, tag: str,
+                   nr_err: Column) -> Column:
+    """Reference parity for NULL aggregate inputs (round-12): the
+    reference's aggregators run real Python, so a None cell is a
+    RUNTIME ERROR, not a SQL skip — SumAggregator's ``0 += None`` and
+    Avg/Variance's ``cur_sum + None`` raise at the offending record,
+    and a string column's NumHandler raises inside ``int(None)`` /
+    ``float(None)`` (rbql_engine.py:293-314,363-407).  This wraps the
+    aggregated argument for the ORDER-INDEPENDENT kinds (sum/avg/
+    variance always error when any null exists; string columns error in
+    parse for all six kinds) so the error fires inside the aggregation
+    scan.  MIN/MAX/MEDIAN on non-string columns are order-dependent
+    (None doubles as the reference's "unset" sentinel) and are handled
+    group-level in the engine (null_group_guards).
+
+    Message text is the reference's for the common shapes; the operand
+    TYPE word comes from the column tag ('int' unless the tag is
+    float), which matches except when a float column's very first
+    record is the null (the reference's int-0 initializer wins there).
+    """
+    t = 'float' if tag == 'float' else 'int'
+    if tag == 'str':
+        fn = ('int() argument must be a string, a bytes-like object or a '
+              'real number' if kind == 'sum'
+              else 'float() argument must be a string or a real number')
+        msg = F.concat(F.lit('At record '), nr_err.cast('string'),
+                       F.lit(', Details: {}, not '.format(fn)),
+                       F.lit("'NoneType'"))
+        return F.when(raw.isNull(), F.raise_error(msg)).otherwise(coerced)
+    if kind == 'sum':
+        msg = F.concat(F.lit('At record '), nr_err.cast('string'),
+                       F.lit(", Details: unsupported operand type(s) for "
+                             "+=: '{}' and 'NoneType'".format(t)))
+        return F.when(raw.isNull(), F.raise_error(msg)).otherwise(coerced)
+    if kind in ('avg', 'variance'):
+        msg = F.concat(F.lit('At record '), nr_err.cast('string'),
+                       F.lit(", Details: unsupported operand type(s) for "
+                             "+: '{}' and 'NoneType'".format(t)))
+        return F.when(raw.isNull(), F.raise_error(msg)).otherwise(coerced)
+    return coerced
+
+
+def null_group_guards(kind: str, raw: Column, nr: Column, nr_err: Column,
+                      prefix: str) -> tuple[list[Column], object]:
+    """Group-level null guards for the ORDER-DEPENDENT aggregate kinds.
+
+    MIN/MAX (reference rbql_engine.py:329-360): ``None`` is the
+    aggregator's unset sentinel, so nulls BEFORE the group's first
+    non-null are silently ignored, while a null arriving AFTER any
+    non-null hits ``min(cur, None)`` and raises.  MEDIAN collects and
+    sorts at finalize: a single-null group returns None (nothing to
+    compare), any group mixing a null with another value raises in the
+    sort, with no record prefix.
+
+    Returns (guard agg expressions, wrap) where wrap(out, tag) rewrites
+    the aggregate's output column to raise when the guard condition
+    holds.  The error record is exact when the offending null follows
+    the group's first non-null directly in NR order; for
+    null-both-before-and-after patterns the reported record is the
+    group's last null (the condition itself stays exact).
+    """
+    # order comparisons use the RAW nr (the order surrogate is globally
+    # order-faithful); the partition-local nr_err ordinals are only for
+    # the human-readable record number in the message, fetched via
+    # min_by/max_by against the same raw order
+    g_null_min = '{}_nl'.format(prefix)
+    g_null_max = '{}_nh'.format(prefix)
+    g_nn_min = '{}_fv'.format(prefix)
+    g_cnt = '{}_ct'.format(prefix)
+    g_rec_first = '{}_rf'.format(prefix)
+    g_rec_last = '{}_rl'.format(prefix)
+    null_ord = F.when(raw.isNull(), nr)
+    aggs = [
+        F.min(null_ord).alias(g_null_min),
+        F.max(null_ord).alias(g_null_max),
+        F.min(F.when(raw.isNotNull(), nr)).alias(g_nn_min),
+        F.count(F.lit(1)).alias(g_cnt),
+        F.min_by(nr_err, null_ord).alias(g_rec_first),
+        F.max_by(nr_err, null_ord).alias(g_rec_last),
+    ]
+
+    def wrap(out: Column, tag: str) -> Column:
+        t = 'float' if tag == 'float' else 'int'
+        if tag == 'str':
+            # string column: NumHandler raises inside int()/float() at
+            # the first null — order-independent once any non-null
+            # string exists; an ALL-null group never engaged the parser
+            # (the reference's first-value string detection saw None)
+            # and returns None
+            fn = ('int() argument must be a string, a bytes-like object '
+                  'or a real number' if kind in ('min', 'max')
+                  else 'float() argument must be a string or a real '
+                       'number')
+            cond = (F.col(g_null_min).isNotNull()
+                    & F.col(g_nn_min).isNotNull())
+            msg = F.concat(F.lit('At record '),
+                           F.col(g_rec_first).cast('string'),
+                           F.lit(', Details: {}, not '.format(fn)),
+                           F.lit("'NoneType'"))
+            return F.when(cond, F.raise_error(msg)).otherwise(out)
+        if kind == 'median':
+            # list.sort compares NoneType-vs-t or t-vs-NoneType depending
+            # on which sorts first — null-first groups report the
+            # reversed operand order, exactly like the reference
+            cond = F.col(g_null_min).isNotNull() & (F.col(g_cnt) > 1)
+            msg = F.when(
+                F.col(g_nn_min).isNull() | (F.col(g_null_min) < F.col(g_nn_min)),
+                F.lit("'<' not supported between instances of "
+                      "'{}' and 'NoneType'".format(t))
+            ).otherwise(
+                F.lit("'<' not supported between instances of "
+                      "'NoneType' and '{}'".format(t)))
+            return F.when(cond, F.raise_error(msg)).otherwise(out)
+        op = '<' if kind == 'min' else '>'
+        cond = (F.col(g_null_max).isNotNull()
+                & F.col(g_nn_min).isNotNull()
+                & (F.col(g_null_max) > F.col(g_nn_min)))
+        rec = F.when(F.col(g_null_min) > F.col(g_nn_min),
+                     F.col(g_rec_first)).otherwise(F.col(g_rec_last))
+        msg = F.concat(F.lit('At record '), rec.cast('string'),
+                       F.lit(", Details: '{}' not supported between "
+                             "instances of 'NoneType' and '{}'".format(op, t)))
+        return F.when(cond, F.raise_error(msg)).otherwise(out)
+
+    return aggs, wrap
+
+
 def spark_agg_expr(kind: str, arg: Column | None, nr: Column, out_name: str) -> Column:
     if kind == 'count':
         return F.count(F.lit(1)).alias(out_name)

@@ -28,7 +28,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import parser
-from .aggregates import NUMERIC_AGGS, AggCall, detect_aggregate, numeric_coerce, spark_agg_expr
+from .aggregates import (NUMERIC_AGGS, AggCall, detect_aggregate,
+                         null_arg_guard, null_group_guards,
+                         numeric_coerce, spark_agg_expr)
 from .binding import (
     BNF_COL, BNR_COL, NF_COL, NR_COL, Binding, SideInfo, TableHandle, VarRef,
     WorkFrame, internal_col, make_workframe, type_tag,
@@ -901,6 +903,7 @@ class StageRunner:
         out_specs: list[str] = []
         guard_cols: list[str] = []
         int_flags: dict[str, str] = {}   # agg-out col → per-group intish flag
+        null_wraps: dict = {}            # agg-out col → (wrap_fn, tag)
         for j, (kind, payload) in enumerate(plan):
             if kind == 'key':
                 # grouping column survives groupBy().agg() — no aggregate
@@ -936,7 +939,24 @@ class StageRunner:
                             flag = '__intish_{}'.format(j)
                             agg_exprs.append(F.min(is_int.cast('int')).alias(flag))
                             int_flags[out_name] = flag
+                        raw = F.col(argcol)
                         arg, _t = numeric_coerce(arg, tag, nr_err)
+                        # reference parity for NULL cells (round-12): a
+                        # None inside a numeric aggregate is a runtime
+                        # error in the reference's real-Python
+                        # aggregators, never a SQL skip — inline for the
+                        # order-independent kinds, group-level guards for
+                        # MIN/MAX (None doubles as the unset sentinel) and
+                        # MEDIAN (single-null groups return None)
+                        if agg.kind in ('sum', 'avg', 'variance'):
+                            arg = null_arg_guard(agg.kind, raw, arg, tag,
+                                                 nr_err)
+                        elif agg.kind in ('min', 'max', 'median'):
+                            gaggs, wrap = null_group_guards(
+                                agg.kind, raw, nr, nr_err,
+                                '__ng_{}'.format(j))
+                            agg_exprs.extend(gaggs)
+                            null_wraps[out_name] = (wrap, tag)
                 agg_exprs.append(spark_agg_expr(agg.kind, arg, nr, out_name))
                 if agg.kind == 'array_agg' and agg.post_proc_text is not None:
                     post_procs.append((out_name, agg.post_proc_text))
@@ -969,7 +989,11 @@ class StageRunner:
         renamed = {}
         final_flags: dict[str, str] = {}
         for j, out_name in enumerate(out_specs):
-            renamed['__out_{}'.format(j)] = F.col(out_name)
+            if out_name in null_wraps:
+                wrap, wtag = null_wraps[out_name]
+                renamed['__out_{}'.format(j)] = wrap(F.col(out_name), wtag)
+            else:
+                renamed['__out_{}'.format(j)] = F.col(out_name)
             if out_name in int_flags:
                 # NumHandler's int-detection is per-aggregator (global
                 # across groups): a single float anywhere demotes the whole

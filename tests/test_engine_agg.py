@@ -116,3 +116,76 @@ def test_group_output_sorted_by_key(spark):
 def test_top_with_group_by(spark):
     rows, _ = query_table(spark, 'SELECT TOP 2 a3, COUNT(1) GROUP BY a3', [r[:] for r in T1])
     assert rows == [['alpha', 1], ['beta', 3]]
+
+
+def test_numeric_aggregates_null_cells_match_reference(spark):
+    """Reference parity for None cells inside numeric aggregates
+    (round-12): the reference's real-Python aggregators ERROR on a null
+    (SUM's 0 += None, MIN/MAX's min(cur, None), MEDIAN's sort, the
+    NumHandler's int()/float() for string columns) rather than SQL-skip
+    it — with the accident that None doubles as MIN/MAX's unset
+    sentinel, so nulls BEFORE a group's first non-null are ignored, an
+    all-null group yields None, and a single-null MEDIAN yields None.
+    Every case below is executed against the actual reference engine
+    and must agree on outcome (value vs error) and on values."""
+    import os
+    import sys
+
+    import pytest
+
+    from rbql_spark import query_table
+
+    REF_PY = '/root/reference/rbql-py'
+    if not os.path.isdir(REF_PY):
+        pytest.skip('reference package not available')
+
+    def run_ref(q, tbl):
+        sys.path.insert(0, REF_PY)
+        try:
+            import rbql
+            out, w = [], []
+            rbql.query_table(q, [list(r) for r in tbl], out, w)
+            return ('ok', out)
+        except Exception as e:
+            return ('err', str(e))
+        finally:
+            sys.path.remove(REF_PY)
+
+    cases = [
+        ("SELECT MIN(a1), MAX(a1)", [[1, 'x'], [None, 'x'], [3, 'y']]),
+        ("SELECT MIN(a1)", [[None, 'x'], [3, 'y']]),
+        ("SELECT MIN(a1)", [[None, 'x'], [None, 'y']]),
+        ("SELECT MAX(a1)", [[1, 'x'], [None, 'y']]),
+        ("SELECT MEDIAN(a1)", [[None, 'x']]),
+        ("SELECT MEDIAN(a1)", [[None, 'x'], [3, 'y']]),
+        ("SELECT MEDIAN(a1)", [[3, 'x'], [None, 'y']]),
+        ("SELECT SUM(a1)", [[1, 'x'], [None, 'y']]),
+        ("SELECT SUM(a1)", [[1.5, 'x'], [None, 'y']]),
+        ("SELECT AVG(a1)", [[1, 'x'], [None, 'y'], [3, 'y']]),
+        ("SELECT VARIANCE(a1)", [[1, 'x'], [None, 'y']]),
+        ("SELECT COUNT(a1)", [[1, 'x'], [None, 'y']]),
+        ("SELECT a2, MIN(a1) GROUP BY a2",
+         [[None, 'x'], [2, 'x'], [5, 'y']]),
+        ("SELECT a2, MIN(a1) GROUP BY a2",
+         [[2, 'x'], [None, 'x'], [5, 'y']]),
+        ("SELECT MIN(a1)", [['3', 'x'], [None, 'y']]),
+        ("SELECT MEDIAN(a1)", [['3', 'x'], [None, 'y']]),
+        ("SELECT AVG(a1)", [['3', 'x'], [None, 'y']]),
+    ]
+    for q, tbl in cases:
+        ref_kind, ref_val = run_ref(q, tbl)
+        try:
+            rows, _ = query_table(spark, q, [list(r) for r in tbl])
+            got = ('ok', rows)
+        except Exception as e:
+            got = ('err', str(e))
+        assert got[0] == ref_kind, \
+            'outcome mismatch for {} over {}: got {}, reference {}'.format(
+                q, tbl, got, (ref_kind, ref_val))
+        if ref_kind == 'ok':
+            assert got[1] == ref_val, (q, tbl, got[1], ref_val)
+        else:
+            # message SHAPE parity: the operand/type words must appear;
+            # record numbers are partition-order best-effort
+            for token in ('NoneType',):
+                assert token in got[1], (q, tbl, got[1], ref_val)
