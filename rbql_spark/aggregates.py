@@ -187,8 +187,9 @@ def null_arg_guard(kind: str, raw: Column, coerced: Column, tag: str,
     return coerced
 
 
-def null_group_guards(kind: str, raw: Column, nr: Column, nr_err: Column,
-                      prefix: str) -> tuple[list[Column], object]:
+def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
+                      prefix: str,
+                      shared_names: tuple | None = None) -> tuple[list[Column], object]:
     """Group-level null guards for the ORDER-DEPENDENT aggregate kinds.
 
     MIN/MAX (reference rbql_engine.py:329-360): ``None`` is the
@@ -207,24 +208,28 @@ def null_group_guards(kind: str, raw: Column, nr: Column, nr_err: Column,
     group's last null (the condition itself stays exact).
     """
     # order comparisons use the RAW nr (the order surrogate is globally
-    # order-faithful); the partition-local nr_err ordinals are only for
-    # the human-readable record number in the message, fetched via
-    # min_by/max_by against the same raw order
-    g_null_min = '{}_nl'.format(prefix)
-    g_null_max = '{}_nh'.format(prefix)
-    g_nn_min = '{}_fv'.format(prefix)
-    g_cnt = '{}_ct'.format(prefix)
-    g_rec_first = '{}_rf'.format(prefix)
-    g_rec_last = '{}_rl'.format(prefix)
-    null_ord = F.when(raw.isNull(), nr)
-    aggs = [
-        F.min(null_ord).alias(g_null_min),
-        F.max(null_ord).alias(g_null_max),
-        F.min(F.when(raw.isNotNull(), nr)).alias(g_nn_min),
-        F.count(F.lit(1)).alias(g_cnt),
-        F.min_by(nr_err, null_ord).alias(g_rec_first),
-        F.max_by(nr_err, null_ord).alias(g_rec_last),
-    ]
+    # order-faithful); the human-readable record number is recovered
+    # from the stored ordinal via rec_of — nr_err is a pure function of
+    # nr, so no extra min_by/max_by buffers are needed (they measured
+    # ~30% on the group-agg bench gate)
+    if shared_names is not None:
+        # another aggregate over the SAME argument column already emitted
+        # the buffers — reuse them (MIN+MAX+MEDIAN of one column would
+        # otherwise triple the guard cost)
+        g_null_min, g_null_max, g_nn_min, g_cnt = shared_names
+        aggs: list[Column] = []
+    else:
+        g_null_min = '{}_nl'.format(prefix)
+        g_null_max = '{}_nh'.format(prefix)
+        g_nn_min = '{}_fv'.format(prefix)
+        g_cnt = '{}_ct'.format(prefix)
+        null_ord = F.when(raw.isNull(), nr)
+        aggs = [
+            F.min(null_ord).alias(g_null_min),
+            F.max(null_ord).alias(g_null_max),
+            F.min(F.when(raw.isNotNull(), nr)).alias(g_nn_min),
+            F.count(F.lit(1)).alias(g_cnt),
+        ]
 
     def wrap(out: Column, tag: str) -> Column:
         t = 'float' if tag == 'float' else 'int'
@@ -241,7 +246,7 @@ def null_group_guards(kind: str, raw: Column, nr: Column, nr_err: Column,
             cond = (F.col(g_null_min).isNotNull()
                     & F.col(g_nn_min).isNotNull())
             msg = F.concat(F.lit('At record '),
-                           F.col(g_rec_first).cast('string'),
+                           rec_of(F.col(g_null_min)).cast('string'),
                            F.lit(', Details: {}, not '.format(fn)),
                            F.lit("'NoneType'"))
             return F.when(cond, F.raise_error(msg)).otherwise(out)
@@ -262,13 +267,14 @@ def null_group_guards(kind: str, raw: Column, nr: Column, nr_err: Column,
         cond = (F.col(g_null_max).isNotNull()
                 & F.col(g_nn_min).isNotNull()
                 & (F.col(g_null_max) > F.col(g_nn_min)))
-        rec = F.when(F.col(g_null_min) > F.col(g_nn_min),
-                     F.col(g_rec_first)).otherwise(F.col(g_rec_last))
+        rec = rec_of(F.when(F.col(g_null_min) > F.col(g_nn_min),
+                            F.col(g_null_min)).otherwise(F.col(g_null_max)))
         msg = F.concat(F.lit('At record '), rec.cast('string'),
                        F.lit(", Details: '{}' not supported between "
                              "instances of 'NoneType' and '{}'".format(op, t)))
         return F.when(cond, F.raise_error(msg)).otherwise(out)
 
+    wrap.guard_names = (g_null_min, g_null_max, g_nn_min, g_cnt)
     return aggs, wrap
 
 

@@ -904,6 +904,7 @@ class StageRunner:
         guard_cols: list[str] = []
         int_flags: dict[str, str] = {}   # agg-out col → per-group intish flag
         null_wraps: dict = {}            # agg-out col → (wrap_fn, tag)
+        null_guard_shared: dict = {}     # argcol → shared guard buffer names
         for j, (kind, payload) in enumerate(plan):
             if kind == 'key':
                 # grouping column survives groupBy().agg() — no aggregate
@@ -952,9 +953,16 @@ class StageRunner:
                             arg = null_arg_guard(agg.kind, raw, arg, tag,
                                                  nr_err)
                         elif agg.kind in ('min', 'max', 'median'):
+                            dense = getattr(self, '_nr_dense', False)
+                            rec_of = (lambda o: o) if dense \
+                                else (lambda o: (o % F.lit(1 << 33)) + 1)
                             gaggs, wrap = null_group_guards(
-                                agg.kind, raw, nr, nr_err,
-                                '__ng_{}'.format(j))
+                                agg.kind, raw, nr, rec_of,
+                                '__ng_{}'.format(j),
+                                shared_names=null_guard_shared.get(
+                                    agg.arg_text))
+                            null_guard_shared[agg.arg_text] = \
+                                wrap.guard_names
                             agg_exprs.extend(gaggs)
                             null_wraps[out_name] = (wrap, tag)
                 agg_exprs.append(spark_agg_expr(agg.kind, arg, nr, out_name))
