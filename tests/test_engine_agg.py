@@ -171,6 +171,9 @@ def test_numeric_aggregates_null_cells_match_reference(spark):
         ("SELECT MIN(a1)", [['3', 'x'], [None, 'y']]),
         ("SELECT MEDIAN(a1)", [['3', 'x'], [None, 'y']]),
         ("SELECT AVG(a1)", [['3', 'x'], [None, 'y']]),
+        # non-numeric aggregates keep nulls as VALUES (first-seen / listed)
+        ("SELECT ANY_VALUE(a1)", [[None, 'x'], [3, 'y']]),
+        ("SELECT ARRAY_AGG(a1)", [[None, 'x'], [3, 'y']]),
     ]
     for q, tbl in cases:
         ref_kind, ref_val = run_ref(q, tbl)
