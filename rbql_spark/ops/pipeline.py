@@ -54,6 +54,8 @@ def training_data_pipeline(
     text_col: str = 'text',
     id_col: str = 'doc_id',
     quality_kwargs: dict | None = None,
+    c4_kwargs: dict | None = None,
+    gopher_kwargs: dict | None = None,
     classifier_weights: list | None = None,
     classifier_threshold: float = 0.5,
     classifier_kwargs: dict | None = None,
@@ -141,8 +143,24 @@ def training_data_pipeline(
     metrics: list[dict] = []
 
     # output='rows' decides the filter in-scan: survivors arrive with
-    # their original columns from ONE corpus pass, no doc_id self-join
-    kept = quality_filter(docs, text_col=text_col, id_col=id_col,
+    # their original columns from ONE corpus pass, no doc_id self-join.
+    # The optional line-level / line-shape passes (c4_kwargs enables
+    # c4_line_filter, which REWRITES text to the cleaned lines;
+    # gopher_kwargs enables gopher_quality_filter) are fused projections
+    # too, so stacking them keeps the whole curation front a single
+    # corpus scan — filters compose in the conventional order:
+    # line-clean -> line-shape rules -> doc-level heuristics.
+    kept = docs
+    if c4_kwargs is not None:
+        from rbql_spark.ops.textstats import c4_line_filter
+        kept = c4_line_filter(kept, text_col=text_col, id_col=id_col,
+                              output='rows', **dict(c4_kwargs))
+    if gopher_kwargs is not None:
+        from rbql_spark.ops.textstats import gopher_quality_filter
+        kept = gopher_quality_filter(kept, text_col=text_col,
+                                     id_col=id_col, output='rows',
+                                     **dict(gopher_kwargs))
+    kept = quality_filter(kept, text_col=text_col, id_col=id_col,
                           output='rows', **quality_kwargs)
     if materialize:
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)

@@ -415,3 +415,46 @@ def test_pipeline_curation_stage_persisted_without_metrics(spark, sf_dir):
     assert _count_corpus_scans(res, 'documents') <= 2
     assert res.count() > 0
     spark.catalog.clearCache()
+
+
+def test_pipeline_line_curation_stages(spark, sf_dir):
+    """round-12: the C4 line-clean and Gopher line-shape passes compose in
+    front of the heuristic filter as fused projections — results equal
+    the manual composition and the curation front stays ONE raw-corpus
+    scan."""
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.pipeline import training_data_pipeline
+    from rbql_spark.ops.textstats import (
+        c4_line_filter, gopher_quality_filter, quality_filter,
+    )
+
+    raw = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    # give the single-line word soup some line structure so the passes
+    # genuinely filter (deterministic, same transform on both sides)
+    docs = raw.select('doc_id', 'lang', 'source',
+                      F.regexp_replace('text', ' (table|row) ', '.\n')
+                       .alias('text'))
+    c4k = {'min_words_per_line': 3, 'min_kept_lines': 1}
+    gk = {'min_required_words': 1, 'max_bullet_line_ratio': 1.0}
+    qk = {'min_words': 3, 'min_stopword_ratio': 0.0}
+    result = training_data_pipeline(
+        docs, None, quality_kwargs=qk, c4_kwargs=c4k, gopher_kwargs=gk,
+        minhash_kwargs={'threshold': 0.5},
+        split_kwargs={'splits': [('train', 1.0)]})
+    got = {r['doc_id'] for r in result.select('doc_id').distinct().collect()}
+
+    manual = c4_line_filter(docs, output='rows', **c4k)
+    manual = gopher_quality_filter(manual, output='rows', **gk)
+    manual = quality_filter(manual, output='rows', **qk)
+    manual_ids = {r['doc_id'] for r in manual.select('doc_id').collect()}
+    assert got and got <= manual_ids
+    # the stacked curation front must not add raw-corpus scans: the
+    # whole pipeline still reads the source the documented <=2 times
+    # (survivor build + packing tail over the persisted frames)
+    result2 = training_data_pipeline(
+        docs, None, quality_kwargs=qk, c4_kwargs=c4k, gopher_kwargs=gk,
+        minhash_kwargs={'threshold': 0.5},
+        split_kwargs={'splits': [('train', 1.0)]})
+    assert _count_corpus_scans(result2, 'documents') <= 2
+    spark.catalog.clearCache()
