@@ -243,3 +243,48 @@ def test_differential_null_cells(spark, seed):
         'null-cell divergence for seed {}\n query: {}\n table: {}\n ' \
         'got:      {}\n reference: {}'.format(seed, query, table, got,
                                               expected)
+
+
+def make_null_agg_query(rnd: random.Random) -> str:
+    aggs = rnd.sample(['COUNT(1)', 'SUM(a1)', 'MIN(a1)', 'MAX(a1)',
+                       'AVG(a1)', 'MEDIAN(a1)', 'VARIANCE(a1)',
+                       'ANY_VALUE(a1)'], k=rnd.randint(1, 3))
+    if rnd.random() < 0.5:
+        return 'SELECT a2, {} GROUP BY a2'.format(', '.join(aggs))
+    return 'SELECT {}'.format(', '.join(aggs))
+
+
+@pytest.mark.parametrize('seed', list(range(20)))
+def test_differential_null_aggregates(spark, seed):
+    """Aggregates over tables with None cells: OUTCOME (value vs error)
+    must match the reference exactly — including MIN/MAX's
+    null-before-first-value accident and all-null groups — and values
+    must match when both succeed.  Error TEXT is compared on the
+    'NoneType' marker only (record numbers are partition-order
+    best-effort)."""
+    from rbql_spark import query_table
+    rnd = random.Random(88_000 + seed)
+    n = rnd.randint(1, 10)
+    table = [[None if rnd.random() < 0.35 else rnd.randint(-9, 30),
+              rnd.choice(['x', 'y'])] for _ in range(n)]
+    query = make_null_agg_query(rnd)
+
+    try:
+        expected = ('ok', run_reference(query, table))
+    except Exception as e:
+        expected = ('err', str(e))
+    try:
+        rows, _hdr = query_table(spark, query, [list(r) for r in table])
+        got = ('ok', rows)
+    except Exception as e:
+        got = ('err', str(e))
+    assert got[0] == expected[0], \
+        'outcome divergence for seed {}\n query: {}\n table: {}\n ' \
+        'got: {}\n reference: {}'.format(seed, query, table, got, expected)
+    if expected[0] == 'ok':
+        assert equal_tables(got[1], expected[1]), \
+            'value divergence for seed {}\n query: {}\n table: {}\n ' \
+            'got: {}\n reference: {}'.format(seed, query, table,
+                                             got[1], expected[1])
+    else:
+        assert 'NoneType' in got[1], (seed, query, got[1], expected[1])
