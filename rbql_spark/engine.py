@@ -806,7 +806,22 @@ class StageRunner:
         rev = bool(sort_cols) and stage.sort_reverse
         order: list[Column] = []
         for c in sort_cols:
-            order.append(F.col(c).desc() if rev else F.col(c).asc())
+            key = F.col(c)
+            if c in df.columns:
+                # reference parity (round-12): Python's sort compares a
+                # None key against its neighbor and raises — ANY null
+                # sort key is a runtime error, never a silent
+                # NULLS-FIRST placement.  (The reference's one accident
+                # — a single-row table needs no comparison and succeeds
+                # — is not replicated: the guard fires per row.)
+                t = {'string': 'str', 'bigint': 'int', 'int': 'int',
+                     'double': 'float', 'float': 'float',
+                     'boolean': 'bool', 'void': 'NoneType'}.get(
+                    dict(df.dtypes).get(c, 'string'), 'str')
+                key = F.when(key.isNull(), F.raise_error(
+                    "'<' not supported between instances of 'NoneType' "
+                    "and '{}'".format(t))).otherwise(key)
+            order.append(key.desc() if rev else key.asc())
         order.append(F.col(NR_COL).desc() if rev else F.col(NR_COL).asc())
         has_bnr = wf.b is not None and BNR_COL in df.columns
         if has_bnr:

@@ -146,3 +146,52 @@ def test_unnest(spark):
 def test_ragged_rows_safe_get(spark):
     rows, _ = query_table(spark, 'SELECT a3, NF', [['1', '2', '3'], ['x', 'y']])
     assert rows == [['3', 3], [None, 2]]
+
+
+def test_order_by_null_key_matches_reference(spark):
+    """Round-12: a None sort key is a runtime error in the reference
+    (Python's sort compares it), never a silent NULLS-FIRST placement;
+    clean keys sort identically.  The reference's single-row accident
+    (no comparison needed -> success) is documented as not replicated."""
+    import os
+    import sys
+
+    import pytest
+
+    from rbql_spark import query_table
+
+    REF_PY = '/root/reference/rbql-py'
+    if not os.path.isdir(REF_PY):
+        pytest.skip('reference package not available')
+
+    def run_ref(q, tbl):
+        sys.path.insert(0, REF_PY)
+        try:
+            import rbql
+            out, w = [], []
+            rbql.query_table(q, [list(r) for r in tbl], out, w)
+            return ('ok', out)
+        except Exception as e:
+            return ('err', str(e))
+        finally:
+            sys.path.remove(REF_PY)
+
+    cases = [
+        ("SELECT a1 ORDER BY a2", [[1, 'x'], [2, None], [3, 'y']]),
+        ("SELECT a1 ORDER BY a2 DESC", [[1, 'x'], [2, None]]),
+        ("SELECT a1 ORDER BY a2", [[1, 5], [2, None]]),
+        ("SELECT a1 ORDER BY a2", [[1, None], [2, None]]),
+        ("SELECT a1 ORDER BY a2", [[2, 'y'], [1, 'x'], [3, 'z']]),
+    ]
+    for q, tbl in cases:
+        ref = run_ref(q, tbl)
+        try:
+            rows, _ = query_table(spark, q, [list(r) for r in tbl])
+            got = ('ok', rows)
+        except Exception as e:
+            got = ('err', str(e))
+        assert got[0] == ref[0], (q, tbl, got, ref)
+        if ref[0] == 'ok':
+            assert got[1] == ref[1], (q, tbl, got, ref)
+        else:
+            assert 'NoneType' in got[1], (q, tbl, got, ref)
