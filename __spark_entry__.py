@@ -1480,6 +1480,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           'n_bpe_tokens')
     q['bpe_apply'] = _bpe_apply
 
+    def _bpe_vocab(spark, sf_dir):
+        # deterministic id vocabulary over the fixed-merge tokenization:
+        # dense contiguous ids in token-ascending order (two-phase
+        # prefix-bucket rank, no one-task global window)
+        from rbql_spark.ops.bpe import apply_bpe, bpe_vocab
+        enc = apply_bpe(_t(spark, sf_dir, 'documents'),
+                        [('t', 'h'), ('th', 'e'), ('a', 'n')])
+        return bpe_vocab(enc)
+    q['bpe_vocab'] = _bpe_vocab
+
+    def _bpe_encode_ids(spark, sf_dir):
+        # the model-ready tail of the tokenizer path: text -> BPE tokens
+        # -> integer ids under the corpus vocabulary (id array rendered
+        # joined for the driver hasher)
+        from rbql_spark.ops.bpe import apply_bpe, bpe_vocab, encode_bpe_ids
+        enc = apply_bpe(_t(spark, sf_dir, 'documents'),
+                        [('t', 'h'), ('th', 'e'), ('a', 'n')])
+        out = encode_bpe_ids(enc, bpe_vocab(enc))
+        return out.select(
+            'doc_id',
+            F.array_join(F.transform('token_ids',
+                                     lambda x: x.cast('string')), ' ')
+             .alias('ids_joined'),
+            'n_tokens', 'n_unk')
+    q['bpe_encode_ids'] = _bpe_encode_ids
+
     def _profile(spark, sf_dir):
         from rbql_spark.ops.profile import profile_table
         return profile_table(_t(spark, sf_dir, 'documents'),
@@ -1552,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mirror-verified today); the rest fill in declaration order.
     rotate_first = [
         'text_c4_line_filter', 'text_gopher_filter', 'streaming_c4_filter',
+        'bpe_vocab', 'bpe_encode_ids',
         'quality_classifier', 'streaming_classifier', 'classifier_pr_curve',
         'dedup_exact', 'dedup_exact_incremental', 'sample_k_per_group',
         'sim_kmeans_recall', 'sim_ann_index_churn', 'sim_ann_index_search',
@@ -3412,6 +3439,37 @@ def oracle_sql() -> dict[str, str]:
         "w -> string_split(" + _m3 + ", '/'))) AS bt FROM toks) "
         "SELECT doc_id, array_to_string(bt, ' ') AS bpe_joined, "
         "len(bt)::BIGINT AS n_bpe_tokens FROM enc")
+
+    # vocab + id-encoding replay: same fixed merges, row_number over the
+    # sorted distinct tokens, LEFT join back with unk = -1, id arrays
+    # re-assembled in position order; zero-token docs keep an empty list
+    _bpe_enc_cte = (
+        "WITH toks AS (SELECT doc_id, " + _SQL_TOKS.format(src="coalesce(text, '')") +
+        " AS t FROM documents), "
+        "enc AS (SELECT doc_id, flatten(list_transform(t, "
+        "w -> string_split(" + _m3 + ", '/'))) AS bt FROM toks), "
+        "vx AS (SELECT DISTINCT unnest(bt) AS token FROM enc), "
+        "voc AS (SELECT token, (row_number() OVER (ORDER BY token) - 1)"
+        "::BIGINT AS token_id FROM vx WHERE token IS NOT NULL "
+        "AND token != '')")
+    o['bpe_vocab'] = _bpe_enc_cte + " SELECT token, token_id FROM voc"
+    o['bpe_encode_ids'] = (
+        _bpe_enc_cte + ", "
+        "pe AS (SELECT doc_id, unnest(range(1, len(bt) + 1)) AS pos, bt "
+        "FROM enc), "
+        "pj AS (SELECT p.doc_id, p.pos, "
+        "coalesce(v.token_id, -1) AS tid FROM "
+        "(SELECT doc_id, pos, bt[pos] AS token FROM pe) p "
+        "LEFT JOIN voc v USING (token)), "
+        "ids AS (SELECT doc_id, "
+        "array_to_string(array_agg(tid ORDER BY pos), ' ') AS j, "
+        "count(*)::BIGINT AS n, "
+        "sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END)::BIGINT AS nu "
+        "FROM pj GROUP BY doc_id) "
+        "SELECT e.doc_id, coalesce(ids.j, '') AS ids_joined, "
+        "coalesce(ids.n, 0)::BIGINT AS n_tokens, "
+        "coalesce(ids.nu, 0)::BIGINT AS n_unk "
+        "FROM enc e LEFT JOIN ids USING (doc_id)")
 
     # per-column profile: UNION ALL of per-column stat rows (all profiled
     # columns are int/string, so ::VARCHAR min/max render identically)

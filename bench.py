@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     # deterministic lined view)
     'text_c4_line_filter',
     'text_gopher_filter',
+    # round 12: the model-ready tokenizer tail (vocab + id encoding)
+    'bpe_encode_ids',
 ]
 
 

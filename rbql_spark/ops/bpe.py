@@ -142,3 +142,90 @@ def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
                     let_once(tokens(F.col(text_col)), encode).alias('bpe_tokens'))
     return out.select('doc_id', 'bpe_tokens',
                       F.size('bpe_tokens').cast('long').alias('n_bpe_tokens'))
+
+
+def bpe_vocab(encoded: DataFrame, tokens_col: str = 'bpe_tokens') -> DataFrame:
+    """Deterministic id vocabulary over a BPE-tokenized corpus (the
+    apply_bpe output) → (token, token_id) with dense contiguous ids
+    0..V-1 assigned in TOKEN-ASCENDING order — rerun-stable,
+    partition-layout-invariant, and replayable by a SQL engine
+    (row_number over the sorted distinct tokens).
+
+    Scale shape: the distinct-token aggregation is corpus-scale; the id
+    assignment avoids the one-task global window with the lexicographic
+    two-phase rank — rank within the FIRST-CHARACTER bucket (prefix
+    buckets preserve global token order), then add per-bucket offsets
+    from one bucket-count aggregation whose result is alphabet-sized.
+    The only single-partition stage is that tiny offsets window (the
+    shuffle_corpus precedent).
+    """
+    from pyspark.sql import Window
+
+    toks = (encoded.select(F.explode(F.col(tokens_col)).alias('token'))
+                   .where(F.col('token').isNotNull() & (F.col('token') != ''))
+                   .distinct()
+                   .withColumn('__b', F.substring('token', 1, 1)))
+    wb = Window.partitionBy('__b').orderBy(F.col('token').asc())
+    ranked = toks.withColumn('__r', F.row_number().over(wb))
+    sizes = (ranked.groupBy('__b').agg(F.count(F.lit(1)).alias('__n')))
+    woff = Window.orderBy(F.col('__b').asc()) \
+                 .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn('__off',
+                               F.coalesce(F.sum('__n').over(woff),
+                                          F.lit(0)))
+    return (ranked.join(F.broadcast(offsets.select('__b', '__off')), '__b')
+                  .select('token',
+                          (F.col('__off') + F.col('__r') - 1)
+                          .cast('long').alias('token_id')))
+
+
+def encode_bpe_ids(encoded: DataFrame, vocab: DataFrame,
+                   tokens_col: str = 'bpe_tokens', id_col: str = 'doc_id',
+                   unk_id: int = -1,
+                   broadcast_vocab: bool | None = None,
+                   broadcast_max_rows: int = 5_000_000) -> DataFrame:
+    """Map BPE tokens to integer ids under a (token, token_id) vocabulary
+    → (doc_id, token_ids array<long>, n_tokens, n_unk): the model-ready
+    tail of the tokenizer path (compose with sampling.pack_sequences to
+    build training bins over id counts).  Tokens absent from the
+    vocabulary encode as `unk_id` and are counted in n_unk — the
+    train-vocab-applied-to-new-data contract.
+
+    Scale shape: explode to (doc, pos, token), LEFT join the vocabulary
+    (measured broadcast: persist + count, broadcast under
+    broadcast_max_rows — vocabularies are usually tiny next to the
+    corpus, but a billion-entry web vocab must hash-join), then ONE
+    groupBy doc_id rebuilds the id array in position order via
+    array_sort over (pos, id) structs — the ARRAY_AGG input-order
+    machinery.  Documents with zero tokens emit an empty array.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    v = vocab.select(F.col('token').alias('__tok'),
+                     F.col('token_id').alias('__tid'))
+    if broadcast_vocab is None:
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_vocab = v.count() <= int(broadcast_max_rows)
+    pos = (encoded.select(F.col(id_col).alias('doc_id'),
+                          F.posexplode_outer(F.col(tokens_col))
+                           .alias('__pos', '__tok')))
+    joined = pos.join(F.broadcast(v) if broadcast_vocab else v,
+                      '__tok', 'left')
+    tid = F.when(F.col('__pos').isNull(), F.lit(None)) \
+           .otherwise(F.coalesce(F.col('__tid'), F.lit(int(unk_id))))
+    per = (joined.select('doc_id', '__pos', tid.alias('__id'))
+                 .groupBy('doc_id')
+                 .agg(F.array_sort(F.collect_list(
+                          F.struct(F.col('__pos').alias('p'),
+                                   F.col('__id').alias('i')))).alias('__s')))
+    # posexplode_outer keeps a zero-token document alive as one
+    # NULL-position row; its NULL id is filtered here so such docs emit
+    # an EMPTY id array (every real token has a non-null id: vocab hit
+    # or unk_id)
+    ids = F.filter(F.transform(F.col('__s'), lambda s: s['i']),
+                   lambda x: x.isNotNull())
+    return per.select(
+        'doc_id', ids.alias('token_ids'),
+        F.size(ids).cast('long').alias('n_tokens'),
+        F.size(F.filter(ids, lambda x: x == int(unk_id)))
+         .cast('long').alias('n_unk'))

@@ -842,6 +842,35 @@ def test_apply_bpe_greedy_nonoverlapping(spark):
     assert rows[3]['bpe_tokens'] == [] and rows[3]['n_bpe_tokens'] == 0
 
 
+def test_bpe_vocab_and_encode_ids(spark):
+    # dense contiguous token-ascending ids; OOV encodes as unk (-1) and
+    # is counted; zero-token docs keep an EMPTY id array
+    from rbql_spark.ops.bpe import apply_bpe, bpe_vocab, encode_bpe_ids
+    docs = spark.createDataFrame(
+        [(1, 'the cat and the hat'), (2, 'another thing then'), (3, '')],
+        'doc_id long, text string')
+    merges = [('t', 'h'), ('th', 'e'), ('a', 'n')]
+    enc = apply_bpe(docs, merges)
+    v = {r['token']: r['token_id'] for r in bpe_vocab(enc).collect()}
+    assert sorted(v) == sorted(set(v))                       # unique tokens
+    assert sorted(v.values()) == list(range(len(v)))         # dense 0..V-1
+    assert [t for t, _ in sorted(v.items(), key=lambda kv: kv[1])] \
+        == sorted(v)                                         # token-asc order
+    out = {r['doc_id']: r for r in encode_bpe_ids(enc, bpe_vocab(enc))
+           .collect()}
+    toks = {r['doc_id']: r['bpe_tokens'] for r in enc.collect()}
+    for d in (1, 2):
+        assert out[d]['token_ids'] == [v[t] for t in toks[d]]
+        assert out[d]['n_unk'] == 0
+    assert out[3]['token_ids'] == [] and out[3]['n_tokens'] == 0
+    # train-vocab applied to unseen data: misses become unk and count
+    v1 = bpe_vocab(apply_bpe(docs.where('doc_id = 1'), merges))
+    out2 = {r['doc_id']: r for r in encode_bpe_ids(enc, v1).collect()}
+    assert out2[2]['n_unk'] > 0
+    assert out2[2]['token_ids'].count(-1) == out2[2]['n_unk']
+    assert out2[1]['n_unk'] == 0
+
+
 def test_bpe_roundtrip_compresses(spark, sf_dir):
     from rbql_spark.ops.bpe import apply_bpe, train_bpe
     docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet')).limit(50)

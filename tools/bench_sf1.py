@@ -136,6 +136,7 @@ SUBSET = [
     'text_c4_line_filter',
     'text_gopher_filter',
     'streaming_c4_filter',
+    'bpe_encode_ids',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
