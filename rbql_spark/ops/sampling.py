@@ -252,7 +252,8 @@ def chunk_documents(df: DataFrame, chunk_size: int = 256, overlap: int = 32,
 
 def pack_sequences(df: DataFrame, max_tokens: int, n_buckets: int | None = None,
                    id_col: str = 'doc_id', text_col: str = 'text',
-                   target_docs_per_bucket: int = 4096) -> DataFrame:
+                   target_docs_per_bucket: int = 4096,
+                   count_col: str | None = None) -> DataFrame:
     """Greedy sequence packing: (doc_id, n_tokens, bucket, bin_id, bin_seq).
 
     Docs are assigned to buckets by id modulo, and each bucket packs its
@@ -279,8 +280,13 @@ def pack_sequences(df: DataFrame, max_tokens: int, n_buckets: int | None = None,
     if n_buckets is None:
         n_docs = df.count()
         n_buckets = max(1, -(-n_docs // int(target_docs_per_bucket)))
+    # count_col packs by a PRECOMPUTED length (e.g. encode_bpe_ids'
+    # n_tokens — the real tokenizer's counts, which is what a training
+    # bin budget means) instead of re-tokenizing text
+    length = (F.col(count_col).cast('long') if count_col is not None
+              else F.size(tokens(F.col(text_col))).cast('long'))
     src = df.select(F.col(id_col).alias('doc_id'),
-                    F.size(tokens(F.col(text_col))).cast('long').alias('n_tokens'),
+                    length.alias('n_tokens'),
                     (F.col(id_col) % n_buckets).cast('long').alias('bucket'))
     cap = int(max_tokens)
 

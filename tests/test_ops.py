@@ -1884,3 +1884,25 @@ def test_gopher_quality_filter_rules(spark):
     plan = gopher_quality_filter(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert 'Exchange' not in plan
+
+
+def test_pack_sequences_over_bpe_id_counts(spark):
+    # the tokenizer tail composes: encode_bpe_ids' n_tokens drives the
+    # packing budget via count_col (no re-tokenization of text)
+    from rbql_spark.ops.bpe import apply_bpe, bpe_vocab, encode_bpe_ids
+    from rbql_spark.ops.sampling import pack_sequences
+    docs = spark.createDataFrame(
+        [(i, 'the cat and the hat sat ' * (i % 3 + 1)) for i in range(1, 9)],
+        'doc_id long, text string')
+    enc = apply_bpe(docs, [('t', 'h'), ('th', 'e'), ('a', 'n')])
+    ids = encode_bpe_ids(enc, bpe_vocab(enc))
+    packed = pack_sequences(ids, max_tokens=40, n_buckets=2,
+                            count_col='n_tokens').collect()
+    want = {r['doc_id']: r['n_tokens'] for r in ids.collect()}
+    assert {r['doc_id']: r['n_tokens'] for r in packed} == want
+    # bin budgets hold over the BPE counts
+    bins = {}
+    for r in packed:
+        bins.setdefault((r['bucket'], r['bin_id']), []).append(r['n_tokens'])
+    for (b, _), sizes in bins.items():
+        assert sum(sizes) <= 40 or len(sizes) == 1
