@@ -1493,10 +1493,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _bpe_encode_ids(spark, sf_dir):
         # the model-ready tail of the tokenizer path: text -> BPE tokens
         # -> integer ids under the corpus vocabulary (id array rendered
-        # joined for the driver hasher)
+        # joined for the driver hasher).  The tokenization feeds BOTH the
+        # vocab build and the encoding join — persist it so the merge
+        # folds run once, not once per consumer (measured 7.7 s -> the
+        # single-tokenization cost at sf0.1)
+        from pyspark.storagelevel import StorageLevel
+
         from rbql_spark.ops.bpe import apply_bpe, bpe_vocab, encode_bpe_ids
         enc = apply_bpe(_t(spark, sf_dir, 'documents'),
-                        [('t', 'h'), ('th', 'e'), ('a', 'n')])
+                        [('t', 'h'), ('th', 'e'), ('a', 'n')]) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         out = encode_bpe_ids(enc, bpe_vocab(enc))
         return out.select(
             'doc_id',
