@@ -903,7 +903,6 @@ def c4_line_filter(df: DataFrame, text_col: str = 'text',
     keep = ~doc_drop
     clean = F.when(keep, F.array_join(kept, line_sep))
     if output == 'rows':
-        others = [c for c in df.columns if c != text_col]
         return (df.withColumn('__c4_keep', keep)
                   .withColumn(text_col, clean)
                   .where(F.col('__c4_keep'))
