@@ -238,7 +238,13 @@ def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
             # the first null — order-independent once any non-null
             # string exists; an ALL-null group never engaged the parser
             # (the reference's first-value string detection saw None)
-            # and returns None
+            # and returns None.  Documented approximation: the
+            # reference's string detection is GLOBAL (one NumHandler per
+            # aggregator across all groups), so an all-null group in a
+            # table whose other groups hold strings would raise there;
+            # this guard tests per group — replicating the global rule
+            # would need a cross-group aggregation pass for an
+            # accident-of-implementation edge.
             fn = ('int() argument must be a string, a bytes-like object '
                   'or a real number' if kind in ('min', 'max')
                   else 'float() argument must be a string or a real '
