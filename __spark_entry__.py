@@ -789,6 +789,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decontaminate(docs, bench, shingle_k=3, min_overlap=2)
     q['decontaminate_ngram'] = _decontaminate
 
+    def _contamination_report(spark, sf_dir):
+        # the auditor's view: per benchmark item, how many train docs
+        # leak into it and how hard — zeros kept for clean items; the
+        # benchmark rows are excluded from the train side so self-match
+        # doesn't trivially contaminate everything
+        from rbql_spark.ops.dedup import contamination_report
+        docs = _t(spark, sf_dir, 'documents')
+        bench = docs.filter(F.col('doc_id') % 50 == 0).select('doc_id', 'text')
+        train = docs.filter(F.col('doc_id') % 50 != 0)
+        return contamination_report(train, bench, shingle_k=3,
+                                    min_overlap=2)
+    q['contamination_report'] = _contamination_report
+
     def _decontaminate_bloom(spark, sf_dir):
         from rbql_spark.ops.dedup import decontaminate_bloom
         docs = _t(spark, sf_dir, 'documents')
@@ -950,6 +963,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_sequences(_t(spark, sf_dir, 'documents'),
                               max_tokens=256, target_docs_per_bucket=64)
     q['pack_sequences'] = _pack
+
+    def _pack_materialize(spark, sf_dir):
+        # the final materialization step: one row per bin, member texts
+        # concatenated in bin_seq order with the EOD separator
+        from rbql_spark.ops.sampling import materialize_bins, pack_sequences
+        docs = _t(spark, sf_dir, 'documents')
+        packed = pack_sequences(docs, max_tokens=256,
+                                target_docs_per_bucket=64)
+        return materialize_bins(packed, docs, sep='\n\n')
+    q['pack_materialize'] = _pack_materialize
 
     def _redact(spark, sf_dir):
         from rbql_spark.ops.textstats import redact_pii
@@ -1584,7 +1607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mirror-verified today); the rest fill in declaration order.
     rotate_first = [
         'text_c4_line_filter', 'text_gopher_filter', 'streaming_c4_filter',
-        'bpe_vocab', 'bpe_encode_ids',
+        'bpe_vocab', 'bpe_encode_ids', 'contamination_report',
+        'pack_materialize',
         'quality_classifier', 'streaming_classifier', 'classifier_pr_curve',
         'dedup_exact', 'dedup_exact_incremental', 'sample_k_per_group',
         'sim_kmeans_recall', 'sim_ann_index_churn', 'sim_ann_index_search',
@@ -2980,6 +3004,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM s JOIN p ON s.bucket = p.bucket AND s.rn = p.rn + 1) "
         "SELECT doc_id, n_tokens, bucket, bin_id, bin_seq FROM p")
 
+    # bin materialization: the same recursive pack replay joined back to
+    # the texts, one row per bin with seq-ordered concatenation
+    o['pack_materialize'] = (
+        o['pack_sequences'].rsplit('SELECT doc_id', 1)[0]
+        + "SELECT p.bucket, p.bin_id, count(*)::BIGINT AS n_docs, "
+        "sum(p.n_tokens)::BIGINT AS n_tokens, "
+        "string_agg(d.text, chr(10) || chr(10) ORDER BY p.bin_seq) "
+        "AS bin_payload "
+        "FROM p JOIN documents d USING (doc_id) "
+        "GROUP BY p.bucket, p.bin_id")
+
     _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     _ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
     _phone = "\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3,4}[ -]?\\d{0,4}\\b"
@@ -3126,6 +3161,28 @@ def oracle_sql() -> dict[str, str]:
         "SELECT t.doc_id, b.bench_id, count(*) AS n_overlap "
         "FROM t JOIN b USING (s) GROUP BY t.doc_id, b.bench_id "
         "HAVING count(*) >= 2")
+
+    # per-benchmark contamination summary: the decontaminate hit CTE with
+    # the benchmark rows excluded from the train side, aggregated per
+    # bench item, zeros preserved via a left join from the bench ids
+    o['contamination_report'] = (
+        "WITH toks AS (SELECT doc_id, " + _dec_toks + " AS t FROM documents), "
+        "shg AS (SELECT doc_id, list_distinct(list_transform(" + _dec_shingles +
+        ", s -> ('0x' || md5(s)[1:8])::BIGINT)) AS sh FROM toks), "
+        "t AS (SELECT doc_id, unnest(sh) AS s FROM shg WHERE doc_id % 50 != 0), "
+        "b AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM shg "
+        "WHERE doc_id % 50 = 0), "
+        "hits AS (SELECT t.doc_id, b.bench_id, count(*) AS n_overlap "
+        "FROM t JOIN b USING (s) GROUP BY t.doc_id, b.bench_id "
+        "HAVING count(*) >= 2), "
+        "per AS (SELECT bench_id, count(DISTINCT doc_id) AS n, "
+        "max(n_overlap) AS mx, sum(n_overlap) AS tot FROM hits GROUP BY 1) "
+        "SELECT d.doc_id AS bench_id, "
+        "coalesce(per.n, 0)::BIGINT AS n_contaminating_docs, "
+        "coalesce(per.mx, 0)::BIGINT AS max_overlap, "
+        "coalesce(per.tot, 0)::BIGINT AS total_overlap "
+        "FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 = 0) d "
+        "LEFT JOIN per ON d.doc_id = per.bench_id")
 
     # bloom decontamination replay: same md5-32 shingles, then the exact
     # bit arithmetic of ops/dedup._bloom_positions — 3 salted 48-bit md5

@@ -142,6 +142,9 @@ BENCH_QUERIES = [
     'text_gopher_filter',
     # round 12: the model-ready tokenizer tail (vocab + id encoding)
     'bpe_encode_ids',
+    # round 12: bin materialization + the per-benchmark leak report
+    'pack_materialize',
+    'contamination_report',
 ]
 
 

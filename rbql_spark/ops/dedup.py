@@ -1216,3 +1216,40 @@ def exact_dedup_incremental(batch: DataFrame, index: DataFrame,
         broadcast_index = idx.count() <= int(broadcast_max_rows)
     return firsts.join(F.broadcast(idx) if broadcast_index else idx,
                        'text_hash', 'left_anti')
+
+
+def contamination_report(train: DataFrame, benchmark: DataFrame,
+                         text_col: str = 'text', id_col: str = 'doc_id',
+                         shingle_k: int = 3, min_overlap: int = 1,
+                         hash_fn: str = 'md5',
+                         broadcast_benchmark: bool = True) -> DataFrame:
+    """Per-benchmark-document contamination summary — the eval-hygiene
+    report built on decontaminate's hit table → one row PER BENCHMARK
+    DOC: (bench_id, n_contaminating_docs, max_overlap, total_overlap),
+    zeros for clean items.  Where decontaminate answers "which training
+    docs must go", this answers the auditor's question: "which eval
+    items leak, and how badly" — the table a benchmark owner reviews
+    before trusting a score.
+
+    Scale shape: the expensive part IS decontaminate (one corpus scan,
+    broadcast benchmark shingles); the hit table is contamination-sized,
+    its per-bench aggregation is tiny, and the zero-rows come from ONE
+    left join of the distinct benchmark ids against it.
+    """
+    hits = decontaminate(train, benchmark, text_col=text_col,
+                         id_col=id_col, shingle_k=shingle_k,
+                         min_overlap=min_overlap, hash_fn=hash_fn,
+                         broadcast_benchmark=broadcast_benchmark)
+    per = (hits.groupBy('bench_id')
+               .agg(F.count_distinct('doc_id').alias('__n'),
+                    F.max('n_overlap').alias('__mx'),
+                    F.sum('n_overlap').alias('__tot')))
+    bench_ids = benchmark.select(F.col(id_col).alias('bench_id')).distinct()
+    return (bench_ids.join(per, 'bench_id', 'left')
+            .select('bench_id',
+                    F.coalesce(F.col('__n'), F.lit(0)).cast('long')
+                     .alias('n_contaminating_docs'),
+                    F.coalesce(F.col('__mx'), F.lit(0)).cast('long')
+                     .alias('max_overlap'),
+                    F.coalesce(F.col('__tot'), F.lit(0)).cast('long')
+                     .alias('total_overlap')))

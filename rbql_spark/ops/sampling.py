@@ -467,3 +467,43 @@ def epoch_repeat(df: DataFrame, epochs: float, key_col: str = 'doc_id',
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def materialize_bins(packed: DataFrame, docs: DataFrame,
+                     id_col: str = 'doc_id', payload_col: str = 'text',
+                     sep: str = '\n\n') -> DataFrame:
+    """Turn a pack_sequences assignment into actual training rows — one
+    row PER BIN with the member payloads concatenated in bin_seq order →
+    (bucket, bin_id, n_docs, n_tokens, bin_payload).  A string
+    payload_col (document text) joins with `sep` (the EOD separator); an
+    array payload_col (encode_bpe_ids' token_ids) flattens into one id
+    sequence — the final materialization step of text → tokens → ids →
+    packed bins.
+
+    Scale shape: one hash join of the slim pack assignment against the
+    payloads on doc_id, then ONE aggregation keyed (bucket, bin_id); a
+    bin's member payloads are bounded by max_tokens, so per-group state
+    is budget-bounded regardless of corpus size.  Order inside the bin
+    comes from array_sort over (bin_seq, payload) structs — the
+    ARRAY_AGG input-order machinery, deterministic under any
+    partitioning.
+    """
+    from pyspark.sql import types as T
+    pay_type = docs.schema[payload_col].dataType
+    j = packed.select(F.col(id_col).alias('__id'), 'n_tokens',
+                      'bucket', 'bin_id', 'bin_seq') \
+              .join(docs.select(F.col(id_col).alias('__id'),
+                                F.col(payload_col).alias('__p')), '__id')
+    per = (j.groupBy('bucket', 'bin_id')
+            .agg(F.count(F.lit(1)).cast('long').alias('n_docs'),
+                 F.sum('n_tokens').cast('long').alias('n_tokens'),
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col('bin_seq').alias('s'),
+                              F.col('__p').alias('p')))).alias('__m')))
+    ordered = F.transform(F.col('__m'), lambda m: m['p'])
+    if isinstance(pay_type, T.ArrayType):
+        payload = F.flatten(ordered)
+    else:
+        payload = F.array_join(ordered, sep)
+    return per.select('bucket', 'bin_id', 'n_docs', 'n_tokens',
+                      payload.alias('bin_payload'))

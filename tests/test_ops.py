@@ -1906,3 +1906,64 @@ def test_pack_sequences_over_bpe_id_counts(spark):
         bins.setdefault((r['bucket'], r['bin_id']), []).append(r['n_tokens'])
     for (b, _), sizes in bins.items():
         assert sum(sizes) <= 40 or len(sizes) == 1
+
+
+def test_contamination_report_per_bench_summary(spark):
+    from rbql_spark.ops.dedup import contamination_report, decontaminate
+    train = spark.createDataFrame(
+        [(1, 'alpha beta gamma delta epsilon zeta'),
+         (2, 'alpha beta gamma delta other words here'),
+         (3, 'completely different text with no overlap at all')],
+        'doc_id long, text string')
+    bench = spark.createDataFrame(
+        [(100, 'alpha beta gamma delta epsilon'),     # leaks from 1 and 2
+         (101, 'nothing matches this benchmark item')],
+        'doc_id long, text string')
+    rep = {r['bench_id']: r for r in
+           contamination_report(train, bench, shingle_k=3,
+                                min_overlap=2).collect()}
+    assert set(rep) == {100, 101}                      # zero rows kept
+    assert rep[100]['n_contaminating_docs'] == 2
+    assert rep[101]['n_contaminating_docs'] == 0
+    assert rep[101]['max_overlap'] == 0 == rep[101]['total_overlap']
+    hits = decontaminate(train, bench, shingle_k=3, min_overlap=2)
+    assert rep[100]['total_overlap'] == \
+        sum(r['n_overlap'] for r in hits.collect()
+            if r['bench_id'] == 100)
+
+
+def test_materialize_bins_text_and_ids(spark):
+    from rbql_spark.ops.bpe import apply_bpe, bpe_vocab, encode_bpe_ids
+    from rbql_spark.ops.sampling import materialize_bins, pack_sequences
+    docs = spark.createDataFrame(
+        [(i, 'word ' * (i * 2)) for i in range(1, 7)],
+        'doc_id long, text string')
+    packed = pack_sequences(docs, max_tokens=10, n_buckets=2)
+    # text payload: bin members joined in bin_seq order with the sep
+    bins = materialize_bins(packed, docs, sep=' <eod> ').collect()
+    assign = {r['doc_id']: r for r in packed.collect()}
+    for b in bins:
+        members = sorted((assign[d]['bin_seq'], d) for d in assign
+                         if assign[d]['bucket'] == b['bucket']
+                         and assign[d]['bin_id'] == b['bin_id'])
+        assert b['n_docs'] == len(members)
+        assert b['n_tokens'] == sum(assign[d]['n_tokens']
+                                    for _, d in members)
+        texts = {r['doc_id']: r['text'] for r in docs.collect()}
+        assert b['bin_payload'] == ' <eod> '.join(texts[d]
+                                                  for _, d in members)
+    # array payload: the tokenizer tail flattens id arrays in seq order
+    enc = apply_bpe(docs, [('w', 'o')])
+    ids = encode_bpe_ids(enc, bpe_vocab(enc))
+    packed2 = pack_sequences(ids, max_tokens=10, n_buckets=2,
+                             count_col='n_tokens')
+    id_bins = materialize_bins(packed2, ids, payload_col='token_ids')
+    id_map = {r['doc_id']: r['token_ids'] for r in ids.collect()}
+    assign2 = {r['doc_id']: r for r in packed2.collect()}
+    for b in id_bins.collect():
+        members = sorted((assign2[d]['bin_seq'], d) for d in assign2
+                         if assign2[d]['bucket'] == b['bucket']
+                         and assign2[d]['bin_id'] == b['bin_id'])
+        want = [x for _, d in members for x in id_map[d]]
+        assert b['bin_payload'] == want
+        assert b['n_tokens'] == len(want)

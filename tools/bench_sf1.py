@@ -137,6 +137,8 @@ SUBSET = [
     'text_gopher_filter',
     'streaming_c4_filter',
     'bpe_encode_ids',
+    'pack_materialize',
+    'contamination_report',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
