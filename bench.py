@@ -251,28 +251,43 @@ def main() -> None:
             medians[name] = reps[len(reps) // 2]
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    line = json.dumps({
+    sf_val = float(sf) if sf.replace('.', '').isdigit() else sf
+    # Full record (3-decimal timings, medians, loadavg) goes to the
+    # sibling file for round-over-round comparison.
+    full_line = json.dumps({
         'metric': 'rbql_spark bench: headline queries end-to-end (noop sink)',
         'value': total,
         'unit': 'sec',
         'queries': timings,
         'queries_median': medians,
-        'sf': float(sf) if sf.replace('.', '').isdigit() else sf,
+        'sf': sf_val,
         'loadavg': {'start': list(load_start), 'end': list(os.getloadavg())},
     })
-    # the stdout JSON line is longer than some log-tail captures (the
-    # per-round BENCH_r*.json artifacts were truncating the first ~20
-    # per-query entries every round) — ALSO write it to a sibling file so
-    # round-over-round comparison always has the complete record
     try:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            'BENCH_LOCAL.json')
         with open(out, 'w') as f:
-            f.write(line + '\n')
+            f.write(full_line + '\n')
     except OSError:
         pass
-    print(line)
+    # The stdout JSON line must fit ENTIRELY inside a 2000-char log-tail
+    # capture or the per-round artifact records "parsed": null and loses
+    # the leading per-query rows (rounds 9-12 all truncated).  Emit a
+    # compact single line: no medians/loadavg, tight separators, and
+    # progressively coarser rounding until it fits with headroom.
+    for ndigits in (2, 1):
+        line = json.dumps({
+            'metric': 'bench_total',
+            'value': total,
+            'unit': 'sec',
+            'sf': sf_val,
+            'queries': {k: round(v, ndigits) for k, v in timings.items()},
+        }, separators=(',', ':'))
+        if len(line) <= 1995:
+            break
     spark.stop()
+    # printed LAST so no later stdout can push it out of a tail capture
+    print(line, flush=True)
 
 
 if __name__ == '__main__':

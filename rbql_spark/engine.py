@@ -43,7 +43,7 @@ from .header import ColumnInfo, column_info_for_item, select_output_header
 from .parser import ParsedStage, SelectItem
 from .pyeval import PyExpr, eval_columns
 from .registry import TableRegistry
-from .rownum import attach_nr
+from .rownum import attach_nr, attach_running_count
 from .translator import ExpressionTranslator, TCol, TranslationFallback
 
 
@@ -530,12 +530,13 @@ class StageRunner:
             cond = cond & F.col(BNR_COL).isNotNull()
 
         # NU — number of already-updated rows including the current one
-        # (rbql_engine.py:693,711-770).  Inherently sequential: running count
-        # of the update condition in NR order (single ordered window; only
-        # materialized when the query references NU).
+        # (rbql_engine.py:693,711-770).  Sequential SEMANTICS, but not a
+        # sequential PLAN: the two-phase partition prefix sum in
+        # attach_running_count replaces the old unpartitioned
+        # Window.orderBy(NR), which funneled the whole table through one
+        # task.  Only materialized when the query references NU.
         if re.search(r'(?:^|[^\w])NU(?:$|[^\w])', stage.unmask(stage.masked_text)):
-            w = Window.orderBy(F.col(NR_COL)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            df = df.withColumn('__nu', F.sum(F.when(cond, 1).otherwise(0)).over(w))
+            df = attach_running_count(df, NR_COL, cond, '__nu')
             # the counter column exists from here on: let the native
             # translator bind NU to it instead of falling back
             binding.nu_col = '__nu'

@@ -50,6 +50,52 @@ def attach_dense_nr(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+def attach_running_count(df: DataFrame, order_col: str, cond, out_col: str) -> DataFrame:
+    """Running count of ``cond`` in ``order_col`` order, INCLUDING the
+    current row — the NU counter (reference: rbql_engine.py:693,711-770).
+
+    Sequential semantics without a sequential plan: an unpartitioned
+    ``Window.orderBy`` would funnel the whole table through one task, so
+    this uses the same two-phase partition prefix sum as
+    :func:`attach_dense_nr` — range-partition by the order key (each
+    partition holds a contiguous key range, ranges ascend with partition
+    id), count condition matches per partition, cumulative offsets on the
+    driver (one row per partition), then a partition-LOCAL ordered window
+    adds the within-partition running count to the partition's offset.
+    The range-partitioned frame is persisted because the range sampler is
+    not stable across jobs and the offsets pass and the main pass must
+    see identical partitions (the :func:`attach_nr` ORDER_SRC precedent).
+    """
+    pid, off, flag = '__rbql_pid', '__rbql_off', '__rbql_flag'
+    spark = df.sparkSession
+    try:
+        n_parts = max(1, int(spark.conf.get('spark.sql.shuffle.partitions')))
+    except Exception:
+        n_parts = 200
+    d = (df.withColumn(flag, F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+           .repartitionByRange(n_parts, F.col(order_col))
+           .withColumn(pid, F.spark_partition_id()))
+    from pyspark import StorageLevel
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = sorted((r[0], int(r[1] or 0))
+                    for r in d.groupBy(pid).agg(F.sum(flag)).collect())
+    if not counts:
+        return df.withColumn(out_col, F.lit(0).cast('long'))
+    offsets = []
+    running = 0
+    for p, c in counts:
+        offsets.append((p, running))
+        running += c
+    offsets_df = spark.createDataFrame(
+        offsets, '{} int, {} long'.format(pid, off))
+    w = (Window.partitionBy(pid).orderBy(F.col(order_col))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.join(F.broadcast(offsets_df), pid)
+             .withColumn(out_col,
+                         (F.sum(flag).over(w) + F.col(off)).cast('long'))
+             .drop(pid, off, flag))
+
+
 def attach_nr(df: DataFrame, col: str, dense: bool) -> DataFrame:
     from .binding import ORDER_SRC_COL
     if ORDER_SRC_COL in df.columns:

@@ -616,3 +616,20 @@ def test_no_presentation_sort_exchange(spark, sf_dir, entry, gate):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert 'rangepartitioning' not in plan, \
         '{} still ends in an ordering Exchange:\n{}'.format(gate, plan[:1200])
+
+
+def test_nu_counter_no_single_partition_window(spark, sf_dir):
+    # round-12 verdict item: the NU running counter must use the two-phase
+    # partition prefix sum (attach_running_count), never an unpartitioned
+    # Window.orderBy(NR) that funnels the whole table through one task.
+    from rbql_spark.api import query_dataframe
+    orders = spark.read.parquet(os.path.join(sf_dir, 'orders.parquet'))
+    res = query_dataframe(
+        spark, 'UPDATE a.o_totalprice = NU WHERE a.o_totalprice > 400000',
+        orders)
+    df = res.display_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if 'windowspecdefinition(' in line:
+            assert '__rbql_pid' in line, \
+                'unpartitioned window in NU plan:\n' + line
