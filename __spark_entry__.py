@@ -205,7 +205,13 @@ def _rbql(query: str, table: str, strict: bool = True, broadcast: bool = True):
     exposed as ``run.last_telemetry`` so the native-coverage test can
     assert the bench gates plan zero Python expression stages."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        handle = TableHandle(df=_t(spark, sf_dir, table))
+        from rbql_spark.registry import parquet_null_free_columns
+        handle = TableHandle(
+            df=_t(spark, sf_dir, table),
+            # footer-stat proof lets the engine skip the vacuous
+            # aggregate null guards (the _t transforms preserve null-ness)
+            null_free=parquet_null_free_columns(
+                os.path.join(sf_dir, table + '.parquet')))
         handle.header = list(handle.df.columns)
         res = query_dataframe(spark, query, handle,
                               registry=ParquetDirRegistry(sf_dir),
@@ -1598,27 +1604,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the bound lives in the driver, so rotation here is the only way to
     # refresh proof for all 78.  The strict local mirror,
     # tools/check_oracles.py, still value-checks every gate each round.)
-    # Round 12 rotation (verdict #3): the new gates (no driver proof
-    # yet) lead, then every gate whose code was touched this round
-    # (canonical classifier summation, NULL-digest dedup, NULL-key
-    # sampling, the cached-centroid kmeans recall, the compaction lock,
-    # the translator null-parity/NU changes behind the rbql_* gates),
-    # then the 16 gates whose driver proof dates to r8 (all 16
-    # mirror-verified today); the rest fill in declaration order.
+    # Round 13 rotation (verdict #5): the 43 gates whose newest driver
+    # proof dates to r10 lead (the verdict's explicit rotation promise),
+    # then the gates whose code paths changed this round (aggregate
+    # null-guard refund via parquet footer stats, the two-phase NU
+    # counter behind the UPDATE gates, the classifier scorer A/B) fill
+    # the remaining snapshot slots; the rest keep declaration order.
     rotate_first = [
-        'text_c4_line_filter', 'text_gopher_filter', 'streaming_c4_filter',
-        'bpe_vocab', 'bpe_encode_ids', 'contamination_report',
-        'pack_materialize',
-        'quality_classifier', 'streaming_classifier', 'classifier_pr_curve',
-        'dedup_exact', 'dedup_exact_incremental', 'sample_k_per_group',
-        'sim_kmeans_recall', 'sim_ann_index_churn', 'sim_ann_index_search',
-        'sim_ann_ivf', 'rbql_fstring', 'rbql_update', 'rbql_update_join',
-        'rbql_string_ops', 'streaming_user_totals',
-        'dedup_minhash_lsh', 'dedup_simhash', 'dedup_ngram_jaccard',
-        'dedup_clusters', 'dedup_incremental', 'dedup_keep_canonical',
-        'dedup_lines', 'decontaminate_ngram', 'sample_hash',
-        'sample_stratified', 'sample_temperature', 'sample_split',
-        'sample_shuffle', 'sample_mix', 'chunk_documents',
+        # --- r10-stale gates (43) ---
+        'rbql_like', 'rbql_pipe_chain', 'rbql_ternary_expr',
+        'window_row_number', 'pivot_event_counts', 'profile_table',
+        'join_asof', 'join_interval', 'join_semi', 'join_anti',
+        'join_full_outer', 'streaming_asof', 'streaming_session_counts',
+        'dedup_spans', 'export_manifest', 'pack_sequences',
+        'pipeline_training_data', 'bpe_train', 'bpe_apply',
+        'multimodal_features', 'multimodal_frame_sample',
+        'multimodal_resize', 'sim_ann_lsh', 'sim_ann_lsh_multiprobe',
+        'sim_ann_ivf_multiprobe', 'sim_ann_ivf_int8', 'sim_ann_ivf_pq',
+        'sim_ann_pq', 'sim_ann_index_stats', 'sim_embedding_neardup',
+        'sim_topk_bruteforce', 'text_bm25', 'text_embed_hashing',
+        'text_fingerprint', 'text_language_id', 'text_lm_score',
+        'text_lm_score_bigram', 'text_quality_filter',
+        'text_quality_score', 'text_redact_pii', 'text_repetition',
+        'text_token_stats', 'text_top_ngrams',
+        # --- touched this round (7) ---
+        'rbql_group_agg', 'rbql_global_agg', 'rbql_group_expr_key',
+        'rbql_array_agg', 'rbql_update', 'rbql_update_join',
+        'streaming_classifier',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

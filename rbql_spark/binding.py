@@ -68,6 +68,10 @@ class TableHandle:
     # non-fatal source warnings (BOM skipped, inconsistent field counts,
     # defective quoting…) — surfaced through StageResult.warnings
     warnings: list[str] = field(default_factory=list)
+    # column names PROVEN free of nulls by source-side metadata (parquet
+    # footer null-count statistics) — lets the aggregate engine skip the
+    # reference-parity null guards, which are vacuous on such columns
+    null_free: frozenset[str] = frozenset()
 
     @property
     def has_header(self) -> bool:
@@ -89,6 +93,7 @@ class SideInfo:
     types: list[T.DataType] = field(default_factory=list)  # fixed mode types
     json_cols: frozenset[int] = frozenset()  # see TableHandle.json_cols
     ragged: bool = False                     # per-row NF differs (CSV/2D-array)
+    null_free: frozenset[int] = frozenset()  # indices proven null-free (see TableHandle)
 
     def cols(self) -> list[str]:
         if self.mode == 'array':
@@ -141,7 +146,9 @@ def make_workframe(handle: TableHandle) -> WorkFrame:
         df = df.withColumn(NF_COL, F.lit(width).cast('int'))
     header = list(handle.header) if handle.header is not None else None
     side = SideInfo(prefix='a', header=header, mode='fixed', width=width, types=types,
-                    json_cols=handle.json_cols, ragged=has_nf_src)
+                    json_cols=handle.json_cols, ragged=has_nf_src,
+                    null_free=frozenset(i for i, n in enumerate(names)
+                                        if n in handle.null_free))
     return WorkFrame(df=df, a=side)
 
 

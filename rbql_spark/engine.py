@@ -309,7 +309,9 @@ class StageRunner:
         if not b_ragged:
             bdf = bdf.withColumn(BNF_COL, F.lit(len(b_names)).cast('int'))
         b_side = SideInfo(prefix='b', header=list(b_handle.header) if b_handle.header is not None else None,
-                          mode='fixed', width=len(b_names), types=b_types, ragged=b_ragged)
+                          mode='fixed', width=len(b_names), types=b_types, ragged=b_ragged,
+                          null_free=frozenset(i for i, n in enumerate(b_names)
+                                              if n in getattr(b_handle, 'null_free', frozenset())))
         wf2 = WorkFrame(df=wf.df, a=wf.a, b=b_side)
         binding = Binding(wf2)
 
@@ -915,6 +917,29 @@ class StageRunner:
         df, tags = comp.compute(df, named_exprs)
 
         nr = F.col(NR_COL)
+
+        def _proven_null_free(arg_text: str | None) -> bool:
+            # refund the reference-parity null guards when the aggregated
+            # argument is a bare field whose source PROVED zero nulls
+            # (parquet footer null-count stats, TableHandle.null_free) —
+            # the guards are vacuous there and cost ~55% on the group-agg
+            # bench gate.  A LEFT JOIN manufactures nulls on the b side,
+            # so b fields only qualify under INNER JOIN.
+            if arg_text is None:
+                return False
+            try:
+                ref = _resolve_var_text(comp.binding, arg_text.strip(), 'a')
+            except Exception:
+                return False
+            if ref.kind != 'field' or ref.index is None:
+                return False
+            if ref.side == 'a':
+                return not wf.a.ragged and ref.index in wf.a.null_free
+            if ref.side == 'b' and wf.b is not None:
+                return (stage.join_subtype in (parser.JOIN, parser.INNER_JOIN)
+                        and not wf.b.ragged and ref.index in wf.b.null_free)
+            return False
+
         agg_exprs: list[Column] = []
         out_specs: list[str] = []
         guard_cols: list[str] = []
@@ -965,7 +990,9 @@ class StageRunner:
                         # order-independent kinds, group-level guards for
                         # MIN/MAX (None doubles as the unset sentinel) and
                         # MEDIAN (single-null groups return None)
-                        if agg.kind in ('sum', 'avg', 'variance'):
+                        if _proven_null_free(agg.arg_text):
+                            pass  # no nulls can exist — guards vacuous
+                        elif agg.kind in ('sum', 'avg', 'variance'):
                             arg = null_arg_guard(agg.kind, raw, arg, tag,
                                                  nr_err)
                         elif agg.kind in ('min', 'max', 'median'):

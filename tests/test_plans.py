@@ -633,3 +633,25 @@ def test_nu_counter_no_single_partition_window(spark, sf_dir):
         if 'windowspecdefinition(' in line:
             assert '__rbql_pid' in line, \
                 'unpartitioned window in NU plan:\n' + line
+
+
+def test_group_agg_null_guards_refunded_for_null_free_parquet(spark, sf_dir, entry):
+    # round-12 verdict item: when parquet footer stats prove a column
+    # null-free, the reference-parity null guards are vacuous and must
+    # not appear in the plan (they cost ~55% on this gate in r12).
+    plan = _plan(entry.queries()['rbql_group_agg'](spark, sf_dir))
+    assert 'raise_error' not in plan
+    assert '__ng_' not in plan
+
+
+def test_group_agg_null_guards_kept_for_unproven_input(spark):
+    # in-memory tables carry no footer proof — the guards must stay
+    from rbql_spark import query_table
+    import pytest as _pt
+    from rbql_spark.errors import RbqlRuntimeError
+    rows, _ = query_table(spark, 'SELECT a1, SUM(a2) GROUP BY a1',
+                          [['x', 1], ['x', 2], ['y', 3]])
+    assert sorted(rows) == [['x', 3], ['y', 3]]
+    with _pt.raises(RbqlRuntimeError, match="NoneType"):
+        query_table(spark, 'SELECT a1, SUM(a2) GROUP BY a1',
+                    [['x', 1], ['x', None], ['y', 3]])
