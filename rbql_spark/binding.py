@@ -169,6 +169,10 @@ class Binding:
         # set by the engine's UPDATE path once the NU running-count
         # column is materialized; None = NU is the constant 0
         self.nu_col: str | None = None
+        # whether NR_COL carries exact 1-based record numbers (engine sets
+        # it per stage); False = the order surrogate, where error messages
+        # use the partition-ordinal approximation
+        self.nr_dense: bool = False
 
     def _side(self, prefix: str) -> SideInfo:
         if prefix == 'a':

@@ -464,6 +464,7 @@ class StageRunner:
             wf = self._load_b_side(stage, wf)
 
         comp = _ExprComputer(wf, self.options)
+        comp.binding.nr_dense = nr_referenced
         if early_filtered:
             comp.native_count += 1
         df = wf.df

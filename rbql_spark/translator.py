@@ -24,7 +24,7 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .binding import Binding, VarRef
+from .binding import NR_COL, Binding, VarRef
 from .errors import RbqlParsingError
 from .functions.like import like_to_java_regex
 
@@ -102,6 +102,7 @@ def as_predicate(tc: TCol) -> Column:
     if tc.tag == 'match_opt':
         return tc.col.eqNullSafe(F.lit(True))
     raise TranslationFallback('truthiness of type {!r}'.format(tc.tag))
+
 
 
 class ExpressionTranslator:
@@ -428,6 +429,23 @@ class ExpressionTranslator:
 
     # ------------------------------------------------------------------
 
+    def _none_type_error(self, py_msg: str) -> Column:
+        """A column that raises the real-Python TypeError the moment any
+        row evaluates it — the native rendering of an expression the
+        reference can only FAIL on (len(None)/int(None)/float(None) of an
+        out-of-width field: safe_get None, rbql_engine.py:249-250, wrapped
+        by the main loop at 756-767).  On a ZERO-row table nothing
+        evaluates, so the query succeeds with the right output TYPE —
+        closing the empty-table evaluator fallbacks (round 13).  Record
+        numbers: exact when the stage attached dense NR, else the
+        partition-ordinal approximation (the aggregate nr_err convention,
+        engine.py)."""
+        nr = F.col(NR_COL)
+        rec = nr if self.binding.nr_dense else (nr % F.lit(1 << 33)) + 1
+        return F.raise_error(F.concat(F.lit('At record '),
+                                      rec.cast('string'),
+                                      F.lit(', Details: ' + py_msg)))
+
     def _call(self, node: ast.Call) -> TCol:
         if node.keywords:
             raise TranslationFallback('keyword arguments')
@@ -516,6 +534,10 @@ class ExpressionTranslator:
                         v.col, F.lit("'")))
                 ).otherwise(casted)
                 return TCol(guarded, 'int')
+            if v.tag == 'null':
+                return TCol(self._none_type_error(
+                    'int() argument must be a string, a bytes-like object '
+                    "or a real number, not 'NoneType'").cast('long'), 'int')
             raise TranslationFallback('int() on {}'.format(v.tag))
         if name == 'float' and len(args) == 1:
             v = self._expr(args[0])
@@ -530,6 +552,10 @@ class ExpressionTranslator:
                         v.col, F.lit("'")))
                 ).otherwise(casted)
                 return TCol(guarded, 'float')
+            if v.tag == 'null':
+                return TCol(self._none_type_error(
+                    'float() argument must be a string or a real number, '
+                    "not 'NoneType'").cast('double'), 'float')
             raise TranslationFallback('float() on {}'.format(v.tag))
         if name == 'str' and len(args) == 1:
             v = self._expr(args[0])
@@ -558,6 +584,10 @@ class ExpressionTranslator:
                 return TCol(F.length(v.col).cast('long'), 'int')
             if v.tag.startswith('array:'):
                 return TCol(F.size(v.col).cast('long'), 'int')
+            if v.tag == 'null':
+                return TCol(self._none_type_error(
+                    "object of type 'NoneType' has no len()").cast('long'),
+                    'int')
         if name == 'round':
             v = self._expr(args[0])
             if v.tag == 'float':

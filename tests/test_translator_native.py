@@ -278,3 +278,34 @@ def test_nu_builtin_select_and_update_parity(spark):
     rows, _ = query_table(spark, "UPDATE SET a2 = NU WHERE a1 != 'y'",
                           [['x', 1], ['y', 2], ['z', 3]])
     assert rows == [['x', 1], ['y', 2], ['z', 2]]
+
+
+def test_out_of_width_none_type_calls_native(spark):
+    """len()/int()/float() of an out-of-width field (safe_get None,
+    rbql_engine.py:249-250) translate natively: zero-row tables succeed
+    with the right output TYPE (the reference runs zero records), any
+    real row raises the real-Python TypeError at the right record."""
+    import pytest
+    from rbql_spark import query_table
+    from rbql_spark.api import query_dataframe, _rows_to_handle
+    from rbql_spark.errors import RbqlRuntimeError
+
+    # empty input: the reference's 'empty input' corpus case — no
+    # evaluator fallback, no error, zero rows
+    h = _rows_to_handle(spark, [], None)
+    res = query_dataframe(spark,
+                          'select NR, a1, len(a3) where int(a1) > 5', h)
+    assert res.telemetry['fallback_count'] == 0
+    assert res.display_df().count() == 0
+
+    # rows present: real-Python TypeError text, reference record number
+    for q, msg in [
+        ('select len(a3)', "object of type 'NoneType' has no len()"),
+        ('select int(a3)', "int() argument must be a string, a bytes-like "
+                           "object or a real number, not 'NoneType'"),
+        ('select float(a3)', "float() argument must be a string or a real "
+                             "number, not 'NoneType'"),
+    ]:
+        with pytest.raises(RbqlRuntimeError) as ei:
+            query_table(spark, q, [['x', 'y']])
+        assert str(ei.value) == 'At record 1, Details: ' + msg
