@@ -83,6 +83,19 @@ def _ensure_base_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# quality-classifier training hyperparameters — ONE definition drives
+# both the cache key and the classifier_train call (round-12 advisory:
+# a hand-written key literal next to a separate call invites silent
+# stale-cache scoring when one is edited without the other)
+_CLF_HP = dict(dim=256, n_iter=2, lr=1.0)
+_CLF_LABEL = "lang==en"          # key string AND the expression below
+
+
+def _clf_label_col():
+    # the one place the label rule lives; _CLF_LABEL names it in the key
+    return F.when(F.col('lang') == 'en', 1).otherwise(0)
+
+
 def _trained_classifier_weights(spark: SparkSession, sf_dir: str,
                                 force: bool = False) -> list:
     """One (dim=256, n_iter=2, lr=1.0, label = lang=='en') training per
@@ -104,7 +117,8 @@ def _trained_classifier_weights(spark: SparkSession, sf_dir: str,
     # must invalidate the cache automatically, or the streaming/PR-curve
     # gates would silently score with stale weights against a retrained
     # oracle (round-12 advisory)
-    hp = 'dim=256|n_iter=2|lr=1.0|label=lang==en'
+    hp = '|'.join('{}={}'.format(k, v) for k, v in sorted(_CLF_HP.items())) \
+        + '|label={}'.format(_CLF_LABEL)
     key = hashlib.md5('clfw|{}|{}|{}|v1'.format(sf_dir, stamp, hp)
                       .encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(),
@@ -114,9 +128,8 @@ def _trained_classifier_weights(spark: SparkSession, sf_dir: str,
             return _json.load(f)
     from rbql_spark.ops.classifier import classifier_train
     docs = _t(spark, sf_dir, 'documents')
-    labeled = docs.withColumn(
-        'label', F.when(F.col('lang') == 'en', 1).otherwise(0))
-    w = classifier_train(labeled, dim=256, n_iter=2, lr=1.0)
+    labeled = docs.withColumn('label', _clf_label_col())
+    w = classifier_train(labeled, **_CLF_HP)
     tmp = path + '.tmp{}'.format(os.getpid())
     with open(tmp, 'w') as f:
         _json.dump(w, f)
@@ -143,8 +156,10 @@ def _cached_ivf_centroids(spark: SparkSession, sf_dir: str, quantizer: str,
         stamp = '{}:{}'.format(os.path.getmtime(src), os.path.getsize(src))
     except OSError:
         stamp = ''
-    key = hashlib.md5('ivfc|{}|{}|{}|{}|{}|maxIter=20|v1'.format(
-        sf_dir, stamp, quantizer, n_cells, seed).encode()).hexdigest()[:10]
+    from rbql_spark.ops.similarity import KMEANS_MAX_ITER
+    key = hashlib.md5('ivfc|{}|{}|{}|{}|{}|maxIter={}|v1'.format(
+        sf_dir, stamp, quantizer, n_cells, seed,
+        KMEANS_MAX_ITER).encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(),
                         'rbql_ivfc_{}.json'.format(key))
     if os.path.exists(path):

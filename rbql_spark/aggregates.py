@@ -164,6 +164,16 @@ def null_arg_guard(kind: str, raw: Column, coerced: Column, tag: str,
     TYPE word comes from the column tag ('int' unless the tag is
     float), which matches except when a float column's very first
     record is the null (the reference's int-0 initializer wins there).
+    Further message-text-only divergences (outcome parity fuzz-pinned;
+    round-12 advisory): when a group's FIRST value is the None,
+    the reference's Avg/Variance store it silently and raise at the
+    NEXT record with reversed operands ("'NoneType' and 'float'") — or
+    at finalize (a float(None) message) for a lone trailing-null group —
+    while this guard raises at the null record with "'<t>' and
+    'NoneType'"; MEDIAN's all-null multi-row group reports
+    "'NoneType' and '<t>'" where the reference says "'NoneType' and
+    'NoneType'".  The differential fuzz asserts outcome + NoneType
+    marker only, by design.
     """
     t = 'float' if tag == 'float' else 'int'
     if tag == 'str':

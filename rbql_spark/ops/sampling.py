@@ -71,7 +71,8 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
                        key_col: str = 'doc_id', seed: int = 42,
                        salt_buckets: int = 32,
                        broadcast_picks: bool | None = None,
-                       broadcast_max_rows: int = 5_000_000) -> DataFrame:
+                       broadcast_max_rows: int = 5_000_000,
+                       on_null_key: str = 'drop') -> DataFrame:
     """EXACTLY the k rows per group with the smallest deterministic key
     hash (a fixed-size per-stratum sample: "take 10k docs per language",
     where the fraction-based samplers can't hit an exact count) → the
@@ -85,7 +86,9 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
     would make the (unit, key) rank order non-total and the join-back
     fan out.  The join-back matches on (group, key), so a pick never
     attaches outside its own group.  NULL-keyed rows are never sampled
-    (they cannot round-trip the key join; see the inline note).
+    (they cannot round-trip the key join; see the inline note); pass
+    on_null_key='error' to raise at the first NULL key instead of
+    silently dropping.
 
     Scale shape — skew-safe exact rank without a per-group single task:
     a naive row_number over PARTITION BY group serializes each group
@@ -107,6 +110,9 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
         raise ValueError('sample_k_per_group: k must be >= 1')
     if int(salt_buckets) < 1:
         raise ValueError('sample_k_per_group: salt_buckets must be >= 1')
+    if on_null_key not in ('drop', 'error'):
+        raise ValueError("sample_k_per_group: on_null_key must be 'drop' "
+                         "or 'error', got {!r}".format(on_null_key))
     # reserved temp names, checked: a bare '__k'/'__g' would silently
     # drop same-named USER columns from the output at the end
     kc, gc, uc = '__rbql_kpg_k', '__rbql_kpg_g', '__rbql_kpg_u'
@@ -121,9 +127,22 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
     # NULL), silently shrinking its group to k-1 rows; DuckDB's default
     # NULLS LAST would additionally diverge.  The contract is therefore:
     # NULL-keyed rows are never sampled.
-    slim = df.where(F.col(key_col).isNotNull()) \
+    # on_null_key='error' (round-12 advisory: the silent-drop contract
+    # can surprise callers whose keys are unexpectedly nullable): raise
+    # at the first NULL key instead — a zero-extra-job guard evaluated
+    # during the rank scan itself.
+    key_in = F.col(key_col)
+    if on_null_key == 'error':
+        key_in = F.when(
+            key_in.isNull(),
+            F.raise_error(F.concat(
+                F.lit('sample_k_per_group: NULL {} with '
+                      'on_null_key=error (group '.format(key_col)),
+                F.coalesce(F.col(group_col).cast('string'), F.lit('NULL')),
+                F.lit(')')))).otherwise(key_in)
+    slim = df.where(key_in.isNotNull()) \
              .select(F.col(group_col).alias(gc),
-                     F.col(key_col).alias(kc)) \
+                     key_in.alias(kc)) \
              .withColumn(uc, _hash_unit(F.col(kc), seed, op='kpg'))
     # the salt is engine-side only: any partition of a group's rows
     # preserves exactness, so it never needs oracle replay

@@ -199,6 +199,13 @@ def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     return _train_centroids(c, n_cells, seed, quantizer)
 
 
+# Lloyd iterations for the MLlib coarse quantizer — exported so cache
+# keys built on top of centroid training (e.g. the benchmark-entry
+# centroid cache) can derive their key from the SAME value that drives
+# the fit, instead of a hand-written literal that can drift.
+KMEANS_MAX_ITER = 20
+
+
 def _train_centroids(c: DataFrame, n_cells: int, seed: int,
                      quantizer: str) -> list[list[float]]:
     """Coarse-quantizer centroids for IVF (see ivf_ann_topk docstring)."""
@@ -206,7 +213,7 @@ def _train_centroids(c: DataFrame, n_cells: int, seed: int,
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
         train = c.select(array_to_vector(F.col('__cv')).alias('features'))
-        model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+        model = KMeans(k=n_cells, seed=seed, maxIter=KMEANS_MAX_ITER).fit(train)
         return [[float(x) for x in ctr] for ctr in model.clusterCenters()]
     if quantizer == 'hash':
         cent_rows = (c.select(

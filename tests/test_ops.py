@@ -1967,3 +1967,21 @@ def test_materialize_bins_text_and_ids(spark):
         want = [x for _, d in members for x in id_map[d]]
         assert b['bin_payload'] == want
         assert b['n_tokens'] == len(want)
+
+
+def test_sample_k_per_group_on_null_key_error(spark):
+    # round-12 advisory: the silent NULL-key drop gets a strict mode
+    import pytest
+    from pyspark.sql import functions as F
+    from rbql_spark.ops.sampling import sample_k_per_group
+    df = spark.createDataFrame(
+        [('g1', 'a'), ('g1', None), ('g2', 'b')], 'grp string, doc_id string')
+    # default: NULL-keyed row silently excluded
+    out = sample_k_per_group(df, k=2, group_col='grp')
+    assert out.count() == 2
+    # strict: raises at the NULL key
+    with pytest.raises(Exception, match='NULL doc_id'):
+        sample_k_per_group(df, k=2, group_col='grp',
+                           on_null_key='error').collect()
+    with pytest.raises(ValueError, match='on_null_key'):
+        sample_k_per_group(df, k=2, group_col='grp', on_null_key='warn')
