@@ -151,7 +151,8 @@ class _ExprComputer:
         if fallback:
             df = eval_columns(df, self.wf, fallback,
                               user_init_code=self.options.user_init_code,
-                              sample_rows=self.options.sample_rows)
+                              sample_rows=self.options.sample_rows,
+                              nr_dense=self.binding.nr_dense)
             for pe in fallback:
                 tags[pe.out_col] = 'json' if pe.is_json else type_tag(pe.dtype)
         return df, tags
@@ -169,7 +170,8 @@ class _ExprComputer:
             pe.dtype = T.BooleanType()
             df = eval_columns(df, self.wf, [pe],
                               user_init_code=self.options.user_init_code,
-                              sample_rows=self.options.sample_rows)
+                              sample_rows=self.options.sample_rows,
+                              nr_dense=self.binding.nr_dense)
             return df, F.col('__where')
 
 

@@ -280,8 +280,15 @@ _SAMPLE_TYPE_CACHE: dict = {}
 
 
 def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
-                 user_init_code: str = '', sample_rows: int = 64) -> DataFrame:
-    """Append one column per PyExpr, evaluating arbitrary Python per record."""
+                 user_init_code: str = '', sample_rows: int = 64,
+                 nr_dense: bool = False) -> DataFrame:
+    """Append one column per PyExpr, evaluating arbitrary Python per record.
+
+    ``nr_dense``: whether NR_COL carries exact 1-based record numbers.
+    When False (the order surrogate, pid*2^33 + offset), error messages
+    use the partition-ordinal approximation — the engine's aggregate
+    nr_err convention — instead of leaking the raw surrogate id
+    ('At record 25769803776')."""
     plan = _plan_variables([pe.expr for pe in pyexprs], wf)
     a_header = wf.a.header
     b_header = wf.b.header if wf.b is not None else None
@@ -403,6 +410,7 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
     json_colnames = [internal_col(s.prefix, i)
                      for s in (wf.a, wf.b) if s is not None for i in s.json_cols]
     uic = user_init_code
+    dense_nr = bool(nr_dense)
     make_env_outer = build_env_factory()
 
     def run_batches(batches):
@@ -439,6 +447,8 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
                         outs[name][i] = coerce(eval(code, glb, env))
                     except Exception as e:
                         nr = row.get(NR_COL)
+                        if nr is not None and not dense_nr:
+                            nr = (int(nr) % (1 << 33)) + 1
                         raise RbqlRuntimeError('At record {}, Details: {}'.format(nr, e))
             res = pdf.copy()
             for name, _, _ in compiled:

@@ -77,21 +77,33 @@ def score_flat(corpus, weights):
     def score(ga):
         n = F.size(ga)
         nd = n.cast('double')
-        bs = F.array_sort(F.transform(
-            ga, lambda g: _bucket(g, dim, SEED).cast('int')))
-        idx = F.sequence(F.lit(0), n - 1)
-        starts = F.filter(
-            idx, lambda i: (i == 0)
-            | (F.element_at(bs, i + 1) != F.element_at(bs, i)))
-        k = F.size(starts)
-        terms = F.transform(
-            starts,
-            lambda s, j: F.element_at(wlit, F.element_at(bs, s + 1) + 1)
-            * ((F.when(j == k - 1, n)
-                 .otherwise(F.element_at(starts, j + 2)) - s).cast('double')
-               / nd))
-        folded = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t) \
-            + F.lit(intercept)
+        # bs and starts MUST be lambda-bound (let_once): Catalyst has no
+        # CSE inside HOF lambdas, so a bare `bs` referenced in the filter
+        # body would re-sort the whole array per element (quadratic)
+        def with_bs(bs):
+            idx = F.sequence(F.lit(0), n - 1)
+            run_starts = F.filter(
+                idx, lambda i: (i == 0)
+                | (F.element_at(bs, i + 1) != F.element_at(bs, i)))
+
+            def with_starts(starts):
+                k = F.size(starts)
+                terms = F.transform(
+                    starts,
+                    lambda s, j: F.element_at(wlit,
+                                              F.element_at(bs, s + 1) + 1)
+                    * ((F.when(j == k - 1, n)
+                         .otherwise(F.element_at(starts, j + 2)) - s)
+                       .cast('double') / nd))
+                return F.aggregate(terms, F.lit(0.0),
+                                   lambda acc, t: acc + t) \
+                    + F.lit(intercept)
+
+            return let_once(run_starts, with_starts)
+
+        folded = let_once(
+            F.array_sort(F.transform(
+                ga, lambda g: _bucket(g, dim, SEED).cast('int'))), with_bs)
         logit = F.when(n > 0, _floor6(folded))
         return F.struct(n.cast('long').alias('n_features'),
                         logit.alias('logit'))
@@ -141,7 +153,9 @@ def main():
     w = entry._trained_classifier_weights(spark, sf_dir)
 
     # batch equivalence first: head and flat must be BIT-identical
-    docs = entry._t(spark, sf_dir, 'documents')
+    # (repartition: the single-file scan would otherwise run the whole
+    # interpreted-HOF projection on one task)
+    docs = entry._t(spark, sf_dir, 'documents').repartition(32)
     a = score_head(docs, w).withColumnRenamed('logit', 'l1') \
                            .withColumnRenamed('prob', 'p1') \
                            .withColumnRenamed('n_features', 'n1')
@@ -155,9 +169,10 @@ def main():
     print('flat-vs-head bit mismatches:', bad, flush=True)
 
     run_once(spark, sf_dir, w, 'head', 'warm')  # warm replay dir + JVM
-    results = {k: [] for k in VARIANTS}
-    for rep in range(3):
-        for variant in ('head', 'r11', 'flat'):
+    variants_env = os.environ.get('AB_CLF_VARIANTS', 'head,r11,flat').split(',')
+    results = {k: [] for k in variants_env}
+    for rep in range(int(os.environ.get('AB_CLF_REPS', '3'))):
+        for variant in variants_env:
             dt, n = run_once(spark, sf_dir, w, variant, variant)
             results[variant].append(round(dt, 2))
             print('rep', rep, variant.ljust(4), round(dt, 2), 's rows', n,

@@ -139,6 +139,14 @@ SUBSET = [
     'bpe_encode_ids',
     'pack_materialize',
     'contamination_report',
+    # round 13 additions (verdict #8): the remaining tokenizer-tail gate
+    # plus uncovered documents/events gates so every recent operator has
+    # a measured 10x ratio
+    'bpe_vocab',
+    'text_bm25',
+    'pivot_event_counts',
+    'dedup_keep_canonical',
+    'sample_hash',
 ]
 
 _LOWER = 'abcdefghijklmnopqrstuvwxyz'
