@@ -113,6 +113,30 @@ def _needs_dense_nr(stage: ParsedStage, side: str) -> bool:
     return rgx.search(text) is not None
 
 
+def _bare_field_null_free(binding: Binding, wf: WorkFrame,
+                          join_subtype, text: str | None) -> bool:
+    """True iff `text` is a bare field reference whose SOURCE column is
+    proven null-free (parquet footer null-count stats, TableHandle.
+    null_free) — lets callers skip null guards that are vacuous there.
+    A LEFT JOIN manufactures nulls on the b side, so b fields only
+    qualify under INNER JOIN; ragged sources never qualify (missing
+    trailing cells read as None)."""
+    if text is None:
+        return False
+    try:
+        ref = _resolve_var_text(binding, text.strip(), 'a')
+    except Exception:
+        return False
+    if ref.kind != 'field' or ref.index is None:
+        return False
+    if ref.side == 'a':
+        return not wf.a.ragged and ref.index in wf.a.null_free
+    if ref.side == 'b' and wf.b is not None:
+        return (join_subtype in (parser.JOIN, parser.INNER_JOIN)
+                and not wf.b.ragged and ref.index in wf.b.null_free)
+    return False
+
+
 class _ExprComputer:
     """Computes named expression columns: translator first, batched pyeval
     fallback for the rest (ONE mapInPandas pass per batch of fallbacks)."""
@@ -810,10 +834,14 @@ class StageRunner:
         # REVERSES the list (SortedWriter, rbql_engine.py:540-557), which
         # reverses equal-key runs too — so every tiebreaker flips with DESC.
         rev = bool(sort_cols) and stage.sort_reverse
+        sort_exprs = list(stage.sort_key_exprs or [])
         order: list[Column] = []
-        for c in sort_cols:
+        for ci, c in enumerate(sort_cols):
             key = F.col(c)
-            if c in df.columns:
+            guard_needed = not _bare_field_null_free(
+                comp.binding, wf, stage.join_subtype,
+                sort_exprs[ci] if ci < len(sort_exprs) else None)
+            if c in df.columns and guard_needed:
                 # reference parity (round-12): Python's sort compares a
                 # None key against its neighbor and raises — ANY null
                 # sort key is a runtime error, never a silent
@@ -922,26 +950,10 @@ class StageRunner:
         nr = F.col(NR_COL)
 
         def _proven_null_free(arg_text: str | None) -> bool:
-            # refund the reference-parity null guards when the aggregated
-            # argument is a bare field whose source PROVED zero nulls
-            # (parquet footer null-count stats, TableHandle.null_free) —
-            # the guards are vacuous there and cost ~55% on the group-agg
-            # bench gate.  A LEFT JOIN manufactures nulls on the b side,
-            # so b fields only qualify under INNER JOIN.
-            if arg_text is None:
-                return False
-            try:
-                ref = _resolve_var_text(comp.binding, arg_text.strip(), 'a')
-            except Exception:
-                return False
-            if ref.kind != 'field' or ref.index is None:
-                return False
-            if ref.side == 'a':
-                return not wf.a.ragged and ref.index in wf.a.null_free
-            if ref.side == 'b' and wf.b is not None:
-                return (stage.join_subtype in (parser.JOIN, parser.INNER_JOIN)
-                        and not wf.b.ragged and ref.index in wf.b.null_free)
-            return False
+            # the guards are vacuous on proven-null-free columns and cost
+            # ~55% on the group-agg bench gate (round-12 verdict #4)
+            return _bare_field_null_free(comp.binding, wf,
+                                         stage.join_subtype, arg_text)
 
         agg_exprs: list[Column] = []
         out_specs: list[str] = []

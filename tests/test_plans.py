@@ -655,3 +655,20 @@ def test_group_agg_null_guards_kept_for_unproven_input(spark):
     with _pt.raises(RbqlRuntimeError, match="NoneType"):
         query_table(spark, 'SELECT a1, SUM(a2) GROUP BY a1',
                     [['x', 1], ['x', None], ['y', 3]])
+
+
+def test_top_order_null_guard_refunded_for_null_free_parquet(spark, sf_dir, entry):
+    # same refund as the aggregates: a parquet-proven null-free ORDER BY
+    # key needs no per-row raise_error wrapper (cleaner TakeOrdered key)
+    plan = _plan(entry.queries()['rbql_select_top_order'](spark, sf_dir))
+    assert 'raise_error' not in plan
+    assert 'TakeOrderedAndProject' in plan
+
+
+def test_order_by_null_guard_kept_for_unproven_input(spark):
+    import pytest as _pt
+    from rbql_spark import query_table
+    from rbql_spark.errors import RbqlRuntimeError
+    with _pt.raises(RbqlRuntimeError, match="NoneType"):
+        query_table(spark, 'SELECT a1 ORDER BY a2',
+                    [['x', 1], ['y', None], ['z', 3]])
