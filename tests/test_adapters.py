@@ -61,3 +61,22 @@ def test_sqlite_join_by_table_name(spark, sqlite_db):
     rows, _ = query_sqlite(spark, 'SELECT a.name, b.pet INNER JOIN pets ON a.name == b.owner ORDER BY a.name',
                            sqlite_db, 'people')
     assert rows == [['alice', 'cat'], ['carol', 'dog']]
+
+
+def test_parquet_null_free_columns_footer_proof(spark, tmp_path):
+    """Footer null-count statistics prove null-free columns; any column
+    with a null (or without stats) is disqualified — absence of proof,
+    never an assumption."""
+    import pandas as pd
+    from rbql_spark.registry import parquet_null_free_columns
+
+    p = str(tmp_path / 'nf.parquet')
+    pdf = pd.DataFrame({'clean': [1, 2, 3, 4],
+                        'dirty': [1.0, None, 3.0, 4.0],
+                        'text': ['a', 'b', 'c', 'd']})
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(p)
+    proven = parquet_null_free_columns(p)
+    assert 'clean' in proven and 'text' in proven
+    assert 'dirty' not in proven
+    # nonexistent path → empty proof, no raise
+    assert parquet_null_free_columns(str(tmp_path / 'missing')) == frozenset()

@@ -84,3 +84,33 @@ def test_update_join_dup_error_reports_first_record(spark):
         query_table(spark, 'UPDATE a2 = b2 INNER JOIN b ON a2 == b1',
                     [['1', 'zz'], ['2', 'us'], ['3', 'us']],
                     join_table=[['us', 'USA'], ['us', 'America']])
+
+
+def test_nu_two_phase_matches_sequential_truth(spark, tmp_path):
+    """The two-phase NU counter must equal the sequential running count
+    on a multi-partition mid-size table (the plan-level test asserts no
+    single-partition window; this asserts the VALUES)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from rbql_spark.api import query_dataframe, collect_result_rows
+    from rbql_spark.binding import TableHandle
+
+    n = 20_000
+    pdf = pd.DataFrame({'k': range(1, n + 1),
+                        'v': [(i * 37) % 100 for i in range(n)]})
+    src = str(tmp_path / 'nu_src.parquet')
+    spark.createDataFrame(pdf).repartition(8).write.parquet(src)
+    df = spark.read.parquet(src)
+    handle = TableHandle(df=df, header=list(df.columns))
+    res = query_dataframe(spark, 'UPDATE a.v = NU WHERE a.v > 50', handle)
+    rows = collect_result_rows(res)
+    # replay sequentially in input order (rows come back in input order)
+    nu = 0
+    for k, v in rows:
+        orig = ((k - 1) * 37) % 100
+        if orig > 50:
+            nu += 1
+            assert v == nu, 'row k={}: got {}, want {}'.format(k, v, nu)
+        else:
+            assert v == orig
+    assert nu > 0
