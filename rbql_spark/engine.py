@@ -478,9 +478,14 @@ class StageRunner:
         early_filtered = False
         if (stage.is_select and stage.where_expr is not None and not nr_referenced):
             try:
-                cond = ExpressionTranslator(Binding(wf)).translate_predicate(stage.where_expr)
-                wf = wf.with_df(wf.df.filter(cond))
-                early_filtered = True
+                tr = ExpressionTranslator(Binding(wf))
+                cond = tr.translate_predicate(stage.where_expr)
+                # a NoneType-call guard carries the record number via
+                # NR_COL, which does not exist yet at pushdown time —
+                # fall through to the ordinary post-attach WHERE
+                if not tr.uses_nr_col:
+                    wf = wf.with_df(wf.df.filter(cond))
+                    early_filtered = True
             except (TranslationFallback, RbqlParsingError, RbqlRuntimeError, SyntaxError):
                 pass
 

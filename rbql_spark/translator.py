@@ -108,6 +108,11 @@ def as_predicate(tc: TCol) -> Column:
 class ExpressionTranslator:
     def __init__(self, binding: Binding):
         self.binding = binding
+        # set when a translated expression references NR_COL internally
+        # (the NoneType-call guards carry the record number) — such a
+        # column cannot run before NR is attached, so the engine's
+        # early-filter pushdown must skip it
+        self.uses_nr_col = False
 
     def translate(self, expr_text: str) -> TCol:
         try:
@@ -440,6 +445,7 @@ class ExpressionTranslator:
         numbers: exact when the stage attached dense NR, else the
         partition-ordinal approximation (the aggregate nr_err convention,
         engine.py)."""
+        self.uses_nr_col = True
         nr = F.col(NR_COL)
         rec = nr if self.binding.nr_dense else (nr % F.lit(1 << 33)) + 1
         return F.raise_error(F.concat(F.lit('At record '),
