@@ -114,3 +114,11 @@ def test_nu_two_phase_matches_sequential_truth(spark, tmp_path):
         else:
             assert v == orig
     assert nu > 0
+
+
+def test_nu_on_empty_table(spark):
+    # zero rows: the two-phase counter's offsets pass sees no partitions
+    # and must not error (reference: zero records, empty output)
+    from rbql_spark import query_table
+    rows, _ = query_table(spark, 'UPDATE a1 = NU WHERE a2 == "x"', [])
+    assert rows == []
