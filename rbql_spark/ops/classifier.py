@@ -55,27 +55,69 @@ def _features(df: DataFrame, text_col: str, id_col: str, dim: int,
     DSIR convention).  n_features = total gram occurrences (intercept
     excluded) — an exact integer ratio, so x is bit-identical in any
     IEEE engine.
+
+    Scale shape (round 13): per-doc bucket counts are computed IN-ROW —
+    sorted bucket ids → run-length (bucket, count) pairs via flat
+    let_once-bound transforms (the _score_inline machinery) — then the
+    pairs explode already aggregated.  The old shape exploded one row
+    per gram OCCURRENCE and shuffled the corpus twice (explode→groupBy,
+    then a per-doc window for n_features) before the trainer's own
+    co-location repartition; this one reaches that repartition with
+    ZERO prior shuffles, so train/score pay ONE corpus shuffle total
+    (and the scoring path, which never repartitions, pays none before
+    its per-doc aggregation).  The intercept rides as one extra pair
+    (bucket=dim, c=n): x = n/n = 1.0 exactly in IEEE.  Counts and
+    totals are the same integers as before, so x is bit-identical; only
+    the ROW ORDER of the feature triple changes, which sits below the
+    round-6 1e-6 training grid like every other summation-order detail
+    (see classifier_train's determinism contract).
     """
+    from .dedup import let_once
     carry = [] if label is None else ['y']
+
+    def pairs(ga: Column) -> Column:
+        n = F.size(ga)
+
+        def with_bs(bs: Column) -> Column:
+            idx = F.sequence(F.lit(0), n - 1)
+            run_starts = F.filter(
+                idx, lambda i: (i == 0)
+                | (F.element_at(bs, i + 1) != F.element_at(bs, i)))
+
+            def with_starts(starts: Column) -> Column:
+                k = F.size(starts)
+                return F.transform(
+                    starts,
+                    lambda s, j: F.struct(
+                        F.element_at(bs, s + 1).alias('bucket'),
+                        (F.when(j == k - 1, n)
+                          .otherwise(F.element_at(starts, j + 2)) - s)
+                        .cast('long').alias('c')))
+
+            return let_once(run_starts, with_starts)
+
+        bcs = let_once(
+            F.array_sort(F.transform(ga, lambda g: _bucket(g, dim, seed))),
+            with_bs)
+        full = F.concat(bcs, F.array(F.struct(
+            F.lit(int(dim)).cast('long').alias('bucket'),
+            n.cast('long').alias('c'))))
+        # n == 0 → null: explode() drops the document entirely
+        return F.when(n > 0, F.struct(n.cast('long').alias('n'),
+                                      full.alias('p')))
+
     base = spread_partitions(df).select(
         F.col(id_col).alias('doc_id'),
         *([] if label is None else [label.cast('double').alias('y')]),
-        F.explode(_hashed_grams(F.col(text_col), ngram_max)).alias('__g'))
-    cnt = (base.select('doc_id', *carry,
-                       _bucket(F.col('__g'), dim, seed).alias('bucket'))
-               .groupBy('doc_id', *carry, 'bucket')
-               .agg(F.count(F.lit(1)).alias('__c')))
-    w = Window.partitionBy('doc_id')
-    fx = (cnt.withColumn('n_features', F.sum('__c').over(w))
-             .select('doc_id', *carry, 'bucket',
-                     (F.col('__c') / F.col('n_features')).alias('x'),
-                     'n_features'))
-    intercept = (fx.groupBy('doc_id', *carry)
-                   .agg(F.first('n_features').alias('n_features'))
-                   .select('doc_id', *carry,
-                           F.lit(int(dim)).cast('long').alias('bucket'),
-                           F.lit(1.0).alias('x'), 'n_features'))
-    return fx.unionByName(intercept)
+        let_once(_hashed_grams(F.col(text_col), ngram_max),
+                 pairs).alias('__fp'))
+    return (base.select('doc_id', *carry,
+                        F.col('__fp.n').alias('n_features'),
+                        F.explode(F.col('__fp.p')).alias('__bc'))
+                .select('doc_id', *carry,
+                        F.col('__bc.bucket').alias('bucket'),
+                        (F.col('__bc.c') / F.col('n_features')).alias('x'),
+                        'n_features'))
 
 
 def _weights_df(spark, weights: list[float]) -> DataFrame:
