@@ -198,3 +198,23 @@ def test_classifier_train_unpersists(spark, labeled):
     classifier_train(labeled, dim=32, n_iter=1)
     after = len([r for r in sc._jsc.getPersistentRDDs().items()])
     assert after == before
+
+
+def test_features_in_row_edge_docs(spark):
+    """Round-13 in-row feature extraction: tokenless (empty/whitespace/
+    NULL text) docs emit no rows; per-doc x sums to exactly 1.0 over the
+    real buckets and the intercept pair carries x = 1.0 exactly."""
+    from pyspark.sql import functions as F
+    from rbql_spark.ops.classifier import _features
+    df = spark.createDataFrame(
+        [(1, 'hello world hello'), (2, ''), (3, '   '), (4, None),
+         (5, 'one')],
+        'doc_id long, text string').withColumn(
+        'label', (F.col('doc_id') % 2 == 0).cast('int'))
+    rows = _features(df, 'text', 'doc_id', 16, 2, 42,
+                     label=F.col('label')).collect()
+    assert sorted({r['doc_id'] for r in rows}) == [1, 5]
+    for did in (1, 5):
+        rs = [r for r in rows if r['doc_id'] == did]
+        assert sum(r['x'] for r in rs if r['bucket'] != 16) == 1.0
+        assert [r['x'] for r in rs if r['bucket'] == 16] == [1.0]
