@@ -288,3 +288,63 @@ def test_differential_null_aggregates(spark, seed):
                                              got[1], expected[1])
     else:
         assert 'NoneType' in got[1], (seed, query, got[1], expected[1])
+
+
+def make_oow_query(rnd: random.Random) -> str:
+    """Out-of-width field calls (safe_get None, round-13 native class):
+    len()/int()/float()/str() over a field index past the table width,
+    sometimes guarded by a WHERE that empties the table."""
+    call = rnd.choice(['len(a9)', 'int(a9)', 'float(a9)', 'str(a9)',
+                       'len(a7)', 'int(a7)'])
+    q = 'SELECT NR, a1, {}'.format(call)
+    r = rnd.random()
+    if r < 0.3:
+        q += " WHERE a2 == 'no-such-word'"   # empties → no evaluation
+    elif r < 0.5:
+        q += ' WHERE int(a1) > 1000'          # also empties
+    return q
+
+
+@pytest.mark.parametrize('seed', list(range(15)))
+def test_differential_out_of_width_calls(spark, seed):
+    """Outcome parity for calls over out-of-width (always-None) fields:
+    both engines succeed with equal tables, or both raise with the same
+    Details tail (record-number prefix compared only when the reference
+    reports record 1 — this engine's non-dense approximation is exact
+    there)."""
+    from rbql_spark import query_table
+    from rbql_spark.errors import RbqlError
+    rnd = random.Random(91_000 + seed)
+    table = make_table(rnd)
+    query = make_oow_query(rnd)
+
+    ref_err = ref_out = None
+    try:
+        ref_out = run_reference(query, table)
+    except Exception as e:
+        ref_err = str(e)
+    got_err = got = None
+    try:
+        got, _hdr = query_table(spark, query, [list(r) for r in table])
+    except (RbqlError, Exception) as e:
+        got_err = str(e)
+
+    if ref_err is None:
+        assert got_err is None, \
+            'seed {}: reference succeeded, we raised {!r}\n query: {}' \
+            .format(seed, got_err, query)
+        assert equal_tables(got, ref_out), \
+            'seed {}: table divergence\n query: {}\n got: {}\n ref: {}' \
+            .format(seed, query, got, ref_out)
+    else:
+        assert got_err is not None, \
+            'seed {}: reference raised {!r}, we succeeded\n query: {}' \
+            .format(seed, ref_err, query)
+        tail = ref_err.split('Details: ', 1)[-1]
+        assert tail in got_err, \
+            'seed {}: error tail mismatch\n query: {}\n got: {!r}\n ' \
+            'ref: {!r}'.format(seed, query, got_err, ref_err)
+        if ref_err.startswith('At record 1,'):
+            assert got_err.startswith('At record 1,'), \
+                'seed {}: record prefix mismatch\n got: {!r}\n ref: {!r}' \
+                .format(seed, got_err, ref_err)
