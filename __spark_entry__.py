@@ -1642,10 +1642,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_lm_score_bigram', 'text_quality_filter',
         'text_quality_score', 'text_redact_pii', 'text_repetition',
         'text_token_stats', 'text_top_ngrams',
-        # --- touched this round (7) ---
+        # --- touched this round (7): the aggregate/sort guard refunds,
+        # the classifier in-row feature rewrite, and the scorer A/B
+        # subject ---
         'rbql_group_agg', 'rbql_global_agg', 'rbql_group_expr_key',
-        'rbql_array_agg', 'rbql_update', 'rbql_update_join',
-        'streaming_classifier',
+        'rbql_select_top_order', 'quality_classifier',
+        'classifier_pr_curve', 'streaming_classifier',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
