@@ -28,6 +28,7 @@ PICKS = [
     ('sim_ann_pq', 'PQ ANN (encoder=arrow default): the ADC sweep is ONE fused Arrow stage on the corpus scan (encode + score + per-batch shortlist prune); the shortlist broadcasts back into the float rescore scan — two corpus scans, no corpus shuffle.'),
     ('pipeline_training_data', 'Composed training-data pipeline with stage materialization: survivor + canonical frames persisted (InMemoryTableScan reuse), quality filter decided in-scan — ≤2 raw corpus FileScans (was 5), ≤8 distinct shuffles, 0 cartesian, 0 Python stages.'),
     ('join_asof', 'As-of join via union-and-carry-forward: ONE shuffle on the by-key feeds a single per-key window (last-non-null carry); no range join, no nested loop, never a cross product.'),
+    ('quality_classifier', 'Hashed-feature LR scoring (round-13 shape): per-doc bucket counts computed IN-ROW (sorted-bucket run-length transforms in the scan), so the corpus reaches the per-doc aggregation with zero prior shuffles; the dim+1-row weight table broadcasts. One real corpus Exchange on the whole score path.'),
     ('join_interval', 'Interval join via time-binned equi-join: intervals explode to covered bins, the join on (key, bin) is a hash join (no BroadcastNestedLoopJoin despite the inequality containment filter).'),
     ('sample_shuffle', 'Deterministic global shuffle positions without a one-task window: the corpus row_number window partitions by the content-derived bucket; the only SinglePartition exchange is the n_buckets-row offsets aggregation.'),
     ('sim_ann_index_churn', 'Stored-index search after delete/append churn: PartitionFilters prune to the probed cells, the tombstone set anti-joins via broadcast right after the pruned scan, shortlist + float rescore as the clean-index path.'),
