@@ -672,3 +672,19 @@ def test_order_by_null_guard_kept_for_unproven_input(spark):
     with _pt.raises(RbqlRuntimeError, match="NoneType"):
         query_table(spark, 'SELECT a1 ORDER BY a2',
                     [['x', 1], ['y', None], ['z', 3]])
+
+
+def test_classifier_score_single_corpus_exchange(spark, sf_dir):
+    # round-13 in-row feature rewrite: the scoring path must reach its
+    # per-doc aggregation with no prior corpus shuffle — one hash
+    # exchange total (plus the dim+1-row broadcast and, on small files,
+    # the spread_partitions round-robin, which vanishes at scale)
+    from pyspark.sql import functions as F
+    from rbql_spark.ops.classifier import classifier_score, classifier_train
+    docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+    labeled = docs.withColumn('label', (F.col('lang') == 'en').cast('int'))
+    w = classifier_train(labeled, dim=32, n_iter=1)
+    plan = classifier_score(docs, w)._jdf.queryExecution() \
+        .executedPlan().toString()
+    n_hash = plan.count('Exchange hashpartitioning')
+    assert n_hash == 1, 'score path grew corpus shuffles:\n' + plan[:1500]
