@@ -1568,16 +1568,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_fingerprint(_t(spark, sf_dir, 'documents'), hash_fn='md5')
     q['text_fingerprint'] = _text_fp
 
-    # ---- superset: multimodal plumbing -------------------------------------
+    # ---- superset: multimodal (REAL BMP/WAV codecs, r14) --------------------
     def _multimodal(spark, sf_dir):
+        # real 24-bit BMP encode per doc → real header/pixel-row parse →
+        # width/height/channel sums + 4-bin histograms (multimodal.py)
         from rbql_spark.ops.multimodal import multimodal_pipeline
-        res = multimodal_pipeline(_t(spark, sf_dir, 'documents'))
-        # feature rides as f0..f7 scalars: the driver's canonicalizer sorts
-        # by every column and can't hash an array<double> cell
-        return res.select(
-            'doc_id', 'n_bytes', 'byte_checksum', 'head_hex',
-            *[F.col('feature')[i].alias('f{}'.format(i)) for i in range(8)])
+        return multimodal_pipeline(_t(spark, sf_dir, 'documents'))
     q['multimodal_features'] = _multimodal
+
+    def _multimodal_audio(spark, sf_dir):
+        # real PCM-16 WAV encode → RIFF chunk walk → amplitude stats
+        from rbql_spark.ops.multimodal import audio_pipeline
+        return audio_pipeline(_t(spark, sf_dir, 'documents'))
+    q['multimodal_audio_features'] = _multimodal_audio
 
     def _multimodal_frames(spark, sf_dir):
         from rbql_spark.ops.multimodal import attach_binary_payload, sample_frames
@@ -1586,9 +1589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q['multimodal_frame_sample'] = _multimodal_frames
 
     def _multimodal_resize(spark, sf_dir):
-        from rbql_spark.ops.multimodal import attach_binary_payload, resize_stub
-        payloads = attach_binary_payload(_t(spark, sf_dir, 'documents'))
-        return resize_stub(payloads, factor=4)
+        # real resize: decode BMP → nearest-neighbor subsample → re-encode
+        from rbql_spark.ops.multimodal import attach_image_payload, resize_images
+        payloads = attach_image_payload(_t(spark, sf_dir, 'documents'))
+        return resize_images(payloads, factor=2)
     q['multimodal_resize'] = _multimodal_resize
 
     def _pipeline(spark, sf_dir):
@@ -3581,19 +3585,43 @@ def oracle_sql() -> dict[str, str]:
         "length(regexp_replace(text, '[^\\p{N}]', '', 'g')) AS n_digits "
         "FROM documents")
 
-    # stub decoder is deterministic over the utf-8 bytes of `text`
-    # (rbql_spark/ops/multimodal.py:_decode_payload) → plain SQL byte math
-    _f = ", ".join(
-        "CASE WHEN n >= {i} THEN ('0x' || h[{lo}:{hi}])::bigint / 255.0 "
-        "ELSE 0.0 END AS f{j}".format(i=i + 1, lo=i * 2 + 1, hi=i * 2 + 2, j=i)
-        for i in range(8))
+    # REAL BMP decode replay: the payload pixels are deterministic modular
+    # functions of (doc_id, x, y) — the oracle recomputes the decoded
+    # channel sums/histograms directly (rbql_spark/ops/multimodal.py:
+    # encode_bmp/decode_bmp; pixel formulas at _pixel_channels).
+    # pix element = [B, G, R] → q[1]=B, q[2]=G, q[3]=R (DuckDB 1-based).
+    _hist = ", ".join(
+        "len(list_filter(pix, q -> q[{ch}] // 64 = {k}))::BIGINT AS {c}_h{k}"
+        .format(ch={'r': 3, 'g': 2, 'b': 1}[c], k=k, c=c)
+        for c in 'rgb' for k in range(4))
     o['multimodal_features'] = (
-        "WITH b AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h, "
-        " octet_length(encode(coalesce(text, ''))) AS n FROM documents) "
-        "SELECT doc_id, n::bigint AS n_bytes, "
-        "(coalesce(list_sum(list_transform(range(1, n + 1), "
-        " i -> ('0x' || h[i*2-1:i*2])::bigint)), 0) % 2147483648)::BIGINT AS byte_checksum, "
-        "lower(h[1:8]) AS head_hex, " + _f + " FROM b")
+        "WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h "
+        " FROM documents), "
+        "px AS (SELECT doc_id, w, h, "
+        " flatten(list_transform(range(0, h), y -> list_transform(range(0, w), "
+        "  x -> [(doc_id + 2*x + 3*y) % 256, (5*doc_id + 7*x + y) % 256, "
+        "        (11*doc_id + x + 13*y) % 256]))) AS pix FROM p) "
+        "SELECT doc_id, (54 + ((w*3 + 3) // 4) * 4 * h)::BIGINT AS n_bytes, "
+        "w::BIGINT AS width, h::BIGINT AS height, (w*h)::BIGINT AS n_pixels, "
+        "list_sum(list_transform(pix, q -> q[3]))::BIGINT AS r_sum, "
+        "list_sum(list_transform(pix, q -> q[2]))::BIGINT AS g_sum, "
+        "list_sum(list_transform(pix, q -> q[1]))::BIGINT AS b_sum, "
+        + _hist + " FROM px")
+
+    # REAL WAV decode replay: PCM sample i = (doc_id*31 + i*17) % 65536 -
+    # 32768 (multimodal.py:encode_wav/decode_wav); zero crossing = sign
+    # flip between consecutive samples.
+    o['multimodal_audio_features'] = (
+        "WITH p AS (SELECT doc_id, 50 + doc_id % 100 AS n FROM documents), "
+        "s AS (SELECT doc_id, n, list_transform(range(0, n), "
+        " i -> (doc_id*31 + i*17) % 65536 - 32768) AS smp FROM p) "
+        "SELECT doc_id, (44 + 2*n)::BIGINT AS n_bytes, "
+        "8000::BIGINT AS sample_rate, 1::BIGINT AS channels, "
+        "16::BIGINT AS bits, n::BIGINT AS n_samples, "
+        "list_min(smp)::BIGINT AS amp_min, list_max(smp)::BIGINT AS amp_max, "
+        "list_sum(list_transform(smp, v -> abs(v)))::BIGINT AS abs_sum, "
+        "len(list_filter(range(1, n), i -> (smp[i] < 0) != (smp[i+1] < 0)))"
+        "::BIGINT AS zero_crossings FROM s")
 
     # frame sampling replay: frames are 64-byte windows over the utf-8
     # payload, every 4th frame sampled, max 8 per doc; checksum = byte sum
@@ -3613,17 +3641,25 @@ def oracle_sql() -> dict[str, str]:
         " AS frame_checksum "
         "FROM s WHERE rn <= 8")
 
-    # resize replay: keep every 4th byte (1-based positions 1, 5, 9, ...);
-    # byte p lives at hex slice [p*2-1, p*2]
+    # REAL image-resize replay: nearest-neighbor keeps pixels at even
+    # coordinates (factor 2) → resized dims ceil(w/2) × ceil(h/2); sums are
+    # the pixel formulas evaluated at (2x, 2y); resized_n_bytes is the
+    # re-encoded BMP's size (54-byte header + padded rows).
     o['multimodal_resize'] = (
-        "WITH b AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h, "
-        " octet_length(encode(coalesce(text, ''))) AS n FROM documents), "
-        "r AS (SELECT doc_id, n, list_transform(range(0, ceil(n / 4.0)::BIGINT), "
-        " j -> ('0x' || h[j*8+1:j*8+2])::BIGINT) AS rb FROM b) "
-        "SELECT doc_id, n::BIGINT AS orig_bytes, len(rb)::BIGINT AS resized_bytes, "
-        "(coalesce(list_sum(rb), 0) % 2147483648)::BIGINT AS resized_checksum, "
-        "lower(array_to_string(list_transform(rb[1:4], x -> printf('%02x', x)), '')) "
-        " AS resized_head_hex FROM r")
+        "WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h "
+        " FROM documents), "
+        "d AS (SELECT doc_id, w, h, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 "
+        " FROM p), "
+        "px AS (SELECT doc_id, w, h, w2, h2, "
+        " flatten(list_transform(range(0, h2), y -> list_transform(range(0, w2), "
+        "  x -> [(doc_id + 4*x + 6*y) % 256, (5*doc_id + 14*x + 2*y) % 256, "
+        "        (11*doc_id + 2*x + 26*y) % 256]))) AS pix FROM d) "
+        "SELECT doc_id, w::BIGINT AS orig_width, h::BIGINT AS orig_height, "
+        "w2::BIGINT AS resized_width, h2::BIGINT AS resized_height, "
+        "(54 + ((w2*3 + 3) // 4) * 4 * h2)::BIGINT AS resized_n_bytes, "
+        "list_sum(list_transform(pix, q -> q[3]))::BIGINT AS r_sum, "
+        "list_sum(list_transform(pix, q -> q[2]))::BIGINT AS g_sum, "
+        "list_sum(list_transform(pix, q -> q[1]))::BIGINT AS b_sum FROM px")
 
     return o
 

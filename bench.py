@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     'text_quality_score',
     'text_fingerprint',
     'multimodal_features',
+    'multimodal_audio_features',
     # round 3 additions (pipeline superset)
     'dedup_clusters',
     'pack_sequences',

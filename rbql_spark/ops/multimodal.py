@@ -1,26 +1,214 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata + REAL decode.
 
 Design (north-star §multimodal): image/audio/video travel as `binary`
 columns; decode / feature-extract run as Arrow-batched pandas functions via
-``mapInPandas`` so each task processes whole record batches.  The actual
-codec work is STUBBED (no image/audio libraries in this environment) behind
-``decode_stub`` — a deterministic fake with the same schema/partitioning/
-batch shape the real decoder would have; swap ``_decode_payload`` for a real
-implementation (PIL/librosa/ffmpeg) without touching the Spark plumbing.
+``mapInPandas`` so each task processes whole record batches.
+
+Two real, dependency-free codecs are implemented (stdlib struct + numpy):
+
+* **BMP** (24-bit uncompressed, BITMAPINFOHEADER): :func:`encode_bmp` /
+  :func:`decode_bmp` — a genuine parser (magic, header fields, bottom-up
+  vs top-down rows, 4-byte row padding) that decodes any BI_RGB 24-bit BMP,
+  and feature extraction (width/height/per-channel sums + histograms).
+* **WAV** (PCM 16-bit): :func:`encode_wav` / :func:`decode_wav` — genuine
+  RIFF chunk walking ('fmt ' + 'data'), PCM sample parse, amplitude stats.
+
+Payloads are synthesized deterministically from document ids so the DuckDB
+oracle can replay the decoded features value-for-value (the pixel/sample
+formulas are pure modular arithmetic); the decoders themselves are
+format-general.  Formats needing external libs (JPEG/PNG/MP3/MP4) would
+slot into :func:`_decode_payload`'s sniffer the same way.
 """
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# ---------------------------------------------------------------------------
+# BMP codec (24-bit uncompressed)
+# ---------------------------------------------------------------------------
+
+# Deterministic pixel formulas (doc seed s, pixel x,y — all non-negative so
+# Python/numpy/SQL `%` agree):
+#   B = (s + 2x + 3y) % 256;  G = (5s + 7x + y) % 256;  R = (11s + x + 13y) % 256
+# Image dims: w = 4 + s % 13 (4..16), h = 3 + s % 7 (3..9).
+
+_BMP_HEADER_BYTES = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def _bmp_stride(width: int) -> int:
+    return (width * 3 + 3) // 4 * 4
+
+
+def _pixel_channels(seed: int, width: int, height: int):
+    """(h, w) uint8 arrays (b, g, r) from the deterministic formulas."""
+    import numpy as np
+    ys, xs = np.mgrid[0:height, 0:width]
+    ys = ys.astype(np.int64)
+    xs = xs.astype(np.int64)
+    b = (seed + 2 * xs + 3 * ys) % 256
+    g = (5 * seed + 7 * xs + ys) % 256
+    r = (11 * seed + xs + 13 * ys) % 256
+    return b.astype('uint8'), g.astype('uint8'), r.astype('uint8')
+
+
+def encode_bmp(width: int, height: int, seed: int) -> bytes:
+    """Encode a real 24-bit bottom-up BMP with the deterministic pixels."""
+    import numpy as np
+    b, g, r = _pixel_channels(seed, width, height)
+    px = np.stack([b, g, r], axis=-1)            # BMP stores BGR
+    stride = _bmp_stride(width)
+    rows = np.zeros((height, stride), dtype='uint8')
+    rows[:, :width * 3] = px.reshape(height, width * 3)
+    pixel_data = rows[::-1].tobytes()            # bottom-up row order
+    file_size = _BMP_HEADER_BYTES + len(pixel_data)
+    header = struct.pack('<2sIHHI', b'BM', file_size, 0, 0, _BMP_HEADER_BYTES)
+    info = struct.pack('<IiiHHIIiiII', 40, width, height, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    return header + info + pixel_data
+
+
+def decode_bmp(raw: bytes) -> dict:
+    """Parse a 24-bit uncompressed BMP — a real format decoder.
+
+    Validates the 'BM' magic, reads the pixel-data offset from the file
+    header, parses BITMAPINFOHEADER (width, signed height for bottom-up vs
+    top-down, planes, bpp, compression), then slices padded pixel rows into
+    an (h, w, 3) BGR array.  Raises ValueError on malformed/unsupported
+    input.  Returns width/height/bpp plus per-channel integer sums and
+    4-bin histograms (exact integers → oracle-replayable)."""
+    import numpy as np
+    if len(raw) < _BMP_HEADER_BYTES or raw[:2] != b'BM':
+        raise ValueError('not a BMP payload')
+    data_offset = struct.unpack_from('<I', raw, 10)[0]
+    hdr_size, width, height_signed = struct.unpack_from('<Iii', raw, 14)
+    planes, bpp = struct.unpack_from('<HH', raw, 26)
+    compression = struct.unpack_from('<I', raw, 30)[0]
+    if hdr_size < 40 or planes != 1:
+        raise ValueError('unsupported BMP header')
+    if bpp != 24 or compression != 0:
+        raise ValueError('only 24-bit uncompressed (BI_RGB) BMP supported')
+    height = abs(height_signed)
+    stride = _bmp_stride(width)
+    need = data_offset + stride * height
+    if width <= 0 or height == 0 or len(raw) < need:
+        raise ValueError('truncated BMP pixel data')
+    rows = np.frombuffer(raw, dtype='uint8', count=stride * height,
+                         offset=data_offset).reshape(height, stride)
+    if height_signed > 0:
+        rows = rows[::-1]                        # bottom-up → top-down
+    px = rows[:, :width * 3].reshape(height, width, 3).astype(np.int64)
+    b, g, r = px[..., 0], px[..., 1], px[..., 2]
+    out = {'width': width, 'height': height, 'bpp': bpp,
+           'n_pixels': width * height,
+           'b_sum': int(b.sum()), 'g_sum': int(g.sum()), 'r_sum': int(r.sum())}
+    for name, ch in (('b', b), ('g', g), ('r', r)):
+        hist = np.bincount((ch // 64).ravel(), minlength=4)
+        for k in range(4):
+            out['{}_h{}'.format(name, k)] = int(hist[k])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (PCM 16-bit)
+# ---------------------------------------------------------------------------
+
+# Deterministic samples: s(i) = (seed*31 + i*17) % 65536 - 32768 (int16 range);
+# n_samples = 50 + seed % 100 (50..149), mono, 8000 Hz.
+
+
+def encode_wav(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """Encode a real RIFF/WAVE PCM-16 mono file with deterministic samples."""
+    import numpy as np
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((seed * 31 + i * 17) % 65536 - 32768).astype('<i2')
+    data = samples.tobytes()
+    fmt = struct.pack('<HHIIHH', 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b'WAVE' + b'fmt ' + struct.pack('<I', len(fmt)) + fmt
+            + b'data' + struct.pack('<I', len(data)) + data)
+    return b'RIFF' + struct.pack('<I', len(body)) + body
+
+
+def decode_wav(raw: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM-16 file — a real format decoder.
+
+    Validates the RIFF/WAVE magic, walks chunks (word-aligned sizes) to find
+    'fmt ' and 'data', checks PCM/16-bit, parses samples as little-endian
+    int16, and emits amplitude statistics (exact integers)."""
+    import numpy as np
+    if len(raw) < 12 or raw[:4] != b'RIFF' or raw[8:12] != b'WAVE':
+        raise ValueError('not a WAV payload')
+    pos, fmt_chunk, data_chunk = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        size = struct.unpack_from('<I', raw, pos + 4)[0]
+        body = raw[pos + 8:pos + 8 + size]
+        if cid == b'fmt ':
+            fmt_chunk = body
+        elif cid == b'data':
+            data_chunk = body
+        pos += 8 + size + (size & 1)             # chunks are word-aligned
+    if fmt_chunk is None or data_chunk is None:
+        raise ValueError('missing fmt/data chunk')
+    audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
+        '<HHIIHH', fmt_chunk, 0)
+    if audio_format != 1 or bits != 16:
+        raise ValueError('only PCM 16-bit WAV supported')
+    samples = np.frombuffer(data_chunk, dtype='<i2').astype(np.int64)
+    n = len(samples) // max(channels, 1)
+    zc = int(((samples[:-1] < 0) != (samples[1:] < 0)).sum()) if len(samples) > 1 else 0
+    return {'sample_rate': int(sample_rate), 'channels': int(channels),
+            'bits': int(bits), 'n_samples': int(n),
+            'amp_min': int(samples.min()) if len(samples) else 0,
+            'amp_max': int(samples.max()) if len(samples) else 0,
+            'abs_sum': int(np.abs(samples).sum()),
+            'zero_crossings': zc}
+
+
+# ---------------------------------------------------------------------------
+# payload sniffing
+# ---------------------------------------------------------------------------
+
+def _decode_payload(raw: bytes) -> dict:
+    """Sniff the payload's magic bytes and run the matching REAL decoder.
+
+    * ``BM``            → 24-bit BMP parse (:func:`decode_bmp`)
+    * ``RIFF..WAVE``    → PCM WAV parse (:func:`decode_wav`)
+    * anything else     → opaque byte statistics (checksum + head bytes) —
+      the honest treatment of an unrecognized format, kept for the generic
+      byte-plumbing path (:func:`extract_features`).
+    """
+    if raw[:2] == b'BM':
+        try:
+            return dict(decode_bmp(raw), media='image/bmp')
+        except ValueError:
+            pass
+    if raw[:4] == b'RIFF' and raw[8:12] == b'WAVE':
+        try:
+            return dict(decode_wav(raw), media='audio/wav')
+        except ValueError:
+            pass
+    checksum = sum(raw) % (1 << 31)
+    head = raw[:4].hex()
+    feature = [float(b) / 255.0 for b in raw[:8]]
+    feature += [0.0] * (8 - len(feature))
+    return {'media': 'application/octet-stream', 'byte_checksum': checksum,
+            'head_hex': head, 'feature': feature}
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing: payload builders
+# ---------------------------------------------------------------------------
 
 def attach_binary_payload(df: DataFrame, text_col: str = 'text',
                           id_col: str = 'doc_id') -> DataFrame:
-    """Demo payload builder: utf-8 bytes of the text as the opaque blob, plus
-    typed metadata (media_type, byte length) — the shape a real ingest of
-    image/audio files would produce."""
+    """Opaque payload builder: utf-8 bytes of the text as the blob, plus
+    typed metadata — the generic binary-column shape (frame sampling and
+    byte-resize plumbing run on it)."""
     payload = F.encode(F.col(text_col), 'utf-8')
     return df.select(
         F.col(id_col),
@@ -30,7 +218,131 @@ def attach_binary_payload(df: DataFrame, text_col: str = 'text',
     )
 
 
-_FEATURE_SCHEMA = T.StructType([
+def _payload_builder(encode_one, media_type):
+    """mapInPandas payload synthesis: one real encoded file per document."""
+    schema = T.StructType([
+        T.StructField('doc_id', T.LongType()),
+        T.StructField('payload', T.BinaryType()),
+        T.StructField('media_type', T.StringType()),
+        T.StructField('n_bytes', T.LongType()),
+    ])
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = [encode_one(int(d)) for d in pdf['doc_id']]
+            yield pd.DataFrame({
+                'doc_id': [int(d) for d in pdf['doc_id']],
+                'payload': payloads,
+                'media_type': [media_type] * len(payloads),
+                'n_bytes': [len(p) for p in payloads],
+            })
+
+    return run, schema
+
+
+def attach_image_payload(df: DataFrame, id_col: str = 'doc_id') -> DataFrame:
+    """Encode a REAL 24-bit BMP per document (dims + pixels deterministic in
+    doc_id, so the oracle replays the decoded features).  No shuffle —
+    encoding runs inside the scan tasks."""
+    def encode_one(seed):
+        return encode_bmp(4 + seed % 13, 3 + seed % 7, seed)
+    run, schema = _payload_builder(encode_one, 'image/bmp')
+    return df.select(F.col(id_col).cast('long').alias('doc_id')).mapInPandas(run, schema)
+
+
+def attach_audio_payload(df: DataFrame, id_col: str = 'doc_id',
+                         sample_rate: int = 8000) -> DataFrame:
+    """Encode a REAL PCM-16 mono WAV per document (deterministic samples)."""
+    def encode_one(seed):
+        return encode_wav(50 + seed % 100, sample_rate, seed)
+    run, schema = _payload_builder(encode_one, 'audio/wav')
+    return df.select(F.col(id_col).cast('long').alias('doc_id')).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing: feature extractors
+# ---------------------------------------------------------------------------
+
+_IMAGE_FEATURE_SCHEMA = T.StructType(
+    [T.StructField('doc_id', T.LongType()),
+     T.StructField('n_bytes', T.LongType()),
+     T.StructField('width', T.LongType()),
+     T.StructField('height', T.LongType()),
+     T.StructField('n_pixels', T.LongType()),
+     T.StructField('r_sum', T.LongType()),
+     T.StructField('g_sum', T.LongType()),
+     T.StructField('b_sum', T.LongType())]
+    + [T.StructField('{}_h{}'.format(c, k), T.LongType())
+       for c in 'rgb' for k in range(4)])
+
+
+def extract_image_features(df: DataFrame, payload_col: str = 'payload',
+                           id_col: str = 'doc_id') -> DataFrame:
+    """Arrow-batched REAL image decode over the binary column: each payload
+    is parsed by :func:`decode_bmp` (header fields, padded pixel rows) and
+    reduced to width/height + per-channel sums and 4-bin histograms.
+
+    Scale shape: no shuffle — decode runs inside the scan tasks; for 100 TB
+    of media keep partitions ≲ 512 MB of payload
+    (`spark.sql.files.maxPartitionBytes` governs scan splits)."""
+    id_name, payload_name = id_col, payload_col
+    cols = [f.name for f in _IMAGE_FEATURE_SCHEMA.fields]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, raw in zip(pdf[id_name], pdf[payload_name]):
+                raw = bytes(raw) if raw is not None else b''
+                feats = decode_bmp(raw)
+                out['doc_id'].append(int(doc_id))
+                out['n_bytes'].append(len(raw))
+                for c in cols[2:]:
+                    out[c].append(feats[c])
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema=_IMAGE_FEATURE_SCHEMA)
+
+
+_AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField('doc_id', T.LongType()),
+    T.StructField('n_bytes', T.LongType()),
+    T.StructField('sample_rate', T.LongType()),
+    T.StructField('channels', T.LongType()),
+    T.StructField('bits', T.LongType()),
+    T.StructField('n_samples', T.LongType()),
+    T.StructField('amp_min', T.LongType()),
+    T.StructField('amp_max', T.LongType()),
+    T.StructField('abs_sum', T.LongType()),
+    T.StructField('zero_crossings', T.LongType()),
+])
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = 'payload',
+                           id_col: str = 'doc_id') -> DataFrame:
+    """Arrow-batched REAL audio decode: RIFF chunk walk + PCM-16 sample
+    parse (:func:`decode_wav`) → amplitude statistics.  No shuffle."""
+    id_name, payload_name = id_col, payload_col
+    cols = [f.name for f in _AUDIO_FEATURE_SCHEMA.fields]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, raw in zip(pdf[id_name], pdf[payload_name]):
+                raw = bytes(raw) if raw is not None else b''
+                feats = decode_wav(raw)
+                out['doc_id'].append(int(doc_id))
+                out['n_bytes'].append(len(raw))
+                for c in cols[2:]:
+                    out[c].append(feats[c])
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema=_AUDIO_FEATURE_SCHEMA)
+
+
+_GENERIC_FEATURE_SCHEMA = T.StructType([
     T.StructField('doc_id', T.LongType()),
     T.StructField('n_bytes', T.LongType()),
     T.StructField('byte_checksum', T.LongType()),
@@ -39,31 +351,13 @@ _FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def _decode_payload(raw: bytes) -> dict:
-    """STUB decoder — deterministic fake features.
-
-    A real implementation would, e.g., PIL-open an image and emit
-    (width, height, channel histograms).  This is where it would live:
-
-        raise NotImplementedError('image decode requires PIL')
-
-    The deterministic fake keeps the pipeline testable end-to-end.
-    """
-    checksum = sum(raw) % (1 << 31)
-    head = raw[:4].hex()
-    feature = [float(b) / 255.0 for b in raw[:8]]
-    feature += [0.0] * (8 - len(feature))
-    return {'byte_checksum': checksum, 'head_hex': head, 'feature': feature}
-
-
 def extract_features(df: DataFrame, payload_col: str = 'payload',
                      id_col: str = 'doc_id', batch_size_hint: int = 1024) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.
-
-    Partitioning note: upstream should `repartition` by size (not count) when
-    payloads are large — `spark.sql.files.maxPartitionBytes` governs scan
-    splits; for 100 TB of media keep partitions ≲ 512 MB of payload.
-    """
+    """Arrow-batched byte statistics for OPAQUE payloads (unknown format):
+    checksum, head bytes, normalized head feature.  Recognized formats
+    should go through :func:`extract_image_features` /
+    :func:`extract_audio_features` instead — this is the fallback path
+    :func:`_decode_payload` takes for unsniffable bytes."""
     id_name, payload_name = id_col, payload_col
 
     def run(batches):
@@ -75,24 +369,36 @@ def extract_features(df: DataFrame, payload_col: str = 'payload',
             }
             for doc_id, raw in zip(pdf[id_name], pdf[payload_name]):
                 raw = bytes(raw) if raw is not None else b''
-                feats = _decode_payload(raw)
+                checksum = sum(raw) % (1 << 31)
+                feature = [float(b) / 255.0 for b in raw[:8]]
+                feature += [0.0] * (8 - len(feature))
                 out['doc_id'].append(int(doc_id))
                 out['n_bytes'].append(len(raw))
-                out['byte_checksum'].append(feats['byte_checksum'])
-                out['head_hex'].append(feats['head_hex'])
-                out['feature'].append(feats['feature'])
+                out['byte_checksum'].append(checksum)
+                out['head_hex'].append(raw[:4].hex())
+                out['feature'].append(feature)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
+    return df.mapInPandas(run, schema=_GENERIC_FEATURE_SCHEMA)
 
 
-def multimodal_pipeline(df: DataFrame, text_col: str = 'text',
-                        id_col: str = 'doc_id') -> DataFrame:
-    """documents → binary payloads → stub decode → typed features."""
+def multimodal_pipeline(df: DataFrame, id_col: str = 'doc_id') -> DataFrame:
+    """documents → REAL BMP payloads → REAL decode → typed image features."""
     from .dedup import spread_partitions
-    payloads = attach_binary_payload(spread_partitions(df), text_col, id_col)
-    return extract_features(payloads).orderBy('doc_id')
+    payloads = attach_image_payload(spread_partitions(df), id_col)
+    return extract_image_features(payloads).orderBy('doc_id')
 
+
+def audio_pipeline(df: DataFrame, id_col: str = 'doc_id') -> DataFrame:
+    """documents → REAL WAV payloads → REAL decode → amplitude features."""
+    from .dedup import spread_partitions
+    payloads = attach_audio_payload(spread_partitions(df), id_col)
+    return extract_audio_features(payloads).orderBy('doc_id')
+
+
+# ---------------------------------------------------------------------------
+# frame sampling / resize
+# ---------------------------------------------------------------------------
 
 _FRAME_SCHEMA = ('doc_id long, frame_idx long, frame_offset long, '
                  'frame_len long, frame_checksum long')
@@ -107,11 +413,11 @@ def sample_frames(df: DataFrame, frame_size: int = 64, stride: int = 4,
 
     The payload is treated as consecutive `frame_size`-byte frames; every
     `stride`-th frame is sampled, capped at `max_frames` per document.  The
-    per-frame work is STUBBED as byte math (offset/length/checksum) — a
-    real decoder would emit pixel tensors here — but the Spark plumbing
-    (batch iteration, row explosion, output schema) is exactly what the
-    real thing uses.  All outputs are pure byte functions so the DuckDB
-    oracle replays them value-for-value.
+    per-frame reduction is byte math (offset/length/checksum) — a real video
+    decoder would emit pixel tensors here (no stdlib video codec exists) —
+    but the Spark plumbing (batch iteration, row explosion, output schema)
+    is exactly what the real thing uses.  All outputs are pure byte
+    functions so the DuckDB oracle replays them value-for-value.
 
     Scale shape: no shuffle — frames are emitted inside the scan tasks;
     one output row per ~frame_size input bytes bounds the expansion factor.
@@ -141,15 +447,76 @@ def sample_frames(df: DataFrame, frame_size: int = 64, stride: int = 4,
     return df.mapInPandas(run, schema=_FRAME_SCHEMA)
 
 
-_RESIZE_SCHEMA = ('doc_id long, orig_bytes long, resized_bytes long, '
-                  'resized_checksum long, resized_head_hex string')
+_RESIZE_SCHEMA = ('doc_id long, orig_width long, orig_height long, '
+                  'resized_width long, resized_height long, '
+                  'resized_n_bytes long, r_sum long, g_sum long, b_sum long')
+
+
+def resize_images(df: DataFrame, factor: int = 2, payload_col: str = 'payload',
+                  id_col: str = 'doc_id') -> DataFrame:
+    """REAL image resize over a binary column: decode the BMP
+    (:func:`decode_bmp`'s parse path), nearest-neighbor subsample the pixel
+    grid by `factor` in both axes, RE-ENCODE a valid smaller BMP, and emit
+    the new dims + per-channel sums of the resized image (exact integers —
+    the oracle replays the kept-coordinate arithmetic).
+
+    No shuffle; decode→resample→encode runs inside the scan tasks."""
+    import numpy as np
+    id_name, payload_name = id_col, payload_col
+    k = int(factor)
+    cols = ['doc_id', 'orig_width', 'orig_height', 'resized_width',
+            'resized_height', 'resized_n_bytes', 'r_sum', 'g_sum', 'b_sum']
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, raw in zip(pdf[id_name], pdf[payload_name]):
+                raw = bytes(raw) if raw is not None else b''
+                data_offset = struct.unpack_from('<I', raw, 10)[0]
+                width, height_signed = struct.unpack_from('<ii', raw, 18)
+                height = abs(height_signed)
+                stride = _bmp_stride(width)
+                rows = np.frombuffer(raw, dtype='uint8', count=stride * height,
+                                     offset=data_offset).reshape(height, stride)
+                if height_signed > 0:
+                    rows = rows[::-1]
+                px = rows[:, :width * 3].reshape(height, width, 3)
+                small = px[::k, ::k]                 # nearest-neighbor
+                h2, w2 = small.shape[0], small.shape[1]
+                stride2 = _bmp_stride(w2)
+                out_rows = np.zeros((h2, stride2), dtype='uint8')
+                out_rows[:, :w2 * 3] = small.reshape(h2, w2 * 3)
+                resized = (struct.pack('<2sIHHI', b'BM',
+                                       _BMP_HEADER_BYTES + stride2 * h2, 0, 0,
+                                       _BMP_HEADER_BYTES)
+                           + struct.pack('<IiiHHIIiiII', 40, w2, h2, 1, 24, 0,
+                                         stride2 * h2, 2835, 2835, 0, 0)
+                           + out_rows[::-1].tobytes())
+                sm = small.astype(np.int64)
+                out['doc_id'].append(int(doc_id))
+                out['orig_width'].append(width)
+                out['orig_height'].append(height)
+                out['resized_width'].append(w2)
+                out['resized_height'].append(h2)
+                out['resized_n_bytes'].append(len(resized))
+                out['b_sum'].append(int(sm[..., 0].sum()))
+                out['g_sum'].append(int(sm[..., 1].sum()))
+                out['r_sum'].append(int(sm[..., 2].sum()))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+_BYTE_RESIZE_SCHEMA = ('doc_id long, orig_bytes long, resized_bytes long, '
+                       'resized_checksum long, resized_head_hex string')
 
 
 def resize_stub(df: DataFrame, factor: int = 4, payload_col: str = 'payload',
                 id_col: str = 'doc_id') -> DataFrame:
-    """Resize plumbing over a binary column: 1:1 mapInPandas that shrinks
-    each payload by keeping every `factor`-th byte (the stub stand-in for a
-    real image resample) and emits the resized metadata.
+    """Byte-decimation plumbing over an OPAQUE binary column (keep every
+    `factor`-th byte) — the generic stand-in where no format is known.
+    Recognized images should use :func:`resize_images` (real resample).
 
     Deterministic byte math end-to-end — the oracle reproduces checksum and
     head bytes from hex arithmetic.  No shuffle; runs inside scan tasks.
@@ -172,4 +539,4 @@ def resize_stub(df: DataFrame, factor: int = 4, payload_col: str = 'payload',
                 out['resized_head_hex'].append(small[:4].hex())
             yield pd.DataFrame(out, columns=list(out))
 
-    return df.mapInPandas(run, schema=_RESIZE_SCHEMA)
+    return df.mapInPandas(run, schema=_BYTE_RESIZE_SCHEMA)

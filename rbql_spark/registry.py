@@ -29,11 +29,25 @@ def parquet_null_free_columns(path: str) -> frozenset[str]:
         import pyarrow.parquet as pq
     except ImportError:
         return frozenset()
-    import glob
     if os.path.isfile(path):
         files = [path]
     else:
-        files = sorted(glob.glob(os.path.join(path, '*.parquet')))
+        # spark.read.parquet(dir) reads EVERY non-hidden data file regardless
+        # of extension (e.g. Hive-written '000000_0'); a proof derived from
+        # only the '*.parquet' subset would let nulls in unexamined files
+        # silently bypass the reference-parity guards.  Enumerate all data
+        # files; any non-parquet-named one disqualifies the whole directory
+        # (absence of proof, never an assumption).
+        try:
+            names = sorted(
+                n for n in os.listdir(path)
+                if not n.startswith(('.', '_'))
+                and not os.path.isdir(os.path.join(path, n)))
+        except OSError:
+            return frozenset()
+        if any(not n.endswith('.parquet') for n in names):
+            return frozenset()
+        files = [os.path.join(path, n) for n in names]
     if not files:
         return frozenset()
     proven: set[str] | None = None

@@ -80,3 +80,28 @@ def test_parquet_null_free_columns_footer_proof(spark, tmp_path):
     assert 'dirty' not in proven
     # nonexistent path → empty proof, no raise
     assert parquet_null_free_columns(str(tmp_path / 'missing')) == frozenset()
+
+
+def test_parquet_null_free_disqualifies_extensionless_data_files(spark, tmp_path):
+    """spark.read.parquet(dir) reads every non-hidden data file regardless of
+    extension; a directory holding an extension-less part file (Hive-style
+    '000000_0') must yield NO proof — otherwise nulls hiding in the
+    unexamined file would bypass the reference-parity null guards."""
+    import os
+    import shutil
+    import pandas as pd
+    from rbql_spark.registry import parquet_null_free_columns
+
+    p = str(tmp_path / 'mixed.parquet')
+    pdf = pd.DataFrame({'clean': [1, 2, 3, 4]})
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(p)
+    assert 'clean' in parquet_null_free_columns(p)
+    # Clone a data file under a Hive-style extension-less name.
+    part = next(n for n in os.listdir(p) if n.endswith('.parquet'))
+    shutil.copy(os.path.join(p, part), os.path.join(p, '000000_0'))
+    assert parquet_null_free_columns(p) == frozenset()
+    # Hidden/underscore metadata files never disqualify.
+    os.remove(os.path.join(p, '000000_0'))
+    with open(os.path.join(p, '_metadata_extra'), 'w') as f:
+        f.write('x')
+    assert 'clean' in parquet_null_free_columns(p)

@@ -270,15 +270,95 @@ def test_embedding_near_dup_pairs_runs(spark, emb_df):
         assert r['cosine_sim'] >= 0.5
 
 
-def test_multimodal_stub_features(spark, doc_df):
+def test_multimodal_real_image_decode(spark, doc_df):
+    """multimodal_pipeline now encodes REAL 24-bit BMPs and decodes them with
+    a real parser; features are verified against independent pixel math."""
     from rbql_spark.ops.multimodal import multimodal_pipeline
-    rows = multimodal_pipeline(doc_df).collect()
-    assert len(rows) == 5
-    r1 = [r for r in rows if r['doc_id'] == 1][0]
-    r2 = [r for r in rows if r['doc_id'] == 2][0]
-    assert r1['byte_checksum'] == r2['byte_checksum']  # identical payloads
-    assert len(r1['feature']) == 8
-    assert r1['n_bytes'] > 0
+    rows = {r['doc_id']: r for r in multimodal_pipeline(doc_df).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for seed, r in rows.items():
+        w, h = 4 + seed % 13, 3 + seed % 7
+        assert (r['width'], r['height'], r['n_pixels']) == (w, h, w * h)
+        assert r['n_bytes'] == 54 + ((w * 3 + 3) // 4 * 4) * h
+        assert r['r_sum'] == sum((11 * seed + x + 13 * y) % 256
+                                 for y in range(h) for x in range(w))
+        assert r['b_sum'] == sum((seed + 2 * x + 3 * y) % 256
+                                 for y in range(h) for x in range(w))
+        assert sum(r['g_h%d' % k] for k in range(4)) == w * h
+
+
+def test_bmp_codec_roundtrip_and_errors():
+    """decode_bmp is a real parser: bottom-up and top-down row orders agree,
+    malformed input raises, padding is honored (w=5 → stride 16)."""
+    import struct
+    import pytest
+    from rbql_spark.ops.multimodal import decode_bmp, encode_bmp
+    raw = encode_bmp(5, 4, 9)
+    f = decode_bmp(raw)
+    assert (f['width'], f['height'], f['bpp']) == (5, 4, 24)
+    # top-down variant (negative height) decodes to the same features
+    td = raw[:22] + struct.pack('<i', -4) + raw[26:]
+    f2 = decode_bmp(td)
+    assert (f2['r_sum'], f2['g_sum'], f2['b_sum']) == (
+        f['r_sum'], f['g_sum'], f['b_sum'])
+    with pytest.raises(ValueError):
+        decode_bmp(b'not a bmp at all, clearly, but long enough to pass length')
+    with pytest.raises(ValueError):
+        decode_bmp(raw[:40])        # truncated
+    with pytest.raises(ValueError):
+        decode_bmp(raw[:28] + struct.pack('<H', 8) + raw[30:])  # 8bpp unsupported
+
+
+def test_wav_codec_roundtrip_and_errors():
+    import pytest
+    from rbql_spark.ops.multimodal import decode_wav, encode_wav
+    seed, n = 123, 50 + 123 % 100
+    f = decode_wav(encode_wav(n, 8000, seed))
+    smp = [(seed * 31 + i * 17) % 65536 - 32768 for i in range(n)]
+    assert f['n_samples'] == n and f['sample_rate'] == 8000
+    assert (f['amp_min'], f['amp_max']) == (min(smp), max(smp))
+    assert f['abs_sum'] == sum(abs(v) for v in smp)
+    assert f['zero_crossings'] == sum(
+        1 for i in range(1, n) if (smp[i - 1] < 0) != (smp[i] < 0))
+    with pytest.raises(ValueError):
+        decode_wav(b'RIFFxxxxNOPE')
+
+
+def test_multimodal_audio_decode(spark, doc_df):
+    from rbql_spark.ops.multimodal import audio_pipeline
+    rows = {r['doc_id']: r for r in audio_pipeline(doc_df).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    for seed, r in rows.items():
+        n = 50 + seed % 100
+        smp = [(seed * 31 + i * 17) % 65536 - 32768 for i in range(n)]
+        assert r['n_samples'] == n and r['n_bytes'] == 44 + 2 * n
+        assert (r['channels'], r['bits'], r['sample_rate']) == (1, 16, 8000)
+        assert r['abs_sum'] == sum(abs(v) for v in smp)
+
+
+def test_multimodal_real_resize(spark, doc_df):
+    """resize_images decodes, nearest-neighbor subsamples, and re-encodes a
+    valid BMP; sums verified against the kept-coordinate pixel math."""
+    from rbql_spark.ops.multimodal import attach_image_payload, resize_images
+    payloads = attach_image_payload(doc_df)
+    rows = {r['doc_id']: r for r in resize_images(payloads, factor=2).collect()}
+    for seed, r in rows.items():
+        w, h = 4 + seed % 13, 3 + seed % 7
+        w2, h2 = -(-w // 2), -(-h // 2)
+        assert (r['orig_width'], r['orig_height']) == (w, h)
+        assert (r['resized_width'], r['resized_height']) == (w2, h2)
+        assert r['resized_n_bytes'] == 54 + ((w2 * 3 + 3) // 4 * 4) * h2
+        assert r['r_sum'] == sum((11 * seed + (2 * x) + 13 * (2 * y)) % 256
+                                 for y in range(h2) for x in range(w2))
+
+
+def test_payload_sniffer_dispatch():
+    from rbql_spark.ops.multimodal import _decode_payload, encode_bmp, encode_wav
+    assert _decode_payload(encode_bmp(5, 4, 9))['media'] == 'image/bmp'
+    assert _decode_payload(encode_wav(60, 8000, 9))['media'] == 'audio/wav'
+    opaque = _decode_payload(b'hello world')
+    assert opaque['media'] == 'application/octet-stream'
+    assert opaque['byte_checksum'] == sum(b'hello world')
 
 
 def test_multimodal_frame_sample_explodes_rows(spark, doc_df):

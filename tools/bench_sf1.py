@@ -63,6 +63,7 @@ SUBSET = [
     'text_quality_score',
     'text_fingerprint',
     'multimodal_features',
+    'multimodal_audio_features',
     'multimodal_frame_sample',
     'multimodal_resize',
     'sim_topk_bruteforce',
