@@ -88,12 +88,17 @@ def _ensure_base_index(spark: SparkSession, sf_dir: str) -> str:
 # a hand-written key literal next to a separate call invites silent
 # stale-cache scoring when one is edited without the other)
 _CLF_HP = dict(dim=256, n_iter=2, lr=1.0)
-_CLF_LABEL = "lang==en"          # key string AND the expression below
+# The label rule exists ONCE as data; both the cache-key string and the
+# Column expression are rendered from it, so neither can drift (round-13
+# advisory: two co-located copies still allowed a stale-cache edit).
+_CLF_LABEL_RULE = ('lang', '==', 'en')
+_CLF_LABEL = '{}{}{}'.format(*_CLF_LABEL_RULE)
 
 
 def _clf_label_col():
-    # the one place the label rule lives; _CLF_LABEL names it in the key
-    return F.when(F.col('lang') == 'en', 1).otherwise(0)
+    col, op, val = _CLF_LABEL_RULE
+    assert op == '==', 'only equality label rules are defined'
+    return F.when(F.col(col) == val, 1).otherwise(0)
 
 
 def _trained_classifier_weights(spark: SparkSession, sf_dir: str,

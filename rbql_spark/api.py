@@ -80,7 +80,8 @@ def collect_result_rows(result) -> list[list]:
     if trim_col is not None:
         extras.append(trim_col)
     extras += [fc for fc in flag_cols.values() if fc not in extras]
-    raw = _collect(result.ordered_df().select(*out_cols, *extras))
+    raw = _collect(result.ordered_df().select(*out_cols, *extras),
+                   getattr(result, 'nr_resolver', None))
     n_out = len(out_cols)
     flag_pos = {out_cols.index(oc): n_out + extras.index(fc)
                 for oc, fc in flag_cols.items()}
@@ -107,26 +108,48 @@ def collect_result_rows(result) -> list[list]:
     return rows
 
 
-def _unwrap_spark_error(e: Exception):
+def _unwrap_spark_error(e: Exception, nr_resolver=None):
     """Map executor-side failures back to the reference error taxonomy.
 
     Python-evaluator errors travel as RbqlRuntimeError text inside the
     PythonException traceback; raise_error() guards (numeric coercion) as
-    USER_RAISED_EXCEPTION."""
+    USER_RAISED_EXCEPTION.  When the evaluator ran on the non-dense NR
+    path it embeds the failing row's raw order surrogate on a marker
+    line; ``nr_resolver`` (StageResult.nr_resolver) converts it to the
+    exact 1-based input record number — jobs run only on this error path.
+    Without a resolver the visible partition-ordinal approximation stands."""
     import re as _re
 
     from .errors import RbqlRuntimeError
     msg = str(e)
     m = _re.search(r'RbqlRuntimeError: (.*?)(?:\n|$)', msg)
     if m:
-        return RbqlRuntimeError(m.group(1).strip())
+        text = m.group(1).strip()
+        sm = _re.search(r'__RBQL_SURR_(\d+)__', msg)
+        if sm and nr_resolver is not None:
+            try:
+                exact = nr_resolver(int(sm.group(1)))
+                text = _re.sub(r'^At record \d+', 'At record {}'.format(exact),
+                               text)
+            except Exception:
+                pass  # resolution is best-effort; keep the approximation
+        return RbqlRuntimeError(text)
     m = _re.search(r'\[USER_RAISED_EXCEPTION\] ([^\n]*?)(?: SQLSTATE[^\n]*)?(?:\n|$)', msg)
     if m:
-        return RbqlRuntimeError(m.group(1).strip().rstrip('.'))
+        text = m.group(1).strip().rstrip('.')
+        sm = _re.search(r'__RBQL_SURR_(\d+)__', msg)
+        if sm and nr_resolver is not None:
+            try:
+                exact = nr_resolver(int(sm.group(1)))
+                text = _re.sub(r'^At record \d+', 'At record {}'.format(exact),
+                               text)
+            except Exception:
+                pass
+        return RbqlRuntimeError(text)
     return None
 
 
-def _collect(df):
+def _collect(df, nr_resolver=None):
     """Collect rows as lists; Arrow/pandas fast path for plain scalar
     schemas (10× less per-row overhead than Row objects), Row path when the
     schema has temporal/nested types whose pandas representations differ
@@ -147,7 +170,7 @@ def _collect(df):
             return pdf.values.tolist()
         return df.collect()
     except Exception as e:
-        mapped = _unwrap_spark_error(e)
+        mapped = _unwrap_spark_error(e, nr_resolver)
         if mapped is not None:
             raise mapped from None
         raise
@@ -164,6 +187,7 @@ def _rows_to_handle(spark: SparkSession, rows: list[list],
     if column_names is not None:
         width = max(width, len(column_names))
     ragged = any(len(r) != width for r in rows)
+    n_input_rows = len(rows)
     norm = [tuple(list(r) + [None] * (width - len(r)) + ([len(r)] if ragged else []))
             for r in rows]
     names = ['_c{}'.format(i) for i in range(width)]
@@ -195,7 +219,8 @@ def _rows_to_handle(spark: SparkSession, rows: list[list],
         coerced.append(tuple(out))
     df = spark.createDataFrame(coerced, schema=schema) if norm else \
         spark.createDataFrame([], schema=schema)
-    return TableHandle(df=df, header=list(column_names) if column_names is not None else None)
+    return TableHandle(df=df, header=list(column_names) if column_names is not None else None,
+                       row_count=n_input_rows)
 
 
 def query_csv(spark: SparkSession, query: str, input_path: str,

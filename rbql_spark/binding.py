@@ -72,6 +72,16 @@ class TableHandle:
     # footer null-count statistics) — lets the aggregate engine skip the
     # reference-parity null guards, which are vacuous on such columns
     null_free: frozenset[str] = frozenset()
+    # exact source row count when KNOWN without a job (len() of an
+    # in-memory table, parquet footer num_rows) — lets ORDER BY replicate
+    # the reference's single-row accident (sorted() of one element does
+    # no comparison, so a None key succeeds) without adding a count job
+    row_count: int | None = None
+    # True when the frame's partition-major row order EQUALS ascending
+    # ORDER_SRC order (range-partitioned + in-partition sorted source) —
+    # lets the engine treat the renamed NR as monotone and skip the
+    # output-restoring sort on narrow-only select paths
+    order_src_monotone: bool = False
 
     @property
     def has_header(self) -> bool:
@@ -94,6 +104,8 @@ class SideInfo:
     json_cols: frozenset[int] = frozenset()  # see TableHandle.json_cols
     ragged: bool = False                     # per-row NF differs (CSV/2D-array)
     null_free: frozenset[int] = frozenset()  # indices proven null-free (see TableHandle)
+    row_count: int | None = None             # see TableHandle.row_count
+    order_src_monotone: bool = False         # see TableHandle.order_src_monotone
 
     def cols(self) -> list[str]:
         if self.mode == 'array':
@@ -148,7 +160,9 @@ def make_workframe(handle: TableHandle) -> WorkFrame:
     side = SideInfo(prefix='a', header=header, mode='fixed', width=width, types=types,
                     json_cols=handle.json_cols, ragged=has_nf_src,
                     null_free=frozenset(i for i, n in enumerate(names)
-                                        if n in handle.null_free))
+                                        if n in handle.null_free),
+                    row_count=handle.row_count,
+                    order_src_monotone=handle.order_src_monotone)
     return WorkFrame(df=df, a=side)
 
 

@@ -32,8 +32,8 @@ from .aggregates import (NUMERIC_AGGS, AggCall, detect_aggregate,
                          null_arg_guard, null_group_guards,
                          numeric_coerce, spark_agg_expr)
 from .binding import (
-    BNF_COL, BNR_COL, NF_COL, NR_COL, Binding, SideInfo, TableHandle, VarRef,
-    WorkFrame, internal_col, make_workframe, type_tag,
+    BNF_COL, BNR_COL, NF_COL, NR_COL, ORDER_SRC_COL, Binding, SideInfo,
+    TableHandle, VarRef, WorkFrame, internal_col, make_workframe, type_tag,
 )
 from .errors import (
     INVALID_KEYWORD_IN_AGGREGATE_QUERY_ERROR,
@@ -78,6 +78,10 @@ class StageResult:
     # query running JVM-side": fallback_count == 0 means no Python stage
     # was planned for expression evaluation.
     telemetry: dict = field(default_factory=dict)
+    # non-dense NR path: maps an evaluator-fallback error's raw order
+    # surrogate back to the exact 1-based INPUT record number (collect
+    # paths call it only when an error actually surfaces)
+    nr_resolver: object = None
 
     def out_cols(self) -> list[str]:
         return [c for c in self.df.columns if c.startswith('__out_')]
@@ -137,6 +141,53 @@ def _bare_field_null_free(binding: Binding, wf: WorkFrame,
     return False
 
 
+def _make_surrogate_resolver(numbered_df: DataFrame, pre_filter_df, early_cond,
+                             failure_probes: list | None = None):
+    """Build the error-path surrogate → exact-input-NR resolver.
+
+    Reference semantics: the sequential loop stops at the FIRST failing
+    record.  Spark surfaces whichever task fails first, so resolution has
+    two parts, all jobs running only when an error actually surfaced:
+
+    1. ``failure_probes`` (one per guarded frame / evaluator fallback)
+       each return the min failing-row surrogate in stream order; the
+       minimum across probes and the caught surrogate is the first
+       failure — this is what makes fail-on-every-row errors report
+       record 1 like the reference.
+    2. The surrogate is converted to the exact 1-based INPUT record
+       number: ``count(NR_COL <= s)`` over ``numbered_df``; when the
+       early-filter pushdown ran the surrogate numbers the FILTERED
+       stream, so a second hop re-numbers the pre-filter frame, finds
+       the r-th survivor's input surrogate, and counts input rows up to
+       it.  Surrogate stability across jobs holds because the scan
+       partitioning of the same logical plan is deterministic (the
+       property attach_dense_nr's two-pass numbering relies on)."""
+    from .rownum import attach_order_surrogate
+    probes = list(failure_probes or [])
+
+    def resolve(raw: int) -> int:
+        best = int(raw)
+        for probe in probes:
+            try:
+                m = probe()
+            except Exception:
+                continue  # best-effort: a probe that itself fails is skipped
+            if m is not None and int(m) < best:
+                best = int(m)
+        r = int(numbered_df.where(F.col(NR_COL) <= F.lit(best)).count())
+        if pre_filter_df is None or r == 0:
+            return r
+        d = attach_order_surrogate(pre_filter_df, '__res_nr')
+        row = (d.filter(early_cond).orderBy(F.col('__res_nr'))
+                .limit(r).agg(F.max(F.col('__res_nr'))).collect())
+        s_r = row[0][0] if row else None
+        if s_r is None:
+            return r
+        return int(d.where(F.col('__res_nr') <= F.lit(s_r)).count())
+
+    return resolve
+
+
 class _ExprComputer:
     """Computes named expression columns: translator first, batched pyeval
     fallback for the rest (ONE mapInPandas pass per batch of fallbacks)."""
@@ -149,6 +200,45 @@ class _ExprComputer:
         self.native_count = 0
         self.fallback_count = 0
         self.fallback_reasons: list[str] = []
+        # error-path first-failure probes: callables returning the min
+        # failing-row surrogate (or None) — one per frame that carries a
+        # record-wrapped guard or an evaluator fallback.  Jobs run only
+        # when an error actually surfaces (engine._make_surrogate_resolver).
+        self.failure_probes: list = []
+
+    def _harvest_native_probes(self, df: DataFrame):
+        conds = self.translator.error_probes
+        if not conds:
+            return
+        self.translator.error_probes = []
+        fired = conds[0]
+        for c in conds[1:]:
+            fired = fired | c
+        def probe(frame=df, cond=fired):
+            row = frame.where(cond).agg(F.min(F.col(NR_COL))).collect()
+            return row[0][0] if row else None
+        self.failure_probes.append(probe)
+
+    def _add_pyeval_probe(self, df: DataFrame, fallback: list[PyExpr]):
+        from pyspark.sql import types as T
+
+        def probe(frame=df, exprs=[pe.expr for pe in fallback]):
+            pes = []
+            for j, ex in enumerate(exprs):
+                pe = PyExpr(out_col='__pf{}'.format(j), expr=ex)
+                pe.dtype = T.LongType()
+                pes.append(pe)
+            flagged = eval_columns(frame, self.wf, pes,
+                                   user_init_code=self.options.user_init_code,
+                                   sample_rows=self.options.sample_rows,
+                                   nr_dense=self.binding.nr_dense,
+                                   probe_mode=True)
+            cond = F.col('__pf0') == 1
+            for j in range(1, len(pes)):
+                cond = cond | (F.col('__pf{}'.format(j)) == 1)
+            row = flagged.where(cond).agg(F.min(F.col(NR_COL))).collect()
+            return row[0][0] if row else None
+        self.failure_probes.append(probe)
 
     def telemetry(self) -> dict:
         return {'native_count': self.native_count,
@@ -160,19 +250,28 @@ class _ExprComputer:
         tags: dict[str, str] = {}
         native: list[tuple[str, TCol]] = []
         fallback: list[PyExpr] = []
+        staged_probes: list[Column] = []
         for name, text in named_exprs:
+            # probe hygiene: a fallback mid-translate may have appended
+            # guard conditions for sub-expressions that never ship —
+            # collect per-expression, keep only successful translations
+            self.translator.error_probes = []
             try:
                 tc = self.translator.translate(text)
                 native.append((name, tc))
                 tags[name] = tc.tag
                 self.native_count += 1
+                staged_probes.extend(self.translator.error_probes)
             except TranslationFallback as fb:
                 fallback.append(PyExpr(out_col=name, expr=text))
                 self.fallback_count += 1
                 self.fallback_reasons.append('{}: {}'.format(text, fb))
+        self.translator.error_probes = staged_probes
+        self._harvest_native_probes(df)
         if native:
             df = df.withColumns({name: tc.col for name, tc in native})
         if fallback:
+            self._add_pyeval_probe(df, fallback)
             df = eval_columns(df, self.wf, fallback,
                               user_init_code=self.options.user_init_code,
                               sample_rows=self.options.sample_rows,
@@ -182,16 +281,20 @@ class _ExprComputer:
         return df, tags
 
     def predicate(self, df: DataFrame, text: str) -> tuple[DataFrame, Column]:
+        self.translator.error_probes = []
         try:
             col = self.translator.translate_predicate(text)
             self.native_count += 1
+            self._harvest_native_probes(df)
             return df, col
         except TranslationFallback as fb:
+            self.translator.error_probes = []
             self.fallback_count += 1
             self.fallback_reasons.append('{}: {}'.format(text, fb))
             pe = PyExpr(out_col='__where', expr='bool({})'.format(text))
             from pyspark.sql import types as T
             pe.dtype = T.BooleanType()
+            self._add_pyeval_probe(df, [pe])
             df = eval_columns(df, self.wf, [pe],
                               user_init_code=self.options.user_init_code,
                               sample_rows=self.options.sample_rows,
@@ -476,9 +579,14 @@ class StageRunner:
         # matters — filter FIRST (predicate reaches the parquet scan), then
         # attach __nr.
         early_filtered = False
+        pre_filter_df, early_cond = wf.df, None
         if (stage.is_select and stage.where_expr is not None and not nr_referenced):
             try:
                 tr = ExpressionTranslator(Binding(wf))
+                # pushdown position: NR is not attached yet, so value-
+                # parity guards must stay NR-free (recordless message —
+                # the one divergence kept for pushdown's sake)
+                tr.record_errors = False
                 cond = tr.translate_predicate(stage.where_expr)
                 # a NoneType-call guard carries the record number via
                 # NR_COL, which does not exist yet at pushdown time —
@@ -486,10 +594,20 @@ class StageRunner:
                 if not tr.uses_nr_col:
                     wf = wf.with_df(wf.df.filter(cond))
                     early_filtered = True
+                    early_cond = cond
             except (TranslationFallback, RbqlParsingError, RbqlRuntimeError, SyntaxError):
                 pass
 
         self._nr_dense = nr_referenced
+        # NR is partition-major monotone (sorting by it is a no-op over
+        # the current row order) unless it was RENAMED from an ORDER_SRC
+        # key after a repartition (non-dense CSV line-parallel path) —
+        # the surrogate and both dense numbering paths generate NR from
+        # the frame's own partition layout.  _finalize_simple uses this
+        # to drop the output-order sort on narrow-only select paths.
+        self._nr_monotone = (nr_referenced
+                             or ORDER_SRC_COL not in wf.df.columns
+                             or wf.a.order_src_monotone)
         wf = wf.with_df(attach_nr(wf.df, NR_COL, dense=nr_referenced))
         if stage.join_subtype is not None:
             wf = self._load_b_side(stage, wf)
@@ -501,8 +619,21 @@ class StageRunner:
         df = wf.df
 
         if stage.is_select:
-            return self._run_select(stage, wf, comp, df, skip_where=early_filtered)
-        return self._run_update(stage, wf, comp, df)
+            res = self._run_select(stage, wf, comp, df, skip_where=early_filtered)
+        else:
+            res = self._run_update(stage, wf, comp, df)
+        # Exact error record numbers on the non-dense path: guards and the
+        # evaluator fallback embed the failing row's raw order surrogate
+        # in the error text; this resolver (jobs run ONLY when an error
+        # actually surfaces) finds the FIRST failing record via the
+        # harvested probes and converts its surrogate back to the
+        # reference's 1-based INPUT record number — including across the
+        # early-filter pushdown, where the surrogate numbers the filtered
+        # stream.
+        res.nr_resolver = None if nr_referenced else _make_surrogate_resolver(
+            wf.df, pre_filter_df if early_filtered else None, early_cond,
+            comp.failure_probes)
+        return res
 
     # -- UPDATE -------------------------------------------------------------
 
@@ -840,19 +971,26 @@ class StageRunner:
         # reverses equal-key runs too — so every tiebreaker flips with DESC.
         rev = bool(sort_cols) and stage.sort_reverse
         sort_exprs = list(stage.sort_key_exprs or [])
+        # reference accident parity (round-14): sorted() of a 0/1-element
+        # list performs NO comparison, so a None sort key on a single-row
+        # table SUCCEEDS in the reference (rbql_engine.py:540-557).  When
+        # the source row count is statically known to be 1 (in-memory
+        # table length, parquet footer num_rows — zero extra jobs) and
+        # nothing can multiply rows (no join, no UNNEST), skip the
+        # per-row guard to match; any other case keeps it.
+        single_row_source = (wf.a.row_count == 1 and wf.b is None
+                             and unnest_col is None)
         order: list[Column] = []
         for ci, c in enumerate(sort_cols):
             key = F.col(c)
-            guard_needed = not _bare_field_null_free(
+            guard_needed = not single_row_source and not _bare_field_null_free(
                 comp.binding, wf, stage.join_subtype,
                 sort_exprs[ci] if ci < len(sort_exprs) else None)
             if c in df.columns and guard_needed:
                 # reference parity (round-12): Python's sort compares a
                 # None key against its neighbor and raises — ANY null
                 # sort key is a runtime error, never a silent
-                # NULLS-FIRST placement.  (The reference's one accident
-                # — a single-row table needs no comparison and succeeds
-                # — is not replicated: the guard fires per row.)
+                # NULLS-FIRST placement.
                 t = {'string': 'str', 'bigint': 'int', 'int': 'int',
                      'double': 'float', 'float': 'float',
                      'boolean': 'bool', 'void': 'NoneType'}.get(
@@ -897,6 +1035,18 @@ class StageRunner:
 
         if stage.top_count is not None:
             df = df.orderBy(*order).limit(stage.top_count)
+
+        # Plain narrow path (no user sort / distinct / top / join / unnest):
+        # every transform since NR attach is narrow, so the frame is
+        # ALREADY in (partition-major) NR order whenever NR is monotone
+        # (engine.run) — sorting by it would be a no-op bought with a
+        # range exchange + a sampling pass that re-executes the upstream
+        # (for CSV: the Python split runs twice).  Emit order_cols=[] and
+        # let collect/sinks take partition order directly.
+        if (not sort_cols and not stage.distinct and not stage.distinct_count
+                and stage.top_count is None and wf.b is None
+                and unnest_col is None and getattr(self, '_nr_monotone', False)):
+            order = []
 
         return StageResult(df=df, out_names=out_names, order_cols=order,
                            warnings=self.warnings,

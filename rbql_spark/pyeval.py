@@ -281,14 +281,19 @@ _SAMPLE_TYPE_CACHE: dict = {}
 
 def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
                  user_init_code: str = '', sample_rows: int = 64,
-                 nr_dense: bool = False) -> DataFrame:
+                 nr_dense: bool = False, probe_mode: bool = False) -> DataFrame:
     """Append one column per PyExpr, evaluating arbitrary Python per record.
 
     ``nr_dense``: whether NR_COL carries exact 1-based record numbers.
-    When False (the order surrogate, pid*2^33 + offset), error messages
-    use the partition-ordinal approximation — the engine's aggregate
-    nr_err convention — instead of leaking the raw surrogate id
-    ('At record 25769803776')."""
+    When False (the order surrogate, pid*2^33 + offset), the visible
+    error message uses the partition-ordinal approximation and embeds
+    the raw surrogate on a marker line for exact driver-side resolution.
+
+    ``probe_mode``: error-path first-failure probing — instead of
+    raising, every expression yields 1 where it would raise and 0 where
+    it succeeds (dtypes must be preset to LongType by the caller); the
+    engine then takes min(NR) over the flags to recover the FIRST
+    failing record, matching the reference's sequential-stop semantics."""
     plan = _plan_variables([pe.expr for pe in pyexprs], wf)
     a_header = wf.a.header
     b_header = wf.b.header if wf.b is not None else None
@@ -411,6 +416,7 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
                      for s in (wf.a, wf.b) if s is not None for i in s.json_cols]
     uic = user_init_code
     dense_nr = bool(nr_dense)
+    probing = bool(probe_mode)
     make_env_outer = build_env_factory()
 
     def run_batches(batches):
@@ -443,13 +449,29 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
                 row = {c: col_data[c][i] for c in in_cols}
                 env = make_env_outer(row)
                 for name, code, coerce in compiled:
+                    if probing:
+                        try:
+                            coerce(eval(code, glb, env))
+                            outs[name][i] = 0
+                        except Exception:
+                            outs[name][i] = 1
+                        continue
                     try:
                         outs[name][i] = coerce(eval(code, glb, env))
                     except Exception as e:
                         nr = row.get(NR_COL)
+                        marker = ''
                         if nr is not None and not dense_nr:
+                            # embed the raw surrogate on its own line —
+                            # driver-side _unwrap_spark_error resolves it
+                            # to the exact input record number (engine
+                            # nr_resolver); the visible first line keeps
+                            # the partition-ordinal approximation for
+                            # consumers without a resolver
+                            marker = '\n__RBQL_SURR_{}__'.format(int(nr))
                             nr = (int(nr) % (1 << 33)) + 1
-                        raise RbqlRuntimeError('At record {}, Details: {}'.format(nr, e))
+                        raise RbqlRuntimeError(
+                            'At record {}, Details: {}{}'.format(nr, e, marker))
             res = pdf.copy()
             for name, _, _ in compiled:
                 res[name] = pd.Series(outs[name], dtype='object')

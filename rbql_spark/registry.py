@@ -19,16 +19,24 @@ from .errors import RbqlIOHandlingError
 
 def parquet_null_free_columns(path: str) -> frozenset[str]:
     """Top-level column names whose parquet footer statistics PROVE zero
-    nulls across every row group of every file.
+    nulls across every row group of every file — see
+    :func:`parquet_footer_info`."""
+    return parquet_footer_info(path)[0]
+
+
+def parquet_footer_info(path: str) -> tuple[frozenset[str], int | None]:
+    """(null-free column names, exact row count) from parquet footers.
 
     Driver-side footer reads only — O(row groups), no data scan; at
     100 TB this is the same metadata the planner already touches.  Any
     missing statistic, nested path, or read failure disqualifies the
-    column (absence of proof, never an assumption)."""
+    column (absence of proof, never an assumption); any read failure
+    yields row count None.  The row count feeds the ORDER BY single-row
+    reference-accident parity (engine._finalize_simple)."""
     try:
         import pyarrow.parquet as pq
     except ImportError:
-        return frozenset()
+        return frozenset(), None
     if os.path.isfile(path):
         files = [path]
     else:
@@ -44,16 +52,18 @@ def parquet_null_free_columns(path: str) -> frozenset[str]:
                 if not n.startswith(('.', '_'))
                 and not os.path.isdir(os.path.join(path, n)))
         except OSError:
-            return frozenset()
+            return frozenset(), None
         if any(not n.endswith('.parquet') for n in names):
-            return frozenset()
+            return frozenset(), None
         files = [os.path.join(path, n) for n in names]
     if not files:
-        return frozenset()
+        return frozenset(), None
     proven: set[str] | None = None
+    total_rows = 0
     try:
         for fp in files:
             md = pq.ParquetFile(fp).metadata
+            total_rows += md.num_rows
             ok: dict[str, bool] = {}
             for rg in range(md.num_row_groups):
                 row = md.row_group(rg)
@@ -69,8 +79,8 @@ def parquet_null_free_columns(path: str) -> frozenset[str]:
             file_proven = {n for n, v in ok.items() if v}
             proven = file_proven if proven is None else (proven & file_proven)
     except Exception:
-        return frozenset()
-    return frozenset(proven or ())
+        return frozenset(), None
+    return frozenset(proven or ()), total_rows
 
 
 class TableRegistry:
@@ -99,8 +109,9 @@ class ParquetDirRegistry(TableRegistry):
         if not os.path.exists(path):
             return None
         df = spark.read.parquet(path)
+        nf, n_rows = parquet_footer_info(path)
         return TableHandle(df=df, header=list(df.columns),
-                           null_free=parquet_null_free_columns(path))
+                           null_free=nf, row_count=n_rows)
 
 
 class CatalogRegistry(TableRegistry):
@@ -159,8 +170,9 @@ class PathRegistry(TableRegistry):
         lower = path.lower()
         if lower.endswith('.parquet'):
             df = spark.read.parquet(path)
+            nf, n_rows = parquet_footer_info(path)
             return TableHandle(df=df, header=list(df.columns),
-                               null_free=parquet_null_free_columns(path))
+                               null_free=nf, row_count=n_rows)
         if lower.endswith(('.jsonl', '.ndjson', '.json')):
             from .sources.jsonl import read_jsonl
             return read_jsonl(spark, path)

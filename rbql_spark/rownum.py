@@ -65,6 +65,15 @@ def attach_running_count(df: DataFrame, order_col: str, cond, out_col: str) -> D
     The range-partitioned frame is persisted because the range sampler is
     not stable across jobs and the offsets pass and the main pass must
     see identical partitions (the :func:`attach_nr` ORDER_SRC precedent).
+
+    Cache lifetime (intentional, same as the ORDER_SRC path): the persist
+    MUST outlive every action on the returned DataFrame — unpersisting
+    earlier re-samples the range partitioner and silently mis-numbers —
+    and the engine cannot see the caller's last action, so the entry is
+    left to Spark's LRU block eviction (MEMORY_AND_DISK spills, evicts
+    under pressure; one UPDATE…NU table per query, bounded by the
+    session's working set).  Callers that know they are done may
+    ``.unpersist()`` the returned frame's source explicitly.
     """
     pid, off, flag = '__rbql_pid', '__rbql_off', '__rbql_flag'
     spark = df.sparkSession

@@ -246,6 +246,7 @@ def _read_csv_distributed(spark, path, delim, policy, with_headers,
     # distributed text scan + repartition (re-shipping lines per query beats
     # neither Arrow collect nor the JVM scan) — disabled, kept for reference.
     _SMALL_FILE_BYTES = 0
+    order_src_monotone = False
     local_small = os.path.exists(path) and os.path.getsize(path) <= _SMALL_FILE_BYTES
     if local_small:
         # small local file: decode once on the driver (also the utf-8
@@ -288,12 +289,26 @@ def _read_csv_distributed(spark, path, delim, policy, with_headers,
                     'UTF-8 Byte Order Mark (BOM) was found and skipped in input table')
         df = spark.read.text(path)
         # capture input order BEFORE spreading lines across cores — the
-        # repartition that parallelizes the (CPU-bound) split destroys
+        # exchange that parallelizes the (CPU-bound) split would destroy
         # partition order, and NR / sort stability derive from this key
         df = df.withColumn(ORDER_SRC_COL, F.monotonically_increasing_id())
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
+            # Round 14: RANGE-partition by the order key + in-partition
+            # sort instead of round-robin repartition.  Same input
+            # shuffle, but the stream stays partition-major ORDERED, so
+            # the engine can skip the output-restoring orderBy(NR)
+            # entirely (order_src_monotone) — which previously cost a
+            # range exchange whose SAMPLING pass re-executed the whole
+            # Python split.  The range sampler here reads only the raw
+            # JVM text scan.  Boundaries may differ between actions, but
+            # global row order (= ORDER_SRC order) and the NR values
+            # derived from ORDER_SRC are action-stable either way.
+            df = (df.repartitionByRange(target, F.col(ORDER_SRC_COL))
+                    .sortWithinPartitions(F.col(ORDER_SRC_COL)))
+        # either way the stream is partition-major ORDER_SRC-ascending
+        # (no exchange: the surrogate follows the scan's own layout)
+        order_src_monotone = True
         line = F.regexp_replace(F.col('value'), r'\r$', '')
         line = F.regexp_replace(line, '^﻿', '')  # BOM (file head in practice)
         df = df.select(line.alias('value'), F.col(ORDER_SRC_COL))
@@ -313,8 +328,10 @@ def _read_csv_distributed(spark, path, delim, policy, with_headers,
     elif policy == 'monocolumn':
         arr = F.array(F.col('value'))
     elif policy == 'quoted':
-        return _quoted_distributed(spark, df, delim, with_headers,
-                                   strip_whitespaces, comment_prefix, path)
+        handle = _quoted_distributed(spark, df, delim, with_headers,
+                                     strip_whitespaces, comment_prefix, path)
+        handle.order_src_monotone = bool(order_src_monotone)
+        return handle
     else:
         raise RbqlIOHandlingError('unknown split policy: ' + policy)
 
@@ -328,8 +345,10 @@ def _read_csv_distributed(spark, path, delim, policy, with_headers,
         header = _read_header_line(path, delim, policy, 'utf-8', comment_prefix,
                                    strip_whitespaces)
         arr_df = _drop_first_row(arr_df)
-    return _arrays_to_handle(spark, arr_df, header, None, cache_key=(path, delim, policy),
-                             pre_warnings=pre_warnings)
+    handle = _arrays_to_handle(spark, arr_df, header, None, cache_key=(path, delim, policy),
+                               pre_warnings=pre_warnings)
+    handle.order_src_monotone = bool(order_src_monotone)
+    return handle
 
 
 def _quoted_distributed(spark, lines_df, delim, with_headers, strip_whitespaces,

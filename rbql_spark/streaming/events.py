@@ -170,7 +170,8 @@ def running_user_totals(events: DataFrame, watermark: str = '2 hours',
 
 def stream_asof_enrich(events: DataFrame, markers: DataFrame,
                        on: str = 'ts', by: str = 'user_id',
-                       suffix: str = '_r') -> DataFrame:
+                       suffix: str = '_r',
+                       broadcast_max_rows: int = 1_000_000) -> DataFrame:
     """Stream-static as-of enrichment: each streamed event picks up the
     latest static marker of its key at or before its event time — the
     streaming face of ops.timejoin.asof_join (inclusive tie rule, NULL
@@ -184,9 +185,12 @@ def stream_asof_enrich(events: DataFrame, markers: DataFrame,
     searchsorted per key present in the batch — a stateless mapInPandas
     stage, so it composes with any downstream watermark/aggregation.
     Broadcast-sized markers are the contract (the dimension-table shape
-    of stream enrichment); for corpus-scale right sides use the batch
-    asof_join.  Markers must be unique per (by, on) — the as-of
-    contract (pre-aggregate ambiguous instants first).
+    of stream enrichment); the collect is guarded at `broadcast_max_rows`
+    (the ops.dedup broadcast-size pattern) so an oversized marker table
+    raises a clear error instead of OOMing the driver — for corpus-scale
+    right sides use the batch ops.timejoin.asof_join.  Markers must be
+    unique per (by, on) — the as-of contract (pre-aggregate ambiguous
+    instants first).
     """
     import numpy as np
 
@@ -194,9 +198,19 @@ def stream_asof_enrich(events: DataFrame, markers: DataFrame,
 
     payload = [c for c in markers.columns if c not in (by, on)]
     # a NULL-keyed or NULL-time marker can never match (and would break
-    # the index build) — drop up front
+    # the index build) — drop up front.  The limit bounds driver memory
+    # to broadcast_max_rows + 1 rows even when the guard trips.
     rows = (markers.where(F.col(by).isNotNull() & F.col(on).isNotNull())
-                   .select(by, on, *payload).collect())
+                   .select(by, on, *payload)
+                   .limit(broadcast_max_rows + 1).collect())
+    if len(rows) > broadcast_max_rows:
+        raise ValueError(
+            'stream_asof_enrich marker table exceeds broadcast_max_rows='
+            '{}: the streaming enrichment broadcasts the marker index to '
+            'every task, so the right side must be dimension-sized. Use '
+            'the batch asof_join (rbql_spark.ops.timejoin) for large '
+            'marker tables, or raise broadcast_max_rows explicitly.'
+            .format(broadcast_max_rows))
     rows.sort(key=lambda r: (repr(r[by]), r[on]))
     # dense key ids in the SAME order the rows were sorted by, so the
     # composite key below is globally monotone over (key, ts)

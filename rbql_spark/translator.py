@@ -113,6 +113,21 @@ class ExpressionTranslator:
         # column cannot run before NR is attached, so the engine's
         # early-filter pushdown must skip it
         self.uses_nr_col = False
+        # record_errors: value-parity guards (int('x') / float('x'))
+        # wrap their message with the reference's 'At record N, Details: '
+        # prefix (+ the exact-NR surrogate marker).  The engine's
+        # early-filter pushdown translator sets this False so those
+        # guards stay NR-free and the predicate can run before NR attach
+        # — a deliberate divergence (recordless message) paid only on
+        # the pushed-down WHERE error path, never on results.
+        self.record_errors = True
+        # conditions under which a record-wrapped guard in a translated
+        # expression fires — harvested by the engine into error-path
+        # probes that find the FIRST failing record (reference semantics:
+        # the sequential loop stops at the first failure; Spark surfaces
+        # an arbitrary task's failure, so the exact record is recovered
+        # by min(NR) over these conditions, jobs run only on error)
+        self.error_probes: list[Column] = []
 
     def translate(self, expr_text: str) -> TCol:
         try:
@@ -442,15 +457,45 @@ class ExpressionTranslator:
         by the main loop at 756-767).  On a ZERO-row table nothing
         evaluates, so the query succeeds with the right output TYPE —
         closing the empty-table evaluator fallbacks (round 13).  Record
-        numbers: exact when the stage attached dense NR, else the
-        partition-ordinal approximation (the aggregate nr_err convention,
-        engine.py)."""
+        numbers: exact when the stage attached dense NR; on the
+        surrogate path the visible number is the partition-ordinal
+        approximation and the raw surrogate rides on a marker line that
+        the driver-side unwrap resolves to the exact input record number
+        (engine._make_surrogate_resolver, round 14)."""
+        if self.record_errors:
+            # the raise is unconditional where it is reached — as the
+            # whole expression (the out-of-width class) every record
+            # fails, so the first-record probe is the constant truth
+            self.error_probes.append(F.lit(True))
+        return self._record_error(F.lit(py_msg))
+
+    def _record_error(self, *msg_parts: Column) -> Column:
+        """raise_error column carrying the reference's 'At record N,
+        Details: <msg>' wrapper (rbql_engine.py:756-767 wraps every
+        per-record runtime error this way) plus the exact-NR surrogate
+        marker on the non-dense path."""
         self.uses_nr_col = True
         nr = F.col(NR_COL)
-        rec = nr if self.binding.nr_dense else (nr % F.lit(1 << 33)) + 1
-        return F.raise_error(F.concat(F.lit('At record '),
-                                      rec.cast('string'),
-                                      F.lit(', Details: ' + py_msg)))
+        if self.binding.nr_dense:
+            parts = [F.lit('At record '), nr.cast('string'),
+                     F.lit(', Details: '), *msg_parts]
+        else:
+            rec = (nr % F.lit(1 << 33)) + 1
+            parts = [F.lit('At record '), rec.cast('string'),
+                     F.lit(', Details: '), *msg_parts,
+                     F.lit('\n__RBQL_SURR_'), nr.cast('string'), F.lit('__')]
+        return F.raise_error(F.concat(*parts))
+
+    def _value_error(self, fire_cond: Column, *msg_parts: Column) -> Column:
+        """Value-parity guard message (int('x') / float('x')): record-
+        wrapped when record_errors (ordinary stages), bare when the
+        engine translates for early-filter pushdown (NR not attached yet).
+        ``fire_cond`` is the exact condition under which the guard raises
+        — registered as a first-failing-record probe."""
+        if self.record_errors:
+            self.error_probes.append(fire_cond)
+            return self._record_error(*msg_parts)
+        return F.raise_error(F.concat(*msg_parts))
 
     def _call(self, node: ast.Call) -> TCol:
         if node.keywords:
@@ -533,11 +578,13 @@ class ExpressionTranslator:
                 # Exotic accepted-by-Python forms ('1_0') raise here instead;
                 # int(None) propagates null rather than raising.
                 casted = v.col.try_cast('long')
+                fire = v.col.isNotNull() & casted.isNull()
                 guarded = F.when(
-                    v.col.isNotNull() & casted.isNull(),
-                    F.raise_error(F.concat(
+                    fire,
+                    self._value_error(
+                        fire,
                         F.lit("invalid literal for int() with base 10: '"),
-                        v.col, F.lit("'")))
+                        v.col, F.lit("'"))
                 ).otherwise(casted)
                 return TCol(guarded, 'int')
             if v.tag == 'null':
@@ -551,11 +598,13 @@ class ExpressionTranslator:
                 return TCol(v.col.cast('double'), 'float')
             if v.tag == 'str':
                 casted = v.col.try_cast('double')
+                fire = v.col.isNotNull() & casted.isNull()
                 guarded = F.when(
-                    v.col.isNotNull() & casted.isNull(),
-                    F.raise_error(F.concat(
+                    fire,
+                    self._value_error(
+                        fire,
                         F.lit("could not convert string to float: '"),
-                        v.col, F.lit("'")))
+                        v.col, F.lit("'"))
                 ).otherwise(casted)
                 return TCol(guarded, 'float')
             if v.tag == 'null':

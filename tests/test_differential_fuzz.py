@@ -344,7 +344,58 @@ def test_differential_out_of_width_calls(spark, seed):
         assert tail in got_err, \
             'seed {}: error tail mismatch\n query: {}\n got: {!r}\n ' \
             'ref: {!r}'.format(seed, query, got_err, ref_err)
-        if ref_err.startswith('At record 1,'):
-            assert got_err.startswith('At record 1,'), \
+        # round 14: exact record-number parity — the surrogate marker +
+        # first-failure probes recover the reference's first failing
+        # INPUT record on multi-partition tables
+        if ref_err.startswith('At record '):
+            ref_prefix = ref_err.split(', Details:', 1)[0]
+            assert got_err.startswith(ref_prefix + ','), \
                 'seed {}: record prefix mismatch\n got: {!r}\n ref: {!r}' \
                 .format(seed, got_err, ref_err)
+
+
+_RECORD_CASES = [
+    # (query, table builder) — every case raises in both engines; the
+    # assertion is EXACT 'At record N, Details:' prefix parity on
+    # multi-partition inputs (round 14: surrogate marker + first-failure
+    # probes recover the reference's first failing INPUT record)
+    ('single-fail native', "SELECT int(a1) * 2",
+     lambda: [[str(i), 'x'] if i != 43 else ['boom', 'x'] for i in range(1, 61)]),
+    ('native + pushed WHERE', "SELECT int(a1) WHERE a2 == 'x'",
+     lambda: [['boom' if i == 43 else str(i), 'x' if i % 2 else 'y']
+              for i in range(1, 61)]),
+    ('single-fail pyeval', "SELECT int(''.join(list(a1)))",
+     lambda: [['boom' if i == 51 else str(i), 'x'] for i in range(1, 61)]),
+    ('pyeval + pushed WHERE', "SELECT int(''.join(list(a1))) WHERE a2 == 'x'",
+     lambda: [['boom' if i == 50 else str(i), 'x' if i % 3 else 'y']
+              for i in range(1, 61)]),
+    ('all-fail NoneType', "SELECT len(a2)",
+     lambda: [[str(i)] for i in range(1, 31)]),
+    ('two-fail first wins', "SELECT int(a1)",
+     lambda: [['bad' if i in (11, 31) else str(i), 'x'] for i in range(1, 41)]),
+    ('all-fail pyeval', "SELECT int(''.join(list(a2)))",
+     lambda: [[str(i)] for i in range(1, 31)]),
+]
+
+
+@pytest.mark.parametrize('label,query,mk', [(c[0], c[1], c[2]) for c in _RECORD_CASES])
+def test_error_record_number_exact_parity(spark, label, query, mk):
+    from rbql_spark import query_table
+    table = mk()
+    ref_err = None
+    try:
+        run_reference(query, table)
+    except Exception as e:
+        ref_err = str(e)
+    assert ref_err is not None and ref_err.startswith('At record '), \
+        '{}: reference did not raise a record error: {!r}'.format(label, ref_err)
+    got_err = None
+    try:
+        query_table(spark, query, [list(r) for r in table])
+    except Exception as e:
+        got_err = str(e)
+    assert got_err is not None, '{}: we succeeded where reference raised'.format(label)
+    ref_prefix = ref_err.split(', Details:', 1)[0]
+    assert got_err.startswith(ref_prefix + ','), \
+        '{}: record prefix mismatch\n got: {!r}\n ref: {!r}'.format(
+            label, got_err, ref_err)

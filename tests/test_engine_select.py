@@ -151,8 +151,9 @@ def test_ragged_rows_safe_get(spark):
 def test_order_by_null_key_matches_reference(spark):
     """Round-12: a None sort key is a runtime error in the reference
     (Python's sort compares it), never a silent NULLS-FIRST placement;
-    clean keys sort identically.  The reference's single-row accident
-    (no comparison needed -> success) is documented as not replicated."""
+    clean keys sort identically.  Round-14: the reference's single-row
+    accident (no comparison needed -> success) IS replicated when the
+    source row count is statically known (in-memory table length)."""
     import os
     import sys
 
@@ -182,6 +183,10 @@ def test_order_by_null_key_matches_reference(spark):
         ("SELECT a1 ORDER BY a2", [[1, 5], [2, None]]),
         ("SELECT a1 ORDER BY a2", [[1, None], [2, None]]),
         ("SELECT a1 ORDER BY a2", [[2, 'y'], [1, 'x'], [3, 'z']]),
+        # round-14: the single-row accident — sorted() of one element
+        # does no comparison, so both engines SUCCEED on a None key
+        ("SELECT a1, a2 ORDER BY a2", [['x', None]]),
+        ("SELECT a1, a2 ORDER BY a2 DESC", [['x', None]]),
     ]
     for q, tbl in cases:
         ref = run_ref(q, tbl)

@@ -383,6 +383,36 @@ def test_stream_asof_enrich_nat_event_ts(spark, tmp_path):
     assert got[101] is None
 
 
+def test_stream_asof_enrich_marker_size_guard(spark, tmp_path):
+    """round-14: the marker collect is guarded — an oversized marker table
+    raises a clear error pointing at the batch asof_join instead of
+    OOMing the driver (the ops.dedup broadcast_max_rows pattern)."""
+    from datetime import datetime as dt
+
+    import pytest
+
+    from rbql_spark.streaming.events import (
+        read_event_stream, stream_asof_enrich,
+    )
+    evb = spark.createDataFrame(
+        [(100, dt(2024, 1, 1, 13), 1, 'view', 1.0, 'p')],
+        'event_id long, ts timestamp, user_id long, event_type string, '
+        'value double, props string')
+    replay = str(tmp_path / 'guard_replay')
+    evb.coalesce(1).write.mode('overwrite').parquet(replay)
+    markers = spark.createDataFrame(
+        [(i, dt(2024, 1, 1, 10), float(i)) for i in range(5)],
+        'user_id long, ts timestamp, mval double')
+    stream = read_event_stream(spark, replay)
+    with pytest.raises(ValueError, match='broadcast_max_rows.*asof_join'):
+        stream_asof_enrich(stream.select('user_id', 'ts', 'event_id'),
+                           markers, broadcast_max_rows=3)
+    # at exactly the threshold the build proceeds (guard is strict >)
+    out = stream_asof_enrich(stream.select('user_id', 'ts', 'event_id'),
+                             markers, broadcast_max_rows=5)
+    assert 'mval_r' in out.columns
+
+
 def test_running_totals_event_time_eviction(spark, tmp_path):
     """round-11: state_retention bounds running_user_totals state by
     event-time eviction — a user idle past retention has their counters
