@@ -1628,35 +1628,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the bound lives in the driver, so rotation here is the only way to
     # refresh proof for all 78.  The strict local mirror,
     # tools/check_oracles.py, still value-checks every gate each round.)
-    # Round 13 rotation (verdict #5): the 43 gates whose newest driver
-    # proof dates to r10 lead (the verdict's explicit rotation promise),
-    # then the gates whose code paths changed this round (aggregate
-    # null-guard refund via parquet footer stats, the two-phase NU
-    # counter behind the UPDATE gates, the classifier scorer A/B) fill
-    # the remaining snapshot slots; the rest keep declaration order.
+    # Round 14 rotation (r13 verdict #7): the 30 gates whose newest driver
+    # proof dates to r11 lead (after r14 no gate's proof is older than
+    # r12), then the gates whose code paths changed this round fill the
+    # remaining snapshot slots: the real BMP/WAV multimodal decoders (incl.
+    # the brand-new, never-driver-proven multimodal_audio_features), the
+    # Arrow classifier scorer kernel, the exact-record-number/ordered-scan
+    # engine changes behind the core rbql_* gates, the stream_asof marker
+    # guard, and the JS-dialect gates added this round; the rest keep
+    # declaration order.
     rotate_first = [
-        # --- r10-stale gates (43) ---
-        'rbql_like', 'rbql_pipe_chain', 'rbql_ternary_expr',
-        'window_row_number', 'pivot_event_counts', 'profile_table',
-        'join_asof', 'join_interval', 'join_semi', 'join_anti',
-        'join_full_outer', 'streaming_asof', 'streaming_session_counts',
-        'dedup_spans', 'export_manifest', 'pack_sequences',
-        'pipeline_training_data', 'bpe_train', 'bpe_apply',
-        'multimodal_features', 'multimodal_frame_sample',
-        'multimodal_resize', 'sim_ann_lsh', 'sim_ann_lsh_multiprobe',
-        'sim_ann_ivf_multiprobe', 'sim_ann_ivf_int8', 'sim_ann_ivf_pq',
-        'sim_ann_pq', 'sim_ann_index_stats', 'sim_embedding_neardup',
-        'sim_topk_bruteforce', 'text_bm25', 'text_embed_hashing',
-        'text_fingerprint', 'text_language_id', 'text_lm_score',
-        'text_lm_score_bigram', 'text_quality_filter',
-        'text_quality_score', 'text_redact_pii', 'text_repetition',
-        'text_token_stats', 'text_top_ngrams',
-        # --- touched this round (7): the aggregate/sort guard refunds,
-        # the classifier in-row feature rewrite, and the scorer A/B
-        # subject ---
-        'rbql_group_agg', 'rbql_global_agg', 'rbql_group_expr_key',
-        'rbql_select_top_order', 'quality_classifier',
-        'classifier_pr_curve', 'streaming_classifier',
+        # --- r11-stale gates (30) ---
+        'decontaminate_bloom', 'domain_classify', 'dsir_topk',
+        'dsir_weights', 'export_webdataset', 'having_groups',
+        'rbql_unnest', 'retrieval_hybrid_batch', 'retrieval_hybrid_rrf',
+        'sample_epochs', 'sample_mix_tokens', 'setop_except',
+        'setop_intersect', 'setop_union_all', 'sim_kmeans_cluster',
+        'sim_prototype_prune', 'sim_semantic_dedup', 'skew_salted_join',
+        'streaming_decontaminate', 'streaming_decontaminate_bloom',
+        'streaming_exact_dedup', 'streaming_minhash_neardup',
+        'streaming_quality_filter', 'streaming_windowed_counts',
+        'text_bm25_batch', 'text_readability', 'window_running_sum',
+        'window_session', 'window_sliding', 'window_tumbling',
+        # --- new or touched this round (20) ---
+        'multimodal_audio_features', 'multimodal_features',
+        'multimodal_frame_sample', 'multimodal_resize',
+        'rbql_js_filter_order', 'rbql_js_group_agg', 'rbql_js_string_ops',
+        'quality_classifier', 'classifier_pr_curve', 'streaming_classifier',
+        'rbql_select_where', 'rbql_select_top_order', 'rbql_global_agg',
+        'rbql_group_agg', 'rbql_update', 'rbql_inner_join',
+        'rbql_distinct', 'streaming_asof', 'profile_table',
+        'pipeline_training_data',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
