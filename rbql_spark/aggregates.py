@@ -94,7 +94,7 @@ def _classify_call(node: ast.Call) -> AggCall | None:
     return AggCall(kind=kind, arg_text=ast.unparse(node.args[0]))
 
 
-def detect_aggregate(item_text: str) -> AggCall | None:
+def detect_aggregate(item_text: str, dialect: str = 'python') -> AggCall | None:
     """Return the AggCall if the whole select item is one aggregate call.
 
     An aggregate call *nested* inside a larger expression is a parse error
@@ -119,11 +119,13 @@ def detect_aggregate(item_text: str) -> AggCall | None:
             continue
         if top is not None and top.kind == 'array_agg':
             continue  # inside post-proc lambda — runs on the final list
-        raise RbqlParsingError(WRONG_AGGREGATION_USAGE_ERROR)
+        from .errors import wrong_aggregation_usage_error
+        raise RbqlParsingError(wrong_aggregation_usage_error(dialect))
     return top
 
 
-def numeric_coerce(col: Column, tag: str, nr: Column | None = None) -> tuple[Column, str]:
+def numeric_coerce(col: Column, tag: str, nr: Column | None = None,
+                   dialect: str = 'python') -> tuple[Column, str]:
     """NumHandler parity: strings parse to numbers, failure is a hard error
     carrying the record number (main-loop wrap, rbql_engine.py:756-767)."""
     if tag in ('int', 'float', 'null', 'any'):
@@ -133,11 +135,13 @@ def numeric_coerce(col: Column, tag: str, nr: Column | None = None) -> tuple[Col
     if tag == 'str':
         casted = col.try_cast('double')
         prefix = [F.lit('At record '), nr.cast('string'), F.lit(', Details: ')] if nr is not None else []
+        conv_phrase = 'to a number' if dialect == 'js' else 'to int or float'
         err_msg = F.concat(
             *prefix,
             F.lit('Unable to convert value "'), col,
-            F.lit('" to int or float. MIN, MAX, SUM, AVG, MEDIAN and VARIANCE '
-                  'aggregate functions convert their string arguments to numeric values'),
+            F.lit('" {}. MIN, MAX, SUM, AVG, MEDIAN and VARIANCE '
+                  'aggregate functions convert their string arguments to '
+                  'numeric values'.format(conv_phrase)),
         )
         guarded = F.when(col.isNotNull() & casted.isNull(), F.raise_error(err_msg)) \
                    .otherwise(casted)

@@ -23,7 +23,8 @@ def query_dataframe(spark: SparkSession, query: str, df: DataFrame | TableHandle
                     join_table: DataFrame | TableHandle | None = None,
                     registry: TableRegistry | None = None,
                     user_init_code: str = '',
-                    options: EngineOptions | None = None) -> StageResult:
+                    options: EngineOptions | None = None,
+                    dialect: str | None = None) -> StageResult:
     """Run an RBQL query over a DataFrame; columns are addressable as
     ``a.<name>`` / ``a["<name>"]`` / positional ``a1..aN``.
 
@@ -41,8 +42,14 @@ def query_dataframe(spark: SparkSession, query: str, df: DataFrame | TableHandle
     # the application' (reference parity: rbql_engine.py:1497-1499)
     reg = ChainRegistry(*regs) if regs else None
     opts = options or EngineOptions()
+    if dialect is not None:
+        opts.dialect = dialect
     if user_init_code:
         opts.user_init_code = user_init_code
+    if opts.dialect == 'js' and opts.user_init_code:
+        from .jsdialect.jsinit import JS_INIT_MARKER
+        if not opts.user_init_code.startswith(JS_INIT_MARKER):
+            opts.user_init_code = JS_INIT_MARKER + opts.user_init_code
     return run_query(spark, query, input_handle=handle, registry=reg, options=opts)
 
 
@@ -51,17 +58,21 @@ def query_table(spark: SparkSession, query: str, input_table: list[list],
                 join_table: list[list] | None = None,
                 join_column_names: list[str] | None = None,
                 user_init_code: str = '',
-                options: EngineOptions | None = None) -> tuple[list[list], list[str] | None]:
+                options: EngineOptions | None = None,
+                dialect: str | None = None) -> tuple[list[list], list[str] | None]:
     """Run a query over an in-memory list-of-rows table; returns
     (output_rows, output_column_names).  Analog of reference ``query_table``
     (rbql_engine.py:1747-1756) — the API the JSON unit-test corpus drives.
+    ``dialect='js'`` runs the query with JavaScript expression semantics
+    (reference rbql-js/rbql.js:1961 ``query_table``).
     """
     handle = _rows_to_handle(spark, input_table, input_column_names)
     join_handle = None
     if join_table is not None:
         join_handle = _rows_to_handle(spark, join_table, join_column_names)
     result = query_dataframe(spark, query, handle, join_table=join_handle,
-                             user_init_code=user_init_code, options=options)
+                             user_init_code=user_init_code, options=options,
+                             dialect=dialect)
     rows = collect_result_rows(result)
     return rows, result.out_names
 

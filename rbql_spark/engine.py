@@ -53,6 +53,7 @@ class EngineOptions:
     strict_checks: bool = True             # eager cardinality / const-group checks
     user_init_code: str = ''
     sample_rows: int = 64                  # pyeval type-inference sample size
+    dialect: str = 'python'                # expression language: 'python' | 'js'
 
 
 @dataclass
@@ -805,7 +806,7 @@ class StageRunner:
             if item.star:
                 continue
             text = stage.unmask(item.text)
-            agg = detect_aggregate(text)
+            agg = detect_aggregate(text, dialect=self.options.dialect)
             if agg is not None:
                 agg_calls[idx] = agg
                 continue
@@ -1152,7 +1153,8 @@ class StageRunner:
                             agg_exprs.append(F.min(is_int.cast('int')).alias(flag))
                             int_flags[out_name] = flag
                         raw = F.col(argcol)
-                        arg, _t = numeric_coerce(arg, tag, nr_err)
+                        arg, _t = numeric_coerce(arg, tag, nr_err,
+                                                 dialect=self.options.dialect)
                         # reference parity for NULL cells (round-12): a
                         # None inside a numeric aggregate is a runtime
                         # error in the reference's real-Python
@@ -1248,7 +1250,8 @@ def run_query(spark: SparkSession, query_text: str,
               options: EngineOptions | None = None) -> StageResult:
     """Parse + run a (possibly piped) RBQL query → StageResult."""
     options = options or EngineOptions()
-    stages = parser.parse_query(query_text, has_context_table=input_handle is not None)
+    stages = parser.parse_query(query_text, has_context_table=input_handle is not None,
+                                dialect=options.dialect)
     result: StageResult | None = None
     handle = input_handle
     all_warnings: list[str] = []

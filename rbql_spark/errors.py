@@ -34,6 +34,17 @@ NUMERIC_CONVERSION_ERROR = (
     ' VARIANCE aggregate functions convert their string arguments to numeric values'
 )
 
+# JS-dialect wordings (rbql-js/rbql.js:72,286)
+WRONG_AGGREGATION_USAGE_ERROR_JS = 'Usage of RBQL aggregation functions inside JavaScript expressions is not allowed, see the docs'
+NUMERIC_CONVERSION_ERROR_JS = (
+    'Unable to convert value "{}" to a number. MIN, MAX, SUM, AVG, MEDIAN and'
+    ' VARIANCE aggregate functions convert their string arguments to numeric values'
+)
+
+
+def wrong_aggregation_usage_error(dialect: str) -> str:
+    return WRONG_AGGREGATION_USAGE_ERROR_JS if dialect == 'js' else WRONG_AGGREGATION_USAGE_ERROR
+
 
 def exception_to_error_info(e: BaseException) -> tuple[str, str]:
     """Map an exception to the reference's ``(error_type, error_msg)`` pairs.
@@ -58,6 +69,19 @@ def exception_to_error_info(e: BaseException) -> tuple[str, str]:
                 '\nTip: If input table is defined by the environment, RBQL query '
                 'should not have "FROM" keyword'
             )
+        if error_msg.lower().find('unexpected identifier') != -1:
+            # JS-dialect and/or misuse hints (rbql-js/rbql.js:1002-1005: the
+            # reference inspects the query for ' and '/' or ' when V8 reports
+            # an unexpected identifier; the offending expression text is
+            # embedded in our message, so the same containment check works)
+            if re.search(' and ', error_msg, flags=re.IGNORECASE):
+                error_msg += ("\nDid you use 'and' keyword in your query?\n"
+                              "JavaScript backend doesn't support 'and' keyword, "
+                              "use '&&' operator instead!")
+            elif re.search(' or ', error_msg, flags=re.IGNORECASE):
+                error_msg += ("\nDid you use 'or' keyword in your query?\n"
+                              "JavaScript backend doesn't support 'or' keyword, "
+                              "use '||' operator instead!")
         return ('syntax error', error_msg)
     if isinstance(e, RbqlRuntimeError):
         return ('query execution', str(e))

@@ -56,14 +56,20 @@ STRING_LITERAL_MARKER = '___RBQL_STRING_LITERAL{}___'
 _STRING_LITERALS_RGX = re.compile(
     r'''(\"\"\"|\'\'\'|\"|\')((?<!\\)(\\\\)*\\\1|.)*?\1'''
 )
+# JS masking adds template literals (backticks) and drops triple quotes
+# (rbql-js/rbql.js:1349-1370 masks ' " ` with the same escape structure)
+_JS_STRING_LITERALS_RGX = re.compile(
+    r"""'(?:\\(?:\\\\)*'|[^'])*'|"(?:\\(?:\\\\)*"|[^"])*"|`(?:\\(?:\\\\)*`|[^`])*`"""
+)
 
 
-def separate_string_literals(expression: str) -> tuple[str, list[str]]:
+def separate_string_literals(expression: str, dialect: str = 'python') -> tuple[str, list[str]]:
     """Mask string literals with ``___RBQL_STRING_LITERALn___`` placeholders."""
+    rgx = _JS_STRING_LITERALS_RGX if dialect == 'js' else _STRING_LITERALS_RGX
     literals: list[str] = []
     out: list[str] = []
     prev_end = 0
-    for m in _STRING_LITERALS_RGX.finditer(expression):
+    for m in rgx.finditer(expression):
         out.append(expression[prev_end:m.start()])
         out.append(STRING_LITERAL_MARKER.format(len(literals)))
         literals.append(m.group(0))
@@ -78,9 +84,10 @@ def combine_string_literals(masked: str, literals: list[str]) -> str:
     return masked
 
 
-def cleanup_query(query_text: str) -> str:
+def cleanup_query(query_text: str, dialect: str = 'python') -> str:
+    comment = '//' if dialect == 'js' else '#'
     lines = [ln.strip() for ln in query_text.split('\n')]
-    lines = ['' if ln.startswith('#') else ln for ln in lines]
+    lines = ['' if ln.startswith(comment) else ln for ln in lines]
     return ' '.join(ln for ln in lines if ln).rstrip(';')
 
 
@@ -207,9 +214,11 @@ def parse_select_list(select_text: str) -> list[SelectItem]:
     return items
 
 
-def parse_join_expression(src: str) -> tuple[str, list[tuple[str, str]]]:
+def parse_join_expression(src: str, dialect: str = 'python') -> tuple[str, list[tuple[str, str]]]:
     src = src.strip()
     err = 'Invalid join syntax. Valid syntax: <JOIN> /path/to/B/table on a... == b... [and a... == b... [and ... ]]'
+    # JS accepts '&&' between key pairs too (rbql-js/rbql.js:1165)
+    and_rgx = '^ +(?:and|&&) +' if dialect == 'js' else '^ +and +'
     m = re.search(r'^([^ ]+) +on +', src, re.IGNORECASE)
     if m is None:
         raise RbqlParsingError(err)
@@ -224,7 +233,7 @@ def parse_join_expression(src: str) -> tuple[str, list[tuple[str, str]]]:
         src = src[m.end():]
         if not src:
             break
-        m = re.search('^ +and +', src, re.IGNORECASE)
+        m = re.search(and_rgx, src, re.IGNORECASE)
         if m is None:
             raise RbqlParsingError(err)
         src = src[m.end():]
@@ -286,7 +295,8 @@ class ParsedStage:
         return combine_string_literals(text, self.literals)
 
 
-def parse_stage(stage_masked: str, literals: list[str], has_context_table: bool) -> ParsedStage:
+def parse_stage(stage_masked: str, literals: list[str], has_context_table: bool,
+                dialect: str = 'python') -> ParsedStage:
     statement_groups = [g[:] for g in STATEMENT_GROUPS]
     if has_context_table:
         stage_masked = remove_redundant_input_table_name(stage_masked)
@@ -314,7 +324,7 @@ def parse_stage(stage_masked: str, literals: list[str], has_context_table: bool)
 
     if JOIN in actions:
         ps.join_subtype = actions[JOIN]['join_subtype']
-        table_id, pairs = parse_join_expression(actions[JOIN]['text'])
+        table_id, pairs = parse_join_expression(actions[JOIN]['text'], dialect=dialect)
         ps.join_table_id = combine_string_literals(table_id, literals)
         ps.join_var_pairs = [
             (combine_string_literals(u, literals), combine_string_literals(v, literals))
@@ -364,13 +374,67 @@ def parse_stage(stage_masked: str, literals: list[str], has_context_table: bool)
     return ps
 
 
-def parse_query(query_text: str, has_context_table: bool = True) -> list[ParsedStage]:
-    """Full front end: cleanup → mask literals → pipe-split → per-stage parse."""
-    cleaned = cleanup_query(query_text)
-    masked, literals = separate_string_literals(cleaned)
+def parse_query(query_text: str, has_context_table: bool = True,
+                dialect: str = 'python') -> list[ParsedStage]:
+    """Full front end: cleanup → mask literals → pipe-split → per-stage parse.
+
+    ``dialect``: expression language of the query — 'python' (default) or
+    'js'.  The RBQL clause grammar is dialect-shared; for 'js' every
+    expression field of the resulting stages is transpiled to the Python
+    expression surface (rbql_spark.jsdialect) so the rest of the engine is
+    dialect-unaware.
+    """
+    cleaned = cleanup_query(query_text, dialect=dialect)
+    masked, literals = separate_string_literals(cleaned, dialect=dialect)
     stages = split_query_to_stages(masked)
     # only the first stage may carry FROM; subsequent stages always have a context table
-    return [
-        parse_stage(stage, literals, has_context_table if i == 0 else True)
+    parsed = [
+        parse_stage(stage, literals, has_context_table if i == 0 else True,
+                    dialect=dialect)
         for i, stage in enumerate(stages)
     ]
+    if dialect == 'js':
+        for ps in parsed:
+            _adapt_stage_js(ps, cleaned)
+    return parsed
+
+
+def _js_transpile(src: str, full_query: str) -> str:
+    """One JS expression → Python source; JS parse failures surface as
+    SyntaxError with the offending expression embedded so
+    exception_to_error_info applies the reference's HAVING/LIKE/FROM and
+    'and'/'or' hints (rbql-js/rbql.js:986-1008 inspects the query text the
+    same way)."""
+    from .jsdialect import JsSyntaxError, js_expr_to_python
+    try:
+        return js_expr_to_python(src)
+    except JsSyntaxError as e:
+        raise SyntaxError('{}\nExpression: {}'.format(e, src)) from None
+
+
+def _adapt_stage_js(ps: ParsedStage, full_query: str) -> None:
+    """Transpile every expression field of a parsed stage in place.
+
+    Variable-name surfaces (EXCEPT lists, JOIN key pairs, UPDATE targets)
+    are dialect-shared and stay untouched; ``...expr`` select items map to
+    the engine's ``*expr`` unpack form (reference: JS spread and Python
+    star-unpack are the same RBQL feature)."""
+    from .jsdialect import js_update_target_to_python
+    if ps.where_expr is not None:
+        ps.where_expr = _js_transpile(ps.where_expr, full_query)
+    if ps.group_key_exprs is not None:
+        ps.group_key_exprs = [_js_transpile(e, full_query) for e in ps.group_key_exprs]
+    if ps.sort_key_exprs is not None:
+        ps.sort_key_exprs = [_js_transpile(e, full_query) for e in ps.sort_key_exprs]
+    ps.update_assignments = [
+        (js_update_target_to_python(var), _js_transpile(expr, full_query))
+        for var, expr in ps.update_assignments
+    ]
+    for item in ps.select_items:
+        if item.star is not None:
+            continue
+        src = ps.unmask(item.text).strip()
+        if src.startswith('...'):
+            item.text = '*' + _js_transpile(src[3:], full_query)
+        else:
+            item.text = _js_transpile(src, full_query)

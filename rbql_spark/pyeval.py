@@ -79,14 +79,26 @@ def _make_globals(user_init_code: str):
     class _UdfNamespace:
         pass
 
+    from .jsdialect import runtime as _js_runtime
+    from .jsdialect.jsinit import JS_INIT_MARKER, interpret_js_init
+
     glb: dict = {
         'math': _math, 'json': _json, 're': _re, 'random': _random,
         'datetime': _dt, 'os': _os, 'time': _time,
         'like': py_like, 'LIKE': py_like,
         '__builtins__': __builtins__,
+        # JS-dialect helpers: transpiled expressions reference these;
+        # harmless extra names for the Python dialect
+        '__js__': _js_runtime,
+        '__jsenv__': _js_runtime.JsEnv(),
     }
     udf_ns = _UdfNamespace()
-    if user_init_code:
+    if user_init_code.startswith(JS_INIT_MARKER):
+        bindings = interpret_js_init(user_init_code[len(JS_INIT_MARKER):])
+        glb['__jsenv__'] = _js_runtime.JsEnv(bindings)
+        for k, v in bindings.items():
+            setattr(udf_ns, k, v)
+    elif user_init_code:
         exec(compile(user_init_code, '<user init code>', 'exec'), glb)
         for k, v in list(glb.items()):
             if not k.startswith('__'):
@@ -385,9 +397,13 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
                 rd = spark_row.asDict()
                 row = {k: conv[k](v) if k in conv else v for k, v in rd.items()}
                 env = make_env(row)
+                # single-namespace eval: lambdas inside the expression (JS
+                # &&/|| thunks, Python sort keys) resolve row variables via
+                # their __globals__, so the row env rides in glb itself
+                glb.update(env)
                 for pe in need_infer:
                     try:
-                        sampled[pe.out_col].append(eval(compile(pe.expr, '<expr>', 'eval'), glb, env))
+                        sampled[pe.out_col].append(eval(compile(pe.expr, '<expr>', 'eval'), glb))
                     except Exception:
                         sampled[pe.out_col].append(None)
             for pe in need_infer:
@@ -448,16 +464,17 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
             for i in range(n):
                 row = {c: col_data[c][i] for c in in_cols}
                 env = make_env_outer(row)
+                glb.update(env)   # single-namespace eval (lambda closures)
                 for name, code, coerce in compiled:
                     if probing:
                         try:
-                            coerce(eval(code, glb, env))
+                            coerce(eval(code, glb))
                             outs[name][i] = 0
                         except Exception:
                             outs[name][i] = 1
                         continue
                     try:
-                        outs[name][i] = coerce(eval(code, glb, env))
+                        outs[name][i] = coerce(eval(code, glb))
                     except Exception as e:
                         nr = row.get(NR_COL)
                         marker = ''
@@ -496,8 +513,9 @@ def eval_simple(df: DataFrame, col_exprs: list[tuple[str, str]],
         vals = []
         for r in sample:
             env = {k: conv[k](v) for k, v in r.asDict().items()}
+            glb.update(env)   # single-namespace eval (lambda closures)
             try:
-                vals.append(eval(compile(expr, '<expr>', 'eval'), glb, env))
+                vals.append(eval(compile(expr, '<expr>', 'eval'), glb))
             except Exception:
                 vals.append(None)
         dtypes[out_col] = _infer_spark_type(vals)
@@ -531,8 +549,9 @@ def eval_simple(df: DataFrame, col_exprs: list[tuple[str, str]],
                 out = [None] * n
                 for i in range(n):
                     env = {k: col_data[k][i] for k in names}
+                    glb_w.update(env)   # single-namespace eval (lambda closures)
                     try:
-                        out[i] = coerce(eval(code, glb_w, env))
+                        out[i] = coerce(eval(code, glb_w))
                     except Exception as e:
                         raise RbqlRuntimeError('Details: {}'.format(e))
                 res[c] = pd.Series(out, dtype='object')
