@@ -218,12 +218,15 @@ def _stream_replay_dir(spark: SparkSession, sf_dir: str, name: str,
     return base
 
 
-def _rbql(query: str, table: str, strict: bool = True, broadcast: bool = True):
+def _rbql(query: str, table: str, strict: bool = True, broadcast: bool = True,
+          dialect: str = 'python'):
     """Build a queries() callable that runs RBQL text through the engine.
 
     The StageResult's translator telemetry from the latest invocation is
     exposed as ``run.last_telemetry`` so the native-coverage test can
-    assert the bench gates plan zero Python expression stages."""
+    assert the bench gates plan zero Python expression stages.
+    ``dialect='js'`` runs the query through the JavaScript expression
+    front-end (rbql_spark.jsdialect)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from rbql_spark.registry import parquet_null_free_columns
         handle = TableHandle(
@@ -236,7 +239,8 @@ def _rbql(query: str, table: str, strict: bool = True, broadcast: bool = True):
         res = query_dataframe(spark, query, handle,
                               registry=ParquetDirRegistry(sf_dir),
                               options=EngineOptions(strict_checks=strict,
-                                                    broadcast_join=broadcast))
+                                                    broadcast_join=broadcast,
+                                                    dialect=dialect))
         run.last_telemetry = res.telemetry
         return res.display_df()
     run.last_telemetry = None
@@ -264,6 +268,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q['rbql_distinct'] = _rbql(
         "SELECT DISTINCT a.l_returnflag, a.l_linestatus", 'lineitem')
+
+    # ---- JavaScript expression dialect (rbql_spark.jsdialect): the same
+    # engine with the JS front-end — ECMAScript coercion semantics, native
+    # Column translation for the helper shapes (WHERE reaches the parquet
+    # scan as pushed conjuncts, tests/test_plans.py) --------------------
+    q['rbql_js_filter_order'] = _rbql(
+        "SELECT TOP 500 a.o_orderkey AS okey, a.o_totalprice AS price, "
+        "a.o_orderpriority.slice(0, 1) AS pri "
+        "WHERE a.o_totalprice > 150000 && a.o_orderstatus === 'O' "
+        "ORDER BY a.o_totalprice, a.o_orderkey DESC",
+        'orders', dialect='js')
+
+    q['rbql_js_group_agg'] = _rbql(
+        "SELECT a.l_returnflag AS rflag, COUNT(1) AS cnt, "
+        "SUM(a.l_quantity) AS sum_qty, MAX(a.l_extendedprice) AS max_price "
+        "GROUP BY a.l_returnflag",
+        'lineitem', dialect='js')
+
+    q['rbql_js_string_ops'] = _rbql(
+        "SELECT a.c_name.toUpperCase() AS uname, "
+        "`${a.c_mktsegment}:${a.c_nationkey}` AS seg, "
+        "a.c_name.split('#').length AS name_parts, "
+        "a.c_name.length AS name_len "
+        "WHERE a.c_mktsegment.startsWith('B') || /AUTO/.test(a.c_mktsegment)",
+        'customer', dialect='js')
 
     q['rbql_distinct_count'] = _rbql(
         "SELECT DISTINCT COUNT a.o_orderpriority", 'orders')
@@ -2272,6 +2301,24 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC LIMIT 100")
 
     o['rbql_distinct'] = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+    o['rbql_js_filter_order'] = (
+        "SELECT o_orderkey AS okey, o_totalprice AS price, "
+        "substr(o_orderpriority, 1, 1) AS pri FROM orders "
+        "WHERE o_totalprice > 150000 AND o_orderstatus = 'O' "
+        "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 500")
+
+    o['rbql_js_group_agg'] = (
+        "SELECT l_returnflag AS rflag, count(*) AS cnt, "
+        "sum(l_quantity) AS sum_qty, max(l_extendedprice) AS max_price "
+        "FROM lineitem GROUP BY l_returnflag")
+
+    o['rbql_js_string_ops'] = (
+        "SELECT upper(c_name) AS uname, "
+        "c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS seg, "
+        "len(string_split(c_name, '#')) AS name_parts, "
+        "length(c_name) AS name_len FROM customer "
+        "WHERE starts_with(c_mktsegment, 'B') OR regexp_matches(c_mktsegment, 'AUTO')")
 
     o['rbql_distinct_count'] = (
         "SELECT count(*) AS count, o_orderpriority FROM orders GROUP BY o_orderpriority")

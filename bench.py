@@ -39,6 +39,7 @@ REPS = int(os.environ.get('SPARK_GRAFT_BENCH_REPS', '3'))
 BENCH_QUERIES = [
     'rbql_select_where',
     'rbql_select_top_order',
+    'rbql_js_filter_order',
     'rbql_group_agg',
     'rbql_group_expr_key',
     'rbql_inner_join',

@@ -244,7 +244,8 @@ def query_csv(spark: SparkSession, query: str, input_path: str,
               comment_regex: str | None = None,
               user_init_code: str = '',
               extra_search_dirs: list[str] | None = None,
-              options: EngineOptions | None = None) -> StageResult:
+              options: EngineOptions | None = None,
+              dialect: str | None = None) -> StageResult:
     """CSV entry point (analog of rbql_csv.query_csv, rbql_csv.py:543-580).
 
     Reads with the requested dialect, runs the query (join tables resolve as
@@ -282,8 +283,14 @@ def query_csv(spark: SparkSession, query: str, input_path: str,
     reg = PathRegistry(main_table_dir=os.path.dirname(os.path.abspath(input_path)),
                        csv_options=csv_opts, extra_dirs=extra_search_dirs)
     opts = options or EngineOptions()
+    if dialect is not None:
+        opts.dialect = dialect
     if user_init_code:
         opts.user_init_code = user_init_code
+    if opts.dialect == 'js' and opts.user_init_code:
+        from .jsdialect.jsinit import JS_INIT_MARKER
+        if not opts.user_init_code.startswith(JS_INIT_MARKER):
+            opts.user_init_code = JS_INIT_MARKER + opts.user_init_code
     result = run_query(spark, query, input_handle=handle, registry=reg, options=opts)
     if output_path is not None:
         write_csv(result, output_path,

@@ -169,6 +169,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help='output dialect: input (same as input), csv, tsv')
     p.add_argument('--out-delim', default=None)
     p.add_argument('--out-policy', choices=POLICIES, default=None)
+    p.add_argument('--dialect', default='python', choices=['python', 'js'],
+                   help='expression language of the query (the reference ships '
+                        'rbql-py and rbql-js; both dialects run on this engine)')
     p.add_argument('--init-source-file', default=None,
                    help='python file exec-ed into the query scope (UDFs)')
     p.add_argument('--color', action='store_true',
@@ -228,7 +231,8 @@ def _run_one_query(spark, args, query: str, input_path: str, delim: str,
                            comment_prefix=args.comment_prefix,
                            strip_whitespaces=args.strip_spaces,
                            comment_regex=args.comment_regex,
-                           user_init_code=_read_user_init(args))
+                           user_init_code=_read_user_init(args),
+                           dialect=args.dialect)
         if args.output:
             warnings = write_csv(result, args.output, delim=out_delim,
                                  policy=out_policy, encoding=args.encoding)

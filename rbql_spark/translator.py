@@ -155,6 +155,12 @@ class ExpressionTranslator:
             return out
         if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
             return ~self._predicate(node.operand)
+        if isinstance(node, ast.Call):
+            # JS-dialect &&/||/!/?? combine as JS-truthiness predicates
+            from .jsdialect import native as _jsnative
+            js_path = _jsnative.js_name_path(node.func)
+            if js_path is not None:
+                return _jsnative.translate_predicate(self, node, js_path)
         return as_predicate(self._expr(node))
 
     # ------------------------------------------------------------------
@@ -500,8 +506,14 @@ class ExpressionTranslator:
     def _call(self, node: ast.Call) -> TCol:
         if node.keywords:
             raise TranslationFallback('keyword arguments')
-        # datetime constructors with literal args → Spark literal
         fn = node.func
+        # JS-dialect runtime helpers (__js__.<op>) — ECMAScript-semantics
+        # native translation (jsdialect/native.py)
+        from .jsdialect import native as _jsnative
+        js_path = _jsnative.js_name_path(fn)
+        if js_path is not None:
+            return _jsnative.translate_value(self, node, js_path)
+        # datetime constructors with literal args → Spark literal
         if isinstance(fn, ast.Attribute) and isinstance(fn.value, ast.Name) and fn.value.id == 'datetime':
             if fn.attr in ('date', 'datetime') and all(
                 isinstance(a, ast.Constant) and isinstance(a.value, int) for a in node.args

@@ -53,6 +53,26 @@ def test_top_order_uses_take_ordered(spark, sf_dir, entry):
     assert 'TakeOrderedAndProject' in plan
 
 
+def test_js_dialect_native_and_pushdown(spark, sf_dir, entry):
+    """The JS front-end must not cost the Spark plan anything: the three
+    JS gates translate fully natively (zero Arrow evaluator stages) and
+    the rbql_js_filter_order WHERE reaches the parquet scan as pushed
+    conjuncts (jsdialect/native.py's literal fast path)."""
+    q = entry.queries()
+    for name in ['rbql_js_filter_order', 'rbql_js_group_agg', 'rbql_js_string_ops']:
+        fn = q[name]
+        plan = _plan(fn(spark, sf_dir))
+        assert 'BatchEvalPython' not in plan and 'MapInPandas' not in plan \
+            and 'ArrowEvalPython' not in plan, \
+            '{} unexpectedly fell back to Python:\n{}'.format(name, plan[:800])
+        assert fn.last_telemetry['fallback_count'] == 0, fn.last_telemetry
+    plan = _plan(q['rbql_js_filter_order'](spark, sf_dir))
+    pushed = plan.split('PushedFilters: [')[1].split(']')[0]
+    assert 'GreaterThan(o_totalprice' in pushed, pushed
+    assert 'EqualNullSafe(o_orderstatus,O)' in pushed, pushed
+    assert 'TakeOrderedAndProject' in plan
+
+
 def test_group_agg_partial_aggregation(spark, sf_dir, entry):
     plan = _plan(entry.queries()['rbql_group_agg'](spark, sf_dir))
     # map-side combine: partial_ aggregate functions before the exchange

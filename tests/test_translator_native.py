@@ -159,14 +159,16 @@ def test_telemetry_counts_native_and_fallback(spark):
 
 
 def test_bench_gates_fully_native(spark, sf_dir):
-    # the 21 rbql_* bench gates must plan ZERO Python expression stages:
+    # the rbql_* bench gates must plan ZERO Python expression stages:
     # every SELECT item / WHERE / sort key / UPDATE value translates to
     # native Catalyst columns (telemetry-backed, replacing plan-string
-    # spot checks on a 6-gate subset)
+    # spot checks on a 6-gate subset).  Includes the three JS-dialect
+    # gates — the JS front-end's helper shapes translate natively too
+    # (jsdialect/native.py).
     import __spark_entry__ as entrymod
     q = entrymod.queries()
     gates = [n for n in q if n.startswith('rbql_') and n != 'rbql_array_agg']
-    assert len(gates) == 20   # 21 rbql_* minus the array_agg wrapper
+    assert len(gates) == 23   # 24 rbql_* minus the array_agg wrapper
     for name in gates:
         fn = q[name]
         fn(spark, sf_dir)

@@ -51,6 +51,7 @@ REPS = int(os.environ.get('SPARK_GRAFT_BENCH_REPS', '2'))
 N_REPLICAS = 10
 
 SUBSET = [
+    'rbql_js_filter_order',
     'dedup_exact',
     'dedup_minhash_lsh',
     'dedup_simhash',

@@ -17,6 +17,7 @@ PICKS = [
     ('rbql_inner_join', 'Dimension join: B side broadcast (no shuffle of the fact side).'),
     ('rbql_multikey_join', 'Fact-to-fact self join: intentionally NOT hint-broadcast; at this test scale AQE may still auto-broadcast by size, at 100 TB it becomes a sort-merge join.'),
     ('rbql_select_top_order', 'TOP + ORDER BY compiles to TakeOrderedAndProject: no global sort materialization.'),
+    ('rbql_js_filter_order', 'JavaScript-dialect query (round 14): the JS front-end costs the plan NOTHING — the transpiled ECMAScript comparisons translate to pushed parquet conjuncts (GreaterThan + IsNotNull + EqualNullSafe), slice() is a native substring, TOP+ORDER BY is TakeOrderedAndProject, zero Python stages.'),
     ('dedup_exact', 'Exact dedup: single hash-partial/final aggregation on the digest key.'),
     ('sim_ann_ivf', 'IVF-flat ANN: cell assignment is one native projection (centroid literals inline, zero Python stages on the corpus path); candidates come from a broadcast hash join against the probed query cells.'),
     ('sim_ann_lsh', 'Multi-table LSH ANN: ONE corpus FileScan computes all n_tables (table, bucket) ids via a single exploded projection — the per-table-branch shape would rescan the embeddings table n_tables times.'),

@@ -29,5 +29,13 @@ process.stdin.on('end', async () => {
             out.push({ok: false, error_type: etype, error_msg: emsg});
         }
     }
-    process.stdout.write(JSON.stringify(out));
+    // JSON can't carry NaN/Infinity/undefined — tag them so the Python
+    // comparator can normalize both sides identically
+    const replacer = (k, v) => {
+        if (typeof v === 'number' && !isFinite(v))
+            return isNaN(v) ? '__NaN__' : (v > 0 ? '__Infinity__' : '__-Infinity__');
+        if (v === undefined) return '__undefined__';
+        return v;
+    };
+    process.stdout.write(JSON.stringify(out, replacer));
 });
