@@ -175,20 +175,32 @@ def _cipher(i: int) -> tuple[str, str]:
 
 
 def build_sf1(spark) -> None:
+    build_replicas(spark, SF1_DIR, N_REPLICAS, marker='_DONE_v2')
+
+
+def build_replicas(spark, out_dir: str, n_replicas: int,
+                   tables=('documents', 'events', 'embeddings'),
+                   marker: str | None = None) -> None:
+    """Materialize n_replicas cipher/shift replicas of the sf0.1 tables
+    into out_dir (see the module docstring for why the cipher keeps
+    ratios honest).  Shared by the sf1 (10x) run and the sf10 decade
+    audit (tools/bench_sf10.py)."""
     import shutil
 
     from pyspark.sql import functions as F
 
     # v2: adds the replicated events table (streaming gates) — a v1 dir
     # (marker '_DONE') predates it and is rebuilt from scratch
-    if os.path.exists(os.path.join(SF1_DIR, '_DONE_v2')):
+    if marker is None:
+        marker = '_DONE_r{}_{}'.format(n_replicas, '_'.join(sorted(tables)))
+    if os.path.exists(os.path.join(out_dir, marker)):
         return
-    shutil.rmtree(SF1_DIR, ignore_errors=True)
-    os.makedirs(SF1_DIR, exist_ok=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     docs = spark.read.parquet(os.path.join(SF01_DIR, 'documents.parquet'))
     doc_parts = []
-    for i in range(N_REPLICAS):
+    for i in range(n_replicas):
         if i == 0:
             doc_parts.append(docs)
             continue
@@ -200,11 +212,12 @@ def build_sf1(spark) -> None:
         doc_parts.append(docs.select(
             (F.col('doc_id') + i * _ID_STEP).alias('doc_id'),
             txt.alias('text'), 'lang', 'source', 'n_chars'))
-    out = doc_parts[0]
-    for p in doc_parts[1:]:
-        out = out.unionAll(p)
-    out.repartition(CPUS).write.mode('overwrite') \
-       .parquet(os.path.join(SF1_DIR, 'documents.parquet'))
+    if 'documents' in tables:
+        out = doc_parts[0]
+        for p in doc_parts[1:]:
+            out = out.unionAll(p)
+        out.repartition(CPUS).write.mode('overwrite') \
+           .parquet(os.path.join(out_dir, 'documents.parquet'))
 
     # events: replica i shifts event_id AND user_id so ids stay unique
     # and the stateful-stream key count (users) grows linearly — the
@@ -214,16 +227,17 @@ def build_sf1(spark) -> None:
     # is that of the original workload, just 10x denser.
     ev = spark.read.parquet(os.path.join(SF01_DIR, 'events.parquet'))
     ev_parts = []
-    for i in range(N_REPLICAS):
+    for i in range(n_replicas):
         ev_parts.append(ev.select(
             (F.col('event_id') + i * _ID_STEP).alias('event_id'), 'ts',
             (F.col('user_id') + i * _ID_STEP).alias('user_id'),
             'event_type', 'value', 'props'))
-    out = ev_parts[0]
-    for p in ev_parts[1:]:
-        out = out.unionAll(p)
-    out.repartition(CPUS).write.mode('overwrite') \
-       .parquet(os.path.join(SF1_DIR, 'events.parquet'))
+    if 'events' in tables:
+        out = ev_parts[0]
+        for p in ev_parts[1:]:
+            out = out.unionAll(p)
+        out.repartition(CPUS).write.mode('overwrite') \
+           .parquet(os.path.join(out_dir, 'events.parquet'))
 
     emb = spark.read.parquet(os.path.join(SF01_DIR, 'embeddings.parquet'))
 
@@ -246,17 +260,18 @@ def build_sf1(spark) -> None:
                     'label': pdf['label']})
         return fn
 
-    emb_parts = [emb]
-    schema = 'vec_id long, embedding array<float>, label int'
-    for i in range(1, N_REPLICAS):
-        emb_parts.append(emb.mapInPandas(perturb(i), schema=schema))
-    out = emb_parts[0]
-    for p in emb_parts[1:]:
-        out = out.unionAll(p)
-    out.repartition(CPUS).write.mode('overwrite') \
-       .parquet(os.path.join(SF1_DIR, 'embeddings.parquet'))
+    if 'embeddings' in tables:
+        emb_parts = [emb]
+        schema = 'vec_id long, embedding array<float>, label int'
+        for i in range(1, n_replicas):
+            emb_parts.append(emb.mapInPandas(perturb(i), schema=schema))
+        out = emb_parts[0]
+        for p in emb_parts[1:]:
+            out = out.unionAll(p)
+        out.repartition(CPUS).write.mode('overwrite') \
+           .parquet(os.path.join(out_dir, 'embeddings.parquet'))
 
-    with open(os.path.join(SF1_DIR, '_DONE_v2'), 'w') as f:
+    with open(os.path.join(out_dir, marker), 'w') as f:
         f.write('ok\n')
 
 

@@ -69,8 +69,14 @@ def main() -> None:
         for name, q in QUERIES:
             out_r = os.path.join(tmp, 'r_{}_{}.csv'.format(name, n))
             out_s = os.path.join(tmp, 's_{}_{}.csv'.format(name, n))
-            t_ref = run_reference(q, inp, out_r)
-            t_s = min(run_spark(spark, q, inp, out_s) for _ in range(2))  # warm
+            # both sides: min-of-3 with a discarded warmup run — the first
+            # spark run of a query shape pays whole-stage-codegen compile +
+            # python-worker spin-up (~1-2 s at this size, pure one-time
+            # cost), which at 300k rows is larger than the query itself and
+            # made earlier rounds' numbers swing 0.4x-1.4x run to run
+            run_spark(spark, q, inp, out_s)
+            t_ref = min(run_reference(q, inp, out_r) for _ in range(3))
+            t_s = min(run_spark(spark, q, inp, out_s) for _ in range(3))
             same = open(out_r, 'rb').read() == open(out_s, 'rb').read()
             print('{:15s} ref={:6.2f}s spark={:6.2f}s speedup={:4.2f}x identical={}'
                   .format(name, t_ref, t_s, t_ref / t_s, same))
