@@ -541,7 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data, so the drained stream equals the batch as-of join — the
         # join_asof oracle replays it verbatim.
         from rbql_spark.streaming.events import (
-            read_event_stream, run_stream_to_memory, stream_asof_enrich,
+            read_event_stream, run_stream_to_parquet, stream_asof_enrich,
         )
         tmp = _stream_replay_dir(spark, sf_dir, 'asof',
                                  ['event_id % 2 = 0', 'event_id % 2 = 1'])
@@ -552,10 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .agg(F.max('value').alias('mval')))
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         enriched = stream_asof_enrich(stream, markers)
-        qname = 'rbql_stream_asof_gate'
-        sq = run_stream_to_memory(enriched, qname, output_mode='append')
-        sq.stop()
-        return spark.table(qname).select(
+        drained = run_stream_to_parquet(enriched, 'rbql_stream_asof_gate')
+        return drained.select(
             'user_id', 'ts', 'event_id', 'value', 'mval_r', 'ts_r')
     q['streaming_asof'] = _streaming_asof
 
@@ -564,19 +562,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events table replayed as a file stream → watermarked tumbling
         # window aggregation → memory sink, returned as a DataFrame.
         from rbql_spark.streaming.events import (
-            read_event_stream, run_stream_to_memory, windowed_counts,
+            read_event_stream, run_stream_to_parquet, windowed_counts,
         )
         tmp = _stream_replay_dir(spark, sf_dir, 'wc',
                                  ['event_id % 2 = 0', 'event_id % 2 = 1'])
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         agg = windowed_counts(stream, width='6 hours', watermark='1 hour')
-        qname = 'rbql_stream_gate'
-        q = run_stream_to_memory(agg, qname, output_mode='append')
-        q.stop()
+        drained = run_stream_to_parquet(agg, 'rbql_stream_gate')
         # round the float sum for cross-engine comparability (append mode
         # emits exactly the windows whose end passed the final watermark —
         # the batch-SQL oracle reproduces that set with a HAVING filter)
-        return spark.table(qname).select(
+        return drained.select(
             'window_start', 'event_type', 'n_events',
             F.round('sum_value', 6).alias('sum_value'))
     q['streaming_windowed_counts'] = _streaming
@@ -588,17 +584,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermark (max event time − 1 hour) — the batch gap-and-island
         # replay reproduces that set with a HAVING-style filter
         from rbql_spark.streaming.events import (
-            read_event_stream, run_stream_to_memory, session_counts,
+            read_event_stream, run_stream_to_parquet, session_counts,
         )
         tmp = _stream_replay_dir(spark, sf_dir, 'sess',
                                  ['event_id % 2 = 0', 'event_id % 2 = 1'])
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         sess = session_counts(stream, gap='30 minutes', watermark='1 hour')
-        qname = 'rbql_stream_session_gate'
-        sq = run_stream_to_memory(sess, qname, output_mode='append')
-        sq.stop()
-        return spark.table(qname).select('user_id', 'session_start',
-                                         'n_events')
+        drained = run_stream_to_parquet(sess, 'rbql_stream_session_gate')
+        return drained.select('user_id', 'session_start', 'n_events')
     q['streaming_session_counts'] = _streaming_sessions
 
     def _streaming_totals(spark, sf_dir):
@@ -634,7 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so the surviving set equals the plain batch table, which is the
         # oracle.
         from rbql_spark.streaming.events import (
-            read_event_stream, run_stream_to_memory, stream_exact_dedup,
+            read_event_stream, run_stream_to_parquet, stream_exact_dedup,
         )
         tmp = _stream_replay_dir(spark, sf_dir, 'dedup',
                                  ['event_id % 3 != 2', 'event_id % 3 != 0'])
@@ -647,10 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lo, hi = ev.agg(F.min('ts'), F.max('ts')).first()
         span_days = max(1, (hi - lo).days + 2)
         dd = stream_exact_dedup(stream, watermark='{} days'.format(span_days))
-        qname = 'rbql_stream_dedup_gate'
-        sq = run_stream_to_memory(dd, qname, output_mode='append')
-        sq.stop()
-        return spark.table(qname).select(
+        drained = run_stream_to_parquet(dd, 'rbql_stream_dedup_gate')
+        return drained.select(
             'event_id', 'ts', 'user_id', 'event_type',
             F.round('value', 6).alias('value'))
     q['streaming_exact_dedup'] = _streaming_dedup
@@ -748,7 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from rbql_spark.streaming.documents import (
             read_document_stream, stream_quality_filter,
         )
-        from rbql_spark.streaming.events import run_stream_to_memory
+        from rbql_spark.streaming.events import run_stream_to_parquet
         tmp = _stream_replay_dir(spark, sf_dir, 'qf',
                                  ['doc_id % 2 = 0', 'doc_id % 2 = 1'],
                                  table='documents')
@@ -756,10 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         flags = stream_quality_filter(
             stream, min_words=20, min_stopword_ratio=0.05,
             allowed_langs=['de', 'en', 'es', 'fr'])
-        qname = 'rbql_stream_qf_gate'
-        sq = run_stream_to_memory(flags, qname, output_mode='append')
-        sq.stop()
-        return spark.table(qname).select('doc_id', 'keep', 'reasons')
+        drained = run_stream_to_parquet(flags, 'rbql_stream_qf_gate')
+        return drained.select('doc_id', 'keep', 'reasons')
     q['streaming_quality_filter'] = _streaming_quality_filter
 
     def _streaming_c4_filter(spark, sf_dir):
@@ -769,7 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from rbql_spark.streaming.documents import (
             read_document_stream, stream_c4_line_filter,
         )
-        from rbql_spark.streaming.events import run_stream_to_memory
+        from rbql_spark.streaming.events import run_stream_to_parquet
         tmp = _stream_replay_dir(spark, sf_dir, 'c4',
                                  ['doc_id % 2 = 0', 'doc_id % 2 = 1'],
                                  table='documents')
@@ -777,11 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_document_stream(spark, tmp, max_files_per_trigger=1))
         flags = stream_c4_line_filter(stream, min_words_per_line=4,
                                       min_kept_lines=3)
-        qname = 'rbql_stream_c4_gate'
-        sq = run_stream_to_memory(flags, qname, output_mode='append')
-        sq.stop()
-        return spark.table(qname).select('doc_id', 'n_lines', 'n_kept',
-                                         'keep', 'clean_text')
+        drained = run_stream_to_parquet(flags, 'rbql_stream_c4_gate')
+        return drained.select('doc_id', 'n_lines', 'n_kept',
+                              'keep', 'clean_text')
     q['streaming_c4_filter'] = _streaming_c4_filter
 
     # ---- superset: dedup --------------------------------------------------
@@ -1338,17 +1325,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training+scoring replay as quality_classifier
         from rbql_spark.streaming.documents import (read_document_stream,
                                                     stream_classify)
-        from rbql_spark.streaming.events import run_stream_to_memory
+        from rbql_spark.streaming.events import run_stream_to_parquet
         w = _trained_classifier_weights(spark, sf_dir)
         tmp = _stream_replay_dir(spark, sf_dir, 'clf',
                                  ['doc_id % 2 = 0', 'doc_id % 2 = 1'],
                                  table='documents')
         stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
-        qname = 'rbql_stream_clf_gate'
-        sq = run_stream_to_memory(stream_classify(stream, w), qname,
-                                  output_mode='append')
-        sq.stop()
-        return spark.table(qname)
+        return run_stream_to_parquet(stream_classify(stream, w),
+                                     'rbql_stream_clf_gate')
     q['streaming_classifier'] = _streaming_classifier
 
     def _classifier_pr_curve(spark, sf_dir):

@@ -756,9 +756,6 @@ class _StringMethods:
             return pat._rx.sub(rtext, s, count=count)
         pat = to_string(pat)
         if callable(repl) and not isinstance(repl, str):
-            def do(sub):
-                i = s.find(pat)
-                return sub
             if all_mode:
                 out, rest = [], s
                 while True:

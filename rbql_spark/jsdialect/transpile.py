@@ -148,13 +148,12 @@ class _Transpiler:
         if callee[0] == 'member':
             _, obj, mname = callee
             target = self._e_member(callee)
-            if target.startswith('__js__.') and '(' not in target and not target.startswith('__js__.member('):
+            if target.startswith('__js__.') and '(' not in target:
+                # namespace member (__js__.Math.floor / __js__.String.raw):
+                # direct call keeps the shape the native translator matches
                 return '{}({})'.format(target, arglist())
-            if not target.startswith('__js__.member('):
-                # a.value style record attr being called — dispatch with JS
-                # method semantics anyway
-                return '__js__.method({}, {!r}{}{})'.format(
-                    self.emit(obj), mname, ', ' if args else '', arglist())
+            # anything else — string/array/regex/record-attr methods —
+            # dispatches through the runtime with JS method semantics
             return '__js__.method({}, {!r}{}{})'.format(
                 self.emit(obj), mname, ', ' if args else '', arglist())
         return '__js__.call({}{}{})'.format(

@@ -96,6 +96,40 @@ def make_update_query(rnd: random.Random) -> str:
     ]).format(n=rnd.randint(-10, 50))
 
 
+def make_null_table(rnd: random.Random):
+    """Typed cells with nulls sprinkled in — ECMAScript null coercion
+    (ToNumber(null)=0 in relationals, null == only null/undefined, null
+    member access throws) is where the native translation does the most
+    work (jsdialect/native.py), so nulls get their own seed class."""
+    n = rnd.randint(2, 12)
+
+    def maybe(v):
+        return None if rnd.random() < 0.25 else v
+    return [[maybe(rnd.randint(-30, 99)), maybe(rnd.choice(WORDS)),
+             rnd.choice(WORDS), maybe(rnd.randint(0, 5))] for _ in range(n)]
+
+
+_NULL_WHERE = [
+    'a1 > {n}', 'a1 < {n}', 'a1 >= 0', 'a1 == null', 'a1 != null',
+    'a1 === null', "a2 == '{w}'", "a2 === '{w}'", 'a4 == 0',
+    'a1 == a4', 'a1 > a4', "a2 == null || a1 > {n}",
+    'a4 != null && a4 < 3',
+]
+
+
+def make_null_query(rnd: random.Random) -> str:
+    items = rnd.sample(['a1', 'a2', 'a3', 'a4', 'a1 == null', 'a1 > 10',
+                        'a4 == 0', 'a1 + 1', "a2 + ''", 'NR',
+                        'a1 === a4', 'a2 == a3'], k=rnd.randint(1, 4))
+    q = 'SELECT ' + ', '.join(items)
+    if rnd.random() < 0.8:
+        q += ' WHERE ' + rnd.choice(_NULL_WHERE).format(
+            n=rnd.randint(-10, 50), w=rnd.choice(WORDS))
+    if rnd.random() < 0.4:
+        q += ' ORDER BY a3'
+    return q
+
+
 def make_join_table(rnd: random.Random):
     return [[rnd.choice(WORDS), str(rnd.randint(0, 9))]
             for _ in range(rnd.randint(1, 6))]
@@ -246,3 +280,8 @@ def test_js_differential_update(spark, seed):
 @pytest.mark.parametrize('seed', range(4))
 def test_js_differential_join(spark, seed):
     _run_seed(spark, 5000 + seed, make_join_query, make_table, with_join=True)
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_js_differential_nulls(spark, seed):
+    _run_seed(spark, 6000 + seed, make_null_query, make_null_table)
