@@ -239,9 +239,10 @@ def pow_(x, y):
     try:
         r = nx ** ny
     except (OverflowError, ZeroDivisionError):
-        return Infinity if ny > 0 else Infinity
+        # 1e308**2 overflows, 0**-1 divides by zero: both are Infinity in JS
+        return Infinity
     if isinstance(r, complex):
-        return NaN
+        return NaN   # fractional power of a negative base
     return jsnum(r)
 
 

@@ -60,8 +60,17 @@ def session_counts(events: DataFrame, gap: str = '30 minutes',
             .select('user_id', F.col('win.start').alias('session_start'), 'n_events'))
 
 
+def _drain_timeout(timeout_sec: int | None) -> int:
+    """Default drain timeout, overridable via RBQL_STREAM_DRAIN_TIMEOUT —
+    the sf10 decade audit needs >600s for drains that are ~60s at sf1
+    (linear scaling alone crosses the default)."""
+    if timeout_sec is not None:
+        return timeout_sec
+    return int(os.environ.get('RBQL_STREAM_DRAIN_TIMEOUT', '600'))
+
+
 def run_stream_to_parquet(stream_df: DataFrame, query_name: str,
-                          timeout_sec: int = 600) -> DataFrame:
+                          timeout_sec: int | None = None) -> DataFrame:
     """Drain an append-mode stream through a parquet file sink and return
     the drained rows as a DataFrame.
 
@@ -91,6 +100,7 @@ def run_stream_to_parquet(stream_df: DataFrame, query_name: str,
          .outputMode('append')
          .trigger(availableNow=True)
          .start())
+    timeout_sec = _drain_timeout(timeout_sec)
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise RuntimeError(
@@ -103,7 +113,7 @@ def run_stream_to_parquet(stream_df: DataFrame, query_name: str,
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = 'append',
-                         timeout_sec: int = 600):
+                         timeout_sec: int | None = None):
     """Drive a streaming DataFrame into an in-memory sink until idle; returns
     the StreamingQuery (caller reads ``spark.table(query_name)``).
 
@@ -118,6 +128,7 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
          .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
+    timeout_sec = _drain_timeout(timeout_sec)
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise RuntimeError(
@@ -290,13 +301,19 @@ def stream_asof_enrich(events: DataFrame, markers: DataFrame,
     def enrich(batches):
         import pandas as pd
         kd, comp, mk, mt, mp, mn, sp = bc.value
+        # key → dense-id mapper built ONCE per task: pandas caches the
+        # hash-index engine on the Series, so per-batch lookups are O(batch).
+        # Mapping with the raw dict instead rebuilt a hash index over ALL
+        # marker keys for EVERY Arrow batch — O(batches × keys), the
+        # super-linearity the sf10 decade audit caught (19x at 10x data)
+        mapper = pd.Series(kd, dtype=np.int64)
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             ts_raw = pdf[on].to_numpy(dtype='datetime64[us]')
             ts_int = ts_raw.astype(np.int64)
-            ki = pd.Series(pdf[by].to_numpy()).map(kd) \
+            ki = pd.Series(pdf[by].to_numpy()).map(mapper) \
                 .fillna(-1).to_numpy(dtype=np.int64)
             # clip query offsets into [0, span-1]: before-all-markers
             # maps below the key's first marker (no match via the key
