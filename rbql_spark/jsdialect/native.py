@@ -423,13 +423,52 @@ def _math(tr, name: str, node: ast.Call):
     raise t.TranslationFallback('Math.{}'.format(name))
 
 
+def _is_string_at_runtime(node: ast.expr, v) -> Column:
+    """Column<bool>: whether this operand's RUNTIME value is a string.
+
+    JS `+` picks concat iff either operand IS a string after ToPrimitive
+    (ECMA-262 ApplyStringOrNumericBinaryOperator).  A str-TAGGED column
+    still holds null cells whose runtime value is null, not a string —
+    `null + 1` must be numeric 1, never 'null1' (caught by the seeded
+    node differential fuzz, seed 6005)."""
+    if v.tag != 'str':
+        return F.lit(False)
+    if isinstance(node, ast.Constant) and isinstance(node.value, str):
+        return F.lit(True)
+    return v.col.isNotNull()
+
+
+def _tonum_int_like(v) -> Column:
+    """JS ToNumber for an operand reached on the `+` numeric branch: a
+    str-tagged column is only evaluated here when its cell is null
+    (ToNumber(null)=0); int/bool/null tags coalesce nulls to 0."""
+    if v.tag == 'str' or v.tag == 'null':
+        return F.lit(0)
+    return F.coalesce(v.col.cast('long'), F.lit(0))
+
+
 def _add(tr, xn: ast.expr, yn: ast.expr):
     t = _tr_mod()
     x, y = tr._expr(xn), tr._expr(yn)
     if x.tag == 'int' and y.tag == 'int':
         return t.TCol(F.coalesce(x.col, F.lit(0)) + F.coalesce(y.col, F.lit(0)), 'int')
     if 'str' in (x.tag, y.tag):
-        return t.TCol(F.concat(_to_string_col(tr, x), _to_string_col(tr, y)), 'str')
+        for v in (x, y):
+            if v.tag not in ('str', 'int', 'bool', 'null'):
+                raise t.TranslationFallback('JS + on {} vs {}'.format(x.tag, y.tag))
+        concat_branch = F.concat(_to_string_col(tr, x), _to_string_col(tr, y))
+        x_str = _is_string_at_runtime(xn, x)
+        y_str = _is_string_at_runtime(yn, y)
+        # literal string on either side: concat always applies
+        for node, v in ((xn, x), (yn, y)):
+            if v.tag == 'str' and isinstance(node, ast.Constant) \
+                    and isinstance(node.value, str):
+                return t.TCol(concat_branch, 'str')
+        # numeric branch (no runtime string): every str-tagged operand is
+        # null there, so the sum is int-valued and renders without '.0'
+        num_branch = (_tonum_int_like(x) + _tonum_int_like(y)).cast('string')
+        return t.TCol(F.when(x_str | y_str, concat_branch)
+                       .otherwise(num_branch), 'str')
     raise t.TranslationFallback('JS + on {} vs {}'.format(x.tag, y.tag))
 
 

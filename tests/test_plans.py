@@ -708,3 +708,33 @@ def test_classifier_score_single_corpus_exchange(spark, sf_dir):
         .executedPlan().toString()
     n_hash = plan.count('Exchange hashpartitioning')
     assert n_hash == 1, 'score path grew corpus shuffles:\n' + plan[:1500]
+
+
+def test_js_add_null_cells_stay_native_and_numeric(spark):
+    """JS `+` picks concat-vs-numeric by RUNTIME value, not column type
+    (ECMA-262 ApplyStringOrNumericBinaryOperator): a null cell in a
+    str-typed column is the value null, so `null + 1` is numeric 1 —
+    the tag-directed translation used to emit 'null1' (caught by the
+    node differential fuzz, seed 6005).  The shape must also STAY on
+    the native path: a silent Arrow fallback would pass values while
+    losing the pushdown this dialect was built for."""
+    from rbql_spark import query_dataframe
+    df = spark.createDataFrame(
+        [(None, 4, 'gamma'), ('alpha', None, 'omega'), (None, None, 'x')],
+        'a string, b long, c string')
+    cases = [
+        ('SELECT a.a + 1', [['1'], ['alpha1'], ['1']]),
+        ('SELECT a.a + a.a', [['0'], ['alphaalpha'], ['0']]),
+        ('SELECT a.a + a.b', [['4'], ['alphanull'], ['0']]),
+        ("SELECT a.a + 'x'", [['nullx'], ['alphax'], ['nullx']]),
+        ('SELECT a.b + 1', [[5], [1], [1]]),
+    ]
+    for query, want in cases:
+        res = query_dataframe(spark, query, df, dialect='js')
+        out = res.display_df(ordered=True)
+        plan = _plan(out)
+        assert 'BatchEvalPython' not in plan and 'MapInPandas' not in plan \
+            and 'ArrowEvalPython' not in plan, \
+            '{} fell back to Python:\n{}'.format(query, plan[:800])
+        got = [list(r) for r in out.collect()]
+        assert got == want, '{}: got {}'.format(query, got)

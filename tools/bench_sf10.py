@@ -60,6 +60,11 @@ def main() -> None:
     import __spark_entry__ as em
     from rbql_spark.session import build_session
 
+    # the default 600s drain cap is sized for sf0.1/sf1 gates; at sf10 the
+    # heaviest subject (streaming_minhash_neardup, ~55s at sf1) legitimately
+    # needs ~10x that — the audit must MEASURE the drain, not abort it
+    # (super-linearity is judged by the recorded ratio, not a wall cap)
+    os.environ.setdefault('RBQL_STREAM_DRAIN_TIMEOUT', '2400')
     spark = build_session(app_name='rbql-spark-bench-sf10',
                           master='local[{}]'.format(CPUS),
                           shuffle_partitions=CPUS,
