@@ -118,9 +118,21 @@ _NULL_WHERE = [
 
 
 def make_null_query(rnd: random.Random) -> str:
+    # the pool deliberately stresses every native.py value translation
+    # over nullable cells: JS `+` picks concat-vs-numeric by RUNTIME
+    # value (the seed-6005 bug class), ??/|| are value-returning,
+    # template literals ToString(null)='null', Math coerces
+    # ToNumber(null)=0, and a method on a null cell throws with the
+    # record number both engines must agree on
     items = rnd.sample(['a1', 'a2', 'a3', 'a4', 'a1 == null', 'a1 > 10',
                         'a4 == 0', 'a1 + 1', "a2 + ''", 'NR',
-                        'a1 === a4', 'a2 == a3'], k=rnd.randint(1, 4))
+                        'a1 === a4', 'a2 == a3',
+                        'a2 + 1', 'a2 + a4', 'a2 + a2', 'a1 + a4',
+                        'a1 - a4', 'a1 * 2', '-a1', 'a1 % 3',
+                        "a2 ?? 'x'", 'a4 ?? a1', "a2 || 'y'",
+                        '`v=${a1}`', '`${a2}:${a4}`',
+                        'Math.abs(a1)', 'Math.max(a1, a4)',
+                        'a3.toUpperCase()', 'a2.toUpperCase()'], k=rnd.randint(1, 4))
     q = 'SELECT ' + ', '.join(items)
     if rnd.random() < 0.8:
         q += ' WHERE ' + rnd.choice(_NULL_WHERE).format(
@@ -282,6 +294,6 @@ def test_js_differential_join(spark, seed):
     _run_seed(spark, 5000 + seed, make_join_query, make_table, with_join=True)
 
 
-@pytest.mark.parametrize('seed', range(6))
+@pytest.mark.parametrize('seed', range(10))
 def test_js_differential_nulls(spark, seed):
     _run_seed(spark, 6000 + seed, make_null_query, make_null_table)
