@@ -523,6 +523,17 @@ def translate_value(tr, node: ast.Call, path: tuple):
             return t.TCol(_null_guarded(tr, v, 'length',
                                         F.size(v.col).cast('long'), 'long'), 'int')
         raise t.TranslationFallback('JS .length on {}'.format(v.tag))
+    if path[0] == 'like' and len(a) == 2:
+        # JS like(): RegExp.test ToString-coerces the operand
+        # (rbql-js/rbql.js:243) — so null tests 'null' and ints test
+        # their decimal rendering; never-null bool keeps WHERE usage in
+        # the pushable-conjunct shape
+        if not (isinstance(a[1], ast.Constant) and isinstance(a[1].value, str)):
+            raise t.TranslationFallback('JS like() with non-literal pattern')
+        from ..functions.like import like_to_java_regex
+        v = tr._expr(a[0])
+        return t.TCol(_to_string_col(tr, v).rlike(
+            like_to_java_regex(a[1].value)), 'bool')
     if path[0] == 'method':
         return _method(tr, node)
     if path == ('Math',):

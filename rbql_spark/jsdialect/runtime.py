@@ -1434,3 +1434,18 @@ class JsEnv:
             return self.ref(name)
         except JsReferenceError:
             return undefined
+
+
+def like(text, pattern) -> bool:
+    """JS-dialect like()/LIKE(): the reference implementation is
+    `new RegExp(like_to_regex(pattern)).test(text)` (rbql-js/rbql.js:243)
+    and RegExp.prototype.test ToString-coerces its argument — so an int
+    cell tests its decimal rendering and a null cell tests the string
+    'null', where the Python dialect's re.match raises TypeError on
+    both (matching rbql-py).  Caught by the differential sweep, seed
+    20004: like(<int cell>, 'al%') errored here, returned false in V8."""
+    from ..functions.like import py_like
+    return py_like(to_string(text), to_string(pattern))
+
+
+LIKE = like

@@ -88,7 +88,11 @@ class _Transpiler:
         if _VAR_RGX.match(name) or name in _BUILTIN_VARS:
             return name
         if name in ('like', 'LIKE'):
-            return name
+            # JS like() ToString-coerces its operand (RegExp.test
+            # semantics, rbql-js/rbql.js:243) — route to the runtime's
+            # coercing wrapper, NOT the shared Python py_like (which
+            # reproduces rbql-py's re.match TypeError on non-strings)
+            return '__js__.like'
         if name in _NAMESPACES or name in _GLOBAL_FUNCS:
             return '__js__.' + name
         if name in _GLOBAL_CONSTS:
@@ -138,7 +142,8 @@ class _Transpiler:
                 # aggregate / UNNEST surface: keep the original spelling
                 return '{}({})'.format(name, arglist())
             if name in ('like', 'LIKE'):
-                return '{}({})'.format(name, arglist())
+                # see the name-position branch above: JS like() coerces
+                return '__js__.like({})'.format(arglist())
             if name in _GLOBAL_FUNCS:
                 return '__js__.{}({})'.format(name, arglist())
             if name in _NAMESPACES:

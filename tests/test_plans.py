@@ -738,3 +738,36 @@ def test_js_add_null_cells_stay_native_and_numeric(spark):
             '{} fell back to Python:\n{}'.format(query, plan[:800])
         got = [list(r) for r in out.collect()]
         assert got == want, '{}: got {}'.format(query, got)
+
+
+def test_js_like_coerces_and_stays_native(spark):
+    """JS like() is RegExp.test underneath (rbql-js/rbql.js:243), which
+    ToString-coerces: an int cell tests its decimal rendering, a null
+    cell tests the string 'null' — where the Python dialect (matching
+    rbql-py's re.match) raises TypeError on both.  Caught by the
+    differential sweep (seed 20004).  Must also stay on the native
+    path: the translation is a never-null rlike conjunct."""
+    from rbql_spark import query_dataframe
+    from rbql_spark.errors import RbqlRuntimeError
+    df = spark.createDataFrame(
+        [(3, 'alpha'), (31, None), (None, 'null-ish'), (7, 'beta')],
+        'n long, s string')
+    res = query_dataframe(spark, "SELECT a.n WHERE like(a.n, '3%')",
+                          df, dialect='js')
+    out = res.display_df(ordered=True)
+    plan = _plan(out)
+    assert 'BatchEvalPython' not in plan and 'ArrowEvalPython' not in plan \
+        and 'MapInPandas' not in plan, plan[:800]
+    assert [r.n for r in out.collect()] == [3, 31]
+    res = query_dataframe(spark, "SELECT like(a.s, 'null%')", df, dialect='js')
+    got = [list(r) for r in res.display_df(ordered=True).collect()]
+    assert got == [[False], [True], [True], [False]]
+    # Python dialect keeps reference rbql-py parity: TypeError on non-str
+    # (surfaces as a wrapped evaluator error at action time)
+    try:
+        query_dataframe(spark, "SELECT a.n WHERE like(a.n, '3%')",
+                        df, dialect='python').display_df().collect()
+        raise AssertionError('python-dialect like() on ints must raise')
+    except Exception as e:  # noqa: BLE001 — family checked via message
+        assert isinstance(e, RbqlRuntimeError) or \
+            'expected string or bytes-like object' in str(e), e
