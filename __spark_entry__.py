@@ -1600,6 +1600,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return audio_pipeline(_t(spark, sf_dir, 'documents'))
     q['multimodal_audio_features'] = _multimodal_audio
 
+    def _multimodal_png(spark, sf_dir):
+        # real PNG encode (zlib deflate, filter type cycled per row) →
+        # magic sniff → real decode (chunk walk + CRC-32 verify + inflate
+        # + unfilter None/Sub/Up/Average/Paeth) → channel stats; every
+        # third doc is RGBA, the rest RGB (r14 verdict #3)
+        from rbql_spark.ops.multimodal import png_pipeline
+        return png_pipeline(_t(spark, sf_dir, 'documents'))
+    q['multimodal_png_features'] = _multimodal_png
+
     def _multimodal_frames(spark, sf_dir):
         from rbql_spark.ops.multimodal import attach_binary_payload, sample_frames
         payloads = attach_binary_payload(_t(spark, sf_dir, 'documents'))
@@ -3644,6 +3653,32 @@ def oracle_sql() -> dict[str, str]:
         "list_sum(list_transform(pix, q -> q[3]))::BIGINT AS r_sum, "
         "list_sum(list_transform(pix, q -> q[2]))::BIGINT AS g_sum, "
         "list_sum(list_transform(pix, q -> q[1]))::BIGINT AS b_sum, "
+        + _hist + " FROM px")
+
+    # REAL PNG decode replay: same pixel formulas as the BMP oracle (the
+    # PNG encoder reuses _pixel_channels), plus alpha = (doc_id + 3x + 5y)
+    # % 256 for every third doc (RGBA) and the opaque 255/pixel for RGB
+    # (multimodal.py: encode_png/decode_png).  The compressed byte size is
+    # encoder-dependent → the gate deliberately has no n_bytes column; the
+    # oracle replaying sums/histograms through DuckDB means any decoder
+    # bug (CRC walk, inflate, unfilter) breaks the value hash.
+    # pix element = [B, G, R, A] → q[1]=B, q[2]=G, q[3]=R, q[4]=A.
+    o['multimodal_png_features'] = (
+        "WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, "
+        " doc_id % 3 = 0 AS has_a FROM documents), "
+        "px AS (SELECT doc_id, w, h, has_a, "
+        " flatten(list_transform(range(0, h), y -> list_transform(range(0, w), "
+        "  x -> [(doc_id + 2*x + 3*y) % 256, (5*doc_id + 7*x + y) % 256, "
+        "        (11*doc_id + x + 13*y) % 256, (doc_id + 3*x + 5*y) % 256])))"
+        " AS pix FROM p) "
+        "SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, "
+        "(CASE WHEN has_a THEN 4 ELSE 3 END)::BIGINT AS channels, "
+        "(w*h)::BIGINT AS n_pixels, "
+        "list_sum(list_transform(pix, q -> q[3]))::BIGINT AS r_sum, "
+        "list_sum(list_transform(pix, q -> q[2]))::BIGINT AS g_sum, "
+        "list_sum(list_transform(pix, q -> q[1]))::BIGINT AS b_sum, "
+        "(CASE WHEN has_a THEN list_sum(list_transform(pix, q -> q[4])) "
+        " ELSE 255 * w * h END)::BIGINT AS a_sum, "
         + _hist + " FROM px")
 
     # REAL WAV decode replay: PCM sample i = (doc_id*31 + i*17) % 65536 -

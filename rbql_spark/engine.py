@@ -246,8 +246,18 @@ class _ExprComputer:
                 'fallback_count': self.fallback_count,
                 'fallback_reasons': list(self.fallback_reasons)}
 
-    def compute(self, df: DataFrame, named_exprs: list[tuple[str, str]]) -> tuple[DataFrame, dict[str, str]]:
-        """Returns (df_with_columns, {out_name: type_tag})."""
+    def compute(self, df: DataFrame, named_exprs: list[tuple[str, str]],
+                render_names: frozenset[str] | set[str] = frozenset()) -> tuple[DataFrame, dict[str, str]]:
+        """Returns (df_with_columns, {out_name: type_tag}).
+
+        `render_names`: output names with RENDERING semantics (final SELECT
+        projection) — the only consumers allowed to keep a 'strnum'-tagged
+        translation (JS mixed `+`, whose column is the V8 rendering of a
+        branch-dependent string-or-number runtime value).  Everywhere else
+        (sort keys, group keys, aggregate args, UPDATE values, unnest
+        sources) the runtime type matters, so the expression is demoted to
+        the hosted evaluator (r14 ADVICE: `a2 + 1 + 1` must be 2, not '11').
+        """
         tags: dict[str, str] = {}
         native: list[tuple[str, TCol]] = []
         fallback: list[PyExpr] = []
@@ -259,6 +269,9 @@ class _ExprComputer:
             self.translator.error_probes = []
             try:
                 tc = self.translator.translate(text)
+                if tc.tag == 'strnum' and name not in render_names:
+                    raise TranslationFallback(
+                        'strnum result consumed by a non-render context')
                 native.append((name, tc))
                 tags[name] = tc.tag
                 self.native_count += 1
@@ -882,7 +895,11 @@ class StageRunner:
                 sort_cols.append('__sort_{}'.format(i))
                 named_exprs.append(('__sort_{}'.format(i), expr))
 
-        df, tags = comp.compute(df, named_exprs)
+        # select items are the final rendering surface — 'strnum' is safe
+        # there (and only there: sort keys / unnest sources need the
+        # runtime type)
+        render_names = {cname for kind, cname in out_plan if kind == 'col'}
+        df, tags = comp.compute(df, named_exprs, render_names=render_names)
 
         # unnest explode
         unnest_col = None

@@ -140,6 +140,13 @@ def _to_string_col(tr, v) -> Column:
                  .when(col, F.lit('true')).otherwise(F.lit('false')))
     if tag == 'null':
         return F.lit('null')
+    if tag == 'strnum':
+        # a mixed `+` result: its column already holds the V8 rendering of
+        # the runtime value (concat string, or int without '.0'), and JS
+        # ToString of either runtime shape IS that rendering — so the
+        # column passes through.  The branches never yield null, but stay
+        # defensive.
+        return F.coalesce(col, F.lit('null'))
     # float: V8 renders integral doubles without '.0' — keep in the runtime
     raise t.TranslationFallback('JS ToString of {}'.format(tag))
 
@@ -452,23 +459,35 @@ def _add(tr, xn: ast.expr, yn: ast.expr):
     x, y = tr._expr(xn), tr._expr(yn)
     if x.tag == 'int' and y.tag == 'int':
         return t.TCol(F.coalesce(x.col, F.lit(0)) + F.coalesce(y.col, F.lit(0)), 'int')
-    if 'str' in (x.tag, y.tag):
+    if 'str' in (x.tag, y.tag) or 'strnum' in (x.tag, y.tag):
         for v in (x, y):
-            if v.tag not in ('str', 'int', 'bool', 'null'):
+            if v.tag not in ('str', 'strnum', 'int', 'bool', 'null'):
                 raise t.TranslationFallback('JS + on {} vs {}'.format(x.tag, y.tag))
-        concat_branch = F.concat(_to_string_col(tr, x), _to_string_col(tr, y))
-        x_str = _is_string_at_runtime(xn, x)
-        y_str = _is_string_at_runtime(yn, y)
-        # literal string on either side: concat always applies
+        # literal string on either side: concat always applies, so even a
+        # 'strnum' operand is safe (ToString of a strnum is its column)
         for node, v in ((xn, x), (yn, y)):
             if v.tag == 'str' and isinstance(node, ast.Constant) \
                     and isinstance(node.value, str):
-                return t.TCol(concat_branch, 'str')
+                return t.TCol(F.concat(_to_string_col(tr, x),
+                                       _to_string_col(tr, y)), 'str')
+        if 'strnum' in (x.tag, y.tag):
+            # the inner mixed result's RUNTIME type (string vs number) is
+            # branch-dependent, so the outer `+` cannot decide concat vs
+            # numeric natively: `a2 + 1 + 1` must be 2 on a null cell, not
+            # '11' (r14 ADVICE) — host it in the runtime
+            raise t.TranslationFallback('JS + consuming a mixed +-result (strnum)')
+        concat_branch = F.concat(_to_string_col(tr, x), _to_string_col(tr, y))
+        x_str = _is_string_at_runtime(xn, x)
+        y_str = _is_string_at_runtime(yn, y)
         # numeric branch (no runtime string): every str-tagged operand is
-        # null there, so the sum is int-valued and renders without '.0'
+        # null there, so the sum is int-valued and renders without '.0'.
+        # The result is tagged 'strnum', NOT 'str': its runtime value is a
+        # string on one branch and a NUMBER on the other, so only contexts
+        # with rendering semantics (final projection, JS ToString) may
+        # consume it — every other consumer falls back to the runtime.
         num_branch = (_tonum_int_like(x) + _tonum_int_like(y)).cast('string')
         return t.TCol(F.when(x_str | y_str, concat_branch)
-                       .otherwise(num_branch), 'str')
+                       .otherwise(num_branch), 'strnum')
     raise t.TranslationFallback('JS + on {} vs {}'.format(x.tag, y.tag))
 
 

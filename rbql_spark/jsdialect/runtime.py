@@ -1439,13 +1439,24 @@ class JsEnv:
 def like(text, pattern) -> bool:
     """JS-dialect like()/LIKE(): the reference implementation is
     `new RegExp(like_to_regex(pattern)).test(text)` (rbql-js/rbql.js:243)
-    and RegExp.prototype.test ToString-coerces its argument — so an int
+    and RegExp.prototype.test ToString-coerces its ARGUMENT — so an int
     cell tests its decimal rendering and a null cell tests the string
     'null', where the Python dialect's re.match raises TypeError on
     both (matching rbql-py).  Caught by the differential sweep, seed
-    20004: like(<int cell>, 'al%') errored here, returned false in V8."""
+    20004: like(<int cell>, 'al%') errored here, returned false in V8.
+
+    The PATTERN is NOT coerced (r14 ADVICE): like_to_regex runs
+    `pattern.length` / `pattern.substring(...)` on the raw value
+    (rbql-js/rbql.js:222-239), so V8 throws — null/undefined at the
+    `.length` read, any other non-string at the first `.substring`
+    call (Number/Boolean prototypes lack it)."""
     from ..functions.like import py_like
-    return py_like(to_string(text), to_string(pattern))
+    if not isinstance(pattern, str):
+        if pattern is None or pattern is undefined:
+            raise JsTypeError("Cannot read properties of {} (reading 'length')".format(
+                'null' if pattern is None else 'undefined'))
+        raise JsTypeError('pattern.substring is not a function')
+    return py_like(to_string(text), pattern)
 
 
 LIKE = like

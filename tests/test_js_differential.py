@@ -114,6 +114,9 @@ _NULL_WHERE = [
     'a1 === null', "a2 == '{w}'", "a2 === '{w}'", 'a4 == 0',
     'a1 == a4', 'a1 > a4', "a2 == null || a1 > {n}",
     'a4 != null && a4 < 3',
+    # mixed `+` result in predicate position: JS ToBoolean of the RUNTIME
+    # value (number 0 is falsy even though it renders '0') — r14 ADVICE
+    'a2 + a4', 'a2 + 1 + 1 > 2',
 ]
 
 
@@ -128,6 +131,12 @@ def make_null_query(rnd: random.Random) -> str:
                         'a4 == 0', 'a1 + 1', "a2 + ''", 'NR',
                         'a1 === a4', 'a2 == a3',
                         'a2 + 1', 'a2 + a4', 'a2 + a2', 'a1 + a4',
+                        # nested `+` over a mixed (strnum) inner result —
+                        # the r14 ADVICE class: `a2 + 1 + 1` on a null a2
+                        # is 2 in V8, not '11'; the strnum tag must force
+                        # the outer consumer to the hosted runtime
+                        'a2 + 1 + 1', 'a2 + a4 + 1', "a2 + 1 + 'x'",
+                        "'<' + (a2 + 1)", '`${a2 + 1}`',
                         'a1 - a4', 'a1 * 2', '-a1', 'a1 % 3',
                         "a2 ?? 'x'", 'a4 ?? a1', "a2 || 'y'",
                         '`v=${a1}`', '`${a2}:${a4}`',
