@@ -181,6 +181,12 @@ def _cached_ivf_centroids(spark: SparkSession, sf_dir: str, quantizer: str,
     return cent
 
 
+def _dir_bytes(path):
+    # source size for the drain helpers' partition advisor
+    from rbql_spark.tuning import dir_bytes
+    return dir_bytes(path)
+
+
 def _stream_replay_dir(spark: SparkSession, sf_dir: str, name: str,
                        filters: list[str], table: str = 'events') -> str:
     """Deterministic replay directory for a streaming gate: the source
@@ -552,7 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .agg(F.max('value').alias('mval')))
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         enriched = stream_asof_enrich(stream, markers)
-        drained = run_stream_to_parquet(enriched, 'rbql_stream_asof_gate')
+        drained = run_stream_to_parquet(enriched, 'rbql_stream_asof_gate', input_bytes=_dir_bytes(tmp))
         return drained.select(
             'user_id', 'ts', 'event_id', 'value', 'mval_r', 'ts_r')
     q['streaming_asof'] = _streaming_asof
@@ -568,7 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  ['event_id % 2 = 0', 'event_id % 2 = 1'])
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         agg = windowed_counts(stream, width='6 hours', watermark='1 hour')
-        drained = run_stream_to_parquet(agg, 'rbql_stream_gate')
+        drained = run_stream_to_parquet(agg, 'rbql_stream_gate', input_bytes=_dir_bytes(tmp))
         # round the float sum for cross-engine comparability (append mode
         # emits exactly the windows whose end passed the final watermark —
         # the batch-SQL oracle reproduces that set with a HAVING filter)
@@ -590,7 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  ['event_id % 2 = 0', 'event_id % 2 = 1'])
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         sess = session_counts(stream, gap='30 minutes', watermark='1 hour')
-        drained = run_stream_to_parquet(sess, 'rbql_stream_session_gate')
+        drained = run_stream_to_parquet(sess, 'rbql_stream_session_gate', input_bytes=_dir_bytes(tmp))
         return drained.select('user_id', 'session_start', 'n_events')
     q['streaming_session_counts'] = _streaming_sessions
 
@@ -609,7 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         totals = running_user_totals(stream)
         qname = 'rbql_stream_totals_gate'
-        sq = run_stream_to_memory(totals, qname, output_mode='update')
+        sq = run_stream_to_memory(totals, qname, output_mode='update', input_bytes=_dir_bytes(tmp))
         sq.stop()
         w = Window.partitionBy('user_id').orderBy(F.col('n_events').desc())
         return (spark.table(qname)
@@ -640,7 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lo, hi = ev.agg(F.min('ts'), F.max('ts')).first()
         span_days = max(1, (hi - lo).days + 2)
         dd = stream_exact_dedup(stream, watermark='{} days'.format(span_days))
-        drained = run_stream_to_parquet(dd, 'rbql_stream_dedup_gate')
+        drained = run_stream_to_parquet(dd, 'rbql_stream_dedup_gate', input_bytes=_dir_bytes(tmp))
         return drained.select(
             'event_id', 'ts', 'user_id', 'event_type',
             F.round('value', 6).alias('value'))
@@ -662,7 +668,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
         pairs = stream_minhash_near_dups(stream, threshold=0.5)
         qname = 'rbql_stream_minhash_gate'
-        sq = run_stream_to_memory(pairs, qname, output_mode='update')
+        # expansion 8: the banded state shuffle carries each doc's full
+        # shingle set once per band — shuffled bytes ≫ source text bytes
+        sq = run_stream_to_memory(pairs, qname, output_mode='update',
+                                  input_bytes=_dir_bytes(tmp),
+                                  shuffle_expansion=8.0)
         sq.stop()
         return (spark.table(qname)
                 .dropDuplicates(['doc_a', 'doc_b'])
@@ -689,7 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
         flagged = stream_decontaminate(stream, bench, shingle_k=3)
         qname = 'rbql_stream_decontam_gate'
-        sq = run_stream_to_memory(flagged, qname, output_mode='update')
+        sq = run_stream_to_memory(flagged, qname, output_mode='update', input_bytes=_dir_bytes(tmp))
         sq.stop()
         w = Window.partitionBy('doc_id', 'bench_id') \
                   .orderBy(F.col('n_overlap').desc())
@@ -720,7 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              bloom_bits=1 << 16,
                                              bloom_hashes=3)
         qname = 'rbql_stream_decbloom_gate'
-        sq = run_stream_to_memory(flagged, qname, output_mode='update')
+        sq = run_stream_to_memory(flagged, qname, output_mode='update', input_bytes=_dir_bytes(tmp))
         sq.stop()
         w = Window.partitionBy('doc_id') \
                   .orderBy(F.col('n_flagged_shingles').desc())
@@ -747,7 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         flags = stream_quality_filter(
             stream, min_words=20, min_stopword_ratio=0.05,
             allowed_langs=['de', 'en', 'es', 'fr'])
-        drained = run_stream_to_parquet(flags, 'rbql_stream_qf_gate')
+        drained = run_stream_to_parquet(flags, 'rbql_stream_qf_gate', input_bytes=_dir_bytes(tmp))
         return drained.select('doc_id', 'keep', 'reasons')
     q['streaming_quality_filter'] = _streaming_quality_filter
 
@@ -766,7 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_document_stream(spark, tmp, max_files_per_trigger=1))
         flags = stream_c4_line_filter(stream, min_words_per_line=4,
                                       min_kept_lines=3)
-        drained = run_stream_to_parquet(flags, 'rbql_stream_c4_gate')
+        drained = run_stream_to_parquet(flags, 'rbql_stream_c4_gate', input_bytes=_dir_bytes(tmp))
         return drained.select('doc_id', 'n_lines', 'n_kept',
                               'keep', 'clean_text')
     q['streaming_c4_filter'] = _streaming_c4_filter
@@ -1332,7 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  table='documents')
         stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
         return run_stream_to_parquet(stream_classify(stream, w),
-                                     'rbql_stream_clf_gate')
+                                     'rbql_stream_clf_gate',
+                                     input_bytes=_dir_bytes(tmp))
     q['streaming_classifier'] = _streaming_classifier
 
     def _classifier_pr_curve(spark, sf_dir):

@@ -179,6 +179,52 @@ EXTRA_BENCH = {
 }
 
 
+def calibrate(spark) -> dict:
+    """Machine fingerprint (r14 verdict #4): round 14 burned a day on a
+    phantom 1.4× 'regression' that was the driver VM, so every bench
+    artifact now carries two FIXED synthetic probes whose cost depends
+    only on the box, never on this repo's code:
+
+    * ``jvm_sec`` — min-of-3 of a pinned 100M-row ``spark.range``
+      arithmetic aggregate (one shuffle-free whole-stage-codegen
+      pipeline; measures JVM + scheduler + core throughput), and
+    * ``py_sec`` — min-of-3 of a pure-Python 3M-iteration spin loop
+      (measures single-core Python throughput for Arrow/pandas stages).
+
+    Normalization rule (NOTES_r15): comparing artifact A vs B across
+    boxes, divide each per-query time by that artifact's matching probe
+    (jvm_sec for JVM-native gates, py_sec for mapInPandas-heavy gates)
+    before computing ratios; same-box A/B comparisons need no
+    normalization and remain the gold standard (tools/time_gates_ab.py).
+    """
+    from pyspark.sql import functions as F
+    jvm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(100_000_000)
+              .select(((F.col('id') * 3) % 7).alias('x'))
+              .agg(F.sum('x'), F.count('x')).collect())
+        jvm.append(time.perf_counter() - t0)
+    py = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(3_000_000):
+            acc += i * i
+        py.append(time.perf_counter() - t0)
+    cpu_model = ''
+    try:
+        with open('/proc/cpuinfo') as f:
+            for ln in f:
+                if ln.lower().startswith('model name'):
+                    cpu_model = ln.split(':', 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {'jvm_sec': round(min(jvm), 3), 'py_sec': round(min(py), 3),
+            'cpu_model': cpu_model, 'cpus': os.cpu_count()}
+
+
 def main() -> None:
     from rbql_spark.session import build_session
 
@@ -201,6 +247,9 @@ def main() -> None:
     from pyspark.sql import functions as F
     spark.range(1000).select(F.sum('id')).collect()
     entrymod._t(spark, SF_DIR, 'lineitem').limit(10).count()
+
+    # machine fingerprint (after warmup, before any query timing)
+    cal = calibrate(spark)
 
     sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
     load_start = os.getloadavg()
@@ -264,6 +313,7 @@ def main() -> None:
         'queries_median': medians,
         'sf': sf_val,
         'loadavg': {'start': list(load_start), 'end': list(os.getloadavg())},
+        'calibration': cal,
     })
     try:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -277,12 +327,14 @@ def main() -> None:
     # the leading per-query rows (rounds 9-12 all truncated).  Emit a
     # compact single line: no medians/loadavg, tight separators, and
     # progressively coarser rounding until it fits with headroom.
+    cal_compact = {'jvm': cal['jvm_sec'], 'py': cal['py_sec']}
     for ndigits in (2, 1):
         line = json.dumps({
             'metric': 'bench_total',
             'value': total,
             'unit': 'sec',
             'sf': sf_val,
+            'cal': cal_compact,
             'queries': {k: round(v, ndigits) for k, v in timings.items()},
         }, separators=(',', ':'))
         if len(line) <= 1995:
@@ -293,7 +345,7 @@ def main() -> None:
         # the full-precision record is already in BENCH_LOCAL.json
         line = json.dumps({
             'metric': 'bench_total', 'value': total, 'unit': 'sec',
-            'sf': sf_val, 'queries': {},
+            'sf': sf_val, 'cal': cal_compact, 'queries': {},
             'note': 'per-query map in BENCH_LOCAL.json (stdout cap)',
         }, separators=(',', ':'))
     assert len(line) <= 1995, 'bench stdout line grew past the tail capture'

@@ -73,7 +73,10 @@ def query_table(spark: SparkSession, query: str, input_table: list[list],
     result = query_dataframe(spark, query, handle, join_table=join_handle,
                              user_init_code=user_init_code, options=options,
                              dialect=dialect)
-    rows = collect_result_rows(result)
+    try:
+        rows = collect_result_rows(result)
+    finally:
+        result.release()   # the collect was this result's terminal action
     return rows, result.out_names
 
 
@@ -132,31 +135,44 @@ def _unwrap_spark_error(e: Exception, nr_resolver=None):
     import re as _re
 
     from .errors import RbqlRuntimeError
+
+    def _resolve_text(text: str, full_msg: str) -> str:
+        """Best-effort exact-error rewrite: the resolver returns the FIRST
+        failing record's number and (when recoverable) its own Details
+        message — so both the 'At record N' prefix and the quoted value
+        belong to the same reference-first failure.  A recordless text
+        (guard fired inside a pushed-down WHERE, before NR exists) goes
+        through the resolver's raw=None branch, which recovers the
+        record number from the input stream."""
+        if nr_resolver is None:
+            return text
+        sm = _re.search(r'__RBQL_SURR_(\d+)__', full_msg)
+        try:
+            if sm:
+                out = nr_resolver(int(sm.group(1)))
+            elif not text.startswith('At record '):
+                out = nr_resolver(None)
+            else:
+                return text
+        except Exception:
+            return text  # resolution is best-effort; keep the approximation
+        if out is None:
+            return text
+        exact, details = out
+        if details is None:
+            if not text.startswith('At record '):
+                return 'At record {}, Details: {}'.format(exact, text)
+            return _re.sub(r'^At record \d+', 'At record {}'.format(exact),
+                           text)
+        return 'At record {}, Details: {}'.format(exact, details)
+
     msg = str(e)
     m = _re.search(r'RbqlRuntimeError: (.*?)(?:\n|$)', msg)
     if m:
-        text = m.group(1).strip()
-        sm = _re.search(r'__RBQL_SURR_(\d+)__', msg)
-        if sm and nr_resolver is not None:
-            try:
-                exact = nr_resolver(int(sm.group(1)))
-                text = _re.sub(r'^At record \d+', 'At record {}'.format(exact),
-                               text)
-            except Exception:
-                pass  # resolution is best-effort; keep the approximation
-        return RbqlRuntimeError(text)
+        return RbqlRuntimeError(_resolve_text(m.group(1).strip(), msg))
     m = _re.search(r'\[USER_RAISED_EXCEPTION\] ([^\n]*?)(?: SQLSTATE[^\n]*)?(?:\n|$)', msg)
     if m:
-        text = m.group(1).strip().rstrip('.')
-        sm = _re.search(r'__RBQL_SURR_(\d+)__', msg)
-        if sm and nr_resolver is not None:
-            try:
-                exact = nr_resolver(int(sm.group(1)))
-                text = _re.sub(r'^At record \d+', 'At record {}'.format(exact),
-                               text)
-            except Exception:
-                pass
-        return RbqlRuntimeError(text)
+        return RbqlRuntimeError(_resolve_text(m.group(1).strip().rstrip('.'), msg))
     return None
 
 
@@ -297,4 +313,5 @@ def query_csv(spark: SparkSession, query: str, input_path: str,
                   delim=out_delim if out_delim is not None else delim,
                   policy=out_policy if out_policy is not None else policy,
                   encoding=encoding)
+        result.release()   # the write was this result's terminal action
     return result

@@ -83,6 +83,27 @@ class StageResult:
     # surrogate back to the exact 1-based INPUT record number (collect
     # paths call it only when an error actually surfaces)
     nr_resolver: object = None
+    # frames this query pinned for cross-job partition stability
+    # (UPDATE…NU running count, dense ORDER_SRC numbering, unpack
+    # pre-scan) — released via release() at the terminal action
+    cached_frames: list = field(default_factory=list)
+
+    def release(self):
+        """Unpersist every frame this query pinned.  Call ONLY after the
+        LAST action on this result's DataFrames: the range-partitioned
+        caches pin the partitioning that driver-side offsets were
+        computed against, so an action issued after release could be
+        silently mis-numbered, not just slower (rownum.py
+        attach_running_count).  The eager API paths (query_table, the
+        CLI, query_csv-with-output) call this after their final
+        collect/write; long-lived sessions holding lazy results call it
+        when done (r14 verdict #5)."""
+        for d in self.cached_frames:
+            try:
+                d.unpersist()
+            except Exception:
+                pass
+        self.cached_frames = []
 
     def out_cols(self) -> list[str]:
         return [c for c in self.df.columns if c.startswith('__out_')]
@@ -143,18 +164,21 @@ def _bare_field_null_free(binding: Binding, wf: WorkFrame,
 
 
 def _make_surrogate_resolver(numbered_df: DataFrame, pre_filter_df, early_cond,
-                             failure_probes: list | None = None):
-    """Build the error-path surrogate → exact-input-NR resolver.
+                             failure_probes: list | None = None,
+                             pushdown_probes: list | None = None):
+    """Build the error-path surrogate → exact-input-NR (+Details) resolver.
 
     Reference semantics: the sequential loop stops at the FIRST failing
     record.  Spark surfaces whichever task fails first, so resolution has
     two parts, all jobs running only when an error actually surfaced:
 
     1. ``failure_probes`` (one per guarded frame / evaluator fallback)
-       each return the min failing-row surrogate in stream order; the
-       minimum across probes and the caught surrogate is the first
-       failure — this is what makes fail-on-every-row errors report
-       record 1 like the reference.
+       each return (min failing-row surrogate in stream order, that
+       row's Details message); the minimum across probes and the caught
+       surrogate is the first failure — this is what makes
+       fail-on-every-row errors report record 1 like the reference, and
+       what lets the driver re-render the FIRST failure's exact quoted
+       value instead of whichever task lost the race (r14 verdict #2b).
     2. The surrogate is converted to the exact 1-based INPUT record
        number: ``count(NR_COL <= s)`` over ``numbered_df``; when the
        early-filter pushdown ran the surrogate numbers the FILTERED
@@ -162,29 +186,75 @@ def _make_surrogate_resolver(numbered_df: DataFrame, pre_filter_df, early_cond,
        the r-th survivor's input surrogate, and counts input rows up to
        it.  Surrogate stability across jobs holds because the scan
        partitioning of the same logical plan is deterministic (the
-       property attach_dense_nr's two-pass numbering relies on)."""
+       property attach_dense_nr's two-pass numbering relies on).
+
+    ``pushdown_probes``: (fire_cond, msg_col) pairs harvested from the
+    early-filter pushdown translator — its guards run BEFORE NR exists,
+    so their errors carry no record prefix at all.  ``resolve(None)``
+    finds the first firing row over the PRE-FILTER (input-ordered)
+    frame and returns its exact input record number + message (r14
+    verdict #2a); the guard error numbers input records because the
+    reference evaluates WHERE per input record.
+
+    Returns ``resolve(raw | None) -> (exact_input_nr, details | None) |
+    None``."""
     from .rownum import attach_order_surrogate
     probes = list(failure_probes or [])
+    pd_pairs = list(pushdown_probes or [])
 
-    def resolve(raw: int) -> int:
-        best = int(raw)
+    def resolve(raw: int | None):
+        if raw is None:
+            # recordless pushed-guard error: recover (NR, Details) from
+            # the input stream directly
+            if not pd_pairs:
+                return None
+            base = pre_filter_df if pre_filter_df is not None else numbered_df
+            d = attach_order_surrogate(base, '__res_nr')
+            fired = pd_pairs[0][0]
+            for c, _m in pd_pairs[1:]:
+                fired = fired | c
+            row = d.where(fired).agg(F.min(F.col('__res_nr'))).collect()
+            s = row[0][0] if row else None
+            if s is None:
+                return None
+            nr = int(d.where(F.col('__res_nr') <= F.lit(s)).count())
+            msg = None
+            try:
+                sel = (d.where(F.col('__res_nr') == F.lit(s)).limit(1).select(
+                    *[c.alias('__pc{}'.format(i)) for i, (c, _m) in enumerate(pd_pairs)],
+                    *[m.alias('__pm{}'.format(i)) for i, (_c, m) in enumerate(pd_pairs)]
+                ).collect())
+                if sel:
+                    r0 = sel[0]
+                    for i in range(len(pd_pairs)):
+                        if r0['__pc{}'.format(i)]:
+                            msg = r0['__pm{}'.format(i)]
+                            break
+            except Exception:
+                pass
+            return (nr, msg)
+
+        best, best_msg = int(raw), None
         for probe in probes:
             try:
                 m = probe()
             except Exception:
                 continue  # best-effort: a probe that itself fails is skipped
-            if m is not None and int(m) < best:
-                best = int(m)
+            if m is None:
+                continue
+            s, msg = m
+            if int(s) <= best:
+                best, best_msg = int(s), msg
         r = int(numbered_df.where(F.col(NR_COL) <= F.lit(best)).count())
         if pre_filter_df is None or r == 0:
-            return r
+            return (r, best_msg)
         d = attach_order_surrogate(pre_filter_df, '__res_nr')
         row = (d.filter(early_cond).orderBy(F.col('__res_nr'))
                 .limit(r).agg(F.max(F.col('__res_nr'))).collect())
         s_r = row[0][0] if row else None
         if s_r is None:
-            return r
-        return int(d.where(F.col('__res_nr') <= F.lit(s_r)).count())
+            return (r, best_msg)
+        return (int(d.where(F.col('__res_nr') <= F.lit(s_r)).count()), best_msg)
 
     return resolve
 
@@ -201,44 +271,87 @@ class _ExprComputer:
         self.native_count = 0
         self.fallback_count = 0
         self.fallback_reasons: list[str] = []
-        # error-path first-failure probes: callables returning the min
-        # failing-row surrogate (or None) — one per frame that carries a
-        # record-wrapped guard or an evaluator fallback.  Jobs run only
-        # when an error actually surfaces (engine._make_surrogate_resolver).
+        # error-path first-failure probes: callables returning
+        # (min failing-row surrogate, that row's Details message) or None
+        # — one per frame that carries a record-wrapped guard or an
+        # evaluator fallback.  Jobs run only when an error actually
+        # surfaces (engine._make_surrogate_resolver).  Carrying the
+        # MESSAGE lets the driver re-render the min-NR row's exact
+        # Details text when a later row's task failed first (r14 verdict
+        # #2b).
         self.failure_probes: list = []
 
     def _harvest_native_probes(self, df: DataFrame):
-        conds = self.translator.error_probes
-        if not conds:
+        pairs = self.translator.error_probes
+        if not pairs:
             return
         self.translator.error_probes = []
-        fired = conds[0]
-        for c in conds[1:]:
+        fired = pairs[0][0]
+        for c, _m in pairs[1:]:
             fired = fired | c
-        def probe(frame=df, cond=fired):
+
+        def probe(frame=df, cond=fired, pairs=list(pairs)):
             row = frame.where(cond).agg(F.min(F.col(NR_COL))).collect()
-            return row[0][0] if row else None
+            s = row[0][0] if row else None
+            if s is None:
+                return None
+            # the min-NR failing row's own Details: evaluate every
+            # guard's fire condition + message on that single row and
+            # take the first firing guard's text (translation order =
+            # evaluation order in the reference's sequential loop)
+            msg = None
+            try:
+                sel = (frame.where(F.col(NR_COL) == F.lit(s)).limit(1).select(
+                    *[c.alias('__pc{}'.format(i)) for i, (c, _m) in enumerate(pairs)],
+                    *[m.alias('__pm{}'.format(i)) for i, (_c, m) in enumerate(pairs)]
+                ).collect())
+                if sel:
+                    r0 = sel[0]
+                    for i in range(len(pairs)):
+                        if r0['__pc{}'.format(i)]:
+                            msg = r0['__pm{}'.format(i)]
+                            break
+            except Exception:
+                pass  # message recovery is best-effort; the number stands
+            return (int(s), msg)
         self.failure_probes.append(probe)
 
     def _add_pyeval_probe(self, df: DataFrame, fallback: list[PyExpr]):
         from pyspark.sql import types as T
 
-        def probe(frame=df, exprs=[pe.expr for pe in fallback]):
+        def probe(frame=df, origs=list(fallback)):
             pes = []
-            for j, ex in enumerate(exprs):
-                pe = PyExpr(out_col='__pf{}'.format(j), expr=ex)
-                pe.dtype = T.LongType()
+            for j, orig in enumerate(origs):
+                pe = PyExpr(out_col='__pf{}'.format(j), expr=orig.expr)
+                # probe mode stores str(exception) per failing row (null
+                # on success) so the min-NR row's exact Details travels
+                # with its surrogate; the VALUE pass's dtype (inferred by
+                # the time any probe runs) keeps coercion failures in
+                pe.dtype = T.StringType()
+                pe.probe_check_dtype = orig.dtype
                 pes.append(pe)
             flagged = eval_columns(frame, self.wf, pes,
                                    user_init_code=self.options.user_init_code,
                                    sample_rows=self.options.sample_rows,
                                    nr_dense=self.binding.nr_dense,
                                    probe_mode=True)
-            cond = F.col('__pf0') == 1
+            cond = F.col('__pf0').isNotNull()
             for j in range(1, len(pes)):
-                cond = cond | (F.col('__pf{}'.format(j)) == 1)
+                cond = cond | F.col('__pf{}'.format(j)).isNotNull()
             row = flagged.where(cond).agg(F.min(F.col(NR_COL))).collect()
-            return row[0][0] if row else None
+            s = row[0][0] if row else None
+            if s is None:
+                return None
+            msg = None
+            try:
+                sel = (flagged.where(F.col(NR_COL) == F.lit(s)).limit(1)
+                       .select(*['__pf{}'.format(j) for j in range(len(pes))])
+                       .collect())
+                if sel:
+                    msg = next((v for v in sel[0] if v is not None), None)
+            except Exception:
+                pass
+            return (int(s), msg)
         self.failure_probes.append(probe)
 
     def telemetry(self) -> dict:
@@ -413,6 +526,9 @@ class StageRunner:
         self.registry = registry
         self.options = options
         self.warnings: list[str] = []
+        # frames pinned for cross-job partition stability — handed to the
+        # StageResult so its terminal action can unpersist them
+        self.cached_frames: list = []
 
     # -- input / join wiring ------------------------------------------------
 
@@ -594,12 +710,15 @@ class StageRunner:
         # attach __nr.
         early_filtered = False
         pre_filter_df, early_cond = wf.df, None
+        early_guard_probes: list = []
         if (stage.is_select and stage.where_expr is not None and not nr_referenced):
             try:
                 tr = ExpressionTranslator(Binding(wf))
                 # pushdown position: NR is not attached yet, so value-
-                # parity guards must stay NR-free (recordless message —
-                # the one divergence kept for pushdown's sake)
+                # parity guards stay NR-free in the RAISED message; the
+                # harvested (fire_cond, msg) pairs let the driver rebuild
+                # the exact 'At record N' prefix on the error path only
+                # (resolver's raw=None branch — r14 verdict #2a)
                 tr.record_errors = False
                 cond = tr.translate_predicate(stage.where_expr)
                 # a NoneType-call guard carries the record number via
@@ -609,6 +728,7 @@ class StageRunner:
                     wf = wf.with_df(wf.df.filter(cond))
                     early_filtered = True
                     early_cond = cond
+                    early_guard_probes = list(tr.error_probes)
             except (TranslationFallback, RbqlParsingError, RbqlRuntimeError, SyntaxError):
                 pass
 
@@ -622,7 +742,8 @@ class StageRunner:
         self._nr_monotone = (nr_referenced
                              or ORDER_SRC_COL not in wf.df.columns
                              or wf.a.order_src_monotone)
-        wf = wf.with_df(attach_nr(wf.df, NR_COL, dense=nr_referenced))
+        wf = wf.with_df(attach_nr(wf.df, NR_COL, dense=nr_referenced,
+                                  cache_registry=self.cached_frames))
         if stage.join_subtype is not None:
             wf = self._load_b_side(stage, wf)
 
@@ -646,7 +767,8 @@ class StageRunner:
         # stream.
         res.nr_resolver = None if nr_referenced else _make_surrogate_resolver(
             wf.df, pre_filter_df if early_filtered else None, early_cond,
-            comp.failure_probes)
+            comp.failure_probes, early_guard_probes)
+        res.cached_frames.extend(self.cached_frames)
         return res
 
     # -- UPDATE -------------------------------------------------------------
@@ -715,7 +837,8 @@ class StageRunner:
         # Window.orderBy(NR), which funneled the whole table through one
         # task.  Only materialized when the query references NU.
         if re.search(r'(?:^|[^\w])NU(?:$|[^\w])', stage.unmask(stage.masked_text)):
-            df = attach_running_count(df, NR_COL, cond, '__nu')
+            df = attach_running_count(df, NR_COL, cond, '__nu',
+                                      cache_registry=self.cached_frames)
             # the counter column exists from here on: let the native
             # translator bind NU to it instead of falling back
             binding.nu_col = '__nu'
@@ -955,6 +1078,7 @@ class StageRunner:
         from pyspark import StorageLevel
         try:
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self.cached_frames.append(df)
         except Exception:
             pass
         width = df.agg(F.max(F.size('__unpack_src'))).collect()[0][0] or 1
@@ -1272,10 +1396,16 @@ def run_query(spark: SparkSession, query_text: str,
     result: StageResult | None = None
     handle = input_handle
     all_warnings: list[str] = []
+    carried_caches: list = []
     tel = {'native_count': 0, 'fallback_count': 0, 'fallback_reasons': []}
     for i, stage in enumerate(stages):
         runner = StageRunner(spark, registry, options)
         result = runner.run(stage, handle)
+        # an upstream pipe stage's pinned frames stay referenced by the
+        # final result's lazy plan — carry them so release() at the
+        # terminal action frees the whole chain
+        carried_caches.extend(result.cached_frames)
+        result.cached_frames = carried_caches
         all_warnings.extend(result.warnings)
         result.warnings = list(dict.fromkeys(all_warnings))
         for k in ('native_count', 'fallback_count'):

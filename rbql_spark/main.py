@@ -256,6 +256,7 @@ def _run_one_query(spark, args, query: str, input_path: str, delim: str,
             os.unlink(tmp_name)
         for w in warnings:
             print('Warning: ' + w, file=sys.stderr)
+        result.release()   # output written — free the query's pinned frames
         return True
     except Exception as e:
         err_type, err_msg = exception_to_error_info(e)

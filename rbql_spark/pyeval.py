@@ -31,6 +31,10 @@ class PyExpr:
     dtype: T.DataType | None = None  # None → infer from sample
     is_json: bool = False            # sample values were dicts/objects →
                                      # stored as JSON text, exposed as objects
+    probe_check_dtype: T.DataType | None = None
+    # probe_mode only: the VALUE pass's dtype for this expression, so the
+    # probe replicates its exact failure semantics (eval + coercion) while
+    # the probe column itself is a string (error message or null)
 
 
 class _Record:
@@ -302,10 +306,13 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
     the raw surrogate on a marker line for exact driver-side resolution.
 
     ``probe_mode``: error-path first-failure probing — instead of
-    raising, every expression yields 1 where it would raise and 0 where
-    it succeeds (dtypes must be preset to LongType by the caller); the
-    engine then takes min(NR) over the flags to recover the FIRST
-    failing record, matching the reference's sequential-stop semantics."""
+    raising, every expression yields the exception text where it would
+    raise and null where it succeeds (dtypes must be preset to
+    StringType by the caller; ``probe_check_dtype`` carries the value
+    pass's dtype so coercion failures count as failures exactly like
+    the value pass); the engine then takes min(NR) over the non-null
+    flags to recover the FIRST failing record — and that row's message
+    — matching the reference's sequential-stop semantics."""
     plan = _plan_variables([pe.expr for pe in pyexprs], wf)
     a_header = wf.a.header
     b_header = wf.b.header if wf.b is not None else None
@@ -425,7 +432,10 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
     out_schema = T.StructType(list(in_schema.fields) + [
         T.StructField(pe.out_col, pe.dtype, True) for pe in pyexprs
     ])
-    expr_specs = [(pe.out_col, pe.expr, pe.dtype, pe.is_json) for pe in pyexprs]
+    expr_specs = [(pe.out_col, pe.expr,
+                   pe.probe_check_dtype if probe_mode and
+                   pe.probe_check_dtype is not None else pe.dtype,
+                   pe.is_json) for pe in pyexprs]
     in_cols = [f.name for f in in_schema.fields]
     conv_items = [(f.name, f.dataType) for f in in_schema.fields]
     json_colnames = [internal_col(s.prefix, i)
@@ -467,11 +477,14 @@ def eval_columns(df: DataFrame, wf: WorkFrame, pyexprs: list[PyExpr],
                 glb.update(env)   # single-namespace eval (lambda closures)
                 for name, code, coerce in compiled:
                     if probing:
+                        # null = success; str(e) = this row's exact Details
+                        # text, so the first-failure resolver can re-render
+                        # the min-NR row's message (engine._add_pyeval_probe)
                         try:
                             coerce(eval(code, glb))
-                            outs[name][i] = 0
-                        except Exception:
-                            outs[name][i] = 1
+                            outs[name][i] = None
+                        except Exception as e:
+                            outs[name][i] = str(e)
                         continue
                     try:
                         outs[name][i] = coerce(eval(code, glb))

@@ -50,7 +50,8 @@ def attach_dense_nr(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def attach_running_count(df: DataFrame, order_col: str, cond, out_col: str) -> DataFrame:
+def attach_running_count(df: DataFrame, order_col: str, cond, out_col: str,
+                         cache_registry: list | None = None) -> DataFrame:
     """Running count of ``cond`` in ``order_col`` order, INCLUDING the
     current row — the NU counter (reference: rbql_engine.py:693,711-770).
 
@@ -66,14 +67,15 @@ def attach_running_count(df: DataFrame, order_col: str, cond, out_col: str) -> D
     not stable across jobs and the offsets pass and the main pass must
     see identical partitions (the :func:`attach_nr` ORDER_SRC precedent).
 
-    Cache lifetime (intentional, same as the ORDER_SRC path): the persist
-    MUST outlive every action on the returned DataFrame — unpersisting
-    earlier re-samples the range partitioner and silently mis-numbers —
-    and the engine cannot see the caller's last action, so the entry is
+    Cache lifetime: the persist MUST outlive every action on the returned
+    DataFrame — unpersisting earlier re-samples the range partitioner and
+    silently mis-numbers (the offsets were computed against the pinned
+    partitioning).  ``cache_registry`` (r14 verdict #5) collects the
+    pinned frame so the QUERY's result handle can unpersist it at its
+    terminal action (StageResult.release(); the eager API paths call it
+    after their final collect/write); without a registry the entry is
     left to Spark's LRU block eviction (MEMORY_AND_DISK spills, evicts
-    under pressure; one UPDATE…NU table per query, bounded by the
-    session's working set).  Callers that know they are done may
-    ``.unpersist()`` the returned frame's source explicitly.
+    under pressure; bounded by the session's working set).
     """
     pid, off, flag = '__rbql_pid', '__rbql_off', '__rbql_flag'
     spark = df.sparkSession
@@ -86,6 +88,8 @@ def attach_running_count(df: DataFrame, order_col: str, cond, out_col: str) -> D
            .withColumn(pid, F.spark_partition_id()))
     from pyspark import StorageLevel
     d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(d)
     counts = sorted((r[0], int(r[1] or 0))
                     for r in d.groupBy(pid).agg(F.sum(flag)).collect())
     if not counts:
@@ -105,7 +109,8 @@ def attach_running_count(df: DataFrame, order_col: str, cond, out_col: str) -> D
              .drop(pid, off, flag))
 
 
-def attach_nr(df: DataFrame, col: str, dense: bool) -> DataFrame:
+def attach_nr(df: DataFrame, col: str, dense: bool,
+              cache_registry: list | None = None) -> DataFrame:
     from .binding import ORDER_SRC_COL
     if ORDER_SRC_COL in df.columns:
         # the source captured its own order key before a repartition (CSV
@@ -120,6 +125,8 @@ def attach_nr(df: DataFrame, col: str, dense: bool) -> DataFrame:
             from pyspark import StorageLevel
             ordered = df.orderBy(F.col(ORDER_SRC_COL)).drop(ORDER_SRC_COL) \
                         .persist(StorageLevel.MEMORY_AND_DISK)
+            if cache_registry is not None:
+                cache_registry.append(ordered)
             return attach_dense_nr(ordered, col)
         return df.withColumnRenamed(ORDER_SRC_COL, col)
     if dense:

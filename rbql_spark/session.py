@@ -28,6 +28,16 @@ def build_session(app_name: str = 'rbql-spark',
     - ``spark.sql.shuffle.partitions``: target ~128–256 MB per post-shuffle
       partition.  At 100 TB shuffled that is O(500k) partitions — set it
       high and let AQE coalesce, never the reverse.
+    - ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` +
+      ``advisoryPartitionSizeInBytes``: the ENGINE'S encoding of the
+      measured decade rule (r14 sf10 audit, SCALING.md: per-task bytes,
+      not partition count, is the cross-scale invariant).  Every batch
+      shuffle starts at 16× the base count and AQE coalesces down to the
+      64 MB advisory — so a 10× data decade automatically lands ~10× the
+      post-shuffle partitions with NO per-operator pinning; small inputs
+      coalesce back to a handful.  Streaming stateful shuffles are not
+      AQE re-planned — the drain helpers scope the base count from the
+      source's input bytes instead (rbql_spark.tuning).
     - ``spark.sql.files.maxPartitionBytes``: scan-side split size; 128 MB
       keeps a 1000-executor cluster busy on 100 TB (~800k tasks) without
       task-launch overhead dominating.
@@ -48,6 +58,9 @@ def build_session(app_name: str = 'rbql-spark',
          .config('spark.sql.adaptive.enabled', 'true')
          .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
          .config('spark.sql.adaptive.skewJoin.enabled', 'true')
+         .config('spark.sql.adaptive.coalescePartitions.initialPartitionNum',
+                 str(max(shuffle_partitions * 16, 256)))
+         .config('spark.sql.adaptive.advisoryPartitionSizeInBytes', '64m')
          .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
          .config('spark.sql.files.maxPartitionBytes', max_partition_bytes)
          .config('spark.sql.execution.arrow.pyspark.enabled', 'true')

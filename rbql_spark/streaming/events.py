@@ -70,7 +70,9 @@ def _drain_timeout(timeout_sec: int | None) -> int:
 
 
 def run_stream_to_parquet(stream_df: DataFrame, query_name: str,
-                          timeout_sec: int | None = None) -> DataFrame:
+                          timeout_sec: int | None = None,
+                          input_bytes: int | None = None,
+                          shuffle_expansion: float = 1.0) -> DataFrame:
     """Drain an append-mode stream through a parquet file sink and return
     the drained rows as a DataFrame.
 
@@ -85,21 +87,36 @@ def run_stream_to_parquet(stream_df: DataFrame, query_name: str,
     key-bounded anyway.
 
     The sink/checkpoint dir is per-(query, process) and wiped before
-    each run, so bench repetitions measure full drains, not resumes."""
+    each run, so bench repetitions measure full drains, not resumes.
+
+    ``input_bytes`` (source size; pass ``tuning.dir_bytes(path)`` for a
+    file-replay source): the state-store/shuffle partition count is
+    pinned by ``spark.sql.shuffle.partitions`` at the query's first
+    start and AQE never re-plans it, so the drain scopes the conf to
+    ``tuning.advise_shuffle_partitions`` — per-task bytes stay constant
+    across data decades (the measured sf10 rule, SCALING.md).
+    ``shuffle_expansion`` maps source bytes to shuffled bytes (e.g. a
+    band explode multiplies them)."""
     import shutil
     import tempfile
+
+    from ..tuning import advise_shuffle_partitions, scoped_shuffle_partitions
 
     base = os.path.join(tempfile.gettempdir(),
                         'rbql_drain_{}_{}'.format(query_name, os.getpid()))
     shutil.rmtree(base, ignore_errors=True)
     out = os.path.join(base, 'out')
-    q = (stream_df.writeStream
-         .format('parquet')
-         .option('path', out)
-         .option('checkpointLocation', os.path.join(base, 'ckpt'))
-         .outputMode('append')
-         .trigger(availableNow=True)
-         .start())
+    spark = stream_df.sparkSession
+    n_parts = advise_shuffle_partitions(spark, input_bytes,
+                                        expansion=shuffle_expansion)
+    with scoped_shuffle_partitions(spark, n_parts):
+        q = (stream_df.writeStream
+             .format('parquet')
+             .option('path', out)
+             .option('checkpointLocation', os.path.join(base, 'ckpt'))
+             .outputMode('append')
+             .trigger(availableNow=True)
+             .start())
     timeout_sec = _drain_timeout(timeout_sec)
     if not q.awaitTermination(timeout_sec):
         q.stop()
@@ -113,7 +130,9 @@ def run_stream_to_parquet(stream_df: DataFrame, query_name: str,
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = 'append',
-                         timeout_sec: int | None = None):
+                         timeout_sec: int | None = None,
+                         input_bytes: int | None = None,
+                         shuffle_expansion: float = 1.0):
     """Drive a streaming DataFrame into an in-memory sink until idle; returns
     the StreamingQuery (caller reads ``spark.table(query_name)``).
 
@@ -121,13 +140,22 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     drained memory table reads as a plausible-but-wrong result, and a
     benchmark rep that times out would record truncated work as if it
     were a full drain — masking exactly the super-linear behavior the
-    scale harness exists to catch."""
-    q = (stream_df.writeStream
-         .format('memory')
-         .queryName(query_name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
+    scale harness exists to catch.
+
+    ``input_bytes`` / ``shuffle_expansion``: see run_stream_to_parquet —
+    scopes the state-store partition count to the source's size."""
+    from ..tuning import advise_shuffle_partitions, scoped_shuffle_partitions
+
+    spark = stream_df.sparkSession
+    n_parts = advise_shuffle_partitions(spark, input_bytes,
+                                        expansion=shuffle_expansion)
+    with scoped_shuffle_partitions(spark, n_parts):
+        q = (stream_df.writeStream
+             .format('memory')
+             .queryName(query_name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
     timeout_sec = _drain_timeout(timeout_sec)
     if not q.awaitTermination(timeout_sec):
         q.stop()

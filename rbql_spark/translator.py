@@ -127,7 +127,7 @@ class ExpressionTranslator:
         # the sequential loop stops at the first failure; Spark surfaces
         # an arbitrary task's failure, so the exact record is recovered
         # by min(NR) over these conditions, jobs run only on error)
-        self.error_probes: list[Column] = []
+        self.error_probes: list[tuple[Column, Column]] = []
 
     def translate(self, expr_text: str) -> TCol:
         try:
@@ -472,7 +472,7 @@ class ExpressionTranslator:
             # the raise is unconditional where it is reached — as the
             # whole expression (the out-of-width class) every record
             # fails, so the first-record probe is the constant truth
-            self.error_probes.append(F.lit(True))
+            self.error_probes.append((F.lit(True), F.lit(py_msg)))
         return self._record_error(F.lit(py_msg))
 
     def _record_error(self, *msg_parts: Column) -> Column:
@@ -497,11 +497,16 @@ class ExpressionTranslator:
         wrapped when record_errors (ordinary stages), bare when the
         engine translates for early-filter pushdown (NR not attached yet).
         ``fire_cond`` is the exact condition under which the guard raises
-        — registered as a first-failing-record probe."""
+        — registered as a first-failing-record probe together with the
+        Details message COLUMN, so the error path can re-render the
+        min-NR row's exact message (prefix + quoted value, r14 verdict
+        #2) even when a later row's task failed first or the guard ran
+        recordless inside a pushed-down WHERE."""
+        msg = F.concat(*msg_parts)
+        self.error_probes.append((fire_cond, msg))
         if self.record_errors:
-            self.error_probes.append(fire_cond)
             return self._record_error(*msg_parts)
-        return F.raise_error(F.concat(*msg_parts))
+        return F.raise_error(msg)
 
     def _call(self, node: ast.Call) -> TCol:
         if node.keywords:

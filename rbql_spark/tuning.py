@@ -1,0 +1,109 @@
+"""Input-size-based shuffle-partition advisor (r14 verdict #6).
+
+The round-14 decade audit (BENCH_sf10_partitions.json) proved the rule:
+holding the shuffle-partition count constant across a 10× data decade
+bends the heaviest operators super-linear — per-task working sets
+outgrow execution memory and spill; raising the count at the same data
+restored sub-linear scaling.  **Per-task bytes, not partition count, is
+the invariant to hold across scale-ups** (SCALING.md).
+
+The engine encodes that rule in two mechanisms:
+
+* **Batch** (aggregations, joins): sessions built by
+  :func:`rbql_spark.session.build_session` set AQE's
+  ``coalescePartitions.initialPartitionNum`` HIGH and
+  ``advisoryPartitionSizeInBytes`` to the per-task byte target — every
+  shuffle starts wide and AQE coalesces down to the advisory size, so
+  the effective partition count scales with the actual shuffled bytes
+  with no per-operator code.  (This is Spark's native form of the
+  rule; the old fixed ``spark.sql.shuffle.partitions`` becomes the
+  non-AQE fallback only.)
+* **Streaming** (stateful drains — AQE does not re-plan streaming
+  shuffles, and the state-store partition count is pinned by
+  ``spark.sql.shuffle.partitions`` at the query's FIRST start): the
+  drain helpers (:mod:`rbql_spark.streaming.events`) scope the session
+  conf to :func:`advise_shuffle_partitions` of the source's input
+  bytes for the duration of the ``start()``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import math
+import os
+
+# Per-task post-shuffle byte target.  64 MB matches AQE's default
+# advisory size: large enough that task-launch overhead is noise, small
+# enough that a task's working set (input + hash tables) stays far from
+# typical execution-memory limits.
+BYTES_PER_PARTITION = 64 << 20
+
+
+def dir_bytes(path: str) -> int | None:
+    """Total file bytes under ``path`` (a replay/source directory)."""
+    try:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    except OSError:
+        return None
+
+
+def estimated_input_bytes(df) -> int | None:
+    """Catalyst's size estimate for a BATCH DataFrame's optimized plan
+    (parquet: sum of file sizes after partition pruning — the same
+    footer-level statistics the planner uses).  None when unavailable
+    or when the estimate is the unknown-sentinel (defaultSizeInBytes,
+    astronomically large)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+    if size <= 0 or size >= (1 << 50):   # 1 PiB+ → unknown sentinel
+        return None
+    return size
+
+
+def advise_shuffle_partitions(spark, input_bytes: int | None,
+                              expansion: float = 1.0,
+                              bytes_per_partition: int = BYTES_PER_PARTITION,
+                              cap: int = 1 << 20) -> int:
+    """Partition count holding per-task bytes ≈ ``bytes_per_partition``.
+
+    ``expansion``: how much bigger the shuffled data is than the input
+    (e.g. a shingle explode multiplies bytes; 1.0 for project-and-group
+    shapes).  Never LOWERS the session's configured count — small
+    inputs keep today's behavior; only growth past the per-task target
+    raises it (the measured decade rule)."""
+    try:
+        cur = int(spark.conf.get('spark.sql.shuffle.partitions'))
+    except Exception:
+        cur = 200
+    if not input_bytes or input_bytes <= 0:
+        return cur
+    want = math.ceil(input_bytes * max(expansion, 0.0) / bytes_per_partition)
+    return max(cur, min(cap, want))
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark, n: int):
+    """Set ``spark.sql.shuffle.partitions`` for the duration of a block
+    (streaming ``start()`` captures the value; batch actions inside the
+    block plan with it), restoring the previous value after."""
+    key = 'spark.sql.shuffle.partitions'
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)

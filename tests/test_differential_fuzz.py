@@ -356,9 +356,13 @@ def test_differential_out_of_width_calls(spark, seed):
 
 _RECORD_CASES = [
     # (query, table builder) — every case raises in both engines; the
-    # assertion is EXACT 'At record N, Details:' prefix parity on
-    # multi-partition inputs (round 14: surrogate marker + first-failure
-    # probes recover the reference's first failing INPUT record)
+    # assertion is FULL message parity — exact 'At record N, Details:'
+    # prefix AND the quoted offending value — on multi-partition inputs
+    # (round 14: surrogate marker + first-failure probes recover the
+    # reference's first failing INPUT record; round 15: the probes also
+    # carry that row's own Details text, and guards fired inside a
+    # pushed-down WHERE recover the prefix via the resolver's input-
+    # stream branch)
     ('single-fail native', "SELECT int(a1) * 2",
      lambda: [[str(i), 'x'] if i != 43 else ['boom', 'x'] for i in range(1, 61)]),
     ('native + pushed WHERE', "SELECT int(a1) WHERE a2 == 'x'",
@@ -375,6 +379,20 @@ _RECORD_CASES = [
      lambda: [['bad' if i in (11, 31) else str(i), 'x'] for i in range(1, 41)]),
     ('all-fail pyeval', "SELECT int(''.join(list(a2)))",
      lambda: [[str(i)] for i in range(1, 31)]),
+    # r15: DIFFERENT offending values per failing row — the Details text
+    # must quote the min-NR row's value, not whichever task lost the race
+    ('two-fail distinct values native', "SELECT int(a1)",
+     lambda: [['bad%d' % i if i in (11, 31) else str(i), 'x']
+              for i in range(1, 41)]),
+    ('two-fail distinct values pyeval', "SELECT int(''.join(list(a1)))",
+     lambda: [['bad%d' % i if i in (7, 33) else str(i)] for i in range(1, 41)]),
+    # r15: guard fired INSIDE the pushed-down WHERE (runs before NR
+    # exists) — the error-path resolver recovers the exact input record
+    ('guard in pushed WHERE', "SELECT a2 WHERE int(a1) > 5",
+     lambda: [['boom' if i == 43 else str(i), 'x'] for i in range(1, 61)]),
+    ('guard in pushed WHERE distinct values', "SELECT a2 WHERE int(a1) > 5",
+     lambda: [['bad%d' % i if i in (13, 29) else str(i), 'x']
+              for i in range(1, 61)]),
 ]
 
 
@@ -395,7 +413,6 @@ def test_error_record_number_exact_parity(spark, label, query, mk):
     except Exception as e:
         got_err = str(e)
     assert got_err is not None, '{}: we succeeded where reference raised'.format(label)
-    ref_prefix = ref_err.split(', Details:', 1)[0]
-    assert got_err.startswith(ref_prefix + ','), \
-        '{}: record prefix mismatch\n got: {!r}\n ref: {!r}'.format(
+    assert got_err == ref_err, \
+        '{}: full message mismatch\n got: {!r}\n ref: {!r}'.format(
             label, got_err, ref_err)

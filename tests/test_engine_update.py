@@ -122,3 +122,29 @@ def test_nu_on_empty_table(spark):
     from rbql_spark import query_table
     rows, _ = query_table(spark, 'UPDATE a1 = NU WHERE a2 == "x"', [])
     assert rows == []
+
+
+def test_nu_query_releases_pinned_caches(spark):
+    """r14 verdict #5: the UPDATE…NU running-count pins a range-partitioned
+    frame for cross-job numbering stability; the eager query_table path
+    must unpersist it at its terminal action (StageResult.release) rather
+    than leaning on LRU eviction.  Asserted via the JVM's persistent-RDD
+    map: no NEW entry survives the query."""
+    from rbql_spark import query_table
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(jmap.keySet().toArray())
+
+    before = persistent_ids()
+    table = [[i, 'x' if i % 3 else 'y'] for i in range(1, 201)]
+    rows, _ = query_table(spark, 'UPDATE a1 = NU WHERE a2 == "x"', table)
+    # correctness unchanged: NU counts matching records sequentially
+    nu = 0
+    for orig, (got, flag) in zip(table, rows):
+        if flag == 'x':
+            nu += 1
+            assert got == nu
+    after = persistent_ids()
+    leaked = after - before
+    assert not leaked, 'query left pinned RDDs behind: {}'.format(leaked)

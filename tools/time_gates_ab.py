@@ -23,5 +23,12 @@ for name in SUB:
         reps.append(round(time.time()-t0, 3))
         spark.catalog.clearCache()
     out[name] = min(reps)
-print(json.dumps({'repo': repo, 'times': out}))
+# machine fingerprint rides in every A/B record so cross-box comparisons
+# can normalize by it (bench.calibrate; same-box A/B needs none)
+try:
+    import bench
+    cal = bench.calibrate(spark)
+except Exception:
+    cal = None
+print(json.dumps({'repo': repo, 'times': out, 'calibration': cal}))
 spark.stop()
