@@ -1661,37 +1661,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the bound lives in the driver, so rotation here is the only way to
     # refresh proof for all 78.  The strict local mirror,
     # tools/check_oracles.py, still value-checks every gate each round.)
-    # Round 14 rotation (r13 verdict #7): the 30 gates whose newest driver
-    # proof dates to r11 lead (after r14 no gate's proof is older than
-    # r12), then the gates whose code paths changed this round fill the
-    # remaining snapshot slots: the real BMP/WAV multimodal decoders (incl.
-    # the brand-new, never-driver-proven multimodal_audio_features), the
-    # Arrow classifier scorer kernel, the exact-record-number/ordered-scan
-    # engine changes behind the core rbql_* gates, the stream_asof marker
-    # guard, and the JS-dialect gates added this round; the rest keep
-    # declaration order.
+    # Round 15 rotation (r14 verdict #7): the 39 gates whose newest driver
+    # proof dates to r12 lead (after r15 no gate's proof is older than
+    # r13), then the gates whose code paths changed this round fill the
+    # remaining snapshot slots: the brand-new PNG decoder gate, the JS
+    # gates (strnum tagging, like() pattern TypeError, Number() aggregate
+    # semantics), the core rbql_* gates behind the exact-error-Details /
+    # scoped-cache engine changes, and two streaming drains behind the
+    # partition advisor; the rest keep declaration order.
     rotate_first = [
-        # --- r11-stale gates (30) ---
-        'decontaminate_bloom', 'domain_classify', 'dsir_topk',
-        'dsir_weights', 'export_webdataset', 'having_groups',
-        'rbql_unnest', 'retrieval_hybrid_batch', 'retrieval_hybrid_rrf',
-        'sample_epochs', 'sample_mix_tokens', 'setop_except',
-        'setop_intersect', 'setop_union_all', 'sim_kmeans_cluster',
-        'sim_prototype_prune', 'sim_semantic_dedup', 'skew_salted_join',
-        'streaming_decontaminate', 'streaming_decontaminate_bloom',
-        'streaming_exact_dedup', 'streaming_minhash_neardup',
-        'streaming_quality_filter', 'streaming_windowed_counts',
-        'text_bm25_batch', 'text_readability', 'window_running_sum',
-        'window_session', 'window_sliding', 'window_tumbling',
-        # --- new or touched this round (20) ---
-        'multimodal_audio_features', 'multimodal_features',
-        'multimodal_frame_sample', 'multimodal_resize',
+        # --- r12-stale gates (39) ---
+        'rbql_distinct_count', 'rbql_array_agg', 'rbql_left_join',
+        'rbql_multikey_join', 'rbql_strict_left_join', 'rbql_update_join',
+        'rbql_fstring', 'rbql_except', 'rbql_string_ops',
+        'streaming_user_totals', 'streaming_c4_filter',
+        'dedup_exact_incremental', 'dedup_exact', 'dedup_minhash_lsh',
+        'dedup_simhash', 'dedup_incremental', 'dedup_ngram_jaccard',
+        'decontaminate_ngram', 'contamination_report', 'dedup_clusters',
+        'dedup_keep_canonical', 'dedup_lines', 'sample_hash',
+        'sample_stratified', 'sample_k_per_group', 'sample_temperature',
+        'chunk_documents', 'sample_split', 'sample_shuffle', 'sample_mix',
+        'pack_materialize', 'sim_ann_ivf', 'sim_ann_index_search',
+        'sim_ann_index_churn', 'sim_kmeans_recall', 'text_c4_line_filter',
+        'text_gopher_filter', 'bpe_vocab', 'bpe_encode_ids',
+        # --- new or touched this round (11) ---
+        'multimodal_png_features',
         'rbql_js_filter_order', 'rbql_js_group_agg', 'rbql_js_string_ops',
-        'quality_classifier', 'classifier_pr_curve', 'streaming_classifier',
-        'rbql_select_where', 'rbql_select_top_order', 'rbql_global_agg',
-        'rbql_group_agg', 'rbql_update', 'rbql_inner_join',
-        'rbql_distinct', 'streaming_asof', 'profile_table',
-        'pipeline_training_data',
+        'rbql_select_where', 'rbql_update', 'rbql_group_agg',
+        'rbql_global_agg', 'rbql_select_top_order',
+        'streaming_minhash_neardup', 'streaming_windowed_counts',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

@@ -124,6 +124,23 @@ def detect_aggregate(item_text: str, dialect: str = 'python') -> AggCall | None:
     return top
 
 
+def str_parse_fire(scol: Column, dialect: str = 'python') -> Column:
+    """The exact condition under which the aggregate string-parse guard
+    raises — shared by the guard itself and the first-failure probes so
+    they can never disagree (js: Number() semantics, '' is 0, hex parses,
+    'NaN' errors; py: int()/float() parse)."""
+    if dialect == 'js':
+        trimmed = F.trim(scol)
+        hexm = trimmed.rlike('^0[xX][0-9a-fA-F]+$')
+        casted = (F.when(scol.isNull(), F.lit(None).cast('double'))
+                   .when(trimmed == F.lit(''), F.lit(0.0))
+                   .when(hexm, F.conv(F.substring(trimmed, 3, 65), 16, 10)
+                                .try_cast('double'))
+                   .otherwise(trimmed.try_cast('double')))
+        return scol.isNotNull() & (casted.isNull() | F.isnan(casted))
+    return scol.isNotNull() & scol.try_cast('double').isNull()
+
+
 def numeric_coerce(col: Column, tag: str, nr: Column | None = None,
                    dialect: str = 'python') -> tuple[Column, str]:
     """NumHandler parity: strings parse to numbers, failure is a hard error
@@ -132,20 +149,45 @@ def numeric_coerce(col: Column, tag: str, nr: Column | None = None,
         return col, tag
     if tag == 'bool':
         return col.cast('double'), 'float'
-    if tag == 'str':
-        casted = col.try_cast('double')
+    def _str_guarded(scol: Column) -> Column:
+        if dialect == 'js':
+            # rbql-js parse_number = Number(val) with a NaN check
+            # (rbql-js/rbql.js:282-289): ''/whitespace → 0, 0x-hex parses,
+            # 'NaN' IS NaN → error (same shape as jsdialect _tonum_tcol)
+            trimmed = F.trim(scol)
+            hexm = trimmed.rlike('^0[xX][0-9a-fA-F]+$')
+            casted = (F.when(scol.isNull(), F.lit(None).cast('double'))
+                       .when(trimmed == F.lit(''), F.lit(0.0))
+                       .when(hexm, F.conv(F.substring(trimmed, 3, 65), 16, 10)
+                                    .try_cast('double'))
+                       .otherwise(trimmed.try_cast('double')))
+        else:
+            casted = scol.try_cast('double')
+        bad = str_parse_fire(scol, dialect)
         prefix = [F.lit('At record '), nr.cast('string'), F.lit(', Details: ')] if nr is not None else []
         conv_phrase = 'to a number' if dialect == 'js' else 'to int or float'
         err_msg = F.concat(
             *prefix,
-            F.lit('Unable to convert value "'), col,
+            F.lit('Unable to convert value "'), scol,
             F.lit('" {}. MIN, MAX, SUM, AVG, MEDIAN and VARIANCE '
                   'aggregate functions convert their string arguments to '
                   'numeric values'.format(conv_phrase)),
         )
-        guarded = F.when(col.isNotNull() & casted.isNull(), F.raise_error(err_msg)) \
-                   .otherwise(casted)
-        return guarded, 'float'
+        return F.when(bad, F.raise_error(err_msg)).otherwise(casted)
+
+    if tag == 'str':
+        return _str_guarded(col), 'float'
+    if tag == 'mixed':
+        # tagged-cell column (mixedcell.py): numeric cells pass through
+        # (ints/floats/bools are numbers to NumHandler), string cells go
+        # through the same parse-or-error guard as a string column
+        from .mixedcell import K_STR
+        k = col.getField('k')
+        val = F.when(k == F.lit(K_STR), _str_guarded(col.getField('s'))) \
+               .otherwise(col.getField('n'))
+        # a null CELL must stay null (null_arg_guard handles reference
+        # None-in-aggregate error parity above this)
+        return F.when(col.isNull(), F.lit(None).cast('double')).otherwise(val), 'float'
     raise RbqlParsingError(NUMERIC_CONVERSION_ERROR.format('<' + tag + '>'))
 
 
@@ -180,7 +222,7 @@ def null_arg_guard(kind: str, raw: Column, coerced: Column, tag: str,
     marker only, by design.
     """
     t = 'float' if tag == 'float' else 'int'
-    if tag == 'str':
+    if tag in ('str', 'mixed'):
         fn = ('int() argument must be a string, a bytes-like object or a '
               'real number' if kind == 'sum'
               else 'float() argument must be a string or a real number')
@@ -247,7 +289,7 @@ def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
 
     def wrap(out: Column, tag: str) -> Column:
         t = 'float' if tag == 'float' else 'int'
-        if tag == 'str':
+        if tag in ('str', 'mixed'):
             # string column: NumHandler raises inside int()/float() at
             # the first null — order-independent once any non-null
             # string exists; an ALL-null group never engaged the parser
@@ -296,6 +338,100 @@ def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
 
     wrap.guard_names = (g_null_min, g_null_max, g_nn_min, g_cnt)
     return aggs, wrap
+
+
+def mixed_raw_guard(kind: str, col: Column, nr_err: Column,
+                    first_kind_name: str) -> Column:
+    """Raw-accumulation path for a MIXED aggregate argument whose FIRST
+    value was NOT a string (NumHandler.parse, rbql_engine.py:293-314:
+    string detection looks only at the first value — a non-str first
+    value disables parsing forever, so later values accumulate RAW and
+    a string cell raises the Python TypeError where the reference's
+    min()/max()/+= touches it).
+
+    For the ORDER-INDEPENDENT kinds (sum/avg/variance) ANY string cell
+    errors; this wraps the numeric argument with that guard.  The error
+    text reproduces the reference's shape with the operand type taken
+    from the first value's kind (approximation documented in README —
+    the running accumulator's exact type can drift int→float mid-group).
+    """
+    from .mixedcell import K_STR
+    k = col.getField('k')
+    if kind == 'sum':
+        msg_body = "unsupported operand type(s) for +=: '{}' and 'str'".format(
+            first_kind_name)
+    else:
+        msg_body = "unsupported operand type(s) for +: '{}' and 'str'".format(
+            first_kind_name)
+    msg = F.concat(F.lit('At record '), nr_err.cast('string'),
+                   F.lit(', Details: ' + msg_body))
+    return F.when(col.isNotNull() & (k == F.lit(K_STR)), F.raise_error(msg)) \
+            .otherwise(col.getField('n'))
+
+
+def mixed_minmax_exprs(kind: str, col: Column, nr: Column,
+                       guard_prefix: str):
+    """MIN/MAX/MEDIAN over a raw-path mixed argument: the reference
+    compares raw Python values per group — a group mixing strings with
+    numbers raises at the first cross-kind comparison; a pure-string
+    MIN/MAX group returns the lexicographic extremum; a numeric group
+    the numeric one (kind taken from the winning row).  Returns
+    (agg expressions, finalize(rec_of) -> Column yielding a MIXED
+    struct result).  Error-text approximation (README): the numeric
+    operand type prints 'int' even when the running accumulator had
+    drifted to float."""
+    from .mixedcell import MIXED_STRUCT, K_INT, K_STR
+    k = col.getField('k')
+    is_str = col.isNotNull() & (k == F.lit(K_STR))
+    is_num = col.isNotNull() & (k != F.lit(K_STR))
+    p = guard_prefix
+    sfn = F.min if kind == 'min' else F.max
+    sort_sign = F.lit(1 if kind == 'min' else -1)
+    aggs = [
+        F.sum(is_str.cast('long')).alias(p + '_ns'),
+        F.sum(is_num.cast('long')).alias(p + '_nn'),
+        F.min_by(is_str, F.when(col.isNotNull(), nr)).alias(p + '_f'),
+        sfn(F.when(is_str, col.getField('s'))).alias(p + '_sv'),
+        (F.min if kind != 'max' else F.max)(
+            F.when(is_num, col.getField('n'))).alias(p + '_nv'),
+        F.min_by(F.when(is_num, k),
+                 F.when(is_num, sort_sign * col.getField('n'))).alias(p + '_nk'),
+        F.min(F.when(is_str, nr)).alias(p + '_snr'),
+        F.min(F.when(is_num, nr)).alias(p + '_nnr'),
+    ]
+    op = '<' if kind in ('min', 'median') else '>'
+
+    def finalize(rec_of, with_marker: bool = False) -> Column:
+        mixed_group = (F.col(p + '_ns') > 0) & (F.col(p + '_nn') > 0)
+        # the failing comparison happens at the first MINORITY-kind row
+        # (the reference's running value carries the first row's kind)
+        cross = F.when(F.col(p + '_f'), F.col(p + '_nnr')) \
+                 .otherwise(F.col(p + '_snr'))
+        parts = [
+            F.lit('At record '), rec_of(cross).cast('string'),
+            F.lit(", Details: '{}' not supported between instances of '".format(op)),
+            F.when(F.col(p + '_f'), F.lit('int')).otherwise(F.lit('str')),
+            F.lit("' and '"),
+            F.when(F.col(p + '_f'), F.lit('str')).otherwise(F.lit('int')),
+            F.lit("'")]
+        if with_marker:
+            # non-dense NR: ride the raw order surrogate on a marker line
+            # so the driver-side resolver recovers the exact input record
+            parts += [F.lit('\n__RBQL_SURR_'), cross.cast('string'),
+                      F.lit('__')]
+        msg = F.concat(*parts)
+        str_res = F.struct(F.col(p + '_sv').alias('s'),
+                           F.lit(None).cast('double').alias('n'),
+                           F.lit(K_STR).cast('byte').alias('k'))
+        num_res = F.struct(F.lit(None).cast('string').alias('s'),
+                           F.col(p + '_nv').alias('n'),
+                           F.coalesce(F.col(p + '_nk'),
+                                      F.lit(K_INT)).cast('byte').alias('k'))
+        return (F.when(mixed_group, F.raise_error(msg).cast(MIXED_STRUCT))
+                 .when(F.col(p + '_ns') > 0, str_res)
+                 .when(F.col(p + '_nn') > 0, num_res)
+                 .otherwise(F.lit(None).cast(MIXED_STRUCT)))
+    return aggs, finalize
 
 
 def spark_agg_expr(kind: str, arg: Column | None, nr: Column, out_name: str) -> Column:

@@ -94,8 +94,16 @@ def collect_result_rows(result) -> list[list]:
     if trim_col is not None:
         extras.append(trim_col)
     extras += [fc for fc in flag_cols.values() if fc not in extras]
-    raw = _collect(result.ordered_df().select(*out_cols, *extras),
-                   getattr(result, 'nr_resolver', None))
+    sel = result.ordered_df().select(*out_cols, *extras)
+    from pyspark.sql import types as _T
+
+    from .mixedcell import is_mixed_type, unpack_value
+    mixed_idx = [i for i, f in enumerate(sel.schema.fields[:len(out_cols)])
+                 if is_mixed_type(f.dataType)]
+    mixed_arr_idx = [i for i, f in enumerate(sel.schema.fields[:len(out_cols)])
+                     if isinstance(f.dataType, _T.ArrayType)
+                     and is_mixed_type(f.dataType.elementType)]
+    raw = _collect(sel, getattr(result, 'nr_resolver', None))
     n_out = len(out_cols)
     flag_pos = {out_cols.index(oc): n_out + extras.index(fc)
                 for oc, fc in flag_cols.items()}
@@ -103,6 +111,13 @@ def collect_result_rows(result) -> list[list]:
     rows: list[list] = []
     for r in raw:
         vals = list(r)
+        for ci in mixed_idx:
+            # tagged mixed cells come back as their REAL values — the
+            # reference's query_table output preserves per-cell types
+            vals[ci] = unpack_value(vals[ci])
+        for ci in mixed_arr_idx:
+            if vals[ci] is not None:   # ARRAY_AGG over a mixed column
+                vals[ci] = [unpack_value(v) for v in vals[ci]]
         for ci in json_idx:
             if isinstance(vals[ci], str):
                 try:
@@ -150,10 +165,12 @@ def _unwrap_spark_error(e: Exception, nr_resolver=None):
         try:
             if sm:
                 out = nr_resolver(int(sm.group(1)))
-            elif not text.startswith('At record '):
-                out = nr_resolver(None)
             else:
-                return text
+                # markerless: either a pushed-guard error (no prefix) or
+                # an aggregate-argument guard (partition-ordinal prefix) —
+                # the registered guard probes recover the exact first
+                # failure; they return None when nothing fires
+                out = nr_resolver(None)
         except Exception:
             return text  # resolution is best-effort; keep the approximation
         if out is None:
@@ -233,6 +250,7 @@ def _rows_to_handle(spark: SparkSession, rows: list[list],
         vals = [r[i] for r in norm]
         fields.append(T.StructField(names[i], _infer_spark_type(vals), True))
     schema = T.StructType(fields)
+    from .mixedcell import is_mixed_type, pack_value
     coerced = []
     for r in norm:
         out = []
@@ -242,6 +260,10 @@ def _rows_to_handle(spark: SparkSession, rows: list[list],
                 v = float(v)
             if v is not None and isinstance(dt, T.StringType) and not isinstance(v, str):
                 v = str(v)
+            if is_mixed_type(dt):
+                # tagged-cell column (mixedcell.py): each cell keeps its
+                # runtime type — the reference's per-cell data model
+                v = pack_value(v)
             out.append(v)
         coerced.append(tuple(out))
     df = spark.createDataFrame(coerced, schema=schema) if norm else \

@@ -53,6 +53,12 @@ def type_tag(dt: T.DataType) -> str:
         return 'date'
     if isinstance(dt, T.ArrayType):
         return 'array:' + type_tag(dt.elementType)
+    from .mixedcell import is_mixed_type
+    if is_mixed_type(dt):
+        # tagged-cell mixed column (mixedcell.py): the native translator
+        # declines every operation on it, routing expressions to the
+        # hosted evaluator where each cell carries its real runtime type
+        return 'mixed'
     return 'any'
 
 

@@ -204,35 +204,60 @@ def _make_surrogate_resolver(numbered_df: DataFrame, pre_filter_df, early_cond,
 
     def resolve(raw: int | None):
         if raw is None:
-            # recordless pushed-guard error: recover (NR, Details) from
-            # the input stream directly
-            if not pd_pairs:
+            # markerless error (pushed-guard: no record prefix at all;
+            # agg-argument guard: prefix is the partition-ordinal
+            # approximation) — recover (exact input NR, that row's
+            # Details) from the registered guards
+            cands: list[tuple[int, str | None]] = []
+            if pd_pairs:
+                base = pre_filter_df if pre_filter_df is not None else numbered_df
+                d = attach_order_surrogate(base, '__res_nr')
+                fired = pd_pairs[0][0]
+                for c, _m in pd_pairs[1:]:
+                    fired = fired | c
+                row = d.where(fired).agg(F.min(F.col('__res_nr'))).collect()
+                s = row[0][0] if row else None
+                if s is not None:
+                    nr = int(d.where(F.col('__res_nr') <= F.lit(s)).count())
+                    msg = None
+                    try:
+                        sel = (d.where(F.col('__res_nr') == F.lit(s)).limit(1).select(
+                            *[c.alias('__pc{}'.format(i)) for i, (c, _m) in enumerate(pd_pairs)],
+                            *[m.alias('__pm{}'.format(i)) for i, (_c, m) in enumerate(pd_pairs)]
+                        ).collect())
+                        if sel:
+                            r0 = sel[0]
+                            for i in range(len(pd_pairs)):
+                                if r0['__pc{}'.format(i)]:
+                                    msg = r0['__pm{}'.format(i)]
+                                    break
+                    except Exception:
+                        pass
+                    cands.append((nr, msg))
+            best_s, best_msg = None, None
+            for probe in probes:
+                try:
+                    m = probe()
+                except Exception:
+                    continue
+                if m is None:
+                    continue
+                s, msg = m
+                if best_s is None or int(s) < best_s:
+                    best_s, best_msg = int(s), msg
+            if best_s is not None:
+                r = int(numbered_df.where(F.col(NR_COL) <= F.lit(best_s)).count())
+                if pre_filter_df is not None and r > 0:
+                    d2 = attach_order_surrogate(pre_filter_df, '__res_nr')
+                    row = (d2.filter(early_cond).orderBy(F.col('__res_nr'))
+                            .limit(r).agg(F.max(F.col('__res_nr'))).collect())
+                    s_r = row[0][0] if row else None
+                    if s_r is not None:
+                        r = int(d2.where(F.col('__res_nr') <= F.lit(s_r)).count())
+                cands.append((r, best_msg))
+            if not cands:
                 return None
-            base = pre_filter_df if pre_filter_df is not None else numbered_df
-            d = attach_order_surrogate(base, '__res_nr')
-            fired = pd_pairs[0][0]
-            for c, _m in pd_pairs[1:]:
-                fired = fired | c
-            row = d.where(fired).agg(F.min(F.col('__res_nr'))).collect()
-            s = row[0][0] if row else None
-            if s is None:
-                return None
-            nr = int(d.where(F.col('__res_nr') <= F.lit(s)).count())
-            msg = None
-            try:
-                sel = (d.where(F.col('__res_nr') == F.lit(s)).limit(1).select(
-                    *[c.alias('__pc{}'.format(i)) for i, (c, _m) in enumerate(pd_pairs)],
-                    *[m.alias('__pm{}'.format(i)) for i, (_c, m) in enumerate(pd_pairs)]
-                ).collect())
-                if sel:
-                    r0 = sel[0]
-                    for i in range(len(pd_pairs)):
-                        if r0['__pc{}'.format(i)]:
-                            msg = r0['__pm{}'.format(i)]
-                            break
-            except Exception:
-                pass
-            return (nr, msg)
+            return min(cands, key=lambda t: t[0])
 
         best, best_msg = int(raw), None
         for probe in probes:
@@ -286,6 +311,12 @@ class _ExprComputer:
         if not pairs:
             return
         self.translator.error_probes = []
+        self.add_guard_probe(df, pairs)
+
+    def add_guard_probe(self, df: DataFrame, pairs: list):
+        """Register a first-failure probe for (fire_cond, details_msg)
+        guard pairs evaluated against ``df`` (which must carry NR_COL).
+        Used for translator value guards and aggregate-argument guards."""
         fired = pairs[0][0]
         for c, _m in pairs[1:]:
             fired = fired | c
@@ -359,6 +390,22 @@ class _ExprComputer:
                 'fallback_count': self.fallback_count,
                 'fallback_reasons': list(self.fallback_reasons)}
 
+    def _raise_unwrapped(self, e: Exception):
+        """An engine-internal job (type-inference sample, width pre-scan)
+        executed an upstream evaluator stage and it raised — surface the
+        same exact first-failure error the terminal collect would have
+        (api._unwrap_spark_error + the surrogate resolver over the
+        PRE-compute numbered frame)."""
+        from .api import _unwrap_spark_error
+        resolver = None
+        if not self.binding.nr_dense:
+            resolver = _make_surrogate_resolver(
+                self.wf.df, None, None, self.failure_probes, [])
+        mapped = _unwrap_spark_error(e, resolver)
+        if mapped is not None:
+            raise mapped from None
+        raise e
+
     def compute(self, df: DataFrame, named_exprs: list[tuple[str, str]],
                 render_names: frozenset[str] | set[str] = frozenset()) -> tuple[DataFrame, dict[str, str]]:
         """Returns (df_with_columns, {out_name: type_tag}).
@@ -399,10 +446,13 @@ class _ExprComputer:
             df = df.withColumns({name: tc.col for name, tc in native})
         if fallback:
             self._add_pyeval_probe(df, fallback)
-            df = eval_columns(df, self.wf, fallback,
-                              user_init_code=self.options.user_init_code,
-                              sample_rows=self.options.sample_rows,
-                              nr_dense=self.binding.nr_dense)
+            try:
+                df = eval_columns(df, self.wf, fallback,
+                                  user_init_code=self.options.user_init_code,
+                                  sample_rows=self.options.sample_rows,
+                                  nr_dense=self.binding.nr_dense)
+            except Exception as e:
+                self._raise_unwrapped(e)
             for pe in fallback:
                 tags[pe.out_col] = 'json' if pe.is_json else type_tag(pe.dtype)
         return df, tags
@@ -422,10 +472,13 @@ class _ExprComputer:
             from pyspark.sql import types as T
             pe.dtype = T.BooleanType()
             self._add_pyeval_probe(df, [pe])
-            df = eval_columns(df, self.wf, [pe],
-                              user_init_code=self.options.user_init_code,
-                              sample_rows=self.options.sample_rows,
-                              nr_dense=self.binding.nr_dense)
+            try:
+                df = eval_columns(df, self.wf, [pe],
+                                  user_init_code=self.options.user_init_code,
+                                  sample_rows=self.options.sample_rows,
+                                  nr_dense=self.binding.nr_dense)
+            except Exception as e:
+                self._raise_unwrapped(e)
             return df, F.col('__where')
 
 
@@ -594,20 +647,29 @@ class StageRunner:
                 v1, v2 = v2, v1
             a_ref = _join_var_ref(binding, v1, 'a')
             b_ref = _join_var_ref(binding, v2, 'b')
-            ac, _ = binding.spark_column(a_ref)
+            ac, a_tag = binding.spark_column(a_ref)
             if b_ref.kind == 'bnr':
-                bc = F.col(BNR_COL)
+                bc, b_tag = F.col(BNR_COL), 'int'
             elif b_ref.index >= b_side.width:
                 if b_side.width == 0:
                     # empty B table: no records → no per-record key error in
                     # the reference (HashJoinMap.build over nothing); the
                     # join simply never matches
-                    bc = F.lit(None)
+                    bc, b_tag = F.lit(None), 'any'
                 else:
                     raise RbqlRuntimeError(
                         'No field with index {} at record 1 in "B" table'.format(b_ref.index + 1))
             else:
                 bc = F.col(internal_col('b', b_ref.index))
+                b_tag = type_tag(b_types[b_ref.index])
+            if 'mixed' in (a_tag, b_tag):
+                # Python dict-key equality across runtime types: 5 == 5.0
+                # == True, but '5' != 5 (mixedcell.join_canon_col).  Only
+                # pairs touching a mixed column pay the canonicalization;
+                # homogeneous joins keep today's key columns and plans.
+                from .mixedcell import join_canon_col
+                ac = join_canon_col(ac, a_tag)
+                bc = join_canon_col(bc, b_tag)
             a_keys.append(ac)
             b_keys.append(bc)
 
@@ -870,16 +932,44 @@ class StageRunner:
             targets.append(ref.index)
             value_exprs.append(('__upd_{}'.format(ref.index), expr_text))
 
-        df, _tags = comp.compute(df, value_exprs)
+        df, upd_tags = comp.compute(df, value_exprs)
         targets = [t for t in targets if t is not None]
+        from pyspark.sql import types as T
+
+        from .mixedcell import is_mixed_type, pack_col
+        new_types = {f.name: f.dataType for f in df.schema.fields}
+        # materialize the WHERE condition BEFORE any target column is
+        # re-packed to the mixed representation: `cond` references source
+        # columns by name, and re-resolving it against a repacked column
+        # would compare a struct to the original scalar type
+        df = df.withColumn('__upd_cond', cond)
+        cond = F.col('__upd_cond')
         updates = {}
         for idx in targets:
             src = internal_col('a', idx)
-            new_val = F.col('__upd_{}'.format(idx))
-            # A column has ONE Spark type; when the original is string, cast
-            # the new value to string (CSV-writer stringification parity)
-            # rather than letting Spark coerce untouched rows to the new type.
-            if wf.a.types and type_tag(wf.a.types[idx]) == 'str':
+            name = '__upd_{}'.format(idx)
+            new_val = F.col(name)
+            orig_tag = type_tag(wf.a.types[idx]) if wf.a.types else 'any'
+            new_tag = 'mixed' if is_mixed_type(new_types.get(name, T.NullType())) \
+                else upd_tags.get(name, 'any')
+            # A column has ONE Spark type; the reference assigns the REAL
+            # value into the cell.  Three parity cases (mixedcell.py):
+            if orig_tag == 'mixed' and new_tag != 'mixed':
+                # mixed target: pack the computed value into a tagged cell
+                if new_tag in ('str', 'int', 'float', 'bool'):
+                    new_val = pack_col(new_val, new_tag)
+                else:
+                    new_val = pack_col(new_val.cast('string'), 'str')
+            elif orig_tag != 'mixed' and new_tag == 'mixed':
+                # plain target receiving runtime-typed values: the COLUMN
+                # becomes mixed (the reference's heterogeneous-UPDATE
+                # shape — pre-r15 this silently stringified)
+                if orig_tag in ('str', 'int', 'float', 'bool'):
+                    df = df.withColumn(src, pack_col(F.col(src), orig_tag))
+                else:
+                    df = df.withColumn(src, pack_col(F.col(src).cast('string'), 'str'))
+            elif orig_tag == 'str' and new_tag != 'str':
+                # string target, typed value: stringify (CSV-writer parity)
                 new_val = new_val.cast('string')
             updates[src] = F.when(cond, new_val).otherwise(F.col(src))
         if updates:
@@ -1098,6 +1188,109 @@ class StageRunner:
         res.trim_width_col = '__trim_w'
         return res
 
+    def _host_collect(self, frame: DataFrame,
+                      comp: '_ExprComputer | None'):
+        """collect() for the host-sort/rank paths with the same error
+        unwrapping the API's terminal collect applies — a guard or
+        evaluator error surfacing INSIDE the engine's own job must carry
+        the exact first-failure record and Details, not a raw Spark
+        traceback."""
+        try:
+            return frame.collect()
+        except Exception as e:
+            from .api import _unwrap_spark_error
+            resolver = None
+            if comp is not None and not getattr(self, '_nr_dense', False):
+                # the resolver's NR-count job must run over the PRE-compute
+                # numbered frame: a frame carrying the failing evaluator
+                # column would re-raise inside the count (mapInPandas
+                # blocks column pruning)
+                resolver = _make_surrogate_resolver(
+                    comp.wf.df, None, None, comp.failure_probes, [])
+            mapped = _unwrap_spark_error(e, resolver)
+            if mapped is not None:
+                raise mapped from None
+            raise
+
+    def _host_sort_mixed(self, df: DataFrame, sort_cols: list[str], rev: bool,
+                         has_bnr: bool, unnest_col: str | None,
+                         comp: '_ExprComputer | None' = None
+                         ) -> tuple[DataFrame, list[Column]]:
+        """ORDER BY with MIXED-TYPE sort keys, hosted in the dialect's own
+        comparison semantics (r14 verdict #1).
+
+        Python: ``sorted()`` of the key tuples, stable over stream order —
+        a cross-type comparison raises the reference's exact TypeError; a
+        key set that happens to be runtime-homogeneous sorts fine, also
+        like the reference.  JS: the reference sorts entries
+        ``keys + [NR, out_fields]`` with ``stable_compare``
+        (rbql-js/rbql.js:186-191,769-775) — an INCONSISTENT comparator
+        under V8's TimSort; CPython's ``list.sort`` is the same TimSort
+        and empirically reproduces V8's outcome exactly (403/403
+        randomized probes, tests/test_mixed_cells.py).
+
+        Scale: mixed columns only originate from driver-resident sources
+        (in-memory 2D arrays / pandas / sqlite) — parquet and CSV columns
+        are typed/strings by construction — so collecting the (keys,
+        stream-id) projection touches only data the driver already held.
+        The computed permutation rides back as a broadcast rank join."""
+        from functools import cmp_to_key
+
+        from pyspark.sql import types as T
+
+        from .mixedcell import is_mixed_type, unpack_value
+
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        stream_cols = [NR_COL] + ([BNR_COL] if has_bnr else []) \
+            + (['__unnest_pos'] if unnest_col is not None else [])
+        nk = len(sort_cols)
+        mixed_flags = [is_mixed_type(schema[c]) for c in sort_cols]
+        rows = self._host_collect(
+            df.select(*sort_cols, *stream_cols)
+              .orderBy(*[F.col(c).asc_nulls_first() for c in stream_cols]),
+            comp)
+        entries = []
+        for r in rows:
+            keys = tuple(unpack_value(r[i]) if mixed_flags[i] else r[i]
+                         for i in range(nk))
+            sid = tuple(r[nk + j] for j in range(len(stream_cols)))
+            entries.append((keys, sid))
+        if self.options.dialect == 'js':
+            from .jsdialect.runtime import lt as js_lt
+            from .jsdialect.runtime import strict_eq as js_strict_eq
+
+            def cmp(a, b):
+                # stable_compare walks keys then NR; NR is a[1][0]
+                for x, y in zip(a[0] + (a[1][0],), b[0] + (b[1][0],)):
+                    if not js_strict_eq(x, y):
+                        return -1 if js_lt(x, y) else 1
+                return 0
+            entries.sort(key=cmp_to_key(cmp))
+        else:
+            try:
+                entries.sort(key=lambda e: e[0][0] if nk == 1 else e[0])
+            except TypeError as e:
+                # reference: sorted() inside SortedWriter.finish propagates
+                # ("'<' not supported between instances of 'str' and 'int'")
+                raise RbqlRuntimeError(str(e))
+        if rev:
+            entries.reverse()
+
+        spark = df.sparkSession
+        key_fields = [T.StructField('__hsk_{}'.format(j), schema[c], True)
+                      for j, c in enumerate(stream_cols)]
+        rank_schema = T.StructType(key_fields
+                                   + [T.StructField('__hs_rank', T.LongType())])
+        rank_rows = [tuple(sid) + (i,) for i, (_k, sid) in enumerate(entries)]
+        rank_df = spark.createDataFrame(rank_rows, rank_schema)
+        cond = None
+        for j, c in enumerate(stream_cols):
+            clause = df[c].eqNullSafe(rank_df['__hsk_{}'.format(j)])
+            cond = clause if cond is None else (cond & clause)
+        joined = df.join(F.broadcast(rank_df), cond, 'left') \
+                   .drop(*['__hsk_{}'.format(j) for j in range(len(stream_cols))])
+        return joined, [F.col('__hs_rank').asc()]
+
     def _finalize_simple(self, stage: ParsedStage, wf: WorkFrame, comp: _ExprComputer,
                          df: DataFrame, out_cols: list[str],
                          out_names: list[str] | None,
@@ -1122,6 +1315,30 @@ class StageRunner:
         # per-row guard to match; any other case keeps it.
         single_row_source = (wf.a.row_count == 1 and wf.b is None
                              and unnest_col is None)
+        # MIXED-TYPE sort keys (tagged-cell struct, mixedcell.py): element
+        # order depends on each cell's RUNTIME type — Python refuses
+        # cross-type comparison (TypeError, the reference's behavior) and
+        # V8's stable_compare treats cross-type pairs as incomparable.
+        # Host the sort in the dialect's own semantics (r14 verdict #1);
+        # scale-honest because mixed columns only originate from
+        # driver-resident sources (2D arrays / pandas / sqlite — parquet
+        # and CSV columns are typed/strings by construction).
+        schema_by_name = {f.name: f.dataType for f in df.schema.fields}
+        from .mixedcell import is_mixed_type as _is_mixed
+        if sort_cols and any(c in schema_by_name and _is_mixed(schema_by_name[c])
+                             for c in sort_cols):
+            df, order = self._host_sort_mixed(
+                df, sort_cols, rev,
+                has_bnr=wf.b is not None and BNR_COL in df.columns,
+                unnest_col=unnest_col, comp=comp)
+            keep_extra = [NR_COL, '__hs_rank'] + sort_cols \
+                + (['__unnest_pos'] if unnest_col is not None else []) \
+                + ([BNR_COL] if wf.b is not None and BNR_COL in df.columns else []) \
+                + (extra_keep or [])
+            df = df.select(*out_cols, *[c for c in keep_extra if c in df.columns])
+            return self._finalize_after_order(stage, wf, comp, df, out_cols,
+                                              out_names, unnest_col, sort_cols,
+                                              order)
         order: list[Column] = []
         for ci, c in enumerate(sort_cols):
             key = F.col(c)
@@ -1151,11 +1368,41 @@ class StageRunner:
         keep_extra = [NR_COL] + sort_cols + (['__unnest_pos'] if unnest_col is not None else []) \
             + ([BNR_COL] if has_bnr else []) + (extra_keep or [])
         df = df.select(*out_cols, *keep_extra)
+        return self._finalize_after_order(stage, wf, comp, df, out_cols,
+                                          out_names, unnest_col, sort_cols,
+                                          order)
+
+    def _finalize_after_order(self, stage: ParsedStage, wf: WorkFrame,
+                              comp: _ExprComputer, df: DataFrame,
+                              out_cols: list[str],
+                              out_names: list[str] | None,
+                              unnest_col: str | None,
+                              sort_cols: list[str],
+                              order: list[Column]) -> StageResult:
+        def _dedup_keys() -> tuple[list[Column], bool]:
+            """DISTINCT identity per output row: the reference dedups on
+            the record tuple under HOST-language equality, so a MIXED
+            output cell dedups by VALUE (Python: 5 == 5.0 == True; JS
+            keeps bools distinct) — canonicalize those columns for the
+            partition/group keys while the output keeps the raw cell.
+            Returns (keys, any_mixed)."""
+            from .mixedcell import is_mixed_type, join_canon_col
+            schema = {f.name: f.dataType for f in df.schema.fields}
+            keys, any_mixed = [], False
+            for c in out_cols:
+                if c in schema and is_mixed_type(schema[c]):
+                    any_mixed = True
+                    keys.append(join_canon_col(
+                        F.col(c), 'mixed',
+                        bool_distinct=self.options.dialect == 'js'))
+                else:
+                    keys.append(F.col(c))
+            return keys, any_mixed
 
         if stage.distinct_count:
             # UniqCountWriter: dedup full rows, prepend occurrence count,
             # keep first occurrence in stream order (rbql_engine.py:518-537)
-            wpart = Window.partitionBy(*[F.col(c) for c in out_cols])
+            wpart = Window.partitionBy(*_dedup_keys()[0])
             df = (df.withColumn('__uc_count', F.count(F.lit(1)).over(wpart))
                     .withColumn('__rn', F.row_number().over(wpart.orderBy(*order)))
                     .filter(F.col('__rn') == 1).drop('__rn'))
@@ -1167,9 +1414,18 @@ class StageRunner:
             if out_names is not None:
                 out_names = ['count'] + out_names
         elif stage.distinct:
+            keys, any_mixed = _dedup_keys()
             if sort_cols:
-                w = Window.partitionBy(*[F.col(c) for c in out_cols]).orderBy(*order)
+                w = Window.partitionBy(*keys).orderBy(*order)
                 df = df.withColumn('__rn', F.row_number().over(w)).filter(F.col('__rn') == 1).drop('__rn')
+            elif any_mixed:
+                # keep the first-seen RAW row per value-equality key (the
+                # reference stores the first occurrence's record); plain
+                # columns keep the map-side-combinable groupBy below
+                w = Window.partitionBy(*keys).orderBy(F.col(NR_COL).asc())
+                df = (df.withColumn('__rn', F.row_number().over(w))
+                        .filter(F.col('__rn') == 1).drop('__rn'))
+                order = [F.col(NR_COL).asc()]
             else:
                 df = (df.groupBy(*[F.col(c) for c in out_cols])
                         .agg(F.min(F.col(NR_COL)).alias(NR_COL)))
@@ -1193,6 +1449,49 @@ class StageRunner:
         return StageResult(df=df, out_names=out_names, order_cols=order,
                            warnings=self.warnings,
                            telemetry=comp.telemetry())
+
+    def _host_rank_group_keys(self, grouped: DataFrame, key_cols: list[str],
+                              key_schema: dict,
+                              comp: '_ExprComputer | None' = None
+                              ) -> tuple[DataFrame, list[Column]]:
+        """Output order for MIXED group keys, hosted in the dialect's own
+        semantics: Python ``sorted(aggregation_keys)`` raises TypeError on
+        cross-type keys (rbql_engine.py:567); JS ``Array.from(set).sort()``
+        compares ToString renderings lexicographically, ties keeping
+        insertion (first-seen) order (rbql.js:700-703).  The aggregated
+        frame is key-bounded, so the collect is small; the permutation
+        rides back as a broadcast rank join on the group's first NR."""
+        from .mixedcell import is_mixed_type, unpack_value
+        rows = self._host_collect(
+            grouped.select(*key_cols, '__key_first_nr'), comp)
+        mixed_flags = [c in key_schema and is_mixed_type(key_schema[c])
+                       for c in key_cols]
+        entries = []
+        for r in rows:
+            keys = tuple(unpack_value(r[i]) if mixed_flags[i] else r[i]
+                         for i in range(len(key_cols)))
+            entries.append((keys, r[len(key_cols)]))
+        entries.sort(key=lambda e: e[1])   # insertion order baseline
+        if self.options.dialect == 'js':
+            from .jsdialect.runtime import to_string as js_to_string
+            entries.sort(key=lambda e: ','.join(
+                js_to_string(v) for v in e[0]))
+        else:
+            try:
+                entries.sort(key=lambda e: e[0][0] if len(key_cols) == 1
+                             else e[0])
+            except TypeError as e:
+                raise RbqlRuntimeError(str(e))
+        spark = grouped.sparkSession
+        from pyspark.sql import types as T
+        rank_df = spark.createDataFrame(
+            [(int(nr), i) for i, (_k, nr) in enumerate(entries)],
+            T.StructType([T.StructField('__krk_nr', T.LongType()),
+                          T.StructField('__key_rank', T.LongType())]))
+        joined = grouped.join(F.broadcast(rank_df),
+                              grouped['__key_first_nr'] == rank_df['__krk_nr'],
+                              'left').drop('__krk_nr')
+        return joined, [F.col('__key_rank').asc()]
 
     # -- aggregation --------------------------------------------------------
 
@@ -1258,6 +1557,7 @@ class StageRunner:
         int_flags: dict[str, str] = {}   # agg-out col → per-group intish flag
         null_wraps: dict = {}            # agg-out col → (wrap_fn, tag)
         null_guard_shared: dict = {}     # argcol → shared guard buffer names
+        mixed_finalizers: dict = {}      # agg-out col → (finalize_fn, rec_of)
         for j, (kind, payload) in enumerate(plan):
             if kind == 'key':
                 # grouping column survives groupBy().agg() — no aggregate
@@ -1285,17 +1585,176 @@ class StageRunner:
                         # the best available approximation
                         nr_err = nr if getattr(self, '_nr_dense', False) \
                             else (nr % F.lit(1 << 33)) + 1
+                        raw = F.col(argcol)
+                        # MIXED argument (tagged cells): NumHandler's
+                        # string detection looks ONLY at the first value
+                        # (rbql_engine.py:299-303) — a string first value
+                        # parses every later value, a non-str first value
+                        # accumulates RAW (later strings raise TypeError
+                        # where min/max/+= touches them).  One tiny job
+                        # resolves the first value's kind and the is_int
+                        # flip point (the first string cell that fails
+                        # int()); mixed columns only come from
+                        # driver-resident sources.
+                        mixed_first_str = None
+                        mixed_flip_nr = None
+                        frow = None
+                        if tag == 'mixed' and self.options.dialect == 'js':
+                            # rbql-js parse_number coerces EVERY value —
+                            # no first-value detection, no raw path
+                            # (rbql-js/rbql.js:282-289)
+                            mixed_first_str = True
+                        elif tag == 'mixed':
+                            from .mixedcell import K_STR as _KS
+                            _k = raw.getField('k')
+                            frow = df.select(
+                                F.min_by(_k, nr).alias('fk'),
+                                F.min(F.when(
+                                    (_k == _KS) & ~raw.getField('s')
+                                    .rlike(r'^ *[+-]?[0-9]+ *$'), nr)
+                                ).alias('flip')).first()
+                            mixed_first_str = bool(
+                                frow and frow['fk'] == _KS)
+                            mixed_flip_nr = frow['flip'] if frow else None
+                        # first-failure probes for the aggregate-argument
+                        # guards (error path only): the raised message may
+                        # quote whichever task lost the race — the probe
+                        # recovers the min-NR failing row's exact value
+                        if agg.kind in NUMERIC_AGGS and tag in ('str', 'mixed'):
+                            conv_phrase = 'to a number' \
+                                if self.options.dialect == 'js' \
+                                else 'to int or float'
+                            parse_body = (
+                                '" {}. MIN, MAX, SUM, AVG, MEDIAN and '
+                                'VARIANCE aggregate functions convert their '
+                                'string arguments to numeric values'
+                                .format(conv_phrase))
+                            from .aggregates import str_parse_fire
+                            if tag == 'str':
+                                gfire = str_parse_fire(
+                                    raw, self.options.dialect)
+                                gmsg = F.concat(
+                                    F.lit('Unable to convert value "'),
+                                    raw, F.lit(parse_body))
+                                comp.add_guard_probe(df, [(gfire, gmsg)])
+                            elif mixed_first_str:
+                                _s = raw.getField('s')
+                                gfire = (raw.getField('k') == F.lit(4)) & \
+                                    str_parse_fire(_s, self.options.dialect)
+                                gmsg = F.concat(
+                                    F.lit('Unable to convert value "'),
+                                    _s, F.lit(parse_body))
+                                comp.add_guard_probe(df, [(gfire, gmsg)])
+                            elif agg.kind in ('sum', 'avg', 'variance',
+                                              'median'):
+                                fk = frow['fk'] if frow else None
+                                from .mixedcell import K_FLOAT as _KF0
+                                fname = 'float' if fk == _KF0 else 'int'
+                                opm = '+=' if agg.kind == 'sum' else '+'
+                                gfire = raw.isNotNull() & \
+                                    (raw.getField('k') == F.lit(4))
+                                gmsg = F.lit(
+                                    'unsupported operand type(s) for {}: '
+                                    "'{}' and 'str'".format(opm, fname))
+                                comp.add_guard_probe(df, [(gfire, gmsg)])
                         if agg.kind in ('sum', 'min', 'max') and tag == 'str':
                             # NumHandler int-preservation: SUM/MIN/MAX over
-                            # all-int strings yield ints (rbql_engine.py:293-314)
-                            is_int = F.col(argcol).isNull() | \
-                                F.col(argcol).rlike(r'^ *[+-]?[0-9]+ *$')
+                            # all-int strings yield ints (rbql_engine.py:293-314).
+                            # JS numbers have no int/float split — V8
+                            # renders integral results without '.0', so
+                            # the flag is unconditional there
+                            if self.options.dialect == 'js':
+                                is_int = F.lit(True)
+                            else:
+                                is_int = F.col(argcol).isNull() | \
+                                    F.col(argcol).rlike(r'^ *[+-]?[0-9]+ *$')
                             flag = '__intish_{}'.format(j)
                             agg_exprs.append(F.min(is_int.cast('int')).alias(flag))
                             int_flags[out_name] = flag
-                        raw = F.col(argcol)
+                        elif agg.kind in ('sum', 'min', 'max') and tag == 'mixed':
+                            from .mixedcell import K_BOOL, K_INT, K_STR
+                            k = F.col(argcol).getField('k')
+                            if self.options.dialect == 'js':
+                                is_int = F.lit(True)
+                            elif mixed_first_str:
+                                # parse path: is_int survives unless some
+                                # string cell fails int() — float VALUES
+                                # do NOT demote (int() truncates them,
+                                # NumHandler.parse rbql_engine.py:306-310)
+                                is_int = F.lit(mixed_flip_nr is None)
+                            else:
+                                # raw path: values keep their kinds —
+                                # a float cell makes the result float
+                                is_int = F.col(argcol).isNull() | \
+                                    k.isin(K_INT, K_BOOL)
+                            flag = '__intish_{}'.format(j)
+                            agg_exprs.append(F.min(is_int.cast('int')).alias(flag))
+                            int_flags[out_name] = flag
+                        if tag == 'mixed' and not mixed_first_str:
+                            # raw-accumulation path
+                            from .aggregates import (
+                                mixed_minmax_exprs, mixed_raw_guard)
+                            dense = getattr(self, '_nr_dense', False)
+                            rec_of = (lambda o: o) if dense \
+                                else (lambda o: (o % F.lit(1 << 33)) + 1)
+                            if agg.kind in ('min', 'max'):
+                                gaggs, fin = mixed_minmax_exprs(
+                                    agg.kind, raw, nr, '__mm_{}'.format(j))
+                                agg_exprs.extend(gaggs)
+                                mixed_finalizers[out_name] = (fin, rec_of)
+                                int_flags.pop(out_name, None)
+                                agg_exprs.append(
+                                    F.count(F.lit(1)).alias(out_name))
+                                if not _proven_null_free(agg.arg_text):
+                                    # leading Nones are the reference's
+                                    # "unset" sentinel; a None AFTER a
+                                    # value raises — same group guards as
+                                    # plain columns (struct isNull works)
+                                    gaggs2, wrap = null_group_guards(
+                                        agg.kind, raw, nr, rec_of,
+                                        '__ng_{}'.format(j),
+                                        shared_names=null_guard_shared.get(
+                                            agg.arg_text))
+                                    null_guard_shared[agg.arg_text] = \
+                                        wrap.guard_names
+                                    agg_exprs.extend(gaggs2)
+                                    null_wraps[out_name] = (wrap, 'int')
+                                continue
+                            fk = frow['fk'] if frow else None
+                            from .mixedcell import K_FLOAT as _KF
+                            first_name = 'float' if fk == _KF else 'int'
+                            arg = mixed_raw_guard(agg.kind, raw, nr_err,
+                                                  first_name)
+                            if not _proven_null_free(agg.arg_text):
+                                arg = null_arg_guard(agg.kind, raw, arg,
+                                                     'int', nr_err)
+                            agg_exprs.append(
+                                spark_agg_expr(agg.kind, arg, nr, out_name))
+                            continue
                         arg, _t = numeric_coerce(arg, tag, nr_err,
                                                  dialect=self.options.dialect)
+                        if tag == 'mixed' and mixed_first_str and \
+                                agg.kind in ('sum', 'min', 'max') and \
+                                self.options.dialect != 'js':
+                            # parse-path float cells go through int() while
+                            # NumHandler.is_int holds — int(4.5) TRUNCATES
+                            # (rbql_engine.py:306-310); is_int only drops at
+                            # the first string cell that fails int()
+                            from .mixedcell import K_FLOAT as _KF2
+                            trunc_cond = raw.getField('k') == F.lit(_KF2)
+                            if mixed_flip_nr is not None:
+                                trunc_cond = trunc_cond & \
+                                    (nr < F.lit(int(mixed_flip_nr)))
+                            arg = F.when(trunc_cond,
+                                         raw.getField('n').cast('long')
+                                         .cast('double')).otherwise(arg)
+                        if self.options.dialect == 'js':
+                            # rbql-js null semantics: Number(null) = 0 —
+                            # a null cell contributes ZERO to every
+                            # numeric aggregate (AVG counts it, MIN can
+                            # return it), never an error; the Python
+                            # dialect's None guards below are py-only
+                            arg = F.coalesce(arg, F.lit(0.0))
                         # reference parity for NULL cells (round-12): a
                         # None inside a numeric aggregate is a runtime
                         # error in the reference's real-Python
@@ -1303,8 +1762,9 @@ class StageRunner:
                         # order-independent kinds, group-level guards for
                         # MIN/MAX (None doubles as the unset sentinel) and
                         # MEDIAN (single-null groups return None)
-                        if _proven_null_free(agg.arg_text):
-                            pass  # no nulls can exist — guards vacuous
+                        if _proven_null_free(agg.arg_text) or \
+                                self.options.dialect == 'js':
+                            pass  # null-free, or js coerced nulls to 0
                         elif agg.kind in ('sum', 'avg', 'variance'):
                             arg = null_arg_guard(agg.kind, raw, arg, tag,
                                                  nr_err)
@@ -1329,7 +1789,33 @@ class StageRunner:
             # pure GROUP BY with only key columns selected (DISTINCT-like):
             # groupBy().agg() needs at least one expression
             agg_exprs.append(F.count(F.lit(1)).alias('__dummy_cnt'))
-        if key_cols:
+        # MIXED group keys (tagged cells): the reference keys its
+        # aggregation dict by VALUE under host-language equality — Python
+        # collapses 5/5.0/True into one key, JS keeps bools distinct
+        # (SameValueZero) — and the stored key is the FIRST-SEEN value.
+        # Group by the canonical form, carry the first-seen raw cell as
+        # the output representative (r14 verdict #1).
+        key_schema = {f.name: f.dataType for f in df.schema.fields}
+        from .mixedcell import is_mixed_type as _imx
+        mixed_key_cols = [c for c in key_cols
+                          if c in key_schema and _imx(key_schema[c])]
+        if mixed_key_cols:
+            from .mixedcell import join_canon_col
+            gb = []
+            for c in key_cols:
+                if c in mixed_key_cols:
+                    gb.append(join_canon_col(
+                        F.col(c), 'mixed',
+                        bool_distinct=self.options.dialect == 'js'
+                    ).alias('__kc_{}'.format(c)))
+                else:
+                    gb.append(F.col(c))
+            for c in mixed_key_cols:
+                agg_exprs.append(F.min_by(F.col(c), nr).alias(c))
+            agg_exprs.append(F.min(nr).alias('__key_first_nr'))
+            grouped = df.groupBy(*gb).agg(*agg_exprs) \
+                        .drop(*['__kc_{}'.format(c) for c in mixed_key_cols])
+        elif key_cols:
             grouped = df.groupBy(*[F.col(c) for c in key_cols]).agg(*agg_exprs)
         else:
             grouped = df.groupBy(F.lit(1).alias('__key_dummy')).agg(*agg_exprs)
@@ -1353,7 +1839,15 @@ class StageRunner:
         renamed = {}
         final_flags: dict[str, str] = {}
         for j, out_name in enumerate(out_specs):
-            if out_name in null_wraps:
+            if out_name in mixed_finalizers:
+                fin, rec_of = mixed_finalizers[out_name]
+                base = fin(rec_of,
+                           with_marker=not getattr(self, '_nr_dense', False))
+                if out_name in null_wraps:
+                    wrap, wtag = null_wraps[out_name]
+                    base = wrap(base, wtag)
+                renamed['__out_{}'.format(j)] = base
+            elif out_name in null_wraps:
                 wrap, wtag = null_wraps[out_name]
                 renamed['__out_{}'.format(j)] = wrap(F.col(out_name), wtag)
             else:
@@ -1366,9 +1860,19 @@ class StageRunner:
                 renamed['__flag_{}'.format(j)] = F.min(F.col(int_flags[out_name])).over(gw)
                 final_flags['__out_{}'.format(j)] = '__flag_{}'.format(j)
         grouped = grouped.withColumns(renamed)
-        order = [F.col(c).asc() for c in key_cols]
+        if mixed_key_cols:
+            # output order: the reference sorts the key set host-side —
+            # sorted() for Python (TypeError on cross-type keys),
+            # Array#sort's default ToString-lexicographic for JS with
+            # insertion (first-seen) order breaking ties
+            grouped, order = self._host_rank_group_keys(
+                grouped, key_cols, key_schema, comp=comp)
+            keep_rank = ['__key_rank']
+        else:
+            order = [F.col(c).asc() for c in key_cols]
+            keep_rank = []
         keep = ['__out_{}'.format(j) for j in range(len(out_specs))] + key_cols \
-            + list(final_flags.values())
+            + keep_rank + list(final_flags.values())
         grouped = grouped.select(*keep)
 
         if stage.top_count is not None:

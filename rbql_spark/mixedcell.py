@@ -1,0 +1,178 @@
+"""Tagged-cell representation for MIXED-TYPE columns (r14 verdict #1).
+
+The reference engines hold per-CELL dynamic values: a 2D-array / pandas /
+sqlite column may mix numbers and strings, and every downstream semantic
+(string methods throw on numbers, Python refuses to order str vs int,
+V8's stable_compare treats them as incomparable, GROUP BY keys 5 and '5'
+are distinct) depends on each cell's RUNTIME type.  A Spark column has
+ONE type, and stringifying mixed columns — the pre-round-15 model — was
+the repo's last silently-different-answer class.
+
+The fix: a mixed column travels as ``struct<s: string, n: double,
+k: tinyint>`` — exactly one of ``s``/``n`` populated, ``k`` the kind
+tag — materialized ONLY when ingest (or expression-output inference)
+actually observes mixed kinds.  Homogeneous columns keep their plain
+Spark types and today's plans (plan-tested).  The hosted evaluators
+unpack cells back to real Python values, so reference semantics come
+for free on the fallback path; the native translator tags the column
+``'mixed'`` and declines every operation on it (exact-match tag
+dispatch), which routes all touching expressions to the evaluator.
+
+Scale note: mixed columns can only originate from driver-resident
+sources (in-memory 2D arrays, pandas objects, sqlite dynamic typing) —
+parquet and CSV columns are typed/strings by construction — so the
+driver-side ORDER BY host sort this representation enables
+(engine._host_sort_mixed) touches only data the driver already held.
+
+Kind codes (``k``):  1 = int, 2 = float, 3 = bool, 4 = str;
+a null cell is a NULL struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+K_INT, K_FLOAT, K_BOOL, K_STR = 1, 2, 3, 4
+
+MIXED_STRUCT = T.StructType([
+    T.StructField('s', T.StringType(), True),
+    T.StructField('n', T.DoubleType(), True),
+    T.StructField('k', T.ByteType(), True),
+])
+
+_FIELD_NAMES = ('s', 'n', 'k')
+
+
+def is_mixed_type(dt: T.DataType) -> bool:
+    return (isinstance(dt, T.StructType)
+            and tuple(f.name for f in dt.fields) == _FIELD_NAMES
+            and isinstance(dt.fields[0].dataType, T.StringType)
+            and isinstance(dt.fields[1].dataType, T.DoubleType)
+            and isinstance(dt.fields[2].dataType, T.ByteType))
+
+
+def pack_value(v):
+    """Python scalar → (s, n, k) tuple (None for a null cell).  Raises
+    TypeError for non-scalar values — mixed columns carry scalars only
+    (lists/dicts keep the legacy stringful path)."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or type(v).__name__ == 'bool_':
+        return (None, 1.0 if v else 0.0, K_BOOL)
+    if isinstance(v, str):
+        return (v, None, K_STR)
+    import numbers
+    if isinstance(v, numbers.Integral):
+        return (None, float(v), K_INT)
+    if isinstance(v, numbers.Real):
+        return (None, float(v), K_FLOAT)
+    raise TypeError('cannot pack {!r} into a mixed cell'.format(type(v)))
+
+
+def unpack_value(cell):
+    """struct cell (Row / dict / tuple) → real Python value."""
+    if cell is None:
+        return None
+    if isinstance(cell, dict):
+        s, n, k = cell.get('s'), cell.get('n'), cell.get('k')
+    else:  # Row or plain tuple, field order (s, n, k)
+        s, n, k = cell[0], cell[1], cell[2]
+    if k is None:
+        return None
+    if k == K_STR:
+        return s
+    if k == K_INT:
+        return int(n)
+    if k == K_BOOL:
+        return bool(n)
+    return float(n)
+
+
+def pack_col(col: Column, tag: str) -> Column:
+    """Spark column of a known homogeneous tag → mixed-struct column
+    (UPDATE writes into a mixed target; join-key harmonization)."""
+    null_struct = F.lit(None).cast(MIXED_STRUCT)
+    if tag == 'str':
+        packed = F.struct(col.alias('s'),
+                          F.lit(None).cast('double').alias('n'),
+                          F.lit(K_STR).cast('byte').alias('k'))
+    elif tag == 'int':
+        packed = F.struct(F.lit(None).cast('string').alias('s'),
+                          col.cast('double').alias('n'),
+                          F.lit(K_INT).cast('byte').alias('k'))
+    elif tag == 'float':
+        packed = F.struct(F.lit(None).cast('string').alias('s'),
+                          col.cast('double').alias('n'),
+                          F.lit(K_FLOAT).cast('byte').alias('k'))
+    elif tag == 'bool':
+        packed = F.struct(F.lit(None).cast('string').alias('s'),
+                          col.cast('double').alias('n'),
+                          F.lit(K_BOOL).cast('byte').alias('k'))
+    else:
+        raise TypeError('cannot pack tag {!r} into a mixed cell'.format(tag))
+    return F.when(col.isNull(), null_struct).otherwise(packed)
+
+
+_CANON_TYPE = T.StructType([
+    T.StructField('ks', T.StringType(), True),
+    T.StructField('kn', T.DoubleType(), True),
+])
+
+
+def join_canon_col(col: Column, tag: str, bool_distinct: bool = False) -> Column:
+    """Host-language value-equality canonical form for a JOIN or GROUP
+    key involving a mixed column: the reference keys its hash maps by
+    VALUE — under Python hashing 5 == 5.0 == True collide but '5' stays
+    distinct from 5; JS Sets/Maps (SameValueZero) additionally keep
+    booleans distinct from numbers (``bool_distinct=True``).  Canonical
+    shape: strings → (s, null), numerics → (null, double), null cells →
+    null struct (None matches None).  Applied to BOTH sides of a pair
+    only when either side is mixed — homogeneous joins keep their plain
+    key columns and today's plans."""
+    null_canon = F.lit(None).cast(_CANON_TYPE)
+    if tag == 'mixed':
+        k = col.getField('k')
+        canon = (F.when(k == K_STR,
+                        F.struct(col.getField('s').alias('ks'),
+                                 F.lit(None).cast('double').alias('kn')))
+                  .otherwise(F.struct(F.lit(None).cast('string').alias('ks'),
+                                      col.getField('n').alias('kn'))))
+        if bool_distinct:
+            # 'b' in ks with kn populated cannot collide with strings
+            # (their kn is null) or plain numbers (their ks is null)
+            canon = (F.when(k == K_STR,
+                            F.struct(col.getField('s').alias('ks'),
+                                     F.lit(None).cast('double').alias('kn')))
+                      .when(k == K_BOOL,
+                            F.struct(F.lit('b').alias('ks'),
+                                     col.getField('n').alias('kn')))
+                      .otherwise(F.struct(F.lit(None).cast('string').alias('ks'),
+                                          col.getField('n').alias('kn'))))
+        return F.when(col.isNull(), null_canon).otherwise(canon)
+    if tag == 'str':
+        canon = F.struct(col.alias('ks'), F.lit(None).cast('double').alias('kn'))
+    elif tag in ('int', 'float', 'bool'):
+        canon = F.struct(F.lit(None).cast('string').alias('ks'),
+                         col.cast('double').alias('kn'))
+    else:
+        # ts/date/other: stringified identity — cross-type pairs with
+        # these kinds cannot equal a mixed cell's scalar kinds anyway
+        canon = F.struct(col.cast('string').alias('ks'),
+                         F.lit(None).cast('double').alias('kn'))
+    return F.when(col.isNull(), null_canon).otherwise(canon)
+
+
+def render_col(col: Column) -> Column:
+    """Reference writer stringification of a mixed cell (py dialect
+    str(v)): int without '.0', float via double rendering, bool
+    'True'/'False', str as-is; null stays null (the writer's None→''
+    warning path handles it downstream)."""
+    k = col.getField('k')
+    n = col.getField('n')
+    return (F.when(col.isNull(), F.lit(None).cast('string'))
+             .when(k == K_STR, col.getField('s'))
+             .when(k == K_INT, n.cast('long').cast('string'))
+             .when(k == K_BOOL, F.when(n != 0, F.lit('True')).otherwise(F.lit('False')))
+             .otherwise(n.cast('string')))

@@ -129,6 +129,12 @@ def _column_converter(dt: T.DataType):
         return lambda v: v
     if isinstance(dt, T.ArrayType):
         return lambda v: None if v is None else list(v)
+    from .mixedcell import is_mixed_type, unpack_value
+    if is_mixed_type(dt):
+        # tagged mixed cell → the REAL per-cell Python value, so hosted
+        # evaluation has reference semantics (string methods throw on
+        # numbers, 5 != '5', arithmetic works on the numeric cells)
+        return unpack_value
     return lambda v: v
 
 
@@ -174,11 +180,17 @@ def _infer_spark_type(values: list) -> T.DataType:
         return T.LongType()
     if has <= {'int', 'float'}:
         return T.DoubleType()
-    if has <= {'int', 'float', 'bool'}:
-        # bool mixed with numbers: no faithful Spark numeric type (Python
-        # prints 'True', a long column would print '1') — ride as strings,
-        # the coercer's str() matches the reference writer's rendering
+    if has == {'str'}:
         return T.StringType()
+    if has <= {'int', 'float', 'bool', 'str'}:
+        # MIXED scalar kinds (bool with numbers, strings with anything):
+        # no faithful single Spark type — carry the tagged-cell struct
+        # (mixedcell.py, r14 verdict #1) so each cell keeps its runtime
+        # type end-to-end: output values round-trip (5 stays int, '5'
+        # stays str), GROUP BY/DISTINCT keys stay distinct, and the
+        # hosted evaluators see real values
+        from .mixedcell import MIXED_STRUCT
+        return MIXED_STRUCT
     if has == {'ts'}:
         return T.TimestampType()
     if has == {'date'}:
@@ -248,6 +260,20 @@ def _coercer(dt: T.DataType):
     if isinstance(dt, T.ArrayType):
         elem = _coercer(dt.elementType)
         return lambda v: None if v is None else [elem(x) for x in v]
+    from .mixedcell import is_mixed_type as _imt
+    if _imt(dt):
+        from .mixedcell import pack_value
+
+        def _pack(v):
+            if v is None:
+                return None
+            try:
+                s, n, k = pack_value(v)
+            except TypeError:
+                return _lossy(v, 'mixed scalar')
+            # Arrow struct cells from pandas: dict per cell
+            return {'s': s, 'n': n, 'k': k}
+        return _pack
     return lambda v: v
 
 

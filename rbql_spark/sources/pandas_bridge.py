@@ -18,6 +18,25 @@ def _pdf_to_handle(spark: SparkSession, pdf) -> TableHandle:
     headerless = isinstance(pdf.columns, pd.RangeIndex)
     names = ['_c{}'.format(i) for i in range(len(pdf.columns))] if headerless \
         else [str(c) for c in pdf.columns]
+    # an object column mixing numbers and strings needs the tagged-cell
+    # representation (mixedcell.py) — route through the 2D-array ingest,
+    # which detects and packs mixed columns per cell; homogeneous frames
+    # keep the direct arrow path and today's plans
+    if any(pdf[c].dtype == object for c in pdf.columns):
+        from ..mixedcell import is_mixed_type
+        from ..pyeval import _infer_spark_type
+        for c in pdf.columns:
+            if pdf[c].dtype != object:
+                continue
+            vals = [None if v is None or (isinstance(v, float) and v != v)
+                    else v for v in pdf[c].tolist()]
+            if is_mixed_type(_infer_spark_type(vals)):
+                from ..api import _rows_to_handle
+                rows = [[None if (isinstance(v, float) and v != v) else v
+                         for v in row]
+                        for row in pdf.itertuples(index=False, name=None)]
+                return _rows_to_handle(spark, rows,
+                                       None if headerless else names)
     sdf = spark.createDataFrame(pdf.rename(columns=dict(zip(pdf.columns, names))))
     return TableHandle(df=sdf, header=None if headerless else names)
 

@@ -416,3 +416,80 @@ def test_error_record_number_exact_parity(spark, label, query, mk):
     assert got_err == ref_err, \
         '{}: full message mismatch\n got: {!r}\n ref: {!r}'.format(
             label, got_err, ref_err)
+
+
+# ---------------------------------------------------------------------------
+# mixed-type columns (r14 verdict #1): the tagged-cell representation must
+# reproduce the reference's per-cell dynamic semantics — these shapes were
+# EXCLUDED from the generators before round 15
+# ---------------------------------------------------------------------------
+
+def make_mixed_table(rnd: random.Random):
+    """a2 mixes ints / floats / strings (the tagged-cell column); a1 is a
+    clean int for deterministic WHERE/ORDER shapes."""
+    n = rnd.randint(2, 14)
+    def cell():
+        r = rnd.random()
+        if r < 0.4:
+            return rnd.randint(-9, 30)
+        if r < 0.55:
+            return round(rnd.uniform(-3, 9), 2)
+        return rnd.choice(WORDS)
+    return [[i + 1, cell(), rnd.choice(WORDS)] for i in range(n)]
+
+
+def make_mixed_query(rnd: random.Random) -> str:
+    items = rnd.sample([
+        'a1', 'a2', 'a3', 'str(a2)', 'isinstance(a2, str)',
+        'a2 if isinstance(a2, str) else "num"',
+        'a2.upper()',                       # AttributeError on numeric cells
+        'a2 == 5', "a2 == '5'", 'a2 == a3',
+        'type(a2).__name__',
+    ], k=rnd.randint(1, 3))
+    q = 'SELECT '
+    if rnd.random() < 0.2:
+        q += 'DISTINCT '
+    q += ', '.join(items)
+    if rnd.random() < 0.5:
+        q += ' WHERE ' + rnd.choice([
+            'isinstance(a2, str)', 'not isinstance(a2, str)',
+            'a2 == {}'.format(rnd.randint(-5, 20)),
+            "a2 != '{}'".format(rnd.choice(WORDS)),
+        ])
+    if rnd.random() < 0.6:
+        # the un-excluded shape: mixed ORDER BY — Python raises TypeError
+        # unless the surviving keys are runtime-homogeneous
+        q += ' ORDER BY a2'
+        if rnd.random() < 0.4:
+            q += ' DESC'
+    return q
+
+
+@pytest.mark.parametrize('seed', list(range(20)))
+def test_differential_mixed_cells(spark, seed):
+    from rbql_spark import query_table
+    from rbql_spark.errors import RbqlError
+    rnd = random.Random(88_000 + seed)
+    table = make_mixed_table(rnd)
+    query = make_mixed_query(rnd)
+    ref_err = expected = None
+    try:
+        expected = run_reference(query, table)
+    except Exception as e:
+        ref_err = str(e)
+    got = got_err = None
+    try:
+        got, _hdr = query_table(spark, query, [list(r) for r in table])
+    except (RbqlError, Exception) as e:
+        got_err = str(e)
+    ctx = '\nseed {}: query: {}\n table: {}\n ref: {} / {!r}\n got: {} / {!r}' \
+        .format(seed, query, table, expected, ref_err, got, got_err)
+    if ref_err is not None:
+        assert got_err is not None, 'reference raised, we succeeded' + ctx
+        tail = ref_err.split('Details: ', 1)[-1]
+        assert tail in got_err, 'error tail mismatch' + ctx
+        if ref_err.startswith('At record '):
+            assert got_err == ref_err, 'full message mismatch' + ctx
+    else:
+        assert got_err is None, 'we raised where reference succeeded' + ctx
+        assert expected == got, 'value divergence' + ctx

@@ -111,12 +111,19 @@ def test_coercer_raises_on_lossy_mismatch():
     assert _coercer(T.StringType())(True) == 'True'
 
 
-def test_infer_mixed_bool_numeric_rides_as_string():
+def test_infer_mixed_scalars_use_tagged_struct():
+    # r15: mixed scalar kinds carry the tagged-cell struct (mixedcell.py)
+    # instead of stringifying — each cell keeps its runtime type
     import pyspark.sql.types as T
+
+    from rbql_spark.mixedcell import is_mixed_type
     from rbql_spark.pyeval import _infer_spark_type
-    assert isinstance(_infer_spark_type([1, True]), T.StringType)
+    assert is_mixed_type(_infer_spark_type([1, True]))
+    assert is_mixed_type(_infer_spark_type([1, 'x']))
+    assert is_mixed_type(_infer_spark_type([2.5, 'x', False]))
     assert isinstance(_infer_spark_type([1, 2]), T.LongType)
     assert isinstance(_infer_spark_type([1, 2.5]), T.DoubleType)
+    assert isinstance(_infer_spark_type(['a', 'b']), T.StringType)
 
 
 def test_fallback_type_drift_raises_not_truncates(spark):

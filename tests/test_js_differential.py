@@ -271,16 +271,15 @@ def test_js_differential_select(spark, seed):
 
 
 def make_query_typed(rnd: random.Random) -> str:
-    """make_query variant for tables whose a3 column mixes ints and
-    strings: a mixed-type ORDER BY key is the documented data-model
-    divergence (a Spark column has ONE type, so mixed cells stringify
-    and sort as strings, while V8's comparator treats str-vs-number
-    pairs as incomparable/equal) — keep sort keys on the typed columns."""
-    q = make_query(rnd)
-    q = q.replace('ORDER BY a3, parseInt(a1)', 'ORDER BY a2, parseInt(a1)')
-    # ... and so are string-method calls on mixed cells ((2).endsWith
-    # throws in V8; a stringified column happily answers)
-    return q.replace("a3.endsWith('a')", "a2.endsWith('a')")
+    """make_query over tables whose a3 column mixes ints and strings.
+
+    r15: the former exclusions are GONE — the tagged-cell representation
+    (mixedcell.py) carries each cell's runtime type, so a mixed ORDER BY
+    key sorts with V8's own stable_compare outcome (engine._host_sort_
+    mixed; CPython TimSort reproduces V8's) and a string-method call on
+    a numeric cell throws exactly like V8 ((2).endsWith is not a
+    function) with the right record number."""
+    return make_query(rnd)
 
 
 @pytest.mark.parametrize('seed', range(6))

@@ -1,0 +1,182 @@
+"""Mixed-type columns — the tagged-cell representation (r14 verdict #1).
+
+The reference engines hold per-cell dynamic values; these tests pin the
+semantics the representation must reproduce: value round-trips, runtime
+type dispatch, host-sorted ORDER BY (both dialects), value-keyed
+GROUP BY/JOIN, NumHandler first-value aggregation, heterogeneous UPDATE.
+The V8-TimSort equivalence experiment lives in
+test_js_sort_matches_v8_timsort (CPython's list.sort is the same TimSort
+rbql-js relies on — verified against live node per-case here).
+"""
+
+import json
+import shutil
+import subprocess
+
+import pytest
+
+from rbql_spark import query_table
+from rbql_spark.errors import exception_to_error_info
+from rbql_spark.mixedcell import (
+    MIXED_STRUCT, is_mixed_type, pack_value, unpack_value,
+)
+
+NODE = shutil.which('node')
+
+
+def _err(spark, q, tbl, dialect='python'):
+    try:
+        query_table(spark, q, [list(r) for r in tbl], dialect=dialect)
+        return None
+    except Exception as e:
+        return exception_to_error_info(e)[1]
+
+
+def test_pack_unpack_roundtrip():
+    for v in (5, -3, 2.5, True, False, 'x', '', None):
+        assert unpack_value(pack_value(v) if v is not None else None) == v
+        if v is not None:
+            u = unpack_value(dict(zip(('s', 'n', 'k'), pack_value(v))))
+            assert u == v and type(u) is type(v)
+    with pytest.raises(TypeError):
+        pack_value([1, 2])
+
+
+def test_passthrough_preserves_cell_types(spark):
+    tbl = [[1, 'b'], [2, 5], [3, 2.5], [4, True], [5, None]]
+    rows, _ = query_table(spark, 'SELECT a2', [list(r) for r in tbl])
+    got = [r[0] for r in rows]
+    assert got == ['b', 5, 2.5, True, None]
+    assert [type(v).__name__ for v in got] == \
+        ['str', 'int', 'float', 'bool', 'NoneType']
+
+
+def test_value_semantics_not_string_semantics(spark):
+    tbl = [[5], ['5'], [7]]
+    rows, _ = query_table(spark, 'SELECT a1 WHERE a1 == 5',
+                          [list(r) for r in tbl])
+    assert rows == [[5]]                     # int 5 only, not '5'
+    rows, _ = query_table(spark, "SELECT a1 WHERE a1 == '5'",
+                          [list(r) for r in tbl])
+    assert rows == [['5']]
+    rows, _ = query_table(spark, 'SELECT DISTINCT a1',
+                          [[5], ['5'], [5], ['5']])
+    assert rows == [[5], ['5']]              # first-seen order
+    # Python value-equality dedup: 5 == 5.0 collapses (first occurrence
+    # kept), True == 1 is its own key here (5 != True), '5' stays distinct
+    rows, _ = query_table(spark, 'SELECT DISTINCT a1',
+                          [[5], [5.0], [True], ['5']])
+    assert rows == [[5], [True], ['5']]
+
+
+def test_string_method_errors_match_reference(spark):
+    tbl = [[1, 'b'], [2, 5]]
+    m = _err(spark, 'SELECT a2.upper()', tbl)
+    assert m == "At record 2, Details: 'int' object has no attribute 'upper'"
+    m = _err(spark, 'SELECT a2.toUpperCase()', tbl, dialect='js')
+    assert m == 'At record 2, Details: number.toUpperCase is not a function'
+
+
+def test_order_by_python_typeerror_parity(spark):
+    tbl = [[1, 'b'], [2, 5], [3, 'a']]
+    m = _err(spark, 'SELECT a1 ORDER BY a2', tbl)
+    assert m is not None and 'not supported between instances of' in m
+    # runtime-homogeneous after WHERE: sorts fine (the reference only
+    # raises when an actual cross-type comparison happens)
+    rows, _ = query_table(
+        spark, 'SELECT a2 WHERE isinstance(a2, str) ORDER BY a2',
+        [list(r) for r in tbl])
+    assert rows == [['a'], ['b']]
+
+
+@pytest.mark.skipif(NODE is None, reason='node unavailable')
+def test_js_sort_matches_v8_timsort(spark):
+    """JS mixed ORDER BY must reproduce V8's Array#sort outcome with the
+    reference's INCONSISTENT stable_compare comparator — checked against
+    live node per table."""
+    import random
+    rnd = random.Random(7)
+    script = (
+        "function sc(a,b){for(var i=0;i<a.length;i++){if(a[i]!==b[i])"
+        "return a[i]<b[i]?-1:1;}}\n"
+        "const cases=JSON.parse(require('fs').readFileSync(0,'utf8'));\n"
+        "console.log(JSON.stringify(cases.map(ks=>{"
+        "const e=ks.map((k,i)=>[k,i+1]);e.sort(sc);return e.map(x=>x[1]);})));")
+    words = ['a', 'zz', 'w9', 'alpha', '5x']
+    cases = []
+    for _ in range(6):
+        n = rnd.randint(2, 25)
+        cases.append([rnd.choice([rnd.randint(-9, 30), rnd.choice(words)])
+                      for _ in range(n)])
+    v8 = json.loads(subprocess.run(
+        [NODE, '-e', script], input=json.dumps(cases).encode(),
+        capture_output=True, check=True).stdout)
+    for keys, expect_perm in zip(cases, v8):
+        tbl = [[i + 1, k] for i, k in enumerate(keys)]
+        rows, _ = query_table(spark, 'SELECT a1 ORDER BY a2',
+                              [list(r) for r in tbl], dialect='js')
+        assert [r[0] for r in rows] == expect_perm, (keys, rows, expect_perm)
+
+
+def test_group_by_value_keys(spark):
+    # Python: 5 and 5.0 and True==1 collapse; '5' distinct; key output is
+    # the FIRST-SEEN value; mixed key set ordering raises like sorted()
+    tbl = [[1, 5.0], [2, 5], [3, 1], [4, True]]
+    rows, _ = query_table(spark, 'SELECT a2, COUNT(1) GROUP BY a2',
+                          [list(r) for r in tbl])
+    assert rows == [[1, 2], [5.0, 2]]        # sorted keys; first-seen reps
+    m = _err(spark, 'SELECT a2, COUNT(1) GROUP BY a2', [[1, 5], [2, '5']])
+    assert m is not None and 'not supported between instances of' in m
+
+
+def test_numhandler_first_value_aggregation(spark):
+    # first value string → parse-all (ints parse, floats truncate via
+    # int(), unparseable strings error)
+    rows, _ = query_table(spark, 'SELECT MAX(a2)', [[1, '3'], [2, 4.5], [3, 5]])
+    assert rows == [[5]]
+    rows, _ = query_table(spark, 'SELECT SUM(a2)', [[1, '3'], [2, 4.5], [3, 5]])
+    assert rows == [[12]]                    # int('3') + int(4.5) + 5
+    # first value numeric → raw accumulation; a later string raises where
+    # the comparison touches it, with the exact record number
+    m = _err(spark, 'SELECT MAX(a2)', [[1, 3], [2, '4.5'], [3, 5]])
+    assert m == ("At record 2, Details: '>' not supported between "
+                 "instances of 'str' and 'int'")
+    m = _err(spark, 'SELECT SUM(a2)', [[1, 3], [2, 'x']])
+    assert m == ("At record 2, Details: unsupported operand type(s) "
+                 "for +=: 'int' and 'str'")
+    # JS: parse_number coerces everything, Number(null)=0
+    rows, _ = query_table(spark, 'SELECT MIN(a1)', [[3], [None], [7]],
+                          dialect='js')
+    assert rows == [[0]]
+    rows, _ = query_table(spark, 'SELECT MAX(a1)', [[3], ['4.5'], [5]],
+                          dialect='js')
+    assert rows == [[5]]
+
+
+def test_heterogeneous_update(spark):
+    tbl = [[1, 'b'], [2, 5], [3, 'a']]
+    rows, _ = query_table(spark, 'UPDATE a1 = a2', [list(r) for r in tbl])
+    assert rows == [['b', 'b'], [5, 5], ['a', 'a']]
+    # mixed target receiving plain values packs them per cell
+    rows, _ = query_table(spark, 'UPDATE a2 = 99 WHERE a1 == 1',
+                          [list(r) for r in tbl])
+    assert rows == [[1, 99], [2, 5], [3, 'a']]
+
+
+def test_join_python_value_equality(spark):
+    tbl = [[1, 5], [2, 'a'], [3, 2], [4, '2']]
+    join = [[5.0, 'five'], ['a', 'letter'], [2, 'two']]
+    rows, _ = query_table(spark, 'SELECT a1, b2 JOIN B ON a2 == b1',
+                          [list(r) for r in tbl],
+                          join_table=[list(r) for r in join])
+    # 5 == 5.0 matches; 'a' matches; int 2 matches; '2' does NOT
+    assert rows == [[1, 'five'], [2, 'letter'], [3, 'two']]
+
+
+def test_mixed_struct_detector():
+    from pyspark.sql import types as T
+    assert is_mixed_type(MIXED_STRUCT)
+    other = T.StructType([T.StructField('s', T.StringType()),
+                          T.StructField('n', T.DoubleType())])
+    assert not is_mixed_type(other)
+    assert not is_mixed_type(T.StringType())

@@ -771,3 +771,28 @@ def test_js_like_coerces_and_stays_native(spark):
     except Exception as e:  # noqa: BLE001 — family checked via message
         assert isinstance(e, RbqlRuntimeError) or \
             'expected string or bytes-like object' in str(e), e
+
+
+def test_homogeneous_columns_keep_plain_plans(spark, sf_dir, entry):
+    """r14 verdict #1 done-criterion: the mixed-cell struct is materialized
+    ONLY when ingest observes mixed kinds — parquet-backed gates (typed
+    columns by construction) must show no tagged struct anywhere in their
+    plans, so homogeneous workloads keep today's pushdown/codegen shape."""
+    q = entry.queries()
+    for name in ['rbql_select_where', 'rbql_js_filter_order']:
+        plan = _plan(q[name](spark, sf_dir))
+        assert 's: string, n: double, k: tinyint' not in plan.lower(), \
+            '{} plan unexpectedly carries the mixed-cell struct'.format(name)
+        assert 'PushedFilters: [' in plan
+
+
+def test_homogeneous_in_memory_tables_stay_plain(spark):
+    """2D-array ingest: columns with one scalar kind keep their plain
+    Spark types (no struct), so only genuinely mixed columns pay."""
+    from rbql_spark.api import _rows_to_handle
+    from rbql_spark.mixedcell import is_mixed_type
+    h = _rows_to_handle(spark, [[1, 'x', 2.5], [2, 'y', 3.5]], None)
+    assert not any(is_mixed_type(f.dataType) for f in h.df.schema.fields)
+    h2 = _rows_to_handle(spark, [[1, 'x'], ['z', 'y']], None)
+    assert is_mixed_type(h2.df.schema.fields[0].dataType)
+    assert not is_mixed_type(h2.df.schema.fields[1].dataType)
