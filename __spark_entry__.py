@@ -668,11 +668,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
         pairs = stream_minhash_near_dups(stream, threshold=0.5)
         qname = 'rbql_stream_minhash_gate'
-        # expansion 8: the banded state shuffle carries each doc's full
-        # shingle set once per band — shuffled bytes ≫ source text bytes
+        # expansion 140: the banded state shuffle carries each doc's FULL
+        # shingle set once per band (16 bands x ~8-byte hashes over
+        # snappy-compressed text) — calibrated against the r14 sf10 audit's
+        # proven-good point (128 partitions at a 58.8 MB source restored
+        # sub-linear scaling; 128*64MB/58.8MB ~= 140).  At sf0.1/sf1 the
+        # advisor stays at the session count (driver bench unchanged);
+        # per-task shuffle bytes hold constant from sf10 upward.
         sq = run_stream_to_memory(pairs, qname, output_mode='update',
                                   input_bytes=_dir_bytes(tmp),
-                                  shuffle_expansion=8.0)
+                                  shuffle_expansion=140.0)
         sq.stop()
         return (spark.table(qname)
                 .dropDuplicates(['doc_a', 'doc_b'])
