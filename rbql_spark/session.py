@@ -33,9 +33,17 @@ def build_session(app_name: str = 'rbql-spark',
       measured decade rule (r14 sf10 audit, SCALING.md: per-task bytes,
       not partition count, is the cross-scale invariant).  Every batch
       shuffle starts at 16× the base count and AQE coalesces down to the
-      64 MB advisory — so a 10× data decade automatically lands ~10× the
-      post-shuffle partitions with NO per-operator pinning; small inputs
-      coalesce back to a handful.  Streaming stateful shuffles are not
+      64 MB advisory — so a data decade automatically lands
+      proportionally more post-shuffle partitions with NO per-operator
+      pinning; small inputs coalesce back to a handful.  Width chosen by
+      A/B (NOTES_r15.md): 16×/512 costs ~0.7–1.1 s of map-side
+      shuffle-file overhead on three second-scale sf0.1 window queries
+      but is the best setting everywhere else — including the BEST sf10
+      bpe_vocab time (90 s, beating even a hand-pinned 128 session) —
+      while 4×/128 pathologically slowed the broadcast-model scoring
+      family ~2.5× (persisted repartition('doc_id') frames pinned at the
+      uncoalesced width feed per-partition Arrow workers).  Streaming
+      stateful shuffles are not
       AQE re-planned — the drain helpers scope the base count from the
       source's input bytes instead (rbql_spark.tuning).
     - ``spark.sql.files.maxPartitionBytes``: scan-side split size; 128 MB
