@@ -1666,35 +1666,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the bound lives in the driver, so rotation here is the only way to
     # refresh proof for all 78.  The strict local mirror,
     # tools/check_oracles.py, still value-checks every gate each round.)
-    # Round 15 rotation (r14 verdict #7): the 39 gates whose newest driver
-    # proof dates to r12 lead (after r15 no gate's proof is older than
-    # r13), then the gates whose code paths changed this round fill the
-    # remaining snapshot slots: the brand-new PNG decoder gate, the JS
-    # gates (strnum tagging, like() pattern TypeError, Number() aggregate
-    # semantics), the core rbql_* gates behind the exact-error-Details /
-    # scoped-cache engine changes, and two streaming drains behind the
-    # partition advisor; the rest keep declaration order.
+    # Round 16 rotation (r15 verdict #6): the 38 gates whose newest driver
+    # proof dates to r13 lead (after r16 no gate's proof is older than
+    # r14), then the gates whose code paths changed this round fill the
+    # remaining snapshot slots: UPDATE (typed-value-into-string-column fix
+    # and the wholesale-retype path), the JS gates (undefined expression
+    # outputs now render as null cells), and the core rbql_* gates whose
+    # results flow through the rewritten exact-int Arrow collect; the
+    # rest keep declaration order.
     rotate_first = [
-        # --- r12-stale gates (39) ---
-        'rbql_distinct_count', 'rbql_array_agg', 'rbql_left_join',
-        'rbql_multikey_join', 'rbql_strict_left_join', 'rbql_update_join',
-        'rbql_fstring', 'rbql_except', 'rbql_string_ops',
-        'streaming_user_totals', 'streaming_c4_filter',
-        'dedup_exact_incremental', 'dedup_exact', 'dedup_minhash_lsh',
-        'dedup_simhash', 'dedup_incremental', 'dedup_ngram_jaccard',
-        'decontaminate_ngram', 'contamination_report', 'dedup_clusters',
-        'dedup_keep_canonical', 'dedup_lines', 'sample_hash',
-        'sample_stratified', 'sample_k_per_group', 'sample_temperature',
-        'chunk_documents', 'sample_split', 'sample_shuffle', 'sample_mix',
-        'pack_materialize', 'sim_ann_ivf', 'sim_ann_index_search',
-        'sim_ann_index_churn', 'sim_kmeans_recall', 'text_c4_line_filter',
-        'text_gopher_filter', 'bpe_vocab', 'bpe_encode_ids',
-        # --- new or touched this round (11) ---
-        'multimodal_png_features',
+        # --- r13-stale gates (38) ---
+        'bpe_apply', 'bpe_train', 'dedup_spans', 'export_manifest',
+        'join_anti', 'join_asof', 'join_full_outer', 'join_interval',
+        'join_semi', 'pack_sequences', 'pivot_event_counts',
+        'rbql_group_expr_key', 'rbql_like', 'rbql_pipe_chain',
+        'rbql_ternary_expr', 'sim_ann_index_stats', 'sim_ann_ivf_int8',
+        'sim_ann_ivf_multiprobe', 'sim_ann_ivf_pq', 'sim_ann_lsh',
+        'sim_ann_lsh_multiprobe', 'sim_ann_pq', 'sim_embedding_neardup',
+        'sim_topk_bruteforce', 'streaming_session_counts', 'text_bm25',
+        'text_embed_hashing', 'text_fingerprint', 'text_language_id',
+        'text_lm_score', 'text_lm_score_bigram', 'text_quality_filter',
+        'text_quality_score', 'text_redact_pii', 'text_repetition',
+        'text_token_stats', 'text_top_ngrams', 'window_row_number',
+        # --- touched this round (12) ---
+        'rbql_update', 'rbql_update_join', 'rbql_select_where',
+        'rbql_group_agg', 'rbql_global_agg', 'rbql_distinct',
         'rbql_js_filter_order', 'rbql_js_group_agg', 'rbql_js_string_ops',
-        'rbql_select_where', 'rbql_update', 'rbql_group_agg',
-        'rbql_global_agg', 'rbql_select_top_order',
-        'streaming_minhash_neardup', 'streaming_windowed_counts',
+        'rbql_array_agg', 'rbql_fstring', 'rbql_select_top_order',
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

@@ -394,8 +394,11 @@ def mixed_minmax_exprs(kind: str, col: Column, nr: Column,
         sfn(F.when(is_str, col.getField('s'))).alias(p + '_sv'),
         (F.min if kind != 'max' else F.max)(
             F.when(is_num, col.getField('n'))).alias(p + '_nv'),
-        F.min_by(F.when(is_num, k),
-                 F.when(is_num, sort_sign * col.getField('n'))).alias(p + '_nk'),
+        # one min_by for (kind, exact text) so a tie cannot split them:
+        # text is non-null only for bigint cells, whose double is rounded
+        F.min_by(F.when(is_num, F.struct(k.alias('wk'),
+                                         col.getField('s').alias('ws'))),
+                 F.when(is_num, sort_sign * col.getField('n'))).alias(p + '_nw'),
         F.min(F.when(is_str, nr)).alias(p + '_snr'),
         F.min(F.when(is_num, nr)).alias(p + '_nnr'),
     ]
@@ -423,9 +426,9 @@ def mixed_minmax_exprs(kind: str, col: Column, nr: Column,
         str_res = F.struct(F.col(p + '_sv').alias('s'),
                            F.lit(None).cast('double').alias('n'),
                            F.lit(K_STR).cast('byte').alias('k'))
-        num_res = F.struct(F.lit(None).cast('string').alias('s'),
+        num_res = F.struct(F.col(p + '_nw').getField('ws').alias('s'),
                            F.col(p + '_nv').alias('n'),
-                           F.coalesce(F.col(p + '_nk'),
+                           F.coalesce(F.col(p + '_nw').getField('wk'),
                                       F.lit(K_INT)).cast('byte').alias('k'))
         return (F.when(mixed_group, F.raise_error(msg).cast(MIXED_STRUCT))
                  .when(F.col(p + '_ns') > 0, str_res)

@@ -24,8 +24,10 @@ parquet and CSV columns are typed/strings by construction — so the
 driver-side ORDER BY host sort this representation enables
 (engine._host_sort_mixed) touches only data the driver already held.
 
-Kind codes (``k``):  1 = int, 2 = float, 3 = bool, 4 = str;
-a null cell is a NULL struct.
+Kind codes (``k``):  1 = int, 2 = float, 3 = bool, 4 = str,
+5 = bigint (|int| > 2^53: exact decimal text in ``s``, the rounded
+double in ``n`` so every JVM numeric path still works — unpack returns
+the exact int); a null cell is a NULL struct.
 """
 
 from __future__ import annotations
@@ -34,7 +36,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-K_INT, K_FLOAT, K_BOOL, K_STR = 1, 2, 3, 4
+K_INT, K_FLOAT, K_BOOL, K_STR, K_BIGINT = 1, 2, 3, 4, 5
+
+_EXACT_INT_MAX = 2 ** 53  # largest magnitude a double carries exactly
 
 MIXED_STRUCT = T.StructType([
     T.StructField('s', T.StringType(), True),
@@ -65,7 +69,18 @@ def pack_value(v):
         return (v, None, K_STR)
     import numbers
     if isinstance(v, numbers.Integral):
-        return (None, float(v), K_INT)
+        iv = int(v)
+        if iv > _EXACT_INT_MAX or iv < -_EXACT_INT_MAX:
+            # the numeric slot is a double: |int| > 2^53 would silently
+            # lose precision — carry the exact decimal text alongside
+            # the rounded double (JVM numeric paths read n; unpack
+            # returns the exact int)
+            try:
+                d = float(iv)
+            except OverflowError:
+                d = float('inf') if iv > 0 else float('-inf')
+            return (str(iv), d, K_BIGINT)
+        return (None, float(iv), K_INT)
     if isinstance(v, numbers.Real):
         return (None, float(v), K_FLOAT)
     raise TypeError('cannot pack {!r} into a mixed cell'.format(type(v)))
@@ -85,6 +100,8 @@ def unpack_value(cell):
         return s
     if k == K_INT:
         return int(n)
+    if k == K_BIGINT:
+        return int(s)
     if k == K_BOOL:
         return bool(n)
     return float(n)
@@ -99,9 +116,17 @@ def pack_col(col: Column, tag: str) -> Column:
                           F.lit(None).cast('double').alias('n'),
                           F.lit(K_STR).cast('byte').alias('k'))
     elif tag == 'int':
-        packed = F.struct(F.lit(None).cast('string').alias('s'),
-                          col.cast('double').alias('n'),
-                          F.lit(K_INT).cast('byte').alias('k'))
+        # a long column may exceed the double-exact range — those cells
+        # carry their decimal text as bigint kind
+        lcol = col.cast('long')
+        big = (lcol > F.lit(_EXACT_INT_MAX)) | (lcol < F.lit(-_EXACT_INT_MAX))
+        packed = F.when(
+            big, F.struct(lcol.cast('string').alias('s'),
+                          lcol.cast('double').alias('n'),
+                          F.lit(K_BIGINT).cast('byte').alias('k'))
+        ).otherwise(F.struct(F.lit(None).cast('string').alias('s'),
+                             col.cast('double').alias('n'),
+                             F.lit(K_INT).cast('byte').alias('k')))
     elif tag == 'float':
         packed = F.struct(F.lit(None).cast('string').alias('s'),
                           col.cast('double').alias('n'),
@@ -134,9 +159,28 @@ def join_canon_col(col: Column, tag: str, bool_distinct: bool = False) -> Column
     null_canon = F.lit(None).cast(_CANON_TYPE)
     if tag == 'mixed':
         k = col.getField('k')
+        # bigint cells: when the value is exactly a double (e.g. 2^60)
+        # it equals the same-valued float under host == — canonicalize
+        # through kn; otherwise no float can equal it and only the same
+        # decimal text can — ('i:'+text, 0.0) (kn non-null keeps it
+        # distinct from real strings, whose kn is null).  Exactness =
+        # the value round-trips long → double → long (the decimal cast
+        # is NOT usable here: Spark casts double→decimal through the
+        # 17-digit repr, which rounds 2^60)
+        blc = col.getField('s').try_cast('long')
+        big_exact = blc.isNotNull() & \
+            blc.cast('double').try_cast('long').eqNullSafe(blc)
+        big_canon = (F.when(
+            big_exact,
+            F.struct(F.lit(None).cast('string').alias('ks'),
+                     blc.cast('double').alias('kn')))
+            .otherwise(F.struct(
+                F.concat(F.lit('i:'), col.getField('s')).alias('ks'),
+                F.lit(0.0).alias('kn'))))
         canon = (F.when(k == K_STR,
                         F.struct(col.getField('s').alias('ks'),
                                  F.lit(None).cast('double').alias('kn')))
+                  .when(k == K_BIGINT, big_canon)
                   .otherwise(F.struct(F.lit(None).cast('string').alias('ks'),
                                       col.getField('n').alias('kn'))))
         if bool_distinct:
@@ -145,6 +189,7 @@ def join_canon_col(col: Column, tag: str, bool_distinct: bool = False) -> Column
             canon = (F.when(k == K_STR,
                             F.struct(col.getField('s').alias('ks'),
                                      F.lit(None).cast('double').alias('kn')))
+                      .when(k == K_BIGINT, big_canon)
                       .when(k == K_BOOL,
                             F.struct(F.lit('b').alias('ks'),
                                      col.getField('n').alias('kn')))
@@ -153,7 +198,19 @@ def join_canon_col(col: Column, tag: str, bool_distinct: bool = False) -> Column
         return F.when(col.isNull(), null_canon).otherwise(canon)
     if tag == 'str':
         canon = F.struct(col.alias('ks'), F.lit(None).cast('double').alias('kn'))
-    elif tag in ('int', 'float', 'bool'):
+    elif tag == 'int':
+        # plain long values beyond 2^53 follow the same exact/inexact
+        # rule as bigint mixed cells, so they meet them correctly
+        lcol = col.cast('long')
+        big = (lcol > F.lit(_EXACT_INT_MAX)) | (lcol < F.lit(-_EXACT_INT_MAX))
+        exact = lcol.cast('double').try_cast('long').eqNullSafe(lcol)
+        canon = (F.when(
+            big & ~exact,
+            F.struct(F.concat(F.lit('i:'), lcol.cast('string')).alias('ks'),
+                     F.lit(0.0).alias('kn')))
+            .otherwise(F.struct(F.lit(None).cast('string').alias('ks'),
+                                col.cast('double').alias('kn'))))
+    elif tag in ('float', 'bool'):
         canon = F.struct(F.lit(None).cast('string').alias('ks'),
                          col.cast('double').alias('kn'))
     else:
@@ -173,6 +230,7 @@ def render_col(col: Column) -> Column:
     n = col.getField('n')
     return (F.when(col.isNull(), F.lit(None).cast('string'))
              .when(k == K_STR, col.getField('s'))
+             .when(k == K_BIGINT, col.getField('s'))
              .when(k == K_INT, n.cast('long').cast('string'))
              .when(k == K_BOOL, F.when(n != 0, F.lit('True')).otherwise(F.lit('False')))
              .otherwise(n.cast('string')))

@@ -91,6 +91,77 @@ def advise_shuffle_partitions(spark, input_bytes: int | None,
     return max(cur, min(cap, want))
 
 
+def input_scan_bytes(df) -> int | None:
+    """Sum of Catalyst size estimates over the optimized plan's LEAF
+    relations (parquet scans: file bytes after partition pruning;
+    cached frames: materialized size).  Unlike the root's
+    ``stats().sizeInBytes`` — which estimates the plan's OUTPUT and is
+    tiny for aggregations — this measures what the job will READ, the
+    quantity shuffle width should scale with.  None when any leaf's
+    estimate is the unknown sentinel."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            size = int(leaves.apply(i).stats().sizeInBytes())
+            if size >= (1 << 50):   # defaultSizeInBytes unknown sentinel
+                return None
+            total += max(size, 0)
+        return total
+    except Exception:
+        return None
+
+
+@contextlib.contextmanager
+def scoped_initial_width(spark, df, expansion: float = 4.0):
+    """Batch counterpart of the streaming drain scoping (r15 verdict
+    #7): the session's high AQE ``initialPartitionNum`` is the decade
+    rule's mechanism for LARGE shuffles, but on sub-advisory inputs it
+    buys nothing (AQE coalesces straight back down) while costing real
+    map-side overhead — every map task opens initial-width shuffle-file
+    blocks, ~0.5-1 s on second-scale window queries (NOTES_r15 A/B).
+
+    The decision is deliberately BINARY: when ``expansion × input
+    bytes`` fits within ``base count × advisory`` — i.e. even the base
+    width already over-partitions this shuffle — plan at the session
+    base; otherwise keep the configured wide initial untouched.  No
+    intermediate widths: the r15 A/B measured the mid-range (4×base)
+    as pathological for repartition-pinned frames while both extremes
+    were fine, and the sf10 decade wins (bpe_vocab 90 s) were measured
+    at the full configured width.  Unknown sizes keep the configured
+    width — the safe direction at scale.
+
+    Plans carrying an explicit ``repartition(expr)`` also keep the
+    configured width: those frames pin at the uncoalesced count and
+    feed per-partition Arrow workers, where the r15 A/B measured wide >
+    narrow even on small inputs (NOTES_r15: the broadcast-model scoring
+    family slowed at every narrower width tried)."""
+    key = 'spark.sql.adaptive.coalescePartitions.initialPartitionNum'
+    nbytes = input_scan_bytes(df)
+    try:
+        if 'Repartition' in str(df._jdf.queryExecution().optimizedPlan()):
+            nbytes = None
+    except Exception:
+        nbytes = None
+    try:
+        cur = int(spark.conf.get(key))
+        base = int(spark.conf.get('spark.sql.shuffle.partitions'))
+    except Exception:
+        nbytes = None
+    if nbytes is None:
+        yield
+        return
+    want = math.ceil(nbytes * max(expansion, 1.0) / BYTES_PER_PARTITION)
+    if want > base or base >= cur:
+        yield
+        return
+    spark.conf.set(key, str(base))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, str(cur))
+
+
 @contextlib.contextmanager
 def scoped_shuffle_partitions(spark, n: int):
     """Set ``spark.sql.shuffle.partitions`` for the duration of a block

@@ -122,7 +122,10 @@ def test_infer_mixed_scalars_use_tagged_struct():
     assert is_mixed_type(_infer_spark_type([1, 'x']))
     assert is_mixed_type(_infer_spark_type([2.5, 'x', False]))
     assert isinstance(_infer_spark_type([1, 2]), T.LongType)
-    assert isinstance(_infer_spark_type([1, 2.5]), T.DoubleType)
+    # r16: int+float mixtures also keep per-cell types (the reference's
+    # 7 stays int next to 1.5 — a double column degraded it to 7.0)
+    assert is_mixed_type(_infer_spark_type([1, 2.5]))
+    assert isinstance(_infer_spark_type([2.5, 3.5]), T.DoubleType)
     assert isinstance(_infer_spark_type(['a', 'b']), T.StringType)
 
 

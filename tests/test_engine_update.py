@@ -18,9 +18,10 @@ def test_update_all_rows(spark):
 def test_update_with_where(spark):
     rows, _ = query_table(spark, "UPDATE a1 = int(a1) * 10 WHERE a2 == 'haha'",
                           [r[:] for r in T1])
-    # string column stays string-typed: updated values are stringified
-    # (CSV-writer normalization parity), untouched rows keep original text
-    assert rows == [['50', 'haha', 'beta'], ['-20', 'hoho', 'alpha'], ['500', 'haha', 'gamma']]
+    # the reference assigns the REAL typed value into the cell (safe_set,
+    # rbql_engine.py:260-264): updated rows carry ints, untouched rows
+    # keep their original strings — the column becomes mixed per-cell
+    assert rows == [[50, 'haha', 'beta'], ['-20', 'hoho', 'alpha'], [500, 'haha', 'gamma']]
 
 
 def test_update_emits_every_row_in_order(spark):

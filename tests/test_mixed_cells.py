@@ -180,3 +180,110 @@ def test_mixed_struct_detector():
                           T.StructField('n', T.DoubleType())])
     assert not is_mixed_type(other)
     assert not is_mixed_type(T.StringType())
+
+
+# ---------------------------------------------------------------------------
+# round 16: driver-surface type fidelity (r15 verdict #1-#4)
+
+def test_update_typed_value_into_string_column(spark):
+    # reference safe_set (rbql_engine.py:260-264) assigns the REAL value;
+    # pre-r16 this silently stringified through query_table/pandas
+    rows, _ = query_table(spark, 'UPDATE a1 = 99 WHERE a2 == "a"',
+                          [['x', 'a'], ['y', 'b']])
+    assert rows == [[99, 'a'], ['y', 'b']]
+    assert type(rows[0][0]) is int and type(rows[1][0]) is str
+
+
+def test_update_no_where_retypes_wholesale(spark):
+    rows, _ = query_table(spark, 'UPDATE a1 = 99', [['x', 'a'], ['y', 'b']])
+    assert rows == [[99, 'a'], [99, 'b']]
+    assert all(type(r[0]) is int for r in rows)
+
+
+def test_update_string_into_int_column(spark):
+    rows, _ = query_table(spark, 'UPDATE a1 = "z" WHERE a2 == "a"',
+                          [[1, 'a'], [2, 'b']])
+    assert rows == [['z', 'a'], [2, 'b']]
+    assert type(rows[1][0]) is int
+
+
+def test_update_float_into_int_column_keeps_cell_kinds(spark):
+    rows, _ = query_table(spark, 'UPDATE a1 = 1.5 WHERE a2 == "a"',
+                          [[1, 'a'], [2, 'b']])
+    assert rows == [[1.5, 'a'], [2, 'b']]
+    assert type(rows[0][0]) is float and type(rows[1][0]) is int
+
+
+def test_js_undefined_expression_yields_null_cells(spark):
+    # rbql-js writes undefined as null; property misses are legal JS
+    rows, _ = query_table(spark, 'SELECT a1.foo', [['x'], ['y']],
+                          dialect='js')
+    assert rows == [[None], [None]]
+
+
+def test_js_undefined_mixed_with_values(spark):
+    rows, _ = query_table(spark, 'SELECT a1.length',
+                          [['x'], [5], ['yz'], [7]], dialect='js')
+    assert rows == [[1], [None], [2], [None]]
+
+
+def test_js_null_property_read_raises_v8_text(spark):
+    msg = _err(spark, 'SELECT a1.length', [['x'], [5], ['yz'], [None]],
+               dialect='js')
+    assert msg == ("At record 4, Details: Cannot read properties of null "
+                   "(reading 'length')")
+
+
+def test_nullable_long_collect_preserves_int(spark):
+    # pre-r16 the Arrow/pandas collect degraded nullable long to float
+    rows, _ = query_table(spark, 'SELECT None if NR == 1 else a1',
+                          [[1], [2]])
+    assert rows == [[None], [2]]
+    assert type(rows[1][0]) is int
+
+
+def test_bigint_cells_roundtrip_exactly():
+    for v in (2 ** 53 + 1, -(2 ** 53) - 1, 2 ** 63, 10 ** 30):
+        cell = pack_value(v)
+        assert cell[2] == 5 and unpack_value(dict(zip(('s', 'n', 'k'), cell))) == v
+    # boundary: 2^53 itself stays a plain int kind
+    assert pack_value(2 ** 53)[2] == 1
+
+
+def test_bigint_through_query_table(spark):
+    big = 2 ** 53 + 1
+    rows, _ = query_table(spark, 'SELECT a1', [[big], ['s']])
+    assert rows == [[big], ['s']] and type(rows[0][0]) is int
+
+
+def test_bigint_minmax_returns_exact_value(spark):
+    big = 2 ** 53 + 1
+    rows, _ = query_table(spark, 'SELECT MAX(a1) AS m', [[big], [5]])
+    assert rows == [[big]]
+
+
+def test_bigint_join_key_matches_exact_only(spark):
+    big = 2 ** 53 + 1
+    rows, _ = query_table(
+        spark, 'SELECT a1, b2 JOIN b ON a1 == b1', [[big], [7]],
+        join_table=[[big, 'hit'], [7, 'seven'], ['s', 'str']])
+    assert rows == [[big, 'hit'], [7, 'seven']]
+
+
+def test_bigint_exact_double_equals_float_key(spark):
+    # 2^60 is exactly a double: the bigint cell must meet the float key
+    # (host semantics: 2**60 == 2.0**60)
+    rows, _ = query_table(
+        spark, 'SELECT a1, b2 JOIN b ON a1 == b1', [[float(2 ** 60)], [7]],
+        join_table=[[2 ** 60, 'hit'], [7, 'seven'], ['s', 'str']])
+    assert rows == [[float(2 ** 60), 'hit'], [7, 'seven']]
+
+
+def test_int_float_mixture_keeps_per_cell_types(spark):
+    # reference: [1.5, 7] keeps 7 an int; a double column made it 7.0
+    rows, _ = query_table(spark, 'SELECT a1', [[1.5], [7]])
+    assert rows == [[1.5], [7]]
+    assert type(rows[1][0]) is int
+    rows, _ = query_table(spark, 'SELECT a1, COUNT(*) AS c GROUP BY a1',
+                          [[1.5], [7], [7.0], [7]])
+    assert rows == [[1.5, 1], [7, 3]]
