@@ -181,10 +181,10 @@ def numeric_coerce(col: Column, tag: str, nr: Column | None = None,
         # tagged-cell column (mixedcell.py): numeric cells pass through
         # (ints/floats/bools are numbers to NumHandler), string cells go
         # through the same parse-or-error guard as a string column
-        from .mixedcell import K_STR
+        from .mixedcell import K_STR, norm_n
         k = col.getField('k')
         val = F.when(k == F.lit(K_STR), _str_guarded(col.getField('s'))) \
-               .otherwise(col.getField('n'))
+               .otherwise(norm_n(col))
         # a null CELL must stay null (null_arg_guard handles reference
         # None-in-aggregate error parity above this)
         return F.when(col.isNull(), F.lit(None).cast('double')).otherwise(val), 'float'
@@ -245,7 +245,9 @@ def null_arg_guard(kind: str, raw: Column, coerced: Column, tag: str,
 
 def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
                       prefix: str,
-                      shared_names: tuple | None = None) -> tuple[list[Column], object]:
+                      shared_names: tuple | None = None,
+                      with_marker: bool = False,
+                      word_col: Column | None = None) -> tuple[list[Column], object]:
     """Group-level null guards for the ORDER-DEPENDENT aggregate kinds.
 
     MIN/MAX (reference rbql_engine.py:329-360): ``None`` is the
@@ -286,9 +288,19 @@ def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
             F.min(F.when(raw.isNotNull(), nr)).alias(g_nn_min),
             F.count(F.lit(1)).alias(g_cnt),
         ]
+    g_word = None
+    if word_col is not None:
+        # per-group word for the non-None operand of the TypeError: the
+        # group's first value's runtime kind (raw-path mixed columns mix
+        # kinds; approximation only under mid-group int→float drift)
+        g_word = '{}_wd'.format(prefix)
+        aggs.append(F.min_by(F.when(raw.isNotNull(), word_col),
+                             F.when(raw.isNotNull(), nr)).alias(g_word))
 
     def wrap(out: Column, tag: str) -> Column:
-        t = 'float' if tag == 'float' else 'int'
+        t = {'float': 'float', 'bool': 'bool'}.get(tag, 'int')
+        word = F.coalesce(F.col(g_word), F.lit(t)) if g_word is not None \
+            else F.lit(t)
         if tag in ('str', 'mixed'):
             # string column: NumHandler raises inside int()/float() at
             # the first null — order-independent once any non-null
@@ -312,6 +324,27 @@ def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
                            F.lit(', Details: {}, not '.format(fn)),
                            F.lit("'NoneType'"))
             return F.when(cond, F.raise_error(msg)).otherwise(out)
+        if kind == 'sum':
+            # the reference's SumAggregator starts at int 0 and raises at
+            # the group's FIRST null; the operand word is the running
+            # accumulator's type THERE — still 'int' when no value
+            # preceded the null in the group, else the column's kind
+            cond = F.col(g_null_min).isNotNull()
+            word = F.when(F.col(g_nn_min).isNull()
+                          | (F.col(g_null_min) < F.col(g_nn_min)),
+                          F.lit('int')).otherwise(F.lit(t))
+            parts = [F.lit('At record '),
+                     rec_of(F.col(g_null_min)).cast('string'),
+                     F.lit(", Details: unsupported operand type(s) "
+                           "for +=: '"), word,
+                     F.lit("' and 'NoneType'")]
+            if with_marker:
+                # non-dense NR: ride the raw order surrogate so the
+                # driver-side resolver recovers the exact input record
+                parts += [F.lit('\n__RBQL_SURR_'),
+                          F.col(g_null_min).cast('string'), F.lit('__')]
+            msg = F.concat(*parts)
+            return F.when(cond, F.raise_error(msg)).otherwise(out)
         if kind == 'median':
             # list.sort compares NoneType-vs-t or t-vs-NoneType depending
             # on which sorts first — null-first groups report the
@@ -329,11 +362,18 @@ def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
         cond = (F.col(g_null_max).isNotNull()
                 & F.col(g_nn_min).isNotNull()
                 & (F.col(g_null_max) > F.col(g_nn_min)))
-        rec = rec_of(F.when(F.col(g_null_min) > F.col(g_nn_min),
-                            F.col(g_null_min)).otherwise(F.col(g_null_max)))
-        msg = F.concat(F.lit('At record '), rec.cast('string'),
-                       F.lit(", Details: '{}' not supported between "
-                             "instances of 'NoneType' and '{}'".format(op, t)))
+        raw_rec = F.when(F.col(g_null_min) > F.col(g_nn_min),
+                         F.col(g_null_min)).otherwise(F.col(g_null_max))
+        parts = [F.lit('At record '), rec_of(raw_rec).cast('string'),
+                 F.lit(", Details: '{}' not supported between "
+                       "instances of 'NoneType' and '".format(op)),
+                 word, F.lit("'")]
+        if with_marker:
+            # non-dense NR: ride the raw order surrogate so the
+            # driver-side resolver recovers the exact input record
+            parts += [F.lit('\n__RBQL_SURR_'), raw_rec.cast('string'),
+                      F.lit('__')]
+        msg = F.concat(*parts)
         return F.when(cond, F.raise_error(msg)).otherwise(out)
 
     wrap.guard_names = (g_null_min, g_null_max, g_nn_min, g_cnt)
@@ -355,7 +395,7 @@ def mixed_raw_guard(kind: str, col: Column, nr_err: Column,
     from the first value's kind (approximation documented in README —
     the running accumulator's exact type can drift int→float mid-group).
     """
-    from .mixedcell import K_STR
+    from .mixedcell import K_STR, norm_n
     k = col.getField('k')
     if kind == 'sum':
         msg_body = "unsupported operand type(s) for +=: '{}' and 'str'".format(
@@ -366,7 +406,7 @@ def mixed_raw_guard(kind: str, col: Column, nr_err: Column,
     msg = F.concat(F.lit('At record '), nr_err.cast('string'),
                    F.lit(', Details: ' + msg_body))
     return F.when(col.isNotNull() & (k == F.lit(K_STR)), F.raise_error(msg)) \
-            .otherwise(col.getField('n'))
+            .otherwise(norm_n(col))
 
 
 def mixed_minmax_exprs(kind: str, col: Column, nr: Column,
@@ -380,10 +420,16 @@ def mixed_minmax_exprs(kind: str, col: Column, nr: Column,
     struct result).  Error-text approximation (README): the numeric
     operand type prints 'int' even when the running accumulator had
     drifted to float."""
-    from .mixedcell import MIXED_STRUCT, K_INT, K_STR
+    from .mixedcell import MIXED_STRUCT, K_FLOAT, K_INT, K_STR, norm_n
     k = col.getField('k')
+    n_field = norm_n(col)
     is_str = col.isNotNull() & (k == F.lit(K_STR))
     is_num = col.isNotNull() & (k != F.lit(K_STR))
+    # Python's min/max chain never lets nan win a comparison: the result
+    # is nan IFF the group's FIRST value is nan, and later nans are
+    # ignored — exclude them from the extremum, flag the first value
+    is_nan = F.coalesce(F.isnan(n_field), F.lit(False))
+    clean_num = is_num & ~is_nan
     p = guard_prefix
     sfn = F.min if kind == 'min' else F.max
     sort_sign = F.lit(1 if kind == 'min' else -1)
@@ -393,29 +439,45 @@ def mixed_minmax_exprs(kind: str, col: Column, nr: Column,
         F.min_by(is_str, F.when(col.isNotNull(), nr)).alias(p + '_f'),
         sfn(F.when(is_str, col.getField('s'))).alias(p + '_sv'),
         (F.min if kind != 'max' else F.max)(
-            F.when(is_num, col.getField('n'))).alias(p + '_nv'),
+            F.when(clean_num, n_field)).alias(p + '_nv'),
+        F.min_by(F.when(is_num, is_nan),
+                 F.when(is_num, nr)).alias(p + '_fnan'),
         # one min_by for (kind, exact text) so a tie cannot split them:
         # text is non-null only for bigint cells, whose double is rounded
-        F.min_by(F.when(is_num, F.struct(k.alias('wk'),
-                                         col.getField('s').alias('ws'))),
-                 F.when(is_num, sort_sign * col.getField('n'))).alias(p + '_nw'),
+        F.min_by(F.when(clean_num, F.struct(k.alias('wk'),
+                                            col.getField('s').alias('ws'))),
+                 F.when(clean_num, sort_sign * n_field)).alias(p + '_nw'),
         F.min(F.when(is_str, nr)).alias(p + '_snr'),
         F.min(F.when(is_num, nr)).alias(p + '_nnr'),
+        # first numeric row's kind — the real operand word of a cross-kind
+        # TypeError ('float' when the first number is a float, not a
+        # hardcoded 'int'); bigints print 'int' like the reference's ints
+        F.min_by(F.when(is_num, k), F.when(is_num, nr)).alias(p + '_fnk'),
     ]
     op = '<' if kind in ('min', 'median') else '>'
+
+    def _kind_word(kcol: Column) -> Column:
+        from .mixedcell import K_BOOL as _KB, K_FLOAT as _KF
+        return (F.when(kcol == F.lit(_KF), F.lit('float'))
+                 .when(kcol == F.lit(_KB), F.lit('bool'))
+                 .otherwise(F.lit('int')))
 
     def finalize(rec_of, with_marker: bool = False) -> Column:
         mixed_group = (F.col(p + '_ns') > 0) & (F.col(p + '_nn') > 0)
         # the failing comparison happens at the first MINORITY-kind row
-        # (the reference's running value carries the first row's kind)
+        # (the reference's running value carries the first row's kind);
+        # the numeric operand word is the first numeric row's kind — an
+        # approximation only when the accumulator drifts int→float
+        # between that row and the cross-kind comparison (README)
         cross = F.when(F.col(p + '_f'), F.col(p + '_nnr')) \
                  .otherwise(F.col(p + '_snr'))
+        num_word = _kind_word(F.col(p + '_fnk'))
         parts = [
             F.lit('At record '), rec_of(cross).cast('string'),
             F.lit(", Details: '{}' not supported between instances of '".format(op)),
-            F.when(F.col(p + '_f'), F.lit('int')).otherwise(F.lit('str')),
+            F.when(F.col(p + '_f'), num_word).otherwise(F.lit('str')),
             F.lit("' and '"),
-            F.when(F.col(p + '_f'), F.lit('str')).otherwise(F.lit('int')),
+            F.when(F.col(p + '_f'), F.lit('str')).otherwise(num_word),
             F.lit("'")]
         if with_marker:
             # non-dense NR: ride the raw order surrogate on a marker line
@@ -426,10 +488,15 @@ def mixed_minmax_exprs(kind: str, col: Column, nr: Column,
         str_res = F.struct(F.col(p + '_sv').alias('s'),
                            F.lit(None).cast('double').alias('n'),
                            F.lit(K_STR).cast('byte').alias('k'))
-        num_res = F.struct(F.col(p + '_nw').getField('ws').alias('s'),
-                           F.col(p + '_nv').alias('n'),
-                           F.coalesce(F.col(p + '_nw').getField('wk'),
-                                      F.lit(K_INT)).cast('byte').alias('k'))
+        first_nan = F.coalesce(F.col(p + '_fnan'), F.lit(False))
+        num_res = F.struct(
+            F.when(first_nan, F.lit(None).cast('string'))
+             .otherwise(F.col(p + '_nw').getField('ws')).alias('s'),
+            F.when(first_nan, F.lit(float('nan')))
+             .otherwise(F.col(p + '_nv')).alias('n'),
+            F.when(first_nan, F.lit(K_FLOAT))
+             .otherwise(F.coalesce(F.col(p + '_nw').getField('wk'),
+                                   F.lit(K_INT))).cast('byte').alias('k'))
         return (F.when(mixed_group, F.raise_error(msg).cast(MIXED_STRUCT))
                  .when(F.col(p + '_ns') > 0, str_res)
                  .when(F.col(p + '_nn') > 0, num_res)

@@ -217,15 +217,10 @@ def _collect(df, nr_resolver=None):
             tbl = df.toArrow()
             if tbl.num_columns == 0:
                 return [[] for _ in range(tbl.num_rows)]
-            cols = []
-            for ac, f in zip(tbl.columns, df.schema.fields):
-                vals = ac.to_pylist()
-                if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
-                    # NaN ≠ null in Arrow; the engine's data model (like
-                    # the pandas path before it) surfaces NaN as None
-                    vals = [None if (v is not None and v != v) else v
-                            for v in vals]
-                cols.append(vals)
+            # NaN ≠ null in Arrow, and to_pylist keeps the distinction —
+            # a computed float('nan') comes back as nan exactly like the
+            # reference (the old pandas path conflated both into None)
+            cols = [ac.to_pylist() for ac in tbl.columns]
             return [list(t) for t in zip(*cols)]
         return df.collect()
     except Exception as e:

@@ -442,8 +442,11 @@ class _ExprComputer:
                 self.fallback_reasons.append('{}: {}'.format(text, fb))
         self.translator.error_probes = staged_probes
         self._harvest_native_probes(df)
-        if native:
-            df = df.withColumns({name: tc.col for name, tc in native})
+        # hosted evaluation FIRST, native columns appended after: the
+        # Arrow-batched mapInPandas round-trips every column it carries,
+        # and a nullable long lands in pandas as float64 — a computed
+        # bigint beyond 2^53 would come back rounded.  Both expression
+        # sets reference source columns only, so the order is free.
         if fallback:
             self._add_pyeval_probe(df, fallback)
             try:
@@ -453,6 +456,8 @@ class _ExprComputer:
                                   nr_dense=self.binding.nr_dense)
             except Exception as e:
                 self._raise_unwrapped(e)
+        if native:
+            df = df.withColumns({name: tc.col for name, tc in native})
             for pe in fallback:
                 tags[pe.out_col] = 'json' if pe.is_json else type_tag(pe.dtype)
         return df, tags
@@ -667,9 +672,24 @@ class StageRunner:
                 # == True, but '5' != 5 (mixedcell.join_canon_col).  Only
                 # pairs touching a mixed column pay the canonicalization;
                 # homogeneous joins keep today's key columns and plans.
-                from .mixedcell import join_canon_col
-                ac = join_canon_col(ac, a_tag)
-                bc = join_canon_col(bc, b_tag)
+                from .mixedcell import join_canon_col, nan_unique_canon
+
+                def _canon_side(col, tag, side):
+                    canon = join_canon_col(col, tag)
+                    if self.options.dialect == 'js':
+                        return canon  # SameValueZero: NaN matches NaN
+                    # Python: a nan key matches nothing (nan != nan) —
+                    # side-distinct canon guarantees no cross-side hit
+                    if tag == 'mixed':
+                        return nan_unique_canon(canon, col, F.lit(side))
+                    if tag == 'float':
+                        isn = F.coalesce(F.isnan(col), F.lit(False))
+                        return F.when(isn, F.struct(
+                            F.lit('nan#' + side).alias('ks'),
+                            F.lit(0.0).alias('kn'))).otherwise(canon)
+                    return canon
+                ac = _canon_side(ac, a_tag, 'A')
+                bc = _canon_side(bc, b_tag, 'B')
             a_keys.append(ac)
             b_keys.append(bc)
 
@@ -815,6 +835,14 @@ class StageRunner:
             comp.native_count += 1
         df = wf.df
 
+        # probe-free surrogate→input-record resolver for guards that
+        # raise DRIVER-side (unhashable DISTINCT/GROUP keys): converts a
+        # min-NR surrogate to the exact input ordinal, including across
+        # the early-filter pushdown (jobs run only on those error paths)
+        self._plain_resolver = None if nr_referenced else \
+            _make_surrogate_resolver(
+                wf.df, pre_filter_df if early_filtered else None, early_cond)
+
         if stage.is_select:
             res = self._run_select(stage, wf, comp, df, skip_where=early_filtered)
         else:
@@ -832,6 +860,22 @@ class StageRunner:
             comp.failure_probes, early_guard_probes)
         res.cached_frames.extend(self.cached_frames)
         return res
+
+    def _exact_record(self, hit: int, df: DataFrame) -> int:
+        """min-NR surrogate → exact 1-based input record number for
+        guards that raise driver-side (dense NR already IS the record;
+        the probe-free resolver handles the early-filter pushdown)."""
+        if getattr(self, '_nr_dense', False):
+            return hit
+        resolver = getattr(self, '_plain_resolver', None)
+        if resolver is not None:
+            try:
+                out = resolver(hit)
+            except Exception:
+                out = None
+            if out is not None:
+                return out[0]
+        return df.filter(F.col(NR_COL) < hit).count() + 1
 
     # -- UPDATE -------------------------------------------------------------
 
@@ -1408,18 +1452,45 @@ class StageRunner:
             keeps bools distinct) — canonicalize those columns for the
             partition/group keys while the output keeps the raw cell.
             Returns (keys, any_mixed)."""
-            from .mixedcell import is_mixed_type, join_canon_col
+            from .mixedcell import (
+                is_mixed_type, join_canon_col, nan_unique_canon,
+            )
             schema = {f.name: f.dataType for f in df.schema.fields}
             keys, any_mixed = [], False
             for c in out_cols:
                 if c in schema and is_mixed_type(schema[c]):
                     any_mixed = True
-                    keys.append(join_canon_col(
+                    canon = join_canon_col(
                         F.col(c), 'mixed',
-                        bool_distinct=self.options.dialect == 'js'))
+                        bool_distinct=self.options.dialect == 'js')
+                    if self.options.dialect != 'js':
+                        # Python tuple equality: independent nan objects
+                        # never dedup — every nan row is distinct
+                        canon = nan_unique_canon(canon, F.col(c),
+                                                 F.col(NR_COL))
+                    keys.append(canon)
                 else:
                     keys.append(F.col(c))
             return keys, any_mixed
+
+        if stage.distinct or stage.distinct_count:
+            # reference DISTINCT keys a set with the record tuple — a
+            # list-valued cell raises Python's unhashable TypeError at
+            # the first record written (bare message under ORDER BY,
+            # where the sorted writer defers dedup to finish); an empty
+            # result never touches the writer and succeeds
+            from pyspark.sql import types as _T
+            _schema = {f.name: f.dataType for f in df.schema.fields}
+            if any(isinstance(_schema.get(c), _T.ArrayType) for c in out_cols):
+                if sort_cols:
+                    if df.limit(1).count() > 0:
+                        raise RbqlRuntimeError("unhashable type: 'list'")
+                else:
+                    hit = df.agg(F.min(F.col(NR_COL))).collect()[0][0]
+                    if hit is not None:
+                        raise RbqlRuntimeError(
+                            'At record {}, Details: unhashable type: '
+                            "'list'".format(self._exact_record(int(hit), df)))
 
         if stage.distinct_count:
             # UniqCountWriter: dedup full rows, prepend occurrence count,
@@ -1579,6 +1650,9 @@ class StageRunner:
         int_flags: dict[str, str] = {}   # agg-out col → per-group intish flag
         null_wraps: dict = {}            # agg-out col → (wrap_fn, tag)
         null_guard_shared: dict = {}     # argcol → shared guard buffer names
+        nan_overrides: dict = {}         # agg-out col → first/any-nan flag col
+        per_group_int_flags: set = set()  # raw-path mixed: int-ness per group
+        first_null_probe: dict = {}      # argcol → first record's cell is null
         mixed_finalizers: dict = {}      # agg-out col → (finalize_fn, rec_of)
         for j, (kind, payload) in enumerate(plan):
             if kind == 'key':
@@ -1618,6 +1692,33 @@ class StageRunner:
                         # flip point (the first string cell that fails
                         # int()); mixed columns only come from
                         # driver-resident sources.
+                        if (tag == 'str' and self.options.dialect != 'js'
+                                and not _proven_null_free(agg.arg_text)):
+                            # NumHandler's string detection looks at the
+                            # FIRST record only (rbql_engine.py:299-303):
+                            # a None there disables parsing for the whole
+                            # aggregator — every later string accumulates
+                            # RAW (lexicographic MIN/MAX, '+= str'
+                            # TypeErrors).  Repack the column as tagged
+                            # cells and let the mixed raw machinery
+                            # reproduce it (one tiny first-record job,
+                            # error-prone shapes only).
+                            if argcol not in first_null_probe:
+                                fnull = df.select(
+                                    F.min_by(raw.isNull(), nr).alias('fn')
+                                ).first()
+                                first_null_probe[argcol] = bool(
+                                    fnull is not None and fnull['fn'])
+                            if first_null_probe[argcol]:
+                                from .mixedcell import pack_col
+                                packed = argcol + '__rawpk'
+                                if packed not in df.columns:
+                                    df = df.withColumn(
+                                        packed, pack_col(F.col(argcol), 'str'))
+                                argcol = packed
+                                raw = F.col(argcol)
+                                arg = raw
+                                tag = 'mixed'
                         mixed_first_str = None
                         mixed_flip_nr = None
                         frow = None
@@ -1678,7 +1779,21 @@ class StageRunner:
                                 gmsg = F.lit(
                                     'unsupported operand type(s) for {}: '
                                     "'{}' and 'str'".format(opm, fname))
-                                comp.add_guard_probe(df, [(gfire, gmsg)])
+                                pairs = [(gfire, gmsg)]
+                                if agg.kind != 'median' and \
+                                        not _proven_null_free(agg.arg_text):
+                                    # a null cell raises at the SAME spot
+                                    # (accumulator {opm} None) — the probe
+                                    # pair lets the resolver pick whichever
+                                    # failure is FIRST in stream order
+                                    nword = 'int' if (frow is None
+                                                      or frow['fk'] is None) \
+                                        else fname
+                                    pairs.append((raw.isNull(), F.lit(
+                                        'unsupported operand type(s) for {}: '
+                                        "'{}' and 'NoneType'".format(
+                                            opm, nword))))
+                                comp.add_guard_probe(df, pairs)
                         if agg.kind in ('sum', 'min', 'max') and tag == 'str':
                             # NumHandler int-preservation: SUM/MIN/MAX over
                             # all-int strings yield ints (rbql_engine.py:293-314).
@@ -1706,9 +1821,16 @@ class StageRunner:
                                 is_int = F.lit(mixed_flip_nr is None)
                             else:
                                 # raw path: values keep their kinds —
-                                # a float cell makes the result float
+                                # a float cell makes the result float.
+                                # PER GROUP: NumHandler.parse leaves raw
+                                # values untouched (first value non-str
+                                # disables parsing), so each group's sum
+                                # is int iff ITS cells are — unlike the
+                                # parse path, where is_int is one global
+                                # bit per aggregator
                                 is_int = F.col(argcol).isNull() | \
                                     k.isin(K_INT, K_BOOL, K_BIGINT)
+                                per_group_int_flags.add(out_name)
                             flag = '__intish_{}'.format(j)
                             agg_exprs.append(F.min(is_int.cast('int')).alias(flag))
                             int_flags[out_name] = flag
@@ -1732,11 +1854,23 @@ class StageRunner:
                                     # "unset" sentinel; a None AFTER a
                                     # value raises — same group guards as
                                     # plain columns (struct isNull works)
+                                    from .mixedcell import (
+                                        K_BOOL as _KB, K_FLOAT as _KF3,
+                                        K_STR as _KS3,
+                                    )
+                                    _kk = raw.getField('k')
+                                    kind_word = (
+                                        F.when(_kk == F.lit(_KS3), F.lit('str'))
+                                         .when(_kk == F.lit(_KF3), F.lit('float'))
+                                         .when(_kk == F.lit(_KB), F.lit('bool'))
+                                         .otherwise(F.lit('int')))
                                     gaggs2, wrap = null_group_guards(
                                         agg.kind, raw, nr, rec_of,
                                         '__ng_{}'.format(j),
                                         shared_names=null_guard_shared.get(
-                                            agg.arg_text))
+                                            agg.arg_text),
+                                        with_marker=not dense,
+                                        word_col=kind_word)
                                     null_guard_shared[agg.arg_text] = \
                                         wrap.guard_names
                                     agg_exprs.extend(gaggs2)
@@ -1748,13 +1882,28 @@ class StageRunner:
                             arg = mixed_raw_guard(agg.kind, raw, nr_err,
                                                   first_name)
                             if not _proven_null_free(agg.arg_text):
+                                # accumulator word: int-0 until the first
+                                # value lands, then the first value's kind
+                                nword = 'int' if fk is None else first_name
                                 arg = null_arg_guard(agg.kind, raw, arg,
-                                                     'int', nr_err)
+                                                     nword, nr_err)
                             agg_exprs.append(
                                 spark_agg_expr(agg.kind, arg, nr, out_name))
                             continue
-                        arg, _t = numeric_coerce(arg, tag, nr_err,
-                                                 dialect=self.options.dialect)
+                        if tag == 'bool' and self.options.dialect != 'js' \
+                                and agg.kind in ('min', 'max'):
+                            # raw path: Python max(True, False) IS a bool
+                            # (False < True, same order Spark uses) — the
+                            # old double coercion returned 1.0/0.0
+                            _t = 'bool'
+                        elif tag == 'bool' and self.options.dialect != 'js' \
+                                and agg.kind == 'sum':
+                            # int-0 accumulator: 0 + True + False = 1 (int)
+                            arg = arg.cast('long')
+                            _t = 'int'
+                        else:
+                            arg, _t = numeric_coerce(
+                                arg, tag, nr_err, dialect=self.options.dialect)
                         if tag == 'mixed' and mixed_first_str and \
                                 agg.kind in ('sum', 'min', 'max') and \
                                 self.options.dialect != 'js':
@@ -1787,6 +1936,25 @@ class StageRunner:
                         if _proven_null_free(agg.arg_text) or \
                                 self.options.dialect == 'js':
                             pass  # null-free, or js coerced nulls to 0
+                        elif agg.kind == 'sum' and tag not in ('str', 'mixed'):
+                            # group-level guard: the operand word is the
+                            # accumulator's type at the group's first null
+                            # ('int' until a value lands, then the column
+                            # kind) — the arg-level guard could only name
+                            # the column kind
+                            dense = getattr(self, '_nr_dense', False)
+                            rec_of = (lambda o: o) if dense \
+                                else (lambda o: (o % F.lit(1 << 33)) + 1)
+                            gaggs, wrap = null_group_guards(
+                                'sum', raw, nr, rec_of,
+                                '__ng_{}'.format(j),
+                                shared_names=null_guard_shared.get(
+                                    agg.arg_text),
+                                with_marker=not dense)
+                            null_guard_shared[agg.arg_text] = \
+                                wrap.guard_names
+                            agg_exprs.extend(gaggs)
+                            null_wraps[out_name] = (wrap, tag)
                         elif agg.kind in ('sum', 'avg', 'variance'):
                             arg = null_arg_guard(agg.kind, raw, arg, tag,
                                                  nr_err)
@@ -1798,11 +1966,31 @@ class StageRunner:
                                 agg.kind, raw, nr, rec_of,
                                 '__ng_{}'.format(j),
                                 shared_names=null_guard_shared.get(
-                                    agg.arg_text))
+                                    agg.arg_text),
+                                with_marker=not dense)
                             null_guard_shared[agg.arg_text] = \
                                 wrap.guard_names
                             agg_exprs.extend(gaggs)
                             null_wraps[out_name] = (wrap, tag)
+                        if agg.kind in ('min', 'max') and _t == 'float':
+                            # NaN never wins a Python comparison chain:
+                            # the reference's MIN/MAX is nan IFF the
+                            # group's FIRST value is nan, later nans are
+                            # ignored.  rbql-js uses Math.min/max, where
+                            # ANY nan poisons the result.  Spark orders
+                            # NaN greatest — neither semantic — so
+                            # exclude nans from the extremum and override
+                            # from a flag at finalize.
+                            isn = F.coalesce(F.isnan(arg), F.lit(False))
+                            flag = '__nanf_{}'.format(j)
+                            if self.options.dialect == 'js':
+                                agg_exprs.append(F.max(isn).alias(flag))
+                            else:
+                                agg_exprs.append(F.min_by(
+                                    isn, F.when(arg.isNotNull(), nr)
+                                ).alias(flag))
+                            arg = F.when(~isn, arg)
+                            nan_overrides[out_name] = flag
                 agg_exprs.append(spark_agg_expr(agg.kind, arg, nr, out_name))
                 if agg.kind == 'array_agg' and agg.post_proc_text is not None:
                     post_procs.append((out_name, agg.post_proc_text))
@@ -1818,18 +2006,31 @@ class StageRunner:
         # Group by the canonical form, carry the first-seen raw cell as
         # the output representative (r14 verdict #1).
         key_schema = {f.name: f.dataType for f in df.schema.fields}
+        from pyspark.sql import types as _T
+        if any(isinstance(key_schema.get(c), _T.ArrayType) for c in key_cols):
+            # reference keys its aggregation dict with the key tuple — a
+            # list-valued key raises at the first record inserted
+            hit = df.agg(F.min(nr)).collect()[0][0]
+            if hit is not None:
+                raise RbqlRuntimeError(
+                    "At record {}, Details: unhashable type: 'list'".format(
+                        self._exact_record(int(hit), df)))
         from .mixedcell import is_mixed_type as _imx
         mixed_key_cols = [c for c in key_cols
                           if c in key_schema and _imx(key_schema[c])]
         if mixed_key_cols:
-            from .mixedcell import join_canon_col
+            from .mixedcell import join_canon_col, nan_unique_canon
             gb = []
             for c in key_cols:
                 if c in mixed_key_cols:
-                    gb.append(join_canon_col(
+                    canon = join_canon_col(
                         F.col(c), 'mixed',
-                        bool_distinct=self.options.dialect == 'js'
-                    ).alias('__kc_{}'.format(c)))
+                        bool_distinct=self.options.dialect == 'js')
+                    if self.options.dialect != 'js':
+                        # Python dict keys: independent nan objects never
+                        # collide — every nan row is its own group
+                        canon = nan_unique_canon(canon, F.col(c), nr)
+                    gb.append(canon.alias('__kc_{}'.format(c)))
                 else:
                     gb.append(F.col(c))
             for c in mixed_key_cols:
@@ -1871,15 +2072,33 @@ class StageRunner:
                 renamed['__out_{}'.format(j)] = base
             elif out_name in null_wraps:
                 wrap, wtag = null_wraps[out_name]
-                renamed['__out_{}'.format(j)] = wrap(F.col(out_name), wtag)
+                base = F.col(out_name)
+                if out_name in nan_overrides:
+                    # under the wrap: a group with BOTH a guarded null
+                    # and a leading nan still raises like the reference
+                    base = F.when(F.coalesce(F.col(nan_overrides[out_name]),
+                                             F.lit(False)),
+                                  F.lit(float('nan'))).otherwise(base)
+                renamed['__out_{}'.format(j)] = wrap(base, wtag)
+            elif out_name in nan_overrides:
+                renamed['__out_{}'.format(j)] = F.when(
+                    F.coalesce(F.col(nan_overrides[out_name]), F.lit(False)),
+                    F.lit(float('nan'))).otherwise(F.col(out_name))
             else:
                 renamed['__out_{}'.format(j)] = F.col(out_name)
             if out_name in int_flags:
-                # NumHandler's int-detection is per-aggregator (global
-                # across groups): a single float anywhere demotes the whole
-                # column — min over the (small) aggregated frame
-                gw = Window.partitionBy(F.lit(1))
-                renamed['__flag_{}'.format(j)] = F.min(F.col(int_flags[out_name])).over(gw)
+                if out_name in per_group_int_flags:
+                    # raw-path mixed cells keep their kinds: each group's
+                    # int-ness is its own (an all-int group sums to int
+                    # even when another group holds floats)
+                    renamed['__flag_{}'.format(j)] = F.col(int_flags[out_name])
+                else:
+                    # parse path: NumHandler's int-detection is
+                    # per-aggregator (global across groups): a single
+                    # float anywhere demotes the whole column — min over
+                    # the (small) aggregated frame
+                    gw = Window.partitionBy(F.lit(1))
+                    renamed['__flag_{}'.format(j)] = F.min(F.col(int_flags[out_name])).over(gw)
                 final_flags['__out_{}'.format(j)] = '__flag_{}'.format(j)
         grouped = grouped.withColumns(renamed)
         if mixed_key_cols:

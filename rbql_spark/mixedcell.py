@@ -49,6 +49,16 @@ MIXED_STRUCT = T.StructType([
 _FIELD_NAMES = ('s', 'n', 'k')
 
 
+def norm_n(cell: Column) -> Column:
+    """The ``n`` field with the Arrow NaN→null round-trip undone: a
+    float-kind cell whose ``n`` is null WAS nan (pandas→Arrow transfer
+    inside a hosted pass writes NaN as null; genuinely null cells are
+    null STRUCTS, so the shape is unambiguous)."""
+    n = cell.getField('n')
+    return F.when((cell.getField('k') == F.lit(K_FLOAT)) & n.isNull(),
+                  F.lit(float('nan'))).otherwise(n)
+
+
 def is_mixed_type(dt: T.DataType) -> bool:
     return (isinstance(dt, T.StructType)
             and tuple(f.name for f in dt.fields) == _FIELD_NAMES
@@ -104,6 +114,11 @@ def unpack_value(cell):
         return int(s)
     if k == K_BOOL:
         return bool(n)
+    if n is None:
+        # a float-kind cell with null n WAS nan: pandas→Arrow transfer
+        # inside a hosted pass converts NaN to null (null CELLS are null
+        # structs, so this is unambiguous)
+        return float('nan')
     return float(n)
 
 
@@ -182,7 +197,7 @@ def join_canon_col(col: Column, tag: str, bool_distinct: bool = False) -> Column
                                  F.lit(None).cast('double').alias('kn')))
                   .when(k == K_BIGINT, big_canon)
                   .otherwise(F.struct(F.lit(None).cast('string').alias('ks'),
-                                      col.getField('n').alias('kn'))))
+                                      norm_n(col).alias('kn'))))
         if bool_distinct:
             # 'b' in ks with kn populated cannot collide with strings
             # (their kn is null) or plain numbers (their ks is null)
@@ -194,7 +209,7 @@ def join_canon_col(col: Column, tag: str, bool_distinct: bool = False) -> Column
                             F.struct(F.lit('b').alias('ks'),
                                      col.getField('n').alias('kn')))
                       .otherwise(F.struct(F.lit(None).cast('string').alias('ks'),
-                                          col.getField('n').alias('kn'))))
+                                          norm_n(col).alias('kn'))))
         return F.when(col.isNull(), null_canon).otherwise(canon)
     if tag == 'str':
         canon = F.struct(col.alias('ks'), F.lit(None).cast('double').alias('kn'))
@@ -221,6 +236,25 @@ def join_canon_col(col: Column, tag: str, bool_distinct: bool = False) -> Column
     return F.when(col.isNull(), null_canon).otherwise(canon)
 
 
+def nan_unique_canon(canon: Column, cell: Column, uniq: Column) -> Column:
+    """Python dict/set key semantics for nan cells: two independently
+    created float('nan') objects never compare equal, so each nan cell
+    is its OWN key — GROUP BY yields one group per nan row, DISTINCT
+    keeps every nan row, a nan join key matches nothing.  (JS Maps use
+    SameValueZero, which collapses NaN — the js dialect keeps the plain
+    canon.)  ``uniq`` is any per-row/per-side unique column (NR with a
+    side prefix).  Same-OBJECT nan cells (the user passing one float
+    around) would collapse in the reference; object identity does not
+    survive serialization, documented in README."""
+    k = cell.getField('k')
+    isnan_cell = cell.isNotNull() & (k != F.lit(K_STR)) & \
+        F.coalesce(F.isnan(norm_n(cell)), F.lit(False))
+    uniq_canon = F.struct(
+        F.concat(F.lit('nan#'), uniq.cast('string')).alias('ks'),
+        F.lit(0.0).alias('kn'))
+    return F.when(isnan_cell, uniq_canon).otherwise(canon)
+
+
 def render_col(col: Column) -> Column:
     """Reference writer stringification of a mixed cell (py dialect
     str(v)): int without '.0', float via double rendering, bool
@@ -233,4 +267,8 @@ def render_col(col: Column) -> Column:
              .when(k == K_BIGINT, col.getField('s'))
              .when(k == K_INT, n.cast('long').cast('string'))
              .when(k == K_BOOL, F.when(n != 0, F.lit('True')).otherwise(F.lit('False')))
+             # Python str(nan) renders 'nan' (Spark's double cast says
+             # 'NaN'); a null n on a float kind was nan before the
+             # Arrow round-trip
+             .when((k == K_FLOAT) & (n.isNull() | F.isnan(n)), F.lit('nan'))
              .otherwise(n.cast('string')))

@@ -156,15 +156,26 @@ def _infer_spark_type(values: list) -> T.DataType:
     """Merge python sample values into one Spark type (coercion-friendly)."""
     has = set()
     elem_values: list = []
+    huge_int = False
+    big53 = False
+    has_nan = False
+    has_null = False
     for v in values:
         if v is None or v is _JS_UNDEF:
+            has_null = True
             continue
         if isinstance(v, bool):
             has.add('bool')
         elif isinstance(v, int):
             has.add('int')
+            if v > 0x7FFFFFFFFFFFFFFF or v < -0x8000000000000000:
+                huge_int = True
+            elif v > 2 ** 53 or v < -(2 ** 53):
+                big53 = True
         elif isinstance(v, float):
             has.add('float')
+            if v != v:
+                has_nan = True
         elif isinstance(v, str):
             has.add('str')
         elif isinstance(v, _dt.datetime):
@@ -181,8 +192,24 @@ def _infer_spark_type(values: list) -> T.DataType:
     if has == {'bool'}:
         return T.BooleanType()
     if has == {'int'}:
+        if huge_int or (big53 and has_null):
+            # beyond int64 LongType cannot hold the value at all; a
+            # NULLABLE long with |v| > 2^53 would round inside any
+            # Arrow-batched hosted pass (pandas carries nullable ints as
+            # float64) — the tagged cell's bigint kind carries exact
+            # decimal text in both cases
+            from .mixedcell import MIXED_STRUCT
+            return MIXED_STRUCT
         return T.LongType()
     if has == {'float'}:
+        if has_nan:
+            # a plain double column cannot tell a real nan cell from a
+            # null one on the Arrow-batched hosted path (pandas floats
+            # carry both as NaN) — the tagged cell keeps them distinct,
+            # so str(nan) renders 'nan' and None stays None, like the
+            # reference's real-Python cells
+            from .mixedcell import MIXED_STRUCT
+            return MIXED_STRUCT
         return T.DoubleType()
     if has == {'str'}:
         return T.StringType()

@@ -13,30 +13,50 @@ from pyspark.sql import SparkSession
 from ..binding import TableHandle
 
 
+def _py_cell(v):
+    """numpy scalar → plain Python value (itertuples yields np.int64 /
+    np.float64); NaN stays a real float nan — the reference's
+    DataframeIterator hands nan cells to expressions as nan, never None
+    (rbql_pandas.py:20-27 itertuples)."""
+    if v is None or isinstance(v, (str, bytes)):
+        return v
+    if hasattr(v, 'item'):
+        try:
+            return v.item()
+        except (ValueError, AttributeError):
+            return v
+    return v
+
+
 def _pdf_to_handle(spark: SparkSession, pdf) -> TableHandle:
     import pandas as pd
     headerless = isinstance(pdf.columns, pd.RangeIndex)
     names = ['_c{}'.format(i) for i in range(len(pdf.columns))] if headerless \
         else [str(c) for c in pdf.columns]
-    # an object column mixing numbers and strings needs the tagged-cell
-    # representation (mixedcell.py) — route through the 2D-array ingest,
-    # which detects and packs mixed columns per cell; homogeneous frames
-    # keep the direct arrow path and today's plans
-    if any(pdf[c].dtype == object for c in pdf.columns):
+    # Two shapes need the row-wise 2D-array ingest instead of the direct
+    # arrow path: (1) an object column mixing numbers and strings (the
+    # tagged-cell representation, mixedcell.py); (2) a float column with
+    # NaN cells — arrow ingestion would turn NaN into null, but the
+    # reference's itertuples yields real nan floats (str(nan) renders
+    # 'nan', not 'None').  Homogeneous NaN-free frames keep the direct
+    # path and today's plans.
+    route_rows = any(getattr(pdf[c].dtype, 'kind', '') == 'f'
+                     and pdf[c].isna().any() for c in pdf.columns)
+    if not route_rows and any(pdf[c].dtype == object for c in pdf.columns):
         from ..mixedcell import is_mixed_type
         from ..pyeval import _infer_spark_type
         for c in pdf.columns:
             if pdf[c].dtype != object:
                 continue
-            vals = [None if v is None or (isinstance(v, float) and v != v)
-                    else v for v in pdf[c].tolist()]
+            vals = [v for v in pdf[c].tolist()]
             if is_mixed_type(_infer_spark_type(vals)):
-                from ..api import _rows_to_handle
-                rows = [[None if (isinstance(v, float) and v != v) else v
-                         for v in row]
-                        for row in pdf.itertuples(index=False, name=None)]
-                return _rows_to_handle(spark, rows,
-                                       None if headerless else names)
+                route_rows = True
+                break
+    if route_rows:
+        from ..api import _rows_to_handle
+        rows = [[_py_cell(v) for v in row]
+                for row in pdf.itertuples(index=False, name=None)]
+        return _rows_to_handle(spark, rows, None if headerless else names)
     sdf = spark.createDataFrame(pdf.rename(columns=dict(zip(pdf.columns, names))))
     return TableHandle(df=sdf, header=None if headerless else names)
 

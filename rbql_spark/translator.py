@@ -267,9 +267,17 @@ class ExpressionTranslator:
             test = self._predicate(node.test)
             body = self._expr(node.body)
             orelse = self._expr(node.orelse)
+            if (_is_num(body.tag) and _is_num(orelse.tag)
+                    and body.tag != orelse.tag):
+                # branches of different numeric kinds: the reference keeps
+                # the taken branch's RUNTIME type per cell (`a1 if c else
+                # 2.5` can yield int 4); a merged double column would
+                # render it 4.0 — punt to the Python evaluator, whose
+                # inference now carries int/float mixes as tagged cells
+                raise TranslationFallback('int/float-mixed conditional')
             tag = body.tag if body.tag == orelse.tag else (
-                _merge_num(body.tag, orelse.tag) if _is_num(body.tag) and _is_num(orelse.tag)
-                else (body.tag if orelse.tag == 'null' else (orelse.tag if body.tag == 'null' else None)))
+                body.tag if orelse.tag == 'null'
+                else (orelse.tag if body.tag == 'null' else None))
             if tag is None:
                 raise TranslationFallback('mixed-type conditional')
             return TCol(F.when(test, body.col).otherwise(orelse.col), tag)
@@ -282,7 +290,10 @@ class ExpressionTranslator:
             tags = {e.tag for e in elems}
             if tags <= {'str', 'null'}:
                 return TCol(F.array(*[e.col for e in elems]), 'array:str')
-            if tags <= set(_NUM):
+            if tags == {'int'}:
+                # keep ints ints: the reference renders [1, 2], not [1.0, 2.0]
+                return TCol(F.array(*[e.col.cast('long') for e in elems]), 'array:int')
+            if tags == {'float'}:
                 return TCol(F.array(*[e.col.cast('double') for e in elems]), 'array:float')
             raise TranslationFallback('heterogeneous collection literal')
         if isinstance(node, ast.Subscript):

@@ -287,3 +287,71 @@ def test_int_float_mixture_keeps_per_cell_types(spark):
     rows, _ = query_table(spark, 'SELECT a1, COUNT(*) AS c GROUP BY a1',
                           [[1.5], [7], [7.0], [7]])
     assert rows == [[1.5, 1], [7, 3]]
+
+
+def test_nan_cells_roundtrip_and_render(spark):
+    # reference cells hold real float('nan'): str() renders 'nan', the
+    # value collects as nan (pre-r16 both degraded to None)
+    rows, _ = query_table(spark, 'SELECT a1, str(a1)', [[float('nan')], [9.0]])
+    assert rows[0][0] != rows[0][0] and rows[0][1] == 'nan'
+    assert rows[1] == [9.0, '9.0']
+
+
+def test_nan_minmax_first_value_rule(spark):
+    # Python's min/max chain: nan wins only from the FIRST slot
+    rows, _ = query_table(spark, 'SELECT MAX(a1) AS m', [[float('nan')], [9.0]])
+    assert rows[0][0] != rows[0][0]
+    rows, _ = query_table(spark, 'SELECT MAX(a1) AS m', [[9.0], [float('nan')]])
+    assert rows == [[9.0]]
+    rows, _ = query_table(spark, 'SELECT MIN(a1) AS m', [[9.0], [float('nan')], [2.0]])
+    assert rows == [[2.0]]
+
+
+def test_nan_group_keys_stay_distinct(spark):
+    # independent float('nan') objects never equal under Python dict keys
+    rows, _ = query_table(spark, 'SELECT a1, COUNT(*) AS c GROUP BY a1',
+                          [[float('nan')], [float('nan')], [2.0]])
+    assert sorted(r[1] for r in rows) == [1, 1, 1]
+
+
+def test_nan_join_key_matches_nothing(spark):
+    rows, _ = query_table(
+        spark, 'SELECT a1, b2 LEFT JOIN b ON a1 == b1',
+        [[float('nan')], ['x']],
+        join_table=[[float('nan'), 'hit'], ['x', 'sx']])
+    assert rows[0][1] is None and rows[1][1] == 'sx'
+
+
+def test_raw_mixed_sum_int_preservation_is_per_group(spark):
+    # group 'delta' holds only ints → int sum, even though another
+    # group's cells are floats (NumHandler raw path keeps cell kinds)
+    rows, _ = query_table(
+        spark, 'SELECT a2, SUM(a1) AS s GROUP BY a2',
+        [[72, 'delta'], [1.5, 'x'], [2, 'x']])
+    by_key = {r[0]: r[1] for r in rows}
+    assert by_key['delta'] == 72 and type(by_key['delta']) is int
+    assert by_key['x'] == 3.5
+
+
+def test_unhashable_list_distinct_and_group(spark):
+    from rbql_spark.errors import RbqlRuntimeError
+    with pytest.raises(RbqlRuntimeError, match=r"At record 1, Details: unhashable type: 'list'"):
+        query_table(spark, 'SELECT DISTINCT [a1, a1 + 1]', [[1], [2]])
+    with pytest.raises(RbqlRuntimeError, match=r"^unhashable type: 'list'"):
+        query_table(spark, 'SELECT DISTINCT [a1] ORDER BY a1', [[1], [2]])
+    # WHERE shifts the blamed record to the first SURVIVING input row
+    with pytest.raises(RbqlRuntimeError, match=r"At record 2, "):
+        query_table(spark, 'SELECT DISTINCT [a1, a1 + 1] WHERE a1 > 1', [[1], [2]])
+    # empty result: the writer is never touched — succeeds
+    rows, _ = query_table(spark, 'SELECT DISTINCT [a1] WHERE a1 > 99', [[1], [2]])
+    assert rows == []
+
+
+def test_sum_null_operand_word_tracks_accumulator(spark):
+    from rbql_spark.errors import RbqlRuntimeError
+    # null BEFORE any value: the int-0 initializer is the left operand
+    with pytest.raises(RbqlRuntimeError, match=r"\+=: 'int' and 'NoneType'"):
+        query_table(spark, 'SELECT SUM(a1)', [[None], [1.5]])
+    # null AFTER a float landed: the accumulator drifted to float
+    with pytest.raises(RbqlRuntimeError, match=r"\+=: 'float' and 'NoneType'"):
+        query_table(spark, 'SELECT SUM(a1)', [[1.5], [None]])
