@@ -206,20 +206,12 @@ def null_arg_guard(kind: str, raw: Column, coerced: Column, tag: str,
     (None doubles as the reference's "unset" sentinel) and are handled
     group-level in the engine (null_group_guards).
 
-    Message text is the reference's for the common shapes; the operand
-    TYPE word comes from the column tag ('int' unless the tag is
-    float), which matches except when a float column's very first
-    record is the null (the reference's int-0 initializer wins there).
-    Further message-text-only divergences (outcome parity fuzz-pinned;
-    round-12 advisory): when a group's FIRST value is the None,
-    the reference's Avg/Variance store it silently and raise at the
-    NEXT record with reversed operands ("'NoneType' and 'float'") — or
-    at finalize (a float(None) message) for a lone trailing-null group —
-    while this guard raises at the null record with "'<t>' and
-    'NoneType'"; MEDIAN's all-null multi-row group reports
-    "'NoneType' and '<t>'" where the reference says "'NoneType' and
-    'NoneType'".  The differential fuzz asserts outcome + NoneType
-    marker only, by design.
+    As of round 16 this arg-level guard serves only the parse paths
+    (str/mixed-parse tags); plain and raw-mixed sum/avg/variance route
+    through null_group_guards, which reproduces the reference's
+    accumulator accidents (Avg's second-row reversed operands,
+    Variance's ** message, Sum's running-accumulator word, Median's
+    sort-order operand words incl. all-null groups) exactly.
     """
     t = 'float' if tag == 'float' else 'int'
     if tag in ('str', 'mixed'):
@@ -274,19 +266,21 @@ def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
         # another aggregate over the SAME argument column already emitted
         # the buffers — reuse them (MIN+MAX+MEDIAN of one column would
         # otherwise triple the guard cost)
-        g_null_min, g_null_max, g_nn_min, g_cnt = shared_names
+        g_null_min, g_null_max, g_nn_min, g_cnt, g_nnl = shared_names
         aggs: list[Column] = []
     else:
         g_null_min = '{}_nl'.format(prefix)
         g_null_max = '{}_nh'.format(prefix)
         g_nn_min = '{}_fv'.format(prefix)
         g_cnt = '{}_ct'.format(prefix)
+        g_nnl = '{}_nc'.format(prefix)
         null_ord = F.when(raw.isNull(), nr)
         aggs = [
             F.min(null_ord).alias(g_null_min),
             F.max(null_ord).alias(g_null_max),
             F.min(F.when(raw.isNotNull(), nr)).alias(g_nn_min),
             F.count(F.lit(1)).alias(g_cnt),
+            F.sum(raw.isNull().cast('long')).alias(g_nnl),
         ]
     g_word = None
     if word_col is not None:
@@ -330,9 +324,13 @@ def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
             # accumulator's type THERE — still 'int' when no value
             # preceded the null in the group, else the column's kind
             cond = F.col(g_null_min).isNotNull()
+            # the int-0 initializer absorbs bools/ints; only floats
+            # drift the accumulator
+            acc = F.when(word == F.lit('float'), F.lit('float')) \
+                   .otherwise(F.lit('int'))
             word = F.when(F.col(g_nn_min).isNull()
                           | (F.col(g_null_min) < F.col(g_nn_min)),
-                          F.lit('int')).otherwise(F.lit(t))
+                          F.lit('int')).otherwise(acc)
             parts = [F.lit('At record '),
                      rec_of(F.col(g_null_min)).cast('string'),
                      F.lit(", Details: unsupported operand type(s) "
@@ -345,18 +343,75 @@ def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
                           F.col(g_null_min).cast('string'), F.lit('__')]
             msg = F.concat(*parts)
             return F.when(cond, F.raise_error(msg)).otherwise(out)
+        if kind in ('avg', 'variance'):
+            # Avg stores the FIRST value raw (even None) and fails on
+            # the addition at the SECOND row; Variance squares the first
+            # value immediately, so a null-first group fails right there
+            # with the ** message (rbql_engine.py:376-409)
+            def _with_rec(raw_rec: Column, body: Column) -> Column:
+                parts = [F.lit('At record '),
+                         rec_of(raw_rec).cast('string'),
+                         F.lit(', Details: unsupported operand type(s) '
+                               'for '), body]
+                if with_marker:
+                    parts += [F.lit('\n__RBQL_SURR_'),
+                              raw_rec.cast('string'), F.lit('__')]
+                return F.concat(*parts)
+            null_first = F.col(g_nn_min).isNull() | \
+                (F.col(g_null_min) < F.col(g_nn_min))
+            cond = F.col(g_null_min).isNotNull()
+            if kind == 'variance':
+                msg = F.when(
+                    null_first,
+                    _with_rec(F.col(g_null_min),
+                              F.lit("** or pow(): 'NoneType' and 'int'"))
+                ).otherwise(
+                    _with_rec(F.col(g_null_min),
+                              F.concat(F.lit("+: '"), word,
+                                       F.lit("' and 'NoneType'"))))
+                return F.when(cond, F.raise_error(msg)).otherwise(out)
+            # avg
+            lone = null_first & (F.col(g_cnt) == 1)
+            # null-first with ≥2 rows: the failure is at the group's
+            # SECOND row — exact when it is the first value (one null)
+            # or the last null (two-null prefix); ≥3 leading nulls blame
+            # a later null (README residual).  The second-null candidate
+            # exists only when the group holds ≥2 nulls (the first null
+            # IS the leading row here).
+            cand_null = F.when(F.col(g_nnl) >= 2, F.col(g_null_max))
+            rec2 = F.when(cand_null.isNull(), F.col(g_nn_min)) \
+                    .when(F.col(g_nn_min).isNull(), cand_null) \
+                    .otherwise(F.least(F.col(g_nn_min), cand_null))
+            word2 = F.when(rec2 == F.col(g_nn_min), word) \
+                     .otherwise(F.lit('NoneType'))
+            msg = F.when(
+                ~null_first,
+                _with_rec(F.col(g_null_min),
+                          F.concat(F.lit("+: '"), word,
+                                   F.lit("' and 'NoneType'")))
+            ).otherwise(
+                _with_rec(rec2,
+                          F.concat(F.lit("+: 'NoneType' and '"), word2,
+                                   F.lit("'"))))
+            lone_msg = F.lit('float() argument must be a string or a '
+                             "real number, not 'NoneType'")
+            return (F.when(lone, F.raise_error(lone_msg))
+                     .when(cond, F.raise_error(msg)).otherwise(out))
         if kind == 'median':
             # list.sort compares NoneType-vs-t or t-vs-NoneType depending
             # on which sorts first — null-first groups report the
-            # reversed operand order, exactly like the reference
+            # reversed operand order, exactly like the reference; an
+            # all-null multi-row group compares None to None
+            vword = F.when(F.col(g_nn_min).isNull(), F.lit('NoneType')) \
+                     .otherwise(word)
             cond = F.col(g_null_min).isNotNull() & (F.col(g_cnt) > 1)
             msg = F.when(
                 F.col(g_nn_min).isNull() | (F.col(g_null_min) < F.col(g_nn_min)),
-                F.lit("'<' not supported between instances of "
-                      "'{}' and 'NoneType'".format(t))
+                F.concat(F.lit("'<' not supported between instances of '"),
+                         vword, F.lit("' and 'NoneType'"))
             ).otherwise(
-                F.lit("'<' not supported between instances of "
-                      "'NoneType' and '{}'".format(t)))
+                F.concat(F.lit("'<' not supported between instances of "
+                               "'NoneType' and '"), vword, F.lit("'")))
             return F.when(cond, F.raise_error(msg)).otherwise(out)
         op = '<' if kind == 'min' else '>'
         cond = (F.col(g_null_max).isNotNull()
@@ -376,7 +431,7 @@ def null_group_guards(kind: str, raw: Column, nr: Column, rec_of,
         msg = F.concat(*parts)
         return F.when(cond, F.raise_error(msg)).otherwise(out)
 
-    wrap.guard_names = (g_null_min, g_null_max, g_nn_min, g_cnt)
+    wrap.guard_names = (g_null_min, g_null_max, g_nn_min, g_cnt, g_nnl)
     return aggs, wrap
 
 
@@ -525,3 +580,217 @@ def spark_agg_expr(kind: str, arg: Column | None, nr: Column, out_name: str) -> 
         collected = F.collect_list(F.struct(nr.alias('n'), arg.alias('v')))
         return F.transform(F.array_sort(collected), lambda s: s['v']).alias(out_name)
     raise AssertionError(kind)
+
+
+def reference_agg_failure_probe(df, key_cols, argcol, kind, tag,
+                                nr_col, dialect='python'):
+    """ERROR-PATH first-failure probe: one window job simulating the
+    reference's sequential aggregator per group (NumHandler raw path,
+    rbql_engine.py:293-428) and returning ``(order surrogate of the
+    GLOBALLY-first failing record, its exact Details text)`` — or None
+    when no record-level failure exists (bare finalize failures keep
+    the in-plan guard's text).  Registered on StageResult's resolver
+    (engine._make_surrogate_resolver), so the job runs ONLY after an
+    error actually surfaced; the in-plan group guards stay the RAISERS
+    while this fixes per-group positional words, avg's second-row
+    blame, and the cross-group first-in-stream ordering that finalize
+    raises cannot see.
+
+    Known approximation (README): the running extremum/accumulator word
+    uses the group's first value's kind; int→float drift mid-group
+    before the failing row prints the first kind.  Mixed GROUP BY keys
+    partition by the raw canon here, not host equality — groups that
+    host-collapse (5 vs 5.0) may split, which can only make the probe
+    miss a failure (guard text then stands), never invent one."""
+    if dialect == 'js' or kind not in ('sum', 'avg', 'variance',
+                                      'min', 'max'):
+        return None
+    keys = list(key_cols or [])
+
+    def probe():
+        from pyspark.sql import Window
+        raw = F.col(argcol)
+        if tag == 'mixed':
+            from .mixedcell import K_BOOL, K_FLOAT, K_STR
+            kf = raw.getField('k')
+            kw_expr = (F.when(raw.isNull(), F.lit('NoneType'))
+                        .when(kf == F.lit(K_STR), F.lit('str'))
+                        .when(kf == F.lit(K_FLOAT), F.lit('float'))
+                        .when(kf == F.lit(K_BOOL), F.lit('bool'))
+                        .otherwise(F.lit('int')))
+        elif tag in ('int', 'float', 'bool'):
+            kw_expr = F.when(raw.isNull(), F.lit('NoneType')) \
+                       .otherwise(F.lit(tag))
+        else:
+            return None
+        gsel = ([F.col(c).alias('__g{}'.format(i))
+                 for i, c in enumerate(keys)]
+                or [F.lit(1).alias('__g0')])
+        sel = df.select(*gsel, F.col(nr_col).alias('__pnr'),
+                        kw_expr.alias('__kw'))
+        gcols = ['__g{}'.format(i) for i in range(max(len(keys), 1))]
+        w = Window.partitionBy(*gcols).orderBy('__pnr')
+        before = w.rowsBetween(Window.unboundedPreceding, -1)
+        kwc = F.col('__kw')
+        is_val = kwc != F.lit('NoneType')
+        rn = F.row_number().over(w)
+        first_kw = F.first(kwc).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        first_val_kw = F.first(F.when(is_val, kwc), ignorenulls=True) \
+                        .over(before)
+        vals_before = F.count(F.when(is_val, F.lit(1))).over(before)
+        floats_before = F.count(F.when(kwc == F.lit('float'), F.lit(1))) \
+                         .over(before)
+        strs_before = F.count(F.when(kwc == F.lit('str'), F.lit(1))) \
+                       .over(before)
+
+        def plus(op, a, b):
+            return F.concat(
+                F.lit('unsupported operand type(s) for {}: \''.format(op)),
+                a, F.lit("' and '"), b, F.lit("'"))
+
+        if kind == 'sum':
+            acc = F.when(floats_before > 0, F.lit('float')) \
+                   .otherwise(F.lit('int'))
+            fail = kwc.isin('NoneType', 'str')
+            msg = plus('+=', acc, kwc)
+        elif kind in ('avg', 'variance'):
+            num_acc = (F.when(vals_before == 1, first_val_kw)
+                        .when(floats_before > 0, F.lit('float'))
+                        .otherwise(F.lit('int')))
+            if kind == 'variance':
+                fail1 = (rn == 1) & kwc.isin('NoneType', 'str')
+                msg1 = F.concat(
+                    F.lit("unsupported operand type(s) for ** or pow(): '"),
+                    kwc, F.lit("' and 'int'"))
+                fail2 = (rn >= 2) & ~first_kw.isin('NoneType', 'str') & \
+                    kwc.isin('NoneType', 'str')
+                fail = fail1 | fail2
+                msg = F.when(fail1, msg1).otherwise(plus('+', num_acc, kwc))
+            else:
+                fail_nf = (rn == 2) & (first_kw == F.lit('NoneType'))
+                fail_sf = ((first_kw == F.lit('str')) & (rn >= 2)
+                           & (kwc != F.lit('str'))
+                           & (strs_before == rn - 1))
+                msg_sf = F.concat(F.lit('can only concatenate str (not "'),
+                                  kwc, F.lit('") to str'))
+                fail_vf = (rn >= 2) & ~first_kw.isin('NoneType', 'str') & \
+                    kwc.isin('NoneType', 'str')
+                fail = fail_nf | fail_sf | fail_vf
+                msg = (F.when(fail_nf, plus('+', F.lit('NoneType'), kwc))
+                        .when(fail_sf, msg_sf)
+                        .otherwise(plus('+', num_acc, kwc)))
+        else:  # min / max
+            op = '<' if kind == 'min' else '>'
+            acc = F.coalesce(first_val_kw, F.lit('int'))
+            cross = (((kwc == F.lit('str')) & (acc != F.lit('str')))
+                     | (is_val & (kwc != F.lit('str'))
+                        & (acc == F.lit('str'))))
+            fail = (vals_before >= 1) & \
+                ((kwc == F.lit('NoneType')) | cross)
+            msg = F.concat(
+                F.lit("'{}' not supported between instances of '".format(op)),
+                kwc, F.lit("' and '"), acc, F.lit("'"))
+        row = (sel.select('__pnr', fail.alias('__f'), msg.alias('__m'))
+                  .where(F.col('__f'))
+                  .agg(F.min('__pnr').alias('s'),
+                       F.min_by('__m', '__pnr').alias('m')).collect())
+        if not row or row[0]['s'] is None:
+            return None
+        return int(row[0]['s']), str(row[0]['m'])
+    return probe
+
+
+def avgvar_mixed_group_guards(kind, raw, nr, rec_of, prefix,
+                              with_marker=False):
+    """In-plan raise conditions for AVG/VARIANCE over a raw-path MIXED
+    argument (the reference's first-value-raw accumulators meet str and
+    None cells in every combination).  The raised text is approximate
+    where position matters — reference_agg_failure_probe rewrites it on
+    the error path — but the bare finalize shapes (lone-null avg,
+    all-str avg groups) carry their exact reference text directly,
+    record-free."""
+    from .mixedcell import K_STR
+    k = raw.getField('k')
+    kw = (F.when(raw.isNull(), F.lit('NoneType'))
+           .when(k == F.lit(K_STR), F.lit('str'))
+           .otherwise(F.lit('num')))
+    p = prefix
+    bad = raw.isNull() | (k == F.lit(K_STR))
+    aggs = [
+        F.count(F.lit(1)).alias(p + '_act'),
+        F.sum((kw == F.lit('str')).cast('long')).alias(p + '_ans'),
+        F.sum(raw.isNull().cast('long')).alias(p + '_ann'),
+        F.min_by(kw, nr).alias(p + '_afk'),
+        F.min(F.when(bad, nr)).alias(p + '_abn'),
+        F.min(F.when(raw.isNotNull() & (k != F.lit(K_STR)), nr))
+         .alias(p + '_avn'),
+        F.min(F.when(kw != F.lit('str'), nr)).alias(p + '_ansr'),
+        F.max(F.when(raw.isNull(), nr)).alias(p + '_anx'),
+        # all-str groups: the reference concatenates the cells and fails
+        # in float() at finalize, quoting the concatenation — rebuild it
+        # (group is degenerate/always-failing; reference holds the same
+        # string in memory)
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    k == F.lit(K_STR),
+                    F.struct(nr.alias('o'), raw.getField('s').alias('v'))))),
+                lambda x: x['v']), '').alias(p + '_acat'),
+    ]
+
+    def wrap(out: Column, tag: str) -> Column:
+        cnt = F.col(p + '_act')
+        n_str = F.col(p + '_ans')
+        n_null = F.col(p + '_ann')
+        first_kw = F.col(p + '_afk')
+        bad_nr = F.col(p + '_abn')
+        all_str = (n_str == cnt) & (cnt >= 1)
+        lone_null = (first_kw == F.lit('NoneType')) & (cnt == 1)
+        rec_fail = bad_nr.isNotNull() & ~(
+            (kind == 'avg') & (lone_null | all_str))
+        # avg: a clean leading-str prefix only fails when a non-str
+        # arrives; pure-str groups fail bare instead
+        if kind == 'avg':
+            rec_fail = bad_nr.isNotNull() & ~lone_null & ~all_str & ~(
+                (first_kw == F.lit('str')) & (n_str == cnt))
+        # the blamed record must never PRECEDE the reference's true
+        # failing row — the resolver's probe only overrides records
+        # <= the raised one.  str-first groups fail at the first
+        # non-str row; a leading None fails at the second row (bound
+        # above by min(first value, last null of a multi-null group));
+        # value-first groups fail at the first bad row exactly.
+        rec_raw = bad_nr
+        if kind == 'avg':
+            second_null = F.when(F.col(p + '_ann') >= 2, F.col(p + '_anx'))
+            rec_nf = F.when(second_null.isNull(), F.col(p + '_avn')) \
+                      .when(F.col(p + '_avn').isNull(), second_null) \
+                      .otherwise(F.least(F.col(p + '_avn'), second_null))
+            rec_raw = (F.when(first_kw == F.lit('NoneType'),
+                              F.coalesce(rec_nf, bad_nr))
+                        .when(first_kw == F.lit('str'),
+                              F.coalesce(F.col(p + '_ansr'), bad_nr))
+                        .otherwise(bad_nr))
+        parts = [F.lit('At record '), rec_of(rec_raw).cast('string'),
+                 F.lit(", Details: unsupported operand type(s) for "
+                       "{}: 'NoneType' and 'str'".format(
+                           '**' if kind == 'variance' else '+'))]
+        if with_marker:
+            parts += [F.lit('\n__RBQL_SURR_'), rec_raw.cast('string'),
+                      F.lit('__')]
+        approx_msg = F.concat(*parts)
+        lone_msg = F.lit('float() argument must be a string or a real '
+                         "number, not 'NoneType'")
+        cat_msg = F.concat(F.lit("could not convert string to float: '"),
+                           F.col(p + '_acat'), F.lit("'"))
+        if kind == 'variance':
+            # all-str / lone-null groups fail at their first row (**)
+            return F.when(F.col(p + '_abn').isNotNull(),
+                          F.raise_error(approx_msg)).otherwise(out)
+        return (F.when(lone_null, F.raise_error(lone_msg))
+                 .when(all_str, F.raise_error(cat_msg))
+                 .when(rec_fail, F.raise_error(approx_msg))
+                 .otherwise(out))
+
+    wrap.guard_names = None
+    return aggs, wrap

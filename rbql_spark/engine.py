@@ -268,7 +268,11 @@ def _make_surrogate_resolver(numbered_df: DataFrame, pre_filter_df, early_cond,
             if m is None:
                 continue
             s, msg = m
-            if int(s) <= best:
+            # a probe beats the caught surrogate at equality (its Details
+            # are the first failure's own text), but among PROBES the
+            # first registered wins ties — registration order is select
+            # order, the reference's within-record evaluation order
+            if int(s) < best or (int(s) == best and best_msg is None):
                 best, best_msg = int(s), msg
         r = int(numbered_df.where(F.col(NR_COL) <= F.lit(best)).count())
         if pre_filter_df is None or r == 0:
@@ -458,8 +462,8 @@ class _ExprComputer:
                 self._raise_unwrapped(e)
         if native:
             df = df.withColumns({name: tc.col for name, tc in native})
-            for pe in fallback:
-                tags[pe.out_col] = 'json' if pe.is_json else type_tag(pe.dtype)
+        for pe in fallback:
+            tags[pe.out_col] = 'json' if pe.is_json else type_tag(pe.dtype)
         return df, tags
 
     def predicate(self, df: DataFrame, text: str) -> tuple[DataFrame, Column]:
@@ -1653,6 +1657,24 @@ class StageRunner:
         nan_overrides: dict = {}         # agg-out col → first/any-nan flag col
         per_group_int_flags: set = set()  # raw-path mixed: int-ness per group
         first_null_probe: dict = {}      # argcol → first record's cell is null
+        parity_flags: dict = {}          # median out col → odd-count flag col
+        _probe_seen: set = set()
+
+        def _register_agg_probe(kind, argcol, tag, frame=None):
+            """Reference-simulation first-failure probe (aggregates.
+            reference_agg_failure_probe): exact per-group positional
+            error words + global in-stream ordering, evaluated only on
+            the error path."""
+            if (kind, argcol) in _probe_seen:
+                return
+            _probe_seen.add((kind, argcol))
+            from .aggregates import reference_agg_failure_probe
+            pr = reference_agg_failure_probe(
+                frame if frame is not None else df,
+                key_cols, argcol, kind, tag, NR_COL,
+                dialect=self.options.dialect)
+            if pr is not None:
+                comp.failure_probes.append(pr)
         mixed_finalizers: dict = {}      # agg-out col → (finalize_fn, rec_of)
         for j, (kind, payload) in enumerate(plan):
             if kind == 'key':
@@ -1768,33 +1790,22 @@ class StageRunner:
                                     F.lit('Unable to convert value "'),
                                     _s, F.lit(parse_body))
                                 comp.add_guard_probe(df, [(gfire, gmsg)])
-                            elif agg.kind in ('sum', 'avg', 'variance',
-                                              'median'):
+                            elif agg.kind == 'median':
+                                # raw-path median: a str cell raises in
+                                # the finalize sort; the row-level guard
+                                # text is the documented approximation —
+                                # sum/avg/variance are covered exactly by
+                                # the reference-simulation probe instead
                                 fk = frow['fk'] if frow else None
                                 from .mixedcell import K_FLOAT as _KF0
                                 fname = 'float' if fk == _KF0 else 'int'
-                                opm = '+=' if agg.kind == 'sum' else '+'
                                 gfire = raw.isNotNull() & \
                                     (raw.getField('k') == F.lit(4))
                                 gmsg = F.lit(
-                                    'unsupported operand type(s) for {}: '
-                                    "'{}' and 'str'".format(opm, fname))
-                                pairs = [(gfire, gmsg)]
-                                if agg.kind != 'median' and \
-                                        not _proven_null_free(agg.arg_text):
-                                    # a null cell raises at the SAME spot
-                                    # (accumulator {opm} None) — the probe
-                                    # pair lets the resolver pick whichever
-                                    # failure is FIRST in stream order
-                                    nword = 'int' if (frow is None
-                                                      or frow['fk'] is None) \
-                                        else fname
-                                    pairs.append((raw.isNull(), F.lit(
-                                        'unsupported operand type(s) for {}: '
-                                        "'{}' and 'NoneType'".format(
-                                            opm, nword))))
-                                comp.add_guard_probe(df, pairs)
-                        if agg.kind in ('sum', 'min', 'max') and tag == 'str':
+                                    'unsupported operand type(s) for +: '
+                                    "'{}' and 'str'".format(fname))
+                                comp.add_guard_probe(df, [(gfire, gmsg)])
+                        if agg.kind in ('sum', 'min', 'max', 'median') and tag == 'str':
                             # NumHandler int-preservation: SUM/MIN/MAX over
                             # all-int strings yield ints (rbql_engine.py:293-314).
                             # JS numbers have no int/float split — V8
@@ -1808,7 +1819,7 @@ class StageRunner:
                             flag = '__intish_{}'.format(j)
                             agg_exprs.append(F.min(is_int.cast('int')).alias(flag))
                             int_flags[out_name] = flag
-                        elif agg.kind in ('sum', 'min', 'max') and tag == 'mixed':
+                        elif agg.kind in ('sum', 'min', 'max', 'median') and tag == 'mixed':
                             from .mixedcell import K_BIGINT, K_BOOL, K_INT, K_STR
                             k = F.col(argcol).getField('k')
                             if self.options.dialect == 'js':
@@ -1834,6 +1845,28 @@ class StageRunner:
                             flag = '__intish_{}'.format(j)
                             agg_exprs.append(F.min(is_int.cast('int')).alias(flag))
                             int_flags[out_name] = flag
+                        elif agg.kind == 'median' and tag in ('int', 'float'):
+                            # MEDIAN of an odd-count int group is the
+                            # middle cell itself — an int
+                            # (rbql_engine.py:414-428); rbql-js renders
+                            # any integral number without '.0'
+                            if self.options.dialect == 'js' or tag == 'int':
+                                flag = '__intish_{}'.format(j)
+                                agg_exprs.append(
+                                    F.min(F.lit(1)).alias(flag))
+                                int_flags[out_name] = flag
+                                per_group_int_flags.add(out_name)
+                        if (agg.kind == 'median' and out_name in int_flags
+                                and self.options.dialect != 'js'):
+                            # even-count groups average the two middles —
+                            # a float even when integral; odd keeps the
+                            # middle cell's type
+                            par = '__odd_{}'.format(j)
+                            agg_exprs.append(
+                                ((F.sum(F.when(raw.isNotNull(), 1)
+                                        .otherwise(0)) % 2) == 1)
+                                .cast('int').alias(par))
+                            parity_flags[out_name] = par
                         if tag == 'mixed' and not mixed_first_str:
                             # raw-accumulation path
                             from .aggregates import (
@@ -1842,6 +1875,8 @@ class StageRunner:
                             rec_of = (lambda o: o) if dense \
                                 else (lambda o: (o % F.lit(1 << 33)) + 1)
                             if agg.kind in ('min', 'max'):
+                                _register_agg_probe(agg.kind, argcol,
+                                                    'mixed')
                                 gaggs, fin = mixed_minmax_exprs(
                                     agg.kind, raw, nr, '__mm_{}'.format(j))
                                 agg_exprs.extend(gaggs)
@@ -1878,15 +1913,66 @@ class StageRunner:
                                 continue
                             fk = frow['fk'] if frow else None
                             from .mixedcell import K_FLOAT as _KF
-                            first_name = 'float' if fk == _KF else 'int'
+                            from .mixedcell import (
+                                K_BOOL as _KBm, K_STR as _KSm, norm_n,
+                            )
+                            _register_agg_probe(agg.kind, argcol, 'mixed')
+                            if agg.kind in ('avg', 'variance'):
+                                # reference accumulators store the first
+                                # value RAW: strs concatenate until a
+                                # non-str arrives, a leading None fails
+                                # at the second row, variance squares
+                                # immediately — dedicated group guards
+                                # raise (always: any str/None group
+                                # fails somewhere), the registered probe
+                                # recovers the exact record + text
+                                from .aggregates import (
+                                    avgvar_mixed_group_guards)
+                                arg = F.when(
+                                    raw.isNotNull()
+                                    & (raw.getField('k') != F.lit(_KSm)),
+                                    norm_n(raw))
+                                gaggs3, wrap3 = avgvar_mixed_group_guards(
+                                    agg.kind, raw, nr, rec_of,
+                                    '__ng_{}'.format(j),
+                                    with_marker=not dense)
+                                agg_exprs.extend(gaggs3)
+                                null_wraps[out_name] = (wrap3, 'int')
+                                agg_exprs.append(
+                                    spark_agg_expr(agg.kind, arg, nr,
+                                                   out_name))
+                                continue
+                            if agg.kind == 'sum':
+                                # 0 += absorbs bools/ints into int
+                                first_name = 'float' if fk == _KF else 'int'
+                            else:
+                                first_name = (
+                                    'NoneType' if fk is None
+                                    else 'float' if fk == _KF
+                                    else 'bool' if fk == _KBm else 'int')
                             arg = mixed_raw_guard(agg.kind, raw, nr_err,
                                                   first_name)
                             if not _proven_null_free(agg.arg_text):
-                                # accumulator word: int-0 until the first
-                                # value lands, then the first value's kind
-                                nword = 'int' if fk is None else first_name
-                                arg = null_arg_guard(agg.kind, raw, arg,
-                                                     nword, nr_err)
+                                # group-level null guards: same reference
+                                # accumulator accidents as plain columns,
+                                # with per-row kind words
+                                _kk2 = raw.getField('k')
+                                kind_word2 = (
+                                    F.when(_kk2 == F.lit(_KSm), F.lit('str'))
+                                     .when(_kk2 == F.lit(_KF), F.lit('float'))
+                                     .when(_kk2 == F.lit(_KBm), F.lit('bool'))
+                                     .otherwise(F.lit('int')))
+                                gaggs3, wrap3 = null_group_guards(
+                                    agg.kind, raw, nr, rec_of,
+                                    '__ng_{}'.format(j),
+                                    shared_names=null_guard_shared.get(
+                                        agg.arg_text),
+                                    with_marker=not dense,
+                                    word_col=kind_word2)
+                                null_guard_shared[agg.arg_text] = \
+                                    wrap3.guard_names
+                                agg_exprs.extend(gaggs3)
+                                null_wraps[out_name] = (wrap3, 'int')
                             agg_exprs.append(
                                 spark_agg_expr(agg.kind, arg, nr, out_name))
                             continue
@@ -1936,17 +2022,21 @@ class StageRunner:
                         if _proven_null_free(agg.arg_text) or \
                                 self.options.dialect == 'js':
                             pass  # null-free, or js coerced nulls to 0
-                        elif agg.kind == 'sum' and tag not in ('str', 'mixed'):
-                            # group-level guard: the operand word is the
-                            # accumulator's type at the group's first null
-                            # ('int' until a value lands, then the column
-                            # kind) — the arg-level guard could only name
-                            # the column kind
+                        elif agg.kind in ('sum', 'avg', 'variance') \
+                                and tag not in ('str', 'mixed'):
+                            _register_agg_probe(agg.kind, argcol, tag)
+                            # group-level guards reproduce the reference's
+                            # accumulator accidents exactly: SUM raises at
+                            # the first null with the running-accumulator
+                            # word; AVG stores a leading None and fails at
+                            # the group's SECOND row with reversed
+                            # operands; VARIANCE squares the first value
+                            # and fails immediately on a null-first group
                             dense = getattr(self, '_nr_dense', False)
                             rec_of = (lambda o: o) if dense \
                                 else (lambda o: (o % F.lit(1 << 33)) + 1)
                             gaggs, wrap = null_group_guards(
-                                'sum', raw, nr, rec_of,
+                                agg.kind, raw, nr, rec_of,
                                 '__ng_{}'.format(j),
                                 shared_names=null_guard_shared.get(
                                     agg.arg_text),
@@ -1959,6 +2049,8 @@ class StageRunner:
                             arg = null_arg_guard(agg.kind, raw, arg, tag,
                                                  nr_err)
                         elif agg.kind in ('min', 'max', 'median'):
+                            if agg.kind != 'median':
+                                _register_agg_probe(agg.kind, argcol, tag)
                             dense = getattr(self, '_nr_dense', False)
                             rec_of = (lambda o: o) if dense \
                                 else (lambda o: (o % F.lit(1 << 33)) + 1)
@@ -2091,14 +2183,19 @@ class StageRunner:
                     # raw-path mixed cells keep their kinds: each group's
                     # int-ness is its own (an all-int group sums to int
                     # even when another group holds floats)
-                    renamed['__flag_{}'.format(j)] = F.col(int_flags[out_name])
+                    base_flag = F.col(int_flags[out_name])
                 else:
                     # parse path: NumHandler's int-detection is
                     # per-aggregator (global across groups): a single
                     # float anywhere demotes the whole column — min over
                     # the (small) aggregated frame
                     gw = Window.partitionBy(F.lit(1))
-                    renamed['__flag_{}'.format(j)] = F.min(F.col(int_flags[out_name])).over(gw)
+                    base_flag = F.min(F.col(int_flags[out_name])).over(gw)
+                if out_name in parity_flags:
+                    # MEDIAN: int-ness additionally needs an odd count
+                    base_flag = F.least(base_flag,
+                                        F.col(parity_flags[out_name]))
+                renamed['__flag_{}'.format(j)] = base_flag
                 final_flags['__out_{}'.format(j)] = '__flag_{}'.format(j)
         grouped = grouped.withColumns(renamed)
         if mixed_key_cols:

@@ -355,3 +355,82 @@ def test_sum_null_operand_word_tracks_accumulator(spark):
     # null AFTER a float landed: the accumulator drifted to float
     with pytest.raises(RbqlRuntimeError, match=r"\+=: 'float' and 'NoneType'"):
         query_table(spark, 'SELECT SUM(a1)', [[1.5], [None]])
+
+
+# ---------------------------------------------------------------------------
+# round 16b: aggregate accident parity (avg/variance/median nulls, raw-path
+# words, cross-group first-failure ordering)
+
+def _agg_err(spark, q, tbl):
+    from rbql_spark.errors import RbqlError
+    try:
+        query_table(spark, q, [list(r) for r in tbl])
+        return None
+    except Exception as e:
+        return str(e)
+
+
+def test_avg_leading_null_blames_second_row(spark):
+    assert _agg_err(spark, 'SELECT AVG(a1) AS v', [[None], [3.5]]) == \
+        "At record 2, Details: unsupported operand type(s) for +: 'NoneType' and 'float'"
+    assert _agg_err(spark, 'SELECT AVG(a1) AS v', [[None], [None]]) == \
+        "At record 2, Details: unsupported operand type(s) for +: 'NoneType' and 'NoneType'"
+    assert _agg_err(spark, 'SELECT AVG(a1) AS v', [[None]]) == \
+        "float() argument must be a string or a real number, not 'NoneType'"
+
+
+def test_variance_squares_first_value(spark):
+    assert _agg_err(spark, 'SELECT VARIANCE(a1) AS v', [[None], [3.5]]) == \
+        "At record 1, Details: unsupported operand type(s) for ** or pow(): 'NoneType' and 'int'"
+    assert _agg_err(spark, 'SELECT a2, VARIANCE(a1) GROUP BY a2',
+                    [[1.5, 'x'], ['s', 'y'], [3, 'y']]) == \
+        "At record 2, Details: unsupported operand type(s) for ** or pow(): 'str' and 'int'"
+
+
+def test_avg_string_concat_accidents(spark):
+    # a leading-str group concatenates until a non-str arrives
+    assert _agg_err(spark, 'SELECT a2, AVG(a1) GROUP BY a2',
+                    [[1.5, 'x'], ['s', 'y'], [3, 'y']]) == \
+        'At record 3, Details: can only concatenate str (not "int") to str'
+    # an all-str group (raw path: the global first record is numeric)
+    # fails bare in float() at finalize, quoting the concatenation
+    assert _agg_err(spark, 'SELECT a2, AVG(a1) GROUP BY a2',
+                    [[1.5, 'x'], ['s', 'y'], ['t', 'y']]) == \
+        "could not convert string to float: 'st'"
+
+
+def test_sum_word_is_per_group_accumulator(spark):
+    # group 'gamma' sees only the str: its accumulator is still int-0
+    assert _agg_err(spark, 'SELECT a2, SUM(a1) GROUP BY a2',
+                    [[1.5, 'x'], ['s', 'y'], [3, 'y']]) == \
+        "At record 2, Details: unsupported operand type(s) for +=: 'int' and 'str'"
+
+
+def test_cross_group_failures_blame_first_in_stream(spark):
+    # both groups fail; the reference's sequential loop stops at record 3
+    assert _agg_err(spark, 'SELECT a2, MAX(a1) GROUP BY a2',
+                    [[1.5, 'x'], [2, 'y'], [None, 'y'], [None, 'x']]) == \
+        "At record 3, Details: '>' not supported between instances of 'NoneType' and 'int'"
+
+
+def test_median_null_messages(spark):
+    assert _agg_err(spark, 'SELECT MEDIAN(a1) AS m', [[None], [None]]) == \
+        "'<' not supported between instances of 'NoneType' and 'NoneType'"
+    assert _agg_err(spark, 'SELECT MEDIAN(a1) AS m', [[3.5], [None]]) == \
+        "'<' not supported between instances of 'NoneType' and 'float'"
+
+
+def test_median_odd_count_keeps_middle_int(spark):
+    rows, _ = query_table(spark, 'SELECT MEDIAN(a1) AS m', [[1], [3], [9]])
+    assert rows == [[3]] and type(rows[0][0]) is int
+    rows, _ = query_table(spark, 'SELECT MEDIAN(a1) AS m', [[1], [3]])
+    assert rows == [[2.0]] and type(rows[0][0]) is float
+    rows, _ = query_table(spark, 'SELECT MEDIAN(a1) AS m', [['5'], ['3'], ['9']])
+    assert rows == [[5]] and type(rows[0][0]) is int
+
+
+def test_bool_aggregates_raw_semantics(spark):
+    rows, _ = query_table(spark, 'SELECT MIN(a1) AS m, MAX(a1) AS x, SUM(a1) AS s',
+                          [[True], [False], [True]])
+    assert rows == [[False, True, 2]]
+    assert [type(v) for v in rows[0]] == [bool, bool, int]

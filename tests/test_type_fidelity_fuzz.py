@@ -41,8 +41,13 @@ def strict_cell_eq(a, b) -> bool:
         return a is None and b is None
     if type(a) is not type(b):
         return False
-    if isinstance(a, float) and math.isnan(a):
-        return isinstance(b, float) and math.isnan(b)
+    if isinstance(a, float):
+        if math.isnan(a):
+            return math.isnan(b)
+        # type must match EXACTLY; float VALUES compare with a relative
+        # tolerance (Spark's avg/var_pop use numerically different but
+        # equivalent formulas than the reference's two-pass arithmetic)
+        return a == b or abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0)
     if isinstance(a, (list, tuple)):
         return (len(a) == len(b)
                 and all(strict_cell_eq(x, y) for x, y in zip(a, b)))
@@ -141,7 +146,8 @@ def make_select_query(rnd: random.Random) -> str:
 def make_agg_query(rnd: random.Random) -> str:
     col = rnd.choice(['a1', 'a2', 'a4'])
     aggs = rnd.sample(['COUNT(1)', 'MIN({0})', 'MAX({0})', 'SUM({0})',
-                       'ANY_VALUE({0})', 'ARRAY_AGG({0})'],
+                       'ANY_VALUE({0})', 'ARRAY_AGG({0})',
+                       'AVG({0})', 'VARIANCE({0})', 'MEDIAN(a1)'],
                       k=rnd.randint(1, 2))
     aggs = [a.format(col) for a in aggs]
     if rnd.random() < 0.5:
