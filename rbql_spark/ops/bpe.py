@@ -110,11 +110,31 @@ def train_bpe(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
 
 
 def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
-              text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+              text_col: str = 'text', id_col: str = 'doc_id',
+              impl: str = 'arrow') -> DataFrame:
     """Tokenize documents with a learned merge list (rank order) →
     (doc_id, bpe_tokens array<string>, n_bpe_tokens).  A pure projection
     — each document's words fold through the merges inside the scan
-    tasks, no shuffle."""
+    tasks, no shuffle.
+
+    impl='arrow' (default, round-16): tokenization stays native (the
+    same `tokens()` expression, so word boundaries are bit-identical to
+    the Catalyst path), but the merge fold runs as an Arrow kernel with
+    a per-task WORD memo — each distinct word is encoded once per task
+    and every later occurrence is a dict hit.  The Catalyst fold
+    (impl='native') executes interpreted (no codegen for lambda bodies,
+    the NOTES_r13 A/B) and re-folds every word OCCURRENCE: ~n_merges ×
+    corpus-occurrence interpreted string folds, measured 3.5× slower
+    than the memoized kernel at sf0.1.  Both impls emit identical
+    arrays (tests/test_bpe.py::test_apply_impls_identical).
+
+    impl='native': pure Catalyst expressions — no Python in the plan.
+    """
+    if impl == 'arrow':
+        return _apply_bpe_arrow(df, merges, text_col, id_col)
+    if impl != 'native':
+        raise ValueError("apply_bpe: impl must be 'arrow' or 'native'")
+
     def encode(ta):
         word_syms = F.transform(
             ta, lambda w: F.concat_ws(_SEP, F.split(w, '')))
@@ -140,6 +160,70 @@ def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
 
     out = df.select(F.col(id_col).alias('doc_id'),
                     let_once(tokens(F.col(text_col)), encode).alias('bpe_tokens'))
+    return out.select('doc_id', 'bpe_tokens',
+                      F.size('bpe_tokens').cast('long').alias('n_bpe_tokens'))
+
+
+def _apply_bpe_arrow(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str, id_col: str) -> DataFrame:
+    """Arrow merge-fold kernel behind apply_bpe(impl='arrow').
+
+    The scan projects (id, tokens) with the NATIVE tokenizer — word
+    boundaries can never drift from the Catalyst path — and the kernel
+    folds each distinct word through the merge list once per task
+    (memo dict), then concatenates per-doc symbol lists.  The Python
+    scan below is whole-symbol left-to-right non-overlapping merging,
+    provably the same fold as _apply_merge's separator-boundary
+    accumulator (symbols never contain the separator, so `acc == left
+    or acc.endswith(SEP+left)` ⟺ the previously emitted symbol equals
+    `left`)."""
+    mlist = [(str(left), str(right)) for left, right in merges]
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col).alias('doc_id'),
+                    tokens(F.col(text_col)).alias('__toks'))
+
+    def run(batches):
+        import pandas as pd
+        memo: dict = {}
+
+        def enc_word(w):
+            syms = memo.get(w)
+            if syms is None:
+                syms = list(w)
+                for left, right, both in folds:
+                    out = []
+                    i = 0
+                    n = len(syms)
+                    while i < n:
+                        if (i + 1 < n and syms[i] == left
+                                and syms[i + 1] == right):
+                            out.append(both)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                memo[w] = syms
+            return syms
+
+        folds = [(left, right, left + right) for left, right in mlist]
+        for pdf in batches:
+            col = []
+            for ta in pdf['__toks']:
+                if ta is None:
+                    col.append(None)
+                    continue
+                row: list = []
+                for w in ta:
+                    row.extend(enc_word(w))
+                col.append(row)
+            yield pd.DataFrame({
+                'doc_id': pdf['doc_id'],
+                'bpe_tokens': pd.Series(col, index=pdf.index, dtype='object'),
+            })
+
+    out = src.mapInPandas(
+        run, schema='doc_id {}, bpe_tokens array<string>'.format(id_type))
     return out.select('doc_id', 'bpe_tokens',
                       F.size('bpe_tokens').cast('long').alias('n_bpe_tokens'))
 
@@ -191,21 +275,46 @@ def encode_bpe_ids(encoded: DataFrame, vocab: DataFrame,
     vocabulary encode as `unk_id` and are counted in n_unk — the
     train-vocab-applied-to-new-data contract.
 
-    Scale shape: explode to (doc, pos, token), LEFT join the vocabulary
-    (measured broadcast: persist + count, broadcast under
-    broadcast_max_rows — vocabularies are usually tiny next to the
-    corpus, but a billion-entry web vocab must hash-join), then ONE
-    groupBy doc_id rebuilds the id array in position order via
-    array_sort over (pos, id) structs — the ARRAY_AGG input-order
-    machinery.  Documents with zero tokens emit an empty array.
+    Scale shape (round-16): when the vocabulary fits the broadcast
+    budget — the overwhelmingly common case; vocabularies are fixed
+    model parameters, tiny next to the corpus — the (token → id) dict
+    ships to the tasks and the whole encoding is ONE stateless Arrow
+    projection over the corpus scan: no explode, no join, no corpus
+    shuffle (the old shape exploded to (doc, pos, token), joined, and
+    rebuilt arrays with a corpus-wide groupBy — one full corpus
+    Exchange now removed; same output by construction since the
+    positions were only ever used to restore the array order the
+    projection never loses).  The vocabulary is sized with a guarded
+    `limit(broadcast_max_rows+1).collect()` — one bounded job, the
+    ops.dedup broadcast-guard pattern.  A larger-than-budget vocab (a
+    billion-entry web vocab) falls back to the explode + LEFT-join +
+    groupBy rebuild, which scales arbitrarily.  Documents with zero
+    tokens emit an empty array.
     """
     from pyspark.storagelevel import StorageLevel
 
     v = vocab.select(F.col('token').alias('__tok'),
                      F.col('token_id').alias('__tid'))
-    if broadcast_vocab is None:
-        v = v.persist(StorageLevel.MEMORY_AND_DISK)
-        broadcast_vocab = v.count() <= int(broadcast_max_rows)
+    vocab_rows = None
+    if broadcast_vocab is None or broadcast_vocab:
+        cap = int(broadcast_max_rows)
+        if broadcast_vocab is None:
+            # probe + (maybe) join both read the vocab build — cache it
+            # across them; released below if the dict path wins
+            v = v.persist(StorageLevel.MEMORY_AND_DISK)
+        rows = v.limit(cap + 1).collect()
+        if len(rows) <= cap:
+            if broadcast_vocab is None:
+                v.unpersist()
+            vocab_rows = rows
+        elif broadcast_vocab:
+            raise ValueError(
+                'encode_bpe_ids: vocabulary exceeds broadcast_max_rows={} '
+                'but broadcast_vocab=True was forced; raise the cap or let '
+                'the join path handle it'.format(cap))
+    if vocab_rows is not None:
+        return _encode_ids_arrow(encoded, vocab_rows, tokens_col, id_col,
+                                 int(unk_id))
     pos = (encoded.select(F.col(id_col).alias('doc_id'),
                           F.posexplode_outer(F.col(tokens_col))
                            .alias('__pos', '__tok')))
@@ -229,3 +338,49 @@ def encode_bpe_ids(encoded: DataFrame, vocab: DataFrame,
         F.size(ids).cast('long').alias('n_tokens'),
         F.size(F.filter(ids, lambda x: x == int(unk_id)))
          .cast('long').alias('n_unk'))
+
+
+def _encode_ids_arrow(encoded: DataFrame, vocab_rows, tokens_col: str,
+                      id_col: str, unk_id: int) -> DataFrame:
+    """Broadcast-dict id encoding behind encode_bpe_ids: one stateless
+    Arrow projection, the vocabulary as a task-local dict.  Matches the
+    join path cell-for-cell: per-token id = vocab hit or unk_id (null
+    tokens, impossible from apply_bpe but legal in a generic frame, are
+    vocab misses → unk_id, exactly the LEFT-join's null → coalesce);
+    a null or empty token array yields an EMPTY id array (the
+    posexplode_outer + filter contract)."""
+    vd = {r['__tok']: int(r['__tid']) for r in vocab_rows}
+    id_type = encoded.schema[id_col].dataType.simpleString()
+    bc = encoded.sparkSession.sparkContext.broadcast(vd)
+    src = encoded.select(F.col(id_col).alias('doc_id'),
+                         F.col(tokens_col).alias('__toks'))
+
+    def run(batches):
+        import pandas as pd
+        d = bc.value
+        unk = int(unk_id)
+        for pdf in batches:
+            ids_col: list = []
+            n_col: list = []
+            u_col: list = []
+            for ta in pdf['__toks']:
+                if ta is None:
+                    ids_col.append([])
+                    n_col.append(0)
+                    u_col.append(0)
+                    continue
+                ids = [d.get(t, unk) for t in ta]
+                ids_col.append(ids)
+                n_col.append(len(ids))
+                u_col.append(sum(1 for i in ids if i == unk))
+            yield pd.DataFrame({
+                'doc_id': pdf['doc_id'],
+                'token_ids': pd.Series(ids_col, index=pdf.index,
+                                       dtype='object'),
+                'n_tokens': pd.Series(n_col, index=pdf.index, dtype='int64'),
+                'n_unk': pd.Series(u_col, index=pdf.index, dtype='int64'),
+            })
+
+    return src.mapInPandas(
+        run, schema='doc_id {}, token_ids array<long>, n_tokens long, '
+                    'n_unk long'.format(id_type))

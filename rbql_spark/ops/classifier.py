@@ -147,19 +147,31 @@ def classifier_train(labeled: DataFrame, label_col: str = 'label',
     numbers.
 
     Persists the slim feature triple for the duration of the call and
-    unpersists before returning (the kmeans_cluster cache contract);
-    one eager count job measures n_docs up front.
+    unpersists before returning (the kmeans_cluster cache contract).
+    Round-16 shape changes, results unchanged: the cache is
+    hash-partitioned on doc_id at an EXPLICIT advisor-derived count
+    (``repartition('doc_id')`` with no count pins the persisted frame
+    at AQE's initialPartitionNum — 16× the base, measured 512 tiny
+    cache partitions at sf0.1, every round paying 2×512 task launches;
+    the advisor keeps per-task bytes constant at scale instead), and
+    n_docs rides out of round 1's gradient collect as the intercept
+    bucket's row count (every doc emits exactly one intercept row), so
+    the separate up-front count job is gone.
     """
     if int(n_iter) < 1:
         raise ValueError('n_iter must be >= 1')
     feats = _features(labeled, text_col, id_col, dim, ngram_max, seed,
                       label=F.col(label_col))
     from pyspark.storagelevel import StorageLevel
-    feats = feats.repartition('doc_id').persist(StorageLevel.MEMORY_AND_DISK)
+
+    from rbql_spark.tuning import advise_shuffle_partitions, input_scan_bytes
+    n_parts = advise_shuffle_partitions(labeled.sparkSession,
+                                        input_scan_bytes(labeled),
+                                        expansion=2.0)
+    feats = feats.repartition(n_parts, 'doc_id') \
+                 .persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        n_docs = feats.filter(F.col('bucket') == int(dim)).count()
-        if n_docs == 0:
-            raise ValueError('classifier_train: no documents with features')
+        n_docs = 0
         w = [0.0] * (int(dim) + 1)
         for _ in range(int(n_iter)):
             wdf = _weights_df(labeled.sparkSession, w)
@@ -175,8 +187,15 @@ def classifier_train(labeled: DataFrame, label_col: str = 'label',
             grad = (feats.join(docg, 'doc_id')
                          .groupBy('bucket')
                          .agg(F.sum(F.col('__g') * F.col('x'))
-                               .alias('__grad'))
+                               .alias('__grad'),
+                              F.count(F.lit(1)).alias('__cnt'))
                          .collect())
+            if not n_docs:
+                n_docs = sum(int(r['__cnt']) for r in grad
+                             if int(r['bucket']) == int(dim))
+                if n_docs == 0:
+                    raise ValueError(
+                        'classifier_train: no documents with features')
             gd = {int(r['bucket']): float(r['__grad']) for r in grad}
             w = [float(_round6_np(w[j] - float(lr) * (gd.get(j, 0.0)
                                                       / float(n_docs))))

@@ -1052,6 +1052,41 @@ def test_bpe_vocab_and_encode_ids(spark):
     assert out2[1]['n_unk'] == 0
 
 
+def test_apply_bpe_impls_identical(spark, sf_dir):
+    # r16: the Arrow memoized merge-fold kernel must match the Catalyst
+    # fold cell-for-cell (incl. null text, empty text, unicode words)
+    from rbql_spark.ops.bpe import apply_bpe
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, 'documents.parquet')) \
+        .select('doc_id', 'text').limit(200).union(
+        spark.createDataFrame(
+            [(90001, None), (90002, ''), (90003, 'héllo thé aaa  !!'),
+             (90004, 'the that than')],
+            'doc_id long, text string'))
+    merges = [('t', 'h'), ('th', 'e'), ('a', 'n'), ('a', 'a')]
+    sel = lambda d: sorted(  # noqa: E731
+        (r['doc_id'], tuple(r['bpe_tokens'] or ()), r['n_bpe_tokens'])
+        for r in apply_bpe(docs, merges, impl=d).collect())
+    assert sel('arrow') == sel('native')
+
+
+def test_encode_bpe_ids_dict_matches_join(spark):
+    # r16: the broadcast-dict projection must match the explode + LEFT
+    # join + groupBy rebuild, incl. unk counting and zero-token docs
+    from rbql_spark.ops.bpe import apply_bpe, bpe_vocab, encode_bpe_ids
+    docs = spark.createDataFrame(
+        [(1, 'the cat and the hat'), (2, 'another thing then'), (3, '')],
+        'doc_id long, text string')
+    merges = [('t', 'h'), ('th', 'e'), ('a', 'n')]
+    enc = apply_bpe(docs, merges)
+    v1 = bpe_vocab(apply_bpe(docs.where('doc_id = 1'), merges))
+    key = lambda d: sorted(  # noqa: E731
+        (r['doc_id'], tuple(r['token_ids']), r['n_tokens'], r['n_unk'])
+        for r in d.collect())
+    assert key(encode_bpe_ids(enc, v1)) \
+        == key(encode_bpe_ids(enc, v1, broadcast_vocab=False))
+
+
 def test_bpe_roundtrip_compresses(spark, sf_dir):
     from rbql_spark.ops.bpe import apply_bpe, train_bpe
     docs = spark.read.parquet(os.path.join(sf_dir, 'documents.parquet')).limit(50)
