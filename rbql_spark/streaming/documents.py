@@ -161,7 +161,8 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
                              seed: int = 42,
                              state_retention: str | None = None,
                              ts_col: str | None = None,
-                             watermark: str = '1 hour') -> DataFrame:
+                             watermark: str = '1 hour',
+                             state_buckets: int = 4096) -> DataFrame:
     """Incremental near-dup detection: emits a verified (doc_a, doc_b,
     jaccard) pair the moment the SECOND document of the pair arrives.
 
@@ -201,6 +202,25 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
         trade: lifetime indexes need the batch op or a materialized
         ann_index).  state_retention=None (default) keeps the unbounded
         lifetime index — sized for bounded replays, not forever-runs.
+      * state GRANULARITY (round-16): the stateful operator is keyed on
+        a deterministic SUPER-BUCKET `pmod(xxhash64(band_idx,
+        band_hash), K)` rather than the raw band bucket, with each
+        group's state holding a dict of its real buckets.  Raw-bucket
+        keying created one applyInPandasWithState group per distinct
+        band bucket — ≈ bands × corpus for mostly-unique buckets — and
+        the per-group Python overhead (state row decode/encode, a
+        pandas frame per group per batch) dominated the drain ~4:1
+        over the actual signature + shuffle work (measured at sf0.1:
+        9.5 s of a 14 s drain).  Verification still runs per REAL
+        bucket inside the group (ascending doc id, redelivery skip,
+        per-bucket retention deadlines), so the emitted pair set — and
+        every retention/eviction outcome — is unchanged.  K =
+        max(state_buckets, 64 × the session's shuffle-partition count
+        at plan build), so a cluster session sized for a large stream
+        gets proportionally more groups (keys stay ≥ 64× partitions,
+        the skew-free ratio of guide §2.5) while each group's state
+        stays small.  Changing K re-keys state: not
+        checkpoint-compatible with a drain started under another K.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -220,65 +240,117 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
         for b in range(bands)
     ])
     extra = [ts_col] if event_time else []
+    try:
+        sess_parts = int(docs.sparkSession.conf.get(
+            'spark.sql.shuffle.partitions'))
+    except Exception:
+        sess_parts = 200
+    n_groups = max(int(state_buckets), 64 * sess_parts)
     banded = sig.select('doc_id', 'shingles', *extra,
                         F.posexplode(band_arr).alias('band_idx', 'band_hash'))
+    banded = banded.withColumn(
+        '__skey', F.pmod(F.xxhash64('band_idx', 'band_hash'),
+                         F.lit(int(n_groups))))
     if event_time:
         banded = banded.withWatermark(ts_col, watermark)
 
     out_schema = 'doc_a long, doc_b long, jaccard double'
-    state_schema = 'ids array<long>, shingles array<array<long>>'
+    state_schema = 'blob binary'
     thr = threshold
 
     def update_fn(key, pdf_iter, state):
+        import pickle
+        import time as _time
+
+        import numpy as np
         import pandas as pd
+
+        def empty():
+            return pd.DataFrame({'doc_a': pd.Series([], dtype='int64'),
+                                 'doc_b': pd.Series([], dtype='int64'),
+                                 'jaccard': pd.Series([], dtype='float64')})
+
+        def rearm(buckets):
+            """Group timer = earliest per-bucket deadline, so each real
+            bucket still evicts at ITS retention horizon."""
+            if retention_ms is None or not buckets:
+                return
+            nxt = min(b[2] for b in buckets.values())
+            if event_time:
+                # timeouts must sit above the watermark or Spark rejects
+                state.setTimeoutTimestamp(
+                    max(nxt, state.getCurrentWatermarkMs() + 1))
+            else:
+                state.setTimeoutDuration(
+                    max(1, nxt - int(_time.time() * 1000)))
+
+        def sweep(buckets, horizon):
+            for bk in [bk for bk, b in buckets.items() if b[2] <= horizon]:
+                del buckets[bk]
+
+        # state: {(band_idx, band_hash): [ids, shingle_sets, deadline_ms]}
+        buckets = pickle.loads(bytes(state.get[0])) if state.exists else {}
         if state.hasTimedOut:
-            # bucket idle past retention: evict its members, emit nothing
-            state.remove()
-            yield pd.DataFrame({'doc_a': pd.Series([], dtype='int64'),
-                                'doc_b': pd.Series([], dtype='int64'),
-                                'jaccard': pd.Series([], dtype='float64')})
+            horizon = (state.getCurrentWatermarkMs() if event_time
+                       else int(_time.time() * 1000))
+            sweep(buckets, horizon)
+            if buckets:
+                state.update((pickle.dumps(buckets, protocol=4),))
+                rearm(buckets)
+            else:
+                state.remove()
+            yield empty()
             return
-        if state.exists:
-            stored_ids, stored_shs = state.get
-            ids = [int(x) for x in stored_ids]
-            shs = [{int(v) for v in s} for s in stored_shs]
-        else:
-            ids, shs = [], []
-        seen = set(ids)
-        new: list[tuple[int, set]] = []
+        new: dict = {}
         last_ts_ms = 0
         for pdf in pdf_iter:
-            for d, sh in zip(pdf['doc_id'], pdf['shingles']):
-                new.append((int(d), {int(x) for x in sh}))
+            for bi, bh, d, sh in zip(pdf['band_idx'], pdf['band_hash'],
+                                     pdf['doc_id'], pdf['shingles']):
+                # sorted unique int64 vector: set-free jaccard via
+                # intersect1d below, buffer-speed pickling in state
+                new.setdefault((int(bi), int(bh)), []).append(
+                    (int(d), np.sort(np.asarray(sh, dtype=np.int64))))
             if event_time and len(pdf):
                 batch_max = pdf[ts_col].max()
-                last_ts_ms = max(last_ts_ms,
-                                 int(pd.Timestamp(batch_max).value // 1_000_000))
+                last_ts_ms = max(
+                    last_ts_ms,
+                    int(pd.Timestamp(batch_max).value // 1_000_000))
+        if retention_ms is not None:
+            # event mode: a bucket's deadline anchors on the later of its
+            # newest member and the watermark (the raw-bucket rule);
+            # processing mode: wall-clock idle from this update
+            anchor = (max(last_ts_ms, state.getCurrentWatermarkMs())
+                      if event_time else int(_time.time() * 1000))
+            deadline = anchor + retention_ms
+        else:
+            deadline = 0
         out_a: list[int] = []
         out_b: list[int] = []
         out_j: list[float] = []
-        # deterministic order: batch arrivals verify by ascending doc id
-        for d, sh in sorted(new, key=lambda t: t[0]):
-            if d in seen:   # at-least-once redelivery — already indexed
-                continue
-            for d2, sh2 in zip(ids, shs):
-                union = len(sh | sh2)
-                jac = (len(sh & sh2) / union) if union else 0.0
-                if jac >= thr:
-                    a, b = (d, d2) if d < d2 else (d2, d)
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(jac)
-            ids.append(d)
-            shs.append(sh)
-            seen.add(d)
-        state.update((ids, [sorted(s) for s in shs]))
-        if retention_ms is not None:
-            if event_time:
-                anchor = max(last_ts_ms, state.getCurrentWatermarkMs())
-                state.setTimeoutTimestamp(anchor + retention_ms)
-            else:
-                state.setTimeoutDuration(retention_ms)
+        for bk in sorted(new):
+            arrivals = new[bk]
+            ids, shs, _ = buckets.get(bk) or ([], [], 0)
+            seen = set(ids)
+            # deterministic order: arrivals verify by ascending doc id
+            for d, sh in sorted(arrivals, key=lambda t: t[0]):
+                if d in seen:   # at-least-once redelivery — indexed
+                    continue
+                for d2, sh2 in zip(ids, shs):
+                    inter = np.intersect1d(sh, sh2,
+                                           assume_unique=True).size
+                    union = sh.size + sh2.size - inter
+                    jac = (inter / union) if union else 0.0
+                    if jac >= thr:
+                        a, b = (d, d2) if d < d2 else (d2, d)
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(jac)
+                ids.append(d)
+                shs.append(sh)
+                seen.add(d)
+            buckets[bk] = [ids, shs, deadline]
+        state.update((pickle.dumps(buckets, protocol=4),))
+        rearm(buckets)
         yield pd.DataFrame({'doc_a': pd.Series(out_a, dtype='int64'),
                             'doc_b': pd.Series(out_b, dtype='int64'),
                             'jaccard': pd.Series(out_j, dtype='float64')})
@@ -286,7 +358,7 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
     timeout = (GroupStateTimeout.NoTimeout if retention_ms is None
                else GroupStateTimeout.EventTimeTimeout if event_time
                else GroupStateTimeout.ProcessingTimeTimeout)
-    return (banded.groupBy('band_idx', 'band_hash')
+    return (banded.groupBy('__skey')
                   .applyInPandasWithState(update_fn, out_schema, state_schema,
                                           'update', timeout))
 

@@ -108,7 +108,8 @@ def run_stream_to_parquet(stream_df: DataFrame, query_name: str,
     out = os.path.join(base, 'out')
     spark = stream_df.sparkSession
     n_parts = advise_shuffle_partitions(spark, input_bytes,
-                                        expansion=shuffle_expansion)
+                                        expansion=shuffle_expansion,
+                                        allow_below=True)
     with scoped_shuffle_partitions(spark, n_parts):
         q = (stream_df.writeStream
              .format('parquet')
@@ -148,7 +149,8 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
 
     spark = stream_df.sparkSession
     n_parts = advise_shuffle_partitions(spark, input_bytes,
-                                        expansion=shuffle_expansion)
+                                        expansion=shuffle_expansion,
+                                        allow_below=True)
     with scoped_shuffle_partitions(spark, n_parts):
         q = (stream_df.writeStream
              .format('memory')

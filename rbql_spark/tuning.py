@@ -70,17 +70,37 @@ def estimated_input_bytes(df) -> int | None:
     return size
 
 
+# Parallelism floor for size-derived STREAMING widths (allow_below):
+# below it the per-batch Arrow/state work serializes — the r16 A/B
+# measured 2 partitions nearly doubling the user-totals drain while 8
+# kept every stateful gate at or under its 32-partition time.  Override
+# for deployments whose steady-state stream needs a wider state store
+# (state-store partition count is pinned at the query's first start).
+STREAM_MIN_PARTITIONS = int(os.environ.get('RBQL_STREAM_MIN_PARTITIONS', '8'))
+
+
 def advise_shuffle_partitions(spark, input_bytes: int | None,
                               expansion: float = 1.0,
                               bytes_per_partition: int = BYTES_PER_PARTITION,
-                              cap: int = 1 << 20) -> int:
+                              cap: int = 1 << 20,
+                              allow_below: bool = False) -> int:
     """Partition count holding per-task bytes ≈ ``bytes_per_partition``.
 
     ``expansion``: how much bigger the shuffled data is than the input
     (e.g. a shingle explode multiplies bytes; 1.0 for project-and-group
-    shapes).  Never LOWERS the session's configured count — small
-    inputs keep today's behavior; only growth past the per-task target
-    raises it (the measured decade rule)."""
+    shapes).  By default never LOWERS the session's configured count —
+    small inputs keep today's behavior; only growth past the per-task
+    target raises it (the measured decade rule).
+
+    ``allow_below=True`` (round-16, the streaming-drain mode): a
+    sub-advisory source may also plan NARROWER than the session count,
+    down to ``min(session count, STREAM_MIN_PARTITIONS)``.  Stateful
+    streaming shuffles pay a per-partition-per-batch state-store
+    open/commit that AQE can never coalesce away (state width is pinned
+    at first start), so a tiny replay at the session's batch width buys
+    pure overhead — measured 1.5–2× on second-scale stateful drains at
+    sf0.1.  The decade direction is unchanged: sources past the
+    per-task target still RAISE the count."""
     try:
         cur = int(spark.conf.get('spark.sql.shuffle.partitions'))
     except Exception:
@@ -88,6 +108,8 @@ def advise_shuffle_partitions(spark, input_bytes: int | None,
     if not input_bytes or input_bytes <= 0:
         return cur
     want = math.ceil(input_bytes * max(expansion, 0.0) / bytes_per_partition)
+    if allow_below:
+        return min(cap, max(want, min(cur, STREAM_MIN_PARTITIONS)))
     return max(cur, min(cap, want))
 
 

@@ -28,6 +28,21 @@ def test_advisor_scales_with_bytes(spark):
     assert advise_shuffle_partitions(spark, 1 << 60, cap=4096) == 4096
 
 
+def test_advisor_allow_below_floors_small_streams(spark):
+    # r16: the streaming-drain mode plans NARROWER than the session count
+    # for sub-advisory sources (state-store open/commit is per partition
+    # per batch and never AQE-coalesced), floored at STREAM_MIN_PARTITIONS
+    from rbql_spark.tuning import STREAM_MIN_PARTITIONS
+    cur = int(spark.conf.get('spark.sql.shuffle.partitions'))
+    small = advise_shuffle_partitions(spark, 10_000, allow_below=True)
+    assert small == min(cur, STREAM_MIN_PARTITIONS)
+    # unknown size keeps the session count (the safe direction)
+    assert advise_shuffle_partitions(spark, None, allow_below=True) == cur
+    # the decade direction is unchanged: big sources still raise
+    big = 1000 * BYTES_PER_PARTITION
+    assert advise_shuffle_partitions(spark, big, allow_below=True) == 1000
+
+
 def test_scoped_shuffle_partitions_restores(spark):
     key = 'spark.sql.shuffle.partitions'
     prev = spark.conf.get(key)
