@@ -93,11 +93,58 @@ def _assign_sim_arrow(df: DataFrame, centroids: list[list[float]],
     return df.mapInPandas(assign, schema=out_schema)
 
 
+def _iter_stats_arrow(cached: DataFrame, cent: list[list[float]]):
+    """One Lloyd round's (cell → coordinate sums, member count) via a
+    numpy kernel: per task, assign each row to its nearest centroid
+    (the _assign_sim_arrow math — round-6 sims, ties to the lowest
+    cell, bit-identical to the inline _cell_exprs argmax) and fold the
+    members' coordinates into a k×dim partial, emitting ONE k-row
+    partial frame per task.  Replaces the round-15 shape — an inline
+    argmax projection (k×dim literals re-codegen'd every round, the
+    dominant per-round cost at small k) feeding a posexplode of every
+    coordinate into a groupBy(cell, pos) Exchange — with a shuffle-free
+    scan whose collect moves ≤ tasks × k rows.  Summation grouping
+    changes (per-task numpy folds, then a driver add), which sits below
+    the round-6 centroid grid like every other float-order detail (the
+    module's determinism contract)."""
+    import numpy as np
+
+    C = np.asarray(cent, dtype=np.float64)
+    cn = np.sqrt(np.einsum('ij,ij->i', C, C))
+    bc = cached.sparkSession.sparkContext.broadcast((C, cn))
+
+    def run(batches):
+        import pandas as pd
+        CC, ccn = bc.value
+        kk, dim = CC.shape
+        S = np.zeros((kk, dim), dtype=np.float64)
+        N = np.zeros(kk, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf['__cv']])
+            denom = np.outer(np.sqrt(np.einsum('ij,ij->i', X, X)), ccn)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                sims = _round6_np((X @ CC.T) / denom)
+            sims = np.where(denom > 0, sims, -1.0)
+            idx = np.argmax(sims, axis=1)
+            for c in np.unique(idx):
+                S[c] += X[idx == c].sum(axis=0)
+            N += np.bincount(idx, minlength=kk)
+        yield pd.DataFrame({'cell': np.arange(kk, dtype=np.int32),
+                            's': list(S), 'n': N})
+
+    return cached.mapInPandas(run, 'cell int, s array<double>, n long') \
+                 .collect()
+
+
 def kmeans_cluster(corpus: DataFrame, k: int = 8, n_iter: int = 2,
                    quantizer: str = 'hash',
                    id_col: str = 'vec_id', vec_col: str = 'embedding',
                    seed: int = 42,
-                   centroid_strategy: str = 'auto') -> DataFrame:
+                   centroid_strategy: str = 'auto',
+                   iter_impl: str = 'arrow') -> DataFrame:
     """Lloyd k-means over an embedding column → (id, cluster_id,
     centroid_sim): each row's final cell and its cosine to that cell's
     centroid.
@@ -147,8 +194,24 @@ def kmeans_cluster(corpus: DataFrame, k: int = 8, n_iter: int = 2,
     # one extra scan buys a call that leaves no cache behind
     cached = c.persist() if n_iter > 1 else c
     try:
+        import numpy as np
         dim = len(cent[0])
         for _ in range(n_iter):
+            if iter_impl == 'arrow':
+                parts = _iter_stats_arrow(cached, cent)
+                S = np.zeros((k, dim), dtype=np.float64)
+                N = np.zeros(k, dtype=np.int64)
+                for r in parts:
+                    S[int(r['cell'])] += np.asarray(r['s'],
+                                                    dtype=np.float64)
+                    N[int(r['cell'])] += int(r['n'])
+                new = [list(cv) for cv in cent]
+                for cell in range(k):
+                    if N[cell] > 0:
+                        new[cell] = [float(_round6_np(S[cell][p] / N[cell]))
+                                     for p in range(dim)]
+                cent = new
+                continue
             argmax_cell, _ = _cell_exprs(cent, 1)
             # two selects: a generator (posexplode) in the same projection
             # as the struct-argmax strips the struct-field aliases

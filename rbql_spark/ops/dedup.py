@@ -47,6 +47,13 @@ _MASK32 = (1 << 32) - 1
 #     indices for the in-flight doc must stay valid).
 _MINHASH_TILE_BYTES = 64 << 20
 _MINHASH_FLUSH_UNIQ: int | None = None
+
+# dedup_clusters hybrid finish: when the contracted star forest has at
+# most this many edges (~16 bytes each — measured BEFORE collecting),
+# the union-find finishes on the driver in one bounded Arrow collect
+# instead of O(log d) distributed alternation rounds.  0 disables.
+CC_DRIVER_FINISH_EDGES = int(
+    __import__('os').environ.get('RBQL_CC_DRIVER_FINISH_EDGES', '500000'))
 _SIMHASH_MEMO_CAP = 1 << 20
 
 
@@ -749,6 +756,50 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
     E = _save(forest, 'round-0')
     n_state = E.count()
 
+    # Hybrid finish (round-16): the per-partition contraction has already
+    # collapsed the pair graph to ≤ one edge per distinct node; when that
+    # forest fits comfortably on the driver, finishing the union-find
+    # locally replaces O(log d) alternation rounds — each costing 2–3
+    # jobs of second-scale scheduling overhead on a state that is by now
+    # tiny — with one bounded Arrow collect (n_state is MEASURED before
+    # collecting, so the transfer is provably ≤ the threshold; ~16 bytes
+    # per edge).  Labels are identical by construction: both paths emit
+    # (node → component-min) for every forest node.  At 100 TB a
+    # duplicate-heavy corpus whose contracted forest exceeds the
+    # threshold keeps the fully-distributed alternation.
+    if 0 < n_state <= CC_DRIVER_FINISH_EDGES:
+        pdf = E.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf['src'], pdf['dst']):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        labels = [(x, find(x)) for x in parent]
+        # checkpoint_dir mode keeps round-0 on disk (the contraction
+        # output IS the final persisted round here) — the caller owns
+        # the scratch path's lifecycle either way
+        import pandas as pd
+        return spark.createDataFrame(
+            pd.DataFrame({'doc_id': pd.Series([x for x, _ in labels],
+                                              dtype='int64'),
+                          'cluster_id': pd.Series([r for _, r in labels],
+                                                  dtype='int64')}),
+            schema='doc_id long, cluster_id long')
+
     prev_parts = spark.conf.get('spark.sql.shuffle.partitions')
     try:
         prev_n = int(prev_parts)
@@ -786,9 +837,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
                     .where(F.col('src') != F.col('dst'))
                     .distinct())
             E2 = _save(sm, 'round-{}'.format(it + 1))
-            changed = E2.exceptAll(E).count()
+            # convergence = multiset equality: equal counts (one job) is
+            # the cheap necessary test; the exceptAll proof (a second
+            # job) only runs when counts match — non-final rounds save a
+            # full pass
             n2 = E2.count()
-            converged = changed == 0 and n2 == n_state
+            converged = n2 == n_state and E2.exceptAll(E).count() == 0
             E, n_state = E2, n2
             if converged:
                 break

@@ -680,6 +680,28 @@ def test_dedup_clusters_random_graphs_match_union_find(spark):
         assert got == want, f'seed {seed} diverged'
 
 
+def test_dedup_clusters_driver_finish_matches_distributed(spark):
+    # r16: the size-guarded driver union-find finish must label exactly
+    # like the large-star/small-star alternation (threshold forced to 0)
+    import random
+
+    import rbql_spark.ops.dedup as dd
+    rnd = random.Random(7)
+    edges = sorted({tuple(sorted(rnd.sample(range(60), 2)))
+                    for _ in range(80)})
+    chain = list(range(200, 214))
+    edges += list(zip(chain, chain[1:]))
+    df = spark.createDataFrame(edges, 'doc_a long, doc_b long')
+    hybrid = sorted(tuple(r) for r in dd.dedup_clusters(df).collect())
+    old = dd.CC_DRIVER_FINISH_EDGES
+    dd.CC_DRIVER_FINISH_EDGES = 0
+    try:
+        dist = sorted(tuple(r) for r in dd.dedup_clusters(df).collect())
+    finally:
+        dd.CC_DRIVER_FINISH_EDGES = old
+    assert hybrid == dist
+
+
 def test_dedup_clusters_empty_pairs(spark):
     from rbql_spark.ops.dedup import dedup_clusters
     pairs = spark.createDataFrame([], 'doc_a long, doc_b long')
@@ -1939,6 +1961,19 @@ def test_kmeans_cluster_nearest_centroid_and_plan(spark, emb_df):
     b = {(r['vec_id'], r['cluster_id'], round(r['centroid_sim'], 6))
          for r in arrow.collect()}
     assert a == b
+
+
+def test_kmeans_iter_impls_identical(spark, emb_df):
+    # r16: the numpy per-task partial-stats kernel must drive the SAME
+    # Lloyd trajectory as the inline-argmax + posexplode aggregation
+    # (assignment parity + round-6 centroid grid)
+    from rbql_spark.ops.cluster import kmeans_cluster
+    base = emb_df.select('vec_id', 'embedding')
+    key = lambda d: sorted(  # noqa: E731
+        (r['vec_id'], r['cluster_id'], round(r['centroid_sim'], 12))
+        for r in d.collect())
+    assert key(kmeans_cluster(base, k=4, n_iter=3, iter_impl='arrow')) \
+        == key(kmeans_cluster(base, k=4, n_iter=3, iter_impl='native'))
 
 
 def test_kmeans_cluster_ml_quantizer(spark, emb_df):
