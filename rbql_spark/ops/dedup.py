@@ -20,6 +20,7 @@ shuffles are the groupBy/join on candidate keys.
 
 from __future__ import annotations
 
+import os
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -53,7 +54,7 @@ _MINHASH_FLUSH_UNIQ: int | None = None
 # the union-find finishes on the driver in one bounded Arrow collect
 # instead of O(log d) distributed alternation rounds.  0 disables.
 CC_DRIVER_FINISH_EDGES = int(
-    __import__('os').environ.get('RBQL_CC_DRIVER_FINISH_EDGES', '500000'))
+    os.environ.get('RBQL_CC_DRIVER_FINISH_EDGES', '500000'))
 _SIMHASH_MEMO_CAP = 1 << 20
 
 
@@ -62,11 +63,25 @@ def spread_partitions(df: DataFrame, min_per_core: int = 1) -> DataFrame:
 
     Small-file inputs (one parquet file → one partition) would otherwise run
     expression-heavy per-row operators on a single task.  At bulk scale the
-    scan already produces ≥cores partitions and this is a no-op.  Streaming
-    DataFrames pass through untouched (no .rdd on a stream; micro-batch
-    sizing is the source's maxFilesPerTrigger's job).
+    scan already produces ≥cores partitions and this is a no-op.
+
+    Streaming inputs (round-16): a micro-batch arriving as one small
+    parquet file is ONE scan task no matter the session's parallelism
+    (a single-row-group file cannot be split), so the fused projections
+    and Arrow kernels built on this helper ran each batch
+    single-threaded — measured 3× the whole-drain floor on the
+    quality-filter stream at sf0.1.  Streams therefore repartition to
+    the default parallelism: one cheap round-robin shuffle of the raw
+    batch rows (deterministic under retry — Spark sorts before
+    round-robin repartition) buys cores-wide execution of the heavy
+    stage.  A source that already delivers wide batches pays one
+    redundant pass-through shuffle; set RBQL_STREAM_SPREAD=0 for that
+    regime.
     """
     if df.isStreaming:
+        if os.environ.get('RBQL_STREAM_SPREAD', '1') != '0':
+            return df.repartition(
+                df.sparkSession.sparkContext.defaultParallelism)
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -66,10 +66,16 @@ def stream_decontaminate(docs: DataFrame, benchmark: DataFrame,
     create state, but a forever-stream should set ts_col or recycle the
     query periodically, as any unwatermarked streaming agg must.
     """
-    from rbql_spark.ops.dedup import word_shingles, word_shingles_md5
+    from rbql_spark.ops.dedup import (
+        spread_partitions, word_shingles, word_shingles_md5,
+    )
 
     mk = word_shingles_md5 if hash_fn == 'md5' else word_shingles
     extra = [F.col(ts_col)] if ts_col is not None else []
+    # round-16: spread each micro-batch before the shingle projection —
+    # a single-file batch is otherwise one scan task (see
+    # dedup.spread_partitions; measured 4.2 -> 3.5 s per drain at sf0.1)
+    docs = spread_partitions(docs)
     t = (docs.select(F.col(id_col).alias('doc_id'), *extra,
                      mk(F.col(text_col), k=shingle_k).alias('__sh'))
              .select('doc_id', *([ts_col] if ts_col else []),
@@ -122,8 +128,9 @@ def stream_decontaminate_bloom(docs: DataFrame, benchmark: DataFrame,
     """
     from rbql_spark.ops.dedup import (
         _bloom_member_flags, _bloom_pack_bitmap, _bloom_positions,
-        word_shingles_md5,
+        spread_partitions, word_shingles_md5,
     )
+    docs = spread_partitions(docs)   # r16: see stream_decontaminate
     bits = (benchmark.select(F.explode(
                 word_shingles_md5(F.col(text_col), k=shingle_k)).alias('sh'))
                      .select(F.explode(_bloom_positions(
@@ -404,6 +411,10 @@ def stream_classify(docs: DataFrame, weights: list,
     weights — the stream never feeds back into the model.
     """
     from rbql_spark.ops.classifier import classifier_score
+
+    # round-16: measured A/B kept this batch UNSPREAD — the inline fold
+    # is dominated by JVM-side gram hashing that a pre-fold row shuffle
+    # only delays (3.1 s vs 2.5 s per drain at sf0.1)
     return classifier_score(docs, weights, text_col=text_col,
                             id_col=id_col, ngram_max=ngram_max, seed=seed,
                             impl='inline')

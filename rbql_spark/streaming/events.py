@@ -191,7 +191,8 @@ _OUT_SCHEMA = 'user_id long, n_events long, total_value double'
 
 
 def running_user_totals(events: DataFrame, watermark: str = '2 hours',
-                        state_retention: str | None = '90 days') -> DataFrame:
+                        state_retention: str | None = '90 days',
+                        state_buckets: int | None = None) -> DataFrame:
     """Custom stateful streaming aggregation: per-user running event count and
     value total across micro-batches (applyInPandasWithState).
 
@@ -205,50 +206,111 @@ def running_user_totals(events: DataFrame, watermark: str = '2 hours',
     redelivery-tolerance convention) preserves whole-history totals for any
     stream whose replay horizon is shorter; pass None for the old unbounded
     lifetime state.
+
+    State granularity (round-16, the stream_minhash_near_dups design):
+    the operator keys on a deterministic USER super-bucket
+    (`pmod(xxhash64(user_id), K)`, K = `state_buckets` or 8× the
+    session's shuffle-partition count at plan build, min 64) whose
+    state is a dict of its users' counters.  Per-user keying invoked
+    the Python state machinery once per ACTIVE USER per batch — state
+    row decode/encode plus a one-row pandas frame each — which
+    dominated the drain at second scale; bucketed state amortizes that
+    over ~(active users / K) users per call while keeping per-user
+    semantics exactly: per-user counters, per-user retention deadlines
+    (the group timer fires at the earliest deadline and sweeps only
+    users the watermark passed), one update row per user per batch.
+    Sized for bulk/replay ingest: a sparse trickle (few active users
+    per batch) rewrites its whole bucket's dict per update — raise K
+    (or revert to per-user keying with K so large buckets are
+    singletons) for that regime.  Changing K re-keys state: not
+    checkpoint-compatible across values.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     retention_ms = None if state_retention is None else \
         int(__import__('pandas').Timedelta(state_retention).total_seconds() * 1000)
+    try:
+        sess_parts = int(events.sparkSession.conf.get(
+            'spark.sql.shuffle.partitions'))
+    except Exception:
+        sess_parts = 200
+    n_groups = int(state_buckets) if state_buckets else max(64, 8 * sess_parts)
 
     def update_fn(key, pdf_iter, state):
+        import pickle
         import pandas as pd
+
+        def empty():
+            return pd.DataFrame({'user_id': pd.Series([], dtype='int64'),
+                                 'n_events': pd.Series([], dtype='int64'),
+                                 'total_value': pd.Series([], dtype='float64')})
+
+        def rearm(users):
+            if retention_ms is None or not users:
+                return
+            state.setTimeoutTimestamp(
+                max(min(u[2] for u in users.values()),
+                    state.getCurrentWatermarkMs() + 1))
+
+        # state: {user_id: [n, total, deadline_ms]}
+        users = pickle.loads(bytes(state.get[0])) if state.exists else {}
         if state.hasTimedOut:
-            # idle past retention: drop the counters, emit nothing — the
-            # user's last emitted totals remain the final word until (if
-            # ever) they reappear and restart from zero
-            state.remove()
-            yield pd.DataFrame({'user_id': pd.Series([], dtype='int64'),
-                                'n_events': pd.Series([], dtype='int64'),
-                                'total_value': pd.Series([], dtype='float64')})
+            # users idle past retention: drop their counters, emit
+            # nothing — the last emitted totals remain the final word
+            # until (if ever) they reappear and restart from zero
+            wm = state.getCurrentWatermarkMs()
+            for uid in [u for u, v in users.items() if v[2] <= wm]:
+                del users[uid]
+            if users:
+                state.update((pickle.dumps(users, protocol=4),))
+                rearm(users)
+            else:
+                state.remove()
+            yield empty()
             return
-        user_id = key[0]
-        if state.exists:
-            _, n, total = state.get
-        else:
-            n, total = 0, 0.0
-        last_ts_ms = 0
+        out_u: list[int] = []
+        out_n: list[int] = []
+        out_t: list[float] = []
         for pdf in pdf_iter:
-            n += len(pdf)
-            total += float(pdf['value'].fillna(0.0).sum())
-            if len(pdf):
-                batch_max = pdf['ts'].max()
-                last_ts_ms = max(last_ts_ms,
-                                 int(pd.Timestamp(batch_max).value // 1_000_000))
-        state.update((user_id, n, total))
-        if retention_ms is not None:
-            # timeout must sit above the current watermark — anchor on the
-            # later of (this user's newest event, the watermark itself)
-            anchor = max(last_ts_ms, state.getCurrentWatermarkMs())
-            state.setTimeoutTimestamp(anchor + retention_ms)
-        yield pd.DataFrame({'user_id': [user_id], 'n_events': [n], 'total_value': [total]})
+            if not len(pdf):
+                continue
+            wm = state.getCurrentWatermarkMs()
+            for uid, sub in pdf.groupby('user_id', sort=True):
+                uid = int(uid)
+                n, total, _ = users.get(uid) or (0, 0.0, 0)
+                n += len(sub)
+                total += float(sub['value'].fillna(0.0).sum())
+                if retention_ms is not None:
+                    last_ts_ms = int(pd.Timestamp(sub['ts'].max()).value
+                                     // 1_000_000)
+                    # timeout must sit above the current watermark —
+                    # anchor on the later of (this user's newest event,
+                    # the watermark itself)
+                    deadline = max(last_ts_ms, wm) + retention_ms
+                else:
+                    deadline = 0
+                users[uid] = [n, total, deadline]
+                if uid in out_u:
+                    i = out_u.index(uid)
+                    out_n[i], out_t[i] = n, total
+                else:
+                    out_u.append(uid)
+                    out_n.append(n)
+                    out_t.append(total)
+        state.update((pickle.dumps(users, protocol=4),))
+        rearm(users)
+        yield pd.DataFrame({'user_id': pd.Series(out_u, dtype='int64'),
+                            'n_events': pd.Series(out_n, dtype='int64'),
+                            'total_value': pd.Series(out_t, dtype='float64')})
 
     timeout = (GroupStateTimeout.NoTimeout if retention_ms is None
                else GroupStateTimeout.EventTimeTimeout)
     return (events
             .withWatermark('ts', watermark)
-            .groupBy('user_id')
-            .applyInPandasWithState(update_fn, _OUT_SCHEMA, _STATE_SCHEMA,
+            .withColumn('__ukey', F.pmod(F.xxhash64('user_id'),
+                                         F.lit(int(n_groups))))
+            .groupBy('__ukey')
+            .applyInPandasWithState(update_fn, _OUT_SCHEMA, 'blob binary',
                                     'update', timeout))
 
 
