@@ -411,11 +411,15 @@ def stream_classify(docs: DataFrame, weights: list,
     weights — the stream never feeds back into the model.
     """
     from rbql_spark.ops.classifier import classifier_score
+    from rbql_spark.ops.dedup import spread_partitions
 
-    # round-16: measured A/B kept this batch UNSPREAD — the inline fold
-    # is dominated by JVM-side gram hashing that a pre-fold row shuffle
-    # only delays (3.1 s vs 2.5 s per drain at sf0.1)
-    return classifier_score(docs, weights, text_col=text_col,
+    # round-16: spread each micro-batch before scoring — neutral at
+    # sf0.1 (3.0 vs 3.2 s warm) but the decisive decade fix: a
+    # single-file sf1 batch scored single-task at 15.4 s vs 9.3 s
+    # spread (the batch op's own plan stays exchange-free; the stream
+    # pays one row shuffle for cores-wide scoring)
+    return classifier_score(spread_partitions(docs), weights,
+                            text_col=text_col,
                             id_col=id_col, ngram_max=ngram_max, seed=seed,
                             impl='inline')
 
