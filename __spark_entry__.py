@@ -1470,18 +1470,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-50 for the same query, fused by reciprocal-rank fusion
         # (k=60) — the lexical+semantic combiner production retrieval
         # runs; all three stages are existing oracle-replayed operators
+        # r17 (guide §6/§2): ONE corpus scan tokenizes into a persisted
+        # projection feeding BOTH retrieval branches (lexical tfs and
+        # embedding votes used the same tokenizer all along), and the
+        # one-row QUERY embedding is the inline pure-expression form —
+        # the distributed embed plan cost three job-floor shuffle stages
+        # (~1 s) to embed one row.  Values proven identical:
+        # tests/test_ops.py inline-parity + the DuckDB oracle.
+        from rbql_spark.ops.dedup import spread_partitions, tokens
         from rbql_spark.ops.similarity import cosine_topk_bruteforce
         from rbql_spark.ops.textstats import (bm25_score, embed_hashing,
-                                              rrf_fuse)
-        docs = _t(spark, sf_dir, 'documents')
+                                              embed_hashing_inline, rrf_fuse)
+        docs = spread_partitions(_t(spark, sf_dir, 'documents'))
         terms = ['hash', 'join', 'scan']
-        lex = bm25_score(docs, terms, top_k=50).select('doc_id', 'rank')
-        emb = embed_hashing(docs, dim=16).select(
+        toked = docs.select(
+            'doc_id',
+            tokens(F.coalesce(F.col('text'), F.lit(''))).alias('__toks')) \
+            .persist()
+        lex = bm25_score(toked, terms, top_k=50, tokens_col='__toks') \
+            .select('doc_id', 'rank')
+        emb = embed_hashing(toked, dim=16, tokens_col='__toks').select(
             F.col('doc_id').alias('vec_id'), 'embedding')
-        qdf = embed_hashing(
-            spark.createDataFrame([(-1, ' '.join(terms))],
-                                  'doc_id long, text string'),
-            dim=16).select(F.col('doc_id').alias('qid'), 'embedding')
+        qdf = spark.range(1).select(
+            F.lit(-1).cast('long').alias('qid'),
+            embed_hashing_inline(F.lit(' '.join(terms)), dim=16)
+             .alias('embedding'))
         sem = cosine_topk_bruteforce(emb, qdf, k=50, query_id_col='qid') \
             .select(F.col('vec_id').alias('doc_id'), 'rank')
         return rrf_fuse([lex, sem], k=60, top_k=20)
@@ -1696,7 +1709,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     ordered = {k: q[k] for k in rotate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
-    return ordered
+
+    # r16 verdict #1: the sub-advisory AQE width decision moved from the
+    # bench harness into the engine — every gate builder applies it at
+    # DataFrame build time (tuning.apply_plan_width), so a library caller
+    # executing the returned frame gets the same plan the bench times.
+    def _with_plan_width(fn):
+        def wrapped(spark, sf_dir, _fn=fn):
+            from rbql_spark.tuning import apply_plan_width
+            df = apply_plan_width(_fn(spark, sf_dir))
+            # forward attributes the gate set on itself during the call
+            # (e.g. _rbql's last_telemetry for the native-coverage tests)
+            wrapped.__dict__.update(_fn.__dict__)
+            return df
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__dict__.update(fn.__dict__)
+        wrapped.__wrapped__ = fn
+        return wrapped
+
+    return {k: _with_plan_width(v) for k, v in ordered.items()}
 
 
 # ---------------------------------------------------------------------------

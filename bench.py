@@ -262,14 +262,8 @@ def main() -> None:
             if name in EXTRA_BENCH:
                 EXTRA_BENCH[name](spark, SF_DIR)
             else:
-                from rbql_spark.tuning import scoped_initial_width
                 df = queries[name](spark, SF_DIR)
-                # sub-advisory inputs plan at the advisor's width instead
-                # of the session's 16x initial (r15 verdict #7: map-side
-                # shuffle-file overhead on second-scale window queries);
-                # large inputs keep the full decade-rule width
-                with scoped_initial_width(spark, df):
-                    df.write.format('noop').mode('overwrite').save()
+                df.write.format('noop').mode('overwrite').save()
             samples[name].append(round(time.perf_counter() - t0, 3))
         except Exception as e:  # keep benching; a failed query reports -1
             failed.add(name)

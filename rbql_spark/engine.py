@@ -2264,4 +2264,10 @@ def run_query(spark: SparkSession, query_text: str,
             tmp = result.ordered_df().select(
                 [F.col(c).alias('__pipe_{}'.format(j)) for j, c in enumerate(result.out_cols())])
             handle = TableHandle(df=tmp, header=result.out_names)
+    # size the upcoming execution's AQE initial width from the final
+    # plan's scan bytes (r16 verdict #1: the sub-advisory width decision
+    # belongs to the engine, not the bench harness)
+    if result is not None:
+        from .tuning import apply_plan_width
+        apply_plan_width(result.df)
     return result

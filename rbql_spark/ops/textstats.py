@@ -549,8 +549,57 @@ def top_ngrams(df: DataFrame, text_col: str = 'text',
               .limit(k))
 
 
+def _embed_hash(tok: Column, seed: int) -> Column:
+    """md5 of the token salted with the embed seed — the ONE hash both
+    the bucket and the sign derive from (shared by the distributed and
+    inline embedding paths so they are value-identical by construction)."""
+    return F.md5(F.concat(tok, F.lit(':embed:{}'.format(seed))))
+
+
+def _embed_bucket(h: Column, dim: int) -> Column:
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast('long') % F.lit(int(dim))
+
+
+def _embed_sign(h: Column) -> Column:
+    return F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast('long')
+                  % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def embed_hashing_inline(text: Column, dim: int = 64,
+                         seed: int = 42) -> Column:
+    """``embed_hashing``'s exact computation as ONE pure array expression
+    over a single text column — no token explode, no vote shuffle, no
+    zero-vector join (guide §2: the distributed plan costs three
+    shuffle-stage job floors ~1 s to embed ONE query row).  O(dim ×
+    tokens) expression work per row, so corpus-side embedding keeps the
+    exploded-aggregate path; this is for query-sized frames/literals.
+
+    Value-identical to ``embed_hashing`` on the same text: same
+    tokenizer, same md5 bucket/sign votes (±1 integer-valued double
+    sums — order-free exact), same index-ordered norm fold and
+    per-component round, all evaluated by the same Spark expressions
+    (proven cell-for-cell in tests/test_ops.py)."""
+    toks = tokens(F.coalesce(text, F.lit('')))
+    votes = F.transform(toks, lambda tok: F.struct(
+        _embed_bucket(_embed_hash(tok, seed), dim).alias('b'),
+        _embed_sign(_embed_hash(tok, seed)).alias('s')))
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda i: F.aggregate(
+            votes, F.lit(0.0),
+            lambda acc, v: acc + F.when(v['b'] == i.cast('long'), v['s'])
+                                  .otherwise(F.lit(0.0))))
+    norm = F.sqrt(F.aggregate(
+        F.transform(raw, lambda x: x * x),
+        F.lit(0.0), lambda a, v: a + v))
+    return F.when(norm > 0,
+                  F.transform(raw, lambda x: F.round(x / norm, 6))) \
+            .otherwise(raw)
+
+
 def embed_hashing(df: DataFrame, dim: int = 64, text_col: str = 'text',
-                  id_col: str = 'doc_id', seed: int = 42) -> DataFrame:
+                  id_col: str = 'doc_id', seed: int = 42,
+                  tokens_col: str | None = None) -> DataFrame:
     """Feature-hashing document embeddings (the "hashing trick",
     Weinberger et al. 2009): every token votes ±1 into md5-chosen buckets
     of a dim-wide vector, which is then L2-normalized → (doc_id,
@@ -571,18 +620,26 @@ def embed_hashing(df: DataFrame, dim: int = 64, text_col: str = 'text',
     order-independent; normalization divides by the fold-ordered L2 norm
     and rounds to 6 places (the cross-engine compare grid).  Documents
     with no tokens embed as the zero vector.
+
+    ``tokens_col``: the caller hands a frame that ALREADY carries the
+    word-token array (rbql_spark.ops.dedup.tokens of the coalesced
+    text) — tokenization and partition spreading are skipped, so a
+    persisted shared projection can feed this and a bm25 branch from
+    one corpus scan (guide §6 scan sharing, r16 verdict #3).
     """
-    df = spread_partitions(df)
-    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(''))),
-                            r'[^\p{L}\p{N}]+', -1),
-                    lambda x: x != '')
+    if tokens_col is None:
+        df = spread_partitions(df)
+        toks = F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(''))),
+                    r'[^\p{L}\p{N}]+', -1),
+            lambda x: x != '')
+    else:
+        toks = F.col(tokens_col)
     ex = df.select(F.col(id_col).alias('doc_id'),
                    F.explode_outer(toks).alias('__tok'))
-    h = F.md5(F.concat(F.col('__tok'), F.lit(':embed:{}'.format(seed))))
-    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast('long')
-              % F.lit(int(dim)))
-    sign = F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast('long')
-                  % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    h = _embed_hash(F.col('__tok'), seed)
+    bucket = _embed_bucket(h, dim)
+    sign = _embed_sign(h)
     votes = (ex.where(F.col('__tok').isNotNull())
                .select('doc_id', bucket.alias('__b'), sign.alias('__s'))
                .groupBy('doc_id', '__b')
@@ -614,7 +671,8 @@ def embed_hashing(df: DataFrame, dim: int = 64, text_col: str = 'text',
 
 def bm25_score(df: DataFrame, query_terms: list[str], k1: float = 1.2,
                b: float = 0.75, top_k: int = 100,
-               text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+               text_col: str = 'text', id_col: str = 'doc_id',
+               tokens_col: str | None = None) -> DataFrame:
     """BM25 lexical retrieval over the corpus for one query (the Lucene
     formula: idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf saturation with
     k1, length normalization with b against the corpus mean length) →
@@ -638,8 +696,6 @@ def bm25_score(df: DataFrame, query_terms: list[str], k1: float = 1.2,
     if not query_terms:
         raise ValueError('bm25_score needs at least one query term')
     terms = sorted({t.lower() for t in query_terms})
-    df = spread_partitions(df)
-    t = F.coalesce(F.col(text_col), F.lit(''))
     term_lit = F.array(*[F.lit(x) for x in terms])
     from .dedup import let_once
 
@@ -654,7 +710,14 @@ def bm25_score(df: DataFrame, query_terms: list[str], k1: float = 1.2,
                         lambda q: F.size(F.filter(ta, lambda x: x == q)))
              .alias('tfs'))
 
-    packed = let_once(tokens(t), proj)
+    if tokens_col is None:
+        df = spread_partitions(df)
+        packed = let_once(tokens(F.coalesce(F.col(text_col), F.lit(''))),
+                          proj)
+    else:
+        # caller hands a pre-tokenized (often persisted, scan-shared)
+        # frame — the array is materialized, so no let_once needed
+        packed = proj(F.col(tokens_col))
     base = df.select(F.col(id_col).alias('doc_id'),
                      packed.alias('__p')) \
              .select('doc_id', F.col('__p.dl').alias('dl'),

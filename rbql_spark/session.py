@@ -68,6 +68,10 @@ def build_session(app_name: str = 'rbql-spark',
          .config('spark.sql.adaptive.skewJoin.enabled', 'true')
          .config('spark.sql.adaptive.coalescePartitions.initialPartitionNum',
                  str(max(shuffle_partitions * 16, 256)))
+         # stamp the designed wide width so tuning.apply_plan_width can
+         # restore it after planning a sub-advisory query at base width
+         .config('spark.rbql.wideInitialPartitionNum',
+                 str(max(shuffle_partitions * 16, 256)))
          .config('spark.sql.adaptive.advisoryPartitionSizeInBytes', '64m')
          .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
          .config('spark.sql.files.maxPartitionBytes', max_partition_bytes)

@@ -134,6 +134,77 @@ def input_scan_bytes(df) -> int | None:
         return None
 
 
+# Session-conf stash of the DESIGNED wide AQE initial width (set by
+# build_session; apply_plan_width falls back to the live conf value the
+# first time it runs on a foreign session).  Without the stash, applying
+# the base width for one small query would destroy the knowledge of the
+# wide setting for every later large query — the conf itself is the only
+# cross-query storage a SparkSession offers.
+WIDE_INITIAL_KEY = 'spark.rbql.wideInitialPartitionNum'
+_INITIAL_KEY = 'spark.sql.adaptive.coalescePartitions.initialPartitionNum'
+
+
+def apply_plan_width(df, expansion: float = 4.0,
+                     bytes_per_partition: int | None = None):
+    """Decide the AQE ``initialPartitionNum`` for ``df``'s upcoming
+    execution AT BUILD TIME and set it on the session — the engine-layer
+    home of the r15/r16 ``scoped_initial_width`` policy (r16 verdict #1:
+    an optimization that only ran where the bench's stopwatch was is
+    indistinguishable from bench tuning, so the bench now does a plain
+    noop write and every query builder applies this instead).
+
+    Decision (identical to the r16 scoped version, A/B'd in NOTES_r15):
+    BINARY — when ``expansion × input scan bytes`` fits within ``base
+    partitions × per-task target`` (even the base width over-partitions
+    this shuffle), plan at the session base; otherwise keep the session's
+    configured wide initial (the measured decade rule for large
+    shuffles).  Unknown sizes and plans carrying an explicit
+    ``repartition(expr)`` keep the wide width — the safe direction at
+    scale (and the r15 A/B direction for repartition-pinned Arrow
+    stages).
+
+    The set is PERSISTENT, not scoped: execution happens later, in the
+    caller's hands (a noop write, a collect, a sink).  Each query builder
+    re-decides for its own plan, so sequential workloads always execute
+    at their own width; the designed wide value survives in
+    ``WIDE_INITIAL_KEY``.  (Session conf is global — concurrent builders
+    on one session race exactly as the streaming drain scoping always
+    has; pin per-thread sessions for that regime.)
+
+    Returns ``df`` unchanged, for chaining.
+    """
+    spark = df.sparkSession
+    try:
+        base = int(spark.conf.get('spark.sql.shuffle.partitions'))
+    except Exception:
+        return df
+    try:
+        wide = int(spark.conf.get(WIDE_INITIAL_KEY))
+    except Exception:
+        try:
+            wide = int(spark.conf.get(_INITIAL_KEY))
+        except Exception:
+            return df
+        # first sighting on a session build_session didn't stamp: the
+        # live value IS the designed wide width — stash it
+        spark.conf.set(WIDE_INITIAL_KEY, str(wide))
+    if wide <= base:
+        return df
+    nbytes = input_scan_bytes(df)
+    try:
+        if 'Repartition' in str(df._jdf.queryExecution().optimizedPlan()):
+            nbytes = None
+    except Exception:
+        nbytes = None
+    if nbytes is None:
+        spark.conf.set(_INITIAL_KEY, str(wide))
+        return df
+    bpp = bytes_per_partition or BYTES_PER_PARTITION
+    want = math.ceil(nbytes * max(expansion, 1.0) / bpp)
+    spark.conf.set(_INITIAL_KEY, str(base if want <= base else wide))
+    return df
+
+
 @contextlib.contextmanager
 def scoped_initial_width(spark, df, expansion: float = 4.0):
     """Batch counterpart of the streaming drain scoping (r15 verdict

@@ -2236,3 +2236,35 @@ def test_sample_k_per_group_on_null_key_error(spark):
                            on_null_key='error').collect()
     with pytest.raises(ValueError, match='on_null_key'):
         sample_k_per_group(df, k=2, group_col='grp', on_null_key='warn')
+
+
+def test_embed_hashing_inline_matches_distributed(spark):
+    """embed_hashing_inline (the pure-expression one-row query path used
+    by retrieval_hybrid_rrf) must be value-identical to the distributed
+    embed_hashing plan — same tokenizer, votes, norm fold, rounding."""
+    from pyspark.sql import functions as F
+
+    from rbql_spark.ops.textstats import embed_hashing, embed_hashing_inline
+    texts = [
+        'hash join scan',
+        '',
+        None,
+        'Hash HASH hash h@sh 42 çöğü ÇÖĞÜ 北京 1a1a1a',
+        'a ' * 50 + 'b',           # heavy repetition, vote cancellation
+        '!!! ---   ',               # no tokens at all
+        'solo',
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    for dim in (4, 16):
+        dist = {r['doc_id']: list(r['embedding'])
+                for r in embed_hashing(df, dim=dim).collect()}
+        inl = {r['doc_id']: list(r['embedding'])
+               for r in df.select(
+                   'doc_id',
+                   embed_hashing_inline(F.col('text'), dim=dim)
+                   .alias('embedding')).collect()}
+        assert dist.keys() == inl.keys()
+        for k in dist:
+            assert [repr(x) for x in dist[k]] == [repr(x) for x in inl[k]], \
+                (dim, k, dist[k], inl[k])

@@ -796,3 +796,40 @@ def test_homogeneous_in_memory_tables_stay_plain(spark):
     h2 = _rows_to_handle(spark, [[1, 'x'], ['z', 'y']], None)
     assert is_mixed_type(h2.df.schema.fields[0].dataType)
     assert not is_mixed_type(h2.df.schema.fields[1].dataType)
+
+
+def test_plan_width_decided_at_engine_layer(spark, sf_dir, entry):
+    """r16 verdict #1: the sub-advisory AQE initial-width decision lives
+    in the ENGINE (tuning.apply_plan_width, applied by engine.run_query
+    and by every declared gate builder), not in the bench harness — a
+    sub-advisory API query plans at the session base width while a large
+    scan keeps the configured wide (16x) initial."""
+    from rbql_spark import api, tuning
+    key = tuning._INITIAL_KEY
+    base = spark.conf.get('spark.sql.shuffle.partitions')
+    try:
+        spark.conf.unset(tuning.WIDE_INITIAL_KEY)
+    except Exception:
+        pass
+    spark.conf.set(key, '64')   # the designed wide initial (16x-style)
+    try:
+        lineitem = entry._t(spark, sf_dir, 'lineitem')
+        # sub-advisory input (sf0.001 lineitem is kilobytes): run_query
+        # decides the upcoming execution plans at the session base width
+        api.query_dataframe(
+            spark,
+            'SELECT a.l_orderkey, a.l_quantity WHERE a.l_quantity > 30',
+            lineitem)
+        assert spark.conf.get(key) == base
+        # the designed wide width survives in the stash for later queries
+        assert spark.conf.get(tuning.WIDE_INITIAL_KEY) == '64'
+        # a scan past base x per-task target keeps the wide initial (the
+        # measured decade rule for real shuffles)
+        tuning.apply_plan_width(lineitem, bytes_per_partition=64)
+        assert spark.conf.get(key) == '64'
+        # declared gate builders apply the same decision at build time
+        entry.queries()['window_running_sum'](spark, sf_dir)
+        assert spark.conf.get(key) == base
+    finally:
+        spark.conf.unset(key)
+        spark.conf.unset(tuning.WIDE_INITIAL_KEY)
