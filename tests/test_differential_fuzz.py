@@ -15,8 +15,8 @@ import pytest
 
 REF_PY = '/root/reference/rbql-py'
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_PY), reason='reference package not available')
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir(REF_PY), reason='reference package not available')]
 
 WORDS = ['alpha', 'beta', 'gamma', 'delta', 'omega']
 

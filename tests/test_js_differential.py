@@ -23,8 +23,8 @@ REF_JS = '/root/reference/rbql-js/rbql.js'
 RUNNER = os.path.join(os.path.dirname(__file__), '..', 'tools', 'js_ref_runner.js')
 NODE = shutil.which('node')
 
-pytestmark = pytest.mark.skipif(
-    not (NODE and os.path.exists(REF_JS)), reason='node / rbql-js not available')
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not (NODE and os.path.exists(REF_JS)), reason='node / rbql-js not available')]
 
 WORDS = ['alpha', 'beta', 'gamma', 'delta', 'omega']
 

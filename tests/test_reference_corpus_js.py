@@ -18,8 +18,8 @@ import pytest
 
 CORPUS_PATH = '/root/reference/test/rbql_unit_tests.json'
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(CORPUS_PATH), reason='reference corpus not available')
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.exists(CORPUS_PATH), reason='reference corpus not available')]
 
 
 def load_cases():
