@@ -1188,7 +1188,14 @@ class StageRunner:
         unnest_col = None
         if unnest_out_col is not None:
             keep = [c for c in df.columns if c != unnest_out_col]
-            df = df.select(*keep, F.posexplode(F.col(unnest_out_col)).alias('__unnest_pos', '__unnest_val'))
+            # posexplode_OUTER + drop-null-pos == posexplode row-for-row
+            # (empty/null arrays emit one null-pos row, filtered here),
+            # but the non-outer form makes Catalyst infer a size()>0
+            # filter that re-evaluates the unnest source expression per
+            # row once pushed through its defining projection
+            df = (df.select(*keep, F.posexplode_outer(F.col(unnest_out_col))
+                            .alias('__unnest_pos', '__unnest_val'))
+                    .where(F.col('__unnest_pos').isNotNull()))
             unnest_col = '__unnest_val'
 
         # final output columns

@@ -200,10 +200,14 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
     """
     sh = (word_shingles_md5(F.col(text_col), k=shingle_k) if hash_fn == 'md5'
           else word_shingles(F.col(text_col), k=shingle_k))
-    t = (train.select(F.col(id_col).alias('doc_id'), sh.alias('__sh'))
-              .select('doc_id', F.explode('__sh').alias('sh')))
-    b = (benchmark.select(F.col(id_col).alias('bench_id'), sh.alias('__sh'))
-                  .select('bench_id', F.explode('__sh').alias('sh')))
+    # the explode is INLINE (generator child = the shingle expression, not
+    # a projected attribute): Catalyst only infers a size()>0 filter from
+    # attribute-fed generates, and pushing that filter back through the
+    # defining Project re-expands the tokenize+md5 expression — measured
+    # 2x the whole gate at sf0.1 (guide §1.3: one evaluation per row)
+    t = train.select(F.col(id_col).alias('doc_id'), F.explode(sh).alias('sh'))
+    b = benchmark.select(F.col(id_col).alias('bench_id'),
+                         F.explode(sh).alias('sh'))
     # shingle arrays are array_distinct per document, so each (id, sh) row
     # is unique per side and the overlap count is a plain count
     return (t.join(F.broadcast(b) if broadcast_benchmark else b, 'sh')

@@ -724,8 +724,13 @@ def bm25_score(df: DataFrame, query_terms: list[str], k1: float = 1.2,
                      F.col('__p.tfs').alias('tfs'))
     stats = base.agg(F.count(F.lit(1)).alias('n_docs'),
                      F.avg('dl').alias('avgdl'))
+    # posexplode_OUTER: tfs is a fixed-length array (one slot per query
+    # term, never empty/null) so outer yields identical rows — but the
+    # non-outer form makes Catalyst infer a size()>0 filter and push it
+    # through the packed projection, re-evaluating the tokenize+tf
+    # expression 2 extra times per corpus row (guide §1.3)
     hit = base.select('doc_id', 'dl',
-                      F.posexplode('tfs').alias('ti', 'tf')) \
+                      F.posexplode_outer('tfs').alias('ti', 'tf')) \
               .where(F.col('tf') > 0)
     dfreq = hit.groupBy('ti').agg(F.count(F.lit(1)).alias('df_t'))
     idf = F.log(F.lit(1.0)
@@ -839,9 +844,13 @@ def bm25_score_queries(df: DataFrame, queries: DataFrame, k1: float = 1.2,
     stats = df.select(F.size(tokens(t)).alias('__dl')) \
               .agg(F.count(F.lit(1)).alias('n_docs'),
                    F.avg('__dl').alias('avgdl'))
+    # explode_OUTER: a no-token doc emits one null __term row that the
+    # inner term join drops, so rows are identical — while the non-outer
+    # form's inferred size()>0 filter would re-tokenize every corpus row
+    # a second time once pushed through the projection (guide §1.3)
     base = (df.select(F.col(id_col).alias('doc_id'), tokens(t).alias('__ta'))
               .select('doc_id', F.size('__ta').alias('dl'),
-                      F.explode('__ta').alias('__term')))
+                      F.explode_outer('__ta').alias('__term')))
     terms = qterms.select('__term').distinct()
     hit = (base.join(F.broadcast(terms), '__term')
                .groupBy('doc_id', '__term')

@@ -76,13 +76,15 @@ def stream_decontaminate(docs: DataFrame, benchmark: DataFrame,
     # a single-file batch is otherwise one scan task (see
     # dedup.spread_partitions; measured 4.2 -> 3.5 s per drain at sf0.1)
     docs = spread_partitions(docs)
-    t = (docs.select(F.col(id_col).alias('doc_id'), *extra,
-                     mk(F.col(text_col), k=shingle_k).alias('__sh'))
-             .select('doc_id', *([ts_col] if ts_col else []),
-                     F.explode('__sh').alias('sh')))
-    b = (benchmark.select(F.col(id_col).alias('bench_id'),
-                          mk(F.col(text_col), k=shingle_k).alias('__sh'))
-                  .select('bench_id', F.explode('__sh').alias('sh')))
+    # INLINE explode (generator child = the shingle expression): the
+    # attribute-fed two-step form makes Catalyst infer a size()>0 filter
+    # and push it through the defining Project, re-evaluating the
+    # tokenize+md5 shingling per row (see dedup.decontaminate)
+    t = docs.select(F.col(id_col).alias('doc_id'), *extra,
+                    F.explode(mk(F.col(text_col), k=shingle_k)).alias('sh'))
+    b = benchmark.select(F.col(id_col).alias('bench_id'),
+                         F.explode(mk(F.col(text_col),
+                                      k=shingle_k)).alias('sh'))
     j = t.join(F.broadcast(b), 'sh')
     if ts_col is not None:
         return (j.withWatermark(ts_col, watermark)
@@ -139,11 +141,11 @@ def stream_decontaminate_bloom(docs: DataFrame, benchmark: DataFrame,
                      .distinct())
     bc = _bloom_pack_bitmap(docs.sparkSession, bits, bloom_bits)
     extra = [F.col(ts_col)] if ts_col is not None else []
-    t = (docs.select(F.col(id_col).alias('doc_id'), *extra,
-                     word_shingles_md5(F.col(text_col),
-                                       k=shingle_k).alias('__sh'))
-             .select('doc_id', *([ts_col] if ts_col else []),
-                     F.explode('__sh').alias('sh')))
+    # INLINE explode — same inferred-filter duplication avoidance as in
+    # stream_decontaminate / dedup.decontaminate
+    t = docs.select(F.col(id_col).alias('doc_id'), *extra,
+                    F.explode(word_shingles_md5(
+                        F.col(text_col), k=shingle_k)).alias('sh'))
     flags = _bloom_member_flags(
         t, bc, bloom_hashes, bloom_bits, seed,
         carry_cols=(ts_col,) if ts_col else (),
