@@ -163,7 +163,15 @@ def kmeans_cluster(corpus: DataFrame, k: int = 8, n_iter: int = 2,
     cells keep their previous centroid.  Means are rounded
     half-away-from-zero to 6 places so both engines iterate from
     IDENTICAL centroids — floating-point summation order can never
-    compound across rounds.  The k×dim centroid state lives on the
+    compound across rounds.  Residual caveat (iter_impl='arrow', the
+    default): per-task numpy partial sums accumulate in a different
+    order than the single Spark aggregation ('native'), so when a cell
+    mean lands within an ulp of a rounding half-grid point the snapped
+    centroid can differ by 1e-6 between the two impls — the DuckDB
+    replay contract for quantizer='hash' is exact under 'native' and
+    best-effort (never observed diverging on the test corpora, and
+    parity-tested per round) under 'arrow'; pass iter_impl='native'
+    where bit-replay must be guaranteed.  The k×dim centroid state lives on the
     driver between rounds (bounded by construction — the same contract
     as ivf_ann_topk's inline centroids).
 

@@ -808,9 +808,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 30,
                     ra, rb = rb, ra
                 parent[rb] = ra
         labels = [(x, find(x)) for x in parent]
-        # checkpoint_dir mode keeps round-0 on disk (the contraction
-        # output IS the final persisted round here) — the caller owns
-        # the scratch path's lifecycle either way
+        # the result below is driver-materialized (createDataFrame) — no
+        # lazy read depends on the round files, so drop them now, same
+        # scratch hygiene as the distributed path's superseded rounds
+        if checkpoint_dir:
+            for p in round_paths:
+                try:
+                    _rm_path(p)
+                except Exception:
+                    pass  # best-effort scratch hygiene
         import pandas as pd
         return spark.createDataFrame(
             pd.DataFrame({'doc_id': pd.Series([x for x, _ in labels],

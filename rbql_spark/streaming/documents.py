@@ -171,7 +171,7 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
                              state_retention: str | None = None,
                              ts_col: str | None = None,
                              watermark: str = '1 hour',
-                             state_buckets: int = 4096) -> DataFrame:
+                             state_buckets: int | None = None) -> DataFrame:
     """Incremental near-dup detection: emits a verified (doc_a, doc_b,
     jaccard) pair the moment the SECOND document of the pair arrives.
 
@@ -222,10 +222,13 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
         over the actual signature + shuffle work (measured at sf0.1:
         9.5 s of a 14 s drain).  Verification still runs per REAL
         bucket inside the group (ascending doc id, redelivery skip,
-        per-bucket retention deadlines), so the emitted pair set — and
-        every retention/eviction outcome — is unchanged.  K =
-        max(state_buckets, 64 × the session's shuffle-partition count
-        at plan build), so a cluster session sized for a large stream
+        per-bucket retention deadlines anchored on each bucket's OWN
+        newest arrival, expired buckets swept in the data path before
+        any verification — r17), so the emitted pair set and every
+        retention/eviction outcome match the per-bucket design.  K =
+        state_buckets when given explicitly, else max(4096, 64 × the
+        session's shuffle-partition count at plan build), so a
+        cluster session sized for a large stream
         gets proportionally more groups (keys stay ≥ 64× partitions,
         the skew-free ratio of guide §2.5) while each group's state
         stays small.  Changing K re-keys state: not
@@ -254,7 +257,11 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
             'spark.sql.shuffle.partitions'))
     except Exception:
         sess_parts = 200
-    n_groups = max(int(state_buckets), 64 * sess_parts)
+    # explicit state_buckets wins exactly (the running_user_totals
+    # convention — tests pin tiny values to force co-residency); the
+    # default derives from session width, floored at the old 4096
+    n_groups = (int(state_buckets) if state_buckets
+                else max(4096, 64 * sess_parts))
     banded = sig.select('doc_id', 'shingles', *extra,
                         F.posexplode(band_arr).alias('band_idx', 'band_hash'))
     banded = banded.withColumn(
@@ -310,29 +317,51 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
                 state.remove()
             yield empty()
             return
+        # data-path sweep (r16 advice): hasTimedOut only fires for groups
+        # with NO data in a trigger, so a busy super-bucket would never
+        # evict its expired real buckets — late arrivals would verify
+        # against members past the retention horizon and could emit
+        # pairs the per-bucket design would not.  Sweep BEFORE
+        # verification so arrivals only ever meet in-horizon members.
+        if retention_ms is not None and buckets:
+            sweep(buckets, state.getCurrentWatermarkMs() if event_time
+                  else int(_time.time() * 1000))
         new: dict = {}
-        last_ts_ms = 0
+        new_ts: dict = {}
         for pdf in pdf_iter:
-            for bi, bh, d, sh in zip(pdf['band_idx'], pdf['band_hash'],
-                                     pdf['doc_id'], pdf['shingles']):
+            # one vectorized ns->ms conversion per frame; the hot loop
+            # below only does a numpy scalar pickup per row
+            ts_arr = (pd.to_datetime(pdf[ts_col]).to_numpy(
+                          dtype='datetime64[ns]').astype('int64')
+                      // 1_000_000
+                      if event_time and len(pdf) else None)
+            for i, (bi, bh, d, sh) in enumerate(
+                    zip(pdf['band_idx'], pdf['band_hash'],
+                        pdf['doc_id'], pdf['shingles'])):
                 # sorted unique int64 vector: set-free jaccard via
                 # intersect1d below, buffer-speed pickling in state
-                new.setdefault((int(bi), int(bh)), []).append(
+                bk = (int(bi), int(bh))
+                new.setdefault(bk, []).append(
                     (int(d), np.sort(np.asarray(sh, dtype=np.int64))))
-            if event_time and len(pdf):
-                batch_max = pdf[ts_col].max()
-                last_ts_ms = max(
-                    last_ts_ms,
-                    int(pd.Timestamp(batch_max).value // 1_000_000))
-        if retention_ms is not None:
-            # event mode: a bucket's deadline anchors on the later of its
-            # newest member and the watermark (the raw-bucket rule);
-            # processing mode: wall-clock idle from this update
-            anchor = (max(last_ts_ms, state.getCurrentWatermarkMs())
-                      if event_time else int(_time.time() * 1000))
-            deadline = anchor + retention_ms
-        else:
-            deadline = 0
+                if ts_arr is not None:
+                    # per-REAL-bucket newest arrival (r16 advice: the
+                    # shared group-wide max extended quiet buckets'
+                    # retention past their own horizon)
+                    tv = int(ts_arr[i])
+                    if tv > new_ts.get(bk, 0):
+                        new_ts[bk] = tv
+        wm_ms = state.getCurrentWatermarkMs() if event_time else 0
+        now_ms = int(_time.time() * 1000)
+
+        def bucket_deadline(bk):
+            """Event mode: this bucket's newest arrival vs the watermark
+            (the raw-bucket rule); processing mode: wall-clock idle."""
+            if retention_ms is None:
+                return 0
+            if event_time:
+                return max(new_ts.get(bk, 0), wm_ms) + retention_ms
+            return now_ms + retention_ms
+
         out_a: list[int] = []
         out_b: list[int] = []
         out_j: list[float] = []
@@ -357,7 +386,7 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
                 ids.append(d)
                 shs.append(sh)
                 seen.add(d)
-            buckets[bk] = [ids, shs, deadline]
+            buckets[bk] = [ids, shs, bucket_deadline(bk)]
         state.update((pickle.dumps(buckets, protocol=4),))
         rearm(buckets)
         yield pd.DataFrame({'doc_a': pd.Series(out_a, dtype='int64'),

@@ -218,7 +218,10 @@ def running_user_totals(events: DataFrame, watermark: str = '2 hours',
     over ~(active users / K) users per call while keeping per-user
     semantics exactly: per-user counters, per-user retention deadlines
     (the group timer fires at the earliest deadline and sweeps only
-    users the watermark passed), one update row per user per batch.
+    users the watermark passed; busy buckets sweep their idle-expired
+    users in the data path, since hasTimedOut never fires for a group
+    that keeps receiving data — r17), one update row per user per
+    batch.
     Sized for bulk/replay ingest: a sparse trickle (few active users
     per batch) rewrites its whole bucket's dict per update — raise K
     (or revert to per-user keying with K so large buckets are
@@ -297,6 +300,18 @@ def running_user_totals(events: DataFrame, watermark: str = '2 hours',
                     out_u.append(uid)
                     out_n.append(n)
                     out_t.append(total)
+        # data-path sweep (r16 advice): hasTimedOut only fires for
+        # groups with NO data in a trigger, so a busy bucket would
+        # otherwise never evict its idle users — state would grow
+        # unboundedly and a user returning past the retention horizon
+        # would resume instead of restarting.  Users updated this batch
+        # always carry deadline > watermark (anchored max(ts, wm) +
+        # retention), so this sweeps exactly the idle-expired — the
+        # same set the per-user-keyed timer design evicted.
+        if retention_ms is not None and users:
+            wm = state.getCurrentWatermarkMs()
+            for uid in [u for u, v in users.items() if v[2] <= wm]:
+                del users[uid]
         state.update((pickle.dumps(users, protocol=4),))
         rearm(users)
         yield pd.DataFrame({'user_id': pd.Series(out_u, dtype='int64'),

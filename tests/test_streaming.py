@@ -792,3 +792,126 @@ def test_stream_curation_filters_match_batch(spark, tmp_path, sf_dir):
                           .collect()))
         assert got == want, qn
         assert len(got) == 200, qn
+
+
+def test_user_totals_busy_bucket_sweeps_idle_user(spark, tmp_path):
+    """r17 (r16 advice, high): hasTimedOut only fires for groups with NO
+    data in a trigger, so a super-bucket kept busy by one user must still
+    evict its OTHER users once the watermark passes their retention
+    deadline — the data path sweeps them; a swept user returning later
+    restarts from zero instead of resuming stale totals."""
+    from datetime import datetime
+
+    from rbql_spark.streaming.events import (
+        read_event_stream, run_stream_to_memory, running_user_totals,
+    )
+
+    def ev(eid, ts, uid):
+        return (eid, datetime.fromisoformat(ts), uid, 'click', 1.0, '{}')
+
+    schema = ('event_id long, ts timestamp, user_id long, '
+              'event_type string, value double, props string')
+    batches = [
+        [ev(1, '2024-01-01T00:00:00', 1), ev(2, '2024-01-01T00:00:00', 2)],
+        [ev(3, '2024-01-10T00:00:00', 2)],  # wm -> Dec 31 23:59 (no sweep)
+        [ev(4, '2024-01-11T00:00:00', 2)],  # wm -> Jan 9 23:59: user 1's
+        #   deadline (Jan 2) has passed but the bucket is BUSY — only the
+        #   data-path sweep can drop user 1 here
+        [ev(5, '2024-01-12T00:00:00', 1)],  # user 1 returns: restart at 1
+    ]
+    out = os.path.join(str(tmp_path), 'busy_evict_src')
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode('append').parquet(out)
+
+    stream = read_event_stream(spark, out, max_files_per_trigger=1)
+    # state_buckets=1: EVERY user shares the one super-bucket, so the
+    # bucket has data in every trigger and hasTimedOut never fires
+    totals = running_user_totals(stream, watermark='1 minute',
+                                 state_retention='1 day', state_buckets=1)
+    q = run_stream_to_memory(totals, 'busy_evict', output_mode='update')
+    try:
+        final = {}
+        for r in spark.table('busy_evict').collect():
+            final[r['user_id']] = max(final.get(r['user_id'], 0),
+                                      r['n_events'])
+    finally:
+        q.stop()
+    assert final[2] == 3
+    assert final[1] == 1   # swept by the busy bucket's data path, restarted
+
+
+def test_minhash_per_bucket_retention_in_busy_super_bucket(spark, tmp_path):
+    """r17 (r16 advice, medium + verdict #7): with every band bucket
+    co-resident in ONE super-bucket that receives data every trigger,
+    (a) an expired bucket's members are swept in the data path BEFORE
+    verification (a late near-dup of an expired doc emits no pair),
+    (b) each bucket's deadline anchors on its OWN newest arrival — a
+    quiet bucket evicts at its own horizon even when a same-batch
+    sibling carried a newer timestamp — and (c) an in-horizon
+    co-resident bucket still matches."""
+    from datetime import datetime
+
+    from rbql_spark.streaming.documents import (
+        read_document_stream, stream_minhash_near_dups,
+    )
+    from rbql_spark.streaming.events import run_stream_to_memory
+
+    text_a = ('the quick brown fox jumps over the lazy dog while the cat '
+              'sleeps in the warm afternoon sun near the old stone bridge')
+    text_b = ('red green blue yellow purple orange cyan magenta lime '
+              'teal navy maroon olive silver gold bronze copper iron')
+    text_c = ('alpha beta gamma delta epsilon zeta eta theta iota kappa '
+              'lam mu nu xi omicron pi rho sigma tau upsilon phi chi')
+    text_d = ('one two three four five six seven eight nine ten eleven '
+              'twelve thirteen fourteen fifteen sixteen seventeen agendas')
+    schema = 'doc_id long, ts timestamp, text string'
+
+    def doc(did, ts, text):
+        return (did, datetime.fromisoformat(ts), text)
+
+    batches = [
+        # B1 <- doc 1; deadline Jan 2
+        [doc(1, '2024-01-01T00:00:00', text_a)],
+        # one batch, two buckets, DIFFERENT event times: B gets Jan 3
+        # 12:00 (deadline Jan 4 12:00), C gets Jan 3 00:00 — C's own
+        # horizon is Jan 4 00:00; the old group-shared anchor would
+        # have stretched it to Jan 4 12:00
+        [doc(50, '2024-01-03T12:00:00', text_b),
+         doc(53, '2024-01-03T00:00:00', text_c)],
+        # unrelated traffic keeps the super-bucket busy; wm -> Jan 3
+        # 11:59 which passes B1's deadline — only the data-path sweep
+        # can evict doc 1 (the group has data every trigger)
+        [doc(51, '2024-01-04T06:00:00', text_d)],
+        # near-dup of doc 1 arriving after doc 1's horizon: NO pair
+        [doc(2, '2024-01-04T08:00:00',
+             text_a.replace('warm afternoon sun', 'cold night'))],
+        # near-dup of doc 53: wm is Jan 4 07:59 — past C's OWN deadline
+        # (Jan 4 00:00) but before the old shared one (Jan 4 12:00), so
+        # per-bucket anchoring means NO pair
+        [doc(54, '2024-01-04T09:00:00',
+             text_c.replace('iota kappa', 'kappa iota'))],
+        # near-dup of doc 50: B's deadline (Jan 4 12:00) is still ahead
+        # of wm (Jan 4 08:59) — the co-resident bucket matches
+        [doc(52, '2024-01-04T10:00:00',
+             text_b.replace('silver gold', 'platinum gold'))],
+    ]
+    out = os.path.join(str(tmp_path), 'mh_busy_evict')
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode('append').parquet(out)
+
+    stream = read_document_stream(spark, out, max_files_per_trigger=1)
+    pairs = stream_minhash_near_dups(stream, threshold=0.5,
+                                     state_retention='1 day',
+                                     ts_col='ts', watermark='1 minute',
+                                     state_buckets=1)
+    q = run_stream_to_memory(pairs, 'mh_busy_evict', output_mode='update')
+    try:
+        got = {(r['doc_a'], r['doc_b'])
+               for r in spark.table('mh_busy_evict').collect()}
+    finally:
+        q.stop()
+    assert (1, 2) not in got      # swept before verification
+    assert (53, 54) not in got    # per-bucket deadline, not group max
+    assert (50, 52) in got        # in-horizon co-resident still matches
