@@ -149,7 +149,8 @@ def append_to_ivf_pq_index(vectors: DataFrame, path: str) -> int:
         meta = json.load(fh)
     # persist around write+count: without it the count() re-executes the
     # whole encode (scan + kernel + store_floats join) a second time
-    coded = _encode_with_meta(vectors, meta).persist(
+    from rbql_spark.tuning import apply_plan_width
+    coded = apply_plan_width(_encode_with_meta(vectors, meta)).persist(
         StorageLevel.MEMORY_AND_DISK)
     try:
         coded.write.mode('append').partitionBy('cell').parquet(path)

@@ -20,6 +20,7 @@ shuffles are the groupBy/join on candidate keys.
 
 from __future__ import annotations
 
+import math
 import os
 import random
 
@@ -58,12 +59,29 @@ CC_DRIVER_FINISH_EDGES = int(
 _SIMHASH_MEMO_CAP = 1 << 20
 
 
-def spread_partitions(df: DataFrame, min_per_core: int = 1) -> DataFrame:
+def spread_partitions(df: DataFrame, min_per_core: int = 1,
+                      expansion: float = 1.0) -> DataFrame:
     """Repartition when the scan yields fewer partitions than cores.
 
     Small-file inputs (one parquet file → one partition) would otherwise run
     expression-heavy per-row operators on a single task.  At bulk scale the
     scan already produces ≥cores partitions and this is a no-op.
+
+    Size-aware raising (r17, r16 verdict #5): the batch target derives
+    from the plan's input bytes — ``min(cores, max(floor,
+    ceil(bytes × expansion / RBQL_SPREAD_BYTES_PER_TASK)))`` with the
+    floor at ``min(cores, STREAM_MIN_PARTITIONS)``.  Always spreading
+    to FULL ``defaultParallelism`` made 8 cores beat 32 on kilobyte
+    inputs (multimodal decode 0.62, text_lm_score 0.76 in the r16
+    8-vs-32 scaling block): per-task Arrow/Python setup outweighed the
+    work.  The per-task byte target is deliberately tiny (256 KB of
+    compressed parquet, swept at sf0.1: multimodal decode 1.61->1.02 s,
+    dedup_clusters 1.63->1.19 s vs the full-width spread, nothing
+    slower) because these operators do orders of magnitude more CPU
+    per byte than a shuffle (md5 per shingle, image decode per row);
+    inputs past ~cores x 256 KB — any real corpus — still spread to
+    every core, so the 100 TB behavior is unchanged.  Unknown sizes
+    keep the full-width spread (the safe direction at scale).
 
     Streaming inputs (round-16): a micro-batch arriving as one small
     parquet file is ONE scan task no matter the session's parallelism
@@ -74,17 +92,31 @@ def spread_partitions(df: DataFrame, min_per_core: int = 1) -> DataFrame:
     the default parallelism: one cheap round-robin shuffle of the raw
     batch rows (deterministic under retry — Spark sorts before
     round-robin repartition) buys cores-wide execution of the heavy
-    stage.  A source that already delivers wide batches pays one
-    redundant pass-through shuffle; set RBQL_STREAM_SPREAD=0 for that
-    regime.
+    stage (size-deriving per micro-batch is not possible — the plan is
+    built once, batches vary).  A source that already delivers wide
+    batches pays one redundant pass-through shuffle; set
+    RBQL_STREAM_SPREAD=0 for that regime.
     """
     if df.isStreaming:
         if os.environ.get('RBQL_STREAM_SPREAD', '1') != '0':
             return df.repartition(
                 df.sparkSession.sparkContext.defaultParallelism)
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    if cur >= cores:
+        return df
+    from rbql_spark.tuning import STREAM_MIN_PARTITIONS, estimated_input_bytes
+    per_task = int(os.environ.get('RBQL_SPREAD_BYTES_PER_TASK',
+                                  str(256 << 10)))
+    nbytes = estimated_input_bytes(df)
+    if nbytes is None or per_task <= 0:
+        target = cores
+    else:
+        floor = min(cores, STREAM_MIN_PARTITIONS)
+        want = math.ceil(nbytes * max(expansion, 1.0) / per_task)
+        target = min(cores, max(floor, want))
+    if cur < target:
         return df.repartition(target)
     return df
 
@@ -954,7 +986,11 @@ def dedup_lines(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id',
                 .select('__key', F.lit(True).alias('__dup')))
     if broadcast_frequent is None:
         from pyspark.storagelevel import StorageLevel
-        freq = freq.persist(StorageLevel.MEMORY_AND_DISK)
+
+        from rbql_spark.tuning import apply_plan_width
+
+        # the measuring count runs EAGERLY: size its shuffle now (r17)
+        freq = apply_plan_width(freq).persist(StorageLevel.MEMORY_AND_DISK)
         broadcast_frequent = freq.count() <= broadcast_max_rows
     # LEFT join (not anti) so every line — removed or kept — reaches the
     # per-doc rebuild: n_lines/n_removed fall out of the same aggregation
@@ -1211,7 +1247,11 @@ def dedup_spans(df: DataFrame, text_col: str = 'text',
                 .select('h'))
     if broadcast_frequent is None:
         from pyspark.storagelevel import StorageLevel
-        freq = freq.persist(StorageLevel.MEMORY_AND_DISK)
+
+        from rbql_spark.tuning import apply_plan_width
+
+        # the measuring count runs EAGERLY: size its shuffle now (r17)
+        freq = apply_plan_width(freq).persist(StorageLevel.MEMORY_AND_DISK)
         broadcast_frequent = freq.count() <= broadcast_max_rows
     if broadcast_frequent:
         freq = F.broadcast(freq)

@@ -185,7 +185,12 @@ def dsir_sample(raw: DataFrame, target: DataFrame, n_select: int,
     # the percentile aggregation, and the final filter), pick the cutoff
     # at the (1 − n/total) quantile, keep everything above it
     from pyspark.storagelevel import StorageLevel
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+
+    from rbql_spark.tuning import apply_plan_width
+
+    # the count + percentile jobs run EAGERLY here: size their shuffle
+    # now or a sub-advisory corpus pays the 16x-initial map overhead
+    scored = apply_plan_width(scored).persist(StorageLevel.MEMORY_AND_DISK)
     total = scored.count()
     q = max(0.0, 1.0 - float(n_select) / max(total, 1))
     cut = scored.agg(F.percentile_approx('gumbel_score', F.lit(q), 10_000)

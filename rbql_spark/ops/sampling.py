@@ -152,7 +152,11 @@ def sample_k_per_group(df: DataFrame, k: int, group_col: str,
         rank_name='sample_rank').select(gc, kc, 'sample_rank')
     if broadcast_picks is None:
         from pyspark.storagelevel import StorageLevel
-        picks = picks.persist(StorageLevel.MEMORY_AND_DISK)
+
+        from rbql_spark.tuning import apply_plan_width
+
+        # the measuring count runs EAGERLY: size its shuffle now (r17)
+        picks = apply_plan_width(picks).persist(StorageLevel.MEMORY_AND_DISK)
         broadcast_picks = picks.count() <= int(broadcast_max_rows)
     joined = df.join(F.broadcast(picks) if broadcast_picks else picks,
                      (df[key_col] == picks[kc])

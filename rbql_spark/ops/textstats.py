@@ -454,7 +454,14 @@ def lm_score(df: DataFrame, lm_corpus: DataFrame | None = None,
                  .groupBy('tok').agg(F.count(F.lit(1)).alias('__cnt')))
     if broadcast_lm is None:
         from pyspark.storagelevel import StorageLevel
-        uni = uni.persist(StorageLevel.MEMORY_AND_DISK)
+
+        from rbql_spark.tuning import apply_plan_width
+
+        # the LM build+measure job runs EAGERLY inside this call, before
+        # any caller-level width scoping can see the final plan — size
+        # its shuffle here or a sub-advisory corpus pays the 16x-initial
+        # map-side shuffle-file overhead on the cache-build pass (r17)
+        uni = apply_plan_width(uni).persist(StorageLevel.MEMORY_AND_DISK)
         broadcast_lm = uni.count() <= broadcast_max_rows
         _bi_auto = True
     else:
@@ -491,7 +498,7 @@ def lm_score(df: DataFrame, lm_corpus: DataFrame | None = None,
             # the bigram table is the larger of the two — it must pass the
             # same gate before both LM tables are forced to broadcast
             from pyspark.storagelevel import StorageLevel
-            bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
+            bi = apply_plan_width(bi).persist(StorageLevel.MEMORY_AND_DISK)
             broadcast_lm = bi.count() <= broadcast_max_rows
         scored = (bigrams(df, True)
                   .crossJoin(F.broadcast(scalars.select('__vocab')))

@@ -192,7 +192,13 @@ def apply_plan_width(df, expansion: float = 4.0,
         return df
     nbytes = input_scan_bytes(df)
     try:
-        if 'Repartition' in str(df._jdf.queryExecution().optimizedPlan()):
+        # keyed repartitions (RepartitionByExpression) pin Arrow-stage
+        # layouts the r15 A/B showed prefer the wide width; round-robin
+        # repartition(n) (spread_partitions) pins its OWN exchange width
+        # explicitly, so the initial-width decision still applies to
+        # the aggregations above it (r17: dedup_lines/spans freq build)
+        if 'RepartitionByExpression' in str(
+                df._jdf.queryExecution().optimizedPlan()):
             nbytes = None
     except Exception:
         nbytes = None
