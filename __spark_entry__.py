@@ -615,7 +615,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = read_event_stream(spark, tmp, max_files_per_trigger=1)
         totals = running_user_totals(stream)
         qname = 'rbql_stream_totals_gate'
-        sq = run_stream_to_memory(totals, qname, output_mode='update', input_bytes=_dir_bytes(tmp))
+        # final_no_data_batch=False: the handler's hasTimedOut branch yields
+        # an empty frame, so the trailing zero-row batch (~0.9 s of state
+        # open/commit, r17 measured) contributes no output rows
+        sq = run_stream_to_memory(totals, qname, output_mode='update',
+                                  input_bytes=_dir_bytes(tmp),
+                                  final_no_data_batch=False)
         sq.stop()
         w = Window.partitionBy('user_id').orderBy(F.col('n_events').desc())
         return (spark.table(qname)
@@ -646,7 +651,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lo, hi = ev.agg(F.min('ts'), F.max('ts')).first()
         span_days = max(1, (hi - lo).days + 2)
         dd = stream_exact_dedup(stream, watermark='{} days'.format(span_days))
-        drained = run_stream_to_parquet(dd, 'rbql_stream_dedup_gate', input_bytes=_dir_bytes(tmp))
+        # final_no_data_batch=False: dropDuplicates emits on arrival; the
+        # trailing zero-row batch only evicts expired keys (r17)
+        drained = run_stream_to_parquet(dd, 'rbql_stream_dedup_gate',
+                                        input_bytes=_dir_bytes(tmp),
+                                        final_no_data_batch=False)
         return drained.select(
             'event_id', 'ts', 'user_id', 'event_type',
             F.round('value', 6).alias('value'))
@@ -675,9 +684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sub-linear scaling; 128*64MB/58.8MB ~= 140).  At sf0.1/sf1 the
         # advisor stays at the session count (driver bench unchanged);
         # per-task shuffle bytes hold constant from sf10 upward.
+        # final_no_data_batch=False: timeout branch emits nothing (r17)
         sq = run_stream_to_memory(pairs, qname, output_mode='update',
                                   input_bytes=_dir_bytes(tmp),
-                                  shuffle_expansion=140.0)
+                                  shuffle_expansion=140.0,
+                                  final_no_data_batch=False)
         sq.stop()
         return (spark.table(qname)
                 .dropDuplicates(['doc_a', 'doc_b'])
@@ -704,7 +715,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = read_document_stream(spark, tmp, max_files_per_trigger=1)
         flagged = stream_decontaminate(stream, bench, shingle_k=3)
         qname = 'rbql_stream_decontam_gate'
-        sq = run_stream_to_memory(flagged, qname, output_mode='update', input_bytes=_dir_bytes(tmp))
+        # final_no_data_batch=False: update-mode agg emits only changed keys;
+        # the trailing zero-row batch changes none (it only evicts state)
+        sq = run_stream_to_memory(flagged, qname, output_mode='update',
+                                  input_bytes=_dir_bytes(tmp),
+                                  final_no_data_batch=False)
         sq.stop()
         w = Window.partitionBy('doc_id', 'bench_id') \
                   .orderBy(F.col('n_overlap').desc())
@@ -735,7 +750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              bloom_bits=1 << 16,
                                              bloom_hashes=3)
         qname = 'rbql_stream_decbloom_gate'
-        sq = run_stream_to_memory(flagged, qname, output_mode='update', input_bytes=_dir_bytes(tmp))
+        # final_no_data_batch=False: update-mode agg, trailing batch
+        # only evicts state (r17)
+        sq = run_stream_to_memory(flagged, qname, output_mode='update',
+                                  input_bytes=_dir_bytes(tmp),
+                                  final_no_data_batch=False)
         sq.stop()
         w = Window.partitionBy('doc_id') \
                   .orderBy(F.col('n_flagged_shingles').desc())

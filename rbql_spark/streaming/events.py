@@ -69,10 +69,46 @@ def _drain_timeout(timeout_sec: int | None) -> int:
     return int(os.environ.get('RBQL_STREAM_DRAIN_TIMEOUT', '600'))
 
 
+# Diagnostic hook: when set to a callable (query_name, StreamingQuery),
+# the drain helpers invoke it after the drain completes but BEFORE the
+# query is stopped/returned — the only window where the micro-batch
+# physical plan (query.explain) and progress metrics are readable.
+# Used by tools/r17_stream_plans.py to commit real streaming plan
+# evidence (r16 verdict #8); no-op in production.
+DRAIN_INSPECT_HOOK = None
+
+
+@__import__('contextlib').contextmanager
+def _scoped_no_data_batches(spark, enabled: bool):
+    """Scope ``spark.sql.streaming.noDataMicroBatches.enabled`` around a
+    ``start()`` (the query captures a cloned conf at start; restoring
+    immediately after is race-free for the started query)."""
+    key = 'spark.sql.streaming.noDataMicroBatches.enabled'
+    if enabled:
+        yield
+        return
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, 'false')
+    try:
+        yield
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, prev)
+
+
 def run_stream_to_parquet(stream_df: DataFrame, query_name: str,
                           timeout_sec: int | None = None,
                           input_bytes: int | None = None,
-                          shuffle_expansion: float = 1.0) -> DataFrame:
+                          shuffle_expansion: float = 1.0,
+                          final_no_data_batch: bool = True) -> DataFrame:
     """Drain an append-mode stream through a parquet file sink and return
     the drained rows as a DataFrame.
 
@@ -110,7 +146,12 @@ def run_stream_to_parquet(stream_df: DataFrame, query_name: str,
     n_parts = advise_shuffle_partitions(spark, input_bytes,
                                         expansion=shuffle_expansion,
                                         allow_below=True)
-    with scoped_shuffle_partitions(spark, n_parts):
+    # final_no_data_batch: see run_stream_to_memory — only pass False
+    # for operators that emit rows strictly on data arrival (dedup,
+    # stateless filters), NEVER for append-mode window/session
+    # aggregations, whose final windows emit in that trailing batch
+    with scoped_shuffle_partitions(spark, n_parts), \
+            _scoped_no_data_batches(spark, final_no_data_batch):
         q = (stream_df.writeStream
              .format('parquet')
              .option('path', out)
@@ -124,6 +165,11 @@ def run_stream_to_parquet(stream_df: DataFrame, query_name: str,
         raise RuntimeError(
             'stream {} did not drain within {}s'.format(query_name,
                                                         timeout_sec))
+    if DRAIN_INSPECT_HOOK is not None:
+        try:
+            DRAIN_INSPECT_HOOK(query_name, q)
+        except Exception:
+            pass
     q.stop()
     # explicit schema: an all-filtered (empty) drain leaves no data files
     return stream_df.sparkSession.read.schema(stream_df.schema).parquet(out)
@@ -133,7 +179,8 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = 'append',
                          timeout_sec: int | None = None,
                          input_bytes: int | None = None,
-                         shuffle_expansion: float = 1.0):
+                         shuffle_expansion: float = 1.0,
+                         final_no_data_batch: bool = True):
     """Drive a streaming DataFrame into an in-memory sink until idle; returns
     the StreamingQuery (caller reads ``spark.table(query_name)``).
 
@@ -144,14 +191,28 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     scale harness exists to catch.
 
     ``input_bytes`` / ``shuffle_expansion``: see run_stream_to_parquet —
-    scopes the state-store partition count to the source's size."""
+    scopes the state-store partition count to the source's size.
+
+    ``final_no_data_batch=False`` (r17, guide §1/§2): availableNow ends
+    with one zero-row micro-batch whose only job is firing event-time
+    timers; it still pays a full state-store open/commit plus the
+    Python state machinery across every partition (measured ~0.9 s of
+    addBatch on the user-totals drain).  A caller whose stateful
+    handler emits NOTHING from its timeout branch (both
+    applyInPandasWithState operators here yield empty frames on
+    hasTimedOut) can skip it — the drained output is identical by
+    construction.  Leave True for windowed/session aggregations in
+    append mode: their final windows only EMIT in that trailing batch.
+    The conf is scoped to this ``start()`` — streaming queries capture
+    a cloned session conf at start, so nothing leaks."""
     from ..tuning import advise_shuffle_partitions, scoped_shuffle_partitions
 
     spark = stream_df.sparkSession
     n_parts = advise_shuffle_partitions(spark, input_bytes,
                                         expansion=shuffle_expansion,
                                         allow_below=True)
-    with scoped_shuffle_partitions(spark, n_parts):
+    with scoped_shuffle_partitions(spark, n_parts), \
+            _scoped_no_data_batches(spark, final_no_data_batch):
         q = (stream_df.writeStream
              .format('memory')
              .queryName(query_name)
@@ -164,6 +225,11 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
         raise RuntimeError(
             'stream {} did not drain within {}s'.format(query_name,
                                                         timeout_sec))
+    if DRAIN_INSPECT_HOOK is not None:
+        try:
+            DRAIN_INSPECT_HOOK(query_name, q)
+        except Exception:
+            pass
     return q
 
 
