@@ -708,20 +708,35 @@ def test_dedup_clusters_empty_pairs(spark):
     assert dedup_clusters(pairs).count() == 0
 
 
-def test_dedup_clusters_reliable_checkpoint_matches(spark, tmp_path):
+def test_dedup_clusters_reliable_checkpoint_matches(spark, tmp_path,
+                                                    monkeypatch):
     # checkpoint_dir= uses reliable (filesystem) checkpoints so executor
     # loss mid-iteration can't kill a cluster-scale run; output must be
     # identical to the localCheckpoint default.
-    from rbql_spark.ops.dedup import dedup_clusters
+    import os
+
+    from rbql_spark.ops import dedup as dd
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (9, 3), (10, 11), (11, 12), (12, 13)],
         'doc_a long, doc_b long')
-    local = sorted(tuple(r) for r in dedup_clusters(pairs).collect())
-    reliable = sorted(tuple(r) for r in
-                      dedup_clusters(pairs, checkpoint_dir=str(tmp_path)).collect())
+    local = sorted(tuple(r) for r in dd.dedup_clusters(pairs).collect())
+
+    # driver-finish path (tiny forest): result identical AND the round
+    # scratch is deleted — nothing lazy reads it (r17, r16 advice)
+    drv_dir = os.path.join(str(tmp_path), 'drv')
+    reliable = sorted(tuple(r) for r in dd.dedup_clusters(
+        pairs, checkpoint_dir=drv_dir).collect())
     assert reliable == local
-    import os
-    assert os.listdir(str(tmp_path))  # checkpoints actually landed on disk
+    assert not os.listdir(drv_dir)   # scratch hygiene: round-0 removed
+
+    # distributed path (driver finish disabled): checkpoints actually
+    # land on disk and the FINAL round survives (it backs the lazy
+    # result); superseded rounds are removed
+    monkeypatch.setattr(dd, 'CC_DRIVER_FINISH_EDGES', 0)
+    dist_dir = os.path.join(str(tmp_path), 'dist')
+    res = dd.dedup_clusters(pairs, checkpoint_dir=dist_dir)
+    assert sorted(tuple(r) for r in res.collect()) == local
+    assert os.listdir(dist_dir)      # final round persisted on disk
 
 
 def test_simhash_eager_matches_default(spark, doc_df):
