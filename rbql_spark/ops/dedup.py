@@ -102,14 +102,24 @@ def spread_partitions(df: DataFrame, min_per_core: int = 1,
             return df.repartition(
                 df.sparkSession.sparkContext.defaultParallelism)
         return df
+    from rbql_spark.tuning import (
+        STREAM_MIN_PARTITIONS, scan_partition_estimate,
+    )
     cores = df.sparkSession.sparkContext.defaultParallelism
-    cur = df.rdd.getNumPartitions()
+    # current width and input bytes from the ANALYZED plan when the
+    # frame is a narrow chain over file scans — df.rdd.getNumPartitions
+    # builds a physical plan the later execution throws away (measured
+    # 150-200 ms per call, paid at every spread-based operator build);
+    # the .rdd fallback remains for frames whose width bytes cannot
+    # predict (post-shuffle, cached, local).  An under-estimate only
+    # risks one redundant round-robin pass over a provably small input.
+    cur, nbytes = scan_partition_estimate(df)
+    if cur is None:
+        cur = df.rdd.getNumPartitions()
     if cur >= cores:
         return df
-    from rbql_spark.tuning import STREAM_MIN_PARTITIONS, estimated_input_bytes
     per_task = int(os.environ.get('RBQL_SPREAD_BYTES_PER_TASK',
                                   str(256 << 10)))
-    nbytes = estimated_input_bytes(df)
     if nbytes is None or per_task <= 0:
         target = cores
     else:

@@ -190,15 +190,31 @@ def apply_plan_width(df, expansion: float = 4.0,
         spark.conf.set(WIDE_INITIAL_KEY, str(wide))
     if wide <= base:
         return df
-    nbytes = input_scan_bytes(df)
+    # Everything below reads the ANALYZED plan, not the optimized one:
+    # analysis already ran eagerly when the DataFrame was built (~1 ms,
+    # cached), while forcing optimizedPlan here runs a full optimizer
+    # pass that the later write-path execution throws away and rebuilds
+    # — measured 34–149 ms PER GATE BUILD, a 20–30% tax on sub-second
+    # queries (r17; the textstats family's huge regex expression trees
+    # also made the old full-plan string render cost up to 85 ms, so
+    # the repartition check is a node walk, never a render).  Leaf
+    # stats are identical at both levels for file relations; where
+    # optimization would shrink them (catalog partition pruning) the
+    # analyzed estimate is larger, which only errs toward keeping the
+    # wide width — the safe direction at scale.
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+    except Exception:
+        spark.conf.set(_INITIAL_KEY, str(wide))
+        return df
+    nbytes = _plan_leaf_bytes(analyzed)
     try:
         # keyed repartitions (RepartitionByExpression) pin Arrow-stage
         # layouts the r15 A/B showed prefer the wide width; round-robin
         # repartition(n) (spread_partitions) pins its OWN exchange width
         # explicitly, so the initial-width decision still applies to
         # the aggregations above it (r17: dedup_lines/spans freq build)
-        if 'RepartitionByExpression' in str(
-                df._jdf.queryExecution().optimizedPlan()):
+        if _has_node(analyzed, 'RepartitionByExpression'):
             nbytes = None
     except Exception:
         nbytes = None
@@ -209,6 +225,95 @@ def apply_plan_width(df, expansion: float = 4.0,
     want = math.ceil(nbytes * max(expansion, 1.0) / bpp)
     spark.conf.set(_INITIAL_KEY, str(base if want <= base else wide))
     return df
+
+
+def _plan_leaf_bytes(jplan) -> int | None:
+    """Sum of leaf-relation size estimates of a (java) logical plan —
+    the analyzed-plan twin of :func:`input_scan_bytes`.  None when any
+    leaf reports the unknown sentinel."""
+    try:
+        leaves = jplan.collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            size = int(leaves.apply(i).stats().sizeInBytes())
+            if size >= (1 << 50):
+                return None
+            total += max(size, 0)
+        return total
+    except Exception:
+        return None
+
+
+_NARROW_NODES = ('Project', 'Filter', 'SubqueryAlias', 'LogicalRelation',
+                 'View', 'DataSourceV2Relation', 'DataSourceV2ScanRelation')
+
+
+def _parse_size(s: str) -> int | None:
+    """Spark size-conf string ('134217728', '128m', '64MB') → bytes."""
+    try:
+        t = s.strip().lower()
+        mult = 1
+        for suf, m in (('kb', 1 << 10), ('mb', 1 << 20), ('gb', 1 << 30),
+                       ('k', 1 << 10), ('m', 1 << 20), ('g', 1 << 30),
+                       ('b', 1)):
+            if t.endswith(suf):
+                t, mult = t[:-len(suf)], m
+                break
+        return int(float(t) * mult)
+    except Exception:
+        return None
+
+
+def scan_partition_estimate(df) -> tuple[int | None, int | None]:
+    """(estimated scan partition count, leaf bytes) for a NARROW chain
+    over file relations — (None, None) when the frame's partitioning
+    cannot be predicted from bytes (post-shuffle, cached, local rows)
+    or any leaf size is unknown.
+
+    The estimate is ``ceil(leaf bytes / maxPartitionBytes)``, the file
+    packer's shape without per-file open costs — it may UNDER-estimate
+    a many-small-files directory, which at the call sites only risks a
+    redundant round-robin pass over a provably small input.  Exists so
+    ``spread_partitions`` does not have to call
+    ``df.rdd.getNumPartitions()``, which builds (and throws away) a
+    full physical plan per operator build — measured 150-200 ms."""
+    try:
+        analyzed = df._jdf.queryExecution().analyzed()
+        stack = [analyzed]
+        while stack:
+            node = stack.pop()
+            name = node.getClass().getSimpleName()
+            if not any(name.startswith(p) for p in _NARROW_NODES):
+                return None, None
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        nbytes = _plan_leaf_bytes(analyzed)
+        if nbytes is None:
+            return None, None
+        mpb = _parse_size(df.sparkSession.conf.get(
+            'spark.sql.files.maxPartitionBytes', '134217728'))
+        if not mpb:
+            return None, None
+        return max(1, math.ceil(nbytes / mpb)), nbytes
+    except Exception:
+        return None, None
+
+
+def _has_node(jplan, class_prefix: str) -> bool:
+    """True when any node of the (java) logical plan tree has a class
+    whose simple name starts with ``class_prefix`` — a py4j node walk
+    (a handful of calls per operator), never a full-plan string render
+    (which serializes every expression tree through the gateway)."""
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName().startswith(class_prefix):
+            return True
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return False
 
 
 @contextlib.contextmanager
