@@ -32,7 +32,11 @@ _STOPWORDS = {
 
 def token_stats(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
     """Whitespace tokens, BPE-ish piece count, char statistics per document."""
-    df = spread_partitions(df)
+    # expansion=8: pure regex/HOF projections do ~8x the CPU
+    # per compressed byte of a shuffle-bound op, so the sized
+    # spread gets proportionally more tasks (r17 full-bench A/B:
+    # width 8 cost quality_score/redact_pii 20-40% vs width ~19)
+    df = spread_partitions(df, expansion=8.0)
     t = F.col(text_col)
     ws_tokens = F.filter(F.split(t, r'\s+', -1), lambda x: x != '')
     bpe_count = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_REGEX), 0))
@@ -56,7 +60,11 @@ def quality_score(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id')
     measured ~2× slower at sf0.1).  Sum of word lengths == count of
     non-whitespace chars, so mean_word_len needs no per-word fold.
     """
-    df = spread_partitions(df)
+    # expansion=8: pure regex/HOF projections do ~8x the CPU
+    # per compressed byte of a shuffle-bound op, so the sized
+    # spread gets proportionally more tasks (r17 full-bench A/B:
+    # width 8 cost quality_score/redact_pii 20-40% vs width ~19)
+    df = spread_partitions(df, expansion=8.0)
     t = F.col(text_col)
     n_chars = F.length(t).cast('double')
     n_words = F.regexp_count(t, F.lit(r'\S+')).cast('double')
@@ -126,7 +134,11 @@ def language_id(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') -
     'und' (undetermined) when no hits.  (Expression shape: see
     _langid_exprs.)
     """
-    df = spread_partitions(df)
+    # expansion=8: pure regex/HOF projections do ~8x the CPU
+    # per compressed byte of a shuffle-bound op, so the sized
+    # spread gets proportionally more tasks (r17 full-bench A/B:
+    # width 8 cost quality_score/redact_pii 20-40% vs width ~19)
+    df = spread_partitions(df, expansion=8.0)
     pred, scores = _langid_exprs(F.col(text_col))
     out = [F.col(id_col), pred.alias('lang_pred')]
     out += [scores[l].cast('long').alias('score_{}'.format(l))
@@ -151,7 +163,11 @@ def redact_pii(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id') ->
 
     Pure regexp_count/regexp_replace projection — no shuffle, no Python;
     patterns applied in a fixed order so the output is deterministic."""
-    df = spread_partitions(df)
+    # expansion=8: pure regex/HOF projections do ~8x the CPU
+    # per compressed byte of a shuffle-bound op, so the sized
+    # spread gets proportionally more tasks (r17 full-bench A/B:
+    # width 8 cost quality_score/redact_pii 20-40% vs width ~19)
+    df = spread_partitions(df, expansion=8.0)
     t = F.col(text_col)
     counts = [F.regexp_count(t, F.lit(PII_PATTERNS[k])).cast('long')
               .alias('n_{}'.format(k)) for k in _PII_ORDER]
@@ -172,7 +188,11 @@ def doc_fingerprint(df: DataFrame, text_col: str = 'text', id_col: str = 'doc_id
     hash_fn 'xxhash64' (cheapest) or 'md5' (token hash = first 8 md5 hex
     chars — reproducible in any engine with md5(); used by the DuckDB
     differential oracle, which recomputes the same fold via list_reduce)."""
-    df = spread_partitions(df)
+    # expansion=8: pure regex/HOF projections do ~8x the CPU
+    # per compressed byte of a shuffle-bound op, so the sized
+    # spread gets proportionally more tasks (r17 full-bench A/B:
+    # width 8 cost quality_score/redact_pii 20-40% vs width ~19)
+    df = spread_partitions(df, expansion=8.0)
     mask32 = F.lit((1 << 32) - 1)
     toks = tokens(F.col(text_col))
     if hash_fn == 'md5':
@@ -241,7 +261,11 @@ def repetition_stats(df: DataFrame, text_col: str = 'text',
     (both engines emit integer stats; the fraction arithmetic is one
     shared native projection).
     """
-    df = spread_partitions(df)
+    # expansion=8: pure regex/HOF projections do ~8x the CPU
+    # per compressed byte of a shuffle-bound op, so the sized
+    # spread gets proportionally more tasks (r17 full-bench A/B:
+    # width 8 cost quality_score/redact_pii 20-40% vs width ~19)
+    df = spread_partitions(df, expansion=8.0)
     if engine == 'vectorized':
         tn, dn = int(top_n), int(dup_n)
         src = df.select(F.col(id_col), F.col(text_col).alias('__text'))
@@ -364,7 +388,11 @@ def quality_filter(df: DataFrame, text_col: str = 'text',
     join; here every signal is a native expression over the same row —
     one corpus scan, zero shuffles, whole filter decision in-scan.
     """
-    df = spread_partitions(df)
+    # expansion=8: pure regex/HOF projections do ~8x the CPU
+    # per compressed byte of a shuffle-bound op, so the sized
+    # spread gets proportionally more tasks (r17 full-bench A/B:
+    # width 8 cost quality_score/redact_pii 20-40% vs width ~19)
+    df = spread_partitions(df, expansion=8.0)
     # coalesce NULL text to '' so every rule signal is defined: a NULL
     # document must fail too_few_words, not slide past NULL-valued
     # conditions (the DuckDB replay tokenizes coalesce(text, '') too)
@@ -899,7 +927,11 @@ def readability(df: DataFrame, text_col: str = 'text',
     regexp_extract_all / HOF fold, no shuffle, no Python — the
     quality_score pattern, streaming-safe.
     """
-    df = spread_partitions(df)
+    # expansion=8: pure regex/HOF projections do ~8x the CPU
+    # per compressed byte of a shuffle-bound op, so the sized
+    # spread gets proportionally more tasks (r17 full-bench A/B:
+    # width 8 cost quality_score/redact_pii 20-40% vs width ~19)
+    df = spread_partitions(df, expansion=8.0)
     t = F.coalesce(F.col(text_col), F.lit(''))
     words = tokens(t)          # the shared lowercased tokenizer
     sents = F.filter(F.split(t, r'[.!?]+', -1),
