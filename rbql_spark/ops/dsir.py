@@ -92,22 +92,43 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
     two bucket models.  Documents whose text yields no tokens have no
     features and emit no row (the lm_score bigram convention).
 
-    Cost: one scan of `target`, TWO scans of `raw` (model fit + scoring
-    — persist `raw` upstream if it is not a cheap parquet re-read).
-    Output is UNORDERED (pair/score producers never pay a display
-    sort); dsir_sample ranks it.
+    Cost: one scan of `target`, ONE tokenize+hash pass of `raw` — the
+    raw model fit and the per-doc scoring both consume the persisted
+    slim (doc_id, bucket) gram stream (16 bytes/occurrence) instead of
+    each re-running the regex tokenizer and the per-gram md5 (r17: the
+    gram pass is the dominant cost; paying it twice was ~45% of the
+    gate).  The cache entry backs the lazily-returned frame, so it
+    outlives the call like any cached lineage (the minhash_dedup_pairs
+    contract) — clear via spark.catalog.clearCache() in long-lived
+    sessions.  Output is UNORDERED (pair/score producers never pay a
+    display sort); dsir_sample ranks it.
     """
+    from pyspark.storagelevel import StorageLevel
+
     ct = _bucket_counts(target, text_col, dim, ngram_max, seed, '__ct')
-    cr = _bucket_counts(raw, text_col, dim, ngram_max, seed, '__cr')
+    gstream = (spread_partitions(raw)
+               .select(F.col(id_col).alias('doc_id'),
+                       F.explode(_hashed_grams(F.col(text_col), ngram_max))
+                       .alias('__g'))
+               .select('doc_id', _bucket(F.col('__g'), dim, seed)
+                       .alias('bucket'))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    cr = gstream.groupBy('bucket').agg(F.count(F.lit(1)).alias('__cr'))
     # dense dim-row model: every bucket present so unseen buckets smooth
     # instead of dropping out of the scoring join
     buckets = (raw.sparkSession.range(0, int(dim))
                   .select(F.col('id').alias('bucket')))
     a = F.lit(float(smoothing))
+    # corpus totals as unpartitioned window sums over the dim-row joined
+    # table (r17): the old crossJoin(broadcast(ct.agg ⋈ cr.agg)) subtrees
+    # re-ran each corpus' tokenize+hash scan a second time just to total
+    # counts the dim-row model table already holds — same integers, one
+    # single-partition exchange of ≤ dim rows
+    from pyspark.sql import Window
+    _all = Window.partitionBy(F.lit(1))
     model = (buckets.join(ct, 'bucket', 'left').join(cr, 'bucket', 'left')
-             .crossJoin(F.broadcast(
-                 ct.agg(F.sum('__ct').alias('__tt'))
-                   .join(cr.agg(F.sum('__cr').alias('__tr')))))
+             .withColumn('__tt', F.sum('__ct').over(_all))
+             .withColumn('__tr', F.sum('__cr').over(_all))
              .select('bucket',
                      (F.log((F.coalesce(F.col('__ct'), F.lit(0)) + a)
                             / (F.coalesce(F.col('__tt'), F.lit(0))
@@ -119,13 +140,7 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
     # the total coalesces matter: an all-tokenless corpus sums to NULL,
     # which would NULL every weight — coalescing to 0 degrades to the
     # uniform smoothed model instead (domain_classify does the same)
-    scored = (spread_partitions(raw)
-              .select(F.col(id_col).alias('doc_id'),
-                      F.explode(_hashed_grams(F.col(text_col), ngram_max))
-                      .alias('__g'))
-              .select('doc_id',
-                      _bucket(F.col('__g'), dim, seed).alias('bucket'))
-              .join(F.broadcast(model), 'bucket'))
+    scored = gstream.join(F.broadcast(model), 'bucket')
     return (scored.groupBy('doc_id')
                   .agg(F.count(F.lit(1)).cast('long').alias('n_features'),
                        F.round(F.sum('__lr'), 6).alias('log_weight')))
@@ -230,13 +245,19 @@ def domain_classify(raw: DataFrame, domains: dict, text_col: str = 'text',
     buckets = (raw.sparkSession.range(0, int(dim))
                   .select(F.col('id').alias('bucket')))
     a = float(smoothing)
+    # per-domain totals as unpartitioned window sums (the dsir_log_weights
+    # rationale): the crossJoin(broadcast(cnt.agg)) subtree re-tokenized
+    # each exemplar corpus a second time for a number the dim-row count
+    # table already contains
+    from pyspark.sql import Window
+    _all = Window.partitionBy(F.lit(1))
     wide = buckets
     for i, name in enumerate(names):
         cnt = _bucket_counts(domains[name], text_col, dim, ngram_max, seed,
                              '__c{}'.format(i))
         wide = (wide.join(cnt, 'bucket', 'left')
-                    .crossJoin(F.broadcast(cnt.agg(
-                        F.sum('__c{}'.format(i)).alias('__t{}'.format(i)))))
+                    .withColumn('__t{}'.format(i),
+                                F.sum('__c{}'.format(i)).over(_all))
                     .withColumn('__lp{}'.format(i), F.log(
                         (F.coalesce(F.col('__c{}'.format(i)), F.lit(0)) + a)
                         / (F.coalesce(F.col('__t{}'.format(i)), F.lit(0))

@@ -262,7 +262,21 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
     # default derives from session width, floored at the old 4096
     n_groups = (int(state_buckets) if state_buckets
                 else max(4096, 64 * sess_parts))
-    banded = sig.select('doc_id', 'shingles', *extra,
+    # Shingle payload compression (r17, guide §2.3): every doc's shingle
+    # set crosses the state-store shuffle once PER BAND, and the values
+    # are 32-bit hashes carried as longs.  Map them through the bijection
+    # v - 2^32·[v ≥ 2^31] into int32 (halves the dominant shuffle bytes
+    # AND the pickled state blob) and array_sort ONCE in the JVM — the
+    # Python handler previously re-sorted the same doc's set in every
+    # band group it landed in.  Intersection sizes (hence every jaccard
+    # and every emitted pair) are invariant under a bijection applied to
+    # both sides; only the state blob layout changes (not
+    # checkpoint-compatible with a pre-r17 drain, like any re-keying).
+    sh32 = F.array_sort(F.transform(
+        'shingles',
+        lambda v: F.when(v >= F.lit(1 << 31), v - F.lit(1 << 32))
+                   .otherwise(v).cast('int')))
+    banded = sig.select('doc_id', sh32.alias('shingles'), *extra,
                         F.posexplode(band_arr).alias('band_idx', 'band_hash'))
     banded = banded.withColumn(
         '__skey', F.pmod(F.xxhash64('band_idx', 'band_hash'),
@@ -338,11 +352,12 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
             for i, (bi, bh, d, sh) in enumerate(
                     zip(pdf['band_idx'], pdf['band_hash'],
                         pdf['doc_id'], pdf['shingles'])):
-                # sorted unique int64 vector: set-free jaccard via
-                # intersect1d below, buffer-speed pickling in state
+                # arrives as a sorted unique int32 vector (sorted once
+                # JVM-side): set-free jaccard via the searchsorted count
+                # below, buffer-speed pickling in state
                 bk = (int(bi), int(bh))
                 new.setdefault(bk, []).append(
-                    (int(d), np.sort(np.asarray(sh, dtype=np.int64))))
+                    (int(d), np.asarray(sh, dtype=np.int32)))
                 if ts_arr is not None:
                     # per-REAL-bucket newest arrival (r16 advice: the
                     # shared group-wide max extended quiet buckets'
@@ -374,8 +389,12 @@ def stream_minhash_near_dups(docs: DataFrame, text_col: str = 'text',
                 if d in seen:   # at-least-once redelivery — indexed
                     continue
                 for d2, sh2 in zip(ids, shs):
-                    inter = np.intersect1d(sh, sh2,
-                                           assume_unique=True).size
+                    # both sides sorted+unique: count matches via one
+                    # binary-search pass (intersect1d re-sorts the
+                    # concatenation every call)
+                    pos = np.searchsorted(sh2, sh)
+                    ok = pos < sh2.size
+                    inter = int(np.count_nonzero(sh2[pos[ok]] == sh[ok]))
                     union = sh.size + sh2.size - inter
                     jac = (inter / union) if union else 0.0
                     if jac >= thr:
